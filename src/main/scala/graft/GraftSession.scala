@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory — every entry point (Verify, Bench, tests,
+  * pipeline mains) builds its session here so scale-sensitive settings are
+  * applied uniformly.
+  *
+  * Tuned for the harness's local[32] single-JVM mode, but every setting is the
+  * one you would also want on a 1000-executor cluster: AQE on (runtime skew /
+  * coalesce handling), shuffle partitions sized to the parallelism rather than
+  * the 200 default, UTC session time zone for oracle parity.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: Option[String] = None): SparkSession.Builder = {
+    val n = cores.orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")
+    SparkSession
+      .builder()
+      .master(s"local[$n]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false") // null-on-error casts (reference: errors="coerce")
+      // testdata events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Test-data table access. Queries receive the scale-factor directory and read
+  * one parquet file per table (TESTDATA.md).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String) =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its nanosecond `ts` converted to a proper timestamp
+    * (truncated to microseconds, exactly like DuckDB's ns→us cast, so oracle
+    * comparisons agree).
+    */
+  def events(spark: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    // integer div (not fp): ns epoch values exceed double's 2^53 precision
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

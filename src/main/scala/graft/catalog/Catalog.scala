@@ -1,0 +1,100 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ~17-value per-file status machine written to the catalog
+  * (reference: status strings throughout `main.py:97-328`, SURVEY.md §2.9).
+  */
+object Status {
+  val Processed = "processed"
+  val Uploaded = "uploaded to warehouse"
+  val ExtractionFailed = "extraction failed"
+  val NotValidCsv = "not a valid CSV file"
+  val NoSchema = "no schema found"
+  val NoMapping = "no column mapping found"
+  val RenameError = "rename error"
+  val ColumnCountMismatch = "column count mismatch"
+  val AddColumnError = "add column error"
+  val SelfDedupError = "self deduplication error"
+  val CrossDedupError = "cross-file comparison error"
+  val InsertError = "insert error"
+  val UploadError = "upload error"
+  val WatermarkError = "update last_id error"
+  def unexpected(msg: String): String = s"unexpected error: $msg"
+
+  /** Statuses that mean "this file is done, skip it next run" (the reference's
+    * idempotency set membership, `main.py:349-350,364`, counts ANY recorded
+    * status — a failed file is also not retried automatically; preserved).
+    */
+  val all: Seq[String] = Seq(
+    Processed, Uploaded, ExtractionFailed, NotValidCsv, NoSchema, NoMapping,
+    RenameError, ColumnCountMismatch, AddColumnError, SelfDedupError,
+    CrossDedupError, InsertError, UploadError, WatermarkError)
+}
+
+/** Parquet-backed metadata catalog replacing the reference's Postgres
+  * `processed_files` table (schema `file_name, status, created_at` —
+  * `test.py:26`, `util/data_pushing.py:516-519`) and the mutable
+  * `last_id` watermark the reference rewrites into `table_schema.json`
+  * (`util/data_pushing.py:430-460`; moving it here is SURVEY.md §7.4 item 6).
+  *
+  * Append-only: one file may have many status rows; the latest watermark row
+  * per table wins.
+  */
+final class Catalog(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private val statusDir = s"$dir/processed_files"
+  private val watermarkDir = s"$dir/watermarks"
+
+  private def existsAny(d: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** K3 — append one status row. */
+  def recordStatus(fileName: String, status: String): Unit =
+    Seq((fileName, status, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("file_name", "status", "created_at")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(statusDir)
+
+  /** S9/S10 — the full status log. */
+  def statusLog: DataFrame =
+    if (existsAny(statusDir)) spark.read.parquet(statusDir)
+    else Seq.empty[(String, String, java.sql.Timestamp)].toDF("file_name", "status", "created_at")
+
+  /** The idempotency set: distinct file names with any recorded status. */
+  def processedFileNames: DataFrame = statusLog.select("file_name").distinct()
+
+  /** F1 — drop inputs already recorded (anti-join on file name; the driver-side
+    * boolean probe below is for the per-file orchestration path).
+    */
+  def filterUnprocessed(files: DataFrame, fileNameCol: String = "file_name"): DataFrame =
+    files.join(processedFileNames.withColumnRenamed("file_name", fileNameCol),
+      Seq(fileNameCol), "left_anti")
+
+  def isProcessed(fileName: String): Boolean =
+    statusLog.filter($"file_name" === fileName).limit(1).count() > 0
+
+  /** K4 — watermark commit (append-only; latest row wins). */
+  def setWatermark(table: String, lastId: Long): Unit =
+    Seq((table, lastId, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("table_name", "last_id", "updated_at")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(watermarkDir)
+
+  /** A2 — current watermark for a table (0 when never set). */
+  def watermark(table: String): Long =
+    if (!existsAny(watermarkDir)) 0L
+    else {
+      val rows = spark.read.parquet(watermarkDir)
+        .filter($"table_name" === table)
+        .orderBy($"updated_at".desc, $"last_id".desc)
+        .select($"last_id")
+        .head(1)
+      if (rows.isEmpty) 0L else rows(0).getLong(0)
+    }
+}

@@ -1,0 +1,32 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** K1/K2 — snapshot writes replacing the reference's ClickHouse bulk insert
+  * (`util/data_pushing.py:211-222`) and S3 archive (`main.py:294-309`).
+  *
+  * One directory per table; each ingest batch appends parquet files. Batches
+  * are written partitioned (no coalesce-to-1): at 100 TB a batch append is a
+  * parallel write of many parquet parts, and readers prune with column
+  * projection + predicate pushdown against parquet stats.
+  */
+object Snapshot {
+
+  def appendBatch(df: DataFrame, tableDir: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(tableDir)
+
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+
+  def exists(spark: SparkSession, tableDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Archive the cleaned batch alongside the table (reference uploads the
+    * cleaned CSV to `processed/{table}/`, `main.py:294-309`).
+    */
+  def archive(df: DataFrame, archiveDir: String, batchName: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$archiveDir/$batchName")
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.catalog.{Catalog, Status}
+import graft.clean.Clean
+import graft.dedup.Dedup
+import graft.ingest.{CsvSource, ZipCsv}
+import graft.load.{Casts, IdAssign, Snapshot}
+import graft.schema.{Registry, TableSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file ingest orchestration — the Spark re-expression of the reference's
+  * `process_file` (`main.py:70-333`) and daemon loop (`main.py:335-424`).
+  *
+  * For each new file: route → read all-string → rename → conform → row_hash →
+  * intra-batch dedup (J1) → anti-join vs target hashes (J2) → typed casts →
+  * dense ids from watermark (P3) → id guard (J3) → append snapshot → commit
+  * watermark → status rows. One logical plan per batch; Catalyst fuses the
+  * clean/cast projections, and the two anti-joins are the only exchanges.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    schemas: Seq[TableSchema],
+    renames: Map[String, Map[String, String]],
+    warehouseDir: String,
+    prefixAliases: Map[String, String] = Map.empty) {
+
+  final case class Result(fileName: String, table: Option[String], inserted: Long, status: String)
+
+  private def fail(file: String, status: String): Result = {
+    catalog.recordStatus(file, status)
+    Result(file, None, 0L, status)
+  }
+
+  /** Process one CSV (or ZIP-of-CSV) file end to end. Idempotent per file name
+    * (catalog gate) and per content (hash + id anti-joins).
+    */
+  def processFile(path: String): Result = {
+    val fileName = path.split('/').last
+    if (catalog.isProcessed(fileName))
+      return Result(fileName, None, 0L, "skipped: already processed")
+
+    // 1. zip extraction (first entry only, reference semantics)
+    val csvPath =
+      if (fileName.toLowerCase.endsWith(".zip")) {
+        val outDir = java.nio.file.Files.createTempDirectory("graft_zip").toString
+        ZipCsv.extractFirstEntry(path, outDir) match {
+          case Left(_) => return fail(fileName, Status.ExtractionFailed)
+          case Right(p) => p
+        }
+      } else if (fileName.toLowerCase.endsWith(".csv")) path
+      else return fail(fileName, Status.NotValidCsv)
+
+    // 2. route by file name (contains-match + prefix aliases; fixed reference bug)
+    val routed = Registry.route(csvPath, schemas.map(_.tableName), prefixAliases)
+    val schema = routed.flatMap(k => schemas.find(_.tableName == k)) match {
+      case None => return fail(fileName, Status.NoSchema)
+      case Some(s) => s
+    }
+    val mapping = renames.view.filterKeys(k => schema.tableName.contains(k) || k.contains(schema.tableName))
+      .headOption.map(_._2)
+      .orElse(renames.get(schema.tableName)) match {
+      case None => return fail(fileName, Status.NoMapping)
+      case Some(m) => m
+    }
+
+    try {
+      val raw = CsvSource.readSniffed(spark, csvPath)
+
+      // 3. rename (extra columns fatal, missing tolerated)
+      val renamed = Clean.renameColumns(raw, mapping) match {
+        case Left(_) => return fail(fileName, Status.RenameError)
+        case Right(df) => df
+      }
+
+      // 4. conform to declared columns (id + row_hash are engine-assigned)
+      val dataCols = schema.columnNames.filterNot(c => c == "id" || c == "row_hash")
+      if (renamed.columns.length > dataCols.length)
+        return fail(fileName, Status.ColumnCountMismatch)
+      val conformed = Clean.conform(renamed, dataCols)
+
+      // 5. content hash over the raw string fields, then J1 + J2
+      val hashed = Clean.withRowHash(conformed, dataCols)
+      val deduped = Dedup.selfDedupAnyWins(hashed, "row_hash")
+      val tableDir = s"$warehouseDir/${schema.tableName}"
+      val target =
+        if (Snapshot.exists(spark, tableDir)) Some(Snapshot.readTable(spark, tableDir))
+        else None
+      val netNew = target match {
+        case Some(t) => Dedup.antiJoinPrior(deduped, t, "row_hash")
+        case None => deduped
+      }
+
+      // 6. typed casts + dense ids from the watermark + J3 guard
+      val typed = Casts.applyRoles(netNew, schema)
+      val lastId = catalog.watermark(schema.tableName)
+      val withIds = IdAssign.denseIds(typed, lastId, Seq("row_hash"))
+      val guarded = target match {
+        case Some(t) => Dedup.idGuard(withIds, t, "id")
+        case None => withIds
+      }
+
+      // 7. append snapshot, commit watermark, record statuses.
+      // Stats are computed BEFORE the append: once our rows land in the
+      // target, any recomputation of this plan would anti-join them away
+      // (the hash/id guards see their own output) — so nothing below may
+      // lazily re-evaluate the batch after the write.
+      val ordered = guarded.select(schema.columnNames.map(col): _*)
+      val persisted = ordered.persist()
+      val stats = persisted.agg(count(lit(1)).as("n"), max(col("id")).as("mx")).head()
+      val inserted = stats.getLong(0)
+      val newLast = if (stats.isNullAt(1)) lastId else stats.getLong(1)
+      Snapshot.appendBatch(persisted, tableDir)
+      catalog.recordStatus(fileName, Status.Processed)
+      persisted.unpersist()
+      catalog.setWatermark(schema.tableName, math.max(lastId, newLast))
+      catalog.recordStatus(fileName, Status.Uploaded)
+      Result(fileName, Some(schema.tableName), inserted, Status.Uploaded)
+    } catch {
+      case e: Exception => fail(fileName, Status.unexpected(e.getMessage))
+    }
+  }
+
+  /** Batch driver: list a directory, skip processed, run each new file — the
+    * reference's daily `main()` (`main.py:335-410`) minus the sleep loop
+    * (scheduling is external, or use Structured Streaming AvailableNow).
+    */
+  def runBatch(inputDir: String): Seq[Result] = {
+    val p = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p)
+      .map(_.getPath.toString)
+      .filter(f => f.toLowerCase.endsWith(".csv") || f.toLowerCase.endsWith(".zip"))
+      .sorted
+      .map(processFile)
+      .toSeq
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.catalog.{Catalog, Status}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("status log is append-only; files may carry many statuses") {
+    val cat = new Catalog(spark, tmpDir("cat"))
+    cat.recordStatus("f1.csv", Status.Processed)
+    cat.recordStatus("f1.csv", Status.Uploaded)
+    cat.recordStatus("f2.csv", Status.RenameError)
+    assert(cat.statusLog.count() == 3)
+    assert(cat.processedFileNames.count() == 2)
+    assert(cat.isProcessed("f1.csv") && cat.isProcessed("f2.csv"))
+    assert(!cat.isProcessed("f3.csv"))
+  }
+
+  test("F1 filterUnprocessed anti-joins the idempotency set") {
+    val cat = new Catalog(spark, tmpDir("cat"))
+    cat.recordStatus("done.csv", Status.Uploaded)
+    val incoming = Seq("done.csv", "new.csv").toDF("file_name")
+    val out = cat.filterUnprocessed(incoming).as[String].collect()
+    assert(out.toSeq == Seq("new.csv"))
+  }
+
+  test("watermark: 0 when unset, latest commit wins") {
+    val cat = new Catalog(spark, tmpDir("cat"))
+    assert(cat.watermark("t") == 0L)
+    cat.setWatermark("t", 10L)
+    cat.setWatermark("t", 25L)
+    cat.setWatermark("other", 99L)
+    assert(cat.watermark("t") == 25L)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.ingest.{CsvSource, Sniff, ZipCsv}
+import graft.schema.Registry
+
+class IngestSpec extends SparkSpec {
+
+  test("S4 encoding detection: BOMs and trial decode") {
+    assert(Sniff.detectEncoding("héllo,1".getBytes(StandardCharsets.UTF_8)).contains("UTF-8"))
+    val utf16le = Array(0xFF.toByte, 0xFE.toByte) ++ "a,b".getBytes(StandardCharsets.UTF_16LE)
+    assert(Sniff.detectEncoding(utf16le).contains("UTF-16LE"))
+    val utf16be = Array(0xFE.toByte, 0xFF.toByte) ++ "a,b".getBytes(StandardCharsets.UTF_16BE)
+    assert(Sniff.detectEncoding(utf16be).contains("UTF-16BE"))
+    // even-length latin1 bytes trial-decode as UTF-16 (reference does the
+    // same: utf-8 strict fails, utf-16 accepts most even-length sequences)
+    assert(Sniff.detectEncoding(Array(0xE9.toByte, 0x2C.toByte, 0xE9.toByte, 0x41.toByte, 0x42.toByte, 0x43.toByte)).contains("UTF-16"))
+    // odd-length high-byte sequence decodes as neither → None (caller falls back to latin1)
+    assert(Sniff.detectEncoding(Array(0xE9.toByte, 0x2C.toByte, 0x41.toByte)).isEmpty)
+  }
+
+  test("S5 delimiter detection: most frequent candidate wins") {
+    assert(Sniff.detectDelimiter("a,b,c;d") == ',')
+    assert(Sniff.detectDelimiter("a;b;c,d") == ';')
+    assert(Sniff.detectDelimiter("a\tb\tc") == '\t')
+    assert(Sniff.detectDelimiter("a|b|c") == '|')
+    assert(Sniff.detectDelimiter("abc") == ',') // default
+  }
+
+  test("S3 zip extraction takes the first entry only") {
+    val dir = tmpDir("zip")
+    val zipPath = s"$dir/batch.zip"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    zos.putNextEntry(new ZipEntry("first.csv"))
+    zos.write("Email,x\na@x.com,1\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("second.csv"))
+    zos.write("should,not,appear\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    val out = ZipCsv.extractFirstEntry(zipPath, dir)
+    assert(out.isRight)
+    assert(out.toOption.get.endsWith("first.csv"))
+    val lines = ZipCsv.readFirstEntryLines(spark, zipPath).collect()
+    assert(lines.length == 2 && lines.forall(_.getString(1) == "first.csv"))
+  }
+
+  test("S6 sniffed all-string CSV read (semicolon + accents)") {
+    val dir = tmpDir("csv")
+    val p = s"$dir/smallable_contacts_20240101.csv"
+    Files.write(Paths.get(p), "Email;prénom\na@x.com;José\n".getBytes(StandardCharsets.UTF_8))
+    val df = CsvSource.readSniffed(spark, p)
+    assert(df.columns.toSeq == Seq("Email", "prénom"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.head().getString(1) == "José")
+  }
+
+  test("routing: contains-match + prefix alias, longest key wins") {
+    val keys = Seq("smallable_campaign_events", "smallable_contacts")
+    val alias = Map("last24h__" -> "smallable_campaign_events")
+    assert(Registry.route("smallable_contacts_20241210.csv", keys, alias)
+      .contains("smallable_contacts"))
+    assert(Registry.route("last24h__20241210.csv", keys, alias)
+      .contains("smallable_campaign_events"))
+    assert(Registry.route("unknown_file.csv", keys, alias).isEmpty)
+  }
+
+  test("registry JSON parsing (reference layout)") {
+    val json =
+      """[{"table_name": "t1", "column_names": ["id", "a"], "column_types": ["UInt64", "Nullable(String)"],
+        |  "date_columns": [], "int_columns": [], "float_columns": [], "string_columns": ["a"],
+        |  "dob_columns": [], "last_id": 42}]""".stripMargin
+    val schemas = Registry.parseTableSchemas(json)
+    assert(schemas.head.tableName == "t1")
+    assert(schemas.head.columnNames == Seq("id", "a"))
+    val mappings = Registry.parseRenameMappings(
+      """{"t1": {"prénom": "first_name", "Email": "email"}}""")
+    assert(mappings("t1")("Email") == "email")
+  }
+}
