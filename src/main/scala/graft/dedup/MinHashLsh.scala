@@ -1,0 +1,104 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → minhash signature → band → bucket-join.
+  *
+  * Hash family: for seed i, h_i(shingle) = md5(i || ":" || shingle), compared
+  * LEXICOGRAPHICALLY. MinHash only needs a uniform hash with a total order,
+  * so the hex string itself serves as the hash value — no integer conversion,
+  * and the recipe is reproducible in any engine with md5.
+  *
+  * Scale shape: signature computation is a pure projection (no shuffle);
+  * banding explodes each doc into `bands` rows; the candidate join is a
+  * self-equi-join on (band, bucket) — ONE shuffle keyed by bucket, which is
+  * exactly the LSH guarantee: only near-duplicates collide, so the join
+  * output stays near-linear while a naive all-pairs compare is quadratic.
+  */
+object MinHashLsh {
+
+  /** Word k-shingles of the shared tokenizer's output. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val t = TextAnalysis.tokens(c)
+    when(size(t) === 0, array().cast("array<string>"))
+      .when(size(t) < k, array(array_join(t, " ")))
+      .otherwise(
+        transform(sequence(lit(1), size(t) - (k - 1)), i =>
+          array_join(slice(t, i, lit(k)), " ")))
+  }
+
+  /** MinHash signature: array of `numHashes` lexicographic-min md5 values. */
+  def signature(shinglesCol: Column, numHashes: Int = 12): Column =
+    when(size(shinglesCol) === 0, array((0 until numHashes).map(_ => lit(null).cast("string")): _*))
+      .otherwise(
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(shinglesCol, s => md5(concat(i.cast("string"), lit(":"), s))))))
+
+  /** Band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group hashed to one bucket key.
+    */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws("|", slice(sigCol, b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+
+  /** Per-document minhash signature columns `_h0.._hN` via the scalable
+    * explode → min-aggregate shape: shingles are computed ONCE per document
+    * (the generator argument is evaluated a single time — unlike nesting the
+    * shingle expression inside per-seed lambdas, which Spark's interpreted
+    * higher-order functions re-evaluate per iteration), then `numHashes`
+    * md5 values per shingle row feed a map-side-combined `min` aggregation.
+    * One shuffle, tiny payload (N hex strings per doc). Token-less docs have
+    * no shingle rows and drop out — they cannot be near-duplicates.
+    */
+  def signatureTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 12): DataFrame = {
+    // spread shingle hashing across the cluster even when the corpus arrives
+    // in few partitions; id-hash partitioning doubles as the groupBy layout
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val exploded = df.repartition(parts, col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("_sh"))
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("_sh")))).as(s"_h$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs of `df` by LSH banding.
+    *
+    * @param idCol    unique document id column name
+    * @param textCol  text column name
+    * @return (id_a, id_b) distinct pairs with id_a < id_b
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rowsPerBand = numHashes / bands
+    val sig = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"_h${b * rowsPerBand + r}"))
+      md5(concat_ws("|", slice: _*)).as(s"_b$b")
+    }
+    val banded = sig
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+}

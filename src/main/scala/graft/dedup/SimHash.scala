@@ -1,0 +1,126 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash document fingerprinting: each token hashes to 64 bits; for every
+  * bit position the tokens vote +1/−1; the sign vector is the fingerprint.
+  * Near-duplicates differ in few bits (small Hamming distance).
+  *
+  * Bits come from the md5 hex digest: hex char j/4 of the token's digest,
+  * bit 3−(j%4) within it — reproducible in any engine with md5 + arithmetic
+  * (no engine-specific hash). The fingerprint is emitted as a 64-char
+  * '0'/'1' string: engine-portable, and Hamming distance is a cheap
+  * per-char comparison.
+  */
+object SimHash {
+
+  val Bits = 64
+
+  /** 0–15 value of the 1-based `idx` hex char of a digest string. */
+  private def hexDigitAt(digest: Column, idx: Column): Column =
+    conv(digest.substr(idx, lit(1)), 16, 10).cast("long")
+
+  /** 64-bit simhash of the text's tokens, as a '0'/'1' bitstring.
+    * Each token is md5'd ONCE (not once per bit) — the digest array is a
+    * shared subexpression across all 64 bit positions.
+    */
+  def simhashBits(c: Column): Column = {
+    val digests = transform(TextAnalysis.tokens(c), t => md5(t))
+    val bits = transform(sequence(lit(0), lit(Bits - 1)), j => {
+      val hexIdx = (j / lit(4)) + 1 // which hex char of the digest
+      val shift = lit(3) - (j % lit(4)) // which bit within that hex char
+      val vote = aggregate(
+        digests,
+        lit(0L),
+        (acc, d) => {
+          val digit = hexDigitAt(d, hexIdx)
+          // (digit >> shift) & 1 with a Column-valued shift: divide by 2^shift
+          val bit = floor(digit / pow(lit(2.0), shift)).cast("long") % 2
+          acc + (bit * 2 - 1)
+        })
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+
+  /** Hamming distance between two equal-length bitstrings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
+
+  /** Per-document fingerprint table via the scalable explode → sum-aggregate
+    * shape: one md5 per TOKEN ROW (not per token×bit — interpreted
+    * higher-order lambdas would re-evaluate the digest 64×), then 64 ±1 vote
+    * sums with map-side combine. One shuffle of 64 longs per doc. Token-less
+    * docs get the all-zero fingerprint, matching [[simhashBits]].
+    */
+  def fingerprintTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // a corpus read from few parquet files arrives in few partitions; spread
+    // the 64-bit vote computation across the cluster up front — hashing by id
+    // also pre-partitions for the groupBy below (no second exchange)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.repartition(parts, col(idCol))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+    val withDigest = tok.select(col(idCol), md5(col("_tok")).as("_d"))
+    val voteAggs = (0 until Bits).map { j =>
+      val digit = conv(substring(col("_d"), j / 4 + 1, 1), 16, 10).cast("long")
+      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"_v$j")
+    }
+    val votes = withDigest.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val bitCols = (0 until Bits).map(j => when(col(s"_v$j") > 0, lit("1")).otherwise(lit("0")))
+    // packed-long twin of the bitstring: disjoint powers of two, so the sum
+    // is a bitwise OR — enables bit_count(xor) Hamming in the pair join
+    val packed = (0 until Bits).map(j =>
+      when(col(s"_v$j") > 0, shiftleft(lit(1L), Bits - 1 - j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withFp = votes.select(col(idCol), concat(bitCols: _*).as("_fp"), packed.as("_fpl"))
+    // docs with zero tokens dropped out at explode: restore with all-zero fp
+    df.select(col(idCol)).join(withFp, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_fp"), lit("0" * Bits)).as("_fp"),
+        coalesce(col("_fpl"), lit(0L)).as("_fpl"))
+  }
+
+  /** Near-duplicate pairs: docs whose simhash differs in ≤ maxHamming bits.
+    * Blocking: split the fingerprint into (maxHamming+1) segments — any pair
+    * within the threshold shares at least one exact segment (pigeonhole), so
+    * the join is an equi-join on (segment index, segment value), never a
+    * cross product. This is the standard scalable simhash index: at 100 TB
+    * the shuffle is keyed by segment value and only near-identical docs meet.
+    */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val segs = maxHamming + 1
+    val segLen = Bits / segs
+    // the fingerprint table feeds three plan branches (segments + both join
+    // probes); cache it — it is tiny (one row per doc) and saves recomputing
+    // the token-explode aggregation per branch
+    val fp = fingerprintTable(df, idCol, textCol).persist()
+    val seg = fp.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(segs - 1)), i =>
+        col("_fp").substr(i * lit(segLen) + 1, lit(segLen)))).as(Seq("seg_i", "seg_v")))
+    val a = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_a"))
+    val b = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_b"))
+    // dedupe candidates BEFORE scoring: a close pair can collide in several
+    // segments, and Hamming needs computing once per pair, not per collision
+    val cand = a.join(b, Seq("seg_i", "seg_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(fp.select(col(idCol).as("id_a"), col("_fpl").as("_la")), "id_a")
+      .join(fp.select(col(idCol).as("id_b"), col("_fpl").as("_lb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("_la").bitwiseXOR(col("_lb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

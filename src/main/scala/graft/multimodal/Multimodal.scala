@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns beside a typed metadata struct; decode / feature-extract
+  * / frame-sample run batch-parallel over partitions.
+  *
+  * The actual codecs are NOT in this environment, so [[StubDecoder]] is a
+  * clearly-marked deterministic fake — but everything Spark-side is real and
+  * tested: the schema contract, the binary column handling, the
+  * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
+  * decoder instantiation per partition, amortized over its rows), and the
+  * byte-range frame sampling.
+  */
+object Multimodal {
+
+  /** media metadata contract: every payload carries its modality + declared
+    * shape so downstream operators can dispatch without sniffing bytes.
+    */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("format", StringType, nullable = true), // e.g. jpeg, wav
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MetaSchema, nullable = true)))
+
+  /** Wrap any (id, string) frame as a media frame — the ingest shim used in
+    * tests and by the gate queries (text bytes stand in for undecodable
+    * payloads; the plumbing is identical).
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String, modality: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit(modality).as("modality"),
+        lit("utf8").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** Payload byte length — pure column op, no decode. */
+  def payloadBytes(payload: Column): Column = length(payload).cast("long")
+
+  /** Byte-range "frame sample": `n` evenly spaced slices of `width` bytes.
+    * For video this is the frame-sampling access pattern (seek + bounded
+    * read) without the codec; emitted as lowercase hex for portability.
+    */
+  def sampleSlices(payload: Column, n: Int, width: Int): Column = {
+    val len = length(payload)
+    transform(sequence(lit(0), lit(n - 1)), i => {
+      // floor, not cast: DuckDB CAST(double AS INT) rounds while Spark's
+      // truncates — floor() agrees everywhere
+      val off = floor((i * greatest(len - width, lit(1))) / lit(math.max(n - 1, 1))).cast("int") + 1
+      lower(hex(substr_bin(payload, off, lit(width))))
+    })
+  }
+
+  // substring on binary with Column args
+  private def substr_bin(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+
+  /** THE STUB: deterministic fake feature extractor standing in for a real
+    * decoder (???-equivalent; the container has no image/audio libs).
+    * Produces a fixed-size float feature vector from payload bytes via md5 —
+    * wrong features, right plumbing: batch shape, schema, and partition
+    * parallelism are exactly what a real decoder plugs into.
+    */
+  object StubDecoder {
+    val FeatureDim = 8
+
+    def features(payloadBytes: Array[Byte]): Array[Float] = {
+      if (payloadBytes == null) return Array.fill(FeatureDim)(0.0f)
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payloadBytes)
+      (0 until FeatureDim).map { i =>
+        ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)) / 65535.0f
+      }.toArray
+    }
+  }
+
+  /** Distributed decode+featurize: one decoder per PARTITION (not per row) —
+    * the mapPartitions batch shape that amortizes model/codec setup, the
+    * Scala analog of a pandas-batch UDF.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      // per-partition setup would go here (decoder/model init)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ StubDecoder.features(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,351 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{MinHashLsh, NGramJaccard, SimHash}
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference operators for large-scale training-data pipelines
+  * (BASELINE.json north star): dedup family, similarity search, text
+  * analysis, multimodal plumbing — each backed by a DuckDB oracle that
+  * recomputes the same recipe in SQL (md5-derived hashes keep every recipe
+  * engine-portable; see module scaladocs for the scale story).
+  */
+object TrainingQueries {
+
+  /** Shared oracle CTE: tokenized documents. */
+  private val TokCte =
+    "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
+
+  /** Shared oracle CTE fragment: word 3-shingles (matches MinHashLsh.shingles). */
+  private val ShCte =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |       ELSE list_transform(generate_series(1, len(t) - 2),
+      |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  END AS s FROM tok)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- dedup family -----------------------------------------------------
+
+    // Exact dedup via hash-groupBy (map-side combine; one shuffle on the
+    // content hash — the 100 TB shape of DISTINCT-by-content).
+    Q(
+      "q30_dedup_exact",
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text_hash ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // MinHash + LSH candidate pairs: shingle → 12-hash signature → 4 bands →
+    // bucket join. The oracle recomputes the identical signature in SQL.
+    Q(
+      "q31_dedup_minhash_lsh",
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11), i ->
+         |    list_aggregate(list_transform(s, sh2 -> md5(i::VARCHAR || ':' || sh2)), 'min')) AS g
+         |  FROM sh WHERE len(s) > 0),
+         |band AS (SELECT doc_id, u.b AS band,
+         |    md5(array_to_string(g[u.b*3+1 : u.b*3+3], '|')) AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS u(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      MinHashLsh.candidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 12, bands = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprints. Spark computes the segment-blocked pair join
+    // (scalable pigeonhole index); the oracle brute-forces all pairs —
+    // same answer, quadratic plan it can afford at oracle scale.
+    Q(
+      "q32_dedup_simhash",
+      s"""WITH $TokCte,
+         |fp AS (SELECT doc_id, array_to_string(list_transform(generate_series(0, 63), j ->
+         |  CASE WHEN list_aggregate(list_transform(t, tok2 ->
+         |    ((CAST(floor((strpos('0123456789abcdef', md5(tok2)[j//4+1]) - 1)
+         |        / (2 ** (3 - j%4))) AS BIGINT) % 2) * 2 - 1)), 'sum') > 0
+         |  THEN '1' ELSE '0' END), '') AS f FROM tok)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_filter(generate_series(1, 64), i -> a.f[i] != b.f[i])) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      SimHash.nearDuplicatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+        .orderBy("id_a", "id_b")
+    },
+
+    // n-gram Jaccard as the exact verifier over LSH candidates (the
+    // candidate→verify pipeline is the scale architecture: the quadratic
+    // compare only ever runs on the near-linear candidate set).
+    Q(
+      "q33_dedup_jaccard",
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11), i ->
+         |    list_aggregate(list_transform(s, sh2 -> md5(i::VARCHAR || ':' || sh2)), 'min')) AS g
+         |  FROM sh WHERE len(s) > 0),
+         |band AS (SELECT doc_id, u.b AS band,
+         |    md5(array_to_string(g[u.b*3+1 : u.b*3+3], '|')) AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |st AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
+         |SELECT c.id_a, c.id_b,
+         |  len(list_intersect(x.ds, y.ds)) * 1.0
+         |    / (len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))) AS jaccard
+         |FROM cand c JOIN st x ON x.doc_id = c.id_a JOIN st y ON y.doc_id = c.id_b
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text", 3, 12, 4)
+      NGramJaccard.verifyPairs(cands, docs, "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding cosine near-dup pairs, blocked by the label column
+    // (IVF-style blocking bounds the pair space).
+    Q(
+      "q34_dedup_embed",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+        |      / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.nearDuplicatePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label", minCosine = -2.0)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ------------------------------------------------
+
+    // Brute-force cosine top-k: the exactness baseline every ANN variant is
+    // measured against.
+    Q(
+      "q35_ann_brute",
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, len(p.pe)),
+        |         i -> p.pe[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum'))), 6) AS sim
+        |  FROM embeddings e, p)
+        |SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy(col("sim").desc, col("vec_id"))
+    },
+
+    // IVF ANN: centroid per label cluster, probe → nearest cell → scan only
+    // that cell (the scale path: cells/nProbe of the corpus is never read).
+    Q(
+      "q36_ann_ivf",
+      """WITH cm AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, unnest(generate_series(1, 64)) AS u(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+        |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |best AS (SELECT label FROM cent, p
+        |  ORDER BY list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> c[i] * pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> c[i]*c[i]), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> pe[i]::DOUBLE * pe[i]::DOUBLE), 'sum'))) DESC, label
+        |  LIMIT 1)
+        |SELECT e.vec_id,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> p.pe[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum'))), 6) AS sim
+        |FROM embeddings e JOIN best USING (label), p
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val centroids = Similarity.centroidsOf(emb, "embedding", "label")
+      Similarity.ivfTopK(emb, centroids, "vec_id", "embedding", "label", probe, 5, nProbe = 1)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
+    // Sign-LSH bucketing over deterministic md5-derived hyperplanes — the
+    // bucket histogram (the index structure itself, verifiable in SQL).
+    Q(
+      "q37_ann_lsh_buckets",
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT array_to_string(list_transform(generate_series(0, 7), h ->
+        |    CASE WHEN list_aggregate(list_transform(generate_series(1, 64), i ->
+        |      embedding[i]::DOUBLE *
+        |      ((CAST(('0x' || substr(md5(h::VARCHAR || ':' || (i-1)::VARCHAR), 1, 6)) AS BIGINT)::DOUBLE
+        |        / 8388608.0) - 1.0)), 'sum') >= 0
+        |    THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // ---- text analysis ----------------------------------------------------
+
+    // Token counting: whitespace-word count + BPE-ish subword estimate.
+    Q(
+      "q38_text_tokens",
+      """SELECT doc_id,
+        |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '')) AS n_tokens,
+        |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> x != '')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: exact integer ratios → identical doubles everywhere.
+    Q(
+      "q39_text_quality",
+      """WITH tok AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+        |SELECT doc_id, length(text) AS n_chars,
+        |  CASE WHEN len(t) = 0 THEN 0.0
+        |       ELSE len(list_distinct(t)) * 1.0 / len(t) END AS distinct_ratio,
+        |  CASE WHEN len(t) = 0 THEN 0.0
+        |       ELSE list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t)
+        |  END AS mean_token_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |            / length(text) END AS punct_ratio
+        |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID: stopword votes, deterministic argmax.
+    Q(
+      "q40_text_langid",
+      """WITH v AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(t, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('el','la','de','que','los','es','una'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('der','die','und','das','ist','ein','nicht'))) AS s_de,
+        |  len(list_filter(t, x -> x IN ('le','la','les','des','est','une','dans'))) AS s_fr
+        |  FROM v)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprints: bag fingerprint + winnowing-style rolling min.
+    Q(
+      "q41_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS bag_fp,
+        |  CASE WHEN length(regexp_replace(lower(text), '\s+', ' ', 'g')) < 8
+        |       THEN md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |       ELSE list_aggregate(list_transform(
+        |         generate_series(1, length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 7),
+        |         i -> md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), i, 8))), 'min')
+        |  END AS roll_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.bagFingerprint(col("text")).as("bag_fp"),
+          TextAnalysis.rollingMinFingerprint(col("text"), 8).as("roll_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal -------------------------------------------------------
+
+    // Binary payload plumbing: byte length + evenly-spaced byte-range
+    // "frame samples" (hex). Text bytes stand in for media payloads; the
+    // schema/partitioning/slicing is the real contract.
+    Q(
+      "q42_mm_frames",
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS frame0,
+        |  lower(hex(encode(substr(text,
+        |    CAST(floor(greatest(octet_length(encode(text)) - 4, 1) / 2.0) AS INT) + 1, 4)))) AS frame1,
+        |  lower(hex(encode(substr(text,
+        |    CAST(floor(greatest(octet_length(encode(text)) - 4, 1)) AS INT) + 1, 4)))) AS frame2
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.fromText(Tables.load(s, dir, "documents"), "doc_id", "text")
+      val slices = Multimodal.sampleSlices(col("payload"), 3, 4)
+      media.select(
+        col("media_id"),
+        Multimodal.payloadBytes(col("payload")).as("n_bytes"),
+        slices.getItem(0).as("frame0"),
+        slices.getItem(1).as("frame1"),
+        slices.getItem(2).as("frame2"))
+        .orderBy("media_id")
+    },
+
+    // Stubbed decode+featurize through the mapPartitions batch path: the
+    // oracle recomputes the md5-derived fake features from the same bytes.
+    Q(
+      "q43_mm_features",
+      """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT doc_id AS media_id,
+        |  round(CAST(CAST((((strpos('0123456789abcdef', h[1])-1)*16 + (strpos('0123456789abcdef', h[2])-1))*256
+        |       + ((strpos('0123456789abcdef', h[3])-1)*16 + (strpos('0123456789abcdef', h[4])-1)))
+        |       / 65535.0 AS FLOAT) AS DOUBLE), 4) AS f0,
+        |  round(CAST(CAST((((strpos('0123456789abcdef', h[5])-1)*16 + (strpos('0123456789abcdef', h[6])-1))*256
+        |       + ((strpos('0123456789abcdef', h[7])-1)*16 + (strpos('0123456789abcdef', h[8])-1)))
+        |       / 65535.0 AS FLOAT) AS DOUBLE), 4) AS f1
+        |FROM f ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.fromText(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(
+          col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+        .orderBy("media_id")
+    })
+}

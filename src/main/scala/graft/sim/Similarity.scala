@@ -1,0 +1,137 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), all in built-in higher-order functions (codegen'd; no
+  * UDF in the hot path).
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k: one pass over the corpus, a
+  *    TakeOrdered at the end; the correctness baseline and fine whenever the
+  *    probe set is small (the corpus scan is embarrassingly parallel).
+  *  - [[ivfTopK]] — inverted-file ANN: corpus pre-clustered (any cluster id
+  *    column, e.g. k-means labels); the probe searches only the nProbe
+  *    nearest clusters → scan cost drops by ncells/nProbe at equal recall on
+  *    clustered data. The cluster column also makes the scan PARTITION-
+  *    PRUNABLE when the table is written partitioned by it.
+  *  - [[hyperplaneBucket]] — sign-LSH bucketing: deterministic pseudo-random
+  *    hyperplanes derived from md5 (engine-portable, no RNG state); equal
+  *    buckets → candidate pairs, the embedding analog of MinHash banding.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (double accumulation,
+    * index order — deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact top-k neighbors of one probe vector (id excluded). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Seq[Float],
+      k: Int): DataFrame = {
+    val probeCol = array(probe.map(v => lit(v)): _*)
+    corpus
+      .select(col(idCol), cosine(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF search: rank clusters by centroid similarity, scan the top nProbe.
+    * `centroids` = (clusterCol, centroid array<double>) — see [[centroidsOf]].
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      probe: Seq[Float],
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val probeCol = array(probe.map(v => lit(v)): _*)
+    val best = centroids
+      .select(col(clusterCol), cosine(col("centroid"), probeCol).as("csim"))
+      .orderBy(col("csim").desc, col(clusterCol))
+      .limit(nProbe)
+      .select(clusterCol)
+    corpus
+      .join(broadcast(best), clusterCol) // cluster pruning: only nProbe cells scanned
+      .select(col(idCol), cosine(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-cluster mean vectors (the IVF coarse quantizer). One shuffle keyed
+    * by cluster; element-wise mean via posexplode + groupBy keeps the agg
+    * fully parallel in the vector dimension too.
+    */
+  def centroidsOf(corpus: DataFrame, vecCol: String, clusterCol: String): DataFrame =
+    corpus
+      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+      .groupBy(clusterCol, "_dim")
+      .agg(avg(col("_v")).as("_mean"))
+      .groupBy(clusterCol)
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_mean")))).as("_pairs"))
+      .select(col(clusterCol), transform(col("_pairs"), p => p.getField("_mean")).as("centroid"))
+
+  /** Deterministic hyperplane component h(plane, dim) ∈ [−1, 1), derived from
+    * md5 — reproducible anywhere, no RNG.
+    */
+  def planeComponent(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat(plane.cast("string"), lit(":"), dim.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(8388608.0)) - 1.0 // 16^6/2 = 8388608
+
+  /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
+    * emitted as a bitstring.
+    */
+  def hyperplaneBucket(vecCol: Column, numPlanes: Int = 8): Column = {
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), h => {
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (v, d) => v.cast("double") * planeComponent(h, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+
+  /** LSH candidate pairs: equal bucket → candidate (verify with [[cosine]]). */
+  def lshCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol), hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")).select("id_a", "id_b", "bucket")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
+    * cluster/label column to bound the pair space (IVF-style blocking).
+    */
+  def nearDuplicatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double): DataFrame = {
+    val a = corpus.select(col(blockCol).as("_blk"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = corpus.select(col(blockCol).as("_blk"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+}

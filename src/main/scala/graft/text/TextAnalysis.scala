@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * statistics, quality scoring, heuristic language ID, and document
+  * fingerprinting. All are pure built-in-function compositions — codegen'd,
+  * no UDFs — so they fuse into the scan projection and scale linearly with
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Lower-cased alphanumeric tokens. The shared tokenizer for every operator
+    * here (and for the dedup family) — one definition so fingerprints and
+    * signatures stay comparable across modules.
+    */
+  def tokens(c: Column): Column = {
+    val arr = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    // regexp_extract_all("") yields [""]; normalize to an empty array
+    filter(arr, t => t =!= "")
+  }
+
+  /** Whitespace-split token count (the cheap estimator). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: alphanumeric runs + standalone
+    * punctuation marks each count as one token (a common pre-tokenizer
+    * approximation when no vocab is available).
+    */
+  def subwordCountEstimate(c: Column): Column =
+    size(filter(regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)), t => t =!= ""))
+
+  /** Distinct-token ratio scaled to [0,1] — low values flag boilerplate. */
+  def distinctTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))).cast("double") /
+          length(c))
+
+  /** Per-language stopword sets for the n-gram/stopword language heuristic.
+    * Tiny on purpose: language ID at corpus scale wants a cheap, fully
+    * data-parallel vote, not a model.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"))
+
+  /** Stopword hit count for one language over the token array. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(words)))
+
+  /** Heuristic language ID: argmax of stopword votes; ties resolve in
+    * [[StopwordSets]] order (deterministic); zero votes → "und" (undetermined).
+    */
+  def langId(c: Column): Column = {
+    val scores = StopwordSets.map { case (lang, ws) => lang -> stopwordHits(c, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Stopword ratio for quality scoring: fraction of tokens that are
+    * stopwords in ANY known language.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val all = StopwordSets.flatMap(_._2).distinct
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => x.isInCollection(all))).cast("double") / size(t))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — robust to
+    * token order and repetition (the "bag fingerprint" used for clustering
+    * shuffled copies of a document).
+    */
+  def bagFingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Winnowing-style rolling fingerprint: minimum md5 over all k-length
+    * character windows of the normalized text — stable under small edits far
+    * from the minimizing window (k-gram winnowing with window = whole doc).
+    */
+  def rollingMinFingerprint(c: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(c), "\\s+", " ")
+    val n = length(norm)
+    when(n < k, md5(norm)).otherwise(
+      array_min(transform(sequence(lit(1), n - k + 1), i => md5(norm.substr(i, lit(k))))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.{MinHashLsh, NGramJaccard, SimHash}
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely unrelated text about spark catalyst optimizer rules and plans"),
+    (4L, "another very different document discussing parquet column pruning stats"))
+    .toDF("doc_id", "text")
+
+  test("minhash shingles: k-grams, short-text and empty handling") {
+    val out = Seq("a b c d", "a b", "").toDF("t")
+      .select(MinHashLsh.shingles($"t", 3).as("s")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0) == Seq("a b"))
+    assert(out(2).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash LSH finds the planted near-duplicate, not the unrelated pair") {
+    val pairs = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("jaccard verify: near-dup scores high, exact dup = 1.0") {
+    val cands = Seq((1L, 2L), (3L, 4L), (1L, 1L)).toDF("id_a", "id_b")
+    val scored = NGramJaccard.verifyPairs(cands, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored((1L, 1L)) == 1.0)
+    assert(scored((1L, 2L)) > 0.7)
+    assert(scored((3L, 4L)) == 0.0)
+  }
+
+  test("simhash: identical text → hamming 0; near-dup close; unrelated far") {
+    val fp = docs.select($"doc_id", SimHash.simhashBits($"text").as("f"))
+    val fps = fp.as[(Long, String)].collect().toMap
+    assert(fps(1L).length == 64 && fps(1L).forall(c => c == '0' || c == '1'))
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+  }
+
+  test("simhash segment-blocked pairs == brute force at small scale") {
+    val got = SimHash.nearDuplicatePairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force via collected fingerprints
+    val fps = docs.select($"doc_id", SimHash.simhashBits($"text").as("f"))
+      .as[(Long, String)].collect()
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && fa.zip(fb).count(p => p._1 != p._2) <= 16
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+
+  test("jaccard pairsWithin blocks by column and respects threshold") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val out = NGramJaccard.pairsWithin(blocked, "doc_id", "text", "blk", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

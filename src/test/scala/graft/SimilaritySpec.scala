@@ -1,0 +1,65 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0), // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (3L, Seq(0.0f, 0.9f, 0.2f, 0.0f), 1),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val out = vecs.select(
+      $"vec_id",
+      Similarity.cosine($"embedding", array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(0L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(4L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the self vector first, then the near one") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f), 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSeq == Seq(0L, 1L))
+  }
+
+  test("IVF: probe lands in its own cluster and never scans the rest") {
+    val centroids = Similarity.centroidsOf(vecs, "embedding", "label")
+    assert(centroids.count() == 3)
+    val hits = Similarity.ivfTopK(
+      vecs, centroids, "vec_id", "embedding", "label", Seq(1.0f, 0.0f, 0.0f, 0.0f), 10, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 1L)) // only cluster 0 scanned
+  }
+
+  test("centroids are element-wise means") {
+    val c = Similarity.centroidsOf(vecs, "embedding", "label")
+      .filter($"label" === 0).select("centroid").head().getSeq[Double](0)
+    assert(math.abs(c.head - 0.95) < 1e-6)
+    assert(math.abs(c(1) - 0.05) < 1e-6)
+  }
+
+  test("LSH buckets: deterministic, identical vectors share a bucket") {
+    val b1 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+      .as[String].collect()
+    val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+      .as[String].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(s => s.length == 8 && s.forall(c => c == '0' || c == '1')))
+    val pairs = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", 8)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "bucket"))
+  }
+
+  test("near-duplicate pairs within blocks above threshold") {
+    val out = Similarity.nearDuplicatePairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (2L, 3L)))
+  }
+}
