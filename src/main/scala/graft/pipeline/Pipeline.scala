@@ -122,6 +122,44 @@ final class Pipeline(
     }
   }
 
+  /** Streaming variant of the ingest (SURVEY.md §7.1 step 7): one file
+    * stream per TABLE directory (routing is per-file in the batch path; a
+    * stream has one schema, so the stream is per table), drained with
+    * `Trigger.AvailableNow`. The checkpoint replaces the processed-files
+    * idempotency set; each micro-batch runs the same clean → hash → dedup →
+    * cast → id → append stages through `foreachBatch`.
+    */
+  def runTableStream(tableName: String, inputDir: String, checkpointDir: String): Unit = {
+    val schema = schemas.find(_.tableName == tableName)
+      .getOrElse(throw new IllegalArgumentException(s"no schema for $tableName"))
+    val mapping = renames.getOrElse(tableName,
+      renames.collectFirst { case (k, m) if tableName.contains(k) => m }.getOrElse(Map.empty))
+    val dataCols = schema.columnNames.filterNot(c => c == "id" || c == "row_hash")
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      mapping.keys.toSeq.sorted.map(
+        org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, true)))
+    val stream = graft.streaming.StreamingIngest.fileStream(spark, inputDir, rawSchema)
+    graft.streaming.StreamingIngest.runAvailableNow(stream, checkpointDir) { (batch, _) =>
+      val renamed = Clean.renameColumns(batch, mapping)
+        .fold(e => throw new RuntimeException(e.message), identity)
+      val conformed = Clean.conform(renamed, dataCols)
+      val hashed = Dedup.selfDedupAnyWins(Clean.withRowHash(conformed, dataCols), "row_hash")
+      val tableDir = s"$warehouseDir/$tableName"
+      val netNew =
+        if (Snapshot.exists(spark, tableDir))
+          Dedup.antiJoinPrior(hashed, Snapshot.readTable(spark, tableDir), "row_hash")
+        else hashed
+      val typed = Casts.applyRoles(netNew, schema)
+      val lastId = catalog.watermark(tableName)
+      val withIds = IdAssign.denseIds(typed, lastId, Seq("row_hash"))
+      val ordered = withIds.select(schema.columnNames.map(col): _*).persist()
+      val stats = ordered.agg(count(lit(1)).as("n"), max(col("id")).as("mx")).head()
+      Snapshot.appendBatch(ordered, tableDir)
+      ordered.unpersist()
+      if (!stats.isNullAt(1)) catalog.setWatermark(tableName, stats.getLong(1))
+    }
+  }
+
   /** Batch driver: list a directory, skip processed, run each new file — the
     * reference's daily `main()` (`main.py:335-410`) minus the sleep loop
     * (scheduling is external, or use Structured Streaming AvailableNow).

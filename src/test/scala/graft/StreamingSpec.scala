@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", StringType)))
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.write(
+      Paths.get(s"$dir/$name"),
+      ("k,v\n" + rows.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+  test("AvailableNow drains new files exactly once across runs (poll-loop contract)") {
+    val root = tmpDir("stream")
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    writeCsv(in, "batch1.csv", Seq("a,1", "b,2"))
+
+    var seen = Vector.empty[(String, String)]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      seen ++= df.collect().map(r => (r.getString(0), r.getString(1)))
+
+    val s1 = StreamingIngest.fileStream(spark, in, schema)
+    StreamingIngest.runAvailableNow(s1, ckpt)(sink)
+    assert(seen.sorted == Vector(("a", "1"), ("b", "2")))
+
+    // run 2 with no new files: nothing re-processed (checkpoint = catalog)
+    StreamingIngest.runAvailableNow(StreamingIngest.fileStream(spark, in, schema), ckpt)(sink)
+    assert(seen.size == 2)
+
+    // run 3 after a late-arriving file: only the new file drains
+    writeCsv(in, "batch2.csv", Seq("c,3"))
+    StreamingIngest.runAvailableNow(StreamingIngest.fileStream(spark, in, schema), ckpt)(sink)
+    assert(seen.sorted == Vector(("a", "1"), ("b", "2"), ("c", "3")))
+  }
+
+  test("watermarked hourly aggregate matches the batch q28 shape") {
+    val root = tmpDir("streamagg")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    // parquet chunk of the real events table as the stream input
+    Tables.events(spark, sf).limit(200).write.parquet(s"$in/chunk")
+
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .parquet(s"$in/chunk")
+    val agg = StreamingIngest.hourlyAggregate(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("hourly_out")
+      .agg(sum("n")).head().getLong(0)
+    assert(got == 200L)
+  }
+
+  test("sessionize: event-time session windows split on the inactivity gap") {
+    val root = tmpDir("sess")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: two events 5 min apart (one session), then one 2 h later
+    Seq((1L, ts(0), 2.0), (1L, ts(5), 3.0), (2L, ts(1), 5.0))
+      .toDF("user_id", "ts", "value").write.parquet(s"$in/chunk")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/chunk").schema)
+      .parquet(s"$in/chunk")
+    val sessions = StreamingIngest.sessionize(stream, gap = "30 minutes")
+    val q = sessions.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_out")
+      .select("user_id", "events", "total").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 5.0), (2L, 1L, 5.0)))
+  }
+
+  test("runningUserState: mapGroupsWithState accumulates across batches") {
+    val root = tmpDir("state")
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    Seq((1L, 2.0), (1L, 3.0), (2L, 5.0))
+      .toDF("user_id", "value").write.parquet(s"$in/chunk")
+
+    var emitted = Vector.empty[(Long, Long, Double)]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$in/chunk").schema)
+        .parquet(s"$in/chunk")
+        .as[(Long, Double)]
+      val q = StreamingIngest.runningUserState(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+          emitted ++= ds.collect())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(emitted.toSet == Set((1L, 2L, 5.0), (2L, 1L, 5.0)))
+    // second batch arrives: user 1 adds one more event; state carries over
+    Seq((1L, 10.0)).toDF("user_id", "value").write.mode("append").parquet(s"$in/chunk")
+    run()
+    assert(emitted.last == ((1L, 3L, 15.0)))
+  }
+}
