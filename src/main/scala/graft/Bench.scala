@@ -1,19 +1,33 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark main: runs every gate query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * An untimed warmup (flagship query) absorbs session/codegen startup so the
+  * first timed query isn't charged for JVM warmup; queries run in name order
+  * for run-to-run comparability.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder("graft-bench", Some(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: exercise scan + shuffle + agg machinery once, untimed
+    try SparkEntry.queries("q23_agg_group")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

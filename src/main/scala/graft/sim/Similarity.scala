@@ -118,8 +118,21 @@ object Similarity {
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")).select("id_a", "id_b", "bucket")
   }
 
+  /** Unit-normalized copy of the vector (double elements). Normalizing ONCE
+    * per row before a pair join turns per-pair cosine into a bare dot
+    * product — at N² pairs the per-row norms would otherwise be recomputed
+    * for every partner.
+    */
+  def normalized(vecCol: Column): Column = {
+    val norm = sqrt(aggregate(vecCol, lit(0.0), (acc, v) =>
+      acc + v.cast("double") * v.cast("double")))
+    transform(vecCol, v => v.cast("double") / norm)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * cluster/label column to bound the pair space (IVF-style blocking).
+    * Vectors are normalized on the build side of the join (once per row,
+    * before the exchange), so each pair costs one fused dot product.
     */
   def nearDuplicatePairs(
       corpus: DataFrame,
@@ -127,11 +140,19 @@ object Similarity {
       vecCol: String,
       blockCol: String,
       minCosine: Double): DataFrame = {
-    val a = corpus.select(col(blockCol).as("_blk"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = corpus.select(col(blockCol).as("_blk"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val normed = corpus
+      .repartition(parts, col(blockCol)) // spread + pre-partition for the join
+      .select(col(blockCol).as("_blk"), col(idCol), normalized(col(vecCol)).as("_nv"))
+    val a = normed.select(col("_blk"), col(idCol).as("id_a"), col("_nv").as("_na"))
+    val b = normed.select(col("_blk"), col(idCol).as("id_b"), col("_nv").as("_nb"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cos_sim"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        aggregate(zip_with(col("_na"), col("_nb"), (p, q) => p * q), lit(0.0),
+          (acc, v) => acc + v).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan assertions: the plans that would matter at 100 TB must
+  * actually materialize — filters reaching the parquet scan, dimension
+  * broadcast, map-side partial aggregation, column pruning. A regression
+  * here is a silent 100× at scale even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q04: id-range predicate pushes down to the parquet scan") {
+    val p = plan("q04_id_range_filter")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderkey,100"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q04: scan reads only the projected columns") {
+    val p = plan("q04_id_range_filter")
+    assert(p.contains("ReadSchema") && !p.contains("o_orderdate"), "column pruning regressed")
+  }
+
+  test("q24: dimension join broadcasts, no shuffle of the fact for the join") {
+    val p = plan("q24_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q23: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q23_agg_group")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q30: exact dedup aggregates partially before shuffling") {
+    val p = plan("q30_dedup_exact")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q09: anti-join uses a hash join, not nested loop") {
+    val p = plan("q09_dedup_cross")
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "anti join degenerated to nested loop")
+  }
+
+  test("q01: vectorized scan + whole-stage codegen cover the pipeline") {
+    val df = SparkEntry.queries("q01_scan_rename")(spark, sf)
+    df.collect() // AQE finalizes this plan only when THIS df executes (count() plans separately)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Batched: true"), s"scan not vectorized:\n$p")
+    // codegen spans print as *(n) in executed-plan strings
+    assert(p.contains("*("), s"expected codegen span in:\n$p")
+  }
+
+  test("q31: minhash aggregation is map-side combined (objHashAggregate/partial)") {
+    val p = plan("q31_dedup_minhash_lsh")
+    assert(p.contains("partial_min") || p.contains("ObjectHashAggregate"),
+      s"expected partial min aggregation in:\n$p")
+  }
+}
