@@ -23,14 +23,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns (double accumulation,
-    * index order — deterministic).
+    * index order — deterministic). Dot products run through the native
+    * codegen'd [[graft.functions.DotProduct]] expression — same semantics as
+    * the `aggregate(zip_with(...))` fold, one tight loop instead of
+    * per-element lambda dispatch.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column = sqrt(dot(x, x))
-    dot(a, b) / (norm(a) * norm(b))
+    val dot = graft.functions.VectorFunctions.dot _
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   /** Exact top-k neighbors of one probe vector (id excluded). */
@@ -124,8 +124,7 @@ object Similarity {
     * for every partner.
     */
   def normalized(vecCol: Column): Column = {
-    val norm = sqrt(aggregate(vecCol, lit(0.0), (acc, v) =>
-      acc + v.cast("double") * v.cast("double")))
+    val norm = sqrt(graft.functions.VectorFunctions.dot(vecCol, vecCol))
     transform(vecCol, v => v.cast("double") / norm)
   }
 
@@ -151,8 +150,7 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        aggregate(zip_with(col("_na"), col("_nb"), (p, q) => p * q), lit(0.0),
-          (acc, v) => acc + v).as("cos_sim"))
+        graft.functions.VectorFunctions.dot(col("_na"), col("_nb")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product: correct values, float and double arrays") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0, 1.0, 1.0))).toDF("f", "d")
+    val out = df.select(
+      VectorFunctions.dot($"f", $"d").as("fd"),
+      VectorFunctions.dot($"f", $"f").as("ff"),
+      VectorFunctions.dot($"d", $"d").as("dd")).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(0).getDouble(1) == 14.0)
+    assert(out(0).getDouble(2) == 77.0)
+    assert(out(1).getDouble(0) == 0.0)
+  }
+
+  test("dot_product matches the built-in HOF fold bit-for-bit on real embeddings") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = emb.select(
+      (VectorFunctions.dot(col("embedding"), col("embedding")) - hof).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0) // identical accumulation order => identical bits
+  }
+
+  test("null inputs produce null; SQL registration works") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+    val n = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .selectExpr("a", "b")
+    val out = n.select(VectorFunctions.dot(col("a"), col("b"))).head()
+    assert(out.isNullAt(0))
+  }
+
+  test("stays inside whole-stage codegen") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"dot_product fell out of codegen:\n$p")
+  }
+}
