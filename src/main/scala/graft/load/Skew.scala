@@ -1,0 +1,41 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers.
+  *
+  * AQE's skew-join handling covers joins at runtime; for aggregations over
+  * heavily skewed keys (a handful of keys holding most rows — the classic
+  * shape of event-type or language columns at 100 TB) the standard fix is
+  * salting: a two-phase aggregate where phase 1 spreads each hot key over
+  * `saltBuckets` reducers and phase 2 merges the partials. Results are
+  * identical to the direct aggregate for decomposable aggregates
+  * (sum/count/min/max).
+  */
+object Skew {
+
+  /** Salted two-phase sum/count aggregation.
+    *
+    * @param df         input
+    * @param keyCols    grouping keys (the skewed dimension)
+    * @param sums       columns to sum, name-preserving
+    * @param saltBuckets fan-out per key in phase 1
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sums: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn(
+      "_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val p1Aggs = count(lit(1)).as("_cnt") +: sums.map(c => sum(col(c)).as(s"_sum_$c"))
+    val phase1 = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(p1Aggs.head, p1Aggs.tail: _*)
+    val p2Aggs = sum(col("_cnt")).as("n") +: sums.map(c => sum(col(s"_sum_$c")).as(s"sum_$c"))
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(p2Aggs.head, p2Aggs.tail: _*)
+  }
+}

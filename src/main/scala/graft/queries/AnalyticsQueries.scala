@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.load.Skew
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics breadth beyond the reference's own surface: multi-level
+  * aggregation, the window-function family, string/date scalar functions,
+  * skew-salted aggregation, sketches. All decimal-exact or integer-exact so
+  * the DuckDB oracles hash-match.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ROLLUP: hierarchical totals in one pass (grouping-set machinery).
+    Q(
+      "q44_rollup",
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(flag, status)
+        |ORDER BY flag NULLS FIRST, status NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"), col("l_quantity"))
+        .rollup("flag", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy(col("flag").asc_nulls_first, col("status").asc_nulls_first)
+    },
+
+    // The window-function family: rank, dense_rank, lag, lead, ntile.
+    Q(
+      "q45_window_family",
+      """SELECT event_id, user_id,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    },
+
+    // String scalar-function family over real data.
+    Q(
+      "q46_string_funcs",
+      """SELECT doc_id,
+        |  upper(substr(source, 1, 3)) AS src_upper,
+        |  length(trim(source)) AS src_len,
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+        |  replace(lang, 'e', '3') AS leet,
+        |  reverse(lang) AS rlang,
+        |  concat(lang, '/', source) AS joined,
+        |  split_part(source, 'c', 2) AS after_c
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("source"), 1, 3)).as("src_upper"),
+        length(trim(col("source"))).as("src_len"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("lang"), "e", "3").as("leet"),
+        reverse(col("lang")).as("rlang"),
+        concat(col("lang"), lit("/"), col("source")).as("joined"),
+        element_at(split(col("source"), "c"), 2).as("after_c"))
+        .orderBy("doc_id")
+    },
+
+    // Date/time scalar-function family.
+    Q(
+      "q47_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("due"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("age_days"))
+        .orderBy("o_orderkey")
+    },
+
+    // Conditional aggregation (pivot shape with fixed columns).
+    Q(
+      "q48_conditional_agg",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+        |       AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          sum(when(col("event_type") === "purchase", col("value").cast("decimal(18,2)")))
+            .cast("double").as("purchase_value"))
+        .orderBy("user_id")
+    },
+
+    // Skew-salted two-phase aggregate — same answer as the direct GROUP BY
+    // (the oracle), but phase 1 spreads hot keys over 16 reducers. Decimal
+    // sums keep the two-phase result bit-identical (associative).
+    Q(
+      "q49_salted_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val prepped = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast("decimal(18,2)").as("val"))
+      Skew.saltedAggregate(prepped, Seq("event_type"), Seq("val"), saltBuckets = 16)
+        .select(col("event_type"), col("n"), col("sum_val").cast("double").as("sum_val"))
+        .orderBy("event_type")
+    },
+
+    // Sketch-based distinct (HLL). Spark's HLL and DuckDB's differ, so the
+    // oracle checks bounds, not equality: the driver records a weaker check.
+    Q.noOracle("q50_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    })
+}
