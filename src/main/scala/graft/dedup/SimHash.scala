@@ -62,13 +62,18 @@ object SimHash {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val tok = df.repartition(parts, col(idCol))
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
-    val withDigest = tok.select(col(idCol), md5(col("_tok")).as("_d"))
+    // hex digits 1-16 of the digest decoded ONCE per token row; the 64 vote
+    // aggregates then only shift+mask (4 bits share each digit — decoding
+    // inside the aggregate expression would run conv() 64x per row)
+    val withDigits = tok
+      .select(col(idCol), md5(col("_tok")).as("_d"))
+      .select(col(idCol) +: (0 until Bits / 4).map(k =>
+        conv(substring(col("_d"), k + 1, 1), 16, 10).cast("long").as(s"_dg$k")): _*)
     val voteAggs = (0 until Bits).map { j =>
-      val digit = conv(substring(col("_d"), j / 4 + 1, 1), 16, 10).cast("long")
-      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1L))
+      val bit = shiftright(col(s"_dg${j / 4}"), 3 - j % 4).bitwiseAND(lit(1L))
       sum(bit * 2 - 1).as(s"_v$j")
     }
-    val votes = withDigest.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = withDigits.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
     val bitCols = (0 until Bits).map(j => when(col(s"_v$j") > 0, lit("1")).otherwise(lit("0")))
     // packed-long twin of the bitstring: disjoint powers of two, so the sum
     // is a bitwise OR — enables bit_count(xor) Hamming in the pair join
@@ -104,23 +109,22 @@ object SimHash {
     val fp = fingerprintTable(df, idCol, textCol).persist()
     val seg = fp.select(
       col(idCol),
+      col("_fpl"),
       posexplode(transform(sequence(lit(0), lit(segs - 1)), i =>
         col("_fp").substr(i * lit(segLen) + 1, lit(segLen)))).as(Seq("seg_i", "seg_v")))
-    val a = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_a"))
-    val b = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_b"))
-    // dedupe candidates BEFORE scoring: a close pair can collide in several
-    // segments, and Hamming needs computing once per pair, not per collision
-    val cand = a.join(b, Seq("seg_i", "seg_v"))
+    val a = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_a"), col("_fpl").as("_la"))
+    val b = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_b"), col("_fpl").as("_lb"))
+    // Hamming (one codegen'd bit_count per collision) runs BEFORE the
+    // distinct: hot buckets can produce millions of collision rows, and
+    // deduplicating those costs far more than filtering them — the distinct
+    // then only sees the ≤(maxHamming+1)-fold duplicates of true pairs
+    a.join(b, Seq("seg_i", "seg_v"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(fp.select(col(idCol).as("id_a"), col("_fpl").as("_la")), "id_a")
-      .join(fp.select(col(idCol).as("id_b"), col("_fpl").as("_lb")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
         bit_count(col("_la").bitwiseXOR(col("_lb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
