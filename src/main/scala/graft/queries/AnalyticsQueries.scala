@@ -137,5 +137,51 @@ object AnalyticsQueries {
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
+    // As-of join: last purchase at-or-before each click, per user. Spark
+    // runs graft's union+window operator (one shuffle, linear); the oracle
+    // uses DuckDB's native ASOF JOIN — two independent algorithms, same rows.
+    Q(
+      "q51_asof_join",
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(date_trunc('second', p.pts), '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      graft.operators.AsOfJoin
+        .lastPriorMatch(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(date_trunc("second", col("asof_pts")), "yyyy-MM-dd HH:mm:ss")
+            .as("last_purchase_ts"))
+        .orderBy("event_id")
+    },
+
+    // Point-in-interval range join: Spark quantizes intervals to buckets and
+    // equi-joins (no nested loop); the oracle is the plain inequality join —
+    // equality of results verifies the bucketing optimization exactly.
+    Q(
+      "q52_range_join",
+      """SELECT event_id, band_id FROM events
+        |JOIN (VALUES (1, 0.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 200.0),
+        |             (4, 200.0, 500.0), (5, 500.0, 1000.0)) b(band_id, lo, hi)
+        |  ON value >= lo AND value < hi
+        |ORDER BY event_id, band_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq((1, 0.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 200.0),
+        (4, 200.0, 500.0), (5, 500.0, 1000.0)).toDF("band_id", "lo", "hi")
+      graft.operators.RangeJoin
+        .pointInInterval(Tables.events(s, dir), bands, "value", "lo", "hi", bucketWidth = 50.0)
+        .select("event_id", "band_id")
+        .orderBy("event_id", "band_id")
     })
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{GraftExtensions, TypedAggregators}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** API-surface coverage: SparkSessionExtensions injection, typed Dataset
+  * aggregators, bucketed co-located joins, and non-CSV/parquet formats.
+  */
+class ApiSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SparkSessionExtensions injects dot_product into a new session's SQL") {
+    val prev = spark // force shared-session init first
+    // getOrCreate returns an existing session and would skip extensions;
+    // clear the registry so a genuinely new session (sharing the context)
+    // is built with them, then restore. Never close() it — that would stop
+    // the SparkContext shared by every other suite.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+      assert(r.getDouble(0) == 11.0)
+      // the base session has no such registration — proves injection scope
+      assertThrows[org.apache.spark.sql.AnalysisException] {
+        prev.sql("SELECT dot_product(array(1.0D), array(1.0D))").head()
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("typed Aggregator: single-pass mean/std over a Dataset") {
+    val ds = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDS()
+    val out = ds.select(TypedAggregators.meanStd.toColumn).head()
+    assert(out.mean == 5.0)
+    assert(math.abs(out.std - 2.0) < 1e-12)
+  }
+
+  test("typed Aggregator: element-wise vector sum per key") {
+    val ds = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(5.0, 5.0))).toDS()
+    val out = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TypedAggregators.vectorSum.toColumn)
+      .collect().toMap
+    assert(out(1) == Seq(4.0, 6.0))
+    assert(out(2) == Seq(5.0, 5.0))
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val db = tmpDir("buck")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '$db'")
+    try {
+      Tables.load(spark, sf, "orders")
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("buckdb.orders_b")
+      Tables.load(spark, sf, "lineitem")
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("buckdb.lineitem_b")
+      val joined = spark.table("buckdb.lineitem_b")
+        .join(spark.table("buckdb.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+  }
+
+  test("JSON and ORC sources round-trip") {
+    val dir = tmpDir("fmt")
+    val df = Tables.events(spark, sf).limit(100)
+    df.write.mode("overwrite").json(s"$dir/j")
+    df.write.mode("overwrite").orc(s"$dir/o")
+    assert(spark.read.json(s"$dir/j").count() == 100)
+    val orc = spark.read.orc(s"$dir/o")
+    assert(orc.count() == 100)
+    assert(orc.schema("ts").dataType.typeName == "timestamp")
+  }
+}

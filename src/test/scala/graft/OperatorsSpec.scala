@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: latest prior match per key, equality included, none -> null") {
+    val left = Seq((1, 10L, "e1"), (1, 20L, "e2"), (2, 5L, "e3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1, 10L, "r@10"), (1, 15L, "r@15"), (1, 30L, "r@30"))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.lastPriorMatch(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("name", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("e1") == Some("r@10")) // equal timestamp matches (<=)
+    assert(out("e2") == Some("r@15")) // latest prior, not first
+    assert(out("e3") == None) // key with no right rows at all
+  }
+
+  test("range join: boundary semantics [lo, hi) across bucket edges") {
+    val points = Seq((1, 0.0), (2, 49.999), (3, 50.0), (4, 99.999), (5, 100.0), (6, -1.0))
+      .toDF("id", "p")
+    val intervals = Seq(("a", 0.0, 50.0), ("b", 50.0, 100.0)).toDF("band", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 30.0)
+      .select("id", "band").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "a"), (3, "b"), (4, "b"))) // 100.0 and -1.0 unmatched
+  }
+
+  test("range join: interval spanning many buckets matches throughout") {
+    val points = Seq((1, 5.0), (2, 95.0), (3, 250.0)).toDF("id", "p")
+    val intervals = Seq(("wide", 0.0, 300.0)).toDF("band", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0)
+    assert(out.count() == 3)
+  }
+}
