@@ -44,11 +44,11 @@ object AnalyticsQueries {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       Tables.events(s, dir).select(
         col("event_id"), col("user_id"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
         lag(col("event_id"), 1).over(w).as("prev_id"),
         lead(col("event_id"), 1).over(w).as("next_id"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("event_id")
     },
 
@@ -67,7 +67,7 @@ object AnalyticsQueries {
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
         upper(substring(col("source"), 1, 3)).as("src_upper"),
-        length(trim(col("source"))).as("src_len"),
+        length(trim(col("source"))).cast("long").as("src_len"),
         lpad(col("doc_id").cast("string"), 8, "0").as("padded"),
         regexp_replace(col("lang"), "e", "3").as("leet"),
         reverse(col("lang")).as("rlang"),
@@ -87,12 +87,12 @@ object AnalyticsQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        dayofweek(col("o_orderdate")).as("dow"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
         date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("due"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("age_days"))
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("age_days"))
         .orderBy("o_orderkey")
     },
 

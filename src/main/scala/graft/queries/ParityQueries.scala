@@ -205,7 +205,7 @@ object ParityQueries {
       """SELECT event_id,
         |  strftime(try_strptime(strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S'),
         |           '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed,
-        |  try_strptime('not a date', '%Y-%m-%d %H:%M:%S') AS junk
+        |  strftime(try_strptime('not a date', '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS junk
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .select(
@@ -213,7 +213,9 @@ object ParityQueries {
           date_format(
             Casts.toTimestampCoerce(date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss")),
             "yyyy-MM-dd HH:mm:ss").as("parsed"),
-          Casts.toTimestampCoerce(lit("not a date")).as("junk"))
+          // emitted as a (null) STRING: an all-null timestamp column would
+          // hinge the compare on timestamp tz-ness, which differs by engine
+          date_format(Casts.toTimestampCoerce(lit("not a date")), "yyyy-MM-dd").as("junk"))
         .orderBy("event_id")
     },
 

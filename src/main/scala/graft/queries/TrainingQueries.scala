@@ -228,8 +228,8 @@ object TrainingQueries {
       Tables.load(s, dir, "documents")
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
     },
 
@@ -251,7 +251,7 @@ object TrainingQueries {
       Tables.load(s, dir, "documents")
         .select(
           col("doc_id"),
-          length(col("text")).as("n_chars"),
+          length(col("text")).cast("long").as("n_chars"),
           TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"),
           TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"),
           TextAnalysis.punctRatio(col("text")).as("punct_ratio"))

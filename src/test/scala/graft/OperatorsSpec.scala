@@ -34,4 +34,38 @@ class OperatorsSpec extends SparkSpec {
     val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0)
     assert(out.count() == 3)
   }
+
+  test("as-of join == naive quadratic implementation on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i))
+    val right = (1 to 80).map(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, s"v$i"))
+    val got = AsOfJoin.lastPriorMatch(
+      left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", Seq("rt"))
+      .select("lid", "asof_rt").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = left.map { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) -1L else cands.map(_._2).max)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("range join == naive inequality join on random data") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 150).map(i => (i, rnd.nextDouble() * 400 - 50))
+    val intervals = (1 to 25).map { i =>
+      val lo = rnd.nextDouble() * 300 - 25
+      (i, lo, lo + rnd.nextDouble() * 120)
+    }
+    val got = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), intervals.toDF("iid", "lo", "hi"),
+      "p", "lo", "hi", bucketWidth = 37.0)
+      .select("pid", "iid").as[(Int, Int)].collect().toSet
+    val want = (for {
+      (pid, p) <- points; (iid, lo, hi) <- intervals
+      if p >= lo && p < hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
 }

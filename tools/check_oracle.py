@@ -54,6 +54,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns want={wcols} got={gcols}")
             n_fail += 1
             continue
+        # dtype divergences are warnings: the driver may or may not be strict
+        for c in wcols:
+            wt = want.schema.field(c).type
+            gt = got.schema.field(c).type
+            if str(wt) != str(gt):
+                print(f"  WARN {name}.{c}: dtype duckdb={wt} spark={gt}")
         wrows = [tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()]
         grows = [tuple(norm(r[c]) for c in wcols) for r in got.to_pylist()]
         if len(wrows) != len(grows):
