@@ -66,6 +66,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rowcount want={len(wrows)} got={len(grows)}")
             n_fail += 1
             continue
+        if wrows != grows and sorted(map(repr, wrows)) == sorted(map(repr, grows)):
+            print(f"  WARN {name}: rows equal as sets but ORDER differs")
         # compare as sets first (driver may sort); then positionally
         if sorted(map(repr, wrows)) != sorted(map(repr, grows)):
             bad = [(w, g) for w, g in zip(wrows, grows) if repr(w) != repr(g)][:3]
