@@ -1,0 +1,58 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkPipe() = {
+    val root = tmpDir("corpus")
+    val cat = new Catalog(spark, s"$root/catalog")
+    (root, cat, new CorpusPipeline(spark, cat, s"$root/corpus", minQualityTokens = 3, nearDupJaccard = 0.7))
+  }
+
+  private val longA = "the quick brown fox jumps over the lazy dog near the river bank every single day"
+
+  test("batch 1: quality gate, exact dedup, near-dup, annotations") {
+    val (root, _, pipe) = mkPipe()
+    val b1 = Seq(
+      (1L, longA),
+      (2L, longA), // exact dup of 1
+      (3L, longA + " tonight"), // near-dup of 1
+      (4L, "el perro de la casa es una maravilla de verdad dice la gente"),
+      (5L, "too short")) // fails quality gate (< 3 tokens)
+      .toDF("doc_id", "text")
+    val r = pipe.processBatch(b1, "batch_001")
+    assert(r.rejected == 1)
+    assert(r.exactDups == 1)
+    assert(r.nearDups == 1)
+    assert(r.ingested == 2) // docs 1 and 4
+
+    val corpus = spark.read.parquet(s"$root/corpus")
+    assert(corpus.count() == 2)
+    val langs = corpus.select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(4L) == "es")
+    assert(corpus.columns.contains("text_hash") && corpus.columns.contains("batch_name"))
+  }
+
+  test("batch 2: cross-corpus exact + fingerprint dedup, batch idempotency") {
+    val (root, _, pipe) = mkPipe()
+    val b1 = Seq((1L, longA)).toDF("doc_id", "text")
+    assert(pipe.processBatch(b1, "b1").ingested == 1)
+
+    val b2 = Seq(
+      (10L, longA), // exact dup of corpus doc
+      (11L, "fox quick the brown jumps over the lazy dog near the river bank every single day"), // shuffled tokens: same bag fingerprint
+      (12L, "der hund und die katze ist ein tier im haus sagt man oft"))
+      .toDF("doc_id", "text")
+    val r2 = pipe.processBatch(b2, "b2")
+    assert(r2.exactDups == 1)
+    assert(r2.nearDups == 1) // bag-fingerprint cross-corpus match
+    assert(r2.ingested == 1) // only the German doc
+
+    // same batch name again: no-op
+    assert(pipe.processBatch(b2, "b2").ingested == 0)
+    assert(spark.read.parquet(s"$root/corpus").count() == 2)
+  }
+}
