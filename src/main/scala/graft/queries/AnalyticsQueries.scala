@@ -183,5 +183,63 @@ object AnalyticsQueries {
         .pointInInterval(Tables.events(s, dir), bands, "value", "lo", "hi", bucketWidth = 50.0)
         .select("event_id", "band_id")
         .orderBy("event_id", "band_id")
+    },
+
+    // Semi-structured columns: JSON path extraction + typed cast.
+    Q(
+      "q53_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string('{"bad": 1}', '$.missing') AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(lit("""{"bad": 1}"""), "$.missing").cast("long").as("missing"))
+        .orderBy("event_id")
+    },
+
+    // Exact interpolated percentiles (the sort-based quantile operator).
+    Q(
+      "q54_percentiles",
+      """SELECT l_returnflag AS flag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy("flag")
+    },
+
+    // Set collection into arrays (collect_set + deterministic sort).
+    Q(
+      "q55_collect_set",
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .orderBy("user_id")
+    },
+
+    // Pivot (fixed spread values; oracle = FILTER columns).
+    Q(
+      "q56_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy("user_id")
     })
 }
