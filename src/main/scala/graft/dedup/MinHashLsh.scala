@@ -90,10 +90,13 @@ object MinHashLsh {
       val slice = (0 until rowsPerBand).map(r => col(s"_h${b * rowsPerBand + r}"))
       md5(concat_ws("|", slice: _*)).as(s"_b$b")
     }
+    // both join branches read the banded table — cache it (4 small rows per
+    // doc) or the whole shingle/signature pipeline runs twice
     val banded = sig
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
         .as(Seq("band", "bucket")))
+      .persist()
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))

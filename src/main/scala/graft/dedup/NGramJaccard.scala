@@ -62,7 +62,9 @@ object NGramJaccard {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("_id"), shingleSet(col(textCol), n).as("_set"))
+    // both candidate-side joins read the shingle sets — cache them or the
+    // tokenize+shingle projection runs twice over the corpus
+    val sets = docs.select(col(idCol).as("_id"), shingleSet(col(textCol), n).as("_set")).persist()
     candidates
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
