@@ -25,6 +25,11 @@ object CsvSource {
       .option("sep", delimiter.toString)
       .option("encoding", encoding)
       .option("mode", "PERMISSIVE")
+      // quoted fields may embed delimiters AND newlines (pandas handles both;
+      // Spark needs multiLine for the latter). Cost: a multiLine file isn't
+      // line-splittable — acceptable because the unit of work IS the file.
+      .option("multiLine", "true")
+      .option("escape", "\"")
     columns match {
       case Some(cols) =>
         base.schema(StructType(cols.map(StructField(_, StringType, nullable = true)))).csv(path)

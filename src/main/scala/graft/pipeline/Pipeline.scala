@@ -58,9 +58,12 @@ final class Pipeline(
       case None => return fail(fileName, Status.NoSchema)
       case Some(s) => s
     }
-    val mapping = renames.view.filterKeys(k => schema.tableName.contains(k) || k.contains(schema.tableName))
-      .headOption.map(_._2)
-      .orElse(renames.get(schema.tableName)) match {
+    // contains-match like the schema lookup; LONGEST key wins so the pick is
+    // deterministic when several registry keys match (Map order is not)
+    val mapping = renames.toSeq
+      .filter { case (k, _) => schema.tableName.contains(k) || k.contains(schema.tableName) }
+      .sortBy { case (k, _) => (-k.length, k) }
+      .headOption.map(_._2) match {
       case None => return fail(fileName, Status.NoMapping)
       case Some(m) => m
     }

@@ -6,6 +6,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import graft.ingest.{CsvSource, Sniff, ZipCsv}
 import graft.schema.Registry
+import org.apache.spark.sql.functions.col
 
 class IngestSpec extends SparkSpec {
 
@@ -56,6 +57,30 @@ class IngestSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("Email", "prénom"))
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
     assert(df.head().getString(1) == "José")
+  }
+
+  test("S6 quoted fields: embedded delimiters, quotes, and newlines survive") {
+    val dir = tmpDir("csvq")
+    val p = s"$dir/quoted.csv"
+    Files.write(Paths.get(p),
+      "Email,note\n\"a@x.com\",\"hello, world\"\n\"b@x.com\",\"line one\nline two\"\n\"c@x.com\",\"she said \"\"hi\"\"\"\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val df = CsvSource.readAllString(spark, p)
+    val notes = df.orderBy("Email").collect().map(_.getString(1))
+    assert(notes(0) == "hello, world")
+    assert(notes(1) == "line one\nline two")
+    assert(notes(2) == "she said \"hi\"")
+  }
+
+  test("S6 malformed rows: PERMISSIVE read pads/keeps rows, never throws") {
+    val dir = tmpDir("csvm")
+    val p = s"$dir/bad.csv"
+    Files.write(Paths.get(p),
+      "a,b,c\n1,2,3\nonly_one_field\n4,5,6,EXTRA\n".getBytes(StandardCharsets.UTF_8))
+    val df = CsvSource.readAllString(spark, p, columns = Some(Seq("a", "b", "c")))
+    assert(df.count() == 3) // all rows survive
+    val short = df.filter(col("a") === "only_one_field").head()
+    assert(short.isNullAt(1) && short.isNullAt(2)) // missing fields → null
   }
 
   test("routing: contains-match + prefix alias, longest key wins") {
