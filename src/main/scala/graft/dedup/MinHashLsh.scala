@@ -91,7 +91,10 @@ object MinHashLsh {
       md5(concat_ws("|", slice: _*)).as(s"_b$b")
     }
     // both join branches read the banded table — cache it (4 small rows per
-    // doc) or the whole shingle/signature pipeline runs twice
+    // doc) or the whole shingle/signature pipeline runs twice. Caches here
+    // and in the sibling near-dup operators are MEMORY_AND_DISK and LRU-
+    // evictable; a long-lived service should spark.catalog.clearCache()
+    // between corpus passes.
     val banded = sig
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))

@@ -30,10 +30,12 @@ object NGramJaccard {
       blockCol: String,
       n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
+    // three plan branches (sizes + both explode sides) read this — cache it
+    // or the tokenize+shingle projection runs per branch
     val sets = df.select(
       col(blockCol).as("_blk"),
       col(idCol).as("_id"),
-      shingleSet(col(textCol), n).as("_set"))
+      shingleSet(col(textCol), n).as("_set")).persist()
     val sizes = sets.select(col("_blk"), col("_id"), size(col("_set")).as("_n"))
     val exploded = sets.select(col("_blk"), col("_id"), explode(col("_set")).as("_sh"))
     val inter = exploded.as("a")

@@ -43,7 +43,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths → null, matching the zip_with/aggregate fold (which
+    // null-pads the shorter side) — a corrupt vector must surface, not
+    // silently contribute a partial dot product
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var s = 0.0
     var i = 0
@@ -56,6 +60,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     s
   }
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloat(left)) "getFloat" else "getDouble"
     val rGet = if (isFloat(right)) "getFloat" else "getDouble"
@@ -64,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

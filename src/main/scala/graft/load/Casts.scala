@@ -23,9 +23,13 @@ object Casts {
   def toTimestampCoerce(c: Column): Column = to_timestamp(c)
 
   /** C2 — string → long, null on failure; parses "3.0" → 3 like pandas
-    * `to_numeric().astype('Int64')` (via an intermediate double).
+    * `to_numeric().astype('Int64')`. The direct cast already truncates
+    * decimal strings AND is exact over the full int64 range (a
+    * double-intermediate would corrupt ids above 2^53); the double route
+    * only backstops scientific notation ("1e3").
     */
-  def toLongCoerce(c: Column): Column = c.cast("double").cast("long")
+  def toLongCoerce(c: Column): Column =
+    coalesce(c.cast("long"), c.cast("double").cast("long"))
 
   /** C3 — string → double, null on failure. */
   def toDoubleCoerce(c: Column): Column = c.cast("double")

@@ -58,10 +58,12 @@ final class Pipeline(
       case None => return fail(fileName, Status.NoSchema)
       case Some(s) => s
     }
-    // contains-match like the schema lookup; LONGEST key wins so the pick is
-    // deterministic when several registry keys match (Map order is not)
+    // key-substring-of-table-name, like the reference's lookup
+    // (data_processing.py:34-36 — one direction only: a broader key such as
+    // "events_v2" must NOT match table "events"); longest key wins so the
+    // pick is deterministic when several keys match
     val mapping = renames.toSeq
-      .filter { case (k, _) => schema.tableName.contains(k) || k.contains(schema.tableName) }
+      .filter { case (k, _) => schema.tableName.contains(k) }
       .sortBy { case (k, _) => (-k.length, k) }
       .headOption.map(_._2) match {
       case None => return fail(fileName, Status.NoMapping)
@@ -115,9 +117,14 @@ final class Pipeline(
       val inserted = stats.getLong(0)
       val newLast = if (stats.isNullAt(1)) lastId else stats.getLong(1)
       Snapshot.appendBatch(persisted, tableDir)
-      catalog.recordStatus(fileName, Status.Processed)
       persisted.unpersist()
+      // watermark BEFORE the status rows: a crash after the append but
+      // before the file is marked processed means the rerun's hash anti-join
+      // inserts zero rows (content idempotency) — harmless. The reverse
+      // order would leave a stale watermark behind a recorded file, and the
+      // id guard would then silently discard later batches' reused ids.
       catalog.setWatermark(schema.tableName, math.max(lastId, newLast))
+      catalog.recordStatus(fileName, Status.Processed)
       catalog.recordStatus(fileName, Status.Uploaded)
       Result(fileName, Some(schema.tableName), inserted, Status.Uploaded)
     } catch {
@@ -132,14 +139,23 @@ final class Pipeline(
     * idempotency set; each micro-batch runs the same clean → hash → dedup →
     * cast → id → append stages through `foreachBatch`.
     */
-  def runTableStream(tableName: String, inputDir: String, checkpointDir: String): Unit = {
+  def runTableStream(
+      tableName: String,
+      inputDir: String,
+      checkpointDir: String,
+      rawColumns: Seq[String] = Nil): Unit = {
     val schema = schemas.find(_.tableName == tableName)
       .getOrElse(throw new IllegalArgumentException(s"no schema for $tableName"))
     val mapping = renames.getOrElse(tableName,
       renames.collectFirst { case (k, m) if tableName.contains(k) => m }.getOrElse(Map.empty))
     val dataCols = schema.columnNames.filterNot(c => c == "id" || c == "row_hash")
+    // An explicit CSV schema binds by POSITION, not by header name, so the
+    // caller must declare the files' actual column order (`rawColumns`).
+    // enforceSchema=false makes Spark validate each file's header against it
+    // — a reordered file fails loudly instead of silently swapping columns.
+    val orderedRaw = if (rawColumns.nonEmpty) rawColumns else mapping.keys.toSeq.sorted
     val rawSchema = org.apache.spark.sql.types.StructType(
-      mapping.keys.toSeq.sorted.map(
+      orderedRaw.map(
         org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, true)))
     val stream = graft.streaming.StreamingIngest.fileStream(spark, inputDir, rawSchema)
     graft.streaming.StreamingIngest.runAvailableNow(stream, checkpointDir) { (batch, _) =>

@@ -72,7 +72,8 @@ object AnalyticsQueries {
         regexp_replace(col("lang"), "e", "3").as("leet"),
         reverse(col("lang")).as("rlang"),
         concat(col("lang"), lit("/"), col("source")).as("joined"),
-        element_at(split(col("source"), "c"), 2).as("after_c"))
+        // DuckDB split_part returns '' (not NULL) when the part is absent
+        coalesce(element_at(split(col("source"), "c"), 2), lit("")).as("after_c"))
         .orderBy("doc_id")
     },
 

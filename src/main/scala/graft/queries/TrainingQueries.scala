@@ -309,13 +309,14 @@ object TrainingQueries {
     // schema/partitioning/slicing is the real contract.
     Q(
       "q42_mm_frames",
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-        |  lower(hex(encode(substr(text, 1, 4)))) AS frame0,
-        |  lower(hex(encode(substr(text,
-        |    CAST(floor(greatest(octet_length(encode(text)) - 4, 1) / 2.0) AS INT) + 1, 4)))) AS frame1,
-        |  lower(hex(encode(substr(text,
-        |    CAST(floor(greatest(octet_length(encode(text)) - 4, 1)) AS INT) + 1, 4)))) AS frame2
-        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |    greatest(octet_length(encode(text)) - 4, 1) AS g,
+        |    octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id AS media_id, nb AS n_bytes,
+        |  substr(hx, 1, 8) AS frame0,
+        |  substr(hx, CAST(floor(g / 2.0) AS INT) * 2 + 1, 8) AS frame1,
+        |  substr(hx, g * 2 + 1, 8) AS frame2
+        |FROM h ORDER BY media_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.fromText(Tables.load(s, dir, "documents"), "doc_id", "text")
       val slices = Multimodal.sampleSlices(col("payload"), 3, 4)
       media.select(

@@ -29,6 +29,10 @@ object StreamingIngest {
       .schema(schema)
       .option("header", "true")
       .option("sep", delimiter)
+      // validate each file's header against the declared schema: explicit
+      // schemas bind by position, and a silently reordered file would
+      // otherwise land values in the wrong columns
+      .option("enforceSchema", "false")
       .option("maxFilesPerTrigger", "64") // bound per-micro-batch work at scale
       .csv(inputDir)
 

@@ -16,7 +16,10 @@ object TextAnalysis {
     * signatures stay comparable across modules.
     */
   def tokens(c: Column): Column = {
-    val arr = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    // coalesce first: a NULL text would yield a NULL array, and with legacy
+    // sizeOfNull semantics size(NULL) = -1 — every size()-based branch
+    // downstream (shingles, ratios) would silently misbehave
+    val arr = regexp_extract_all(lower(coalesce(c, lit(""))), lit("[a-z0-9]+"), lit(0))
     // regexp_extract_all("") yields [""]; normalize to an empty array
     filter(arr, t => t =!= "")
   }

@@ -22,6 +22,14 @@ class CastsSpec extends SparkSpec {
     assert(out(2).isNullAt(0) && out(3).isNullAt(0))
   }
 
+  test("C2 long coercion is exact above 2^53 (no double intermediate)") {
+    val big = "9007199254740993" // 2^53 + 1: a double round-trip loses it
+    val out = Seq(big, "1e3").toDF("n")
+      .select(Casts.toLongCoerce($"n").as("v")).collect()
+    assert(out(0).getLong(0) == 9007199254740993L)
+    assert(out(1).getLong(0) == 1000L) // scientific notation via the fallback
+  }
+
   test("C5 strips exactly one trailing .0") {
     val df = Seq("3.0", "3.00", "30", "x.0").toDF("s")
     val out = df.select(Casts.stripTrailingDotZero($"s").as("v")).as[String].collect()

@@ -31,6 +31,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0.0) // identical accumulation order => identical bits
   }
 
+  test("mismatched vector lengths produce null (corrupt vectors must surface)") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("null text never reaches size()=-1 semantics in the text stack") {
+    val df = Seq[Option[String]](None, Some("a b")).toDF("t")
+    val out = df.select(
+      graft.text.TextAnalysis.tokenCount($"t").as("n"),
+      graft.text.TextAnalysis.distinctTokenRatio($"t").as("r")).collect()
+    assert(out(0).getInt(0) == 0 && out(0).getDouble(1) == 0.0)
+    assert(out(1).getInt(0) == 2)
+  }
+
   test("null inputs produce null; SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
