@@ -242,5 +242,52 @@ object AnalyticsQueries {
         .agg(count(lit(1)))
         .na.fill(0L, Seq("click", "view", "purchase"))
         .orderBy("user_id")
+    },
+
+    // CUBE: all grouping-set combinations in one pass.
+    Q(
+      "q57_cube",
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio, count(*) AS n
+        |FROM orders GROUP BY CUBE(status, prio)
+        |ORDER BY status NULLS FIRST, prio NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+        .cube("status", "prio")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status").asc_nulls_first, col("prio").asc_nulls_first)
+    },
+
+    // Full outer join: both unmatched sides survive with nulls.
+    Q(
+      "q58_outer_join",
+      """SELECT c_custkey, n FROM customer
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY o_custkey
+        |) r ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, n NULLS FIRST""".stripMargin) { (s, dir) =>
+      val recent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      Tables.load(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select("c_custkey", "n")
+        .orderBy(col("c_custkey").asc_nulls_first, col("n").asc_nulls_first)
+    },
+
+    // Left-semi join (EXISTS shape), the positive twin of the J2 anti-join.
+    Q(
+      "q59_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 400)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(
+          Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     })
 }
