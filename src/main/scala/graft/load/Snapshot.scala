@@ -29,4 +29,28 @@ object Snapshot {
     */
   def archive(df: DataFrame, archiveDir: String, batchName: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$archiveDir/$batchName")
+
+  /** Compact a table directory's accumulated small batch files into
+    * `targetFiles` parquet parts. Append-heavy snapshot tables collect one
+    * file set per batch; at scale the listing and tiny-row-group overhead
+    * dominates reads. Writes to a temp sibling then swaps via rename, so a
+    * crash leaves either the old or the new layout, never a mix.
+    */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(tableDir + "._compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(tableDir)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(path, old)) throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(old, true)
+  }
 }

@@ -76,6 +76,34 @@ class ApiSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
   }
 
+  test("partitioned writes prune partitions at read time") {
+    val dir = tmpDir("part")
+    Tables.events(spark, sf)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("dt").mode("overwrite").parquet(s"$dir/events_p")
+    val pruned = spark.read.parquet(s"$dir/events_p").filter(col("dt") === "2024-01-01")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dt"),
+      s"no partition filter in:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
+  test("snapshot compaction merges batch files, preserves rows, survives re-read") {
+    import spark.implicits._
+    val dir = tmpDir("compact")
+    val t = s"$dir/t"
+    // simulate 5 small batch appends
+    (1 to 5).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(t))
+    val before = new java.io.File(t).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 5)
+    graft.load.Snapshot.compact(spark, t, targetFiles = 1)
+    val after = new java.io.File(t).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    assert(spark.read.parquet(t).select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
   test("JSON and ORC sources round-trip") {
     val dir = tmpDir("fmt")
     val df = Tables.events(spark, sf).limit(100)
