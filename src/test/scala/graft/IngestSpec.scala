@@ -59,6 +59,18 @@ class IngestSpec extends SparkSpec {
     assert(df.head().getString(1) == "José")
   }
 
+  test("S4+S6 end-to-end: UTF-16LE file with BOM is sniffed and read correctly") {
+    val dir = tmpDir("csvu16")
+    val p = s"$dir/utf16.csv"
+    val bom = Array(0xFF.toByte, 0xFE.toByte)
+    val body = "Email;prénom\njosé@x.com;José\n".getBytes(StandardCharsets.UTF_16LE)
+    Files.write(Paths.get(p), bom ++ body)
+    val df = CsvSource.readSniffed(spark, p)
+    assert(df.columns.toSeq == Seq("Email", "prénom"))
+    val row = df.head()
+    assert(row.getString(0) == "josé@x.com" && row.getString(1) == "José")
+  }
+
   test("S6 quoted fields: embedded delimiters, quotes, and newlines survive") {
     val dir = tmpDir("csvq")
     val p = s"$dir/quoted.csv"
