@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * watermark → status rows. One logical plan per batch; Catalyst fuses the
   * clean/cast projections, and the two anti-joins are the only exchanges.
   */
+object Pipeline {
+  final case class Result(fileName: String, table: Option[String], inserted: Long, status: String)
+}
+
 final class Pipeline(
     spark: SparkSession,
     catalog: Catalog,
@@ -25,8 +29,7 @@ final class Pipeline(
     renames: Map[String, Map[String, String]],
     warehouseDir: String,
     prefixAliases: Map[String, String] = Map.empty) {
-
-  final case class Result(fileName: String, table: Option[String], inserted: Long, status: String)
+  import Pipeline.Result
 
   private def fail(file: String, status: String): Result = {
     catalog.recordStatus(file, status)
