@@ -348,5 +348,37 @@ object TrainingQueries {
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
           round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
         .orderBy("media_id")
+    },
+
+    // PII scrub: email then URL replaced with typed placeholders (the text
+    // is salted with synthetic PII so the op has something to remove).
+    Q(
+      "q60_text_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || ' mail doc' || doc_id || '@corp.example now http://ex.com/' || doc_id,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val salted = concat(
+        col("text"), lit(" mail doc"), col("doc_id"), lit("@corp.example now http://ex.com/"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(salted).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition scoring: most-frequent-bigram share (degenerate-text flag).
+    Q(
+      "q61_text_repetition",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram FROM tok),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |sc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS repetition FROM pg GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, coalesce(sc.repetition, 0.0) AS repetition
+        |FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
 }

@@ -92,6 +92,39 @@ object TextAnalysis {
       .otherwise(size(filter(t, x => x.isInCollection(all))).cast("double") / size(t))
   }
 
+  /** PII scrub for training corpora: emails, then URLs, replaced with typed
+    * placeholder tokens. Patterns are deliberately simple and RE2-compatible
+    * so the recipe is portable across engines.
+    */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "https?://[^\\s]+", "<URL>")
+  }
+
+  /** Repetition scores per document: occurrences of the single most frequent
+    * word bigram over the total bigram count — near 1.0 flags degenerate
+    * boilerplate ("buy now buy now buy now"). Docs with < 2 tokens score 0.
+    * Explode → two-level aggregate (a per-gram count inside a lambda would
+    * be quadratic per doc); one shuffle keyed by id.
+    */
+  def repetitionScores(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("_g"))
+    val perGram = grams.groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+    val scored = perGram.groupBy(col(idCol))
+      .agg((max(col("_c")).cast("double") / sum(col("_c"))).as("repetition"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("repetition"), lit(0.0)).as("repetition"))
+  }
+
+  /** Word bigrams of the shared tokenizer's output (empty when < 2 tokens). */
+  private def bigrams(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1), i =>
+        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — robust to
     * token order and repetition (the "bag fingerprint" used for clustering
     * shuffled copies of a document).

@@ -45,6 +45,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("PII redaction replaces emails and URLs with typed placeholders") {
+    val df = Seq(
+      "contact bob.smith+x@corp.example or https://ex.com/a?b=1 today",
+      "no pii here").toDF("t")
+    val out = df.select(TextAnalysis.redactPii($"t")).as[String].collect()
+    assert(out(0) == "contact <EMAIL> or <URL> today")
+    assert(out(1) == "no pii here")
+  }
+
+  test("repetition score flags degenerate bigram loops") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "a perfectly ordinary sentence with no repeats"),
+      (3L, "one")).toDF("doc_id", "t")
+    val out = TextAnalysis.repetitionScores(df, "doc_id", "t")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.5) // "buy now" dominates
+    assert(out(2L) < 0.2)
+    assert(out(3L) == 0.0) // < 2 tokens
+  }
+
   test("rolling fingerprint normalizes whitespace and is deterministic") {
     val df = Seq(
       "the quick   brown\tfox",
