@@ -275,6 +275,26 @@ object AnalyticsQueries {
         .orderBy(col("c_custkey").asc_nulls_first, col("n").asc_nulls_first)
     },
 
+    // Statistical-moment aggregates (population forms; rounded — both
+    // engines use streaming moment formulas that differ in final ulps).
+    Q(
+      "q62_stats_moments",
+      """SELECT l_returnflag AS flag,
+        |  round(var_pop(l_quantity), 6) AS var_qty,
+        |  round(stddev_pop(l_quantity), 6) AS std_qty,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(stddev_pop(col("l_quantity")), 6).as("std_qty"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy("flag")
+    },
+
     // Left-semi join (EXISTS shape), the positive twin of the J2 anti-join.
     Q(
       "q59_semi_join",
