@@ -56,4 +56,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("ObjectHashAggregate"),
       s"expected partial min aggregation in:\n$p")
   }
+
+  test("q52: range join plans as an equi-join, never a nested loop") {
+    val p = plan("q52_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("Join"), s"no join in:\n$p")
+  }
+
+  test("q51: as-of join is a window over a union — no join of the two sides at all") {
+    val p = plan("q51_asof_join")
+    assert(p.contains("Window") && p.contains("Union"), s"expected union+window in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degenerated to a nested loop:\n$p")
+  }
+
+  test("q49: salted aggregate is two stages, both map-side combined") {
+    val p = plan("q49_salted_agg")
+    assert(p.split("partial_").length >= 3, // at least two partial agg stages
+      s"expected two-phase partial aggregation in:\n$p")
+  }
 }
