@@ -217,14 +217,18 @@ object AnalyticsQueries {
         .orderBy("flag")
     },
 
-    // Set collection into arrays (collect_set + deterministic sort).
+    // Set collection into arrays (collect_set + deterministic sort). The
+    // gate output is the '|'-joined string form: the driver's compare
+    // hashes pandas cells, and raw array cells are unhashable there — the
+    // stringification loses nothing (elements are sorted and '|'-free).
     Q(
       "q55_collect_set",
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
-        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), "|").as("types"))
         .orderBy("user_id")
     },
 

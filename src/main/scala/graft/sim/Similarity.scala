@@ -92,18 +92,34 @@ object Similarity {
     (conv(substring(md5(concat(plane.cast("string"), lit(":"), dim.cast("string"))), 1, 6), 16, 10)
       .cast("double") / lit(8388608.0)) - 1.0 // 16^6/2 = 8388608
 
-  /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
-    * emitted as a bitstring.
+  /** The hyperplane matrix materialized driver-side — the components are
+    * pure constants of (plane, dim), so hashing them per ROW (numPlanes ×
+    * dims md5 calls inside nested lambdas) only burns executor cycles.
+    * Same formula as [[planeComponent]]: first 6 hex chars of
+    * md5("plane:dim") scaled to [−1, 1).
     */
-  def hyperplaneBucket(vecCol: Column, numPlanes: Int = 8): Column = {
-    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), h => {
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, d) => v.cast("double") * planeComponent(h, d)),
-        lit(0.0), (acc, x) => acc + x)
+  def hyperplaneComponents(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims) { (h, d) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$h:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex6 = digest.take(3).map(b => f"$b%02x").mkString // 6 hex chars = 3 bytes
+      java.lang.Long.parseLong(hex6, 16).toDouble / 8388608.0 - 1.0
+    }
+
+  /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
+    * emitted as a bitstring. Planes are literal constant arrays; each
+    * projection is one codegen'd [[graft.functions.DotProduct]] loop
+    * (sequential double accumulation — bit-identical to the zip_with/
+    * aggregate fold it replaces). `dims` must match the vector length
+    * (mismatch → null projection → '0' bit, as the fold also yields).
+    */
+  def hyperplaneBucket(vecCol: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
+    val planes = hyperplaneComponents(numPlanes, dims)
+    val bits = planes.map { p =>
+      val proj = graft.functions.VectorFunctions.dot(vecCol, array(p.map(lit).toSeq: _*))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
-    })
-    concat_ws("", bits)
+    }
+    concat_ws("", bits.toSeq: _*)
   }
 
   /** LSH candidate pairs: equal bucket → candidate (verify with [[cosine]]). */
@@ -111,8 +127,10 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.select(col(idCol), hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
+      numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val bucketed =
+      corpus.select(col(idCol), hyperplaneBucket(col(vecCol), numPlanes, dims).as("bucket"))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")).select("id_a", "id_b", "bucket")

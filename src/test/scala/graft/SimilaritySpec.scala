@@ -47,14 +47,28 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH buckets: deterministic, identical vectors share a bucket") {
-    val b1 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+    val b1 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8, dims = 4).as("b"))
       .as[String].collect()
-    val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+    val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 8, dims = 4).as("b"))
       .as[String].collect()
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(s => s.length == 8 && s.forall(c => c == '0' || c == '1')))
-    val pairs = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", 8)
+    // opposite vectors flip every projection sign (no projection is exactly 0
+    // for these planes), so their buckets are bitwise complements
+    val flipped = b1(4).map(c => if (c == '1') '0' else '1')
+    assert(b1(0) == flipped)
+    val pairs = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", 8, dims = 4)
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "bucket"))
+  }
+
+  test("driver-side hyperplane matrix matches the md5 SQL formula") {
+    val mat = Similarity.hyperplaneComponents(3, 5)
+    val viaSql = spark.range(1)
+      .select((for { h <- 0 until 3; d <- 0 until 5 }
+        yield Similarity.planeComponent(lit(h), lit(d)).as(s"c_${h}_$d")): _*)
+      .head()
+    for { h <- 0 until 3; d <- 0 until 5 }
+      assert(mat(h)(d) == viaSql.getDouble(h * 5 + d), s"plane $h dim $d")
   }
 
   test("near-duplicate pairs within blocks above threshold") {
