@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All gate queries, grouped by module. */
-  def allQs: Seq[Q] = ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all
+  def allQs: Seq[Q] =
+    ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

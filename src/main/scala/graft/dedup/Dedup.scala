@@ -50,16 +50,19 @@ object Dedup {
     * including the empty-target fast path).
     */
   def idGuard(batch: DataFrame, target: DataFrame, idCol: String = "id"): DataFrame = {
-    if (target.isEmpty) batch
+    // One driver job (batch min/max), then one join job. The bounds are
+    // collected eagerly ON PURPOSE: as literals they push into the target
+    // scan (PushedFilters → parquet row-group skipping), which is what makes
+    // probing a 100 TB target affordable. An empty target needs no special
+    // case — the anti-join is then the identity (the reference's fast path,
+    // `util/data_pushing.py:125-131`, is only observable in its logs).
+    val bounds = batch.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    if (bounds.isNullAt(0)) batch
     else {
-      val bounds = batch.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
-      if (bounds.isNullAt(0)) batch
-      else {
-        val existing = target
-          .select(col(idCol))
-          .filter(col(idCol).between(bounds.getAs[Any]("mn"), bounds.getAs[Any]("mx")))
-        batch.join(existing, Seq(idCol), "left_anti")
-      }
+      val existing = target
+        .select(col(idCol))
+        .filter(col(idCol).between(bounds.getAs[Any]("mn"), bounds.getAs[Any]("mx")))
+      batch.join(existing, Seq(idCol), "left_anti")
     }
   }
 }

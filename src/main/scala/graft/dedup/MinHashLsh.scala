@@ -20,15 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Word k-shingles of the shared tokenizer's output. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val t = TextAnalysis.tokens(c)
+  /** Word k-shingles of an already-tokenized array column. The token column
+    * is referenced several times (size branches + the slide) — ALWAYS feed
+    * this a materialized column (a projected alias), never the raw tokenizer
+    * expression: Catalyst inlines a repeated expensive expression into every
+    * reference, so `shinglesOfTokens(tokens(c))` would re-run the regexp
+    * tokenizer ~5× per row (measured 7× slower on the explode path).
+    */
+  def shinglesOfTokens(t: Column, k: Int): Column =
     when(size(t) === 0, array().cast("array<string>"))
       .when(size(t) < k, array(array_join(t, " ")))
       .otherwise(
         transform(sequence(lit(1), size(t) - (k - 1)), i =>
           array_join(slice(t, i, lit(k)), " ")))
-  }
+
+  /** Word k-shingles of the shared tokenizer's output — convenience form for
+    * one-shot expression contexts. Hot paths (anything under an explode or a
+    * persist) should pre-project [[TextAnalysis.tokens]] to an alias and call
+    * [[shinglesOfTokens]] — see the scaladoc there.
+    */
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokens(c), k)
 
   /** MinHash signature: array of `numHashes` lexicographic-min md5 values. */
   def signature(shinglesCol: Column, numHashes: Int = 12): Column =
@@ -62,8 +74,11 @@ object MinHashLsh {
     // spread shingle hashing across the cluster even when the corpus arrives
     // in few partitions; id-hash partitioning doubles as the groupBy layout
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // tokens materialized behind a projection boundary so the shingle
+    // expression's several references hit a cheap attribute, not the regexp
     val exploded = df.repartition(parts, col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(shinglesOfTokens(col("_t"), shingleSize)).as("_sh"))
     val aggs = (0 until numHashes).map { i =>
       min(md5(concat(lit(i.toString), lit(":"), col("_sh")))).as(s"_h$i")
     }

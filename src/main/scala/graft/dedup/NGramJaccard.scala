@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object NGramJaccard {
 
-  /** Distinct word n-gram set of a text column. */
+  /** Distinct word n-gram set of an already-tokenized array column (see
+    * [[MinHashLsh.shinglesOfTokens]] on why tokens must be pre-projected).
+    */
+  def shingleSetOfTokens(t: Column, n: Int): Column =
+    array_distinct(MinHashLsh.shinglesOfTokens(t, n))
+
+  /** Distinct word n-gram set of a text column (one-shot expression form). */
   def shingleSet(c: Column, n: Int = 3): Column =
     array_distinct(MinHashLsh.shingles(c, n))
 
@@ -32,10 +38,13 @@ object NGramJaccard {
       minJaccard: Double = 0.5): DataFrame = {
     // three plan branches (sizes + both explode sides) read this — cache it
     // or the tokenize+shingle projection runs per branch
-    val sets = df.select(
-      col(blockCol).as("_blk"),
-      col(idCol).as("_id"),
-      shingleSet(col(textCol), n).as("_set")).persist()
+    val sets = df
+      .select(
+        col(blockCol).as("_blk"),
+        col(idCol).as("_id"),
+        TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_blk"), col("_id"), shingleSetOfTokens(col("_t"), n).as("_set"))
+      .persist()
     val sizes = sets.select(col("_blk"), col("_id"), size(col("_set")).as("_n"))
     val exploded = sets.select(col("_blk"), col("_id"), explode(col("_set")).as("_sh"))
     val inter = exploded.as("a")
@@ -66,7 +75,10 @@ object NGramJaccard {
       n: Int = 3): DataFrame = {
     // both candidate-side joins read the shingle sets — cache them or the
     // tokenize+shingle projection runs twice over the corpus
-    val sets = docs.select(col(idCol).as("_id"), shingleSet(col(textCol), n).as("_set")).persist()
+    val sets = docs
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), shingleSetOfTokens(col("_t"), n).as("_set"))
+      .persist()
     candidates
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")

@@ -1,0 +1,58 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and per-key quota capping — the
+  * reproducibility primitives of a training-data pipeline. `randomSplit` is
+  * seed- and partitioning-dependent; these are pure functions of the row
+  * key, so the same row lands in the same split on any cluster, any
+  * partitioning, any engine (md5-derived, like every other portable hash in
+  * this library — see [[graft.dedup.SimHash]]).
+  *
+  * Scale shape: split assignment is a stateless per-row projection (no
+  * shuffle at all); quota capping is one shuffle on the key — and Spark 4's
+  * `WindowGroupLimit` pushes the rank filter into a per-partition top-k
+  * before the exchange, so the shuffle carries at most `n` rows per key per
+  * input partition, not the whole table.
+  */
+object Splits {
+
+  /** Stable bucket in [0, n) from the md5 of the key's string form (first 6
+    * hex chars — 24 bits of entropy, plenty for split assignment).
+    */
+  def hashBucket(key: Column, n: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % n
+
+  /** Named split from integer weights, e.g. `Seq("train" -> 8, "val" -> 1,
+    * "test" -> 1)` → 80/10/10. Buckets are cumulative ranges over the weight
+    * sum.
+    */
+  def assignSplit(key: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val b = hashBucket(key, total)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), upper), rest) => when(b < upper, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic ~`num`/`den` sample: keeps rows whose hash bucket falls
+    * below the cut. Same row always kept or dropped, regardless of engine.
+    */
+  def hashSample(df: DataFrame, key: Column, num: Int, den: Int): DataFrame =
+    df.filter(hashBucket(key, den) < num)
+
+  /** Per-key quota: keep the top `n` rows of each key by `order` (include a
+    * unique tie-break in `order` for determinism). The curation use: cap any
+    * one domain/source at `n` documents, best-first.
+    */
+  def quotaPerKey(df: DataFrame, keyCol: String, order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Decontaminate
+import graft.load.Splits
+import graft.operators.{Funnel, Sessionize}
+import graft.text.Vocab
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 surface: corpus-curation and behavioral-analytics operators —
+  * sessionization, funnels, deterministic splits, quota capping, benchmark
+  * decontamination, vocabulary/TF-IDF, fuzzy matching, grouping sets,
+  * gap-fill, histograms, and the SQL front door. Oracle determinism follows
+  * the ParityQueries recipes (decimal-routed double sums, total ORDER BYs,
+  * second-precision timestamp strings, md5-derived hashes).
+  */
+object CurationQueries {
+
+  /** Shared oracle CTEs: tokenized documents + word 4-shingles (matches
+    * MinHashLsh.shingles(k = 4)).
+    */
+  private val Tok4Cte =
+    """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |       WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+      |       ELSE list_transform(generate_series(1, len(t) - 3),
+      |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |  END AS s FROM tok)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Inactivity-gap sessionization (30 min), per-session stats. One shuffle
+    // on user_id shared by the lag window, the running sum, and the session
+    // aggregate.
+    Q(
+      "q63_sessionize",
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) {
+      (s, dir) =>
+        Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+          .orderBy("user_id", "session_id")
+    },
+
+    // Ordered-step funnel: step k counts only at-or-after the key's step k-1
+    // time (min-time semantics).
+    Q(
+      "q64_funnel",
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS pos, 'view' AS step, count(*) AS n_keys FROM t1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM t3) ORDER BY pos""".stripMargin) {
+      (s, dir) =>
+        Funnel.completionCounts(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+    },
+
+    // Deterministic hash split (80/10/10): pure function of the row key —
+    // same row, same split, any engine, any partitioning. No shuffle.
+    Q(
+      "q65_hash_split",
+      """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT) % 10 AS b
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(Splits.assignSplit(col("doc_id"), Seq("train" -> 8, "val" -> 1, "test" -> 1))
+          .as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    },
+
+    // Per-key quota capping: top 20 docs per language, best-first — Spark 4's
+    // WindowGroupLimit turns the rank filter into a per-partition top-k
+    // before the exchange.
+    Q(
+      "q66_domain_quota",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Splits.quotaPerKey(
+        Tables.load(s, dir, "documents"), "lang",
+        Seq(col("n_chars").desc, col("doc_id")), 20)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
+    // Benchmark decontamination: corpus docs sharing a word 4-shingle with
+    // the (deterministic) benchmark subset. Benchmark shingles broadcast;
+    // the corpus is never shuffled.
+    Q(
+      "q67_decontaminate",
+      s"""WITH $Tok4Cte,
+         |bench AS (SELECT DISTINCT u.g FROM sh, unnest(s) AS u(g) WHERE doc_id % 97 = 3)
+         |SELECT DISTINCT doc_id FROM sh, unnest(s) AS u(g)
+         |WHERE doc_id % 97 != 3 AND u.g IN (SELECT g FROM bench)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.contaminatedIds(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 3), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 3), "text", k = 4)
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary top-k: the wordcount shape — map-side combine means the
+    // shuffle carries (term, partial count), not token occurrences.
+    Q(
+      "q68_vocab_topk",
+      """SELECT u.tok AS token, count(*) AS tf
+        |FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |  unnest(t) AS u(tok)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      Vocab.termFrequencies(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    },
+
+    // TF-IDF with the rational IDF (N+1)/(df+1): log-free, so scores are
+    // bit-reproducible across engines (log is monotone — rankings agree).
+    Q(
+      "q69_tfidf",
+      """WITH tt AS (SELECT doc_id, u.tok AS token
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |agg AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tt GROUP BY token),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT token, tf, df, round(tf * (nd + 1.0) / (df + 1.0), 4) AS score
+        |FROM agg, n ORDER BY score DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Vocab.tfIdf(docs, "doc_id", "text", docs.count())
+        .orderBy(col("score").desc, col("token"))
+        .limit(100)
+    },
+
+    // Fuzzy pair matching via pigeonhole segment blocking (FuzzyJoin): a
+    // 1-edit pair shares the 16-char prefix or the 2-char end-suffix, so
+    // candidates come from equi-joins, not the nation-wide cross product —
+    // the oracle brute-forces the quadratic definition it can afford at
+    // oracle scale.
+    Q(
+      "q70_fuzzy_pairs",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.FuzzyJoin.pairsWithinOne(
+        Tables.load(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+        "c_custkey", "c_name", Seq("c_nationkey"),
+        prefixLen = 16, suffixLen = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Explicit GROUPING SETS with grouping flags (rollup/cube's general
+    // form; q44/q57 cover those). SQL-only surface → spark.sql.
+    Q(
+      "q71_grouping_sets",
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, status NULLS FIRST, prio NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+            |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio, count(*) AS n
+            |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY g_status, g_prio, status NULLS FIRST, prio NULLS FIRST""".stripMargin)
+    },
+
+    // Gap-fill / forward-fill: carry the last purchase value forward within
+    // each user's timeline (last_value IGNORE NULLS — the time-series
+    // imputation primitive). Values are raw parquet doubles: no arithmetic,
+    // no rounding needed.
+    Q(
+      "q72_forward_fill",
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)
+        |SELECT user_id, event_id,
+        |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM b ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(
+          col("user_id"), col("event_id"),
+          last(col("pv"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Fixed-width histogram (decimal-routed totals per bucket).
+    Q(
+      "q73_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("bucket")
+    },
+
+    // SQL front door: TPC-H Q3 shape (segment dim filter → join → decimal
+    // revenue rollup → top-k) submitted as SQL text over registered views —
+    // the same Catalyst plan the DataFrame API would build.
+    Q(
+      "q74_sql_topk_revenue",
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    },
+
+    // Deterministic mode per group: most frequent value, ties to the
+    // lexicographically smallest (built-in `mode` is tie-nondeterministic —
+    // this shape is portable).
+    Q(
+      "q75_mode_per_key",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+        |  FROM c) WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    },
+
+    // Weighted average (quantity-weighted price): both sums decimal-exact,
+    // one double division at the end — associative, salt/AQE-safe.
+    Q(
+      "q76_weighted_avg",
+      """SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_quantity").cast("decimal(18,2)")).cast("double")
+          / sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("wavg_price"))
+        .orderBy("flag")
+    },
+
+    // URL parsing for web-corpus curation: host extraction + per-domain
+    // rollup (Spark's parse_url; the oracle regexes the same grammar).
+    Q(
+      "q77_url_host",
+      """SELECT regexp_extract('https://' || source || '.example.com/' || lang || '/' || doc_id,
+        |    'https://([^/]+)/', 1) AS host, count(*) AS n
+        |FROM documents GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(parse_url(
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/"), col("doc_id").cast("string")),
+          lit("HOST")).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("host")
+    })
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics: term/document frequencies, n-gram counts,
+  * TF-IDF scoring — the wordcount family, which at 100 TB is the textbook
+  * map-side-combine aggregation (explode → partial count per partition →
+  * one shuffle of (term, count) partials, NOT of token occurrences).
+  *
+  * IDF uses the rational form (N+1)/(df+1) rather than its logarithm:
+  * rankings are identical (log is monotone) and pure rational arithmetic is
+  * bit-reproducible across engines, where `ln` may differ in the last ulp
+  * between libm implementations (see the oracle-determinism notes in
+  * ParityQueries).
+  */
+object Vocab {
+
+  /** (token, tf) global term frequencies. */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, tf, df) term + document frequencies in one pass: dedup
+    * (doc, token) with a partial-aggregating groupBy, then count docs per
+    * token while summing the per-doc tf — two shuffles, both on compact
+    * (doc, token) / (token) keys.
+    */
+  def termDocFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_tf_doc"))
+      .groupBy(col("token"))
+      .agg(sum("_tf_doc").as("tf"), count(lit(1)).as("df"))
+
+  /** (token, tf, df, score): TF-IDF with the rational IDF (N+1)/(df+1),
+    * rounded to 4 dp. `nDocs` is passed in (a count the caller already has
+    * or computes once) so the score stays a stateless projection.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame =
+    termDocFrequencies(df, idCol, textCol)
+      .withColumn(
+        "score",
+        round(col("tf") * (lit(nDocs) + 1.0) / (col("df") + 1.0), 4))
+
+  /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —
+    * same shape as [[graft.dedup.MinHashLsh.shingles]], but counted, not
+    * hashed).
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        array_join(slice(t, i, lit(n)), " ")))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+  }
+}

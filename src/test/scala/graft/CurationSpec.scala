@@ -1,0 +1,161 @@
+package graft
+
+import graft.dedup.Decontaminate
+import graft.load.Splits
+import graft.operators.{Funnel, Sessionize}
+import graft.text.Vocab
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ---- sessionize ---------------------------------------------------------
+
+  private lazy val ev = Seq(
+    (1L, 1L, ts("2024-01-01 10:00:00")),
+    (2L, 1L, ts("2024-01-01 10:29:00")), // 29 min gap → same session
+    (3L, 1L, ts("2024-01-01 10:59:00")), // exactly 30 min → same (gap must EXCEED)
+    (4L, 1L, ts("2024-01-01 11:29:01")), // 30 min 1 s → new session
+    (5L, 2L, ts("2024-01-01 00:00:00")))
+    .toDF("event_id", "user_id", "ts")
+
+  test("sessionize: gap must strictly exceed the threshold; ordinals are per-key") {
+    val out = Sessionize.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionStats: counts, start, duration") {
+    val stats = Sessionize.sessionStats(ev, "user_id", "ts", "event_id", 1800L)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(stats(0) == ((1L, 1L, 3L, "2024-01-01 10:00:00", 3540L * 1000000)))
+    assert(stats(1) == ((1L, 2L, 1L, "2024-01-01 11:29:01", 0L)))
+    assert(stats(2) == ((2L, 1L, 1L, "2024-01-01 00:00:00", 0L)))
+  }
+
+  // ---- funnel -------------------------------------------------------------
+
+  test("funnel: out-of-order steps do not count") {
+    // user 1: view→click→buy (full). user 2: click before view (click never
+    // qualifies). user 3: view only.
+    val f = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.completionCounts(f, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp step qualifies (at-or-after)") {
+    val f = Seq((1L, ts("2024-01-01 10:00:00"), "view"), (1L, ts("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.completionCounts(f, "user_id", "ts", "event_type", Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(1L, 1L))
+  }
+
+  // ---- splits -------------------------------------------------------------
+
+  test("hash split: deterministic, total, respects weight ranges") {
+    val ids = spark.range(1000).select($"id")
+    val split = Splits.assignSplit($"id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // stable across evaluations / partitionings
+    val again = ids.repartition(7).select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == again)
+  }
+
+  test("hashSample keeps a stable subset of about num/den") {
+    val n = Splits.hashSample(spark.range(1000).toDF(), $"id", 1, 10).count()
+    assert(n > 50 && n < 200)
+  }
+
+  test("quotaPerKey keeps top-n per key by the given order") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 9L), ("a", 3L, 7L), ("b", 4L, 1L))
+      .toDF("k", "id", "score")
+    val kept = Splits.quotaPerKey(df, "k", Seq($"score".desc, $"id"), 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  // ---- vocab --------------------------------------------------------------
+
+  test("term/doc frequencies and rational tf-idf") {
+    val docs = Seq((1L, "spark spark join"), (2L, "join scan"), (3L, ""))
+      .toDF("doc_id", "text")
+    val tdf = Vocab.termDocFrequencies(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(tdf == Map("spark" -> (2L, 1L), "join" -> (2L, 2L), "scan" -> (1L, 1L)))
+    val scores = Vocab.tfIdf(docs, "doc_id", "text", 3L)
+      .select("token", "score").as[(String, Double)].collect().toMap
+    assert(scores("spark") == 4.0) // 2 * (3+1)/(1+1)
+    assert(math.abs(scores("join") - 2.6667) < 1e-9) // 8/3 rounded to 4 dp
+  }
+
+  test("ngram counts slide over token runs") {
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val grams = Vocab.ngramCounts(docs, "text", 2).as[(String, Long)].collect().toMap
+    assert(grams == Map("a b" -> 2L, "b c" -> 1L, "c a" -> 1L))
+    assert(Vocab.ngramCounts(Seq((1L, "a")).toDF("doc_id", "text"), "text", 2).count() == 0)
+  }
+
+  // ---- fuzzy join ---------------------------------------------------------
+
+  test("FuzzyJoin.pairsWithinOne matches the brute-force definition") {
+    import graft.operators.FuzzyJoin
+    // covers substitution / insertion / deletion at prefix, middle, suffix
+    val rows = Seq(
+      (1L, "abcdef"), (2L, "abcdXf"), (3L, "abdef"), (4L, "abXcdef"),
+      (5L, "Xbcdef"), (6L, "abcdeX"), (7L, "zzzzzz"), (8L, "abcdef"))
+      .map { case (id, s) => (id, s, 0) }
+    val df = rows.toDF("id", "s", "blk")
+    val got = FuzzyJoin.pairsWithinOne(df, "id", "s", Seq("blk"), prefixLen = 3, suffixLen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (i, a, _) <- rows; (j, b, _) <- rows if i < j
+      if levenshteinDist(a, b) <= 1
+    } yield (i, j)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 8L))) // identical strings (distance 0)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // ---- decontaminate ------------------------------------------------------
+
+  test("decontaminate flags shingle overlap and removeContaminated drops it") {
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox suffix words here"), // shares a 4-shingle
+      (2L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", k = 4)
+      .as[Long].collect().toSeq
+    assert(flagged == Seq(1L))
+    val clean = Decontaminate.removeContaminated(corpus, "doc_id", "text", bench, "text", k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+  }
+}
