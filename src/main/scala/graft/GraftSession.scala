@@ -18,6 +18,8 @@ object GraftSession {
       .builder()
       .master(s"local[$n]")
       .appName(appName)
+      // graft's custom expressions + optimizer rules on every session
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: injects graft's custom expressions
-  * into the session's function registry at build time, so SQL users get
-  * them without imperative registration:
+  * into the session's function registry and graft's optimizer rules into
+  * Catalyst at build time, so SQL users get them without imperative
+  * registration:
   *
   * {{{
   * SparkSession.builder()
   *   .withExtensions(new GraftExtensions)
   *   ...
   * spark.sql("SELECT dot_product(a, b) FROM vectors")
+  * spark.sql("... WHERE levenshtein(a, b) <= 2") // auto-banded
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
   }
 }

@@ -10,27 +10,60 @@ import org.apache.spark.sql.functions._
 class ApiSurfaceSpec extends SparkSpec {
   import spark.implicits._
 
-  test("SparkSessionExtensions injects dot_product into a new session's SQL") {
-    val prev = spark // force shared-session init first
-    // getOrCreate returns an existing session and would skip extensions;
-    // clear the registry so a genuinely new session (sharing the context)
-    // is built with them, then restore. Never close() it — that would stop
-    // the SparkContext shared by every other suite.
+  test("SparkSessionExtensions injects dot_product into GraftSession SQL") {
+    // GraftSession.builder carries the extensions — SQL users get the custom
+    // expression with no imperative registration
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+    // a raw extension-less session (same context) lacks the registration —
+    // proves the injection scope is the session, not the JVM
+    val prev = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val s2 = SparkSession.builder()
+      val bare = SparkSession.builder()
         .master("local[4]")
-        .appName("ext-test")
+        .appName("bare-test")
         .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
         .getOrCreate()
-      val r = s2.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
-      assert(r.getDouble(0) == 11.0)
-      // the base session has no such registration — proves injection scope
       assertThrows[org.apache.spark.sql.AnalysisException] {
-        prev.sql("SELECT dot_product(array(1.0D), array(1.0D))").head()
+        bare.sql("SELECT dot_product(array(1.0D), array(1.0D))").head()
       }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("optimizer rule: levenshtein threshold predicates get auto-banded") {
+    // parquet-backed source: a LocalRelation would let ConvertToLocalRelation
+    // evaluate the filter away at optimization time
+    def probe(s: SparkSession) = s.read.parquet(s"$sf/customer.parquet")
+      .filter(levenshtein(col("c_name"), lit("Customer#000000001")) <= 1)
+    // GraftSession carries the rule: rewritten to levenshtein(a, b, Some(1)) >= 0
+    val df = probe(spark)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Some(1)) >= 0"), optimized)
+    // strict form: lev < 2 ⇒ banded at 1
+    val strict = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(levenshtein(col("c_name"), lit("Customer#000000002")) < 2)
+    assert(strict.queryExecution.optimizedPlan.toString.contains("Some(1)) >= 0"))
+    // differential: an extension-less session evaluates the full 2-arg form
+    // and returns the identical row set
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val bare = SparkSession.builder()
+        .master("local[4]")
+        .appName("bare-rule-test")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val baseline = probe(bare)
+      assert(!baseline.queryExecution.optimizedPlan.toString.contains("Some("))
+      assert(df.count() == baseline.count() && df.count() > 0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
