@@ -38,4 +38,35 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(p2Aggs.head, p2Aggs.tail: _*)
   }
+
+  /** Salted join for a skewed big side: each big row gets one of
+    * `saltBuckets` salts, the small side is replicated across ALL salts,
+    * and the equi-join runs on (keys, salt) — a hot key's rows now spread
+    * over `saltBuckets` reducers instead of one straggler task. Output is
+    * row-identical to the unsalted join.
+    *
+    * Only `inner` and `left` are sound: each big row carries exactly one
+    * salt (so big-side rows never duplicate), but an unmatched SMALL row
+    * exists `saltBuckets` times — right/full outer would fabricate copies.
+    *
+    * Prefer AQE's runtime skew-join handling first; this is for the cases
+    * it misses (skew appearing after filters, or a key so hot one split
+    * still straggles).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val salted = big.withColumn(
+      "_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    // long-typed sequence so the salt key types match without wrapping the
+    // generator in a cast (a top-level generator must stay bare)
+    val replicated = small.withColumn(
+      "_salt", explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
+    salted.join(replicated, keyCols :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -53,4 +53,29 @@ object Snapshot {
     }
     fs.delete(old, true)
   }
+
+  /** Latest-wins upsert (MERGE semantics without a table format): one row
+    * per key survives — the highest `versionCol`, updates beating current on
+    * ties. Pure plan, so it composes with any sink; at 100 TB it is ONE
+    * shuffle on the key (window dedup), and Spark 4's WindowGroupLimit
+    * pre-filters to a per-partition top-1 before the exchange.
+    *
+    * `updates` must be union-compatible with `current` (same columns by
+    * name).
+    */
+  def upsertLatestWins(
+      current: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = current.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    all.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "_src")
+  }
 }

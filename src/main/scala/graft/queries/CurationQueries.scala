@@ -148,8 +148,7 @@ object CurationQueries {
         |n AS (SELECT count(*) AS nd FROM documents)
         |SELECT token, tf, df, round(tf * (nd + 1.0) / (df + 1.0), 4) AS score
         |FROM agg, n ORDER BY score DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      Vocab.tfIdf(docs, "doc_id", "text", docs.count())
+      Vocab.tfIdf(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("score").desc, col("token"))
         .limit(100)
     },
@@ -293,6 +292,50 @@ object CurationQueries {
             * col("l_quantity").cast("decimal(18,2)")).cast("double")
           / sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("wavg_price"))
         .orderBy("flag")
+    },
+
+    // Latest-wins upsert (MERGE without a table format): updated keys keep
+    // the update row, ties prefer updates; one window shuffle.
+    Q(
+      "q78_upsert",
+      """WITH upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |all_rows AS (SELECT *, 0 AS src FROM orders UNION ALL SELECT *, 1 AS src FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY o_orderdate DESC, src DESC) AS rk FROM all_rows)
+        |SELECT o_orderkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM r WHERE rk = 1 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val updates = orders
+        .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      graft.load.Snapshot.upsertLatestWins(orders, updates, Seq("o_orderkey"), "o_orderdate")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy("o_orderkey")
+    },
+
+    // Salted join: the hot-key fan-out shape (row-identical to the plain
+    // join, which is what the oracle runs).
+    Q(
+      "q79_salted_join",
+      """SELECT o_orderstatus AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      graft.load.Skew.saltedJoin(
+        Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_quantity")),
+        Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus")),
+        Seq("k"), saltBuckets = 8)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy("status")
     },
 
     // URL parsing for web-corpus curation: host extraction + per-domain

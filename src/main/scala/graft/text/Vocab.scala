@@ -44,6 +44,16 @@ object Vocab {
         "score",
         round(col("tf") * (lit(nDocs) + 1.0) / (col("df") + 1.0), 4))
 
+  /** [[tfIdf]] with the corpus size computed IN the plan (broadcast of a
+    * one-row count) — no separate driver-side count job, one submitted job
+    * total.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termDocFrequencies(df, idCol, textCol)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_nd"))))
+      .withColumn("score", round(col("tf") * (col("_nd") + 1.0) / (col("df") + 1.0), 4))
+      .drop("_nd")
+
   /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —
     * same shape as [[graft.dedup.MinHashLsh.shingles]], but counted, not
     * hashed).

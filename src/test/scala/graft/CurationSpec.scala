@@ -143,6 +143,42 @@ class CurationSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  // ---- upsert / salted join ----------------------------------------------
+
+  test("upsertLatestWins: higher version wins, ties prefer updates, new keys insert") {
+    import graft.load.Snapshot
+    val current = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)).toDF("k", "v", "ver")
+    val updates = Seq((2L, "b2", 11L), (3L, "c2", 10L), (4L, "d", 5L)).toDF("k", "v", "ver")
+    val out = Snapshot.upsertLatestWins(current, updates, Seq("k"), "ver")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
+  }
+
+  test("saltedJoin is row-identical to the plain join (inner and left)") {
+    import graft.load.Skew
+    val big = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (9L, 1.0)).toDF("k", "x")
+    val small = Seq((1L, "a"), (2L, "b"), (7L, "unmatched")).toDF("k", "t")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 4, joinType = jt)
+        .select("k", "x", "t").collect().map(r => (r.getLong(0), r.getDouble(1), r.get(2)))
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "x", "t").collect().map(r => (r.getLong(0), r.getDouble(1), r.get(2)))
+      assert(salted.sortBy(_.toString).toSeq == plain.sortBy(_.toString).toSeq, jt)
+    }
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), 4, "full_outer")
+    }
+  }
+
+  test("tfIdf in-plan count matches the explicit-count overload") {
+    val docs = Seq((1L, "spark spark join"), (2L, "join scan")).toDF("doc_id", "text")
+    val a = Vocab.tfIdf(docs, "doc_id", "text", 2L)
+      .select("token", "score").as[(String, Double)].collect().toMap
+    val b = Vocab.tfIdf(docs, "doc_id", "text")
+      .select("token", "score").as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   test("decontaminate flags shingle overlap and removeContaminated drops it") {
