@@ -55,4 +55,34 @@ object AsOfJoin {
           valueCols.map(c => last(col(s"_rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
     matched.filter(col("_side") === 1).drop("_side")
   }
+
+  /** [[lastPriorMatch]] executed by the NATIVE merge operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics and output layout, but a
+    * single streaming merge pass per partition instead of a union + window
+    * sort over both sides combined. Requires a session built with
+    * [[graft.functions.GraftExtensions]] (GraftSession sessions are).
+    */
+  def lastPriorMatchNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"as-of time columns must share a type: " +
+        s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}")
+    // child contract of AsOfJoinNode: keys, time, payload
+    val restL = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
+    val l = left.select((keyCols :+ leftTime).map(col) ++ restL.map(col): _*)
+    val r = right.select(
+      (keyCols :+ rightTime).map(col) ++ valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val node = graft.plans.AsOfJoinNode(
+      l.queryExecution.analyzed, r.queryExecution.analyzed, keyCols.size)
+    org.apache.spark.sql.GraftExpressionBridge.dataFrame(left.sparkSession, node)
+      // same column layout as lastPriorMatch: keys, remaining left, asof_*
+      .select(
+        (keyCols.map(col) ++ left.columns.toSeq.filterNot(keyCols.contains).map(col)) ++
+          valueCols.map(c => col(s"asof_$c")): _*)
+  }
 }

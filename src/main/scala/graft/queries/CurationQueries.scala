@@ -338,6 +338,33 @@ object CurationQueries {
         .orderBy("status")
     },
 
+    // The NATIVE as-of merge operator (custom LogicalPlan → Strategy →
+    // SparkPlan, graft.plans.AsOfJoinExec) against DuckDB's native ASOF
+    // JOIN — q51 gates the union+window formulation of the same semantics.
+    Q(
+      "q80_asof_native",
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(date_trunc('second', p.pts), '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      graft.operators.AsOfJoin
+        .lastPriorMatchNative(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(date_trunc("second", col("asof_pts")), "yyyy-MM-dd HH:mm:ss")
+            .as("last_purchase_ts"))
+        .orderBy("event_id")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(

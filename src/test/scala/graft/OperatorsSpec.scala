@@ -19,6 +19,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out("e3") == None) // key with no right rows at all
   }
 
+  test("native as-of exec: plans AsOfJoinExec and matches the window formulation") {
+    val left = Seq((1, 10L, "e1"), (1, 20L, "e2"), (2, 5L, "e3"), (3, 7L, "e4"))
+      .toDF("k", "t", "name")
+    val right = Seq((1, 10L, "r@10"), (1, 15L, "r@15"), (1, 30L, "r@30"), (2, 5L, "r@5"))
+      .toDF("k", "rt", "v")
+    val native = AsOfJoin.lastPriorMatchNative(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      native.queryExecution.executedPlan.toString)
+    val a = native.orderBy("k", "t").collect().map(_.toSeq).toSeq
+    val b = AsOfJoin.lastPriorMatch(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("native as-of exec == naive quadratic implementation on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 150).map(i => (rnd.nextInt(6), rnd.nextInt(1000).toLong, i))
+    val right = (1 to 90).map(i => (rnd.nextInt(6), rnd.nextInt(1000).toLong, s"v$i"))
+    val got = AsOfJoin.lastPriorMatchNative(
+      left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", Seq("rt"))
+      .select("lid", "asof_rt").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = left.map { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) -1L else cands.map(_._2).max)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("native as-of exec: empty right side yields all-null matches") {
+    val left = Seq((1, 10L, "e1")).toDF("k", "t", "name")
+    val right = Seq.empty[(Int, Long, String)].toDF("k", "rt", "v")
+    val out = AsOfJoin.lastPriorMatchNative(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.collect().map(r => Option(r.getString(3))).toSeq == Seq(None))
+  }
+
   test("range join: boundary semantics [lo, hi) across bucket edges") {
     val points = Seq((1, 0.0), (2, 49.999), (3, 50.0), (4, 99.999), (5, 100.0), (6, -1.0))
       .toDF("id", "p")
