@@ -26,14 +26,19 @@ object Bench {
       try SparkEntry.queries(q._1)(spark, q._2).count()
       catch { case _: Throwable => () }
 
-    // best of two runs per query: steady-state cost, not JIT/GC noise
+    // best of two runs per query: steady-state cost, not JIT/GC noise.
+    // Cache cleared per query: several operators persist() small internal
+    // tables and the handles outlive the query — 79 queries × 2 runs of
+    // accumulated cache otherwise LRU-churns later measurements.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val best = math.min(once(), once())
+      spark.catalog.clearCache()
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

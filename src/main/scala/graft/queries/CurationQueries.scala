@@ -330,7 +330,7 @@ object CurationQueries {
       graft.load.Skew.saltedJoin(
         Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_quantity")),
         Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus")),
-        Seq("k"), saltBuckets = 8)
+        Seq("k"), saltBuckets = 4)
         .groupBy(col("o_orderstatus").as("status"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
