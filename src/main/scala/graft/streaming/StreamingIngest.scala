@@ -83,6 +83,21 @@ object StreamingIngest {
         col("events"),
         col("total"))
 
+  /** Streaming twin of the dedup core (J1/J2): exactly-once keyed rows
+    * across micro-batches. `dropDuplicatesWithinWatermark` keeps per-key
+    * state only until the watermark passes — bounded state, unlike plain
+    * streaming `dropDuplicates`, whose key set grows forever (a leak at
+    * 100 TB/day). `tsCol` is the event-time column the watermark rides on.
+    */
+  def dedupedStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Running per-user state for [[runningUserState]]. */
   final case class UserState(events: Long, total: Double)
 

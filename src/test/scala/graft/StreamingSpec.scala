@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 5.0), (2L, 1L, 5.0)))
   }
 
+  test("dedupedStream drops duplicate keys across micro-batches, bounded by watermark") {
+    val root = tmpDir("sdedup")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // two files → two micro-batches; key "a" repeats within AND across them
+    Seq(("a", ts(0), 1.0), ("a", ts(1), 2.0), ("b", ts(2), 3.0))
+      .toDF("k", "ts", "v").repartition(1).write.parquet(s"$in/c1")
+    Seq(("a", ts(3), 4.0), ("c", ts(4), 5.0))
+      .toDF("k", "ts", "v").repartition(1).write.parquet(s"$in/c2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    val deduped = StreamingIngest.dedupedStream(stream, Seq("k"), "ts", "1 hour")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val keys = spark.table("dedup_out").select("k").as[String].collect().toSeq
+    assert(keys.sorted == Seq("a", "b", "c")) // each key exactly once
+  }
+
   test("runningUserState: mapGroupsWithState accumulates across batches") {
     val root = tmpDir("state")
     val in = s"$root/in"; val ckpt = s"$root/ckpt"
