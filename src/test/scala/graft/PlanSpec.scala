@@ -76,4 +76,42 @@ class PlanSpec extends SparkSpec {
     assert(p.split("partial_").length >= 3, // at least two partial agg stages
       s"expected two-phase partial aggregation in:\n$p")
   }
+
+  test("q66: per-key quota rank filter becomes a WindowGroupLimit (pre-shuffle top-n)") {
+    val p = plan("q66_domain_quota")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
+  test("q67: decontamination is a broadcast semi-join — corpus side never shuffles") {
+    val p = plan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join in:\n$p")
+  }
+
+  test("q70: fuzzy join candidates come from equi-joins, never a cross product") {
+    val p = plan("q70_fuzzy_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy join degenerated to a cross product:\n$p")
+    // the verify predicate runs the banded 3-arg levenshtein (threshold
+    // prints as `Some(1)` in physical plan strings)
+    assert(p.contains("levenshtein") && (p.contains("Some(1)") || p.contains(", 1)")),
+      s"expected banded levenshtein in:\n$p")
+  }
+
+  test("q80: native as-of plans the custom exec with sorted, clustered children") {
+    val df = SparkEntry.queries("q80_asof_native")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
+    assert(p.contains("Sort"), s"expected EnsureRequirements sorts in:\n$p")
+  }
+
+  test("q65: hash split plans with no exchange at all (stateless projection)") {
+    val df = SparkEntry.queries("q65_hash_split")(spark, sf)
+    // the split assignment itself is shuffle-free; only the final tiny
+    // groupBy aggregates — assert the scan→project stage has no Exchange
+    // before the aggregation's partial stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+    assert(p.split("Exchange").length <= 3, s"unexpected extra exchanges in:\n$p")
+  }
 }
