@@ -72,4 +72,63 @@ class PropertySpec extends SparkSpec {
       assert(hashes.map(_._3).distinct.length == rows.distinct.length)
     }
   }
+
+  test("sessionize: partitions each key's rows into contiguous 1..n ordinals, count-preserving") {
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 5000)))
+    for (raw <- samples(evGen, 5) if raw.nonEmpty) {
+      val rows = raw.zipWithIndex.map { case ((k, s), i) =>
+        (i.toLong, k.toLong, new java.sql.Timestamp(1700000000000L + s * 1000L))
+      }
+      val out = graft.operators.Sessionize
+        .sessionize(rows.toDF("event_id", "user_id", "ts"), "user_id", "ts", "event_id", 600L)
+        .select("user_id", "session_id").as[(Long, Long)].collect()
+      assert(out.length == rows.length) // no rows created or lost
+      out.groupBy(_._1).values.foreach { g =>
+        val ords = g.map(_._2).sorted
+        assert(ords.head == 1L && ords.last == ords.distinct.length) // contiguous from 1
+      }
+    }
+  }
+
+  test("hash split: total, deterministic, and a pure function of the key") {
+    val weights = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val keyGen = Gen.listOfN(50, Gen.choose(0L, 1000000L))
+    for (keys <- samples(keyGen, 3) if keys.nonEmpty) {
+      val a = keys.toDF("id")
+        .select($"id", graft.load.Splits.assignSplit($"id", weights).as("s"))
+        .as[(Long, String)].collect().toMap
+      assert(a.values.forall(Set("train", "val", "test")))
+      // same key → same split on a differently-partitioned re-evaluation
+      val b = keys.toDF("id").repartition(5)
+        .select($"id", graft.load.Splits.assignSplit($"id", weights).as("s"))
+        .as[(Long, String)].collect().toMap
+      assert(a == b)
+    }
+  }
+
+  test("fuzzy join == brute-force edit-distance-1 pairs on random strings") {
+    val strGen = Gen.listOfN(25, Gen.listOfN(6, Gen.oneOf('a', 'b')).map(_.mkString))
+    for ((strs, si) <- samples(strGen, 4).zipWithIndex) {
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s, 0) }
+      val got = graft.operators.FuzzyJoin
+        .pairsWithinOne(rows.toDF("id", "s", "blk"), "id", "s", Seq("blk"), 3, 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i, a, _) <- rows; (j, b, _) <- rows if i < j
+        if editDistance(a, b) <= 1
+      } yield (i, j)).toSet
+      assert(got == want, s"sample $si")
+    }
+  }
+
+  private def editDistance(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
