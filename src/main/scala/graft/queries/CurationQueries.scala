@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** Shared oracle CTE chain: the q31 MinHash-LSH candidate pairs as an
+    * undirected edge set, then connected components via a recursive
+    * reachability CTE (label = min reachable doc_id). Must be used with
+    * `WITH RECURSIVE`.
+    */
+  private val MinhashComponentCtes =
+    """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh3 AS (SELECT doc_id,
+      |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |       ELSE list_transform(generate_series(1, len(t) - 2),
+      |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  END AS s FROM tok),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 11), i ->
+      |    list_aggregate(list_transform(s, sh2 -> md5(i::VARCHAR || ':' || sh2)), 'min')) AS g
+      |  FROM sh3 WHERE len(s) > 0),
+      |band AS (SELECT doc_id, u.b AS band,
+      |    md5(array_to_string(g[u.b*3+1 : u.b*3+3], '|')) AS bucket
+      |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+      |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)""".stripMargin
+
   /** Shared oracle CTEs: tokenized documents + word 4-shingles (matches
     * MinHashLsh.shingles(k = 4)).
     */
@@ -363,6 +393,43 @@ object CurationQueries {
           date_format(date_trunc("second", col("asof_pts")), "yyyy-MM-dd HH:mm:ss")
             .as("last_purchase_ts"))
         .orderBy("event_id")
+    },
+
+    // Near-dup clustering: connected components (iterative min-label
+    // propagation) over the MinHash-LSH candidate-pair graph — pairs only
+    // say "a ~ b"; deduplication needs the transitive closure. Oracle:
+    // recursive reachability CTE.
+    Q(
+      "q81_dup_clusters",
+      s"""WITH RECURSIVE $MinhashComponentCtes
+         |SELECT node AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val pairs = graft.dedup.MinHashLsh.candidatePairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 12, bands = 4)
+        graft.dedup.DupClusters.components(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+    },
+
+    // Keep-one-per-cluster: the corpus after dropping every non-canonical
+    // cluster member (the end state of the dedup pipeline), rolled up by
+    // language.
+    Q(
+      "q82_dedup_canonical",
+      s"""WITH RECURSIVE $MinhashComponentCtes,
+         |losers AS (SELECT node FROM comp WHERE node != component)
+         |SELECT lang, count(*) AS n_docs FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.dedup.MinHashLsh.candidatePairs(
+        docs, "doc_id", "text", shingleSize = 3, numHashes = 12, bands = 4)
+      val comp = graft.dedup.DupClusters.components(pairs, "id_a", "id_b")
+      graft.dedup.DupClusters.keepCanonical(docs, "doc_id", comp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     },
 
     // URL parsing for web-corpus curation: host extraction + per-domain

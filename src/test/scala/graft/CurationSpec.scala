@@ -179,6 +179,33 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- dup clusters -------------------------------------------------------
+
+  test("components: chains collapse to min label, disjoint clusters stay apart") {
+    import graft.dedup.DupClusters
+    // path 1-2-3-4-5 (diameter forces multiple propagation rounds) + pair 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val comp = DupClusters.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("keepCanonical keeps cluster minima and untouched docs") {
+    import graft.dedup.DupClusters
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val comp = DupClusters.components(pairs, "id_a", "id_b")
+    val kept = DupClusters.keepCanonical(docs, "doc_id", comp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L)) // 6,7 fold into 2
+  }
+
+  test("components of an empty pair set is empty") {
+    import graft.dedup.DupClusters
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DupClusters.components(pairs, "id_a", "id_b").count() == 0)
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   test("decontaminate flags shingle overlap and removeContaminated drops it") {
