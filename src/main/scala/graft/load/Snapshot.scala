@@ -54,6 +54,22 @@ object Snapshot {
     fs.delete(old, true)
   }
 
+  /** Order-independent table digest: the SUM (associative + commutative —
+    * partitioning- and ordering-proof) of a 40-bit slice of each row's
+    * canonical content hash, plus the row count. Equal digests across a
+    * source table and its snapshot/backup verify integrity WITHOUT moving
+    * either side: each cluster reduces its own table to two longs. 40-bit
+    * slices keep 2^23 rows per partial sum away from Long overflow at
+    * ~2^62.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(graft.clean.Clean.rowHashExpr(cols).as("_h"))
+      .agg(
+        sum(conv(substring(col("_h"), 1, 10), 16, 10).cast("long")).as("checksum"),
+        count(lit(1)).as("n"))
+  }
+
   /** Latest-wins upsert (MERGE semantics without a table format): one row
     * per key survives — the highest `versionCol`, updates beating current on
     * ties. Pure plan, so it composes with any sink; at 100 TB it is ONE

@@ -432,6 +432,70 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // Order-independent table checksum (sum of 40-bit hash slices + count):
+    // equal digests verify a snapshot against its source without moving
+    // data — the backup-integrity primitive. Same canonical row-hash recipe
+    // as q07.
+    Q(
+      "q83_table_checksum",
+      """SELECT CAST(sum(CAST(('0x' || substr(h, 1, 10)) AS BIGINT)) AS BIGINT) AS checksum,
+        |  count(*) AS n
+        |FROM (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(l_returnflag, chr(2)),
+        |    coalesce(l_linestatus, chr(2)))) AS h FROM lineitem)""".stripMargin) { (s, dir) =>
+      graft.load.Snapshot.tableChecksum(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+    },
+
+    // Text cleaning for web corpora: strip markup, collapse whitespace,
+    // trim — regexp_replace is replace-all in Spark, needs 'g' in DuckDB.
+    Q(
+      "q84_text_clean",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace('<p>' || text || '</p> <br/>',
+        |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(regexp_replace(
+            concat(lit("<p>"), col("text"), lit("</p> <br/>")),
+            "<[^>]+>", " "), "\\s+", " ")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Column profiling (nulls / exact distincts / string-form min & max) in
+    // ONE scan: all aggregates in a single partial->final aggregate, then
+    // the result row explodes to long format.
+    Q(
+      "q85_profile",
+      """SELECT * FROM (
+        |  SELECT 'c_acctbal' AS col_name,
+        |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT c_acctbal) AS n_distinct,
+        |    min(c_acctbal::VARCHAR) AS min_s, max(c_acctbal::VARCHAR) AS max_s FROM customer
+        |  UNION ALL SELECT 'c_mktsegment',
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c_mktsegment),
+        |    min(c_mktsegment::VARCHAR), max(c_mktsegment::VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_name',
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c_name),
+        |    min(c_name::VARCHAR), max(c_name::VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_nationkey',
+        |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c_nationkey),
+        |    min(c_nationkey::VARCHAR), max(c_nationkey::VARCHAR) FROM customer)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.load.Profile.profile(
+        Tables.load(s, dir, "customer"),
+        Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))
+        .orderBy("col_name")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(

@@ -179,6 +179,31 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- checksum / profile -------------------------------------------------
+
+  test("tableChecksum: order- and partitioning-independent, content-sensitive") {
+    import graft.load.Snapshot
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val a = Snapshot.tableChecksum(rows.toDF("id", "v"), Seq("id", "v")).head()
+    val b = Snapshot.tableChecksum(rows.reverse.toDF("id", "v").repartition(3), Seq("id", "v")).head()
+    assert(a == b)
+    val c = Snapshot.tableChecksum(
+      (rows :+ (4L, "d")).toDF("id", "v"), Seq("id", "v")).head()
+    assert(a.getLong(0) != c.getLong(0) && c.getLong(1) == 4L)
+  }
+
+  test("profile: nulls, distincts, string min/max per column in long format") {
+    import graft.load.Profile
+    val df = Seq(
+      (Some(1), Some("x")), (Some(2), None), (None, Some("y")), (Some(2), Some("x")))
+      .toDF("a", "b")
+    val out = Profile.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out("a") == ((1L, 2L, "1", "2")))
+    assert(out("b") == ((1L, 2L, "x", "y")))
+  }
+
   // ---- dup clusters -------------------------------------------------------
 
   test("components: chains collapse to min label, disjoint clusters stay apart") {
