@@ -4,6 +4,7 @@ import graft.Tables
 import graft.dedup.Decontaminate
 import graft.load.Splits
 import graft.operators.{Funnel, Sessionize}
+import graft.sim.KMeans
 import graft.text.Vocab
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -494,6 +495,19 @@ object CurationQueries {
         Tables.load(s, dir, "customer"),
         Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))
         .orderBy("col_name")
+    },
+
+    // Trained IVF: deterministic k-means (lowest-id init, tie-to-lowest
+    // argmin, exact means — no RNG) clusters the embeddings, then the
+    // cluster histogram. Iterative multi-engine replication isn't
+    // SQL-practical → rows-only gate; CurationSpec covers convergence.
+    Q.noOracle("q86_kmeans_clusters") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = KMeans.fit(emb, "vec_id", "embedding", k = 5, iters = 3)
+      KMeans.assign(emb, "embedding", centroids)
+        .groupBy(col("_cluster").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
     },
 
     // URL parsing for web-corpus curation: host extraction + per-domain

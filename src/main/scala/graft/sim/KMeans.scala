@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over embedding columns — the trainer for the
+  * IVF coarse quantizer ([[Similarity.ivfTopK]] takes any cluster column;
+  * this produces one from raw vectors, making the ANN index end-to-end).
+  *
+  * Deterministic by construction (same result on any cluster/partitioning):
+  * init = the k lowest-id vectors; assignment = squared-euclidean argmin
+  * with ties to the lowest centroid index; update = exact element-wise
+  * mean. No RNG anywhere.
+  *
+  * Scale shape: per iteration ONE scan assigns (centroids ship to executors
+  * as literal arrays — k·dim doubles, metadata-sized, the same reason every
+  * distributed k-means collects centroids to the driver) and one
+  * posexplode + partial-aggregated mean recomputes them; k·dim rows come
+  * back to the driver. Assignment is pure codegen'd expressions: dist_j =
+  * c_j·c_j − 2·x·c_j (the x·x term is constant per row and drops out of
+  * the argmin), evaluated via the native DotProduct, argmin via `least`
+  * over (dist, idx) structs.
+  */
+object KMeans {
+
+  /** Column computing the assigned cluster index for `vecCol` given fixed
+    * centroids.
+    */
+  def assignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit).toSeq: _*)
+      val cc = c.map(v => v * v).sum
+      struct(
+        (lit(cc) - lit(2.0) * graft.functions.VectorFunctions.dot(vecCol, cLit)).as("d"),
+        lit(j).as("j"))
+    }
+    least(scored.toSeq: _*).getField("j")
+  }
+
+  /** `df` plus a `_cluster` column (int index into `centroids`). */
+  def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("_cluster", assignExpr(col(vecCol), centroids))
+
+  /** Lloyd iterations; returns the final centroid matrix. Clusters that end
+    * an iteration empty keep their previous centroid.
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, "corpus is empty")
+    for (_ <- 1 to iters) {
+      val means = assign(df, vecCol, centroids)
+        .select(col("_cluster"), posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+        .groupBy(col("_cluster"), col("_dim"))
+        .agg(avg(col("_v")).as("_mean")) // partial-aggregated; k·dim rows return
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j))).toArray
+    }
+    centroids
+  }
+}

@@ -71,6 +71,31 @@ class SimilaritySpec extends SparkSpec {
       assert(mat(h)(d) == viaSql.getDouble(h * 5 + d), s"plane $h dim $d")
   }
 
+  test("k-means: separable clusters recovered, deterministic across partitionings") {
+    import graft.sim.KMeans
+    // two tight groups around (1,0,0,0) and (0,1,0,0) + the opposite vector
+    val data = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cs = KMeans.fit(data, "vec_id", "embedding", k = 2, iters = 4)
+    val got = KMeans.assign(data, "embedding", cs)
+      .select("vec_id", "_cluster").as[(Long, Int)].collect().toMap
+    assert(got(0L) == got(1L) && got(2L) == got(3L) && got(0L) != got(2L))
+    // determinism: different partitioning, same centroids
+    val cs2 = KMeans.fit(data.repartition(3), "vec_id", "embedding", k = 2, iters = 4)
+    assert(cs.map(_.toSeq).toSeq == cs2.map(_.toSeq).toSeq)
+  }
+
+  test("k-means: empty cluster keeps its previous centroid") {
+    import graft.sim.KMeans
+    val data = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cs = KMeans.fit(data, "vec_id", "embedding", k = 3, iters = 2)
+    assert(cs.length == 3) // no crash; duplicate-point clusters survive
+  }
+
   test("near-duplicate pairs within blocks above threshold") {
     val out = Similarity.nearDuplicatePairs(vecs, "vec_id", "embedding", "label", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
