@@ -510,6 +510,72 @@ object CurationQueries {
         .orderBy("cluster")
     },
 
+    // Sliding event-time windows (1 h window, 30 min slide): each event in
+    // windowDuration/slide = 2 windows; the oracle enumerates the same
+    // epoch-aligned windows arithmetically.
+    Q(
+      "q87_sliding_window",
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+        |FROM (SELECT event_type,
+        |        to_timestamp((epoch_us(ts) // 1800000000 - u.i) * 1800)::TIMESTAMP AS wstart
+        |      FROM events, unnest([0, 1]) AS u(i)
+        |      WHERE epoch_us(ts) // 1800000000 - u.i >= 0)
+        |GROUP BY wstart, event_type ORDER BY window_start, event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"),
+            col("n"))
+          .orderBy("window_start", "event_type")
+    },
+
+    // Moving average over a row frame (4-row trailing): frame evaluation is
+    // sequential over the sorted partition in both engines → identical
+    // doubles; 4-dp rounding guards the print path.
+    Q(
+      "q88_moving_avg",
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 4).as("mavg"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Inter-event gap statistics (lag diff in microseconds): the
+    // time-between-events profile behind bot detection and cadence
+    // modeling; one shuffle shared by the lag window and the rollup.
+    Q(
+      "q89_interevent_gaps",
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT user_id, count(gap) AS n_gaps, CAST(min(gap) AS BIGINT) AS min_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap, CAST(sum(gap) AS BIGINT) AS total_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap"))
+        .groupBy("user_id")
+        .agg(
+          count(col("gap")).as("n_gaps"),
+          min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"),
+          sum(col("gap")).as("total_gap"))
+        .orderBy("user_id")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(
