@@ -28,6 +28,24 @@ object Stress {
       graft.clean.Clean.withRowHash(li, Seq("l_orderkey", "l_linenumber", "_rep")), "row_hash").count())
     time("window_6M")(li.select(org.apache.spark.sql.functions.row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey", "_rep").orderBy("l_orderkey")).as("rn")).filter(col("rn") === 1).count())
+
+    // round-2 operators at 10x
+    val ev = x10("events").withColumn("user_id", col("user_id") + col("_rep") * lit(100000L))
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    time("sessionize_1M")(graft.operators.Sessionize
+      .sessionStats(ev, "user_id", "ts", "event_id", 1800L).count())
+    val docs = x10("documents").withColumn("doc_id", col("doc_id") + col("_rep") * lit(1000000L))
+    time("minhash_pairs_50k")(graft.dedup.MinHashLsh
+      .candidatePairs(docs, "doc_id", "text", 3, 12, 4).count())
+    time("components_50k") {
+      val pairs = graft.dedup.MinHashLsh.candidatePairs(docs, "doc_id", "text", 3, 12, 4)
+      graft.dedup.DupClusters.components(pairs, "id_a", "id_b").count()
+    }
+    val cust = x10("customer").withColumn("c_custkey", col("c_custkey") + col("_rep") * lit(10000000L))
+    time("fuzzy_join_150k")(graft.operators.FuzzyJoin.pairsWithinOne(
+      cust, "c_custkey", "c_name", Seq("c_nationkey"), 16, 2).count())
+    time("checksum_6M")(graft.load.Snapshot.tableChecksum(
+      li, Seq("l_orderkey", "l_linenumber", "_rep")).count())
     spark.stop()
   }
 }
