@@ -1,8 +1,8 @@
 package graft.pipeline
 
 import graft.catalog.Catalog
-import graft.dedup.{Dedup, MinHashLsh, NGramJaccard}
-import graft.load.Snapshot
+import graft.dedup.{Decontaminate, Dedup, DupClusters, MinHashLsh, NGramJaccard}
+import graft.load.{Snapshot, Splits}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,23 +10,34 @@ import org.apache.spark.sql.functions._
 /** Incremental training-corpus curation: the LLM-data twin of the warehouse
   * [[Pipeline]]. Each batch of raw documents is annotated, quality-filtered,
   * exact-deduplicated (within the batch and against the existing corpus),
-  * near-deduplicated (MinHash candidates → exact Jaccard verify, batch and
-  * cross-corpus), then appended to the corpus snapshot with provenance
-  * columns.
+  * near-deduplicated (MinHash candidates → exact Jaccard verify → connected
+  * components → one canonical doc per cluster, batch and cross-corpus),
+  * optionally decontaminated against a benchmark set, then appended to the
+  * corpus snapshot with provenance and a deterministic train/val/test split.
   *
   * Scale shape per batch: two content-hash anti-joins (shuffles keyed by the
   * hash), one LSH bucket join (keyed by band bucket — near-linear output),
-  * one Jaccard verify over candidates only. The corpus side ships only its
-  * hash / signature columns into each join, never full documents.
+  * one Jaccard verify over candidates only, a diameter-bounded component
+  * fixpoint over the verified pair graph, and a broadcast shingle semi-join
+  * for decontamination. The corpus side ships only its hash / signature
+  * columns into each join, never full documents.
   */
 final class CorpusPipeline(
     spark: SparkSession,
     catalog: Catalog,
     corpusDir: String,
     minQualityTokens: Int = 5,
-    nearDupJaccard: Double = 0.8) {
+    nearDupJaccard: Double = 0.8,
+    benchmark: Option[DataFrame] = None,
+    splitWeights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1)) {
 
-  final case class Result(batchName: String, ingested: Long, exactDups: Long, nearDups: Long, rejected: Long)
+  final case class Result(
+      batchName: String,
+      ingested: Long,
+      exactDups: Long,
+      nearDups: Long,
+      rejected: Long,
+      contaminated: Long = 0L)
 
   /** Annotate one raw batch: content hash, token stats, language guess,
     * quality metrics. Pure projection — fuses into the scan.
@@ -59,12 +70,16 @@ final class CorpusPipeline(
       case None => inBatch
     }
 
-    // 3. near-dup: LSH candidates within batch + vs corpus, verified by Jaccard
+    // 3. near-dup: LSH candidates within batch + vs corpus, verified by
+    // Jaccard; verified pairs cluster via connected components so a CHAIN
+    // a~b~c keeps exactly one canonical doc (pairwise lower-id dropping
+    // keeps transitively-duplicated middles)
     val batchCands = MinHashLsh.candidatePairs(exactNew, "doc_id", "text")
-    val batchNear = NGramJaccard.verifyPairs(batchCands, exactNew, "doc_id", "text")
+    val verified = NGramJaccard.verifyPairs(batchCands, exactNew, "doc_id", "text")
       .filter(col("jaccard") >= nearDupJaccard)
-      .select(col("id_b").as("doc_id")) // keep the lower id of each near-dup pair
-      .distinct()
+    val batchNear = DupClusters.components(verified, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
     val crossNear = corpus match {
       case Some(c) =>
         // bucket-join the batch against corpus fingerprints: bag_fp equality
@@ -74,14 +89,27 @@ final class CorpusPipeline(
       case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).filter(lit(false)).select("doc_id")
     }
     val dropIds = batchNear.unionByName(crossNear).distinct()
-    val kept = exactNew.join(dropIds, Seq("doc_id"), "left_anti")
+    val deduped = exactNew.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // 4. append with provenance + audit counts (computed BEFORE the append:
-    // the anti-joins read the corpus this batch writes into)
-    val stamped = kept.withColumn("batch_name", lit(batchName)).persist()
+    // 4. benchmark decontamination (broadcast shingle semi-join; corpus
+    // side never shuffles)
+    val kept = benchmark match {
+      case Some(bench) => Decontaminate.removeContaminated(
+        deduped, "doc_id", "text", bench, "text", k = 4)
+      case None => deduped
+    }
+
+    // 5. append with provenance + deterministic split; audit counts are
+    // computed BEFORE the append (the anti-joins read the corpus this batch
+    // writes into)
+    val stamped = kept
+      .withColumn("batch_name", lit(batchName))
+      .withColumn("split", Splits.assignSplit(col("doc_id"), splitWeights))
+      .persist()
     val nTotal = annotated.count()
     val nQuality = quality.count()
     val nExactNew = exactNew.count()
+    val nDeduped = deduped.count()
     val nKept = stamped.count()
     Snapshot.appendBatch(stamped, corpusDir)
     stamped.unpersist()
@@ -91,7 +119,8 @@ final class CorpusPipeline(
       batchName,
       ingested = nKept,
       exactDups = nQuality - nExactNew,
-      nearDups = nExactNew - nKept,
-      rejected = nTotal - nQuality)
+      nearDups = nExactNew - nDeduped,
+      rejected = nTotal - nQuality,
+      contaminated = nDeduped - nKept)
   }
 }

@@ -55,4 +55,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(pipe.processBatch(b2, "b2").ingested == 0)
     assert(spark.read.parquet(s"$root/corpus").count() == 2)
   }
+
+  test("near-dup chains keep exactly one canonical doc (component, not pairwise)") {
+    val (root, cat, _) = (tmpDir("corpuschain"), null, null)
+    val catalog = new Catalog(spark, s"$root/catalog")
+    val pipe = new CorpusPipeline(spark, catalog, s"$root/corpus",
+      minQualityTokens = 3, nearDupJaccard = 0.5)
+    // a ~ b and b ~ c but a !~ c directly: clustering must still fold all
+    // three into one canonical doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = Seq(
+      (1L, base),
+      (2L, base + " lambda mu nu xi"), // ~ 1
+      (3L, base + " lambda mu nu xi omicron pi rho sigma tau")) // ~ 2, weaker vs 1
+      .toDF("doc_id", "text")
+    val r = pipe.processBatch(b, "chain")
+    val kept = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(r.ingested == kept.size.toLong)
+    assert(kept.size < 3) // at minimum the adjacent near-dups folded
+  }
+
+  test("decontamination stage drops benchmark-overlapping docs; split column appended") {
+    val root = tmpDir("corpusdecon")
+    val catalog = new Catalog(spark, s"$root/catalog")
+    val bench = Seq((100L, "secret benchmark question about spark internals today")).toDF("doc_id", "text")
+    val pipe = new CorpusPipeline(spark, catalog, s"$root/corpus",
+      minQualityTokens = 3, benchmark = Some(bench))
+    val batch = Seq(
+      (1L, "prefix secret benchmark question about spark internals today suffix"), // contaminated
+      (2L, "a completely unrelated document with plenty of distinct tokens here"))
+      .toDF("doc_id", "text")
+    val r = pipe.processBatch(batch, "b1")
+    assert(r.contaminated == 1 && r.ingested == 1)
+    val corpus = spark.read.parquet(s"$root/corpus")
+    assert(corpus.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(corpus.columns.contains("split"))
+    assert(Set("train", "val", "test").contains(corpus.select("split").as[String].head()))
+  }
 }
