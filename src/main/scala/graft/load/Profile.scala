@@ -18,7 +18,8 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+      // coalesce: sum over an empty table is null, the profile wants 0
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"_nn_$c"),
       countDistinct(col(c)).as(s"_nd_$c"),
       min(col(c).cast("string")).as(s"_mn_$c"),
       max(col(c).cast("string")).as(s"_mx_$c")))

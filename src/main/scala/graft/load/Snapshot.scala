@@ -66,7 +66,9 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     df.select(graft.clean.Clean.rowHashExpr(cols).as("_h"))
       .agg(
-        sum(conv(substring(col("_h"), 1, 10), 16, 10).cast("long")).as("checksum"),
+        // empty table → checksum 0, not null (sum over zero rows is null)
+        coalesce(sum(conv(substring(col("_h"), 1, 10), 16, 10).cast("long")), lit(0L))
+          .as("checksum"),
         count(lit(1)).as("n"))
   }
 

@@ -192,6 +192,15 @@ class CurationSpec extends SparkSpec {
     assert(a.getLong(0) != c.getLong(0) && c.getLong(1) == 4L)
   }
 
+  test("checksum and profile on an empty table: zeros, not nulls") {
+    import graft.load.{Profile, Snapshot}
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val ck = Snapshot.tableChecksum(empty, Seq("id", "v")).head()
+    assert(ck.getLong(0) == 0L && ck.getLong(1) == 0L)
+    val pr = Profile.profile(empty, Seq("id", "v")).collect()
+    assert(pr.length == 2 && pr.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("profile: nulls, distincts, string min/max per column in long format") {
     import graft.load.Profile
     val df = Seq(
