@@ -90,6 +90,87 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** Fused cosine similarity: dot(a,b) / (√dot(a,a) · √dot(b,b)) in ONE loop —
+  * three accumulators over a single pass instead of three separate array
+  * scans. Each accumulator folds in index order exactly like the separate
+  * [[DotProduct]] passes, so results are bit-identical to the composition
+  * (oracle parity preserved); zero-norm inputs yield the same NaN/∞ the
+  * composed division does. Mismatched lengths → null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val lf = isFloat(left); val rf = isFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double)$a.$lGet($i);
+         |    double $yv = (double)$b.$rGet($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
 object VectorFunctions {
 
   /** Codegen'd dot product of two float/double array columns. */
@@ -97,8 +178,16 @@ object VectorFunctions {
     GraftExpressionBridge.column(DotProduct(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
-  /** Register `dot_product` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Fused single-pass cosine similarity of two float/double array columns. */
+  def cosine(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(CosineSimilarity(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** Register `dot_product` and `cosine_sim` for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -23,15 +23,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns (double accumulation,
-    * index order — deterministic). Dot products run through the native
-    * codegen'd [[graft.functions.DotProduct]] expression — same semantics as
-    * the `aggregate(zip_with(...))` fold, one tight loop instead of
-    * per-element lambda dispatch.
+    * index order — deterministic). Runs through the native fused
+    * [[graft.functions.CosineSimilarity]] expression: ONE array pass
+    * carrying three accumulators, bit-identical to the three-DotProduct
+    * composition it replaces (and to the `aggregate(zip_with(...))` folds
+    * the oracles recompute).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = graft.functions.VectorFunctions.dot _
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** Exact top-k neighbors of one probe vector (id excluded). */
   def bruteForceTopK(

@@ -34,6 +34,28 @@ class VectorExpressionsSpec extends SparkSpec {
   test("mismatched vector lengths produce null (corrupt vectors must surface)") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot($"a", $"b")).head().isNullAt(0))
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("fused cosine_sim matches the three-DotProduct composition bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val e2 = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("embedding").as("emb2")).limit(5))
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(a, b)
+    val composed = dotc(col("embedding"), col("emb2")) /
+      (sqrt(dotc(col("embedding"), col("embedding"))) * sqrt(dotc(col("emb2"), col("emb2"))))
+    val diff = e2.select(
+      (VectorFunctions.cosine(col("embedding"), col("emb2")) - composed).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0) // same per-accumulator fold order => identical bits
+  }
+
+  test("cosine_sim SQL registration via extensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
   test("null text never reaches size()=-1 semantics in the text stack") {
