@@ -46,6 +46,15 @@ object Stress {
       cust, "c_custkey", "c_name", Seq("c_nationkey"), 16, 2).count())
     time("checksum_6M")(graft.load.Snapshot.tableChecksum(
       li, Seq("l_orderkey", "l_linenumber", "_rep")).count())
+
+    // as-of join: window formulation vs native merge exec at 1M probe rows
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    time("asof_window_1M")(graft.operators.AsOfJoin
+      .lastPriorMatch(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts")).count())
+    time("asof_native_1M")(graft.operators.AsOfJoin
+      .lastPriorMatchNative(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts")).count())
     spark.stop()
   }
 }

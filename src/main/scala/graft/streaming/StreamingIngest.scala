@@ -98,6 +98,45 @@ object StreamingIngest {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming MERGE sink: each micro-batch upserts into a parquet snapshot
+    * with latest-wins semantics ([[graft.load.Snapshot.upsertLatestWins]]).
+    * `foreachBatch` is the escape hatch for sinks Structured Streaming
+    * doesn't ship (idempotent MERGE targets): the whole-table rewrite per
+    * batch is the parquet-without-a-table-format cost — at 100 TB pair with
+    * a real table format or partition-scoped rewrites.
+    */
+  def runUpsertStream(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      versionCol: String): Unit = {
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // empty current on first batch — the upsert still dedups keys
+        // WITHIN the batch (latest version wins there too)
+        val current =
+          if (graft.load.Snapshot.exists(spark, tableDir))
+            graft.load.Snapshot.readTable(spark, tableDir)
+          else batch.toDF().limit(0)
+        val merged = graft.load.Snapshot.upsertLatestWins(
+          current, batch.toDF(), keyCols, versionCol)
+        // rewrite via temp + swap so a crash leaves old or new, never a mix
+        val tmp = tableDir + "._upsert_tmp"
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tableDir))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Running per-user state for [[runningUserState]]. */
   final case class UserState(events: Long, total: Double)
 

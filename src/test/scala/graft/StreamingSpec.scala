@@ -120,6 +120,26 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sorted == Seq("a", "b", "c")) // each key exactly once
   }
 
+  test("streaming upsert sink: latest version wins across micro-batches") {
+    val root = tmpDir("supsert")
+    val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    Seq(("a", 1L, "v1a"), ("a", 2L, "v2a"), ("b", 1L, "v1b"))
+      .toDF("k", "ver", "v").repartition(1).write.parquet(s"$in/c1")
+    Seq(("a", 3L, "v3a"), ("c", 1L, "v1c"))
+      .toDF("k", "ver", "v").repartition(1).write.parquet(s"$in/c2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    StreamingIngest.runUpsertStream(stream, table, ckpt, Seq("k"), "ver")
+
+    val out = spark.read.parquet(table)
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "v3a", "b" -> "v1b", "c" -> "v1c"))
+  }
+
   test("runningUserState: mapGroupsWithState accumulates across batches") {
     val root = tmpDir("state")
     val in = s"$root/in"; val ckpt = s"$root/ckpt"
