@@ -33,7 +33,7 @@ object DupClusters {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -63,6 +63,17 @@ object DupClusters {
       iter += 1
     }
     edges.unpersist()
+    // the last round's labels are backed by an eager localCheckpoint, so the
+    // cache handle can be released here — callers get materialized data and
+    // nothing leaks into long-lived cache state (one processBatch per batch
+    // in CorpusPipeline would otherwise accumulate forever)
+    labels.unpersist()
+    // an unconverged result is WRONG (chains still split) — fail loudly; a
+    // diameter past maxIter=50 means the input is not a near-dup pair graph
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds — component diameter exceeds " +
+          s"maxIter; raise maxIter or pre-split the graph")
     labels
   }
 

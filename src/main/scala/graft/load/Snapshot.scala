@@ -58,17 +58,22 @@ object Snapshot {
     * partitioning- and ordering-proof) of a 40-bit slice of each row's
     * canonical content hash, plus the row count. Equal digests across a
     * source table and its snapshot/backup verify integrity WITHOUT moving
-    * either side: each cluster reduces its own table to two longs. 40-bit
-    * slices keep 2^23 rows per partial sum away from Long overflow at
-    * ~2^62.
+    * either side: each cluster reduces its own table to one number.
+    *
+    * The sum accumulates in exact DECIMAL(38,0) — 40-bit slices summed over
+    * up to ~10^26 rows before precision loss, so no row count a 100 TB
+    * table can reach overflows it (a Long sum would wrap at ~2^23 rows
+    * worst-case). Emitted as a STRING: decimal digits print identically in
+    * every engine, where decimal dtypes themselves differ.
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     df.select(graft.clean.Clean.rowHashExpr(cols).as("_h"))
       .agg(
-        // empty table → checksum 0, not null (sum over zero rows is null)
-        coalesce(sum(conv(substring(col("_h"), 1, 10), 16, 10).cast("long")), lit(0L))
-          .as("checksum"),
+        // empty table → checksum "0", not null (sum over zero rows is null)
+        coalesce(
+          sum(conv(substring(col("_h"), 1, 10), 16, 10).cast("decimal(38,0)")).cast("string"),
+          lit("0")).as("checksum"),
         count(lit(1)).as("n"))
   }
 

@@ -72,6 +72,14 @@ object AsOfJoin {
     require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
       s"as-of time columns must share a type: " +
         s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}")
+    // the exec's merge ordering is built from the LEFT key types and applied
+    // to both sides' key rows — a type mismatch would compare raw bytes of
+    // differently-typed UnsafeRows and silently mis-match
+    keyCols.foreach { k =>
+      require(left.schema(k).dataType == right.schema(k).dataType,
+        s"as-of key column $k must share a type: " +
+          s"${left.schema(k).dataType} vs ${right.schema(k).dataType}")
+    }
     // child contract of AsOfJoinNode: keys, time, payload
     val restL = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
     val l = left.select((keyCols :+ leftTime).map(col) ++ restL.map(col): _*)

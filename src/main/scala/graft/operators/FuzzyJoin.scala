@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * banded 3-arg `levenshtein` (early exit past the threshold, O(k·n) per
   * pair) verifies exactly.
   *
-  * Requires `prefixLen + suffixLen <= min(length)` over the joined strings —
-  * otherwise the segments overlap and an edit inside the overlap escapes
-  * both blocks. Segment lengths are the tuning knob: put the longer segment
-  * over the LOW-entropy region (e.g. a constant key prefix) and the shorter
-  * one over the high-entropy region, so both block families stay small.
+  * The pigeonhole argument needs `prefixLen + suffixLen <= min(length)` of
+  * a pair — for SHORT strings (length ≤ prefixLen + suffixLen) the segments
+  * would overlap and an edit inside the overlap escapes both blocks, so all
+  * short strings additionally share one block-local bucket and compare
+  * quadratically among themselves (a pair within distance 1 has lengths
+  * within 1 of each other, so if its min is short, BOTH members are short —
+  * the bucket is complete). Size the segments so the short set stays small.
+  * Segment lengths are the tuning knob: put the longer segment over the
+  * LOW-entropy region (e.g. a constant key prefix) and the shorter one over
+  * the high-entropy region, so both block families stay small.
   *
   * Scale shape: 2 segment rows per input row, one shuffle keyed by
   * (block, segment). Bucket fan-out is bounded by segment-value frequency —
@@ -37,9 +42,17 @@ object FuzzyJoin {
       prefixLen: Int,
       suffixLen: Int): DataFrame = {
     require(prefixLen > 0 && suffixLen > 0, "segment lengths must be positive")
-    val segs = explode(array(
-      concat(lit("P:"), substring(col(strCol), 1, prefixLen)),
-      concat(lit("S:"), substring(col(strCol), -suffixLen, suffixLen)))).as("_seg")
+    // short strings (where the pigeonhole segments would overlap) emit an
+    // extra shared bucket — see the class doc; nulls (the non-short case)
+    // are filtered before the explode
+    val shortKey = when(
+      length(col(strCol)) <= prefixLen + suffixLen, lit("L:short"))
+    val segs = explode(filter(
+      array(
+        concat(lit("P:"), substring(col(strCol), 1, prefixLen)),
+        concat(lit("S:"), substring(col(strCol), -suffixLen, suffixLen)),
+        shortKey),
+      s => s.isNotNull)).as("_seg")
     val keyed = df.select(
       blockCols.map(col) ++ Seq(col(idCol), col(strCol), segs): _*)
     val a = keyed.select(

@@ -99,7 +99,9 @@ object Funnel {
   }
 
   /** Funnel counts: one row per step — (position, step, n_keys that reached
-    * it in order).
+    * it in order). All step counts come from ONE aggregation over the step-
+    * times chain (a per-step aggregate would re-execute the whole join
+    * chain once per step), then the single result row unpivots.
     */
   def completionCounts(
       events: DataFrame,
@@ -108,10 +110,14 @@ object Funnel {
       typeCol: String,
       steps: Seq[String]): DataFrame = {
     val times = stepTimes(events, keyCol, tsCol, typeCol, steps)
-    val perStep = steps.zipWithIndex.map { case (step, i) =>
-      times.agg(count(col(s"t_$i")).as("n_keys"))
-        .select(lit(i + 1).cast("long").as("pos"), lit(step).as("step"), col("n_keys"))
+    val aggs = steps.indices.map(i => count(col(s"t_$i")).as(s"_n_$i"))
+    val one = times.agg(aggs.head, aggs.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(
+        lit(i + 1).cast("long").as("pos"),
+        lit(step).as("step"),
+        col(s"_n_$i").as("n_keys"))
     }
-    perStep.reduce(_ unionAll _).orderBy("pos")
+    one.select(explode(array(rows: _*)).as("r")).select("r.*").orderBy("pos")
   }
 }

@@ -168,8 +168,10 @@ object CurationQueries {
         .limit(100)
     },
 
-    // TF-IDF with the rational IDF (N+1)/(df+1): log-free, so scores are
-    // bit-reproducible across engines (log is monotone — rankings agree).
+    // Rational-IDF term weighting tf*(N+1)/(df+1): log-free, so scores are
+    // bit-reproducible across engines. (Deliberately NOT classical log
+    // TF-IDF — the combined score ranks differently; Vocab.tfIdfLog has the
+    // classical metric, which libm differences keep out of the oracle gate.)
     Q(
       "q69_tfidf",
       """WITH tt AS (SELECT doc_id, u.tok AS token
@@ -439,7 +441,8 @@ object CurationQueries {
     // as q07.
     Q(
       "q83_table_checksum",
-      """SELECT CAST(sum(CAST(('0x' || substr(h, 1, 10)) AS BIGINT)) AS BIGINT) AS checksum,
+      """SELECT COALESCE(CAST(sum(CAST(('0x' || substr(h, 1, 10)) AS BIGINT)) AS VARCHAR), '0')
+        |    AS checksum,
         |  count(*) AS n
         |FROM (SELECT md5(concat_ws(chr(1),
         |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),

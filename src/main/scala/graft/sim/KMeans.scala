@@ -52,12 +52,19 @@ object KMeans {
       k: Int,
       iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
+    // the init collect must accept both array<float> and array<double> —
+    // everything downstream (DotProduct, assignExpr) supports both
     var centroids: Array[Array[Double]] = df
       .orderBy(col(idCol))
       .limit(k)
       .select(vecCol)
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be array<float|double>, found element $other")
+      }.toArray)
     require(centroids.nonEmpty, "corpus is empty")
     for (_ <- 1 to iters) {
       val means = assign(df, vecCol, centroids)

@@ -116,6 +116,14 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(tableDir + "._upsert_tmp")
+        val old = new org.apache.hadoop.fs.Path(tableDir + "._upsert_old")
+        // recovery: a crash between rename-aside and promote leaves only the
+        // _old copy — restore it before reading, or the batch would merge
+        // into an empty table and drop history
+        if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
         // empty current on first batch — the upsert still dedups keys
         // WITHIN the batch (latest version wins there too)
         val current =
@@ -124,13 +132,19 @@ object StreamingIngest {
           else batch.toDF().limit(0)
         val merged = graft.load.Snapshot.upsertLatestWins(
           current, batch.toDF(), keyCols, versionCol)
-        // rewrite via temp + swap so a crash leaves old or new, never a mix
-        val tmp = tableDir + "._upsert_tmp"
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tableDir))
+        // rename-aside swap (same protocol as Snapshot.compact): write tmp,
+        // move the live table ASIDE (not delete!), promote tmp, then drop
+        // the old copy — a crash at any point leaves either the old or the
+        // new table recoverable, never neither
+        fs.delete(tmp, true); fs.delete(old, true)
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+        if (fs.exists(path) && !fs.rename(path, old))
+          throw new java.io.IOException(s"upsert: cannot move $path aside")
+        if (!fs.rename(tmp, path)) {
+          fs.rename(old, path) // roll back
+          throw new java.io.IOException(s"upsert: cannot promote $tmp")
+        }
+        fs.delete(old, true)
         ()
       }
       .start()

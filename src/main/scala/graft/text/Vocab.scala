@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * map-side-combine aggregation (explode → partial count per partition →
   * one shuffle of (term, count) partials, NOT of token occurrences).
   *
-  * IDF uses the rational form (N+1)/(df+1) rather than its logarithm:
-  * rankings are identical (log is monotone) and pure rational arithmetic is
-  * bit-reproducible across engines, where `ln` may differ in the last ulp
-  * between libm implementations (see the oracle-determinism notes in
-  * ParityQueries).
+  * Two IDF weightings:
+  *  - [[tfIdf]]: the RATIONAL variant tf·(N+1)/(df+1). Pure integer/rational
+  *    arithmetic → bit-reproducible across engines (`ln` can differ in the
+  *    last ulp between libm implementations), which is why the oracle-gated
+  *    query uses it. NOTE: because tf multiplies the weight, this is NOT
+  *    rank-equivalent to log TF-IDF across terms — it boosts high-tf terms
+  *    much harder (log compresses the idf range, the rational form doesn't).
+  *  - [[tfIdfLog]]: the standard tf·ln((N+1)/(df+1)) for consumers who want
+  *    the classical metric and don't need cross-engine bit-parity.
   */
 object Vocab {
 
@@ -34,9 +38,10 @@ object Vocab {
       .groupBy(col("token"))
       .agg(sum("_tf_doc").as("tf"), count(lit(1)).as("df"))
 
-  /** (token, tf, df, score): TF-IDF with the rational IDF (N+1)/(df+1),
-    * rounded to 4 dp. `nDocs` is passed in (a count the caller already has
-    * or computes once) so the score stays a stateless projection.
+  /** (token, tf, df, score): rational-IDF weighting tf·(N+1)/(df+1) (see
+    * the class doc for how it differs from log TF-IDF), rounded to 4 dp.
+    * `nDocs` is passed in (a count the caller already has or computes once)
+    * so the score stays a stateless projection.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame =
     termDocFrequencies(df, idCol, textCol)
@@ -52,6 +57,16 @@ object Vocab {
     termDocFrequencies(df, idCol, textCol)
       .crossJoin(broadcast(df.agg(count(lit(1)).as("_nd"))))
       .withColumn("score", round(col("tf") * (col("_nd") + 1.0) / (col("df") + 1.0), 4))
+      .drop("_nd")
+
+  /** (token, tf, df, score): classical log TF-IDF, tf·ln((N+1)/(df+1)).
+    * Not oracle-gated (libm `ln` is not bit-portable across engines); use
+    * for in-engine ranking.
+    */
+  def tfIdfLog(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termDocFrequencies(df, idCol, textCol)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_nd"))))
+      .withColumn("score", col("tf") * log((col("_nd") + 1.0) / (col("df") + 1.0)))
       .drop("_nd")
 
   /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —

@@ -189,14 +189,15 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
     val c = Snapshot.tableChecksum(
       (rows :+ (4L, "d")).toDF("id", "v"), Seq("id", "v")).head()
-    assert(a.getLong(0) != c.getLong(0) && c.getLong(1) == 4L)
+    assert(a.getString(0) != c.getString(0) && c.getLong(1) == 4L)
+    assert(a.getString(0).forall(_.isDigit)) // decimal digits, engine-portable
   }
 
   test("checksum and profile on an empty table: zeros, not nulls") {
     import graft.load.{Profile, Snapshot}
     val empty = Seq.empty[(Long, String)].toDF("id", "v")
     val ck = Snapshot.tableChecksum(empty, Seq("id", "v")).head()
-    assert(ck.getLong(0) == 0L && ck.getLong(1) == 0L)
+    assert(ck.getString(0) == "0" && ck.getLong(1) == 0L)
     val pr = Profile.profile(empty, Seq("id", "v")).collect()
     assert(pr.length == 2 && pr.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
@@ -232,6 +233,25 @@ class CurationSpec extends SparkSpec {
     val kept = DupClusters.keepCanonical(docs, "doc_id", comp)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L)) // 6,7 fold into 2
+  }
+
+  test("components: unconverged fixpoint fails loudly instead of returning split clusters") {
+    import graft.dedup.DupClusters
+    // a path of diameter 5 cannot converge in 2 rounds
+    val pairs = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      DupClusters.components(pairs, "id_a", "id_b", maxIter = 2).collect()
+    }
+  }
+
+  test("FuzzyJoin: short strings (segments would overlap) still pair correctly") {
+    import graft.operators.FuzzyJoin
+    // prefix 3 + suffix 2 = 5 > these lengths: the pigeonhole alone would
+    // miss ("ab","abc"); the short bucket must catch it
+    val rows = Seq((1L, "ab", 0), (2L, "abc", 0), (3L, "xy", 0), (4L, "abcdef", 0))
+    val got = FuzzyJoin.pairsWithinOne(rows.toDF("id", "s", "blk"), "id", "s", Seq("blk"), 3, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // ab~abc at distance 1; xy and abcdef match nothing
   }
 
   test("components of an empty pair set is empty") {

@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cs.map(_.toSeq).toSeq == cs2.map(_.toSeq).toSeq)
   }
 
+  test("k-means accepts array<double> vectors too") {
+    import graft.sim.KMeans
+    val data = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val cs = KMeans.fit(data, "vec_id", "embedding", k = 2, iters = 2)
+    val got = KMeans.assign(data, "embedding", cs)
+      .select("vec_id", "_cluster").as[(Long, Int)].collect().toMap
+    assert(got(0L) != got(1L))
+  }
+
+  test("native as-of rejects mismatched key types (merge ordering is left-typed)") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1, 10L, "e")).toDF("k", "t", "name") // k: int
+    val r = Seq((1L, 5L, "v")).toDF("k", "rt", "v") // k: long
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.lastPriorMatchNative(l, r, Seq("k"), "t", "rt", Seq("v"))
+    }
+  }
+
   test("k-means: empty cluster keeps its previous centroid") {
     import graft.sim.KMeans
     val data = Seq(
