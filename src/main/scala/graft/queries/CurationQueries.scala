@@ -579,6 +579,68 @@ object CurationQueries {
         .orderBy("user_id")
     },
 
+    // Correlated EXISTS subquery: Catalyst decorrelates to a semi-join —
+    // the SQL front door to the q59 shape.
+    Q(
+      "q90_correlated_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Correlated scalar subquery: decorrelates to an aggregate + left join.
+    Q(
+      "q91_correlated_scalar",
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+          |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)
+    },
+
+    // RANGE window frame over event time (trailing 24 h sum per user) —
+    // decimal accumulation, so segment-tree vs sequential window
+    // evaluation cannot diverge in the last ulp.
+    Q(
+      "q92_range_frame",
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS day_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("day_sum"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // INTERSECT (the q26 EXCEPT twin): set semantics incl. dedup.
+    Q(
+      "q93_intersect",
+      """SELECT c_nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").select("c_nationkey")
+        .intersect(Tables.load(s, dir, "supplier")
+          .select(col("s_nationkey").as("c_nationkey")))
+        .orderBy("c_nationkey")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(
