@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * pair) verifies exactly.
   *
   * The pigeonhole argument needs `prefixLen + suffixLen <= min(length)` of
-  * a pair — for SHORT strings (length ≤ prefixLen + suffixLen) the segments
-  * would overlap and an edit inside the overlap escapes both blocks, so all
-  * short strings additionally share one block-local bucket and compare
-  * quadratically among themselves (a pair within distance 1 has lengths
-  * within 1 of each other, so if its min is short, BOTH members are short —
-  * the bucket is complete). Size the segments so the short set stays small.
+  * a pair (call that sum T) — for pairs whose MIN length is < T the
+  * segments would overlap and an edit inside the overlap escapes both
+  * blocks. Those pairs are covered by length-keyed short buckets with
+  * ASYMMETRIC probe/index keys: the probe side emits `L:<len>` only for
+  * len < T, the index side emits `L:<len>` (len < T) and `L:<len-1>`
+  * (len ≤ T). A short pair (m, m) or (m, m+1) with m < T then meets on
+  * `L:<m>`, while two strings of length exactly T — already sound under
+  * the pigeonhole — emit NO bucket keys at all: a uniform-length corpus at
+  * T pays nothing (a symmetric bucket would re-create the quadratic join
+  * the operator exists to avoid). Asymmetric keys find some pairs in only
+  * one (a,b) orientation, so pair ids are normalized with least/greatest
+  * before the distinct.
   * Segment lengths are the tuning knob: put the longer segment over the
   * LOW-entropy region (e.g. a constant key prefix) and the shorter one over
   * the high-entropy region, so both block families stay small.
@@ -42,29 +48,38 @@ object FuzzyJoin {
       prefixLen: Int,
       suffixLen: Int): DataFrame = {
     require(prefixLen > 0 && suffixLen > 0, "segment lengths must be positive")
-    // short strings (where the pigeonhole segments would overlap) emit an
-    // extra shared bucket — see the class doc; nulls (the non-short case)
-    // are filtered before the explode
-    val shortKey = when(
-      length(col(strCol)) <= prefixLen + suffixLen, lit("L:short"))
-    val segs = explode(filter(
-      array(
-        concat(lit("P:"), substring(col(strCol), 1, prefixLen)),
-        concat(lit("S:"), substring(col(strCol), -suffixLen, suffixLen)),
-        shortKey),
-      s => s.isNotNull)).as("_seg")
-    val keyed = df.select(
-      blockCols.map(col) ++ Seq(col(idCol), col(strCol), segs): _*)
-    val a = keyed.select(
-      blockCols.map(col) ++ Seq(
-        col("_seg"), col(idCol).as("id_a"), col(strCol).as("_sa")): _*)
-    val b = keyed.select(
-      blockCols.map(col) ++ Seq(
-        col("_seg"), col(idCol).as("id_b"), col(strCol).as("_sb")): _*)
+    val t = prefixLen + suffixLen
+    val len = length(col(strCol))
+    val segKeys = Seq(
+      concat(lit("P:"), substring(col(strCol), 1, prefixLen)),
+      concat(lit("S:"), substring(col(strCol), -suffixLen, suffixLen)))
+    // asymmetric short-pair coverage (see class doc): probe side adds
+    // L:<len> for len < T; index side adds L:<len> (len < T) and L:<len-1>
+    // (len ≤ T) — equal-T strings emit nothing extra
+    def keyedSide(extra: Seq[Column], idAs: String, strAs: String) = {
+      val segs = explode(filter(array(segKeys.map(_.cast("string")) ++ extra: _*),
+        s => s.isNotNull)).as("_seg")
+      df.select(blockCols.map(col) ++ Seq(col(idCol).as(idAs), col(strCol).as(strAs), segs): _*)
+    }
+    val a = keyedSide(
+      Seq(when(len < t, concat(lit("L:"), len))), "id_a", "_sa")
+    val b = keyedSide(
+      Seq(
+        when(len < t, concat(lit("L:"), len)),
+        when(len <= t, concat(lit("L:"), len - 1))), "id_b", "_sb")
     a.join(b, blockCols :+ "_seg")
-      .filter(col("id_a") < col("id_b"))
-      // a pair sharing BOTH segments arrives twice — dedup before the verify
-      .select("id_a", "id_b", "_sa", "_sb")
+      // symmetric P/S keys find every pair in both orientations — keep one;
+      // asymmetric L keys may only produce one orientation — keep either
+      .filter(
+        when(col("_seg").startsWith("L:"), col("id_a") =!= col("id_b"))
+          .otherwise(col("id_a") < col("id_b")))
+      // asymmetric keys can find a pair in one orientation only — normalize,
+      // then dedup the multi-segment / both-orientation copies
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("_sa")).otherwise(col("_sb")).as("_sa"),
+        when(col("id_a") < col("id_b"), col("_sb")).otherwise(col("_sa")).as("_sb"))
       .distinct()
       .withColumn("dist", levenshtein(col("_sa"), col("_sb"), 1).cast("long"))
       .filter(col("dist") >= 0) // 3-arg levenshtein returns -1 past the threshold
