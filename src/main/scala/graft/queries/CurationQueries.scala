@@ -641,6 +641,50 @@ object CurationQueries {
         .orderBy("c_nationkey")
     },
 
+    // Group-wise z-score standardization (ML feature prep): moments from
+    // exact decimal sums, then identical double arithmetic in both engines
+    // (built-in stddev aggregates vary by algorithm — Welford vs sum of
+    // squares — so the explicit formula is the portable one). Broadcast of
+    // the tiny per-group stats joins back to the fact.
+    Q(
+      "q94_zscore",
+      """WITH s AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv,
+        |    count(*) AS n FROM events GROUP BY event_type)
+        |SELECT e.event_id,
+        |  round((e.value - s.sv / s.n) / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 6) AS z
+        |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val stats = ev.groupBy("event_type").agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+          sum(col("value").cast("decimal(18,2)") * col("value").cast("decimal(18,2)"))
+            .cast("double").as("svv"),
+          count(lit(1)).as("n"))
+        ev.join(broadcast(stats), "event_type")
+          .select(
+            col("event_id"),
+            round(
+              (col("value") - col("sv") / col("n")) /
+                sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1)),
+              6).as("z"))
+          .orderBy("event_id")
+    },
+
+    // Quantile bucketing via ntile (equal-count bins; the feature-binning
+    // primitive). Total order incl. tie-break → deterministic bins.
+    Q(
+      "q95_ntile",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(
