@@ -30,28 +30,61 @@ object Snapshot {
   def archive(df: DataFrame, archiveDir: String, batchName: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$archiveDir/$batchName")
 
+  private val SwapTmpSuffix = "._swap_tmp"
+  private val SwapOldSuffix = "._swap_old"
+
+  /** Restore a table stranded by a crash mid-[[replaceTable]]: if the live
+    * directory is missing but the rename-aside copy exists, promote it
+    * back. Call before reading a table that is rewritten in place. Throws
+    * if the restore rename itself fails — proceeding would read an empty
+    * table and silently drop history.
+    */
+  def recoverSwap(spark: SparkSession, tableDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(tableDir + SwapOldSuffix)
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      throw new java.io.IOException(
+        s"recoverSwap: cannot restore $old to $path — refusing to proceed on an empty table")
+  }
+
+  /** Atomically replace `tableDir`'s contents with `df` via the rename-aside
+    * protocol: write a temp sibling, move the live table ASIDE (never
+    * delete-first), promote the temp, drop the old copy. A crash at any
+    * point leaves either the old or the new layout recoverable (run
+    * [[recoverSwap]] on startup); every rename result is checked.
+    */
+  def replaceTable(df: DataFrame, tableDir: String): Unit = {
+    val spark = df.sparkSession
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + SwapTmpSuffix)
+    val old = new org.apache.hadoop.fs.Path(tableDir + SwapOldSuffix)
+    fs.delete(tmp, true); fs.delete(old, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(path) && !fs.rename(path, old))
+      throw new java.io.IOException(s"replaceTable: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"replaceTable: cannot promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** Compact a table directory's accumulated small batch files into
     * `targetFiles` parquet parts. Append-heavy snapshot tables collect one
     * file set per batch; at scale the listing and tiny-row-group overhead
-    * dominates reads. Writes to a temp sibling then swaps via rename, so a
-    * crash leaves either the old or the new layout, never a mix.
+    * dominates reads. Uses the [[replaceTable]] rename-aside swap (and
+    * recovers a previously stranded swap first).
     */
   def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Unit = {
+    recoverSwap(spark, tableDir)
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
-    val tmp = new org.apache.hadoop.fs.Path(tableDir + "._compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(tableDir + "._compact_old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(tableDir)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(path, old)) throw new java.io.IOException(s"compact: cannot move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compact: cannot promote $tmp")
-    }
-    fs.delete(old, true)
+    // safe to read from the directory being replaced: replaceTable fully
+    // writes the temp copy (consuming this plan) before any rename
+    replaceTable(spark.read.parquet(tableDir).repartition(targetFiles), tableDir)
   }
 
   /** Order-independent table digest: the SUM (associative + commutative —

@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * LOW-entropy region (e.g. a constant key prefix) and the shorter one over
   * the high-entropy region, so both block families stay small.
   *
+  * SCALE CAVEAT: the short buckets are keyed by (block, length) only, so a
+  * corpus DOMINATED by same-length strings below T compares quadratically
+  * inside those buckets. The near-linear guarantee holds when strings
+  * shorter than prefixLen + suffixLen are rare — size the segments to the
+  * data (T at or below the typical length), or pre-partition short strings
+  * into their own call with smaller segments.
+  *
   * Scale shape: 2 segment rows per input row, one shuffle keyed by
   * (block, segment). Bucket fan-out is bounded by segment-value frequency —
   * the same guarantee LSH banding gives MinHash. At 100 TB the verify step

@@ -653,7 +653,9 @@ object CurationQueries {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv,
         |    count(*) AS n FROM events GROUP BY event_type)
         |SELECT e.event_id,
-        |  round((e.value - s.sv / s.n) / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 6) AS z
+        |  CASE WHEN s.n > 1 AND s.svv - s.sv * s.sv / s.n > 0 THEN
+        |    round((e.value - s.sv / s.n) / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 6)
+        |  END AS z
         |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin) {
       (s, dir) =>
         val ev = Tables.events(s, dir)
@@ -662,13 +664,16 @@ object CurationQueries {
           sum(col("value").cast("decimal(18,2)") * col("value").cast("decimal(18,2)"))
             .cast("double").as("svv"),
           count(lit(1)).as("n"))
+        // z is null for single-row or zero-variance groups IN BOTH ENGINES —
+        // an unguarded /0 diverges (Spark non-ANSI null vs DuckDB IEEE NaN)
+        val varNum = col("svv") - col("sv") * col("sv") / col("n")
         ev.join(broadcast(stats), "event_type")
           .select(
             col("event_id"),
-            round(
-              (col("value") - col("sv") / col("n")) /
-                sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1)),
-              6).as("z"))
+            when(col("n") > 1 && varNum > 0,
+              round(
+                (col("value") - col("sv") / col("n")) / sqrt(varNum / (col("n") - 1)),
+                6)).as("z"))
           .orderBy("event_id")
     },
 

@@ -116,14 +116,10 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val path = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(tableDir + "._upsert_tmp")
-        val old = new org.apache.hadoop.fs.Path(tableDir + "._upsert_old")
-        // recovery: a crash between rename-aside and promote leaves only the
-        // _old copy — restore it before reading, or the batch would merge
-        // into an empty table and drop history
-        if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+        // a crash mid-swap leaves only the renamed-aside copy — restore it
+        // before reading, or the batch would merge into an empty table and
+        // drop history (recoverSwap throws if the restore itself fails)
+        graft.load.Snapshot.recoverSwap(spark, tableDir)
         // empty current on first batch — the upsert still dedups keys
         // WITHIN the batch (latest version wins there too)
         val current =
@@ -132,19 +128,9 @@ object StreamingIngest {
           else batch.toDF().limit(0)
         val merged = graft.load.Snapshot.upsertLatestWins(
           current, batch.toDF(), keyCols, versionCol)
-        // rename-aside swap (same protocol as Snapshot.compact): write tmp,
-        // move the live table ASIDE (not delete!), promote tmp, then drop
-        // the old copy — a crash at any point leaves either the old or the
-        // new table recoverable, never neither
-        fs.delete(tmp, true); fs.delete(old, true)
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
-        if (fs.exists(path) && !fs.rename(path, old))
-          throw new java.io.IOException(s"upsert: cannot move $path aside")
-        if (!fs.rename(tmp, path)) {
-          fs.rename(old, path) // roll back
-          throw new java.io.IOException(s"upsert: cannot promote $tmp")
-        }
-        fs.delete(old, true)
+        // rename-aside swap shared with Snapshot.compact: old or new layout
+        // survives any crash, never neither
+        graft.load.Snapshot.replaceTable(merged, tableDir)
         ()
       }
       .start()

@@ -109,6 +109,25 @@ class ApiSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
   }
 
+  test("recoverSwap restores a table stranded by a mid-swap crash") {
+    import graft.load.Snapshot
+    val dir = tmpDir("swaprec") + "/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    // simulate a crash between rename-aside and promote: live dir gone,
+    // data only in the ._swap_old sibling
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._swap_old")))
+    Snapshot.recoverSwap(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    // compact after recovery keeps all rows (and itself recovers first)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._swap_old")))
+    Snapshot.compact(spark, dir, targetFiles = 1)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("partitioned writes prune partitions at read time") {
     val dir = tmpDir("part")
     Tables.events(spark, sf)
