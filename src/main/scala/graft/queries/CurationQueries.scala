@@ -690,6 +690,23 @@ object CurationQueries {
         .orderBy("o_orderkey")
     },
 
+    // Per-document token diversity as Gini impurity 1 - sum(p^2): the
+    // log-free twin of token entropy (rational arithmetic → engine-
+    // portable); low values flag repetitive/boilerplate documents.
+    Q(
+      "q96_token_gini",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |            FROM documents),
+        |tf AS (SELECT doc_id, u.tok AS token, count(*) AS c
+        |       FROM tok, unnest(t) AS u(tok) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(1.0 - sum(c * c) * 1.0 / (sum(c) * sum(c)), 6) AS gini
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Vocab.giniDiversity(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("gini"), 6).as("gini"))
+        .orderBy("doc_id")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(

@@ -69,6 +69,21 @@ object Vocab {
       .withColumn("score", col("tf") * log((col("_nd") + 1.0) / (col("df") + 1.0)))
       .drop("_nd")
 
+  /** (id, gini) per-document token diversity as Gini impurity
+    * 1 − Σ p_i² over the document's token distribution — the rational twin
+    * of token entropy (no logarithm → bit-reproducible across engines),
+    * low values flag repetitive/boilerplate docs. Token-less docs have no
+    * distribution and are omitted. Two partial-aggregated shuffles on
+    * (doc, token) / (doc).
+    */
+  def giniDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg((lit(1.0) - sum(col("_c") * col("_c")).cast("double") /
+        (sum(col("_c")) * sum(col("_c"))).cast("double")).as("gini"))
+
   /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —
     * same shape as [[graft.dedup.MinHashLsh.shingles]], but counted, not
     * hashed).

@@ -105,6 +105,18 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(scores("join") - 2.6667) < 1e-9) // 8/3 rounded to 4 dp
   }
 
+  test("gini diversity: uniform tokens high, single repeated token zero") {
+    val docs = Seq(
+      (1L, "a b c d"), // uniform: 1 - 4*(1/16) = 0.75
+      (2L, "a a a a"), // single token: 0.0
+      (3L, "")) // token-less: omitted
+      .toDF("doc_id", "text")
+    val g = Vocab.giniDiversity(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(g.keySet == Set(1L, 2L))
+    assert(math.abs(g(1L) - 0.75) < 1e-12 && g(2L) == 0.0)
+  }
+
   test("ngram counts slide over token runs") {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     val grams = Vocab.ngramCounts(docs, "text", 2).as[(String, Long)].collect().toMap
