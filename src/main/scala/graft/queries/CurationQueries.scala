@@ -707,6 +707,42 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // LATERAL correlated subquery join (per-order top-2 line items): the
+    // SQL spelling of dependent per-row subplans; Catalyst decorrelates
+    // the sorted-limited lateral into a window-ranked join.
+    Q(
+      "q97_lateral_topk",
+      """SELECT o_orderkey, l.l_linenumber FROM orders, LATERAL (
+        |  SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) AS l
+        |ORDER BY o_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, l.l_linenumber FROM orders, LATERAL (
+          |  SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) AS l
+          |ORDER BY o_orderkey, l.l_linenumber""".stripMargin)
+    },
+
+    // Rank-to-[0,1] window family (percent_rank / cume_dist): rational
+    // rank arithmetic, deterministic under the total order.
+    Q(
+      "q98_rank_ratios",
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(
