@@ -15,6 +15,24 @@ object Snapshot {
   def appendBatch(df: DataFrame, tableDir: String): Unit =
     df.write.mode(SaveMode.Append).parquet(tableDir)
 
+  /** Append with in-flight data-quality metrics: the given aggregate
+    * expressions are observed DURING the write (Spark's Observation API —
+    * accumulator-backed, no second scan of the batch) and returned as the
+    * metrics row. The warehouse use: record rows-written / null counts /
+    * value bounds in the audit catalog without re-reading what was just
+    * written.
+    */
+  def appendBatchObserved(
+      df: DataFrame,
+      tableDir: String,
+      metrics: Seq[org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty, "need at least one metric expression")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode(SaveMode.Append).parquet(tableDir)
+    obs.get // keyed by the metric aliases; single action: the write itself
+  }
+
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
 

@@ -109,6 +109,18 @@ class ApiSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
   }
 
+  test("appendBatchObserved: metrics collected during the write, no second scan") {
+    import graft.load.Snapshot
+    val dir = tmpDir("obs") + "/table"
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0))).toDF("id", "v")
+    val m = Snapshot.appendBatchObserved(df, dir, Seq(
+      count(lit(1)).as("rows"),
+      sum(when($"v".isNull, 1L).otherwise(0L)).as("null_v"),
+      max($"id").as("max_id")))
+    assert(m("rows") == 3L && m("null_v") == 1L && m("max_id") == 3L)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("recoverSwap restores a table stranded by a mid-swap crash") {
     import graft.load.Snapshot
     val dir = tmpDir("swaprec") + "/table"
