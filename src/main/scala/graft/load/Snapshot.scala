@@ -52,18 +52,25 @@ object Snapshot {
   private val SwapOldSuffix = "._swap_old"
 
   /** Restore a table stranded by a crash mid-[[replaceTable]]: if the live
-    * directory is missing but the rename-aside copy exists, promote it
-    * back. Call before reading a table that is rewritten in place. Throws
-    * if the restore rename itself fails — proceeding would read an empty
-    * table and silently drop history.
+    * directory is missing but a rename-aside copy exists, promote it back.
+    * Also probes the legacy per-operation suffixes earlier versions used,
+    * so an upgrade never strands a table a previous binary moved aside.
+    * Call before reading a table that is rewritten in place. Throws if the
+    * restore rename itself fails — proceeding would read an empty table and
+    * silently drop history.
     */
   def recoverSwap(spark: SparkSession, tableDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(tableDir + SwapOldSuffix)
-    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
-      throw new java.io.IOException(
-        s"recoverSwap: cannot restore $old to $path — refusing to proceed on an empty table")
+    if (fs.exists(path)) return
+    Seq(SwapOldSuffix, "._upsert_old", "._compact_old")
+      .map(s => new org.apache.hadoop.fs.Path(tableDir + s))
+      .find(fs.exists)
+      .foreach { old =>
+        if (!fs.rename(old, path))
+          throw new java.io.IOException(
+            s"recoverSwap: cannot restore $old to $path — refusing to proceed on an empty table")
+      }
   }
 
   /** Atomically replace `tableDir`'s contents with `df` via the rename-aside
@@ -74,6 +81,10 @@ object Snapshot {
     */
   def replaceTable(df: DataFrame, tableDir: String): Unit = {
     val spark = df.sparkSession
+    // a stranded rename-aside copy is the table's only data — restore it
+    // BEFORE the deletes below could destroy it (callers may invoke
+    // replaceTable without having run recoverSwap themselves)
+    recoverSwap(spark, tableDir)
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + SwapTmpSuffix)
@@ -83,8 +94,11 @@ object Snapshot {
     if (fs.exists(path) && !fs.rename(path, old))
       throw new java.io.IOException(s"replaceTable: cannot move $path aside")
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"replaceTable: cannot promote $tmp")
+      val rolledBack = fs.rename(old, path) // roll back
+      throw new java.io.IOException(
+        s"replaceTable: cannot promote $tmp" +
+          (if (rolledBack) " (previous layout restored)"
+           else s" AND rollback failed — run recoverSwap($tableDir) before reading"))
     }
     fs.delete(old, true)
   }

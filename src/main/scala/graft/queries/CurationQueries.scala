@@ -60,6 +60,16 @@ object CurationQueries {
       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       |  END AS s FROM tok)""".stripMargin
 
+  /** A gate query whose ONE SQL text runs verbatim in both engines (dialect
+    * intersection): registered table views on the Spark side, the same
+    * string as the DuckDB oracle — no drift between the two copies.
+    */
+  private def sqlBoth(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, sql) { (s, dir) =>
+      tables.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sql)
+    }
+
   val all: Seq[Q] = Seq(
 
     // Inactivity-gap sessionization (30 min), per-session stats. One shuffle
@@ -580,35 +590,22 @@ object CurationQueries {
     },
 
     // Correlated EXISTS subquery: Catalyst decorrelates to a semi-join —
-    // the SQL front door to the q59 shape.
-    Q(
+    // the SQL front door to the q59 shape. One SQL text drives BOTH engines.
+    sqlBoth(
       "q90_correlated_exists",
+      Seq("customer", "orders"),
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(
-        """SELECT c_custkey, c_name FROM customer c
-          |WHERE EXISTS (SELECT 1 FROM orders o
-          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-          |ORDER BY c_custkey""".stripMargin)
-    },
+        |ORDER BY c_custkey""".stripMargin),
 
     // Correlated scalar subquery: decorrelates to an aggregate + left join.
-    Q(
+    sqlBoth(
       "q91_correlated_scalar",
+      Seq("orders", "lineitem"),
       """SELECT o_orderkey,
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
-        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql(
-        """SELECT o_orderkey,
-          |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
-          |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)
-    },
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin),
 
     // RANGE window frame over event time (trailing 24 h sum per user) —
     // decimal accumulation, so segment-tree vs sequential window
@@ -710,20 +707,13 @@ object CurationQueries {
     // LATERAL correlated subquery join (per-order top-2 line items): the
     // SQL spelling of dependent per-row subplans; Catalyst decorrelates
     // the sorted-limited lateral into a window-ranked join.
-    Q(
+    sqlBoth(
       "q97_lateral_topk",
+      Seq("orders", "lineitem"),
       """SELECT o_orderkey, l.l_linenumber FROM orders, LATERAL (
         |  SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
         |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) AS l
-        |ORDER BY o_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql(
-        """SELECT o_orderkey, l.l_linenumber FROM orders, LATERAL (
-          |  SELECT l_linenumber FROM lineitem WHERE l_orderkey = o_orderkey
-          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) AS l
-          |ORDER BY o_orderkey, l.l_linenumber""".stripMargin)
-    },
+        |ORDER BY o_orderkey, l.l_linenumber""".stripMargin),
 
     // Rank-to-[0,1] window family (percent_rank / cume_dist): rational
     // rank arithmetic, deterministic under the total order.
