@@ -36,6 +36,24 @@ object Snapshot {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
 
+  /** Read across batches whose schemas EVOLVED (later batches added
+    * columns): parquet schema merging unions the per-file schemas; rows
+    * from pre-evolution batches carry nulls in the added columns. Off the
+    * default read path because merging lists every file's footer — pay it
+    * only on tables known to evolve.
+    */
+  def readTableMerged(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tableDir)
+
+  /** Append sorted WITHIN partitions by `clusterCols`: rows with close key
+    * values land in the same row groups, so the parquet min/max statistics
+    * become selective and key-range scans skip most of the file — the
+    * poor-man's clustering index (no shuffle; sorting is per-partition).
+    */
+  def appendBatchClustered(df: DataFrame, tableDir: String, clusterCols: Seq[String]): Unit =
+    df.sortWithinPartitions(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Append).parquet(tableDir)
+
   def exists(spark: SparkSession, tableDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

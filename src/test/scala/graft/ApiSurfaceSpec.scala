@@ -121,6 +121,31 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("schema evolution: merged read unions batch schemas, old rows null-filled") {
+    import graft.load.Snapshot
+    val dir = tmpDir("evolve") + "/table"
+    Snapshot.appendBatch(Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshot.appendBatch(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), dir)
+    val merged = Snapshot.readTableMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")))
+    assert(byId(2L).getDouble(merged.columns.indexOf("score")) == 9.5)
+  }
+
+  test("clustered append keeps rows readable and sorted within files") {
+    import graft.load.Snapshot
+    val dir = tmpDir("clustered") + "/table"
+    Snapshot.appendBatchClustered(
+      spark.range(1000).toDF("id").repartition(2), dir, Seq("id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    // a selective range filter still pushes to the scan (pruning feeds on
+    // the now-tight row-group stats)
+    val p = back.filter($"id".between(10, 20)).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(id,10)"))
+  }
+
   test("recoverSwap restores a table stranded by a mid-swap crash") {
     import graft.load.Snapshot
     val dir = tmpDir("swaprec") + "/table"
