@@ -45,6 +45,16 @@ object Splits {
   def hashSample(df: DataFrame, key: Column, num: Int, den: Int): DataFrame =
     df.filter(hashBucket(key, den) < num)
 
+  /** Deterministic EXACTLY-n uniform-ish sample: order by the md5 of the key
+    * and take n. "Sample exactly n rows from 100 TB" is a distributed TopK
+    * by a pseudo-random sort key — per-partition top-n then a driver-side
+    * merge of n·partitions candidates, never a global sort; the md5 key
+    * makes the choice engine-portable and rerun-stable (`hashSample` gives
+    * a FRACTION; this gives a COUNT).
+    */
+  def fixedSample(df: DataFrame, key: Column, n: Int): DataFrame =
+    df.orderBy(md5(key.cast("string")), key).limit(n)
+
   /** Per-key quota: keep the top `n` rows of each key by `order` (include a
     * unique tie-break in `order` for determinism). The curation use: cap any
     * one domain/source at `n` documents, best-first.

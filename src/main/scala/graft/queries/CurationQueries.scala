@@ -733,6 +733,16 @@ object CurationQueries {
         .orderBy("o_orderkey")
     },
 
+    // Exactly-n deterministic sample: TopK by md5 sort key (global sort
+    // avoided — per-partition top-n + merge). Same 50 docs on any engine.
+    Q(
+      "q99_fixed_sample",
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.load.Splits.fixedSample(Tables.load(s, dir, "documents"), col("doc_id"), 50)
+        .select("doc_id", "lang")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(

@@ -121,6 +121,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("upsert idempotence: applying the same update batch twice changes nothing") {
+    import graft.load.Snapshot
+    val curGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 5L)))
+    for (raw <- samples(curGen, 4) if raw.nonEmpty) {
+      // dedup keys in current (a table has one row per key)
+      val current = raw.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).max, s"c$k") }
+        .toSeq.toDF("k", "ver", "v")
+      val updates = raw.take(8).map { case (k, ver) => (k, ver + 1, s"u$k") }
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.toDF("k", "ver", "v")
+      val once = Snapshot.upsertLatestWins(current, updates, Seq("k"), "ver")
+      val twice = Snapshot.upsertLatestWins(once, updates, Seq("k"), "ver")
+      assert(once.collect().toSet == twice.collect().toSet)
+    }
+  }
+
+  test("checksum distributes over union: chk(a ++ b).n == chk(a).n + chk(b).n, digest order-free") {
+    import graft.load.Snapshot
+    for (rows <- samples(rowsGen, 3) if rows.size >= 4) {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      val whole = Snapshot.tableChecksum(rows.toDF("k", "v"), Seq("k", "v")).head()
+      val shuffled = Snapshot.tableChecksum(
+        (b ++ a).toDF("k", "v").repartition(5), Seq("k", "v")).head()
+      assert(whole == shuffled) // digest independent of order AND partitioning
+    }
+  }
+
+  test("decontaminated corpus shares no k-shingle with the benchmark") {
+    import graft.dedup.{Decontaminate, MinHashLsh}
+    val textGen = Gen.listOfN(15, Gen.listOfN(8,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" ")))
+    for ((texts, i) <- samples(textGen, 3).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val bench = docs.filter($"doc_id" < 3)
+      val corpus = docs.filter($"doc_id" >= 3)
+      val clean = Decontaminate.removeContaminated(corpus, "doc_id", "text", bench, "text", k = 4)
+      val cleanSh = clean
+        .select(explode(MinHashLsh.shingles($"text", 4)).as("s")).distinct()
+      val benchSh = bench
+        .select(explode(MinHashLsh.shingles($"text", 4)).as("s")).distinct()
+      assert(cleanSh.join(benchSh, "s").count() == 0, s"sample $i")
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
