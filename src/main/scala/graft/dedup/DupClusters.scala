@@ -8,19 +8,27 @@ import org.apache.spark.sql.functions._
   * closure — connected components — so each duplicate GROUP keeps exactly
   * one canonical document.
   *
-  * Components are computed by iterative min-label propagation (the
-  * Pregel/GraphX shape without the GraphX dependency): every node starts
-  * labeled with itself; each round every node takes the min of its own and
-  * its neighbors' labels; fixpoint = each node labeled with the smallest id
-  * in its component.
+  * Components are computed by min-label propagation WITH pointer doubling
+  * (the PRAM shortcutting step, the same O(log) device as the
+  * large-star/small-star alternation of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"): every node starts labeled with
+  * itself; each round a node takes (1) the min of its own and its
+  * neighbors' labels, then (2) jumps through its label's label
+  * (`l(u) ← l(l(u))`). Step 2 turns the O(diameter) walk of plain
+  * propagation into O(log diameter): on a length-n chain the label's reach
+  * doubles every round (1, 3, 7, … 2^t−1), so even pathological
+  * chain-shaped components converge in ~log₂(n) rounds, while near-dup
+  * components (near-cliques — LSH connects most members pairwise) still
+  * converge in 2–3. DupClustersSpec pins the chain datapoint.
   *
-  * Scale shape: one join + one aggregate per round, all keyed by node id —
-  * the same exchange reused; rounds needed = component diameter, and
-  * near-dup components are shallow (near-cliques — LSH connects most
-  * members pairwise), so 3–5 rounds typically converge. Labels persist per
-  * round and localCheckpoint cuts the growing lineage; the convergence
-  * check is one count per round (the unavoidable action of any iterative
-  * fixpoint, GraphX included).
+  * One ACTION per round: the round's labels are localCheckpoint'ed LAZILY
+  * and the convergence count runs over that checkpoint — the single count
+  * job materializes the checkpoint (truncating lineage) AND returns the
+  * number of changed labels, instead of the checkpoint-job-plus-count-job
+  * pair a naive loop pays. Per-round work is three equi-joins keyed by node
+  * id (edges⋈labels, labels⋈min, labels-jump), all over tables no larger
+  * than the pair graph — never an edge-set rewrite, so a high-degree node
+  * cannot blow up intermediate cardinality.
   */
 object DupClusters {
 
@@ -34,47 +42,75 @@ object DupClusters {
       aCol: String,
       bCol: String,
       maxIter: Int = 50): DataFrame = {
+    val (labels, _, converged) = run(pairs, aCol, bCol, maxIter)
+    // an unconverged result is WRONG (chains still split) — fail loudly; with
+    // pointer doubling maxIter=50 covers diameters past 2^49
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds — component diameter exceeds " +
+          s"maxIter; raise maxIter or pre-split the graph")
+    labels
+  }
+
+  /** Rounds the label loop took to converge on `pairs` — the observability
+    * twin of [[components]] for Stress/spec datapoints (chain of length n
+    * must come in at ~log₂(n) rounds, near-cliques at 2–3).
+    */
+  def convergenceRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): Int =
+    run(pairs, aCol, bCol, maxIter)._2
+
+  private def run(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int): (DataFrame, Int, Boolean) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // (1) propagate: l'(u) = min(l(u), min over neighbors v of l(v))
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("_nmin"))
-      val next = labels
+      val prop = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(
           col("node"),
-          least(col("component"), coalesce(col("_nmin"), col("component"))).as("component"),
-          (col("component") > coalesce(col("_nmin"), col("component"))).as("_changed"))
-        .localCheckpoint() // cut the per-round lineage growth
-      val changed = next.filter(col("_changed")).limit(1).count()
-      val prev = labels
-      labels = next.drop("_changed").persist()
-      prev.unpersist()
+          col("component").as("_old"),
+          least(col("component"), coalesce(col("_nmin"), col("component"))).as("_prop"))
+      // (2) pointer-double through the ROUND-START labels (already
+      // materialized, so this reads the checkpoint, not a recomputed plan):
+      // l''(u) = min(l'(u), l(l'(u))). Labels only shrink and every label
+      // value is itself a node, so the jump stays inside u's component.
+      val jump = labels.select(col("node").as("_jnode"), col("component").as("_jcomp"))
+      val doubled = least(col("_prop"), coalesce(col("_jcomp"), col("_prop")))
+      val next = prop
+        .join(jump, prop("_prop") === jump("_jnode"), "left")
+        .select(
+          col("node"),
+          doubled.as("component"),
+          (doubled < col("_old")).as("_changed"))
+        .localCheckpoint(false) // lazy: the count below materializes it
+      // ONE job: materializes the checkpoint (cutting lineage) and counts
+      // changed labels for the convergence test
+      val changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    // the last round's labels are backed by an eager localCheckpoint, so the
-    // cache handle can be released here — callers get materialized data and
-    // nothing leaks into long-lived cache state (one processBatch per batch
-    // in CorpusPipeline would otherwise accumulate forever)
-    labels.unpersist()
-    // an unconverged result is WRONG (chains still split) — fail loudly; a
-    // diameter past maxIter=50 means the input is not a near-dup pair graph
-    if (!converged)
-      throw new IllegalStateException(
-        s"components did not converge in $maxIter rounds — component diameter exceeds " +
-          s"maxIter; raise maxIter or pre-split the graph")
-    labels
+    (labels, iter, converged)
   }
 
   /** The corpus with one canonical doc per duplicate cluster: members whose

@@ -27,8 +27,7 @@ object Skew {
       keyCols: Seq[String],
       sums: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn(
-      "_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", contentSalt(df, saltBuckets))
     val p1Aggs = count(lit(1)).as("_cnt") +: sums.map(c => sum(col(c)).as(s"_sum_$c"))
     val phase1 = salted
       .groupBy((keyCols :+ "_salt").map(col): _*)
@@ -61,12 +60,24 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    val salted = big.withColumn(
-      "_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = big.withColumn("_salt", contentSalt(big, saltBuckets))
     // long-typed sequence so the salt key types match without wrapping the
     // generator in a cast (a top-level generator must stay bare)
     val replicated = small.withColumn(
       "_salt", explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
     salted.join(replicated, keyCols :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Salt derived from row CONTENT, not physical position: a task retried
+    * after a fetch failure recomputes its rows in a possibly different order,
+    * so `spark_partition_id() + monotonically_increasing_id()` could re-salt
+    * the same row into a different bucket mid-query (the SPARK-23207 class of
+    * shuffle-repartition bugs) — duplicating or dropping join output rows.
+    * `xxhash64` over every column is stable across retries and partitionings;
+    * hashing the full row (not just the keys — that would put each hot key
+    * back on one reducer) spreads a hot key's rows whenever anything else in
+    * the row varies.
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
 }

@@ -168,6 +168,12 @@ object Snapshot {
     *
     * `updates` must be union-compatible with `current` (same columns by
     * name).
+    *
+    * The winner is fully deterministic even when `updates` holds several
+    * rows with the same key AND version: after (version desc, updates-beat-
+    * current) the ordering falls back to a content hash, so repeated runs of
+    * the same pipeline always keep the same surviving row rather than
+    * whichever row_number saw first.
     */
   def upsertLatestWins(
       current: DataFrame,
@@ -178,8 +184,9 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val all = current.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
+    val contentTieBreak = xxhash64(current.columns.map(col).toSeq: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
+      .orderBy(col(versionCol).desc, col("_src").desc, contentTieBreak.desc)
     all.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .drop("_rk", "_src")

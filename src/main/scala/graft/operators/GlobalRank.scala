@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global ranking — `row_number`/`rank`/`ntile`/`percent_rank`/
+  * `cume_dist` over a WHOLE table without the single-partition
+  * `Window.orderBy(...)` plan (an empty PARTITION BY collapses every row
+  * into one window partition: one task sorts 100 TB — the same scale-killer
+  * [[graft.load.IdAssign.denseIdsWindow]] documents).
+  *
+  * Shape: range-repartition on the order columns (so partition p holds rows
+  * globally ordered before partition p+1), sort within partitions, then ONE
+  * lightweight pass collects per-partition row counts (a few hundred longs
+  * to the driver) and a second pass stamps each row with
+  * `offset(partition) + local position` plus the total count. Every rank
+  * statistic is arithmetic over (row_number, total):
+  *
+  *  - `rank = min row_number over the tied group`, `percent_rank =
+  *    (rank−1)/(N−1)`, `cume_dist = (max row_number over the tied
+  *    group)/N`, `ntile(k)` from row_number and N with the standard SQL
+  *    first-`N mod k`-buckets-get-one-extra fill.
+  *
+  * The count pass re-reads the range shuffle's map output (the exchange is
+  * reused, not re-planned), so the cost over a plain global sort is one
+  * extra reduce-side scan — constant factor, no bottleneck task.
+  */
+object GlobalRank {
+
+  /** `df` + `rnCol` (1-based global row_number, long) + `nCol` (total rows,
+    * long), ordered by `orderCols`. Row order within ties follows the sort's
+    * (stable) placement, so make `orderCols` a TOTAL order (append a unique
+    * tie-break) whenever downstream math assumes `row_number == rank`.
+    */
+  def withRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      rnCol: String = "_rn",
+      nCol: String = "_n"): DataFrame = {
+    require(orderCols.nonEmpty, "global ranking needs at least one order column")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rdd = sorted.rdd
+    // pass 1: per-partition sizes only — O(partitions) longs to the driver
+    val sizes = rdd.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(rnCol, LongType, nullable = false),
+      StructField(nCol, LongType, nullable = false)))
+    // pass 2: stamp rank + total; the range shuffle's files are reused
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i :+ total) }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+
+  /** SQL-standard `ntile(buckets)` from (row_number, total): the first
+    * `N mod k` buckets take `ceil(N/k)` rows, the rest `floor(N/k)`.
+    */
+  def ntileCol(rn: Column, n: Column, buckets: Int): Column = {
+    require(buckets > 0, "ntile needs a positive bucket count")
+    // Spark's `/` is double division even on longs; floor+cast keeps the
+    // math integral (exact to 2^53 rows — comfortably past 100 TB counts)
+    val k = lit(buckets.toLong)
+    val q = floor(n / k).cast("long")
+    val r = n % k
+    val cut = r * (q + 1)
+    when(rn <= cut, floor((rn - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((rn - 1 - cut) / q).cast("long") + 1)
+  }
+
+  /** `df` + an ntile bucket column, no single-partition window. */
+  def ntile(
+      df: DataFrame,
+      orderCols: Seq[String],
+      buckets: Int,
+      outCol: String = "bucket"): DataFrame =
+    withRowNumber(df, orderCols)
+      .withColumn(outCol, ntileCol(col("_rn"), col("_n"), buckets))
+      .drop("_rn", "_n")
+
+  /** `df` + `percent_rank` (`prkCol`) and `cume_dist` (`cdCol`) columns.
+    *
+    * With `tiesPossible = true` (default) tied groups are resolved exactly —
+    * one extra aggregate+join keyed on `orderCols` computes each group's
+    * min/max row_number (SQL rank / cume_dist numerator). Pass `false` when
+    * `orderCols` is already a total order (unique tie-break column present)
+    * to skip that join: `rank == row_number` then.
+    */
+  def rankRatios(
+      df: DataFrame,
+      orderCols: Seq[String],
+      prkCol: String = "percent_rank",
+      cdCol: String = "cume_dist",
+      tiesPossible: Boolean = true): DataFrame = {
+    val ranked = withRowNumber(df, orderCols)
+    val withBounds =
+      if (!tiesPossible) {
+        ranked.withColumn("_rkmin", col("_rn")).withColumn("_rkmax", col("_rn"))
+      } else {
+        val bounds = ranked
+          .groupBy(orderCols.map(col): _*)
+          .agg(min(col("_rn")).as("_rkmin"), max(col("_rn")).as("_rkmax"))
+        ranked.join(bounds, orderCols)
+      }
+    withBounds
+      .withColumn(
+        prkCol,
+        when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_rkmin") - 1).cast("double") / (col("_n") - 1).cast("double")))
+      .withColumn(cdCol, col("_rkmax").cast("double") / col("_n").cast("double"))
+      .drop("_rn", "_n", "_rkmin", "_rkmax")
+  }
+}

@@ -131,13 +131,25 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
-    // Sketch-based distinct (HLL). Spark's HLL and DuckDB's differ, so the
-    // oracle checks bounds, not equality: the driver records a weaker check.
-    Q.noOracle("q50_approx_distinct") { (s, dir) =>
+    // Sketch-based distinct (HLL). Spark's and DuckDB's HLL sketches
+    // legitimately differ, so the estimate itself can't be equality-checked;
+    // the gate instead hash-matches the companion EXACT distinct and folds
+    // the sketch assertion into the row: `within_bound` is true iff the HLL
+    // estimate lands within 3σ (3 × rsd=0.05 → ±15%) of the exact count —
+    // an out-of-bound sketch flips it to false and fails the hash match.
+    Q(
+      "q50_approx_distinct",
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS within_bound
+        |FROM lineitem""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("_approx"))
+        .select(
+          col("exact_orders"),
+          (abs(col("_approx") - col("exact_orders"))
+            <= col("exact_orders").cast("double") * lit(0.15)).as("within_bound"))
     },
 
     // As-of join: last purchase at-or-before each click, per user. Spark

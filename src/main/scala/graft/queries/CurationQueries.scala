@@ -23,6 +23,50 @@ object CurationQueries {
     * reachability CTE (label = min reachable doc_id). Must be used with
     * `WITH RECURSIVE`.
     */
+  /** DuckDB replay of [[graft.sim.KMeans.fit]] + final assignment, unrolled
+    * to `iters` Lloyd iterations (k-means is deterministic here — lowest-id
+    * init, tie-to-lowest argmin, exact means — so the oracle retrains from
+    * scratch and must reach the same per-vector assignment). Distance uses
+    * the identical `c·c − 2·x·c` form and both engines fold the dot
+    * products sequentially in index order.
+    */
+  private def kmeansUnrolledOracle(k: Int, iters: Int, dims: Int): String = {
+    def dist(emb: String, c: String): String =
+      s"(list_aggregate(list_transform(generate_series(1, $dims), i -> $c[i]*$c[i]), 'sum')" +
+        s" - 2 * list_aggregate(list_transform(generate_series(1, $dims)," +
+        s" i -> $emb[i]::DOUBLE * $c[i]), 'sum'))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e.embedding", "c.c")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |         list_transform(embedding, v -> v::DOUBLE) AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${assignCte(s"assign$t", s"cents${t - 1}")},
+         |means$t AS (
+         |  SELECT a.cid, i, avg(e.embedding[i]::DOUBLE) AS m
+         |  FROM assign$t a JOIN embeddings e USING (vec_id),
+         |       unnest(generate_series(1, $dims)) AS u(i)
+         |  GROUP BY a.cid, i),
+         |cents$t AS (
+         |  SELECT p.cid, coalesce(m.c, p.c) AS c
+         |  FROM cents${t - 1} p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY i) AS c FROM means$t GROUP BY cid) m
+         |    ON p.cid = m.cid)""".stripMargin
+    }
+    (Seq(init) ++ rounds ++ Seq(assignCte("fin", s"cents$iters"))).mkString("WITH ", ",\n", "") +
+      """
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+        |  count(*) OVER (PARTITION BY cid) AS cluster_n
+        |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   private val MinhashComponentCtes =
     """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |sh3 AS (SELECT doc_id,
@@ -510,17 +554,22 @@ object CurationQueries {
         .orderBy("col_name")
     },
 
-    // Trained IVF: deterministic k-means (lowest-id init, tie-to-lowest
-    // argmin, exact means — no RNG) clusters the embeddings, then the
-    // cluster histogram. Iterative multi-engine replication isn't
-    // SQL-practical → rows-only gate; CurationSpec covers convergence.
-    Q.noOracle("q86_kmeans_clusters") { (s, dir) =>
+    // Trained k-means: deterministic Lloyd (lowest-id init, d = c·c − 2·x·c
+    // argmin with ties to the lowest centroid index, exact element-wise
+    // means, no RNG) — so the ORACLE can replay the whole training: the
+    // DuckDB side unrolls the same 3 Lloyd iterations as CTEs (same init,
+    // same distance form, same tie-break, same empty-cluster keep-previous
+    // rule) and must land on the identical per-vector assignment. Float
+    // noise between engines sits at ~1e-15 relative on the distances, far
+    // below any centroid-to-centroid gap, so the argmin decisions — the
+    // only thing the output hashes — agree.
+    Q("q86_kmeans_clusters", kmeansUnrolledOracle(k = 5, iters = 3, dims = 64)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = KMeans.fit(emb, "vec_id", "embedding", k = 5, iters = 3)
       KMeans.assign(emb, "embedding", centroids)
-        .groupBy(col("_cluster").as("cluster"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("cluster")
+        .select(col("vec_id"), col("_cluster").cast("long").as("cluster"))
+        .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy("cluster")))
+        .orderBy("vec_id")
     },
 
     // Sliding event-time windows (1 h window, 30 min slide): each event in
@@ -675,15 +724,19 @@ object CurationQueries {
     },
 
     // Quantile bucketing via ntile (equal-count bins; the feature-binning
-    // primitive). Total order incl. tie-break → deterministic bins.
+    // primitive). Total order incl. tie-break → deterministic bins. NOT the
+    // built-in window: `ntile(4) OVER (ORDER BY …)` with no PARTITION BY
+    // collapses the table into one window partition; GlobalRank derives the
+    // same buckets from a range-partitioned global row_number instead.
     Q(
       "q95_ntile",
       """SELECT o_orderkey,
         |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+      graft.operators.GlobalRank.ntile(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice", "o_orderkey"), buckets = 4, outCol = "quartile")
+        .select(col("o_orderkey"), col("quartile"))
         .orderBy("o_orderkey")
     },
 
@@ -716,7 +769,10 @@ object CurationQueries {
         |ORDER BY o_orderkey, l.l_linenumber""".stripMargin),
 
     // Rank-to-[0,1] window family (percent_rank / cume_dist): rational
-    // rank arithmetic, deterministic under the total order.
+    // rank arithmetic, deterministic under the total order. GlobalRank
+    // computes both from a distributed row_number — the (o_totalprice,
+    // o_orderkey) order is total, so rank == row_number and the tie-group
+    // join is skipped (tiesPossible = false).
     Q(
       "q98_rank_ratios",
       """SELECT o_orderkey,
@@ -724,12 +780,11 @@ object CurationQueries {
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .select(
-          col("o_orderkey"),
-          round(percent_rank().over(w), 6).as("prk"),
-          round(cume_dist().over(w), 6).as("cd"))
+      graft.operators.GlobalRank.rankRatios(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice", "o_orderkey"),
+        prkCol = "prk", cdCol = "cd", tiesPossible = false)
+        .select(col("o_orderkey"), round(col("prk"), 6).as("prk"), round(col("cd"), 6).as("cd"))
         .orderBy("o_orderkey")
     },
 

@@ -109,16 +109,22 @@ object Similarity {
     * emitted as a bitstring. Planes are literal constant arrays; each
     * projection is one codegen'd [[graft.functions.DotProduct]] loop
     * (sequential double accumulation — bit-identical to the zip_with/
-    * aggregate fold it replaces). `dims` must match the vector length
-    * (mismatch → null projection → '0' bit, as the fold also yields).
+    * aggregate fold it replaces). `dims` must match the vector length —
+    * a silent mismatch would null every projection, put ALL rows in one
+    * '000…0' bucket, and degrade [[lshCandidatePairs]] to a quadratic
+    * self-join with no error, so the mismatch fails loudly per row instead.
     */
   def hyperplaneBucket(vecCol: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
     val planes = hyperplaneComponents(numPlanes, dims)
+    val dimsCheck = when(size(vecCol) === lit(dims), lit(""))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBucket: expected $dims-dim vector, got "),
+        size(vecCol).cast("string"))))
     val bits = planes.map { p =>
       val proj = graft.functions.VectorFunctions.dot(vecCol, array(p.map(lit).toSeq: _*))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat_ws("", bits.toSeq: _*)
+    concat_ws("", (dimsCheck +: bits.toSeq): _*)
   }
 
   /** LSH candidate pairs: equal bucket → candidate (verify with [[cosine]]). */
