@@ -41,6 +41,14 @@ object Stress {
       val pairs = graft.dedup.MinHashLsh.candidatePairs(docs, "doc_id", "text", 3, 12, 4)
       graft.dedup.DupClusters.components(pairs, "id_a", "id_b").count()
     }
+    // worst-case component shape: one 65k-node chain (diameter 65535).
+    // Plain propagation would need 65k rounds; pointer doubling must land
+    // near log2(65535) = 16 (reported as rows= below)
+    time("components_chain_65k_rounds") {
+      val chain = spark.range(65535L)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.dedup.DupClusters.convergenceRounds(chain, "id_a", "id_b").toLong
+    }
     val cust = x10("customer").withColumn("c_custkey", col("c_custkey") + col("_rep") * lit(10000000L))
     time("fuzzy_join_150k")(graft.operators.FuzzyJoin.pairsWithinOne(
       cust, "c_custkey", "c_name", Seq("c_nationkey"), 16, 2).count())

@@ -105,4 +105,49 @@ class OperatorsSpec extends SparkSpec {
     } yield (pid, iid)).toSet
     assert(got == want)
   }
+
+  // ---- global rank --------------------------------------------------------
+
+  test("GlobalRank.ntile == built-in ntile under a total order") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    val df = (1L to 997L).map(i => (i, rng.nextInt(50).toDouble)).toDF("id", "v")
+    val w = Window.orderBy(col("v"), col("id"))
+    val want = df.select(col("id"), ntile(7).over(w).cast("long").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val got = GlobalRank.ntile(df, Seq("v", "id"), buckets = 7, outCol = "b")
+      .select("id", "b").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("GlobalRank.rankRatios == built-in percent_rank/cume_dist including tied groups") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    // only 9 distinct values over 500 rows: heavy ties exercise the
+    // tie-group min/max join
+    val df = (1L to 500L).map(i => (i, rng.nextInt(9).toDouble)).toDF("id", "v")
+    val w = Window.orderBy(col("v"))
+    val want = df.select(
+      col("id"),
+      round(percent_rank().over(w), 9).as("prk"),
+      round(cume_dist().over(w), 9).as("cd"))
+      .as[(Long, Double, Double)].collect().map { case (i, p, c) => i -> ((p, c)) }.toMap
+    val got = GlobalRank.rankRatios(df, Seq("v"), prkCol = "prk", cdCol = "cd")
+      .select(col("id"), round(col("prk"), 9), round(col("cd"), 9))
+      .as[(Long, Double, Double)].collect().map { case (i, p, c) => i -> ((p, c)) }.toMap
+    assert(got == want)
+  }
+
+  test("GlobalRank: single row and n < buckets edge cases") {
+    import graft.operators.GlobalRank
+    val one = Seq((1L, 1.0)).toDF("id", "v")
+    assert(GlobalRank.rankRatios(one, Seq("v", "id")).select("percent_rank", "cume_dist")
+      .as[(Double, Double)].head() == ((0.0, 1.0)))
+    // 3 rows into 5 buckets: each row its own bucket 1..3 (SQL semantics)
+    val three = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+    assert(GlobalRank.ntile(three, Seq("v", "id"), 5, "b")
+      .select("id", "b").as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }

@@ -114,4 +114,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
     assert(p.split("Exchange").length <= 3, s"unexpected extra exchanges in:\n$p")
   }
+
+  test("q95/q98: global ranking plans with no Window and no single-partition exchange") {
+    // a bare `ntile/percent_rank OVER (ORDER BY …)` would show up as a
+    // Window over Exchange SinglePartition — the one-task global sort.
+    // GlobalRank's formulation must keep both out of the whole plan.
+    for (q <- Seq("q95_ntile", "q98_rank_ratios")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window plan:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q has a single-partition exchange:\n$p")
+    }
+  }
 }
