@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * `binary` columns beside a typed metadata struct; decode / feature-extract
   * / frame-sample run batch-parallel over partitions.
   *
-  * The actual codecs are NOT in this environment, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake — but everything Spark-side is real and
-  * tested: the schema contract, the binary column handling, the
+  * The image/video codec libraries are NOT in this environment, so
+  * [[StubDecoder]] is a clearly-marked deterministic fake for those
+  * modalities; RIFF/WAVE 16-bit PCM needs no library, so audio decodes for
+  * REAL via [[WavCodec]] ([[extractWavFeatures]]). Everything Spark-side is
+  * real and tested either way: the schema contract, the binary column handling, the
   * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
   * decoder instantiation per partition, amortized over its rows), and the
   * byte-range frame sampling.
@@ -84,6 +86,66 @@ object Multimodal {
         ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)) / 65535.0f
       }.toArray
     }
+  }
+
+  /** Deterministic synthetic WAV payloads (10 ms of 44.1 kHz mono 16-bit
+    * PCM by default): sample_i = ((id·7919 + i·104729) mod 65536) − 32768 —
+    * pure integer arithmetic, so an oracle can regenerate the identical
+    * samples without touching bytes, while the Spark side round-trips them
+    * through REAL RIFF encode → decode ([[WavCodec]]). The encoder runs in
+    * the same per-partition batch shape as the decoders.
+    */
+  def synthesizeWav(
+      df: DataFrame,
+      idCol: String,
+      nSamples: Int = 441,
+      sampleRate: Int = 44100): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val idIdx = 0
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples) { i =>
+          (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort
+        }
+        val payload = WavCodec.encode(sampleRate, 1, samples)
+        Row(id, payload, Row("audio", "wav", null, null,
+          nSamples.toLong * 1000L / sampleRate))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL decode+featurize for `format = 'wav'` payloads: parses the RIFF
+    * container and 16-bit PCM per row ([[WavCodec.decode]]) inside the same
+    * one-decoder-per-partition batch shape as [[extractFeatures]], emitting
+    * the exact integer features (+ rms) of [[WavCodec.features]].
+    */
+  def extractWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sr", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("peak_min", LongType, nullable = false),
+      StructField("peak_max", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("sum_squares", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val f = WavCodec.features(WavCodec.decode(r.getAs[Array[Byte]](payloadIdx)))
+        Row(r.getLong(idIdx), f.sampleRate, f.channels, f.nSamples, f.durationMs,
+          f.peakMin, f.peakMax, f.zeroCrossings, f.sumSamples, f.sumSquares, f.rms)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Distributed decode+featurize: one decoder per PARTITION (not per row) —

@@ -350,6 +350,40 @@ object TrainingQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio decode (fills the historically skipped q29 slot): synthetic
+    // 16-bit PCM payloads round-trip through an actual RIFF/WAVE encode →
+    // chunk-walk → sample decode (WavCodec — pure JVM, no codec lib needed),
+    // then exact integer features. The oracle NEVER sees the bytes: it
+    // regenerates the same samples from the integer recipe and recomputes
+    // the features directly, so any parsing/endianness/header bug on the
+    // Spark side breaks the hash match.
+    Q(
+      "q29_wav_features",
+      """WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v,
+        |    lag(((doc_id * 7919 + i * 104729) % 65536) - 32768)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM documents, unnest(generate_series(0, 440)) AS u(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(44100 AS BIGINT) AS sr,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(441 AS BIGINT) AS n_samples,
+        |  CAST(441 * 1000 // 44100 AS BIGINT) AS duration_ms,
+        |  CAST(min(v) AS BIGINT) AS peak_min,
+        |  CAST(max(v) AS BIGINT) AS peak_max,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 441), 6) AS rms
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeWav(Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractWavFeatures(media)
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("media_id")
+    },
+
     // PII scrub: email then URL replaced with typed placeholders (the text
     // is salted with synthetic PII so the op has something to remove).
     Q(
