@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM BMP (Windows DIB) codec for uncompressed 24-bit images — the
+  * second modality this container can decode for REAL (see [[WavCodec]] for
+  * audio): BITMAPFILEHEADER + BITMAPINFOHEADER parse, bottom-up row order,
+  * 4-byte row padding, BGR byte order. Only integer arithmetic touches the
+  * pixels, so every derived feature is exactly reproducible by the DuckDB
+  * oracle.
+  *
+  * Format is public (Windows 3.x DIB layout: 14-byte file header, 40-byte
+  * info header, `bfOffBits` pointing at the pixel array).
+  */
+object BmpCodec {
+
+  /** Decoded image: pixels in row-major TOP-DOWN order, one (r,g,b) triple
+    * per pixel, values 0–255.
+    */
+  final case class Bmp(width: Int, height: Int, pixels: Array[Int]) {
+    // pixels packed as 0xRRGGBB ints, length = width*height
+    def r(i: Int): Int = (pixels(i) >> 16) & 0xFF
+    def g(i: Int): Int = (pixels(i) >> 8) & 0xFF
+    def b(i: Int): Int = pixels(i) & 0xFF
+  }
+
+  /** Exact integer features: dimensions, per-channel sums, min/max luma
+    * (ITU-R BT.601 integer approximation `(299r + 587g + 114b)`, kept
+    * ×1000 to stay integral), and the count of "edge" transitions where
+    * adjacent horizontal pixels differ in scaled luma by > 50000.
+    */
+  final case class Features(
+      width: Long,
+      height: Long,
+      nPixels: Long,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long,
+      lumaMin: Long,
+      lumaMax: Long,
+      edgeCount: Long)
+
+  private def luma1000(r: Int, g: Int, b: Int): Long = 299L * r + 587L * g + 114L * b
+
+  /** Encode top-down row-major 0xRRGGBB pixels as a bottom-up 24-bit BMP. */
+  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      "pixels must be width*height")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    bb.putShort(0).putShort(0).putInt(54) // reserved, bfOffBits
+    bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, positive height = bottom-up
+    bb.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, no palette
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = pixels(y * width + x)
+        bb.put((p & 0xFF).toByte).put(((p >> 8) & 0xFF).toByte).put(((p >> 16) & 0xFF).toByte)
+        x += 1
+      }
+      var i = 0
+      while (i < pad) { bb.put(0.toByte); i += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Parse BMP bytes; throws IllegalArgumentException on anything that is
+    * not uncompressed 24-bit (loud beats silent — see [[WavCodec.decode]]).
+    * Handles both bottom-up (positive biHeight) and top-down (negative)
+    * pixel orders and arbitrary `bfOffBits` gaps.
+    */
+  def decode(bytes: Array[Byte]): Bmp = {
+    require(bytes != null && bytes.length >= 54, "not a BMP: too short")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP: missing BM magic")
+    bb.getInt // file size (untrusted)
+    bb.getShort; bb.getShort
+    val offBits = bb.getInt
+    val hdrSize = bb.getInt
+    require(hdrSize >= 40, s"unsupported DIB header size $hdrSize (BITMAPINFOHEADER+ only)")
+    val width = bb.getInt
+    val rawHeight = bb.getInt
+    val planes = bb.getShort
+    val bpp = bb.getShort
+    val compression = bb.getInt
+    require(planes == 1, s"corrupt BMP: planes=$planes")
+    require(bpp == 24, s"unsupported bits-per-pixel $bpp (24 only)")
+    require(compression == 0, s"unsupported compression $compression (BI_RGB only)")
+    require(width > 0 && rawHeight != 0, s"corrupt BMP dimensions ${width}x$rawHeight")
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(offBits >= 54 && offBits.toLong + stride.toLong * height <= bytes.length,
+      "corrupt BMP: pixel array out of bounds")
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      var o = offBits + srcRow * stride
+      while (x < width) {
+        val b = bytes(o) & 0xFF
+        val g = bytes(o + 1) & 0xFF
+        val r = bytes(o + 2) & 0xFF
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+        o += 3
+      }
+      y += 1
+    }
+    Bmp(width, height, pixels)
+  }
+
+  /** Exact features over the decoded pixels (top-down row-major scan). */
+  def features(img: Bmp): Features = {
+    val n = img.pixels.length
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var lmn = Long.MaxValue; var lmx = Long.MinValue
+    var edges = 0L
+    var i = 0
+    while (i < n) {
+      val r = img.r(i); val g = img.g(i); val b = img.b(i)
+      sr += r; sg += g; sb += b
+      val l = luma1000(r, g, b)
+      if (l < lmn) lmn = l
+      if (l > lmx) lmx = l
+      // horizontal neighbor within the same row
+      if (i % img.width > 0) {
+        val pl = luma1000(img.r(i - 1), img.g(i - 1), img.b(i - 1))
+        if (math.abs(l - pl) > 50000L) edges += 1
+      }
+      i += 1
+    }
+    Features(img.width.toLong, img.height.toLong, n.toLong, sr, sg, sb,
+      if (n == 0) 0L else lmn, if (n == 0) 0L else lmx, edges)
+  }
+}

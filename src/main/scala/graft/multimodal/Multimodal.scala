@@ -117,6 +117,64 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** Deterministic synthetic BMP payloads (16×12 24-bit by default):
+    * channel c of pixel (x,y) = integer recipe over (id, y, x) mod 256 —
+    * the image twin of [[synthesizeWav]]: an oracle regenerates identical
+    * pixels arithmetically while Spark round-trips them through REAL BMP
+    * encode → decode ([[BmpCodec]]).
+    */
+  def synthesizeBmp(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val pr = ((id * 31L + y * 7L + x * 13L) % 256L).toInt
+          val pg = ((id * 17L + y * 11L + x * 5L) % 256L).toInt
+          val pb = ((id * 23L + y * 3L + x * 19L) % 256L).toInt
+          (pr << 16) | (pg << 8) | pb
+        }
+        val payload = BmpCodec.encode(width, height, pixels)
+        Row(id, payload, Row("image", "bmp", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL decode+featurize for `format = 'bmp'` payloads — same
+    * one-decoder-per-partition batch shape as [[extractWavFeatures]].
+    */
+  def extractBmpFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("luma_min", LongType, nullable = false),
+      StructField("luma_max", LongType, nullable = false),
+      StructField("edge_count", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val f = BmpCodec.features(BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx)))
+        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
+          f.lumaMin, f.lumaMax, f.edgeCount)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL decode+featurize for `format = 'wav'` payloads: parses the RIFF
     * container and 16-bit PCM per row ([[WavCodec.decode]]) inside the same
     * one-decoder-per-partition batch shape as [[extractFeatures]], emitting

@@ -384,6 +384,42 @@ object TrainingQueries {
         .orderBy("media_id")
     },
 
+    // REAL image decode: the BMP twin of q29 — synthetic 24-bit pixels
+    // round-trip through an actual DIB encode (bottom-up rows, 4-byte row
+    // padding, BGR order) → header parse → pixel decode, while the oracle
+    // regenerates the same pixels from the integer recipe and recomputes
+    // channel sums, luma extrema, and horizontal edge counts directly.
+    Q(
+      "q100_bmp_features",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 31 + y.y * 7 + x.x * 13) % 256 AS r,
+        |    (doc_id * 17 + y.y * 11 + x.x * 5) % 256 AS g,
+        |    (doc_id * 23 + y.y * 3 + x.x * 19) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeBmp(Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractBmpFeatures(media).orderBy("media_id")
+    },
+
     // PII scrub: email then URL replaced with typed placeholders (the text
     // is salted with synthetic PII so the op has something to remove).
     Q(

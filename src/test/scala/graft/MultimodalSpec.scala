@@ -94,6 +94,67 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.rms - math.sqrt(88.0 / 6)) < 1e-12)
   }
 
+  // ---- real BMP codec -----------------------------------------------------
+
+  test("BmpCodec: encode -> decode round-trips pixels (bottom-up + row padding)") {
+    import graft.multimodal.BmpCodec
+    // width 3 -> rowBytes 9 -> pad 3: exercises the padding path
+    val pixels = Array.tabulate(3 * 5)(i => (i * 1234567) & 0xFFFFFF)
+    val img = BmpCodec.decode(BmpCodec.encode(3, 5, pixels))
+    assert(img.width == 3 && img.height == 5)
+    assert(img.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("BmpCodec: top-down (negative height) images decode to the same pixel order") {
+    import graft.multimodal.BmpCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val pixels = Array.tabulate(4 * 2)(i => i * 0x101010)
+    val bu = BmpCodec.encode(4, 2, pixels)
+    // flip to top-down: negate biHeight and swap the two stored rows
+    val stride = 4 * 3 // width 4 -> rowBytes 12, no pad
+    val td = bu.clone()
+    ByteBuffer.wrap(td).order(ByteOrder.LITTLE_ENDIAN).putInt(22, -2)
+    System.arraycopy(bu, 54, td, 54 + stride, stride)
+    System.arraycopy(bu, 54 + stride, td, 54, stride)
+    assert(BmpCodec.decode(td).pixels.toSeq == pixels.toSeq)
+  }
+
+  test("BmpCodec: non-24bpp / compressed / truncated payloads fail loudly") {
+    import graft.multimodal.BmpCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = BmpCodec.encode(2, 2, Array(0, 1, 2, 3))
+    assertThrows[IllegalArgumentException](BmpCodec.decode(good.take(40)))
+    val bpp8 = good.clone()
+    ByteBuffer.wrap(bpp8).order(ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
+    assertThrows[IllegalArgumentException](BmpCodec.decode(bpp8))
+    val rle = good.clone()
+    ByteBuffer.wrap(rle).order(ByteOrder.LITTLE_ENDIAN).putInt(30, 1) // BI_RLE8
+    assertThrows[IllegalArgumentException](BmpCodec.decode(rle))
+  }
+
+  test("BmpCodec.features: exact channel sums, luma extrema, edge transitions") {
+    import graft.multimodal.BmpCodec
+    // one row: black, white, black -> two strong horizontal edges
+    val img = BmpCodec.Bmp(3, 1, Array(0x000000, 0xFFFFFF, 0x000000))
+    val f = BmpCodec.features(img)
+    assert(f.sumR == 255 && f.sumG == 255 && f.sumB == 255)
+    assert(f.lumaMin == 0 && f.lumaMax == 255000)
+    assert(f.edgeCount == 2)
+  }
+
+  test("synthesizeBmp -> extractBmpFeatures: distributed real decode end-to-end") {
+    val media = Multimodal.synthesizeBmp(
+      Seq((3L, "x"), (4L, "y")).toDF("id", "t"), "id", width = 5, height = 4)
+    val out = Multimodal.extractBmpFeatures(media).orderBy("media_id").collect()
+    assert(out.length == 2)
+    val r = out.head
+    assert(r.getAs[Long]("width") == 5 && r.getAs[Long]("n_pixels") == 20)
+    // recompute doc 3's red channel straight from the integer recipe
+    val sumR = (for { y <- 0 until 4; x <- 0 until 5 }
+      yield (3L * 31 + y * 7 + x * 13) % 256).sum
+    assert(r.getAs[Long]("sum_r") == sumR)
+  }
+
   test("synthesizeWav -> extractWavFeatures: distributed real decode end-to-end") {
     val media = Multimodal.synthesizeWav(
       Seq((7L, "x"), (8L, "y")).toDF("id", "t"), "id", nSamples = 100, sampleRate = 10000)
