@@ -798,6 +798,46 @@ object CurationQueries {
         .select("doc_id", "lang")
     },
 
+    // Bloom-reduced exact semi join (runtime-filter shape, explicit): the
+    // big side is pre-filtered by a bloom of the small side's keys before
+    // its exchange; the exact join removes false positives, so rows equal
+    // the plain semi join the oracle runs.
+    Q(
+      "q101_bloom_semi",
+      """SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem l
+        |WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      val hot = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      graft.operators.BloomPrune.semiJoinReduced(
+        Tables.load(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bloom-reduced exact ANTI join — the shape of the pipeline's
+    // cross-file dedup at 100 TB: bloom-negative rows ("never seen") skip
+    // the join entirely; only candidates pay the exchange.
+    Q(
+      "q102_bloom_anti",
+      """SELECT l.l_returnflag, count(*) AS n
+        |FROM lineitem l
+        |WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      val hot = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      graft.operators.BloomPrune.antiJoinReduced(
+        Tables.load(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // URL parsing for web-corpus curation: host extraction + per-domain
     // rollup (Spark's parse_url; the oracle regexes the same grammar).
     Q(

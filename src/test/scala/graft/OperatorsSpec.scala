@@ -106,6 +106,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- bloom-reduced joins ------------------------------------------------
+
+  test("BloomPrune semi/anti == plain semi/anti joins on random data with nulls") {
+    import graft.operators.BloomPrune
+    val rng = new scala.util.Random(13)
+    val big = (1 to 2000).map(i =>
+      (if (rng.nextInt(20) == 0) null else rng.nextInt(300).toString, i))
+      .toDF("k", "payload")
+    val small = (1 to 60).map(_ => rng.nextInt(400).toString).toDF("sk")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("payload").as[Int].collect().toSet
+    val wantSemi = ids(big.join(small.select(col("sk").as("k")), Seq("k"), "left_semi"))
+    val wantAnti = ids(big.join(small.select(col("sk").as("k")), Seq("k"), "left_anti"))
+    assert(ids(BloomPrune.semiJoinReduced(big, small, "k", "sk", 1000L)) == wantSemi)
+    assert(ids(BloomPrune.antiJoinReduced(big, small, "k", "sk", 1000L)) == wantAnti)
+    assert(wantSemi.nonEmpty && wantAnti.nonEmpty) // both paths actually exercised
+  }
+
+  test("BloomPrune: empty small side — semi empty, anti keeps everything") {
+    import graft.operators.BloomPrune
+    val big = Seq(("a", 1), ("b", 2), (null, 3)).toDF("k", "payload")
+    val small = Seq.empty[String].toDF("sk")
+    assert(BloomPrune.semiJoinReduced(big, small, "k", "sk", 10L).count() == 0)
+    assert(BloomPrune.antiJoinReduced(big, small, "k", "sk", 10L).count() == 3)
+  }
+
   // ---- global rank --------------------------------------------------------
 
   test("GlobalRank.ntile == built-in ntile under a total order") {

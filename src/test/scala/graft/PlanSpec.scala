@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length <= 3, s"unexpected extra exchanges in:\n$p")
   }
 
+  test("q101: bloom probe filters the big side BEFORE its exchange") {
+    val p = plan("q101_bloom_semi")
+    assert(p.contains("might_contain"), s"expected bloom probe in:\n$p")
+    // the probe must sit below the first Exchange (scan-side), not above it
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe should appear in the plan's scan branch (printed below the join)")
+  }
+
   test("q95/q98: global ranking plans with no Window and no single-partition exchange") {
     // a bare `ntile/percent_rank OVER (ORDER BY …)` would show up as a
     // Window over Exchange SinglePartition — the one-task global sort.
