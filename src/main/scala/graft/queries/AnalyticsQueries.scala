@@ -229,6 +229,35 @@ object AnalyticsQueries {
         .orderBy("flag")
     },
 
+    // Quantile SKETCH (approx_percentile, the distributed one-pass
+    // mergeable summary). Like q50's HLL gate: the sketch output itself is
+    // engine-specific, so the gate hash-matches the companion EXACT median
+    // and folds the sketch assertion into the row — `within_bound` is true
+    // iff the sketch's answer has rank within 1/accuracy (+slack for the
+    // tie mass: l_quantity is heavily tied, so both rank sides are
+    // checked) of the 0.5 target.
+    Q(
+      "q103_approx_percentile",
+      """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS exact_median,
+        |  TRUE AS within_bound
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"))
+      val stats = li.agg(
+        expr("percentile(q, 0.5)").as("_exact"),
+        expr("approx_percentile(q, 0.5, 100)").as("_apx"),
+        count(lit(1)).as("_n"))
+      li.crossJoin(broadcast(stats))
+        .agg(
+          round(first(col("_exact")), 4).as("exact_median"),
+          // rank-range of the sketch's value: [count(< v), count(<= v)]
+          // must straddle 0.5·n within eps = 1/accuracy + 0.01 slack
+          ((sum(when(col("q") < col("_apx"), 1L).otherwise(0L)) / first(col("_n"))
+            <= lit(0.5 + 0.02)) &&
+            (sum(when(col("q") <= col("_apx"), 1L).otherwise(0L)) / first(col("_n"))
+              >= lit(0.5 - 0.02))).as("within_bound"))
+    },
+
     // Set collection into arrays (collect_set + deterministic sort). The
     // gate output is the '|'-joined string form: the driver's compare
     // hashes pandas cells, and raw array cells are unhashable there — the
