@@ -40,6 +40,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.antiJoinPrior(batch, batch, "row_hash").count() == 0)
   }
 
+  test("J2 bloom-reduced variant matches the plain anti-join") {
+    val batch = (1 to 500).map(i => (s"h${i % 120}", i)).toDF("row_hash", "payload")
+    val prior = (0 to 40).map(i => Tuple1(s"h$i")).toDF("row_hash")
+    val want = Dedup.antiJoinPrior(batch, prior, "row_hash")
+      .select("payload").as[Int].collect().toSet
+    val got = Dedup.antiJoinPriorBloom(batch, prior, "row_hash", expectedItems = 1000L)
+      .select("payload").as[Int].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("J3 id guard drops overlapping ids, keeps the rest") {
     val batch = Seq((5L, "x"), (6L, "y"), (7L, "z")).toDF("id", "v")
     val target = Seq(Tuple1(6L), Tuple1(100L)).toDF("id")
