@@ -62,18 +62,22 @@ object SimHash {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val tok = df.repartition(parts, col(idCol))
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
-    // hex digits 1-16 of the digest decoded ONCE per token row; the 64 vote
-    // aggregates then only shift+mask (4 bits share each digit — decoding
-    // inside the aggregate expression would run conv() 64x per row)
-    val withDigits = tok
+    // the digest's first 16 hex chars decoded as TWO 32-bit words per token
+    // row (two conv() parses, not one per hex digit); the 64 vote aggregates
+    // then only shift+mask. Bit j of the fingerprint = bit 31-(j%32) of word
+    // j/32 — the same MSB-first reading as per-digit decoding.
+    val withWords = tok
       .select(col(idCol), md5(col("_tok")).as("_d"))
-      .select(col(idCol) +: (0 until Bits / 4).map(k =>
-        conv(substring(col("_d"), k + 1, 1), 16, 10).cast("long").as(s"_dg$k")): _*)
+      .select(
+        col(idCol),
+        conv(substring(col("_d"), 1, 8), 16, 10).cast("long").as("_h0"),
+        conv(substring(col("_d"), 9, 8), 16, 10).cast("long").as("_h1"))
     val voteAggs = (0 until Bits).map { j =>
-      val bit = shiftright(col(s"_dg${j / 4}"), 3 - j % 4).bitwiseAND(lit(1L))
+      val word = col(if (j < 32) "_h0" else "_h1")
+      val bit = shiftright(word, 31 - (j % 32)).bitwiseAND(lit(1L))
       sum(bit * 2 - 1).as(s"_v$j")
     }
-    val votes = withDigits.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = withWords.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
     val bitCols = (0 until Bits).map(j => when(col(s"_v$j") > 0, lit("1")).otherwise(lit("0")))
     // packed-long twin of the bitstring: disjoint powers of two, so the sum
     // is a bitwise OR — enables bit_count(xor) Hamming in the pair join
