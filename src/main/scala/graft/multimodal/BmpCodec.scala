@@ -118,6 +118,31 @@ object BmpCodec {
     Bmp(width, height, pixels)
   }
 
+  /** Nearest-neighbor resize (the multimodal "resize" verb): output pixel
+    * (x, y) samples input pixel (x·wIn/wOut, y·hIn/hOut), floor mapping —
+    * all-integer, so an oracle can replay the index arithmetic exactly.
+    * Nearest-neighbor rather than bilinear ON PURPOSE: interpolation would
+    * average channels in floating point and break exact cross-engine
+    * reproducibility; for thumbnail/feature-pipeline use the sampling
+    * variant is standard.
+    */
+  def resizeNearest(img: Bmp, wOut: Int, hOut: Int): Bmp = {
+    require(wOut > 0 && hOut > 0, "target dimensions must be positive")
+    val out = new Array[Int](wOut * hOut)
+    var y = 0
+    while (y < hOut) {
+      val sy = (y.toLong * img.height / hOut).toInt
+      var x = 0
+      while (x < wOut) {
+        val sx = (x.toLong * img.width / wOut).toInt
+        out(y * wOut + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(wOut, hOut, out)
+  }
+
   /** Exact features over the decoded pixels (top-down row-major scan). */
   def features(img: Bmp): Features = {
     val n = img.pixels.length

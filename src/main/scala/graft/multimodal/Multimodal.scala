@@ -149,8 +149,14 @@ object Multimodal {
 
   /** REAL decode+featurize for `format = 'bmp'` payloads — same
     * one-decoder-per-partition batch shape as [[extractWavFeatures]].
+    * `resizeTo = Some((w, h))` inserts the nearest-neighbor resize verb
+    * ([[BmpCodec.resizeNearest]]) between decode and featurize — the
+    * decode → resize → extract pipeline of a thumbnailing/training-data
+    * image stage.
     */
-  def extractBmpFeatures(media: DataFrame): DataFrame = {
+  def extractBmpFeatures(
+      media: DataFrame,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -167,7 +173,12 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val f = BmpCodec.features(BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx)))
+        val decoded = BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val img = resizeTo match {
+          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
+          case None => decoded
+        }
+        val f = BmpCodec.features(img)
         Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
           f.lumaMin, f.lumaMax, f.edgeCount)
       }

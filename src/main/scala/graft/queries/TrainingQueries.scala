@@ -420,6 +420,41 @@ object TrainingQueries {
       Multimodal.extractBmpFeatures(media).orderBy("media_id")
     },
 
+    // decode → RESIZE → featurize (the thumbnailing stage): nearest-neighbor
+    // 16×12 → 8×6, a pure floor-index sampling, so the oracle replays the
+    // source-pixel mapping sx = x·16//8, sy = y·12//6 over the integer
+    // recipe and recomputes the resized image's features exactly.
+    Q(
+      "q104_bmp_resize",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 31 + ((y.y * 12) // 6) * 7 + ((x.x * 16) // 8) * 13) % 256 AS r,
+        |    (doc_id * 17 + ((y.y * 12) // 6) * 11 + ((x.x * 16) // 8) * 5) % 256 AS g,
+        |    (doc_id * 23 + ((y.y * 12) // 6) * 3 + ((x.x * 16) // 8) * 19) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 5)) AS y(y),
+        |       unnest(generate_series(0, 7)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(6 AS BIGINT) AS height,
+        |  CAST(48 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeBmp(Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractBmpFeatures(media, resizeTo = Some((8, 6))).orderBy("media_id")
+    },
+
     // PII scrub: email then URL replaced with typed placeholders (the text
     // is salted with synthetic PII so the op has something to remove).
     Q(

@@ -142,6 +142,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.edgeCount == 2)
   }
 
+  test("BmpCodec.resizeNearest: floor-index sampling, identity at same size") {
+    import graft.multimodal.BmpCodec
+    val img = BmpCodec.Bmp(4, 2, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    // 4x2 -> 2x1: sx = x*4/2 = {0,2}, sy = 0 -> pixels (0,0)=1 and (0,2)=3
+    assert(BmpCodec.resizeNearest(img, 2, 1).pixels.toSeq == Seq(1, 3))
+    // upscale 2x repeats source pixels
+    val up = BmpCodec.resizeNearest(BmpCodec.Bmp(2, 1, Array(9, 10)), 4, 1)
+    assert(up.pixels.toSeq == Seq(9, 9, 10, 10))
+    assert(BmpCodec.resizeNearest(img, 4, 2).pixels.toSeq == img.pixels.toSeq)
+  }
+
   test("synthesizeBmp -> extractBmpFeatures: distributed real decode end-to-end") {
     val media = Multimodal.synthesizeBmp(
       Seq((3L, "x"), (4L, "y")).toDF("id", "t"), "id", width = 5, height = 4)
