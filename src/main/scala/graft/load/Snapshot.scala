@@ -160,6 +160,80 @@ object Snapshot {
         count(lit(1)).as("n"))
   }
 
+  /** Row-level diff of two snapshots of the same table — the backup
+    * VERIFICATION primitive one step past [[tableChecksum]] (which only says
+    * "something changed"): which keys were `added`, `removed`, or `changed`
+    * between snapshot `a` and snapshot `b`. One full outer join on the key,
+    * change detection by the canonical row hash over `compareCols` — the
+    * comparison ships (key, hash) per side, never the payload, so diffing
+    * two 100 TB snapshots moves only key+32-byte-hash rows through the
+    * exchange. Unchanged rows are dropped (the overwhelming majority in a
+    * backup — emitting them would dwarf the real diff).
+    *
+    * `keyCols` must uniquely key BOTH snapshots (the usual table PK): a
+    * duplicated key fans the outer join out m×n and reports phantom
+    * changes. Pre-aggregate or dedup first if the key is not unique.
+    */
+  def diffTables(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ha = a.select(keyCols.map(col) :+
+      graft.clean.Clean.rowHashExpr(compareCols).as("_ha"): _*)
+    val hb = b.select(keyCols.map(col) :+
+      graft.clean.Clean.rowHashExpr(compareCols).as("_hb"): _*)
+    ha.join(hb, keyCols, "full_outer")
+      .withColumn(
+        "change",
+        when(col("_ha").isNull, lit("added"))
+          .when(col("_hb").isNull, lit("removed"))
+          .when(col("_ha") =!= col("_hb"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** SCD Type-2 upsert: MERGE that keeps HISTORY. `current` rows carry
+    * validity columns (`validFromCol`, `validToCol` — null = open); each
+    * update row (keyed, versioned) CLOSES the key's open row (its
+    * `validTo` becomes the update's version) and appends a new open row.
+    * Unchanged keys pass through untouched. Pure plan — one equi-join on
+    * the key (the open-row test is `validTo IS NULL`, no window needed),
+    * and nothing is ever lost: the as-of state at any version v is
+    * `validFrom <= v < coalesce(validTo, +inf)`.
+    *
+    * `updates` must carry the key columns, `versionCol`, and the payload
+    * columns of `current` (everything except the two validity columns);
+    * keys must be unique within `updates` (pre-aggregate with
+    * [[upsertLatestWins]] semantics if not).
+    */
+  def upsertScd2(
+      current: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // close the open row of every updated key
+    val updKeys = updates.select(keyCols.map(col) :+
+      col(versionCol).as("_new_ver"): _*)
+    val closed = current
+      .join(updKeys, keyCols, "left")
+      .withColumn(
+        validToCol,
+        when(col(validToCol).isNull && col("_new_ver").isNotNull, col("_new_ver"))
+          .otherwise(col(validToCol)))
+      .drop("_new_ver")
+    // append the updates as new open rows
+    val opened = updates
+      .withColumn(validFromCol, col(versionCol))
+      .withColumn(validToCol, lit(null).cast(current.schema(validToCol).dataType))
+      .select(current.columns.map(col): _*)
+    closed.unionByName(opened)
+  }
+
   /** Latest-wins upsert (MERGE semantics without a table format): one row
     * per key survives — the highest `versionCol`, updates beating current on
     * ties. Pure plan, so it composes with any sink; at 100 TB it is ONE

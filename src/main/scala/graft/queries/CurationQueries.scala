@@ -798,6 +798,77 @@ object CurationQueries {
         .select("doc_id", "lang")
     },
 
+    // Row-level snapshot diff — the backup-verification op one step past
+    // the q83 checksum: WHICH keys were added/removed/changed between two
+    // snapshots. Snapshot b is derived from a by deterministic predicates,
+    // so the oracle states the expected diff directly from those
+    // predicates while Spark has to discover it via the hash-compare
+    // full-outer join.
+    Q(
+      "q105_snapshot_diff",
+      """WITH k AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, change FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN 'removed'
+        |         WHEN l_orderkey % 89 = 0 THEN 'changed' END AS change
+        |  FROM k
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000, l_linenumber, 'added'
+        |  FROM k WHERE l_orderkey % 101 = 0)
+        |WHERE change IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // the synthetic lineitem does NOT enforce the TPC-H PK, so build the
+      // snapshot at (orderkey, linenumber) grain first — diffTables requires
+      // a unique key (see its scaladoc)
+      val a = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val b = a.filter(pmod(col("l_orderkey"), lit(97)) =!= 0)
+        .withColumn(
+          "qty",
+          when(pmod(col("l_orderkey"), lit(89)) === 0, col("qty") + 1)
+            .otherwise(col("qty")))
+        .unionByName(
+          a.filter(pmod(col("l_orderkey"), lit(101)) === 0)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L)))
+      graft.load.Snapshot
+        .diffTables(a, b, Seq("l_orderkey", "l_linenumber"), Seq("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // SCD Type-2 upsert: MERGE that keeps history — each updated key's open
+    // row closes at the update version and a new open row appends; the
+    // validity intervals reconstruct the state as of any version.
+    Q(
+      "q106_scd2_upsert",
+      """SELECT c_custkey, bal, valid_from, valid_to FROM (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CASE WHEN c_custkey % 7 = 0 THEN CAST(5 AS BIGINT) END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE),
+        |    CAST(5 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val current = cust.select(
+        col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"),
+        lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val updates = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(
+          col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") + lit(100)).cast("double").as("bal"),
+          lit(5L).as("_ver"))
+      graft.load.Snapshot
+        .upsertScd2(current, updates, Seq("c_custkey"), "_ver")
+        .orderBy("c_custkey", "valid_from")
+    },
+
     // Bloom-reduced exact semi join (runtime-filter shape, explicit): the
     // big side is pre-filtered by a bloom of the small side's keys before
     // its exchange; the exact join removes false positives, so rows equal

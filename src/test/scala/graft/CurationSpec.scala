@@ -166,6 +166,33 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
   }
 
+  test("upsertScd2: closes the open row, appends the new one, keeps history") {
+    import graft.load.Snapshot
+    // key 1 has history already (a closed row at v5 + an open row); key 2 open
+    val current = Seq(
+      (1L, "a0", 0L, Option(5L)), (1L, "a1", 5L, None: Option[Long]),
+      (2L, "b0", 0L, None: Option[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val updates = Seq((1L, "a2", 9L)).toDF("k", "v", "ver")
+    val out = Snapshot.upsertScd2(current, updates, Seq("k"), "ver")
+      .select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a0", 0L, Some(5L)), // closed history untouched
+      (1L, "a1", 5L, Some(9L)), // open row closed at the update version
+      (1L, "a2", 9L, None), // new open row
+      (2L, "b0", 0L, None))) // unrelated key untouched
+  }
+
+  test("diffTables: added/removed/changed keys, unchanged rows dropped") {
+    import graft.load.Snapshot
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("k", "v")
+    val out = Snapshot.diffTables(a, b, Seq("k"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("saltedJoin is row-identical to the plain join (inner and left)") {
     import graft.load.Skew
     val big = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (9L, 1.0)).toDF("k", "x")
