@@ -71,6 +71,13 @@ object BloomPrune {
     * candidates join. Null big keys never equi-match, and a null bloom
     * (empty small side) sends every row down the definitive branch — both
     * exactly the plain anti join's answer.
+    *
+    * Cost shape: the big side is SCANNED twice (once per branch) but each
+    * scan is a pure parquet read + codegen'd probe with no exchange; the
+    * trade is two cheap scans for a shuffle that carries only the bloom-
+    * positive sliver instead of everything — the right side of the trade
+    * whenever the join input dwarfs the true match set, which is exactly
+    * the append-mostly dedup case this targets.
     */
   def antiJoinReduced(
       big: DataFrame,

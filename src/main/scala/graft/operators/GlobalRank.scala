@@ -99,7 +99,24 @@ object GlobalRank {
       prkCol: String = "percent_rank",
       cdCol: String = "cume_dist",
       tiesPossible: Boolean = true): DataFrame = {
-    val ranked = withRowNumber(df, orderCols)
+    // Tie path: a RangePartitioner cannot split EQUAL keys across
+    // partitions, so a heavily repeated order value (rank by language,
+    // status, …) would pile onto one partition. Appending a deterministic
+    // content-hash spreader to the range keys splits tied rows across
+    // partitions; row_number within a tie group becomes arbitrary-but-
+    // deterministic, and the min/max bounds join below restores the EXACT
+    // SQL rank/cume_dist regardless of that placement. (Without ties the
+    // order is total and needs no spreader.) The ranked output feeds two
+    // plan branches (probe + bounds aggregate); the range exchange is
+    // reused across both, so the recompute is the in-partition sort only.
+    val ranked =
+      if (!tiesPossible) withRowNumber(df, orderCols)
+      else {
+        val spread = "_tiespread"
+        withRowNumber(
+          df.withColumn(spread, pmod(xxhash64(df.columns.map(col): _*), lit(1024L))),
+          orderCols :+ spread).drop(spread)
+      }
     val withBounds =
       if (!tiesPossible) {
         ranked.withColumn("_rkmin", col("_rn")).withColumn("_rkmax", col("_rn"))
