@@ -55,6 +55,29 @@ object Stress {
     time("checksum_6M")(graft.load.Snapshot.tableChecksum(
       li, Seq("l_orderkey", "l_linenumber", "_rep")).count())
 
+    // bloom-reduced vs plain anti join: 6M-row big side against a ~600k-key
+    // prior (past broadcast size). The bloom variant's shuffle carries only
+    // the true-match sliver + false positives.
+    val prior = o.filter(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("_rep")).withColumn(
+        "_k", concat_ws(":", col("o_orderkey"), col("_rep")))
+      .select("_k")
+    val liKeyed = li.withColumn("_k", concat_ws(":", col("l_orderkey"), col("_rep")))
+    time("anti_plain_6M")(liKeyed.join(prior, Seq("_k"), "left_anti").count())
+    time("anti_bloom_6M")(graft.operators.BloomPrune
+      .antiJoinReduced(liKeyed, prior, "_k", "_k", expectedItems = 1000000L).count())
+    // row-level snapshot diff at 6M rows: only (key, hash) crosses the wire
+    time("snapshot_diff_6M") {
+      val aT = li.select(col("l_orderkey"), col("l_linenumber"), col("_rep"), col("l_quantity"))
+        .groupBy("l_orderkey", "l_linenumber", "_rep")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      val bT = aT.filter(pmod(col("l_orderkey"), lit(97)) =!= 0)
+        .withColumn("q", when(pmod(col("l_orderkey"), lit(89)) === 0, col("q") + 1)
+          .otherwise(col("q")))
+      graft.load.Snapshot
+        .diffTables(aT, bT, Seq("l_orderkey", "l_linenumber", "_rep"), Seq("q")).count()
+    }
+
     // as-of join: window formulation vs native merge exec at 1M probe rows
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -1,18 +1,18 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Semi-join reduction via Bloom filter — the explicit form of the runtime
   * filter Spark injects for some shuffle joins (and the classic distributed-
   * join volume killer): build a bloom over the SMALL side's join keys (one
-  * partial-aggregated pass; the sketch is MBs at most and ships to executors
-  * as a plan literal), pre-filter the BIG side with `might_contain` BEFORE
-  * its exchange, then run the exact join over the survivors. False
+  * partial-aggregated pass), pre-filter the BIG side with a bloom probe
+  * BEFORE its exchange, then run the exact join over the survivors. False
   * positives are removed by the exact join, so results are identical —
   * but at 100 TB the big side's shuffle carries ~selectivity× the rows
   * instead of all of them, and with parquet the pre-filter sits right on
@@ -24,10 +24,14 @@ import org.apache.spark.sql.types.BinaryType
   * join entirely; only bloom-positive candidates (a sliver, tunable via
   * fpp) pay the exchange.
   *
-  * Uses Catalyst's own paired expressions (`BloomFilterAggregate` /
-  * `BloomFilterMightContain`, the ones runtime filtering itself uses) via
-  * the bridge — not a reimplementation, so builder and prober hashing can
-  * never drift.
+  * The build side uses Catalyst's own `BloomFilterAggregate` (the exact
+  * builder runtime filtering uses); the probe side is graft's
+  * [[graft.functions.BloomProbe]], which ships the filter as a BROADCAST
+  * rather than Catalyst's literal-in-the-plan `BloomFilterMightContain` — a
+  * megabyte-scale literal measurably poisons plan processing (~7× on an
+  * otherwise-identical query at 1.27 MB; see BloomProbe's scaladoc), while
+  * a broadcast handle keeps the plan tiny at any filter size. Both sides
+  * hash with `xxhash64`, so builder and prober can never drift.
   */
 object BloomPrune {
 
@@ -42,13 +46,18 @@ object BloomPrune {
       .head().getAs[Array[Byte]](0)
   }
 
-  /** `might_contain(bloom, xxhash64(key))` — codegen'd probe; null bloom →
-    * null (no row passes a positive filter on it).
+  /** Probe column: true/false membership of `key` in the serialized bloom,
+    * null per row when `bloom` itself is null (empty build side). The
+    * deserialized filter is broadcast once; the plan carries a handle.
     */
-  def mightContain(bloom: Array[Byte], key: Column): Column =
-    GraftExpressionBridge.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      GraftExpressionBridge.expression(xxhash64(key))))
+  def probe(keys: DataFrame, bloom: Array[Byte], key: Column): Column =
+    if (bloom == null) lit(null).cast("boolean")
+    else {
+      val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+      val bc = keys.sparkSession.sparkContext.broadcast(bf)
+      GraftExpressionBridge.column(graft.functions.BloomProbe(
+        GraftExpressionBridge.expression(xxhash64(key)), bc))
+    }
 
   /** Exact LEFT SEMI join, bloom-reduced: identical rows to
     * `big.join(smallKeys, key, "left_semi")`, but only bloom-positive big
@@ -62,7 +71,7 @@ object BloomPrune {
       expectedItems: Long = 1000000L): DataFrame = {
     val bloom = buildBloom(small, smallKey, expectedItems)
     val smallKeys = small.select(col(smallKey).as(bigKey))
-    big.filter(mightContain(bloom, col(bigKey)) === lit(true))
+    big.filter(probe(big, bloom, col(bigKey)) === lit(true))
       .join(smallKeys, Seq(bigKey), "left_semi")
   }
 
@@ -86,9 +95,9 @@ object BloomPrune {
       smallKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     val bloom = buildBloom(small, smallKey, expectedItems)
-    val probe = mightContain(bloom, col(bigKey))
-    val definitiveKeep = big.filter(probe.isNull || probe === lit(false))
-    val candidates = big.filter(probe === lit(true))
+    val p = probe(big, bloom, col(bigKey))
+    val definitiveKeep = big.filter(p.isNull || p === lit(false))
+    val candidates = big.filter(p === lit(true))
     val smallKeys = small.select(col(smallKey).as(bigKey))
     definitiveKeep.unionByName(candidates.join(smallKeys, Seq(bigKey), "left_anti"))
   }

@@ -117,9 +117,9 @@ class PlanSpec extends SparkSpec {
 
   test("q101: bloom probe filters the big side BEFORE its exchange") {
     val p = plan("q101_bloom_semi")
-    assert(p.contains("might_contain"), s"expected bloom probe in:\n$p")
+    assert(p.contains("bloom_probe"), s"expected bloom probe in:\n$p")
     // the probe must sit below the first Exchange (scan-side), not above it
-    val probeAt = p.indexOf("might_contain")
+    val probeAt = p.indexOf("bloom_probe")
     val joinAt = p.indexOf("Join")
     assert(joinAt >= 0 && probeAt > joinAt,
       "bloom probe should appear in the plan's scan branch (printed below the join)")
