@@ -73,11 +73,19 @@ object Skew {
     * so `spark_partition_id() + monotonically_increasing_id()` could re-salt
     * the same row into a different bucket mid-query (the SPARK-23207 class of
     * shuffle-repartition bugs) — duplicating or dropping join output rows.
-    * `xxhash64` over every column is stable across retries and partitionings;
-    * hashing the full row (not just the keys — that would put each hot key
-    * back on one reducer) spreads a hot key's rows whenever anything else in
-    * the row varies.
+    * A content hash (map columns excluded — xxhash64 rejects them) is stable
+    * across retries and partitionings; hashing the full row (not just the
+    * keys — that would put each hot key back on one reducer) spreads a hot
+    * key's rows whenever anything else in the row varies.
+    *
+    * Limit, by construction: rows IDENTICAL in every column land in one
+    * bucket — no deterministic function can distinguish them. That is
+    * harmless for [[saltedAggregate]] (map-side partial aggregation already
+    * collapses exact duplicates to one row per map task before the
+    * exchange, so no reducer straggles), but for [[saltedJoin]] a hot key
+    * whose rows are exact duplicates should be pre-aggregated to
+    * (row, count) and re-expanded after the join instead of salted.
     */
   private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+    pmod(graft.functions.ContentHash.stableRowHash(df), lit(saltBuckets.toLong))
 }

@@ -206,7 +206,10 @@ object Snapshot {
     * `updates` must carry the key columns, `versionCol`, and the payload
     * columns of `current` (everything except the two validity columns);
     * keys must be unique within `updates` (pre-aggregate with
-    * [[upsertLatestWins]] semantics if not).
+    * [[upsertLatestWins]] semantics if not), and each update's version must
+    * be STRICTLY greater than its key's open row's `validFrom` — a late or
+    * replayed update would otherwise write an inverted/zero-width validity
+    * interval, so the violation fails loudly per row instead.
     */
   def upsertScd2(
       current: DataFrame,
@@ -223,7 +226,16 @@ object Snapshot {
       .join(updKeys, keyCols, "left")
       .withColumn(
         validToCol,
-        when(col(validToCol).isNull && col("_new_ver").isNotNull, col("_new_ver"))
+        when(
+          col(validToCol).isNull && col("_new_ver").isNotNull,
+          when(
+            col("_new_ver") <= col(validFromCol),
+            raise_error(concat(
+              lit("upsertScd2: non-monotonic update — version "),
+              col("_new_ver").cast("string"),
+              lit(" <= open row's "), lit(validFromCol), lit(" "),
+              col(validFromCol).cast("string"))))
+            .otherwise(col("_new_ver")))
           .otherwise(col(validToCol)))
       .drop("_new_ver")
     // append the updates as new open rows
@@ -258,7 +270,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val all = current.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
-    val contentTieBreak = xxhash64(current.columns.map(col).toSeq: _*)
+    val contentTieBreak = graft.functions.ContentHash.stableRowHash(current)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col("_src").desc, contentTieBreak.desc)
     all.withColumn("_rk", row_number().over(w))

@@ -32,6 +32,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * otherwise-identical query at 1.27 MB; see BloomProbe's scaladoc), while
   * a broadcast handle keeps the plan tiny at any filter size. Both sides
   * hash with `xxhash64`, so builder and prober can never drift.
+  *
+  * Contract: `big` and `small` must be DETERMINISTIC plans. The reduced
+  * variants evaluate their inputs in more than one job/branch (bloom build
+  * vs exact join; definitive-keep vs candidates), so an input derived from
+  * `rand`/`monotonically_increasing_id`/unstable sampling can disagree with
+  * itself between evaluations and duplicate or drop rows — the standard
+  * caveat for any multi-branch reuse of a nondeterministic DataFrame.
   */
 object BloomPrune {
 

@@ -114,17 +114,25 @@ object GlobalRank {
       else {
         val spread = "_tiespread"
         withRowNumber(
-          df.withColumn(spread, pmod(xxhash64(df.columns.map(col): _*), lit(1024L))),
+          df.withColumn(
+            spread,
+            pmod(graft.functions.ContentHash.stableRowHash(df), lit(1024L))),
           orderCols :+ spread).drop(spread)
       }
     val withBounds =
       if (!tiesPossible) {
         ranked.withColumn("_rkmin", col("_rn")).withColumn("_rkmax", col("_rn"))
       } else {
+        // null-SAFE join: a NULL order value is a legitimate rank group
+        // (SQL sorts it first); a plain equi-join would silently drop those
+        // rows from the output
         val bounds = ranked
           .groupBy(orderCols.map(col): _*)
           .agg(min(col("_rn")).as("_rkmin"), max(col("_rn")).as("_rkmax"))
-        ranked.join(bounds, orderCols)
+          .select(orderCols.map(c => col(c).as(s"_b_$c")) ++
+            Seq(col("_rkmin"), col("_rkmax")): _*)
+        val cond = orderCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _)
+        ranked.join(bounds, cond).drop(orderCols.map(c => s"_b_$c"): _*)
       }
     withBounds
       .withColumn(

@@ -116,7 +116,10 @@ object Similarity {
     */
   def hyperplaneBucket(vecCol: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
     val planes = hyperplaneComponents(numPlanes, dims)
-    val dimsCheck = when(size(vecCol) === lit(dims), lit(""))
+    // NULL vectors keep their pre-guard behavior (null projections → the
+    // all-'0' bucket); only a present-but-wrong-length vector is the silent
+    // degeneration the guard exists for
+    val dimsCheck = when(vecCol.isNull || size(vecCol) === lit(dims), lit(""))
       .otherwise(raise_error(concat(
         lit(s"hyperplaneBucket: expected $dims-dim vector, got "),
         size(vecCol).cast("string"))))

@@ -184,6 +184,27 @@ class CurationSpec extends SparkSpec {
       (2L, "b0", 0L, None))) // unrelated key untouched
   }
 
+  test("upsertScd2: non-monotonic update version fails loudly") {
+    import graft.load.Snapshot
+    val current = Seq((1L, "a1", 5L, None: Option[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val late = Seq((1L, "a0", 3L)).toDF("k", "v", "ver")
+    val ex = intercept[Exception] {
+      Snapshot.upsertScd2(current, late, Seq("k"), "ver").collect()
+    }
+    assert(ex.getMessage.contains("non-monotonic") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-monotonic")))
+  }
+
+  test("upsertLatestWins tolerates map-typed payload columns") {
+    import graft.load.Snapshot
+    val current = Seq((1L, Map("a" -> "1"), 1L)).toDF("k", "m", "ver")
+    val updates = Seq((1L, Map("a" -> "2"), 2L)).toDF("k", "m", "ver")
+    val out = Snapshot.upsertLatestWins(current, updates, Seq("k"), "ver")
+      .select("m").as[Map[String, String]].collect()
+    assert(out.toSeq == Seq(Map("a" -> "2")))
+  }
+
   test("diffTables: added/removed/changed keys, unchanged rows dropped") {
     import graft.load.Snapshot
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")

@@ -166,6 +166,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("GlobalRank.rankRatios keeps NULL order-key rows (null-safe tie join)") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, None: Option[Double]), (2L, Some(10.0)), (3L, Some(10.0)),
+      (4L, None: Option[Double]))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v"))
+    val want = df.select(col("id"), round(percent_rank().over(w), 9).as("prk"),
+      round(cume_dist().over(w), 9).as("cd"))
+      .as[(Long, Double, Double)].collect().toSet
+    val got = GlobalRank.rankRatios(df, Seq("v"), prkCol = "prk", cdCol = "cd")
+      .select(col("id"), round(col("prk"), 9), round(col("cd"), 9))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got == want) // 4 rows in, 4 rows out — nulls are a rank group
+  }
+
   test("GlobalRank: single row and n < buckets edge cases") {
     import graft.operators.GlobalRank
     val one = Seq((1L, 1.0)).toDF("id", "v")

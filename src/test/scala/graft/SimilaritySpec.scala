@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "bucket"))
   }
 
+  test("LSH buckets: null vector -> all-zero bucket; wrong dims fail loudly") {
+    val withNull = Seq((1L, Some(Array(1.0f, 2.0f, 3.0f, 4.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val got = withNull.select(Similarity.hyperplaneBucket($"embedding", 8, dims = 4).as("b"))
+      .as[String].collect()
+    assert(got(1) == "00000000") // tolerated, as before the guard
+    val wrong = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+    val ex = intercept[Exception] {
+      wrong.select(Similarity.hyperplaneBucket($"embedding", 8, dims = 4)).collect()
+    }
+    assert(ex.getMessage.contains("expected 4-dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 4-dim")))
+  }
+
   test("driver-side hyperplane matrix matches the md5 SQL formula") {
     val mat = Similarity.hyperplaneComponents(3, 5)
     val viaSql = spark.range(1)
