@@ -66,6 +66,20 @@ object Stress {
     time("anti_plain_6M")(liKeyed.join(prior, Seq("_k"), "left_anti").count())
     time("anti_bloom_6M")(graft.operators.BloomPrune
       .antiJoinReduced(liKeyed, prior, "_k", "_k", expectedItems = 1000000L).count())
+    // distributed global ranking vs the single-partition window at 6M rows:
+    // same statistic, one collapses to a single task, one spreads across 32
+    time("ntile_window_1task_6M") {
+      li.select(org.apache.spark.sql.functions.ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber", "_rep")).as("b"))
+        .groupBy("b").count().count()
+    }
+    time("ntile_globalrank_6M") {
+      graft.operators.GlobalRank.ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber", "_rep"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber", "_rep"), 10, "b")
+        .groupBy("b").count().count()
+    }
     // row-level snapshot diff at 6M rows: only (key, hash) crosses the wire
     time("snapshot_diff_6M") {
       val aT = li.select(col("l_orderkey"), col("l_linenumber"), col("_rep"), col("l_quantity"))
