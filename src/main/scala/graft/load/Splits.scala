@@ -55,6 +55,30 @@ object Splits {
   def fixedSample(df: DataFrame, key: Column, n: Int): DataFrame =
     df.orderBy(md5(key.cast("string")), key).limit(n)
 
+  /** Deterministic stratified Bernoulli sample — the REBALANCING knob of
+    * corpus curation (downsample the over-represented language/source, keep
+    * the rare stratum whole): keep a row iff its key's 24-bit md5 uniform
+    * `< rate(stratum)`; strata absent from `rates` use `defaultRate`. Pure
+    * stateless projection (no shuffle, no state, no seed coordination);
+    * rates that are binary fractions (0.5, 0.25, …) make the keep decision
+    * bit-identical on any engine.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      key: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be within [0, 1]")
+    val u = conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (rest, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(rest)
+    }
+    df.filter(u < rate)
+  }
+
   /** Per-key quota: keep the top `n` rows of each key by `order` (include a
     * unique tie-break in `order` for determinism). The curation use: cap any
     * one domain/source at `n` documents, best-first.

@@ -798,6 +798,25 @@ object CurationQueries {
         .select("doc_id", "lang")
     },
 
+    // Stratified rebalancing sample: per-language keep rates (en 0.25,
+    // de 0.5, rest whole) via the md5-uniform keep rule — binary-fraction
+    // rates make every keep decision bit-identical across engines.
+    Q(
+      "q107_stratified_sample",
+      """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT) AS DOUBLE)
+        |    / 16777216.0
+        |  < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Splits.stratifiedSample(
+        Tables.load(s, dir, "documents"), "lang", col("doc_id"),
+        Map("en" -> 0.25, "de" -> 0.5))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    },
+
     // Row-level snapshot diff — the backup-verification op one step past
     // the q83 checksum: WHICH keys were added/removed/changed between two
     // snapshots. Snapshot b is derived from a by deterministic predicates,

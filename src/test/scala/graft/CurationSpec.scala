@@ -184,6 +184,22 @@ class CurationSpec extends SparkSpec {
       (2L, "b0", 0L, None))) // unrelated key untouched
   }
 
+  test("stratifiedSample: per-stratum rates, deterministic, 0/1 extremes exact") {
+    import graft.load.Splits
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "big" else "rare")).toDF("id", "s")
+    val out = Splits.stratifiedSample(df, "s", col("id"), Map("big" -> 0.25))
+    val counts = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("rare") == 1000L) // default rate 1.0 keeps the stratum whole
+    assert(counts("big") > 150 && counts("big") < 350) // ~25% of 1000
+    // deterministic: same rows on a rerun
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Splits.stratifiedSample(df, "s", col("id"), Map("big" -> 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(Splits.stratifiedSample(df, "s", col("id"), Map("big" -> 0.0))
+      .filter(col("s") === "big").count() == 0)
+  }
+
   test("upsertScd2: non-monotonic update version fails loudly") {
     import graft.load.Snapshot
     val current = Seq((1L, "a1", 5L, None: Option[Long]))
