@@ -29,7 +29,9 @@ final class CorpusPipeline(
     minQualityTokens: Int = 5,
     nearDupJaccard: Double = 0.8,
     benchmark: Option[DataFrame] = None,
-    splitWeights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1)) {
+    splitWeights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+    bloomDedup: Boolean = false,
+    rebalanceRates: Map[String, Double] = Map.empty) {
 
   final case class Result(
       batchName: String,
@@ -37,7 +39,8 @@ final class CorpusPipeline(
       exactDups: Long,
       nearDups: Long,
       rejected: Long,
-      contaminated: Long = 0L)
+      contaminated: Long = 0L,
+      rebalanced: Long = 0L)
 
   /** Annotate one raw batch: content hash, token stats, language guess,
     * quality metrics. Pure projection — fuses into the scan.
@@ -66,6 +69,11 @@ final class CorpusPipeline(
     val inBatch = Dedup.selfDedupFirstWins(quality, Seq("text_hash"), "doc_id")
     val corpus = if (Snapshot.exists(spark, corpusDir)) Some(Snapshot.readTable(spark, corpusDir)) else None
     val exactNew = corpus match {
+      // bloomDedup = the past-broadcast-size choice: a bloom over corpus
+      // hashes routes definitely-new docs (the append-mostly majority)
+      // around the anti-join entirely (Dedup.antiJoinPriorBloom)
+      case Some(c) if bloomDedup =>
+        Dedup.antiJoinPriorBloom(inBatch, c.select("text_hash"), "text_hash")
       case Some(c) => Dedup.antiJoinPrior(inBatch, c.select("text_hash"), "text_hash")
       case None => inBatch
     }
@@ -99,10 +107,16 @@ final class CorpusPipeline(
       case None => deduped
     }
 
-    // 5. append with provenance + deterministic split; audit counts are
+    // 5. optional stratified rebalancing by detected language (deterministic
+    // per-stratum keep rates — downsample the over-represented stratum)
+    val balanced =
+      if (rebalanceRates.isEmpty) kept
+      else Splits.stratifiedSample(kept, "lang_guess", col("doc_id"), rebalanceRates)
+
+    // 6. append with provenance + deterministic split; audit counts are
     // computed BEFORE the append (the anti-joins read the corpus this batch
     // writes into)
-    val stamped = kept
+    val stamped = balanced
       .withColumn("batch_name", lit(batchName))
       .withColumn("split", Splits.assignSplit(col("doc_id"), splitWeights))
       .persist()
@@ -111,6 +125,9 @@ final class CorpusPipeline(
     val nExactNew = exactNew.count()
     val nDeduped = deduped.count()
     val nKept = stamped.count()
+    // decontamination and rebalancing drops are separate audit lines; the
+    // pre-rebalance count is only paid for when rebalancing is on
+    val nDecon = if (rebalanceRates.isEmpty) nKept else kept.count()
     Snapshot.appendBatch(stamped, corpusDir)
     stamped.unpersist()
     catalog.recordStatus(batchName, graft.catalog.Status.Processed)
@@ -121,6 +138,7 @@ final class CorpusPipeline(
       exactDups = nQuality - nExactNew,
       nearDups = nExactNew - nDeduped,
       rejected = nTotal - nQuality,
-      contaminated = nDeduped - nKept)
+      contaminated = nDeduped - nDecon,
+      rebalanced = nDecon - nKept)
   }
 }

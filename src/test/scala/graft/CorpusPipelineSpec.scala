@@ -93,4 +93,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(corpus.columns.contains("split"))
     assert(Set("train", "val", "test").contains(corpus.select("split").as[String].head()))
   }
+
+  test("bloomDedup variant reaches the same corpus as the plain anti-join") {
+    def run(bloom: Boolean): Set[Long] = {
+      val root = tmpDir("corpusbl")
+      val cat = new Catalog(spark, s"$root/catalog")
+      val pipe = new CorpusPipeline(spark, cat, s"$root/corpus",
+        minQualityTokens = 3, nearDupJaccard = 0.7, bloomDedup = bloom)
+      val b1 = (1L to 20L).map(i => (i, s"$longA unique suffix number $i")).toDF("doc_id", "text")
+      pipe.processBatch(b1, "b1")
+      // batch 2 overlaps 10 docs exactly; bloom routes the 10 new ones around the join
+      val b2 = (11L to 30L).map(i => (i + 100L, s"$longA unique suffix number $i")).toDF("doc_id", "text")
+      pipe.processBatch(b2, "b2")
+      spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().toSet
+    }
+    assert(run(bloom = true) == run(bloom = false))
+  }
+
+  test("rebalanceRates downsamples the named stratum and audits it separately") {
+    val root = tmpDir("corpusrb")
+    val cat = new Catalog(spark, s"$root/catalog")
+    val pipe = new CorpusPipeline(spark, cat, s"$root/corpus",
+      minQualityTokens = 3, rebalanceRates = Map("en" -> 0.25))
+    // lexically diverse (every 3-shingle carries per-doc tokens, so no doc
+    // pair survives the Jaccard near-dup gate) yet stopword-voted English
+    val docs = (1L to 400L).map { i =>
+      val body = (1 to 10).map(k => s"the w${i}x$k and v${i}y$k of z${i}q$k").mkString(" ")
+      (i, body)
+    }.toDF("doc_id", "text")
+    val r = pipe.processBatch(docs, "b1")
+    assert(r.contaminated == 0)
+    assert(r.rebalanced > 200 && r.rebalanced < 350) // ~75% of the en stratum dropped
+    assert(r.ingested == 400 - r.rebalanced)
+    assert(spark.read.parquet(s"$root/corpus").count() == r.ingested)
+  }
 }
