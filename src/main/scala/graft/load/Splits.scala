@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Stable bucket in [0, n) from the md5 of the key's string form (first 6
-    * hex chars — 24 bits of entropy, plenty for split assignment).
+  /** 24-bit integer from the md5 of the key's string form (first 6 hex
+    * chars) — THE shared hash behind every split/sample recipe here; the
+    * cross-engine oracles reproduce exactly this arithmetic, so all recipes
+    * must draw from the same definition.
     */
+  private def hash24(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Stable bucket in [0, n) from the key's 24-bit md5 hash. */
   def hashBucket(key: Column, n: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % n
+    hash24(key) % n
 
   /** Named split from integer weights, e.g. `Seq("train" -> 8, "val" -> 1,
     * "test" -> 1)` → 80/10/10. Buckets are cumulative ranges over the weight
@@ -61,7 +67,9 @@ object Splits {
     * `< rate(stratum)`; strata absent from `rates` use `defaultRate`. Pure
     * stateless projection (no shuffle, no state, no seed coordination);
     * rates that are binary fractions (0.5, 0.25, …) make the keep decision
-    * bit-identical on any engine.
+    * bit-identical on any engine. A NULL key cannot be hashed: those rows
+    * get uniform 0.0 — kept by ANY positive rate, dropped only by rate 0 —
+    * rather than vanishing silently through a null comparison.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -71,8 +79,8 @@ object Splits {
       defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be within [0, 1]")
-    val u = conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
-      .cast("double") / lit(16777216.0)
+    val u = when(key.isNull, lit(0.0))
+      .otherwise(hash24(key).cast("double") / lit(16777216.0))
     val rate = rates.foldLeft(lit(defaultRate): Column) {
       case (rest, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(rest)
     }

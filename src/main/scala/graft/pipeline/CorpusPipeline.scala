@@ -31,6 +31,7 @@ final class CorpusPipeline(
     benchmark: Option[DataFrame] = None,
     splitWeights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
     bloomDedup: Boolean = false,
+    bloomExpectedItems: Long = 10000000L,
     rebalanceRates: Map[String, Double] = Map.empty) {
 
   final case class Result(
@@ -73,7 +74,10 @@ final class CorpusPipeline(
       // hashes routes definitely-new docs (the append-mostly majority)
       // around the anti-join entirely (Dedup.antiJoinPriorBloom)
       case Some(c) if bloomDedup =>
-        Dedup.antiJoinPriorBloom(inBatch, c.select("text_hash"), "text_hash")
+        // size the bloom to the corpus (bloomExpectedItems): an undersized
+        // filter saturates (FPP -> 1) and degrades to the plain join plus a
+        // wasted sketch pass
+        Dedup.antiJoinPriorBloom(inBatch, c.select("text_hash"), "text_hash", bloomExpectedItems)
       case Some(c) => Dedup.antiJoinPrior(inBatch, c.select("text_hash"), "text_hash")
       case None => inBatch
     }
@@ -108,10 +112,13 @@ final class CorpusPipeline(
     }
 
     // 5. optional stratified rebalancing by detected language (deterministic
-    // per-stratum keep rates — downsample the over-represented stratum)
+    // per-stratum keep rates — downsample the over-represented stratum).
+    // `kept` feeds both the rebalance and its own audit count, so persist it
+    // while rebalancing is on — recomputing it would replay the dedup DAG
+    val keptCached = if (rebalanceRates.isEmpty) kept else kept.persist()
     val balanced =
-      if (rebalanceRates.isEmpty) kept
-      else Splits.stratifiedSample(kept, "lang_guess", col("doc_id"), rebalanceRates)
+      if (rebalanceRates.isEmpty) keptCached
+      else Splits.stratifiedSample(keptCached, "lang_guess", col("doc_id"), rebalanceRates)
 
     // 6. append with provenance + deterministic split; audit counts are
     // computed BEFORE the append (the anti-joins read the corpus this batch
@@ -126,10 +133,11 @@ final class CorpusPipeline(
     val nDeduped = deduped.count()
     val nKept = stamped.count()
     // decontamination and rebalancing drops are separate audit lines; the
-    // pre-rebalance count is only paid for when rebalancing is on
-    val nDecon = if (rebalanceRates.isEmpty) nKept else kept.count()
+    // pre-rebalance count reads the cache, not a recomputed DAG
+    val nDecon = if (rebalanceRates.isEmpty) nKept else keptCached.count()
     Snapshot.appendBatch(stamped, corpusDir)
     stamped.unpersist()
+    if (rebalanceRates.nonEmpty) keptCached.unpersist()
     catalog.recordStatus(batchName, graft.catalog.Status.Processed)
 
     Result(

@@ -808,7 +808,7 @@ object CurationQueries {
         |WHERE CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT) AS DOUBLE)
         |    / 16777216.0
         |  < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END
-        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       Splits.stratifiedSample(
         Tables.load(s, dir, "documents"), "lang", col("doc_id"),
         Map("en" -> 0.25, "de" -> 0.5))

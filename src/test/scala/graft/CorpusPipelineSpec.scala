@@ -95,16 +95,23 @@ class CorpusPipelineSpec extends SparkSpec {
   }
 
   test("bloomDedup variant reaches the same corpus as the plain anti-join") {
+    // lexically diverse docs (see the rebalance test) so the near-dup gate
+    // keeps them all: batch 2's 10-doc overlap then REALLY exercises the
+    // bloom-positive path (true matches through the exact join) and the
+    // 10 new docs the bloom-negative bypass
+    def doc(i: Long) = (1 to 10).map(k => s"the a${i}b$k and c${i}d$k of e${i}f$k").mkString(" ")
     def run(bloom: Boolean): Set[Long] = {
       val root = tmpDir("corpusbl")
       val cat = new Catalog(spark, s"$root/catalog")
       val pipe = new CorpusPipeline(spark, cat, s"$root/corpus",
-        minQualityTokens = 3, nearDupJaccard = 0.7, bloomDedup = bloom)
-      val b1 = (1L to 20L).map(i => (i, s"$longA unique suffix number $i")).toDF("doc_id", "text")
-      pipe.processBatch(b1, "b1")
-      // batch 2 overlaps 10 docs exactly; bloom routes the 10 new ones around the join
-      val b2 = (11L to 30L).map(i => (i + 100L, s"$longA unique suffix number $i")).toDF("doc_id", "text")
-      pipe.processBatch(b2, "b2")
+        minQualityTokens = 3, nearDupJaccard = 0.7, bloomDedup = bloom,
+        bloomExpectedItems = 1000L)
+      val b1 = (1L to 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      val r1 = pipe.processBatch(b1, "b1")
+      assert(r1.ingested == 20) // diverse docs all survive batch 1
+      val b2 = (11L to 30L).map(i => (i + 100L, doc(i))).toDF("doc_id", "text")
+      val r2 = pipe.processBatch(b2, "b2")
+      assert(r2.exactDups == 10 && r2.ingested == 10) // overlap truly deduped
       spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().toSet
     }
     assert(run(bloom = true) == run(bloom = false))

@@ -198,6 +198,11 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
     assert(Splits.stratifiedSample(df, "s", col("id"), Map("big" -> 0.0))
       .filter(col("s") === "big").count() == 0)
+    // NULL keys: kept by any positive rate (uniform 0.0), dropped by rate 0
+    val withNull = Seq((Some(1L), "big"), (None: Option[Long], "big")).toDF("id", "s")
+    assert(Splits.stratifiedSample(withNull, "s", col("id"), Map("big" -> 0.25))
+      .filter(col("id").isNull).count() == 1)
+    assert(Splits.stratifiedSample(withNull, "s", col("id"), Map("big" -> 0.0)).count() == 0)
   }
 
   test("upsertScd2: non-monotonic update version fails loudly") {
