@@ -301,6 +301,66 @@ object CurationQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Linear interpolation of interior nulls (the gap-repair step past
+    // q72's forward fill): straight line between nearest observations,
+    // weighted by x-distance; edge nulls stay null. Identical formula
+    // shape on both engines → bit-identical at 6 dp.
+    Q(
+      "q108_interpolate",
+      """WITH b AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events),
+        |w AS (SELECT user_id, event_id, pv,
+        |  last_value(pv IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS prev_v,
+        |  last_value(CASE WHEN pv IS NOT NULL THEN event_id END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS prev_x,
+        |  first_value(pv IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |  first_value(CASE WHEN pv IS NOT NULL THEN event_id END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+        | FROM b)
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN pv IS NOT NULL THEN pv
+        |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+        |      prev_v + (next_v - prev_v) * (event_id - prev_x) / (next_x - prev_x)
+        |  END, 6) AS y
+        |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select("user_id", "event_id", "pv")
+      graft.operators.TimeSeries
+        .interpolateLinear(ev, Seq("user_id"), "event_id", "pv", "y")
+        .select(col("user_id"), col("event_id"), round(col("y"), 6).as("y"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Robust per-group outlier stats: median + MAD flag heavy-tail values
+    // a mean/stddev pair would be dragged by. Exact interpolated
+    // percentiles (the q54 recipe) keep both engines in lockstep.
+    Q(
+      "q109_mad_outliers",
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type AS event_type, m.med AS med,
+        |        median(abs(e.value - m.med)) AS mad
+        |      FROM events e JOIN m ON e.event_type = m.event_type
+        |      GROUP BY e.event_type, m.med)
+        |SELECT d.event_type, round(d.med, 4) AS median, round(d.mad, 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - d.med) > 3 * d.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |GROUP BY d.event_type, d.med, d.mad ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+      graft.operators.RobustStats
+        .madOutlierStats(Tables.events(s, dir), Seq("event_type"), "value", k = 3.0)
+        .select(
+          col("event_type"),
+          round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Fixed-width histogram (decimal-routed totals per bucket).
     Q(
       "q73_histogram",

@@ -106,6 +106,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- time series / robust stats ----------------------------------------
+
+  test("interpolateLinear: interior nulls on the line, edges stay null, values pass through") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      (1L, 0L, None: Option[Double]), // leading edge -> null
+      (1L, 10L, Some(1.0)),
+      (1L, 12L, None: Option[Double]), // interior -> 1 + (5-1)*(2/10) = 1.8
+      (1L, 15L, None: Option[Double]), // interior -> 1 + (5-1)*(5/10) = 3.0
+      (1L, 20L, Some(5.0)),
+      (1L, 30L, None: Option[Double]), // trailing edge -> null
+      (2L, 1L, None: Option[Double])) // key with no observations at all
+      .toDF("k", "x", "v")
+    val out = TimeSeries.interpolateLinear(df, Seq("k"), "x", "v", "y")
+      .select("k", "x", "y").as[(Long, Long, Option[Double])].collect()
+      .map { case (k, x, y) => (k, x) -> y }.toMap
+    assert(out((1L, 0L)).isEmpty && out((1L, 30L)).isEmpty && out((2L, 1L)).isEmpty)
+    assert(out((1L, 10L)).contains(1.0) && out((1L, 20L)).contains(5.0))
+    assert(math.abs(out((1L, 12L)).get - 1.8) < 1e-12)
+    assert(math.abs(out((1L, 15L)).get - 3.0) < 1e-12)
+  }
+
+  test("madOutlierStats: hand-computed median/MAD/outlier count") {
+    import graft.operators.RobustStats
+    // values 1..9 plus a wild 1000: median 5.5, |x-5.5| = {4.5,3.5,...,0.5,994.5}
+    // -> MAD = 2.5; only 1000 exceeds 5.5 + 3*2.5 = 13
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(v => ("a", v)).toDF("g", "v")
+    val r = RobustStats.madOutlierStats(df, Seq("g"), "v").head()
+    assert(r.getAs[Double]("median") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
   // ---- bloom-reduced joins ------------------------------------------------
 
   test("BloomPrune semi/anti == plain semi/anti joins on random data with nulls") {
