@@ -7,16 +7,111 @@ import graft.dedup.Dedup
   * plans hold well past the gate scale.
   */
 object Stress {
+  /** Shuffle traffic per timed block: stage-completion listener summing
+    * driver-aggregated task metrics. Evidence for the SCALING.md claims —
+    * a rank whose shuffle grows linearly with input and a component
+    * fixpoint whose per-round shuffle is the label table, not the edges
+    * squared.
+    */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** Wall time + per-block shuffle read/write delta (listener-bus settle
+    * before each snapshot keeps the deltas attributable to the block).
+    */
+  private def timed(meter: ShuffleMeter, n: String)(f: => Long): Unit = {
+    Thread.sleep(300)
+    val (r0, w0) = (meter.read.get, meter.write.get)
+    val t0 = System.nanoTime(); val r = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300)
+    println(f"STRESS $n%-26s $secs%7.2f s  rows=$r  " +
+      f"shufR=${(meter.read.get - r0) / 1e6}%9.1f MB  shufW=${(meter.write.get - w0) / 1e6}%9.1f MB")
+  }
+
+  /** The round-4 verdict's missing datapoint: the two iterative/rank
+    * machines at 50x the gate scale — measured, not argued.
+    *  - GlobalRank (q95/q98 shape) over 50x orders (~7.5M rows): per-row
+    *    cost and shuffle volume must stay linear; no single-partition stage.
+    *  - DupClusters (q81/q82 shape) over 50x documents (~250k docs whose
+    *    duplicate clusters are 50x denser — candidate pairs grow
+    *    quadratically in cluster size, the worst realistic case): component
+    *    rounds must stay at ceil(log2(diameter)), per-round shuffle at the
+    *    label-table scale.
+    * Inputs synthesize deterministically from the committed sf0.1 parquet
+    * (replicate + key-shift), written once to target/stress50 so the timed
+    * blocks scan parquet like the gate queries do.
+    */
+  private def scale50(
+      spark: org.apache.spark.sql.SparkSession, dir: String, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val base = "target/stress50"
+    def synth(name: String, reps: Int, key: String, shift: Long): String = {
+      val out = s"$base/$name"
+      if (!graft.load.Snapshot.exists(spark, out)) {
+        (1 to reps).map(i =>
+          Tables.load(spark, dir, name)
+            .withColumn("_rep", lit(i))
+            .withColumn(key, col(key) + col("_rep") * lit(shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+    val ordersPath = synth("orders", 50, "o_orderkey", 100000000L)
+    val docsPath = synth("documents", 50, "doc_id", 10000000L)
+    val orders = spark.read.parquet(ordersPath)
+    val docs = spark.read.parquet(docsPath)
+    time("warmup")(orders.limit(1).count())
+
+    // q98 shape: exact percent_rank/cume_dist under a declared total order
+    time("rankratios_7M5") {
+      graft.operators.GlobalRank.rankRatios(
+        orders.select("o_totalprice", "o_orderkey"),
+        Seq("o_totalprice", "o_orderkey"), tiesPossible = false)
+        .agg(sum(col("percent_rank")), sum(col("cume_dist"))).count()
+    }
+    // q95 shape: ntile(100) buckets over the same order
+    time("ntile_7M5") {
+      graft.operators.GlobalRank.ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        Seq("o_totalprice", "o_orderkey"), 100, "b")
+        .groupBy("b").count().count()
+    }
+    // q81/q82 shape at 50x duplicate density: mine candidate pairs once,
+    // then cluster; report pair count, then rounds-to-converge separately
+    val pairs = graft.dedup.MinHashLsh
+      .candidatePairs(docs, "doc_id", "text", 3, 12, 4).persist()
+    time("minhash_pairs_250k_docs")(pairs.count())
+    time("components_250k_docs") {
+      graft.dedup.DupClusters.components(pairs, "id_a", "id_b").count()
+    }
+    time("components_rounds_250k") {
+      graft.dedup.DupClusters.convergenceRounds(pairs, "id_a", "id_b").toLong
+    }
+    pairs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     def x10(name: String) = (1 to 10).map(i =>
       Tables.load(spark, dir, name).withColumn("_rep", lit(i))).reduce(_ unionByName _)
-    def time(n: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STRESS $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$r")
-    }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    if (args.contains("scale50")) { scale50(spark, dir, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

@@ -37,7 +37,8 @@ object GlobalRank {
       df: DataFrame,
       orderCols: Seq[String],
       rnCol: String = "_rn",
-      nCol: String = "_n"): DataFrame = {
+      nCol: String = "_n",
+      failOnTies: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "global ranking needs at least one order column")
     val spark = df.sparkSession
     val sorted = df
@@ -52,10 +53,31 @@ object GlobalRank {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField(rnCol, LongType, nullable = false),
       StructField(nCol, LongType, nullable = false)))
+    // `failOnTies` = the caller promised orderCols is a TOTAL order (so
+    // row_number doubles as rank); a broken promise must fail LOUDLY, not
+    // silently misrank. Detection is complete with a per-partition
+    // adjacent-row compare: a RangePartitioner never splits EQUAL keys
+    // across partitions, so tied rows are always sorted adjacent within one
+    // partition — no extra pass, no cross-partition check needed. (Nulls
+    // compare equal here: SQL rank treats a repeated NULL key as a tie.)
+    val keyIdx = orderCols.map(c => df.schema.fieldIndex(c))
     // pass 2: stamp rank + total; the range shuffle's files are reused
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = offsets(pid)
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i :+ total) }
+      var prevKey: Seq[Any] = null
+      it.map { r =>
+        if (failOnTies) {
+          val key = keyIdx.map(r.get)
+          if (prevKey != null && prevKey == key)
+            throw new IllegalStateException(
+              s"GlobalRank: tiesPossible=false but order key ${orderCols.mkString("(", ",", ")")}" +
+                s" = ${key.mkString("(", ",", ")")} is duplicated — ranks would be wrong;" +
+                " pass tiesPossible=true or append a unique tie-break column")
+          prevKey = key
+        }
+        i += 1
+        Row.fromSeq(r.toSeq :+ i :+ total)
+      }
     }
     spark.createDataFrame(stamped, outSchema)
   }
@@ -110,7 +132,7 @@ object GlobalRank {
     // plan branches (probe + bounds aggregate); the range exchange is
     // reused across both, so the recompute is the in-partition sort only.
     val ranked =
-      if (!tiesPossible) withRowNumber(df, orderCols)
+      if (!tiesPossible) withRowNumber(df, orderCols, failOnTies = true)
       else {
         val spread = "_tiespread"
         withRowNumber(

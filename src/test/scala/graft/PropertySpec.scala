@@ -164,6 +164,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank.rankRatios == window oracle on random duplicated keys (tiesPossible=true)") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    // keys drawn from a tiny domain so heavy duplication is guaranteed;
+    // nulls included — a repeated NULL key is a legitimate rank group
+    val keyGen = Gen.listOfN(60, Gen.oneOf(
+      Gen.choose(0, 5).map(v => Option(v.toLong)), Gen.const(Option.empty[Long])))
+    for ((keys, i) <- samples(keyGen, 5).zipWithIndex if keys.nonEmpty) {
+      val df = keys.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("id", "v")
+      val got = GlobalRank.rankRatios(df, Seq("v"), prkCol = "prk", cdCol = "cd",
+        tiesPossible = true)
+        .select($"id", $"prk", $"cd").as[(Long, Double, Double)].collect()
+        .map { case (id, p, c) => id -> (p, c) }.toMap
+      val want = df.select(
+        $"id",
+        percent_rank().over(Window.orderBy("v")).as("prk"),
+        cume_dist().over(Window.orderBy("v")).as("cd"))
+        .as[(Long, Double, Double)].collect().map { case (id, p, c) => id -> (p, c) }.toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  test("GlobalRank: tiesPossible=false on genuinely tied keys fails loudly, not silently") {
+    import graft.operators.GlobalRank
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v") // v=10 duplicated
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.rankRatios(df, Seq("v"), tiesPossible = false).collect()
+    }
+    assert(ex.getMessage.contains("tiesPossible") || Option(ex.getCause)
+      .exists(_.getMessage.contains("tiesPossible")))
+    // and the same data under a total order (unique tie-break appended) is fine
+    val ok = GlobalRank.rankRatios(df, Seq("v", "id"), tiesPossible = false)
+    assert(ok.count() == 3)
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
