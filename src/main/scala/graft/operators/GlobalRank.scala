@@ -82,6 +82,60 @@ object GlobalRank {
     spark.createDataFrame(stamped, outSchema)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` in `orderCols` order —
+    * the running-total twin of [[withRowNumber]], and the primitive behind
+    * sequence packing (concat-then-split bin assignment) and token-budget
+    * selection in a training-data pipeline. A naive
+    * `sum over (ORDER BY …)` window with no PARTITION BY collapses to one
+    * task; this keeps the same two-pass shape: range-repartition + sort,
+    * ONE pass ships per-partition sums to the driver (O(partitions) longs),
+    * a second stamps `offset(partition) + local running sum`. `orderCols`
+    * must be a total order for a deterministic result (same contract as
+    * `tiesPossible = false`, enforced the same way).
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String = "_cum"): DataFrame = {
+    require(orderCols.nonEmpty, "running total needs at least one order column")
+    val spark = df.sparkSession
+    // null values count as 0 (getLong on a null cell would NPE mid-stamp)
+    val projected = df.withColumn(outCol, coalesce(col(valueCol).cast("long"), lit(0L)))
+    val sorted = projected
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rdd = sorted.rdd
+    val vIdx = projected.schema.fieldIndex(outCol)
+    val keyIdx = orderCols.map(c => projected.schema.fieldIndex(c))
+    // pass 1: per-partition value sums — O(partitions) longs to the driver
+    val sums = rdd.mapPartitions(
+      it => Iterator.single(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))),
+      preservesPartitioning = true).collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    // pass 2: replace the projected value with the exclusive running total
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      var prevKey: Seq[Any] = null
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (prevKey != null && prevKey == key)
+          throw new IllegalStateException(
+            s"GlobalRank.withRunningTotal: order key ${orderCols.mkString("(", ",", ")")}" +
+              s" = ${key.mkString("(", ",", ")")} is duplicated — the running total would be" +
+              " nondeterministic; append a unique tie-break column")
+        prevKey = key
+        val vals = r.toSeq
+        val out = Row.fromSeq(vals.updated(vIdx, acc))
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+
   /** SQL-standard `ntile(buckets)` from (row_number, total): the first
     * `N mod k` buckets take `ceil(N/k)` rows, the rest `floor(N/k)`.
     */

@@ -1151,5 +1151,69 @@ object CurationQueries {
          |  (SELECT count(*) FROM ann) - (SELECT count(*) FROM qual) AS rejected,
          |  (SELECT count(*) FROM ded) - (SELECT count(*) FROM kept) AS contaminated""".stripMargin) {
       (s, dir) => corpusRun(s, dir)._2
+    },
+
+    // Sequence-packing manifest (concat-then-split, the GPT-style
+    // pretraining layout): docs concatenate in doc_id order and split at
+    // 2048-token boundaries; each doc's bin span is pure arithmetic over
+    // the global EXCLUSIVE token prefix sum. The prefix sum is the
+    // distributed two-pass GlobalRank shape (range partition + O(partitions)
+    // driver longs) — a bare `sum OVER (ORDER BY)` would collapse to one
+    // task at 100 TB.
+    Q(
+      "q113_pack_manifest",
+      """WITH tk AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '')) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM tk WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 2048 AS first_bin,
+        |  (tok_offset + n_tokens - 1) // 2048 AS last_bin
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.GlobalRank
+        .withRunningTotal(docs, Seq("doc_id"), "n_tokens", "tok_offset")
+        .withColumn("first_bin", floor(col("tok_offset") / 2048).cast("long"))
+        .withColumn(
+          "last_bin",
+          floor((col("tok_offset") + col("n_tokens") - 1) / 2048).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget selection: take docs in deterministic md5(doc_id) order
+    // until a 50k-token budget is exhausted (the doc crossing the boundary
+    // is kept — it started inside the budget). Same prefix-sum primitive,
+    // ordered by the hash so the sample is unbiased yet reproducible on any
+    // engine/partitioning.
+    Q(
+      "q114_token_budget",
+      """WITH tk AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '')) AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM tk WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens FROM p WHERE tok_offset < 50000
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("_h"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.GlobalRank
+        .withRunningTotal(docs, Seq("_h"), "n_tokens", "tok_offset")
+        .filter(col("tok_offset") < 50000)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
     })
 }

@@ -485,5 +485,24 @@ object TrainingQueries {
         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.repetitionScores(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Sliding token-window chunking (context-window preprocessing): 64-token
+    // windows advancing by 48 (16-token overlap); every token lands in a
+    // chunk, the tail chunk may be short. One codegen'd projection + explode,
+    // no shuffle — output grows n/stride per doc, linear in the corpus.
+    Q(
+      "q112_chunk_windows",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0)
+        |SELECT doc_id, u.i AS chunk_id,
+        |  array_to_string(t[u.i*48+1 : least(u.i*48+64, n)], ' ') AS chunk_text,
+        |  least(64, n - u.i*48) AS n_tokens
+        |FROM c, unnest(generate_series(0,
+        |    (greatest(n - 64, 0) + 47) // 48)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunkTokenWindows(
+        Tables.load(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
     })
 }

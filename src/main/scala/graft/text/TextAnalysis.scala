@@ -117,6 +117,53 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("repetition"), lit(0.0)).as("repetition"))
   }
 
+  /** Sliding token-window chunking — the context-window preprocessing step
+    * of a pretraining/RAG pipeline: each document becomes overlapping chunks
+    * of `window` tokens advancing by `stride` (stride < window ⇒ overlap of
+    * window − stride tokens carries context across boundaries; stride =
+    * window ⇒ disjoint blocks). Chunk count per doc is
+    * 1 + ⌈max(n − window, 0) / stride⌉, so every token lands in ≥ 1 chunk
+    * and the final chunk may be short; empty docs produce no chunks.
+    *
+    * Scale shape: tokenize + per-doc chunk-index sequence + posexplode, all
+    * built-ins inside one codegen'd projection — no shuffle, no UDF; output
+    * grows ~n/stride per doc, linear in corpus size. The explode is the
+    * standard row-multiplier Spark distributes for free (contrast a
+    * driver-side loop over docs).
+    */
+  def chunkTokenWindows(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val t = tokens(col(textCol))
+    // ceil(max(n-window,0)/stride); Spark `/` is double division even on
+    // ints — floor keeps it integral (token counts are far below 2^53)
+    val lastIdx =
+      floor((greatest(col("_n") - window, lit(0)) + lit(stride - 1)) / lit(stride))
+    df.select(col(idCol), t.as("_t"), size(t).as("_n"))
+      .filter(col("_n") > 0)
+      .select(
+        col(idCol),
+        col("_t"),
+        col("_n"),
+        posexplode(sequence(lit(0), lastIdx.cast("int"))).as(Seq("chunk_id", "_i")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(
+          slice(
+            col("_t"),
+            col("chunk_id") * stride + 1,
+            least(lit(window), col("_n") - col("chunk_id") * lit(stride))),
+          " ").as("chunk_text"),
+        least(lit(window), col("_n") - col("chunk_id") * lit(stride))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Word bigrams of the shared tokenizer's output (empty when < 2 tokens). */
   private def bigrams(c: Column): Column = {
     val t = tokens(c)

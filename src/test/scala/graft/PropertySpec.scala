@@ -186,6 +186,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank.withRunningTotal == exclusive window prefix sum on random values") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val valGen = Gen.listOfN(50, Gen.choose(0L, 100L))
+    for ((vals, i) <- samples(valGen, 5).zipWithIndex if vals.nonEmpty) {
+      val df = vals.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("id", "v").repartition(7) // arbitrary input partitioning
+      val got = GlobalRank.withRunningTotal(df, Seq("id"), "v", "cum")
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      val want = df.select(
+        $"id",
+        coalesce(
+          sum($"v").over(Window.orderBy("id").rowsBetween(Long.MinValue, -1)),
+          lit(0L)).as("cum"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  test("GlobalRank.withRunningTotal on a duplicated order key fails loudly") {
+    import graft.operators.GlobalRank
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 1L)).toDF("k", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.withRunningTotal(df, Seq("k"), "v").collect()
+    }
+    assert(ex.getMessage.contains("nondeterministic") || Option(ex.getCause)
+      .exists(_.getMessage.contains("nondeterministic")))
+  }
+
   test("GlobalRank: tiesPossible=false on genuinely tied keys fails loudly, not silently") {
     import graft.operators.GlobalRank
     val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v") // v=10 duplicated

@@ -66,6 +66,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 0.0) // < 2 tokens
   }
 
+  test("chunkTokenWindows: overlap, short tail, full coverage, empty-doc drop") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than the window
+      (3L, ""),                                       // no tokens -> no chunks
+      (4L, "x y z p q r s t u v")                     // 10 tokens, disjoint case below
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokenWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    // starts 0,2,4,6: every token covered, 2-token overlap between neighbors
+    assert(out(1L).sortBy(_._2).map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(out(1L).forall(_._4 == 4))
+    assert(out(2L).toSeq == Seq((2L, 0L, "a b c", 3L))) // single short chunk
+    assert(!out.contains(3L))
+    // stride == window: disjoint blocks, no overlap
+    val disjoint = TextAnalysis.chunkTokenWindows(docs.filter($"doc_id" === 4), "doc_id", "text",
+      window = 5, stride = 5)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(disjoint.map(_._3).toSeq == Seq("x y z p q", "r s t u v"))
+    // coverage invariant: concatenating stride-prefixes + last chunk == all tokens
+    val tokens = out(1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    val reconstructed = tokens.init.map(_.take(2)).flatten ++ tokens.last
+    assert(reconstructed.toSeq == (1 to 10).map(i => s"w$i"))
+  }
+
   test("rolling fingerprint normalizes whitespace and is deterministic") {
     val df = Seq(
       "the quick   brown\tfox",
