@@ -28,6 +28,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalRank {
 
+  /** Order-key cell normalized for equality: binary columns come back as
+    * `Array[Byte]`, whose `==` is reference equality — two tied md5 keys in
+    * different rows would compare unequal and slip past the tie guard.
+    */
+  private def normKeyCell(v: Any): Any = v match {
+    case a: Array[Byte] => a.toSeq
+    case x => x
+  }
+
+  private def requireFresh(df: DataFrame, cols: String*): Unit =
+    for (c <- cols)
+      require(
+        !df.columns.contains(c),
+        s"GlobalRank: output column '$c' already exists in the input —" +
+          " withColumn would replace it in place while the stamped schema appends," +
+          " corrupting row arity; pass a different output column name")
+
   /** `df` + `rnCol` (1-based global row_number, long) + `nCol` (total rows,
     * long), ordered by `orderCols`. Row order within ties follows the sort's
     * (stable) placement, so make `orderCols` a TOTAL order (append a unique
@@ -40,6 +57,7 @@ object GlobalRank {
       nCol: String = "_n",
       failOnTies: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "global ranking needs at least one order column")
+    requireFresh(df, rnCol, nCol)
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
@@ -67,7 +85,7 @@ object GlobalRank {
       var prevKey: Seq[Any] = null
       it.map { r =>
         if (failOnTies) {
-          val key = keyIdx.map(r.get)
+          val key = keyIdx.map(i => normKeyCell(r.get(i)))
           if (prevKey != null && prevKey == key)
             throw new IllegalStateException(
               s"GlobalRank: tiesPossible=false but order key ${orderCols.mkString("(", ",", ")")}" +
@@ -99,6 +117,7 @@ object GlobalRank {
       valueCol: String,
       outCol: String = "_cum"): DataFrame = {
     require(orderCols.nonEmpty, "running total needs at least one order column")
+    requireFresh(df, outCol)
     val spark = df.sparkSession
     // null values count as 0 (getLong on a null cell would NPE mid-stamp)
     val projected = df.withColumn(outCol, coalesce(col(valueCol).cast("long"), lit(0L)))
@@ -120,7 +139,7 @@ object GlobalRank {
       var acc = offsets(pid)
       var prevKey: Seq[Any] = null
       it.map { r =>
-        val key = keyIdx.map(r.get)
+        val key = keyIdx.map(i => normKeyCell(r.get(i)))
         if (prevKey != null && prevKey == key)
           throw new IllegalStateException(
             s"GlobalRank.withRunningTotal: order key ${orderCols.mkString("(", ",", ")")}" +

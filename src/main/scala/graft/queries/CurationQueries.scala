@@ -75,53 +75,112 @@ object CurationQueries {
     * already returns a localCheckpoint'ed (lineage-truncated, block-manager
     * cached) frame, so the memoized handle survives the bench harness's
     * per-query `spark.catalog.clearCache()` (which clears only the SQL cache)
-    * and the second consumer pays a cache read, not a re-mine. Keyed by
-    * session identity so a fresh session recomputes.
+    * and the second consumer pays a cache read, not a re-mine.
+    *
+    * Lifecycle (a plain forever-map would pin stopped-session DataFrames and
+    * their localCheckpoint blocks in a long-lived service): entries key on
+    * the session OBJECT (reference equality — identityHashCode can recycle
+    * after GC and hand back a frame bound to a dead session), stopped-context
+    * entries are pruned on every access, a SparkListener evicts on
+    * application end, and [[evictMemos]] is public for a multi-session
+    * service retiring one session on a shared context. A weak-keyed map
+    * can't do this alone: the memoized DataFrame strongly references its
+    * SparkSession (value→key), so WeakHashMap entries would never collect.
     */
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
-  private def minhashComponents(s: SparkSession, dir: String): DataFrame =
-    componentsMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir),
-      _ => {
-        val pairs = graft.dedup.MinHashLsh.candidatePairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 3, numHashes = 12, bands = 4)
-        graft.dedup.DupClusters.components(pairs, "id_a", "id_b")
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  private val corpusRunMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]
+  private val cleanupRegistered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  /** Drop every memoized handle bound to `s` — called automatically when
+    * its SparkContext ends; call it directly when retiring one session of
+    * several sharing a context.
+    */
+  def evictMemos(s: SparkSession): Unit = {
+    componentsMemo.remove(s)
+    corpusRunMemo.remove(s)
+    cleanupRegistered.remove(s)
+  }
+
+  private def pruneStopped(): Unit =
+    for (m <- Seq(componentsMemo, corpusRunMemo)) {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    }
+
+  private def memoFor[V](
+      memo: java.util.concurrent.ConcurrentHashMap[
+        SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]],
+      s: SparkSession,
+      dir: String)(compute: => V): V = {
+    pruneStopped()
+    if (cleanupRegistered.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evictMemos(s)
       })
+    memo
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, V])
+      .computeIfAbsent(dir, _ => compute)
+  }
+
+  private[graft] def minhashComponents(s: SparkSession, dir: String): DataFrame =
+    memoFor(componentsMemo, s, dir) {
+      val pairs = graft.dedup.MinHashLsh.candidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 12, bands = 4)
+      graft.dedup.DupClusters.components(pairs, "id_a", "id_b")
+    }
 
   /** q110/q111 share ONE end-to-end [[graft.pipeline.CorpusPipeline]] run
     * per (session, dir): the pipeline writes a corpus snapshot + audit
     * counts in a single pass, and the two gates read different facets of
     * that run (kept rows vs audit counts). Fresh temp dirs per run keep the
-    * result deterministic — no prior corpus, no catalog carry-over.
+    * result deterministic — no prior corpus, no catalog carry-over; the
+    * dirs are registered for recursive deletion at JVM exit (they can't be
+    * deleted at eviction time in general — an evicted-but-collected
+    * DataFrame read from them may still be in flight elsewhere).
     */
-  private val corpusRunMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-tempdir-cleanup"))
+  }
+
   private def corpusRun(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    corpusRunMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir),
-      _ => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q110_").toString
-        val docs = Tables.load(s, dir, "documents")
-        val pipe = new graft.pipeline.CorpusPipeline(
-          s,
-          new graft.catalog.Catalog(s, s"$tmp/catalog"),
-          s"$tmp/corpus",
-          minQualityTokens = 5,
-          nearDupJaccard = 0.8,
-          benchmark = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 3)))
-        val res = pipe.processBatch(
-          docs.filter(pmod(col("doc_id"), lit(97)) =!= 3), "gate_batch")
-        val kept = graft.load.Snapshot.readTable(s, s"$tmp/corpus")
-          .select(col("doc_id"), col("split"))
-          .orderBy("doc_id")
-        import s.implicits._
-        val audit = Seq(
-          (res.ingested, res.exactDups, res.nearDups, res.rejected, res.contaminated))
-          .toDF("ingested", "exact_dups", "near_dups", "rejected", "contaminated")
-        (kept, audit)
-      })
+    memoFor(corpusRunMemo, s, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q110_").toString
+      tempDirs.add(tmp)
+      val docs = Tables.load(s, dir, "documents")
+      val pipe = new graft.pipeline.CorpusPipeline(
+        s,
+        new graft.catalog.Catalog(s, s"$tmp/catalog"),
+        s"$tmp/corpus",
+        minQualityTokens = 5,
+        nearDupJaccard = 0.8,
+        benchmark = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 3)))
+      val res = pipe.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 3), "gate_batch")
+      val kept = graft.load.Snapshot.readTable(s, s"$tmp/corpus")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+      import s.implicits._
+      val audit = Seq(
+        (res.ingested, res.exactDups, res.nearDups, res.rejected, res.contaminated))
+        .toDF("ingested", "exact_dups", "near_dups", "rejected", "contaminated")
+      (kept, audit)
+    }
 
   /** DuckDB replay of that corpus-pipeline run: quality gate → first-wins
     * exact dedup → LSH candidates → Jaccard-verified edges → connected
@@ -1166,12 +1225,12 @@ object CurationQueries {
         |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '')) AS n_tokens
         |  FROM documents),
         |p AS (SELECT doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |  FROM tk WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens, tok_offset,
-        |  tok_offset // 2048 AS first_bin,
-        |  (tok_offset + n_tokens - 1) // 2048 AS last_bin
+        |  CAST(tok_offset // 2048 AS BIGINT) AS first_bin,
+        |  CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_bin
         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(

@@ -355,6 +355,21 @@ class CurationSpec extends SparkSpec {
     assert(comp.length == 129 && comp.forall(_._2 == 0L))
   }
 
+  // ---- per-session memoization lifecycle ----------------------------------
+
+  test("minhashComponents memoizes per (session, dir) and evictMemos drops the handle") {
+    import graft.queries.CurationQueries
+    CurationQueries.evictMemos(spark) // clean slate regardless of test order
+    val a = CurationQueries.minhashComponents(spark, sf)
+    val b = CurationQueries.minhashComponents(spark, sf)
+    assert(a eq b, "second call must return the memoized handle, not re-mine")
+    CurationQueries.evictMemos(spark)
+    val c = CurationQueries.minhashComponents(spark, sf)
+    assert(!(a eq c), "eviction must force a fresh computation")
+    assert(c.count() == a.count()) // and the recompute agrees
+    CurationQueries.evictMemos(spark)
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   test("decontaminate flags shingle overlap and removeContaminated drops it") {

@@ -215,6 +215,35 @@ class PropertySpec extends SparkSpec {
       .exists(_.getMessage.contains("nondeterministic")))
   }
 
+  test("GlobalRank: colliding output column names are rejected up front") {
+    import graft.operators.GlobalRank
+    val df = Seq((1L, 5L)).toDF("id", "v")
+    // withColumn would REPLACE an existing column while the stamped schema
+    // APPENDS one — arity corruption at createDataFrame; must fail eagerly
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRunningTotal(df, Seq("id"), "v", outCol = "v")
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRowNumber(df, Seq("id"), rnCol = "id")
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRowNumber(df, Seq("id"), nCol = "v")
+    }
+  }
+
+  test("GlobalRank: duplicated BINARY order keys are detected as ties") {
+    import graft.operators.GlobalRank
+    // binary cells surface as Array[Byte], whose == is reference equality —
+    // the tie guard must compare contents or md5-keyed ties slip through
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("s", "v")
+      .select(unhex(md5($"s")).as("k"), $"v") // k duplicated for the two "a"s
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.withRunningTotal(df, Seq("k"), "v").collect()
+    }
+    assert(ex.getMessage.contains("nondeterministic") || Option(ex.getCause)
+      .exists(_.getMessage.contains("nondeterministic")))
+  }
+
   test("GlobalRank: tiesPossible=false on genuinely tied keys fails loudly, not silently") {
     import graft.operators.GlobalRank
     val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v") // v=10 duplicated
