@@ -504,5 +504,59 @@ object TrainingQueries {
       TextAnalysis.chunkTokenWindows(
         Tables.load(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // Banded (multi-probe) sign-LSH candidate pairs: 16 planes in 2 bands of
+    // 8 — agreement on ALL bits of ANY band makes a candidate. Per-band
+    // selectivity stays at 2^8 cells while the OR across bands recovers the
+    // recall a single 16-bit key would lose to one flipped sign; band 0
+    // reuses plane indices 0..7, so these candidates are a strict superset
+    // of the plain 8-plane q37 bucketing (pinned in SimilaritySpec too).
+    Q(
+      "q115_ann_lsh_banded",
+      """WITH bits AS (
+        |  SELECT vec_id, array_to_string(list_transform(generate_series(0, 15), h ->
+        |    CASE WHEN list_aggregate(list_transform(generate_series(1, 64), i ->
+        |      embedding[i]::DOUBLE *
+        |      ((CAST(('0x' || substr(md5(h::VARCHAR || ':' || (i-1)::VARCHAR), 1, 6)) AS BIGINT)::DOUBLE
+        |        / 8388608.0) - 1.0)), 'sum') >= 0
+        |    THEN '1' ELSE '0' END), '') AS f
+        |  FROM embeddings),
+        |band AS (SELECT vec_id, u.b AS band, substr(f, u.b*8+1, 8) AS bucket
+        |  FROM bits, unnest(generate_series(0, 1)) AS u(b))
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.bandedCandidatePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        numPlanes = 16, bands = 2, dims = 64)
+        .orderBy("id_a", "id_b")
+    },
+
+    // q34's embedding near-dup under a block cap that FORCES triangle
+    // sub-blocking (cap 16 vs max block ~59 → g=4, every block split): the
+    // oracle is q34's exact SQL, so the capped plan is pinned row-identical
+    // to the uncapped semantics — the skew guard provably changes the
+    // schedule, never the answer.
+    Q(
+      "q116_embed_capped",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+        |      / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.nearDuplicatePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        minCosine = -2.0, maxBlockRows = 16)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
     })
 }

@@ -130,18 +130,85 @@ object Similarity {
     concat_ws("", (dimsCheck +: bits.toSeq): _*)
   }
 
-  /** LSH candidate pairs: equal bucket → candidate (verify with [[cosine]]). */
+  /** Corpus-aware hyperplane count: with p planes there are 2^p buckets, so
+    * expected occupancy is N/2^p — p ≈ log₂(N) + margin keeps expected
+    * occupancy at 2^−margin and the candidate-join output near-linear. A
+    * FIXED p (the old default 8 → 256 buckets) degrades toward N²/2^p pairs
+    * as the corpus grows: fine at 10⁴ vectors, quadratic disaster at 10⁹.
+    * margin=4 → expected 1/16 row per bucket; real collisions then come from
+    * angular closeness (the signal), not bucket crowding (the noise).
+    */
+  def planesFor(corpusCount: Long, margin: Int = 4): Int = {
+    val n = math.max(corpusCount, 2L)
+    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(8, log2ceil + margin)
+  }
+
+  /** LSH candidate pairs: equal bucket → candidate (verify with [[cosine]]).
+    *
+    * `numPlanes <= 0` (the default) sizes the hyperplane count from the
+    * corpus via [[planesFor]] — one `count()` action (parquet-footer cheap)
+    * buys a bucket space that grows with N instead of a fixed 256-bucket
+    * grid whose occupancy would grow linearly with the corpus. For
+    * recall-sensitive use at scale prefer [[bandedCandidatePairs]], which
+    * keeps per-band buckets selective while OR-ing bands for recall.
+    */
   def lshCandidatePairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numPlanes: Int = 8,
+      numPlanes: Int = 0,
       dims: Int = 64): DataFrame = {
+    val planes = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
     val bucketed =
-      corpus.select(col(idCol), hyperplaneBucket(col(vecCol), numPlanes, dims).as("bucket"))
+      corpus.select(col(idCol), hyperplaneBucket(col(vecCol), planes, dims).as("bucket"))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")).select("id_a", "id_b", "bucket")
+  }
+
+  /** Banded (multi-probe) sign-LSH candidate pairs — the embedding analog of
+    * [[graft.dedup.MinHashLsh.bandKeys]]: the `numPlanes` sign bits split
+    * into `bands` groups of `numPlanes/bands` bits; vectors agreeing on ALL
+    * bits of ANY band become candidates. AND-ing within a band keeps each
+    * band-bucket selective (2^{planes/band} cells); OR-ing across bands
+    * recovers the recall a single wide bucket key throws away (one flipped
+    * sign near a hyperplane no longer hides a true near-duplicate).
+    *
+    * Candidate-set invariant (pinned by SimilaritySpec): band 0 of a
+    * (p·b)-plane banded index uses plane indices 0..p−1 — the identical md5
+    * formula as a plain p-plane bucket — so the banded candidates are a
+    * SUPERSET of [[lshCandidatePairs]] at p planes: strictly better recall
+    * at bounded per-band occupancy.
+    *
+    * Scale shape: one projection (bits), one posexplode (`bands` rows/vector),
+    * one self-equi-join on (band, bucket), one distinct — the same near-linear
+    * plan MinHashLsh runs. `numPlanes <= 0` sizes planes from the corpus via
+    * [[planesFor]] (rounded up to a multiple of `bands`).
+    */
+  def bandedCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 0,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(bands > 0, s"bands=$bands must be positive")
+    val planes0 = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
+    val planes = ((planes0 + bands - 1) / bands) * bands // round up to band multiple
+    require(planes % bands == 0, s"numPlanes=$planes not divisible by bands=$bands")
+    val r = planes / bands
+    val banded = corpus
+      .select(col(idCol), hyperplaneBucket(col(vecCol), planes, dims).as("_bits"))
+      .select(col(idCol), posexplode(
+        array((0 until bands).map(b => substring(col("_bits"), b * r + 1, r)): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** Unit-normalized copy of the vector (double elements). Normalizing ONCE
@@ -156,23 +223,77 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
     * cluster/label column to bound the pair space (IVF-style blocking).
-    * Vectors are normalized on the build side of the join (once per row,
-    * before the exchange), so each pair costs one fused dot product.
+    * Vectors are normalized once per row, so each pair costs one fused dot
+    * product.
+    *
+    * Skew guard — triangle sub-blocking: a block larger than `maxBlockRows`
+    * splits into g = ⌈n/cap⌉ hash sub-blocks, and each row replicates to the
+    * g group-pair keys (min(s,j), max(s,j)) it participates in, so the
+    * self-join runs per (block, ki, kj) key with ≤ 2·cap rows a side. A hot
+    * block (one k-means cell holding 10% of the corpus) thus fans out over
+    * g·(g+1)/2 independent join tasks instead of collapsing into one
+    * quadratic straggler — the total pair work is unchanged (it is the
+    * output), but it is now PARALLEL and each task's memory is bounded.
+    * The canonical-key filter (ki,kj) == (min(sa,sb), max(sa,sb)) emits each
+    * pair exactly once, so the result is row-identical to the uncapped join
+    * (pinned by the q116 oracle, which replays q34's SQL against a cap that
+    * forces g=4 sub-blocking). Replication cost: g rows per input row —
+    * o(total pair output) by construction, and 1 (no copies) for every
+    * block under the cap.
     */
   def nearDuplicatePairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      minCosine: Double): DataFrame = {
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val normed = corpus
-      .repartition(parts, col(blockCol)) // spread + pre-partition for the join
+      minCosine: Double,
+      maxBlockRows: Int = 16384): DataFrame = {
+    require(maxBlockRows > 0, s"maxBlockRows=$maxBlockRows must be positive")
+    // one row per block — AQE broadcasts it back onto the corpus
+    val sizes = corpus.groupBy(col(blockCol).as("_blk")).agg(count(lit(1)).as("_bn"))
+    // O(1) driver probe (a single long): when no block exceeds the cap —
+    // the common case — keep the lean plain self-join plan; the triangle
+    // machinery (size join + key explode) engages only under genuine skew,
+    // so well-blocked corpora pay one cheap agg job, not three extra stages
+    val maxBlock = Option(sizes.agg(max(col("_bn"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxBlock <= maxBlockRows) {
+      val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val normed = corpus
+        .repartition(parts, col(blockCol)) // spread + pre-partition for the join
+        .select(col(blockCol).as("_blk"), col(idCol), normalized(col(vecCol)).as("_nv"))
+      val a = normed.select(col("_blk"), col(idCol).as("id_a"), col("_nv").as("_na"))
+      val b = normed.select(col("_blk"), col(idCol).as("id_b"), col("_nv").as("_nb"))
+      return a.join(b, Seq("_blk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          graft.functions.VectorFunctions.dot(col("_na"), col("_nb")).as("cos_sim"))
+        .filter(col("cos_sim") >= minCosine)
+    }
+    val keyed = corpus
       .select(col(blockCol).as("_blk"), col(idCol), normalized(col(vecCol)).as("_nv"))
-    val a = normed.select(col("_blk"), col(idCol).as("id_a"), col("_nv").as("_na"))
-    val b = normed.select(col("_blk"), col(idCol).as("id_b"), col("_nv").as("_nb"))
-    a.join(b, Seq("_blk"))
+      .join(sizes, "_blk")
+      .withColumn("_g",
+        floor((col("_bn") + lit(maxBlockRows - 1L)) / lit(maxBlockRows.toLong)).cast("int"))
+      .withColumn("_sub", pmod(xxhash64(col(idCol)), col("_g")).cast("int"))
+      .select(col("_blk"), col(idCol), col("_nv"), col("_sub"),
+        explode(sequence(lit(0), col("_g") - 1)).as("_j"))
+      .select(col("_blk"), col(idCol), col("_nv"), col("_sub"),
+        least(col("_sub"), col("_j")).as("_ki"),
+        greatest(col("_sub"), col("_j")).as("_kj"))
+    val a = keyed.select(col("_blk"), col("_ki"), col("_kj"),
+      col(idCol).as("id_a"), col("_sub").as("_sa"), col("_nv").as("_na"))
+    val b = keyed.select(col("_blk"), col("_ki"), col("_kj"),
+      col(idCol).as("id_b"), col("_sub").as("_sb"), col("_nv").as("_nb"))
+    a.join(b, Seq("_blk", "_ki", "_kj"))
       .filter(col("id_a") < col("id_b"))
+      // canonical key: a pair with subs (sa,sb) matches on every shared
+      // group-pair key when sa==sb — keep only (min,max) so each pair is
+      // emitted exactly once
+      .filter(col("_ki") === least(col("_sa"), col("_sb")) &&
+        col("_kj") === greatest(col("_sa"), col("_sb")))
       .select(
         col("id_a"),
         col("id_b"),

@@ -133,4 +133,49 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("planesFor: ~log2(N)+margin, floored at the 8-plane minimum") {
+    assert(Similarity.planesFor(2) == 8) // tiny corpus keeps the old default
+    assert(Similarity.planesFor(100) == 11) // ceil(log2(100))=7, +4
+    assert(Similarity.planesFor(256) == 12)
+    assert(Similarity.planesFor(1L << 30) == 34) // 1B vectors -> 2^34 buckets
+    // auto path (numPlanes<=0) at 5 rows resolves to the same 8-plane set
+    val auto = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", dims = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", 8, dims = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+  }
+
+  test("banded LSH: superset of plain bucketing; one band reproduces it exactly") {
+    val plain = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding", 8, dims = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // band 0 of the 16-plane/2-band index reuses plane indices 0..7, so the
+    // multi-probe candidates can only ADD recall, never lose it
+    val banded = Similarity.bandedCandidatePairs(vecs, "vec_id", "embedding", 16, 2, dims = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(plain.subsetOf(banded))
+    val oneBand = Similarity.bandedCandidatePairs(vecs, "vec_id", "embedding", 8, 1, dims = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(oneBand == plain)
+  }
+
+  test("capped near-dup (forced triangle sub-blocking) is row-identical to uncapped") {
+    // 40 vectors in ONE block: cap 7 -> g=6 sub-blocks, 21 group-pair keys
+    val one = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat, 0.1f * (i % 3), 1.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val unc = Similarity.nearDuplicatePairs(one, "vec_id", "embedding", "label", -2.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val cap = Similarity.nearDuplicatePairs(one, "vec_id", "embedding", "label", -2.0, maxBlockRows = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unc.size == 40 * 39 / 2) // every pair present exactly once
+    assert(cap == unc)
+    // multi-block data under cap 1 (every block splits) also matches
+    val unc2 = Similarity.nearDuplicatePairs(vecs, "vec_id", "embedding", "label", -2.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val cap2 = Similarity.nearDuplicatePairs(vecs, "vec_id", "embedding", "label", -2.0, maxBlockRows = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cap2 == unc2)
+  }
 }
