@@ -100,6 +100,51 @@ object Stress {
       graft.dedup.DupClusters.convergenceRounds(pairs, "id_a", "id_b").toLong
     }
     pairs.unpersist()
+
+    // r5-verdict perf-weak #2: a hot block in the embedding near-dup join.
+    // 40k vectors forced into ONE block (~800M pair dot products): the
+    // uncapped join collapses onto a single (block-keyed) task, while the
+    // triangle sub-blocking (cap 4096 -> g=10, 55 group-pair keys) spreads
+    // the identical pair work across the cores. Same operator, same answer
+    // (SimilaritySpec pins row-identity); the wall-clock gap below is pure
+    // scheduling — the quadratic straggler vs the parallel fan-out.
+    val skew = spark.range(40000L).select(
+      col("id").as("vec_id"), lit(0).as("label"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod(col("id") * (i + lit(7)) + i * i, lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    time("embed_skew_40k_1task") {
+      graft.sim.Similarity.nearDuplicatePairs(
+        skew, "vec_id", "embedding", "label", 0.9999, maxBlockRows = Int.MaxValue).count()
+    }
+    time("embed_skew_40k_capped") {
+      graft.sim.Similarity.nearDuplicatePairs(
+        skew, "vec_id", "embedding", "label", 0.9999, maxBlockRows = 4096).count()
+    }
+
+    // r5-verdict perf-weak #1: fixed 8-plane sign-LSH occupancy at scale.
+    // 100k near-dup-heavy vectors (50 jittered replicas of the sf0.1
+    // corpus): report max/mean bucket occupancy for the old fixed-8 default
+    // vs planesFor(100k)=21 — the corpus-aware index must keep occupancy
+    // bounded by the data's true duplicate structure, not the bucket grid.
+    val emb50 = (1 to 50).map { rep =>
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(rep.toLong) * 1000000L)
+        .withColumn("embedding", transform(col("embedding"), (v, i) =>
+          (v.cast("double") + (i * rep % 17 - 8) * 2e-4).cast("float")))
+    }.reduce(_ unionByName _)
+    def occupancy(planes: Int): Long = {
+      val h = emb50
+        .select(graft.sim.Similarity.hyperplaneBucket(col("embedding"), planes).as("b"))
+        .groupBy("b").count()
+        .agg(max("count").as("mx"), count(lit(1)).as("nb")).head()
+      println(f"STRESS   lsh_occupancy planes=$planes%-3d buckets=${h.getLong(1)}%7d " +
+        f"max_bucket=${h.getLong(0)}%7d")
+      h.getLong(0)
+    }
+    time("lsh_occupancy_fixed8_100k")(occupancy(8))
+    time("lsh_occupancy_auto21_100k")(
+      occupancy(graft.sim.Similarity.planesFor(100000L)))
   }
 
   def main(args: Array[String]): Unit = {
