@@ -558,5 +558,104 @@ object TrainingQueries {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Multi-probe IVF: the probe scans its TWO nearest cells, not one —
+    // the recall knob every IVF deployment turns (nProbe trades scan
+    // fraction for recall; the plan is identical, just a 2-row broadcast).
+    Q(
+      "q117_ann_ivf_multiprobe",
+      """WITH cm AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, unnest(generate_series(1, 64)) AS u(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+        |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |best AS (SELECT label FROM cent, p
+        |  ORDER BY list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> c[i] * pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> c[i]*c[i]), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> pe[i]::DOUBLE * pe[i]::DOUBLE), 'sum'))) DESC, label
+        |  LIMIT 2)
+        |SELECT e.vec_id,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> p.pe[i]::DOUBLE * p.pe[i]::DOUBLE), 'sum'))), 6) AS sim
+        |FROM embeddings e JOIN best USING (label), p
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val centroids = Similarity.centroidsOf(emb, "embedding", "label")
+      Similarity.ivfTopK(emb, centroids, "vec_id", "embedding", "label", probe, 5, nProbe = 2)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
+    // ANN over an int8-quantized corpus (the 4x-storage-cut path): corpus
+    // vectors quantize to int8 codes + one double scale, search runs on the
+    // DEQUANTIZED reconstruction against the full-precision probe. The
+    // oracle replays quantize -> dequantize -> cosine exactly (floor-based
+    // round-half-up, engine-portable), so any quantization drift breaks the
+    // hash, not just the ranking.
+    Q(
+      "q118_ann_quantized",
+      """WITH s AS (SELECT vec_id, embedding,
+        |    greatest(list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+        |      / 127.0, 1e-30) AS sc
+        |  FROM embeddings),
+        |d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE / sc + 0.5) * sc) AS dv
+        |  FROM s),
+        |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> dv[i] * pe[i]::DOUBLE), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> dv[i] * dv[i]), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |         i -> pe[i]::DOUBLE * pe[i]::DOUBLE), 'sum'))), 6) AS sim
+        |FROM d, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val probeCol = array(probe.map(v => lit(v)): _*)
+      val stored = emb
+        .select(col("vec_id"), col("embedding"), Similarity.int8Scale(col("embedding")).as("_sc"))
+        .select(col("vec_id"), col("_sc"),
+          Similarity.quantizeInt8(col("embedding"), col("_sc")).as("_q"))
+      stored
+        .select(col("vec_id"),
+          Similarity.cosine(
+            Similarity.dequantizeInt8(col("_q"), col("_sc")), probeCol).as("sim"))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Out-of-vocabulary share per document against the corpus's own
+    // frequent-token vocabulary (tf >= 10): the self-referential quality
+    // signal — OCR garbage and off-language docs spike it. Exact integer
+    // ratio, engine-portable.
+    Q(
+      "q119_oov_ratio",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |occ AS (SELECT doc_id, unnest(t) AS token FROM tok),
+        |voc AS (SELECT token FROM (SELECT token, count(*) AS c FROM occ GROUP BY token)
+        |        WHERE c >= 10),
+        |per AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM occ LEFT JOIN voc v USING (token) GROUP BY occ.doc_id)
+        |SELECT tok.doc_id,
+        |  coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE per.n_oov * 1.0 / per.n_tokens END AS oov_ratio
+        |FROM tok LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.oovRatios(
+        Tables.load(s, dir, "documents"), "doc_id", "text", minCount = 10L)
+        .orderBy("doc_id")
     })
 }

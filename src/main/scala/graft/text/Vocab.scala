@@ -84,6 +84,38 @@ object Vocab {
       .agg((lit(1.0) - sum(col("_c") * col("_c")).cast("double") /
         (sum(col("_c")) * sum(col("_c"))).cast("double")).as("gini"))
 
+  /** (id, n_tokens, n_oov, oov_ratio) out-of-vocabulary share per document,
+    * where the vocabulary is the corpus's own tokens with global term
+    * frequency ≥ `minCount` — the self-referential quality signal (docs
+    * full of tokens the rest of the corpus never uses are noise, OCR
+    * garbage, or another language). Token-less docs report ratio 0.
+    *
+    * Scale shape: one explode + map-side-combined count builds the vocab;
+    * the membership check is a left join keyed by token — the vocab side is
+    * exactly the distinct frequent tokens (Zipf-small vs occurrences), so
+    * AQE broadcasts it when it fits and falls back to a token-keyed shuffle
+    * when it doesn't. No driver-side collect of the vocabulary.
+    */
+  def oovRatios(df: DataFrame, idCol: String, textCol: String, minCount: Long): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+      .filter(col("_tf") >= minCount)
+      .select(col("token"), lit(1).as("_in"))
+    val per = toks.join(vocab, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_oov") * lit(1.0) / col("n_tokens")).as("oov_ratio"))
+  }
+
   /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —
     * same shape as [[graft.dedup.MinHashLsh.shingles]], but counted, not
     * hashed).

@@ -117,6 +117,20 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(g(1L) - 0.75) < 1e-12 && g(2L) == 0.0)
   }
 
+  test("oov ratio against the corpus's own frequent-token vocabulary") {
+    // "common" appears 3x (>= minCount 2) -> in-vocab; everything else OOV
+    val docs = Seq(
+      (1L, "common common rare1"), // 1/3 oov
+      (2L, "common rare2 rare3"), // 2/3 oov
+      (3L, "")) // token-less: ratio 0, counts 0
+      .toDF("doc_id", "text")
+    val got = Vocab.oovRatios(docs, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(got(2L) == ((3L, 2L, 2.0 / 3)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("ngram counts slide over token runs") {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     val grams = Vocab.ngramCounts(docs, "text", 2).as[(String, Long)].collect().toMap

@@ -135,4 +135,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SinglePartition"), s"$q has a single-partition exchange:\n$p")
     }
   }
+
+  test("q116: capped near-dup pair join is shuffle-hash, never a broadcast of the fan-out") {
+    // sf0.001 embeddings max block (63) > cap (16), so the triangle path
+    // plans here. AQE would happily broadcast the replicated side — a
+    // driver-sized hash of the whole fan-out and a single-point build at
+    // scale; the shuffle_hash hint must hold it to a key-partitioned join.
+    val p = plan("q116_embed_capped")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash pair join in:\n$p")
+  }
+
+  test("q115: banded LSH candidates come from an equi-join, never a cross product") {
+    val p = plan("q115_ann_lsh_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banded LSH degraded to an all-pairs plan:\n$p")
+    assert(p.contains("Generate"), s"missing band posexplode in:\n$p")
+  }
 }

@@ -244,6 +244,28 @@ class PropertySpec extends SparkSpec {
       .exists(_.getMessage.contains("nondeterministic")))
   }
 
+  test("triangle sub-blocking == plain all-pairs join for any cap (random vectors)") {
+    import graft.sim.Similarity
+    val vecGen: Gen[List[(Int, Int, Int, Int)]] =
+      Gen.listOfN(35, Gen.zip(
+        Gen.choose(0, 1), Gen.choose(-100, 100), Gen.choose(-100, 100), Gen.choose(-100, 100)))
+    for ((rows, si) <- samples(vecGen, 2).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((lbl, a, b, c), i) =>
+        // +1.0 on the last dim keeps every vector non-zero (cosine defined)
+        (i.toLong, Seq(a / 100.0f, b / 100.0f, c / 100.0f, 1.0f), lbl)
+      }.toDF("vec_id", "embedding", "label")
+      val plain = Similarity.nearDuplicatePairs(
+        df, "vec_id", "embedding", "label", -2.0, maxBlockRows = Int.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      for (cap <- Seq(1, 6)) {
+        val capped = Similarity.nearDuplicatePairs(
+          df, "vec_id", "embedding", "label", -2.0, maxBlockRows = cap)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(capped == plain, s"sample $si cap=$cap: capped pairs diverge from plain join")
+      }
+    }
+  }
+
   test("GlobalRank: tiesPossible=false on genuinely tied keys fails loudly, not silently") {
     import graft.operators.GlobalRank
     val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v") // v=10 duplicated

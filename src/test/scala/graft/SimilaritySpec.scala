@@ -160,6 +160,27 @@ class SimilaritySpec extends SparkSpec {
     assert(oneBand == plain)
   }
 
+  test("int8 quantization: codes bounded, reconstruction error <= scale/2, zero vector safe") {
+    val withZero = vecs.union(Seq((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label"))
+    val rows = withZero
+      .select($"vec_id", $"embedding", Similarity.int8Scale($"embedding").as("sc"))
+      .select($"vec_id", $"embedding", $"sc", Similarity.quantizeInt8($"embedding", $"sc").as("q"))
+      .select($"vec_id", $"embedding", $"sc", $"q", Similarity.dequantizeInt8($"q", $"sc").as("d"))
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1); val sc = r.getDouble(2)
+      val q = r.getSeq[Int](3); val d = r.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes out of range: $q")
+      emb.zip(d).foreach { case (v, dv) =>
+        assert(math.abs(v.toDouble - dv) <= sc / 2 + 1e-12, s"error > scale/2 for $v -> $dv (sc=$sc)")
+      }
+    }
+    // the max-|v| element must hit +/-127 exactly (no clamp needed by design)
+    val unit = rows.find(_.getLong(0) == 0L).get.getSeq[Int](3)
+    assert(unit.contains(127))
+  }
+
   test("capped near-dup (forced triangle sub-blocking) is row-identical to uncapped") {
     // 40 vectors in ONE block: cap 7 -> g=6 sub-blocks, 21 group-pair keys
     val one = (0 until 40).map { i =>
