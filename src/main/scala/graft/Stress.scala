@@ -145,6 +145,45 @@ object Stress {
     time("lsh_occupancy_fixed8_100k")(occupancy(8))
     time("lsh_occupancy_auto21_100k")(
       occupancy(graft.sim.Similarity.planesFor(100000L)))
+
+    // text/curation family at 50x: the wordcount-shaped aggregations whose
+    // 100 TB story is map-side combine — per-row cost must stay flat from
+    // the 5k-doc gate corpus to 250k docs
+    time("oov_ratio_250k_docs") {
+      graft.text.Vocab.oovRatios(docs, "doc_id", "text", 10L).count()
+    }
+    time("tfidf_250k_docs") {
+      graft.text.Vocab.tfIdf(docs, "doc_id", "text").count()
+    }
+
+    // int8 quantization: the STORAGE claim, measured — 100k vectors written
+    // as float32 arrays vs int8 codes + one double scale, then the ANN
+    // search run from the quantized table (the production read path)
+    val floatPath = s"$base/emb_float"
+    val int8Path = s"$base/emb_int8"
+    if (!graft.load.Snapshot.exists(spark, floatPath))
+      emb50.write.mode("overwrite").parquet(floatPath)
+    if (!graft.load.Snapshot.exists(spark, int8Path))
+      emb50
+        .select(col("vec_id"), col("embedding"),
+          graft.sim.Similarity.int8Scale(col("embedding")).as("sc"))
+        .select(col("vec_id"), col("sc"),
+          graft.sim.Similarity.quantizeInt8(col("embedding"), col("sc"))
+            .cast("array<byte>").as("q"))
+        .write.mode("overwrite").parquet(int8Path)
+    val fb = graft.pipeline.Retention.folderSize(spark, floatPath)
+    val qb = graft.pipeline.Retention.folderSize(spark, int8Path)
+    println(f"STRESS   int8_storage float=${fb / 1e6}%8.1f MB  int8=${qb / 1e6}%8.1f MB  " +
+      f"ratio=${fb.toDouble / qb}%.2f")
+    val probe = spark.read.parquet(floatPath).filter(col("vec_id") === 1000001L)
+      .select("embedding").head().getSeq[Float](0)
+    time("ann_quantized_100k") {
+      val qt = spark.read.parquet(int8Path)
+      val probeCol = array(probe.map(v => lit(v)): _*)
+      qt.select(col("vec_id"), graft.sim.Similarity.cosine(
+          graft.sim.Similarity.dequantizeInt8(col("q"), col("sc")), probeCol).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10).count()
+    }
   }
 
   def main(args: Array[String]): Unit = {
