@@ -87,6 +87,51 @@ object Splits {
     df.filter(u < rate)
   }
 
+  /** Temperature-flattened stratum rebalancing — the data-mixing knob of
+    * LLM corpus assembly (downweight the dominant language/source toward a
+    * flatter mix, keep rare strata whole): target share ∝ n_s^alpha, scaled
+    * so the SMALLEST stratum keeps everything, i.e. keep_frac(s) =
+    * (n_min / n_s)^(1−alpha). alpha = 1 keeps the natural mix; alpha = 0
+    * downsamples every stratum to the smallest one's size (in expectation).
+    * The keep decision hashes the row key ([[hashBucket]] family), so it is
+    * per-row deterministic, partitioning-independent, and rerun-stable.
+    * Double `pow` is NOT bit-portable across engines — for the oracle-gated
+    * α = ½ case use [[temperatureRebalanceSqrt]], whose decision is exact
+    * integer arithmetic.
+    */
+  def temperatureRebalance(
+      df: DataFrame,
+      strataCol: String,
+      key: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha must be in [0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_ns"))
+    val nmin = counts.agg(min(col("_ns")).as("_nmin"))
+    val u = hash24(key).cast("double") / lit(16777216.0)
+    df.join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(nmin))
+      .filter(u < pow(col("_nmin").cast("double") / col("_ns"), lit(1.0 - alpha)))
+      .drop("_ns", "_nmin")
+  }
+
+  /** [[temperatureRebalance]] at α = ½ with an EXACT integer keep decision:
+    * u < √(n_min/n_s)  ⟺  u²·n_s < n_min  ⟺  h²·n_s < n_min·2²⁴ for the
+    * 12-bit hash h = u·2¹². Every quantity is integral, so the decision is
+    * bit-identical in any engine with md5 — no floating-point pow/sqrt at
+    * all. The 12-bit hash quantizes keep rates to 1/4096 granularity, and
+    * h² < 2²⁴ keeps h²·n_s inside int64 for strata up to ~5·10¹¹ rows.
+    */
+  def temperatureRebalanceSqrt(df: DataFrame, strataCol: String, key: Column): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_ns"))
+    val nmin = counts.agg(min(col("_ns")).as("_nmin"))
+    val h12 = conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("long")
+    df.withColumn("_h", h12)
+      .join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(nmin))
+      .filter(col("_h") * col("_h") * col("_ns") < col("_nmin") * lit(16777216L))
+      .drop("_h", "_ns", "_nmin")
+  }
+
   /** Per-key quota: keep the top `n` rows of each key by `order` (include a
     * unique tie-break in `order` for determinism). The curation use: cap any
     * one domain/source at `n` documents, best-first.

@@ -1274,5 +1274,51 @@ object CurationQueries {
         .filter(col("tok_offset") < 50000)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // Corpus-level repeated-span removal (the RefinedWeb "duplicated line"
+    // correction over 10-token spans): spans occurring in >= 2 distinct
+    // docs (duplicated bodies, boilerplate) are dropped and each doc is
+    // reassembled from its surviving spans in order.
+    Q(
+      "q120_span_dedup",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, u.i AS cid,
+        |    array_to_string(t[u.i*10+1 : least(u.i*10+10, n)], ' ') AS ctext
+        |  FROM c, unnest(generate_series(0, (greatest(n - 10, 0) + 9) // 10)) AS u(i)),
+        |hot AS (SELECT ctext FROM (SELECT ctext, count(DISTINCT doc_id) AS nd
+        |                           FROM ch GROUP BY ctext) WHERE nd >= 2),
+        |j AS (SELECT ch.doc_id, ch.cid, ch.ctext, h.ctext IS NOT NULL AS ishot
+        |  FROM ch LEFT JOIN hot h ON ch.ctext = h.ctext)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(ctext ORDER BY cid) FILTER (WHERE NOT ishot), ' '), '')
+        |    AS kept_text,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN ishot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.TextAnalysis.stripRepeatedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", spanTokens = 10, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // Temperature-flattened language rebalancing at alpha = 1/2: the
+    // dominant stratum downsamples toward a flatter mix, the smallest
+    // keeps everything; the keep decision is exact integer arithmetic
+    // (h^2 * n_s < n_min * 2^24), bit-identical in any engine with md5.
+    Q(
+      "q121_temperature_mix",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY lang),
+        |m AS (SELECT min(ns) AS nmin FROM c),
+        |h AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 3)) AS BIGINT) AS h12
+        |  FROM documents)
+        |SELECT h.doc_id, h.lang FROM h JOIN c USING (lang), m
+        |WHERE h12 * h12 * c.ns < m.nmin * 16777216
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Splits.temperatureRebalanceSqrt(
+        Tables.load(s, dir, "documents"), "lang", col("doc_id"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 }

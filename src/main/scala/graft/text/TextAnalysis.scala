@@ -164,6 +164,50 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Corpus-level repeated-span removal (the RefinedWeb/CCNet "duplicated
+    * line" correction, over token spans since this corpus has no line
+    * structure): split each doc into NON-overlapping `spanTokens`-token
+    * spans ([[chunkTokenWindows]] with stride = window), drop every span
+    * whose exact text occurs in ≥ `minDocs` distinct documents (boilerplate,
+    * navigation chrome, duplicated-document bodies), and reassemble the
+    * survivors in order. Token-less docs produce no output row (they have
+    * no spans), matching the chunking contract.
+    *
+    * Returns (id, kept_text, n_spans, n_dropped).
+    *
+    * Scale shape: chunking is a no-shuffle projection; the hot-span set is
+    * one map-side-combined distinct-count keyed by span text; membership is
+    * a span-keyed left join (hot side is the FILTERED span list — tiny by
+    * Zipf, AQE broadcasts it); reassembly is one groupBy(id) whose payload
+    * is the doc's own spans. No driver-side text ever.
+    */
+  def stripRepeatedSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      minDocs: Int): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a span always occurs in its own doc")
+    val chunks = chunkTokenWindows(df, idCol, textCol, spanTokens, spanTokens)
+    val hot = chunks.groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("chunk_text"), lit(1).as("_hot"))
+    chunks.join(hot, Seq("chunk_text"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("chunk_id"), col("chunk_text"), col("_hot").isNotNull.as("hot")))).as("_spans"))
+      .select(
+        col(idCol),
+        array_join(
+          transform(
+            filter(col("_spans"), s => !s.getField("hot")),
+            s => s.getField("chunk_text")),
+          " ").as("kept_text"),
+        size(col("_spans")).cast("long").as("n_spans"),
+        size(filter(col("_spans"), s => s.getField("hot"))).cast("long").as("n_dropped"))
+  }
+
   /** Word bigrams of the shared tokenizer's output (empty when < 2 tokens). */
   private def bigrams(c: Column): Column = {
     val t = tokens(c)

@@ -117,6 +117,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(g(1L) - 0.75) < 1e-12 && g(2L) == 0.0)
   }
 
+  test("temperature rebalance: alpha=1 is the natural mix; sqrt variant flattens toward the smallest stratum") {
+    import graft.load.Splits
+    // skewed strata: 40 'big' rows vs 5 'small' rows
+    val rows = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 105).map(i => (i.toLong, "small"))).toDF("id", "s")
+    // alpha = 1: keep_frac = 1 everywhere
+    assert(Splits.temperatureRebalance(rows, "s", col("id"), alpha = 1.0).count() == 45)
+    val kept = Splits.temperatureRebalanceSqrt(rows, "s", col("id"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // smallest stratum is kept whole by construction (h^2 < 2^24 always)
+    assert(kept("small") == 5L)
+    // dominant stratum downsamples toward sqrt(5/40) ~ 0.35 of its rows
+    assert(kept("big") < 40L && kept("big") > 0L)
+    // determinism: same rows kept under a different partitioning
+    val again = Splits.temperatureRebalanceSqrt(rows.repartition(7), "s", col("id"))
+      .select("id").as[Long].collect().toSet
+    val first = Splits.temperatureRebalanceSqrt(rows, "s", col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("oov ratio against the corpus's own frequent-token vocabulary") {
     // "common" appears 3x (>= minCount 2) -> in-vocab; everything else OOV
     val docs = Seq(

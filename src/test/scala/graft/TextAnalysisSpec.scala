@@ -105,4 +105,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.rollingMinFingerprint($"t")).as[String].head()
     assert(short.length == 32)
   }
+
+  test("stripRepeatedSpans drops cross-doc spans, keeps order, skips empty docs") {
+    // span size 2: docs 1 and 2 share the span "dup dup"; everything else
+    // is unique. doc 3 is token-less -> no output row.
+    val docs = Seq(
+      (1L, "dup dup one two"), // spans: "dup dup" (hot), "one two"
+      (2L, "dup dup three four five"), // spans: "dup dup" (hot), "three four", "five"
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripRepeatedSpans(docs, "doc_id", "text", 2, 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (("one two", 2L, 1L)))
+    assert(got(2L) == (("three four five", 3L, 1L)))
+    // a doc whose every span is hot survives with empty kept_text
+    val all = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val wiped = TextAnalysis.stripRepeatedSpans(all, "doc_id", "text", 2, 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(wiped == Set((1L, "", 1L, 1L), (2L, "", 1L, 1L)))
+  }
 }
