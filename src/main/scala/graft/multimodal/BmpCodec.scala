@@ -166,4 +166,27 @@ object BmpCodec {
     Features(img.width.toLong, img.height.toLong, n.toLong, sr, sg, sb,
       if (n == 0) 0L else lmn, if (n == 0) 0L else lmx, edges)
   }
+
+  /** Average-hash perceptual fingerprint over the decoded (usually resized)
+    * pixels: one bit per pixel, set when the pixel's luma exceeds the image
+    * mean, row-major order. The mean comparison is the INTEGER cross-product
+    * form `luma·n > Σluma` — no division, no rounding mode, so the bitstring
+    * is reproducible in any engine from the pixel values alone. Returns
+    * (bitstring, popcount).
+    */
+  def aHash(img: Bmp): (String, Long) = {
+    val n = img.pixels.length
+    val l = Array.tabulate(n)(i => luma1000(img.r(i), img.g(i), img.b(i)))
+    var total = 0L
+    var i = 0
+    while (i < n) { total += l(i); i += 1 }
+    val bits = new Array[Char](n)
+    var ones = 0L
+    i = 0
+    while (i < n) {
+      if (l(i) * n > total) { bits(i) = '1'; ones += 1 } else bits(i) = '0'
+      i += 1
+    }
+    (new String(bits), ones)
+  }
 }

@@ -217,6 +217,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual image fingerprints: REAL decode → nearest-neighbor resize to
+    * `side`×`side` → [[BmpCodec.aHash]] (luma-vs-mean bit per pixel, integer
+    * cross-product compare — engine-portable). The dedup story this feeds:
+    * equal/near-equal aHashes are candidate duplicate IMAGES, so the same
+    * groupBy/Hamming machinery the text family runs (q30, q32) applies to
+    * binary media unchanged. Same one-decoder-per-partition batch shape as
+    * [[extractBmpFeatures]].
+    */
+  def extractBmpAHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side, side)
+        val (bits, ones) = BmpCodec.aHash(img)
+        Row(r.getLong(idIdx), bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Acoustic fingerprints: REAL decode → [[WavCodec.energyFingerprint]]
+    * (frame-energy delta signs, exact integer arithmetic) — the audio twin
+    * of [[extractBmpAHash]], same batch shape.
+    */
+  def extractWavFingerprint(media: DataFrame, frameLen: Int = 44): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false),
+      StructField("sum_energy", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val w = WavCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val (nf, bits, tot) = WavCodec.energyFingerprint(w, frameLen)
+        Row(r.getLong(idIdx), nf, bits, tot)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed decode+featurize: one decoder per PARTITION (not per row) —
     * the mapPartitions batch shape that amortizes model/codec setup, the
     * Scala analog of a pandas-batch UDF.

@@ -139,4 +139,33 @@ object WavCodec {
       sumSquares = ssq,
       rms = if (n == 0) 0.0 else math.sqrt(ssq.toDouble / n))
   }
+
+  /** Energy-delta acoustic fingerprint: the samples split into FULL frames
+    * of `frameLen` (a trailing partial frame is dropped), each frame's
+    * energy is the exact integer Σv², and bit f (f ≥ 1) is set when frame
+    * f's energy exceeds frame f−1's — the sign-of-delta fingerprint that
+    * audio-dedup systems hash, in its integer-exact form. Returns
+    * (nFrames, bitstring of length nFrames−1, Σ energies).
+    */
+  def energyFingerprint(w: Wav, frameLen: Int): (Long, String, Long) = {
+    require(frameLen > 0, s"frameLen=$frameLen must be positive")
+    val nFrames = w.samples.length / frameLen
+    val energies = Array.tabulate(nFrames) { f =>
+      var s = 0L
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { val v = w.samples(i).toLong; s += v * v; i += 1 }
+      s
+    }
+    val bits = new Array[Char](math.max(nFrames - 1, 0))
+    var f = 1
+    while (f < nFrames) {
+      bits(f - 1) = if (energies(f) > energies(f - 1)) '1' else '0'
+      f += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < nFrames) { total += energies(j); j += 1 }
+    (nFrames.toLong, new String(bits), total)
+  }
 }

@@ -354,5 +354,26 @@ object AnalyticsQueries {
           Seq("c_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    },
+
+    // EXACT global median without a global sort: GlobalRank's
+    // range-partition + O(partitions) offsets stamps a distributed
+    // row_number, then only the two middle rows survive. The approx
+    // twins are q54/q103; this is the exact path at the same scale shape
+    // (no single-partition stage — PlanSpec pins that for the machinery).
+    Q(
+      "q124_exact_median",
+      """WITH r AS (SELECT l_extendedprice AS p,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT avg(p) AS median_price, CAST(min(n) AS BIGINT) AS n_rows
+        |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+      graft.operators.GlobalRank
+        .withRowNumber(li, Seq("p", "l_orderkey", "l_linenumber"), "_rn", "_n")
+        .filter(col("_rn") === expr("(_n + 1) div 2") || col("_rn") === expr("(_n + 2) div 2"))
+        .agg(avg(col("p")).as("median_price"), min(col("_n")).as("n_rows"))
     })
 }

@@ -657,5 +657,56 @@ object TrainingQueries {
       graft.text.Vocab.oovRatios(
         Tables.load(s, dir, "documents"), "doc_id", "text", minCount = 10L)
         .orderBy("doc_id")
+    },
+
+    // Perceptual image fingerprint: REAL BMP decode -> 8x8 nearest resize ->
+    // average-hash (luma-vs-mean bit per pixel, integer cross-product
+    // compare). The oracle regenerates the resized pixels from the integer
+    // recipe and recomputes the bitstring — header parse, row padding,
+    // BGR order, resize mapping, and the hash itself all sit on the hash
+    // match. Equal aHashes feed the exact-dedup groupBy; Hamming <= k feeds
+    // the near-dup join — the q30/q32 machinery applied to images.
+    Q(
+      "q122_image_ahash",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 31 + ((y.y * 12) // 8) * 7 + ((x.x * 16) // 8) * 13) % 256 AS r,
+        |    (doc_id * 17 + ((y.y * 12) // 8) * 11 + ((x.x * 16) // 8) * 5) % 256 AS g,
+        |    (doc_id * 23 + ((y.y * 12) // 8) * 3 + ((x.x * 16) // 8) * 19) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 7)) AS x(x)),
+        |lum AS (SELECT doc_id, y, x, 299*r + 587*g + 114*b AS l FROM px),
+        |t AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS total FROM lum GROUP BY doc_id)
+        |SELECT lum.doc_id AS media_id,
+        |  array_to_string(list(CASE WHEN l * 64 > total THEN '1' ELSE '0' END ORDER BY y, x), '')
+        |    AS ahash,
+        |  CAST(sum(CASE WHEN l * 64 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+        |FROM lum JOIN t USING (doc_id) GROUP BY lum.doc_id ORDER BY media_id""".stripMargin) {
+      (s, dir) =>
+        val media = Multimodal.synthesizeBmp(Tables.load(s, dir, "documents"), "doc_id")
+        Multimodal.extractBmpAHash(media, side = 8).orderBy("media_id")
+    },
+
+    // Acoustic fingerprint: REAL WAV decode -> frame energies (44-sample
+    // frames, exact integer sum of squares) -> sign-of-delta bitstring, the
+    // audio twin of q122. The oracle regenerates the samples from the q29
+    // integer recipe and recomputes energies + bits directly.
+    Q(
+      "q123_audio_fingerprint",
+      """WITH s AS (SELECT doc_id, i,
+        |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |  FROM documents, unnest(generate_series(0, 440)) AS u(i)),
+        |fe AS (SELECT doc_id, i // 44 AS f, CAST(sum(v*v) AS BIGINT) AS e
+        |  FROM s WHERE i < 440 GROUP BY doc_id, i // 44),
+        |d AS (SELECT doc_id, f, e, lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe FROM fe)
+        |SELECT doc_id AS media_id,
+        |  CAST(10 AS BIGINT) AS n_frames,
+        |  array_to_string(list(CASE WHEN e > pe THEN '1' ELSE '0' END ORDER BY f)
+        |    FILTER (WHERE pe IS NOT NULL), '') AS fp,
+        |  CAST(sum(e) AS BIGINT) AS sum_energy
+        |FROM d GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeWav(Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractWavFingerprint(media, frameLen = 44).orderBy("media_id")
     })
 }

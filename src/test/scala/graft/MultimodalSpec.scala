@@ -180,4 +180,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_squares") == samples.map(v => v * v).sum)
     assert(r.getAs[Long]("peak_max") == samples.max)
   }
+
+  test("aHash: constant image all zeros, half-bright image splits, popcount matches") {
+    import graft.multimodal.BmpCodec
+    // constant image: no luma exceeds the mean -> all-zero hash
+    val flat = BmpCodec.Bmp(4, 4, Array.fill(16)(0x808080))
+    val (fb, fo) = BmpCodec.aHash(flat)
+    assert(fb == "0" * 16 && fo == 0L)
+    // left half black, right half white: exactly the white pixels are set
+    val split = BmpCodec.Bmp(4, 2, Array.tabulate(8)(i => if (i % 4 < 2) 0x000000 else 0xFFFFFF))
+    val (sb, so) = BmpCodec.aHash(split)
+    assert(sb == "00110011" && so == 4L)
+    assert(sb.count(_ == '1') == so)
+  }
+
+  test("energyFingerprint: rising energy sets bits, trailing partial frame dropped") {
+    import graft.multimodal.WavCodec
+    // frames of 2: energies 2, 8, 0 -> bits "10"; 7th sample (partial) ignored
+    val w = WavCodec.Wav(8000, 1, 16, Array[Short](1, 1, 2, 2, 0, 0, 9999))
+    val (nf, bits, tot) = WavCodec.energyFingerprint(w, 2)
+    assert(nf == 3L && bits == "10" && tot == 2L + 8L + 0L)
+    // round-trip through the real encoder
+    val decoded = WavCodec.decode(WavCodec.encode(8000, 1, Array[Short](1, 1, 2, 2, 0, 0, 9999)))
+    assert(WavCodec.energyFingerprint(decoded, 2) == ((3L, "10", 10L)))
+  }
 }
