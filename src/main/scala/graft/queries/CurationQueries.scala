@@ -1320,5 +1320,38 @@ object CurationQueries {
         Tables.load(s, dir, "documents"), "lang", col("doc_id"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Count-Min sketch heavy hitters: a 4x256 md5-hashed counter grid over
+    // all token occurrences, point-estimated (min over rows) for the true
+    // top-20 tokens. The sketch table is depth*width rows REGARDLESS of
+    // stream size — the fixed-footprint summary of an unbounded stream —
+    // and the md5 hash family makes even its collisions engine-portable:
+    // the oracle rebuilds the identical grid and must land the identical
+    // (over-)estimates.
+    Q(
+      "q125_countmin_heavy",
+      """WITH occ AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM occ GROUP BY token),
+        |top AS (SELECT token, exact_n FROM ex ORDER BY exact_n DESC, token LIMIT 20),
+        |cells AS (SELECT r.r AS row,
+        |    CAST(('0x' || substr(md5(r.r::VARCHAR || ':' || token), 1, 6)) AS BIGINT) % 256 AS cell
+        |  FROM occ, unnest(generate_series(0, 3)) AS r(r)),
+        |sk AS (SELECT row, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY row, cell),
+        |probe AS (SELECT t.token, t.exact_n, r.r AS row,
+        |    CAST(('0x' || substr(md5(r.r::VARCHAR || ':' || t.token), 1, 6)) AS BIGINT) % 256 AS cell
+        |  FROM top t, unnest(generate_series(0, 3)) AS r(r))
+        |SELECT p.token, p.exact_n, CAST(min(s.c) AS BIGINT) AS cm_est
+        |FROM probe p JOIN sk s USING (row, cell)
+        |GROUP BY p.token, p.exact_n
+        |ORDER BY exact_n DESC, token""".stripMargin) { (s, dir) =>
+      val occ = Tables.load(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      val top = occ.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+      val sk = graft.operators.CountMinSketch.build(occ, col("token"), depth = 4, width = 256)
+      graft.operators.CountMinSketch.estimate(sk, top, "token", depth = 4, width = 256)
+        .orderBy(col("exact_n").desc, col("token"))
     })
 }

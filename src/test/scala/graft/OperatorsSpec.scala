@@ -225,4 +225,24 @@ class OperatorsSpec extends SparkSpec {
     assert(GlobalRank.ntile(three, Seq("v", "id"), 5, "b")
       .select("id", "b").as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("count-min sketch: estimates upper-bound exact counts; unseen key is 0; merge = rebuild") {
+    import graft.operators.CountMinSketch
+    val occ = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold")).toDF("t")
+    val sk = CountMinSketch.build(occ, $"t", depth = 4, width = 64)
+    // sketch table is bounded by depth*width no matter the stream
+    assert(sk.count() <= 4L * 64)
+    val keys = Seq(("hot", 50L), ("warm", 7L), ("cold", 1L), ("never", 0L)).toDF("t", "exact_n")
+    val est = CountMinSketch.estimate(sk, keys, "t", depth = 4, width = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((k, (exact, cm)) <- est) assert(cm >= exact, s"$k: CM $cm under-estimates $exact")
+    assert(est("never")._2 == 0L) // nothing hashed there in this tiny stream
+    // merging two half-streams equals building over the whole stream
+    val (a, b) = ((Seq.fill(25)("hot") ++ Seq.fill(7)("warm")).toDF("t"),
+      (Seq.fill(25)("hot") ++ Seq("cold")).toDF("t"))
+    val merged = CountMinSketch.merge(
+      CountMinSketch.build(a, $"t", 4, 64), CountMinSketch.build(b, $"t", 4, 64))
+    val whole = sk.orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    assert(merged.orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq == whole)
+  }
 }
