@@ -155,6 +155,20 @@ object Stress {
     time("tfidf_250k_docs") {
       graft.text.Vocab.tfIdf(docs, "doc_id", "text").count()
     }
+    // span-level dedup at 50x duplicate density: every span of a replicated
+    // doc is hot by construction, so this is the op's worst case — the hot
+    // set is large, the membership join drops nearly everything
+    time("span_dedup_250k_docs") {
+      graft.text.TextAnalysis.stripRepeatedSpans(docs, "doc_id", "text", 10, 2).count()
+    }
+    // count-min over ~15M token occurrences: the sketch table stays
+    // depth*width (4x1024) rows no matter the stream — the fixed-footprint
+    // summary under a 50x stream
+    time("countmin_15M_occurrences") {
+      graft.operators.CountMinSketch.build(
+        docs.select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 1024).count()
+    }
 
     // int8 quantization: the STORAGE claim, measured — 100k vectors written
     // as float32 arrays vs int8 codes + one double scale, then the ANN
