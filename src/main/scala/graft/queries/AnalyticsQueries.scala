@@ -375,5 +375,31 @@ object AnalyticsQueries {
         .withRowNumber(li, Seq("p", "l_orderkey", "l_linenumber"), "_rn", "_n")
         .filter(col("_rn") === expr("(_n + 1) div 2") || col("_rn") === expr("(_n + 2) div 2"))
         .agg(avg(col("p")).as("median_price"), min(col("_n")).as("n_rows"))
+    },
+
+    // EXACT p25/p50/p75/p99 (nearest-rank, ceil(p·n/100)) from ONE ranking
+    // pass: the row_number stamp amortizes across every requested quantile —
+    // the scale argument vs one single-partition window sort per percentile.
+    // The 4-row percentile table broadcasts; selection is a scan-speed
+    // filter against the stamped rank.
+    Q(
+      "q126_exact_quantiles",
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT p.pct, r.v AS value
+        |FROM r, (VALUES (25), (50), (75), (99)) AS p(pct)
+        |WHERE r.rn = (p.pct * r.n + 99) // 100
+        |ORDER BY pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val pcts = Seq(25, 50, 75, 99).toDF("pct")
+      graft.operators.GlobalRank
+        .withRowNumber(li, Seq("v", "l_orderkey", "l_linenumber"), "_rn", "_n")
+        .join(pcts, col("_rn") === expr("(pct * _n + 99) div 100"))
+        .select(col("pct"), col("v").as("value"))
+        .orderBy("pct")
     })
 }
