@@ -1353,5 +1353,38 @@ object CurationQueries {
       val sk = graft.operators.CountMinSketch.build(occ, col("token"), depth = 4, width = 256)
       graft.operators.CountMinSketch.estimate(sk, top, "token", depth = 4, width = 256)
         .orderBy(col("exact_n").desc, col("token"))
+    },
+
+    // URL canonicalization — the dedup-key normalizer of web-corpus
+    // curation: messy synthesized URLs (uppercase www host, default port,
+    // utm_* tracking params, fragment) reduce to the canonical form the
+    // URL-dedup join would key on. Both engines run the identical global
+    // regexp algebra (RE2-safe patterns, no lookarounds).
+    Q(
+      "q127_url_canonical",
+      """WITH raw AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang || '/' || doc_id
+        |      || '?utm_source=feed&id=' || doc_id || '&utm_campaign=c' || (doc_id % 3)
+        |      || '&ref=r' || (doc_id % 5) || '#sec' AS u
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
+        |s2 AS (SELECT doc_id, u, regexp_extract(u, '^[a-zA-Z]+://[^/]+') AS p FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(p), ':443$', '', 'g'), '://www\.', '://', 'g')
+        |      AS host,
+        |    regexp_replace(substr(u, length(p) + 1), '&?utm_[^&]*', '', 'g') AS rest
+        |  FROM s2)
+        |SELECT doc_id,
+        |  host || regexp_replace(regexp_replace(rest, '\?&', '?', 'g'), '\?$', '', 'g') AS url
+        |FROM s3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/"),
+        col("lang"), lit("/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+        lit("&ref=r"), (col("doc_id") % 5).cast("string"), lit("#sec"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextAnalysis.canonicalizeUrl(raw).as("url"))
+        .orderBy("doc_id")
     })
 }

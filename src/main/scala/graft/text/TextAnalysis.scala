@@ -164,6 +164,29 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** URL canonicalization — the dedup-key normalizer of web-corpus curation
+    * (the same page arrives as `HTTPS://WWW.Site.com:443/p?utm_source=x#top`
+    * and `https://site.com/p`; without canonicalization URL-level dedup
+    * misses them). Steps, in order: drop the fragment; lowercase the
+    * scheme+host prefix; strip the default `:443` port; strip a leading
+    * `www.`; remove `utm_*` tracking params (other params keep their order);
+    * tidy the leftover `?&`/trailing `?`. Every step is a global
+    * regexp_replace with RE2-safe patterns (no lookarounds), so the DuckDB
+    * oracle replays the identical algebra with 'g' flags. Pure stateless
+    * projection — no shuffle, codegen'd.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z]+://[^/]+", 0)
+    val rest = noFrag.substr(length(prefix) + 1, lit(1000000))
+    val host = regexp_replace(
+      regexp_replace(lower(prefix), ":443$", ""),
+      "://www\\.", "://")
+    val noUtm = regexp_replace(rest, "&?utm_[^&]*", "")
+    val tidied = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
+    concat(host, tidied)
+  }
+
   /** Corpus-level repeated-span removal (the RefinedWeb/CCNet "duplicated
     * line" correction, over token spans since this corpus has no line
     * structure): split each doc into NON-overlapping `spanTokens`-token

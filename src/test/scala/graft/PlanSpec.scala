@@ -151,4 +151,26 @@ class PlanSpec extends SparkSpec {
       s"banded LSH degraded to an all-pairs plan:\n$p")
     assert(p.contains("Generate"), s"missing band posexplode in:\n$p")
   }
+
+  test("q124/q126: exact median & quantiles rank without a Window operator") {
+    // the naive spelling is row_number() OVER (ORDER BY ...) — a Window over
+    // a single-partition sort of EVERY row. The GlobalRank formulation must
+    // keep Window out entirely. (q124's final 2-row global aggregate does
+    // carry the usual partial-agg → SinglePartition merge — that exchange
+    // moves 2 rows and is the sanctioned global-agg shape, not the
+    // anti-pattern, so only the Window absence is asserted there.)
+    for (q <- Seq("q124_exact_median", "q126_exact_quantiles")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window plan:\n$p")
+    }
+    // q126 has no global aggregate: no single-partition exchange at all
+    val p126 = plan("q126_exact_quantiles")
+    assert(!p126.contains("SinglePartition"), s"q126 has a single-partition exchange:\n$p126")
+  }
+
+  test("q118: quantized ANN is one scan + projections + TakeOrdered — no exchange at all") {
+    val p = plan("q118_ann_quantized")
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k in:\n$p")
+    assert(!p.contains("Exchange"), s"quantize/dequantize should be shuffle-free:\n$p")
+  }
 }

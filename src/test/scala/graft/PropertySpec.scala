@@ -266,6 +266,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates upper-bound exact counts on random streams") {
+    import graft.operators.CountMinSketch
+    val streamGen: Gen[List[String]] =
+      Gen.listOfN(120, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    for (stream <- samples(streamGen, 3) if stream.nonEmpty) {
+      val occ = stream.toDF("t")
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val keys = exact.keys.toSeq.map(k => (k, exact(k))).toDF("t", "exact_n")
+      val est = CountMinSketch.estimate(
+        CountMinSketch.build(occ, $"t", 3, 32), keys, "t", 3, 32)
+        .as[(String, Long, Long)].collect()
+      for ((k, ex, cm) <- est) assert(cm >= ex, s"CM($k)=$cm < exact $ex")
+    }
+  }
+
+  test("temperature rebalance (sqrt): subset of input, smallest stratum whole, deterministic") {
+    import graft.load.Splits
+    val mixGen: Gen[List[(Long, String)]] = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0L, 100000L), Gen.frequency(5 -> Gen.const("big"), 1 -> Gen.const("small"))))
+    for (rows0 <- samples(mixGen, 3)) {
+      val rows = rows0.distinctBy(_._1)
+      if (rows.map(_._2).distinct.size == 2) {
+        val df = rows.toDF("id", "s")
+        val kept = Splits.temperatureRebalanceSqrt(df, "s", col("id"))
+          .select("id", "s").as[(Long, String)].collect().toSet
+        assert(kept.subsetOf(rows.toSet)) // never invents rows
+        val minStratum = rows.groupBy(_._2).minBy(_._2.size)._1
+        val minRows = rows.filter(_._2 == minStratum).toSet
+        assert(minRows.subsetOf(kept), "smallest stratum must be kept whole")
+      }
+    }
+  }
+
   test("GlobalRank: tiesPossible=false on genuinely tied keys fails loudly, not silently") {
     import graft.operators.GlobalRank
     val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "v") // v=10 duplicated

@@ -106,6 +106,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.length == 32)
   }
 
+  test("canonicalizeUrl: case, www, default port, utm params, fragment") {
+    val cases = Seq(
+      "HTTPS://WWW.Site.COM:443/Path?utm_source=x&id=5&utm_campaign=y#frag"
+        -> "https://site.com/Path?id=5",
+      "https://site.com/p" -> "https://site.com/p", // already canonical
+      "http://www.a.org/x?utm_only=1" -> "http://a.org/x", // all-utm query vanishes
+      "https://API.site.com/v1?b=2&a=1" -> "https://api.site.com/v1?b=2&a=1") // param order kept
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl($"u")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
   test("stripRepeatedSpans drops cross-doc spans, keeps order, skips empty docs") {
     // span size 2: docs 1 and 2 share the span "dup dup"; everything else
     // is unique. doc 3 is token-less -> no output row.
