@@ -98,6 +98,38 @@ object StreamingIngest {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus curation: the training-data intake loop as ONE
+    * AvailableNow pass — per micro-batch: quality gate (token count), intra-
+    * batch exact dedup (first-wins by id on the content hash), cross-run
+    * dedup (anti-join against the snapshot's hashes — the accumulated-state
+    * twin of `dropDuplicatesWithinWatermark` when dedup must span RUNS, not
+    * a watermark window), then append. The checkpoint makes each FILE
+    * exactly-once across invocations; the content-hash anti-join makes each
+    * DOCUMENT exactly-once across arrivals. At 100 TB the anti-join is the
+    * [[graft.dedup.Dedup.antiJoinPriorBloom]] shape; hashes-only ships to
+    * the join either way.
+    */
+  def runCurationStream(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 5): Unit =
+    runAvailableNow(stream, checkpointDir) { (batch, _) =>
+      val spark = batch.sparkSession
+      val hashed = batch
+        .filter(graft.text.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+        .withColumn("text_hash", md5(col(textCol)))
+      val intra = graft.dedup.Dedup.selfDedupFirstWins(hashed, Seq("text_hash"), idCol)
+      val fresh =
+        if (graft.load.Snapshot.exists(spark, tableDir))
+          graft.dedup.Dedup.antiJoinPrior(
+            intra, spark.read.parquet(tableDir), "text_hash")
+        else intra
+      graft.load.Snapshot.appendBatch(fresh, tableDir)
+    }
+
   /** Streaming MERGE sink: each micro-batch upserts into a parquet snapshot
     * with latest-wins semantics ([[graft.load.Snapshot.upsertLatestWins]]).
     * `foreachBatch` is the escape hatch for sinks Structured Streaming

@@ -120,6 +120,36 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sorted == Seq("a", "b", "c")) // each key exactly once
   }
 
+  test("streaming corpus curation: quality gate + exact dedup across files AND runs") {
+    val root = tmpDir("scur")
+    val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    // run 1: two files (two micro-batches); doc 2 duplicates doc 1's text
+    // ACROSS files; doc 3 fails the 5-token quality gate
+    Seq((1L, "alpha beta gamma delta epsilon zeta"), (3L, "too short"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$in/c1")
+    Seq((2L, "alpha beta gamma delta epsilon zeta"), (4L, "one two three four five six"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$in/c2")
+    StreamingIngest.runCurationStream(stream(), table, ckpt)
+    val after1 = spark.read.parquet(table).select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 4L)) // dup dropped (first id wins), low-quality dropped
+    // run 2: a late file duplicating doc 1 across RUNS plus one new doc;
+    // already-processed files are not re-read (checkpoint), the old text is
+    // not re-admitted (snapshot anti-join)
+    Seq((5L, "alpha beta gamma delta epsilon zeta"), (6L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$in/c3")
+    StreamingIngest.runCurationStream(stream(), table, ckpt)
+    val after2 = spark.read.parquet(table).select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 4L, 6L))
+    // run 3 with nothing new: idempotent
+    StreamingIngest.runCurationStream(stream(), table, ckpt)
+    assert(spark.read.parquet(table).count() == 3)
+  }
+
   test("streaming upsert sink: latest version wins across micro-batches") {
     val root = tmpDir("supsert")
     val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
