@@ -105,23 +105,51 @@ object SimHash {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val segs = maxHamming + 1
-    val segLen = Bits / segs
     // the fingerprint table feeds three plan branches (segments + both join
     // probes); cache it — it is tiny (one row per doc) and saves recomputing
     // the token-explode aggregation per branch
     val fp = fingerprintTable(df, idCol, textCol).persist()
+    pairsFromFingerprints(fp, idCol, "_fp", "_fpl", Bits, maxHamming)
+  }
+
+  /** Packed 64-bit long of a '0'/'1' bitstring column: two 32-bit `conv`
+    * parses, the high word shifted into the sign half — two's complement
+    * keeps the bit pattern lossless, which is all `bit_count(xor)` needs.
+    * Bridges ANY 64-bit fingerprint (simhash, image aHash, …) into the
+    * pigeonhole pair join below.
+    */
+  def packBits64(fpCol: Column): Column =
+    shiftleft(conv(fpCol.substr(1, 32), 2, 10).cast("long"), 32)
+      .bitwiseOR(conv(fpCol.substr(33, 32), 2, 10).cast("long"))
+
+  /** Hamming-bounded pairs from ANY precomputed fingerprint table — the
+    * modality-independent core of the simhash index, reused verbatim for
+    * image aHashes (q128): split the `bits`-length bitstring into
+    * (maxHamming+1) segments; a pair within the threshold shares ≥ 1 exact
+    * segment (pigeonhole), so candidates come from an equi-join on
+    * (segment index, value), never a cross product. Hamming (one codegen'd
+    * bit_count over the packed longs) runs BEFORE the distinct: hot buckets
+    * can produce millions of collision rows, and deduplicating those costs
+    * far more than filtering them — the distinct then only sees the
+    * ≤(maxHamming+1)-fold duplicates of true pairs.
+    */
+  def pairsFromFingerprints(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      fplCol: String,
+      bits: Int = Bits,
+      maxHamming: Int = 3): DataFrame = {
+    val segs = maxHamming + 1
+    val segLen = bits / segs
+    require(segLen > 0, s"maxHamming=$maxHamming too large for $bits-bit fingerprints")
     val seg = fp.select(
       col(idCol),
-      col("_fpl"),
+      col(fplCol),
       posexplode(transform(sequence(lit(0), lit(segs - 1)), i =>
-        col("_fp").substr(i * lit(segLen) + 1, lit(segLen)))).as(Seq("seg_i", "seg_v")))
-    val a = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_a"), col("_fpl").as("_la"))
-    val b = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_b"), col("_fpl").as("_lb"))
-    // Hamming (one codegen'd bit_count per collision) runs BEFORE the
-    // distinct: hot buckets can produce millions of collision rows, and
-    // deduplicating those costs far more than filtering them — the distinct
-    // then only sees the ≤(maxHamming+1)-fold duplicates of true pairs
+        col(fpCol).substr(i * lit(segLen) + 1, lit(segLen)))).as(Seq("seg_i", "seg_v")))
+    val a = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_a"), col(fplCol).as("_la"))
+    val b = seg.select(col("seg_i"), col("seg_v"), col(idCol).as("id_b"), col(fplCol).as("_lb"))
     a.join(b, Seq("seg_i", "seg_v"))
       .filter(col("id_a") < col("id_b"))
       .select(

@@ -708,5 +708,40 @@ object TrainingQueries {
         |FROM d GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.synthesizeWav(Tables.load(s, dir, "documents"), "doc_id")
       Multimodal.extractWavFingerprint(media, frameLen = 44).orderBy("media_id")
+    },
+
+    // IMAGE near-duplicate pairs: aHash fingerprints (q122) through the
+    // SAME pigeonhole Hamming index the text simhash uses (q32) — the
+    // modality-independent dedup core applied to binary media. The oracle
+    // brute-forces all pairs from the pixel recipe; Spark must reach the
+    // identical pair set via the segment equi-join.
+    Q(
+      "q128_image_neardup",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 31 + ((y.y * 12) // 8) * 7 + ((x.x * 16) // 8) * 13) % 256 AS r,
+        |    (doc_id * 17 + ((y.y * 12) // 8) * 11 + ((x.x * 16) // 8) * 5) % 256 AS g,
+        |    (doc_id * 23 + ((y.y * 12) // 8) * 3 + ((x.x * 16) // 8) * 19) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 7)) AS x(x)),
+        |lum AS (SELECT doc_id, y, x, 299*r + 587*g + 114*b AS l FROM px),
+        |t AS (SELECT doc_id, sum(l) AS total FROM lum GROUP BY doc_id),
+        |fp AS (SELECT lum.doc_id, list(CASE WHEN l*64 > total THEN 1 ELSE 0 END ORDER BY y, x)
+        |    AS bits
+        |  FROM lum JOIN t USING (doc_id) GROUP BY lum.doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(generate_series(1, 64), i -> a.bits[i] != b.bits[i]))
+        |      AS BIGINT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeBmp(Tables.load(s, dir, "documents"), "doc_id")
+      val fp = Multimodal.extractBmpAHash(media, side = 8)
+        .select(col("media_id"), col("ahash"),
+          graft.dedup.SimHash.packBits64(col("ahash")).as("_fpl"))
+      graft.dedup.SimHash
+        .pairsFromFingerprints(fp, "media_id", "ahash", "_fpl", bits = 64, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
 }

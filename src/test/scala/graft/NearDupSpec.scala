@@ -64,4 +64,29 @@ class NearDupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("packBits64 keeps the bit pattern (sign half included); generic fingerprint pairs == brute force") {
+    // top bit set -> negative long, but xor/bit_count see the same 64 bits
+    val one = ("1" + "0" * 63, java.lang.Long.MIN_VALUE)
+    val mix = ("10" * 32, 0xAAAAAAAAAAAAAAAAL)
+    val got = Seq(one._1, mix._1).toDF("fp")
+      .select(SimHash.packBits64($"fp")).as[Long].collect().toSeq
+    assert(got == Seq(one._2, mix._2))
+    // four 64-bit fingerprints with known pairwise distances
+    val base = "0" * 64
+    def flip(s: String, idxs: Int*) = idxs.foldLeft(s)((acc, i) => acc.updated(i, '1'))
+    val fps = Seq(
+      (1L, base), (2L, flip(base, 0, 7)), // d(1,2)=2
+      (3L, flip(base, 40, 41, 42, 43, 44)), // d(1,3)=5 > 3
+      (4L, flip(base, 0))) // d(1,4)=1, d(2,4)=1
+    val fp = fps.toDF("id", "fp").select($"id", $"fp", SimHash.packBits64($"fp").as("fpl"))
+    val pairs = SimHash.pairsFromFingerprints(fp, "id", "fp", "fpl", 64, 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib
+      d = fa.zip(fb).count(p => p._1 != p._2) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs == brute && brute.nonEmpty)
+  }
 }
