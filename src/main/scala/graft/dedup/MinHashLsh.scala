@@ -91,7 +91,14 @@ object MinHashLsh {
     * @param textCol  text column name
     * @return (id_a, id_b) distinct pairs with id_a < id_b
     */
-  def candidatePairs(
+  /** The banded LSH index as a TABLE: (id, band, bucket), `bands` rows per
+    * document. This is the STORED artifact of the incremental dedup loop —
+    * compute it once per corpus snapshot (write it partitioned by bucket
+    * hash), append each new batch's rows as they land, and new arrivals
+    * probe it via [[candidatePairsAgainst]] without ever re-running the
+    * full-corpus self-join.
+    */
+  def bandedTable(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -105,21 +112,52 @@ object MinHashLsh {
       val slice = (0 until rowsPerBand).map(r => col(s"_h${b * rowsPerBand + r}"))
       md5(concat_ws("|", slice: _*)).as(s"_b$b")
     }
+    sig
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
     // both join branches read the banded table — cache it (4 small rows per
     // doc) or the whole shingle/signature pipeline runs twice. Caches here
     // and in the sibling near-dup operators are MEMORY_AND_DISK and LRU-
     // evictable; a long-lived service should spark.catalog.clearCache()
     // between corpus passes.
-    val banded = sig
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
-        .as(Seq("band", "bucket")))
-      .persist()
+    val banded = bandedTable(df, idCol, textCol, shingleSize, numHashes, bands).persist()
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Incremental candidate pairs: a NEW batch's banded rows probe the
+    * stored corpus index — the daily-ingest shape at 100 TB, where the
+    * corpus side is a parquet table that was never recomputed and the
+    * shuffle is keyed by (band, bucket) carrying only the new batch plus
+    * colliding corpus rows. Emits every candidate pair with ≥ 1 new-side
+    * member (prior×prior pairs never form); if `corpusBanded` already
+    * contains the new docs' own rows, new×new pairs surface too.
+    */
+  def candidatePairsAgainst(
+      newBanded: DataFrame,
+      corpusBanded: DataFrame,
+      idCol: String): DataFrame = {
+    val n = newBanded.select(col("band"), col("bucket"), col(idCol).as("_nid"))
+    val c = corpusBanded.select(col("band"), col("bucket"), col(idCol).as("_cid"))
+    n.join(c, Seq("band", "bucket"))
+      .filter(col("_nid") =!= col("_cid"))
+      .select(
+        least(col("_nid"), col("_cid")).as("id_a"),
+        greatest(col("_nid"), col("_cid")).as("id_b"))
       .distinct()
   }
 }

@@ -743,5 +743,35 @@ object TrainingQueries {
       graft.dedup.SimHash
         .pairsFromFingerprints(fp, "media_id", "ahash", "_fpl", bits = 64, maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // INCREMENTAL near-dup: a "new batch" (doc_id % 5 = 0) probes the
+    // stored corpus band index instead of re-running the full self-join —
+    // the daily-ingest shape at 100 TB (the corpus side is a parquet table
+    // computed once; the shuffle carries the new batch + colliding corpus
+    // rows only). The oracle is the FULL q31 pair set filtered to pairs
+    // with >= 1 new-side member: the incremental path must find exactly
+    // the pairs the batch recompute would.
+    Q(
+      "q129_dedup_incremental",
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11), i ->
+         |    list_aggregate(list_transform(s, sh2 -> md5(i::VARCHAR || ':' || sh2)), 'min')) AS g
+         |  FROM sh WHERE len(s) > 0),
+         |band AS (SELECT doc_id, u.b AS band,
+         |    md5(array_to_string(g[u.b*3+1 : u.b*3+3], '|')) AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS u(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id
+         |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val corpusIndex = MinHashLsh.bandedTable(docs, "doc_id", "text", 3, 12, 4)
+      val newBatch = MinHashLsh.bandedTable(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 12, 4)
+      MinHashLsh.candidatePairsAgainst(newBatch, corpusIndex, "doc_id")
+        .orderBy("id_a", "id_b")
     })
 }

@@ -65,6 +65,18 @@ class NearDupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("incremental LSH pairs == full pairs filtered to new-side membership") {
+    val full = MinHashLsh.candidatePairs(docs, "doc_id", "text", 3, 12, 4)
+      .as[(Long, Long)].collect().toSet
+    val newIds = docs.select("doc_id").as[Long].collect().filter(_ % 2 == 0).toSet
+    val corpusIndex = MinHashLsh.bandedTable(docs, "doc_id", "text", 3, 12, 4)
+    val newBanded = MinHashLsh.bandedTable(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", 3, 12, 4)
+    val incr = MinHashLsh.candidatePairsAgainst(newBanded, corpusIndex, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(incr == full.filter(p => newIds(p._1) || newIds(p._2)))
+  }
+
   test("packBits64 keeps the bit pattern (sign half included); generic fingerprint pairs == brute force") {
     // top bit set -> negative long, but xor/bit_count see the same 64 bits
     val one = ("1" + "0" * 63, java.lang.Long.MIN_VALUE)
