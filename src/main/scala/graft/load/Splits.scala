@@ -97,7 +97,9 @@ object Splits {
     * per-row deterministic, partitioning-independent, and rerun-stable.
     * Double `pow` is NOT bit-portable across engines — for the oracle-gated
     * α = ½ case use [[temperatureRebalanceSqrt]], whose decision is exact
-    * integer arithmetic.
+    * integer arithmetic. Rows with a NULL stratum are dropped (a NULL can't
+    * key the count join under SQL equality) — normalize null strata to a
+    * sentinel upstream if they must participate.
     */
   def temperatureRebalance(
       df: DataFrame,
@@ -105,6 +107,8 @@ object Splits {
       key: Column,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha must be in [0, 1]")
+    require(!df.columns.contains("_ns") && !df.columns.contains("_nmin"),
+      "temperatureRebalance: input already has a _ns/_nmin column")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_ns"))
     val nmin = counts.agg(min(col("_ns")).as("_nmin"))
     val u = hash24(key).cast("double") / lit(16777216.0)
@@ -122,6 +126,11 @@ object Splits {
     * h² < 2²⁴ keeps h²·n_s inside int64 for strata up to ~5·10¹¹ rows.
     */
   def temperatureRebalanceSqrt(df: DataFrame, strataCol: String, key: Column): DataFrame = {
+    // NULL strata cannot key the count join (SQL equality) and would drop
+    // silently — make the contract explicit, like GlobalRank's guards
+    require(!df.columns.contains("_h") && !df.columns.contains("_ns") &&
+      !df.columns.contains("_nmin"),
+      "temperatureRebalanceSqrt: input already has a _h/_ns/_nmin column")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_ns"))
     val nmin = counts.agg(min(col("_ns")).as("_nmin"))
     val h12 = conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("long")
