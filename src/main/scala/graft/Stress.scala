@@ -101,6 +101,22 @@ object Stress {
     }
     pairs.unpersist()
 
+    // incremental near-dup (q129 shape): the corpus band index is a STORED
+    // table in production — materialize it once outside the timed probe,
+    // then time what a daily batch actually pays: new-side signatures +
+    // the (band, bucket) probe join. Compare with minhash_pairs_250k_docs
+    // above, which is the full self-join a non-incremental design reruns.
+    val corpusIdx = graft.dedup.MinHashLsh
+      .bandedTable(docs, "doc_id", "text", 3, 12, 4).persist()
+    time("minhash_index_build_250k")(corpusIdx.count())
+    time("minhash_incr_probe_50k_new") {
+      graft.dedup.MinHashLsh.candidatePairsAgainst(
+        graft.dedup.MinHashLsh.bandedTable(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 3, 12, 4),
+        corpusIdx, "doc_id").count()
+    }
+    corpusIdx.unpersist()
+
     // r5-verdict perf-weak #2: a hot block in the embedding near-dup join.
     // 40k vectors forced into ONE block (~800M pair dot products): the
     // uncapped join collapses onto a single (block-keyed) task, while the
