@@ -773,5 +773,69 @@ object TrainingQueries {
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 12, 4)
       MinHashLsh.candidatePairsAgainst(newBatch, corpusIndex, "doc_id")
         .orderBy("id_a", "id_b")
+    },
+
+    // HTML -> text extraction (the CommonCrawl intake step): synthesized
+    // pages wrap each doc's text with title/script/heading/entities/comment;
+    // extraction drops script blocks and comments, strips tags, decodes
+    // entities AFTER stripping (so &lt;raw&gt; survives as literal text),
+    // and collapses whitespace. The oracle replays the identical global
+    // regex chain.
+    Q(
+      "q130_html_extract",
+      """WITH raw AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><script>var x=1;</script></head>'
+        |    || '<body><h1>' || upper(lang) || '</h1><p>' || text
+        |    || ' &amp; more &lt;raw&gt;</p><!-- hidden --></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(h, '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |FROM s4 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x=1;</script></head><body><h1>"), upper(col("lang")),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;raw&gt;</p><!-- hidden --></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.extractHtmlText(html).as("extracted"))
+        .orderBy("doc_id")
+    },
+
+    // Classifier-slot quality filter: featurize -> linear score -> threshold,
+    // with a fixed public stub model standing in for a learned fastText-style
+    // classifier. The features are the module's exact ratios (q38/q39 parity)
+    // and the fully parenthesized arithmetic evaluates identically in both
+    // engines.
+    Q(
+      "q131_quality_filter",
+      """WITH tok AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN 0.0
+        |       ELSE len(list_distinct(t)) * 1.0 / len(t) END AS dr,
+        |  len(list_filter(t, x -> x != '')) AS ntok,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |            / length(text) END AS pr
+        |  FROM tok)
+        |SELECT doc_id,
+        |  round((dr * 2.0) + (least(CAST(ntok AS DOUBLE), 100.0) / 100.0) - (pr * 3.0), 6)
+        |    AS q_score,
+        |  round((dr * 2.0) + (least(CAST(ntok AS DOUBLE), 100.0) / 100.0) - (pr * 3.0), 6) >= 1.5
+        |    AS kept
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stubQualityScore(col("text")).as("q_score"))
+        .withColumn("kept", col("q_score") >= 1.5)
+        .orderBy("doc_id")
     })
 }

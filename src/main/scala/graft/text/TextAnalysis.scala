@@ -164,6 +164,41 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** HTML → text extraction (the CommonCrawl-style intake step): drop
+    * comments and script/style blocks, strip tags, decode the five basic
+    * entities, collapse whitespace. Entity decode runs AFTER tag stripping,
+    * so `&lt;b&gt;` yields literal "<b>" text instead of becoming a tag
+    * that then vanishes. All global regexp_replace with RE2-safe patterns
+    * (non-greedy, no lookarounds) — the oracle replays the identical chain;
+    * a real deployment would swap in a proper parser behind this same
+    * column contract. Stateless projection, no shuffle.
+    */
+  def extractHtmlText(h: Column): Column = {
+    val noScript = regexp_replace(h, "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noScript, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&") // &amp; LAST, or double-encoded entities decode twice
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Deterministic linear quality score — the slot a learned quality
+    * classifier (fastText-style) occupies in a curation pipeline, filled
+    * with a fixed public stub model so the plumbing (featurize → score →
+    * threshold) is real and oracle-checkable: the features are this
+    * module's exact ratios, the weights are constants, and the fully
+    * parenthesized arithmetic evaluates in the same order in any engine.
+    * Swap the expression for a real model's scorer without touching the
+    * pipeline shape.
+    */
+  def stubQualityScore(textCol: Column): Column =
+    round(
+      (distinctTokenRatio(textCol) * 2.0) +
+        (least(tokenCount(textCol).cast("double"), lit(100.0)) / 100.0) -
+        (punctRatio(textCol) * 3.0),
+      6)
+
   /** URL canonicalization — the dedup-key normalizer of web-corpus curation
     * (the same page arrives as `HTTPS://WWW.Site.com:443/p?utm_source=x#top`
     * and `https://site.com/p`; without canonicalization URL-level dedup

@@ -106,6 +106,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.length == 32)
   }
 
+  test("extractHtmlText: scripts/comments dropped, tags stripped, entities decoded after") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      "<script>var x = '<p>sneaky</p>';</script>real" -> "real",
+      "<!-- note -->a  b" -> "a b",
+      "x &lt;tag&gt; &amp; y" -> "x <tag> & y", // literal text, not re-stripped
+      "  <div>  spaced   out  </div> " -> "spaced out")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.extractHtmlText($"h")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
   test("canonicalizeUrl: case, www, default port, utm params, fragment") {
     val cases = Seq(
       "HTTPS://WWW.Site.COM:443/Path?utm_source=x&id=5&utm_campaign=y#frag"
