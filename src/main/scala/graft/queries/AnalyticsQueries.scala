@@ -401,5 +401,47 @@ object AnalyticsQueries {
         .join(pcts, col("_rn") === expr("(pct * _n + 99) div 100"))
         .select(col("pct"), col("v").as("value"))
         .orderBy("pct")
+    },
+
+    // Wide → long reshaping (unpivot/melt): the feature-table normalizer —
+    // Spark 4's native unpivot, a zero-shuffle row expander (each input row
+    // emits one row per measure column). Oracle spells it as the portable
+    // UNION ALL.
+    Q(
+      "q132_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // Event-transition counts (the Markov/bigram view of user journeys):
+    // per-user lag over the event-time order, then a global (prev, next)
+    // count — a per-KEY window (partition-parallel; never the global-sort
+    // anti-pattern) feeding one map-side-combined aggregation.
+    Q(
+      "q133_event_transitions",
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "next")
     })
 }
