@@ -443,5 +443,24 @@ object AnalyticsQueries {
         .groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("n"))
         .orderBy("prev", "next")
+    },
+
+    // Z-order (Morton) clustering key: interleave the bits of two sort
+    // dimensions so ONE total order keeps both locally clustered — written
+    // through appendBatchClustered, parquet row-group min/max stats stay
+    // tight on BOTH columns and a filter on either prunes. Pure
+    // bit-arithmetic projection, exact in any engine.
+    Q(
+      "q135_zorder_key",
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  CAST(list_aggregate(list_transform(generate_series(0, 15), i ->
+        |    ((((l_orderkey % 65536) >> i) & 1) << (2*i))
+        |    | (((l_suppkey >> i) & 1) << (2*i + 1))), 'sum') AS BIGINT) AS zkey
+        |FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          graft.operators.ZOrder.mortonKey16(
+            pmod(col("l_orderkey"), lit(65536L)), col("l_suppkey")).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
     })
 }

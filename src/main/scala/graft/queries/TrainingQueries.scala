@@ -837,5 +837,33 @@ object TrainingQueries {
         .select(col("doc_id"), TextAnalysis.stubQualityScore(col("text")).as("q_score"))
         .withColumn("kept", col("q_score") >= 1.5)
         .orderBy("doc_id")
+    },
+
+    // Embedding-level decontamination: which "training" vectors (even ids)
+    // are near-duplicates of a "benchmark" vector (odd ids) — the A×B twin
+    // of q34 and the semantic-space complement of the n-gram q67 (catches
+    // paraphrased contamination exact shingles miss). Block-keyed, both
+    // sides normalized once, one fused dot product per pair.
+    Q(
+      "q134_embed_decontaminate",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_left, b.vec_id AS id_right,
+        |    round(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+        |      / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label
+        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+        |WHERE cos_sim >= 0.3 ORDER BY id_left, id_right""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.crossNearPairs(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "vec_id", "embedding", "label", minCosine = -2.0)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_left", "id_right")
     })
 }

@@ -130,6 +130,36 @@ object Similarity {
     concat_ws("", (dimsCheck +: bits.toSeq): _*)
   }
 
+  /** Cross-corpus near pairs (embedding-level DECONTAMINATION): every
+    * (left, right) pair within a shared block whose cosine clears the
+    * threshold — the A×B twin of [[nearDuplicatePairs]], for "which training
+    * vectors are near-duplicates of a benchmark vector". Both sides
+    * normalize once before the block-keyed join, so each pair costs one
+    * fused dot product; the pair space is |A_blk|·|B_blk| per block, never
+    * |A|·|B|. The n-gram analog is [[graft.dedup.Decontaminate]]; this is
+    * the semantic-space version that catches paraphrased contamination
+    * exact shingles miss.
+    */
+  def crossNearPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idColLeft: String,
+      idColRight: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double): DataFrame = {
+    val a = left.select(col(blockCol).as("_blk"),
+      col(idColLeft).as("id_left"), normalized(col(vecCol)).as("_na"))
+    val b = right.select(col(blockCol).as("_blk"),
+      col(idColRight).as("id_right"), normalized(col(vecCol)).as("_nb"))
+    a.join(b, Seq("_blk"))
+      .select(
+        col("id_left"),
+        col("id_right"),
+        graft.functions.VectorFunctions.dot(col("_na"), col("_nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** Corpus-aware hyperplane count: with p planes there are 2^p buckets, so
     * expected occupancy is N/2^p — p ≈ log₂(N) + margin keeps expected
     * occupancy at 2^−margin and the candidate-join output near-linear. A

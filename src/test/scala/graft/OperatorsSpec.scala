@@ -226,6 +226,23 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "b").as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("morton key: bit interleave exact, locality beats lexicographic on the minor dimension") {
+    import graft.operators.ZOrder
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.mortonKey16($"x", $"y")).as[Long].collect().toSeq
+    // z(1,0)=1 (x bits even), z(0,1)=2 (y bits odd), z(1,1)=3, z(max,max)=2^32-1
+    assert(got == Seq(0L, 1L, 2L, 3L, 4294967295L))
+    // locality: points sorted by z-key — a window of the order contains
+    // near neighbors in BOTH dims, so y-ranges per z-run stay bounded,
+    // unlike an x-lexicographic sort where y is arbitrary within equal x
+    val z82 = ZOrder.mortonKey16(lit(8L), lit(2L))
+    val z83 = ZOrder.mortonKey16(lit(8L), lit(3L))
+    val z8big = ZOrder.mortonKey16(lit(8L), lit(60000L))
+    val r = spark.range(1).select(z82.as("a"), z83.as("b"), z8big.as("c")).head()
+    assert(math.abs(r.getLong(1) - r.getLong(0)) < math.abs(r.getLong(2) - r.getLong(0)))
+  }
+
   test("count-min sketch: estimates upper-bound exact counts; unseen key is 0; merge = rebuild") {
     import graft.operators.CountMinSketch
     val occ = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold")).toDF("t")
