@@ -768,9 +768,11 @@ object TrainingQueries {
          |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val corpusIndex = MinHashLsh.bandedTable(docs, "doc_id", "text", 3, 12, 4)
-      val newBatch = MinHashLsh.bandedTable(
-        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 12, 4)
+      // the stored index already contains the new docs' rows — filtering it
+      // IS the new batch's banded table (one signature pass, not two);
+      // NearDupSpec exercises the separate bandedTable-per-batch path
+      val corpusIndex = MinHashLsh.bandedTable(docs, "doc_id", "text", 3, 12, 4).persist()
+      val newBatch = corpusIndex.filter(col("doc_id") % 5 === 0)
       MinHashLsh.candidatePairsAgainst(newBatch, corpusIndex, "doc_id")
         .orderBy("id_a", "id_b")
     },
