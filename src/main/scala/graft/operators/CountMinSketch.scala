@@ -46,7 +46,11 @@ object CountMinSketch {
 
   /** Point estimates for `keys` (any extra columns are carried through):
     * min over the depth rows of the key's cell counters; keys the sketch
-    * never saw estimate 0.
+    * never saw estimate 0. `keys` must be row-distinct over its columns —
+    * the groupBy that re-folds the depth probes collapses exact-duplicate
+    * rows to one output row — and must not use this operator's internal
+    * column names (required below, matching the library's reserved-column
+    * convention — cf. temperatureRebalance).
     */
   def estimate(
       sketch: DataFrame,
@@ -55,6 +59,10 @@ object CountMinSketch {
       depth: Int = 4,
       width: Int = 256): DataFrame = {
     require(depth > 0 && width > 0, s"need positive depth/width, got $depth/$width")
+    Seq("row", "cell", "c", "_p").foreach(r =>
+      require(
+        !keys.columns.contains(r),
+        s"keys must not contain reserved column '$r' (internal to CountMinSketch.estimate)"))
     val probeStructs = array((0 until depth).map(r =>
       struct(lit(r).cast("int").as("row"), cell(r, col(keyCol), width).as("cell"))): _*)
     val probes = keys

@@ -1358,31 +1358,61 @@ object CurationQueries {
     // URL canonicalization — the dedup-key normalizer of web-corpus
     // curation: messy synthesized URLs (uppercase www host, default port,
     // utm_* tracking params, fragment) reduce to the canonical form the
-    // URL-dedup join would key on. Both engines run the identical global
-    // regexp algebra (RE2-safe patterns, no lookarounds).
+    // URL-dedup join would key on. Four URL shapes by doc_id%4 pin the
+    // scoping rules: https:443 stripped but http:443 KEPT (non-default
+    // port), a /docs/utm_guide path segment and an xutm_source param KEPT
+    // (utm stripping sees only &-anchored query params), http:80 stripped,
+    // all-utm query vanishing without a dangling '?'. Both engines run the
+    // identical split-at-'?' + global-regexp algebra (RE2-safe, no
+    // lookarounds).
     Q(
       "q127_url_canonical",
       """WITH raw AS (SELECT doc_id,
-        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang || '/' || doc_id
-        |      || '?utm_source=feed&id=' || doc_id || '&utm_campaign=c' || (doc_id % 3)
-        |      || '&ref=r' || (doc_id % 5) || '#sec' AS u
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang
+        |        || '/' || doc_id || '?utm_source=feed&id=' || doc_id
+        |        || '&utm_campaign=c' || (doc_id % 3) || '&ref=r' || (doc_id % 5) || '#sec'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:443/' || lang || '/' || doc_id
+        |        || '?id=' || doc_id
+        |      WHEN 2 THEN 'https://' || source || '.example.com/docs/utm_guide/' || doc_id
+        |        || '?xutm_source=1&utm_medium=m&id=' || doc_id
+        |      ELSE 'HTTP://WWW.' || upper(source) || '.Example.COM:80/' || lang
+        |        || '?utm_only=1#f'
+        |    END AS u
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
         |s2 AS (SELECT doc_id, u, regexp_extract(u, '^[a-zA-Z]+://[^/]+') AS p FROM s1),
         |s3 AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(lower(p), ':443$', '', 'g'), '://www\.', '://', 'g')
-        |      AS host,
-        |    regexp_replace(substr(u, length(p) + 1), '&?utm_[^&]*', '', 'g') AS rest
-        |  FROM s2)
+        |    regexp_replace(regexp_replace(regexp_replace(lower(p),
+        |        '^(https://[^/]*):443$', '\1'), '^(http://[^/]*):80$', '\1'),
+        |      '://www\.', '://', 'g') AS host,
+        |    substr(u, length(p) + 1) AS rest
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, host, rest, strpos(rest, '?') AS qp FROM s3),
+        |s5 AS (SELECT doc_id, host,
+        |    CASE WHEN qp > 0 THEN substr(rest, 1, qp - 1) ELSE rest END AS path,
+        |    regexp_replace(regexp_replace(
+        |      '&' || CASE WHEN qp > 0 THEN substr(rest, qp + 1) ELSE '' END,
+        |      '&utm_[^&]*', '', 'g'), '^&', '') AS cleaned
+        |  FROM s4)
         |SELECT doc_id,
-        |  host || regexp_replace(regexp_replace(rest, '\?&', '?', 'g'), '\?$', '', 'g') AS url
-        |FROM s3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val raw = concat(
-        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/"),
-        col("lang"), lit("/"), col("doc_id").cast("string"),
-        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-        lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
-        lit("&ref=r"), (col("doc_id") % 5).cast("string"), lit("#sec"))
+        |  host || path || CASE WHEN cleaned = '' THEN '' ELSE '?' || cleaned END AS url
+        |FROM s5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val raw = when(col("doc_id") % 4 === 0, concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/"),
+          col("lang"), lit("/"), d, lit("?utm_source=feed&id="), d,
+          lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+          lit("&ref=r"), (col("doc_id") % 5).cast("string"), lit("#sec")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("http://"), col("source"), lit(".example.com:443/"), col("lang"),
+          lit("/"), d, lit("?id="), d))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("https://"), col("source"), lit(".example.com/docs/utm_guide/"), d,
+          lit("?xutm_source=1&utm_medium=m&id="), d))
+        .otherwise(concat(
+          lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/"),
+          col("lang"), lit("?utm_only=1#f")))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), graft.text.TextAnalysis.canonicalizeUrl(raw).as("url"))
         .orderBy("doc_id")

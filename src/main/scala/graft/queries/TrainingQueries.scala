@@ -781,19 +781,24 @@ object TrainingQueries {
     // pages wrap each doc's text with title/script/heading/entities/comment;
     // extraction drops script blocks and comments, strips tags, decodes
     // entities AFTER stripping (so &lt;raw&gt; survives as literal text),
-    // and collapses whitespace. The oracle replays the identical global
-    // regex chain.
+    // and collapses whitespace. The script and comment bodies span LINES
+    // (chr(10) in the template) — real HTML's norm — so the (?s) on the
+    // block patterns is load-bearing in both engines, not decorative. The
+    // oracle replays the identical global regex chain.
     Q(
       "q130_html_extract",
       """WITH raw AS (SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id || '</title><script>var x=1;</script></head>'
+        |    '<html><head><title>Doc ' || doc_id || '</title><script>var x=1;' || chr(10)
+        |    || 'var y=2;</script></head>'
         |    || '<body><h1>' || upper(lang) || '</h1><p>' || text
-        |    || ' &amp; more &lt;raw&gt;</p><!-- hidden --></body></html>' AS h
+        |    || ' &amp; more &lt;raw&gt;</p><!-- hidden' || chr(10) || 'note --></body></html>'
+        |      AS h
         |  FROM documents),
         |s1 AS (SELECT doc_id,
-        |    regexp_replace(h, '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |    regexp_replace(h, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g')
+        |      AS t
         |  FROM raw),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
         |s4 AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
@@ -804,9 +809,10 @@ object TrainingQueries {
         |FROM s4 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><script>var x=1;</script></head><body><h1>"), upper(col("lang")),
+        lit("</title><script>var x=1;\nvar y=2;</script></head><body><h1>"),
+        upper(col("lang")),
         lit("</h1><p>"), col("text"),
-        lit(" &amp; more &lt;raw&gt;</p><!-- hidden --></body></html>"))
+        lit(" &amp; more &lt;raw&gt;</p><!-- hidden\nnote --></body></html>"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.extractHtmlText(html).as("extracted"))
         .orderBy("doc_id")

@@ -214,7 +214,9 @@ object Similarity {
     * Scale shape: one projection (bits), one posexplode (`bands` rows/vector),
     * one self-equi-join on (band, bucket), one distinct — the same near-linear
     * plan MinHashLsh runs. `numPlanes <= 0` sizes planes from the corpus via
-    * [[planesFor]] (rounded up to a multiple of `bands`).
+    * [[planesFor]] (rounded up to a multiple of `bands`); an EXPLICIT
+    * `numPlanes` must divide `bands` evenly (rejected, never silently
+    * rounded — the caller sized their candidate set deliberately).
     */
   def bandedCandidatePairs(
       corpus: DataFrame,
@@ -224,9 +226,15 @@ object Similarity {
       bands: Int = 4,
       dims: Int = 64): DataFrame = {
     require(bands > 0, s"bands=$bands must be positive")
-    val planes0 = if (numPlanes > 0) numPlanes else planesFor(corpus.count())
-    val planes = ((planes0 + bands - 1) / bands) * bands // round up to band multiple
-    require(planes % bands == 0, s"numPlanes=$planes not divisible by bands=$bands")
+    // explicit numPlanes must divide evenly — silently rounding a caller's
+    // 14-planes/4-bands ask up to 16 would change their candidate set behind
+    // their back; only the auto-sized path rounds (it owns the number)
+    require(
+      numPlanes <= 0 || numPlanes % bands == 0,
+      s"numPlanes=$numPlanes not divisible by bands=$bands (pass numPlanes<=0 to auto-size)")
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else ((planesFor(corpus.count()) + bands - 1) / bands) * bands // round up to band multiple
     val r = planes / bands
     val banded = corpus
       .select(col(idCol), hyperplaneBucket(col(vecCol), planes, dims).as("_bits"))
@@ -295,6 +303,14 @@ object Similarity {
     * forces g=4 sub-blocking). Replication cost: g rows per input row —
     * o(total pair output) by construction, and 1 (no copies) for every
     * block under the cap.
+    *
+    * NOT lazy: this function runs the block-size aggregate (one Spark job
+    * over `corpus`) AT CALL TIME to pick the plan shape. The aggregate is
+    * persisted first, so the upstream pipeline executes exactly once — the
+    * probe reads the cache, and the triangle path's size join reuses it
+    * (one row per block, trivially small; freed on `unpersist` by the
+    * caller or at session end). Callers that need a fully lazy plan should
+    * pre-compute block sizes and dispatch themselves.
     */
   def nearDuplicatePairs(
       corpus: DataFrame,
@@ -304,8 +320,11 @@ object Similarity {
       minCosine: Double,
       maxBlockRows: Int = 16384): DataFrame = {
     require(maxBlockRows > 0, s"maxBlockRows=$maxBlockRows must be positive")
-    // one row per block — AQE broadcasts it back onto the corpus
+    // one row per block — AQE broadcasts it back onto the corpus; persisted
+    // so the call-time probe below and the triangle path's join share ONE
+    // execution of the (possibly expensive) upstream corpus plan
     val sizes = corpus.groupBy(col(blockCol).as("_blk")).agg(count(lit(1)).as("_bn"))
+      .persist()
     // O(1) driver probe (a single long): when no block exceeds the cap —
     // the common case — keep the lean plain self-join plan; the triangle
     // machinery (size join + key explode) engages only under genuine skew,
@@ -313,6 +332,7 @@ object Similarity {
     val maxBlock = Option(sizes.agg(max(col("_bn"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (maxBlock <= maxBlockRows) {
+      sizes.unpersist(blocking = false) // fast path never reads it again
       val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
       val normed = corpus
         .repartition(parts, col(blockCol)) // spread + pre-partition for the join

@@ -171,11 +171,15 @@ object TextAnalysis {
     * that then vanishes. All global regexp_replace with RE2-safe patterns
     * (non-greedy, no lookarounds) — the oracle replays the identical chain;
     * a real deployment would swap in a proper parser behind this same
-    * column contract. Stateless projection, no shuffle.
+    * column contract. The block patterns carry `(?s)` (valid in both Java
+    * regex and RE2) because real script/style/comment bodies span lines and
+    * `.` stops at `\n` in both engines without it. Stateless projection,
+    * no shuffle.
     */
   def extractHtmlText(h: Column): Column = {
-    val noScript = regexp_replace(h, "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noScript, "<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(h, "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&amp;" -> "&") // &amp; LAST, or double-encoded entities decode twice
@@ -203,23 +207,35 @@ object TextAnalysis {
     * (the same page arrives as `HTTPS://WWW.Site.com:443/p?utm_source=x#top`
     * and `https://site.com/p`; without canonicalization URL-level dedup
     * misses them). Steps, in order: drop the fragment; lowercase the
-    * scheme+host prefix; strip the default `:443` port; strip a leading
-    * `www.`; remove `utm_*` tracking params (other params keep their order);
-    * tidy the leftover `?&`/trailing `?`. Every step is a global
-    * regexp_replace with RE2-safe patterns (no lookarounds), so the DuckDB
-    * oracle replays the identical algebra with 'g' flags. Pure stateless
-    * projection — no shuffle, codegen'd.
+    * scheme+host prefix; strip only the scheme's DEFAULT port (`:443` for
+    * https, `:80` for http — an explicit `http://host:443` keeps its
+    * non-default port); strip a leading `www.`; remove `utm_*` tracking
+    * params from the QUERY STRING only (a `/docs/utm_guide` path segment or
+    * an `xutm_source` param is untouched; surviving params keep their
+    * order). Every step is a global regexp_replace / substring over RE2-safe
+    * patterns (no lookarounds) — query-only scoping comes from splitting at
+    * the first `?` and anchoring each param at a prepended `&`, not from
+    * lookbehind — so the DuckDB oracle replays the identical algebra. Pure
+    * stateless projection — no shuffle, codegen'd.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val prefix = regexp_extract(noFrag, "^[a-zA-Z]+://[^/]+", 0)
     val rest = noFrag.substr(length(prefix) + 1, lit(1000000))
     val host = regexp_replace(
-      regexp_replace(lower(prefix), ":443$", ""),
+      regexp_replace(
+        regexp_replace(lower(prefix), "^(https://[^/]*):443$", "$1"),
+        "^(http://[^/]*):80$", "$1"),
       "://www\\.", "://")
-    val noUtm = regexp_replace(rest, "&?utm_[^&]*", "")
-    val tidied = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
-    concat(host, tidied)
+    // split path|query at the first '?': utm stripping must not see the path
+    val qPos = instr(rest, "?")
+    val path = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
+    val query = when(qPos > 0, rest.substr(qPos + 1, lit(1000000))).otherwise(lit(""))
+    // prepend '&' so every param is &-anchored: "&utm_…" never matches a
+    // param merely CONTAINING utm_ (xutm_source) — then drop the sentinel
+    val cleaned = regexp_replace(
+      regexp_replace(concat(lit("&"), query), "&utm_[^&]*", ""), "^&", "")
+    concat(host, path, when(cleaned === "", lit("")).otherwise(concat(lit("?"), cleaned)))
   }
 
   /** Corpus-level repeated-span removal (the RefinedWeb/CCNet "duplicated

@@ -261,5 +261,13 @@ class OperatorsSpec extends SparkSpec {
       CountMinSketch.build(a, $"t", 4, 64), CountMinSketch.build(b, $"t", 4, 64))
     val whole = sk.orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
     assert(merged.orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq == whole)
+    // keys carrying the operator's internal column names are rejected up
+    // front (the join/groupBy would otherwise be ambiguous or silently wrong)
+    for (bad <- Seq("row", "cell", "c", "_p")) {
+      val ex = intercept[IllegalArgumentException] {
+        CountMinSketch.estimate(sk, keys.withColumn(bad, lit(1)), "t", 4, 64)
+      }
+      assert(ex.getMessage.contains(bad))
+    }
   }
 }

@@ -158,6 +158,12 @@ class SimilaritySpec extends SparkSpec {
     val oneBand = Similarity.bandedCandidatePairs(vecs, "vec_id", "embedding", 8, 1, dims = 4)
       .as[(Long, Long)].collect().toSet
     assert(oneBand == plain)
+    // an explicit numPlanes that doesn't divide bands is rejected, never
+    // silently rounded up to a different candidate set
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bandedCandidatePairs(vecs, "vec_id", "embedding", 14, 4, dims = 4)
+    }
+    assert(ex.getMessage.contains("not divisible"))
   }
 
   test("int8 quantization: codes bounded, reconstruction error <= scale/2, zero vector safe") {

@@ -110,6 +110,10 @@ class TextAnalysisSpec extends SparkSpec {
     val cases = Seq(
       "<p>hello <b>world</b></p>" -> "hello world",
       "<script>var x = '<p>sneaky</p>';</script>real" -> "real",
+      // multi-line bodies — the norm in real HTML; (?s) is load-bearing
+      "<script>\nvar a = 1;\nvar b = 2;\n</script>kept" -> "kept",
+      "<style>\n.a { color: red; }\n</style>kept" -> "kept",
+      "<!-- line one\nline two -->a  b" -> "a b",
       "<!-- note -->a  b" -> "a b",
       "x &lt;tag&gt; &amp; y" -> "x <tag> & y", // literal text, not re-stripped
       "  <div>  spaced   out  </div> " -> "spaced out")
@@ -124,7 +128,13 @@ class TextAnalysisSpec extends SparkSpec {
         -> "https://site.com/Path?id=5",
       "https://site.com/p" -> "https://site.com/p", // already canonical
       "http://www.a.org/x?utm_only=1" -> "http://a.org/x", // all-utm query vanishes
-      "https://API.site.com/v1?b=2&a=1" -> "https://api.site.com/v1?b=2&a=1") // param order kept
+      "https://API.site.com/v1?b=2&a=1" -> "https://api.site.com/v1?b=2&a=1", // param order kept
+      "http://a.org:443/x" -> "http://a.org:443/x", // :443 is NOT http's default port
+      "HTTP://b.org:80/x" -> "http://b.org/x", // :80 IS http's default port
+      "https://c.org:80/x" -> "https://c.org:80/x", // :80 is NOT https's default
+      "https://d.org/docs/utm_guide?id=1" -> "https://d.org/docs/utm_guide?id=1", // path utm kept
+      "https://e.org/p?xutm_source=1&utm_source=2" -> "https://e.org/p?xutm_source=1", // &-anchored
+      "https://f.org/p?" -> "https://f.org/p") // bare '?' tidied away
     val got = cases.map(_._1).toDF("u")
       .select(TextAnalysis.canonicalizeUrl($"u")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
