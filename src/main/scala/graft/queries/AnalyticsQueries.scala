@@ -462,5 +462,78 @@ object AnalyticsQueries {
           graft.operators.ZOrder.mortonKey16(
             pmod(col("l_orderkey"), lit(65536L)), col("l_suppkey")).as("zkey"))
         .orderBy("zkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Portable HyperLogLog distinct sketch (md5-derived registers, raw
+    // estimator, integer-exact harmonic sum): unlike q50's built-in
+    // approx_count_distinct (engine-private HLL++ layout, only a tolerance
+    // band checkable), this estimate is BIT-IDENTICAL across engines — the
+    // oracle rebuilds all 256 registers in SQL and must land the same
+    // double. hll_est_merged comes from per-event_type partial sketches
+    // max-merged (the 100 TB composition law: build per batch/partition,
+    // merge, estimate once) and must equal the whole-stream estimate
+    // exactly, which the oracle pins by construction.
+    Q(
+      "q136_hll_distinct",
+      """WITH h AS (SELECT md5(event_id::VARCHAR) AS x FROM events),
+        |b AS (SELECT CAST(('0x' || substr(x, 1, 2)) AS BIGINT) AS bucket,
+        |             CAST(('0x' || substr(x, 3, 13)) AS BIGINT) AS w FROM h),
+        |r AS (SELECT bucket, CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+        |      FROM b),
+        |reg AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+        |f AS (SELECT g.bucket, coalesce(reg.rho, 0) AS rho
+        |      FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+        |      LEFT JOIN reg ON g.bucket = reg.bucket),
+        |z AS (SELECT CAST(sum(1::BIGINT << CAST(53 - rho AS INTEGER)) AS BIGINT) AS zi
+        |      FROM f),
+        |e AS (SELECT (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |        * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / CAST(zi AS DOUBLE) AS est
+        |      FROM z),
+        |x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_ids FROM events)
+        |SELECT exact_ids, est AS hll_est, est AS hll_est_merged,
+        |  abs(est - exact_ids) <= exact_ids * 0.25::DOUBLE AS within_25pct
+        |FROM x, e""".stripMargin) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val ev = Tables.load(s, dir, "events")
+      val whole = HyperLogLog.estimate(HyperLogLog.registers(ev, col("event_id")))
+      // partitioned build: per-type partial sketches, max-merged to one
+      val merged = HyperLogLog.estimate(
+        HyperLogLog.groupedRegisters(ev, col("event_id"), col("event_type"))
+          .groupBy("bucket").agg(max("rho").as("rho")))
+        .withColumnRenamed("hll_est", "hll_est_merged")
+      val exact = ev.agg(countDistinct(col("event_id")).as("exact_ids"))
+      exact.crossJoin(whole).crossJoin(merged)
+        .select(col("exact_ids"), col("hll_est"), col("hll_est_merged"),
+          (abs(col("hll_est") - col("exact_ids")) <=
+            col("exact_ids") * lit(0.25)).as("within_25pct"))
+    },
+
+    // Blocked entity resolution (the record-linkage shape): candidate pairs
+    // come from an equi-join on a cheap blocking key (segment, nation) —
+    // never all-pairs — and survive an exact edit-distance verify
+    // (levenshtein <= 2, a codegen'd built-in with identical DP semantics
+    // in both engines). At 100 TB the block key bounds the pair space the
+    // way LSH bands do for text; integer output, no FP anywhere.
+    Q(
+      "q139_er_pairs",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_mktsegment = b.c_mktsegment AND a.c_nationkey = b.c_nationkey
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      val a = c.select(col("c_mktsegment"), col("c_nationkey"),
+        col("c_custkey").as("id_a"), col("c_name").as("_na"))
+      val b = c.select(col("c_mktsegment"), col("c_nationkey"),
+        col("c_custkey").as("id_b"), col("c_name").as("_nb"))
+      a.join(b, Seq("c_mktsegment", "c_nationkey"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("_na"), col("_nb")))
+        .filter(col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
     })
 }

@@ -1416,5 +1416,34 @@ object CurationQueries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), graft.text.TextAnalysis.canonicalizeUrl(raw).as("url"))
         .orderBy("doc_id")
+    },
+
+    // URL-level dedup (the CCNet first stage): four messy renderings of the
+    // same page — www + default port + utm + fragment variants by doc_id%4
+    // — must collapse onto ONE canonical key, then first-wins group-dedup
+    // keeps the lowest doc_id. The oracle is INDEPENDENT: it states the
+    // intended canonical form directly ('https://example.com/p' || k)
+    // rather than replaying the normalizer, so any canonicalization drift
+    // on any of the four shapes fails the gate. Scale shape: stateless
+    // canonicalize projection + one groupBy on the canonical key.
+    Q(
+      "q138_url_dedup",
+      """WITH c AS (SELECT doc_id, 'https://example.com/p' || (doc_id % 50) AS url
+        |           FROM documents)
+        |SELECT url, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY url ORDER BY url""".stripMargin) { (s, dir) =>
+      val k = (col("doc_id") % 50).cast("string")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.EXAMPLE.COM:443/p"), k,
+            lit("?utm_source=a&utm_medium=m#x")))
+        .when(col("doc_id") % 4 === 1, concat(lit("https://example.com/p"), k))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www.example.com/p"), k, lit("?utm_only=1")))
+        .otherwise(concat(lit("HTTPS://Example.Com:443/p"), k, lit("#frag")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextAnalysis.canonicalizeUrl(raw).as("url"))
+        .groupBy("url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("url")
     })
 }

@@ -873,5 +873,42 @@ object TrainingQueries {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_left", "id_right")
+    },
+
+    // Prefix-filtering EXACT set-similarity join (AllPairs/PPJoin family):
+    // every pair with shingle-set Jaccard >= 1/2, found WITHOUT the
+    // quadratic all-pairs — candidates must share a token among each
+    // side's (n - ceil(n/2) + 1)-length prefix under one global
+    // (frequency ASC, shingle ASC) order, a provable no-false-negative
+    // prune. The exact complement to q31's probabilistic MinHash LSH.
+    // Threshold decisions are integer-exact (o*2 >= (na+nb-o)); the
+    // emitted jaccard is a single correctly-rounded division.
+    Q(
+      "q137_prefix_jaccard",
+      s"""WITH $TokCte,
+         |$ShCte,
+         |ds AS (SELECT doc_id, list_distinct(s) AS st FROM sh WHERE len(s) > 0),
+         |ex AS (SELECT doc_id, unnest(st) AS g FROM ds),
+         |cnt AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+         |arr AS (SELECT e.doc_id, list(struct_pack(c := c, g := g) ORDER BY c, g) AS lst
+         |        FROM ex e JOIN cnt USING (g) GROUP BY e.doc_id),
+         |pre AS (SELECT doc_id,
+         |          unnest(list_slice(lst, 1, len(lst) - ((len(lst) + 1) // 2) + 1)) AS s
+         |        FROM arr),
+         |pt AS (SELECT doc_id, s.g AS g FROM pre),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pt a JOIN pt b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, st, len(st) AS n FROM ds)
+         |SELECT id_a, id_b, CAST(o AS DOUBLE) / (na + nb - o) AS jaccard
+         |FROM (SELECT id_a, id_b, len(list_intersect(a.st, b.st)) AS o,
+         |        a.n AS na, b.n AS nb
+         |      FROM cand JOIN sz a ON cand.id_a = a.doc_id
+         |                JOIN sz b ON cand.id_b = b.doc_id)
+         |WHERE o * 2 >= (na + nb - o)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.dedup.PrefixJoin.jaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")
     })
 }

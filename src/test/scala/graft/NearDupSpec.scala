@@ -101,4 +101,33 @@ class NearDupSpec extends SparkSpec {
     } yield (ia, ib, d.toLong)).toSet
     assert(pairs == brute && brute.nonEmpty)
   }
+
+  test("prefix join: exactly the brute-force Jaccard pairs — no false negatives") {
+    // 10 docs: 1/2 are near-dups, 5/6 are exact dups, rest unrelated plus
+    // one empty and one too-short doc (single-shingle sets)
+    val corpus = docs.union(Seq(
+      (5L, "shared exact duplicate body for the pair five and six to match"),
+      (6L, "shared exact duplicate body for the pair five and six to match"),
+      (7L, ""),
+      (8L, "tiny doc"),
+      (9L, "tiny doc")).toDF("doc_id", "text"))
+    val got = graft.dedup.PrefixJoin
+      .jaccardPairs(corpus, "doc_id", "text", shingleSize = 3, tNum = 1, tDen = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over every pair (the thing prefix filtering must equal)
+    val sets = corpus.select($"doc_id",
+        NGramJaccard.shingleSet($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys
+      if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+      o = sets(a).toSet.intersect(sets(b).toSet).size
+      u = sets(a).size + sets(b).size - o
+      if o * 2 >= u
+    } yield (a, b, o.toDouble / u)).toSet
+    assert(got == brute)
+    assert(got.exists { case (a, b, j) => (a, b) == (5L, 6L) && j == 1.0 }) // exact dup
+    assert(got.exists { case (a, b, _) => (a, b) == (8L, 9L) }) // single-shingle dup
+    assert(got.contains((1L, 2L, got.find(p => p._1 == 1L && p._2 == 2L).get._3))) // near-dup found
+  }
 }

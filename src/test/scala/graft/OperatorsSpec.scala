@@ -270,4 +270,28 @@ class OperatorsSpec extends SparkSpec {
       assert(ex.getMessage.contains(bad))
     }
   }
+
+  test("hyperloglog: bounded sketch, sane estimate, merge = whole-stream build") {
+    import graft.operators.HyperLogLog
+    val ids = spark.range(10000).select($"id")
+    val reg = HyperLogLog.registers(ids, $"id")
+    val regs = reg.as[(Int, Int)].collect()
+    assert(regs.length <= HyperLogLog.Buckets)
+    assert(regs.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 53 })
+    // raw estimator at n/m ~ 39 (well past the small-range regime): the
+    // standard error is 1.04/sqrt(256) = 6.5%; 15% is a generous pin
+    val est = HyperLogLog.estimate(reg).as[Double].head()
+    assert(math.abs(est - 10000.0) <= 1500.0, s"estimate $est off by >15%")
+    // composition law: merging two half-stream sketches equals one build
+    val lo = HyperLogLog.registers(ids.filter($"id" < 5000), $"id")
+    val hi = HyperLogLog.registers(ids.filter($"id" >= 5000), $"id")
+    val merged = HyperLogLog.merge(lo, hi).orderBy("bucket").as[(Int, Int)].collect().toSeq
+    assert(merged == reg.orderBy("bucket").as[(Int, Int)].collect().toSeq)
+    // grouped build collapsed over the group column is the same registers
+    val viaGroups = HyperLogLog
+      .groupedRegisters(ids, $"id", pmod($"id", lit(7)))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    assert(viaGroups == merged)
+  }
 }
