@@ -214,6 +214,29 @@ object Stress {
           graft.sim.Similarity.dequantizeInt8(col("q"), col("sc")), probeCol).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10).count()
     }
+
+    // Prefix-filtering exact similarity join (q137 shape) at 10x (50k
+    // docs): the prune claim measured — candidate pairs track the corpus's
+    // true duplicate structure (prefix buckets are the Zipf tail), not
+    // N^2/2. 10x rather than 50x because the synthetic replicas are EXACT
+    // duplicates: the true-pair OUTPUT itself grows as reps^2 per original
+    // doc, so past 10x the answer (not the algorithm) dominates the wall.
+    val docs10 = docs.filter(col("_rep") <= 10)
+    time("prefix_jaccard_50k_docs") {
+      graft.dedup.PrefixJoin.jaccardPairs(docs10, "doc_id", "text").count()
+    }
+    // HyperLogLog (q136 shape) over 7.5M distinct keys: the sketch is 256
+    // rows no matter the stream, and the raw estimator's error must sit
+    // inside the 1.04/sqrt(256) = 6.5% standard-error band.
+    time("hll_7M5_distinct") {
+      graft.operators.HyperLogLog.estimate(
+        graft.operators.HyperLogLog.registers(orders, col("o_orderkey"))).count()
+    }
+    val hllEst = graft.operators.HyperLogLog.estimate(
+      graft.operators.HyperLogLog.registers(orders, col("o_orderkey")))
+      .head().getDouble(0)
+    println(f"STRESS   hll_estimate n=7500000 est=$hllEst%.0f " +
+      f"err=${(hllEst / 7500000.0 - 1) * 100}%+.1f%%")
   }
 
   def main(args: Array[String]): Unit = {

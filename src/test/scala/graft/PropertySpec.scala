@@ -312,6 +312,48 @@ class PropertySpec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("prefix join equals brute force on random corpora (no false negatives)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(12, Gen.choose(3, 9).flatMap(n => Gen.listOfN(n, wordGen)))
+    for (docs <- samples(docGen, 3)) {
+      val corpus = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.dedup.PrefixJoin
+        .jaccardPairs(corpus, "doc_id", "text", shingleSize = 2, tNum = 1, tDen = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.select($"doc_id",
+          graft.dedup.NGramJaccard.shingleSet($"text", 2).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        o = sets(a).toSet.intersect(sets(b).toSet).size
+        u = sets(a).size + sets(b).size - o
+        if o * 3 >= u
+      } yield (a, b, o.toDouble / u)).toSet
+      assert(got == brute)
+    }
+  }
+
+  test("hyperloglog merge law on random splits: merge(parts) == whole-stream build") {
+    import graft.operators.HyperLogLog
+    val nGen = Gen.choose(200, 800)
+    for (n <- samples(nGen, 3)) {
+      val ids = spark.range(n.toLong).select($"id")
+      val whole = HyperLogLog.registers(ids, $"id")
+        .orderBy("bucket").as[(Int, Int)].collect().toSeq
+      // split by an arbitrary hash predicate, not a range, then merge
+      val p = pmod(xxhash64($"id"), lit(3))
+      val parts = (0 until 3).map(i => HyperLogLog.registers(ids.filter(p === i), $"id"))
+      val merged = parts.reduce(HyperLogLog.merge)
+        .orderBy("bucket").as[(Int, Int)].collect().toSeq
+      assert(merged == whole)
+      // estimates therefore identical too
+      assert(HyperLogLog.estimate(parts.reduce(HyperLogLog.merge)).as[Double].head() ==
+        HyperLogLog.estimate(HyperLogLog.registers(ids, $"id")).as[Double].head())
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
