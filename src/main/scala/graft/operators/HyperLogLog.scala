@@ -68,6 +68,24 @@ object HyperLogLog {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max("rho").as("rho"))
 
+  /** Per-group estimates (grp, hll_est) from a [[groupedRegisters]] table —
+    * the GROUP BY cardinality shape: distinct-count per key from one narrow
+    * pass + a (groups × 256)-row aggregate, where an exact count(DISTINCT)
+    * per group would shuffle every occurrence. Same integer-exact harmonic
+    * sum as [[estimate]], keyed by group.
+    */
+  def estimateByGroup(reg: DataFrame): DataFrame = {
+    val spark = reg.sparkSession
+    val all = reg.select("grp").distinct()
+      .crossJoin(spark.range(Buckets).select(col("id").cast("int").as("bucket")))
+    all.join(reg, Seq("grp", "bucket"), "left")
+      .select(col("grp"), coalesce(col("rho"), lit(0)).as("rho"))
+      .groupBy("grp")
+      .agg(sum(expr("shiftleft(1L, 53 - rho)")).as("_z"))
+      .select(col("grp"), (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+        lit(9007199254740992.0) / col("_z").cast("double")).as("hll_est"))
+  }
+
   /** One-row (hll_est DOUBLE) estimate from a register table. Buckets the
     * stream never touched count as rho = 0 (the left join against all 256).
     */

@@ -535,5 +535,75 @@ object AnalyticsQueries {
         .filter(col("dist") <= 2)
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
+    },
+
+    // Sequence-length bucketing manifest (the dynamic-batching planner's
+    // input): each document lands in the next power-of-2 token-length
+    // bucket, computed by PURE bit arithmetic (1 << length(bin(n-1)) —
+    // both engines print binary without leading zeros, so no log2/float
+    // anywhere), with per-bucket doc counts, token totals, and the padding
+    // waste a fixed-shape batch of that bucket would pay. Stateless
+    // projection + one map-side-combined groupBy over ~a dozen buckets.
+    Q(
+      "q140_length_buckets",
+      """WITH tok AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != ''))
+        |      AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CASE WHEN n <= 1 THEN n ELSE 1::BIGINT << length(bin(n - 1)) END AS bucket
+        |  FROM tok)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(bucket - n) AS BIGINT) AS total_padding
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("_n"))
+        .withColumn("bucket",
+          when(col("_n") <= 1, col("_n"))
+            .otherwise(expr("shiftleft(1L, length(bin(_n - 1)))")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"),
+          sum(col("bucket") - col("_n")).as("total_padding"))
+        .orderBy("bucket")
+    },
+
+    // Per-group HLL cardinalities — the GROUP BY shape the sketch exists
+    // for at 100 TB: distinct events per type from one narrow pass plus a
+    // (groups x 256)-row aggregate, instead of shuffling every occurrence
+    // the way count(DISTINCT) per group does. Estimates are bit-identical
+    // across engines (same integer-exact algebra as q136), pinned next to
+    // the exact counts.
+    Q(
+      "q141_hll_by_group",
+      """WITH h AS (SELECT event_type, md5(event_id::VARCHAR) AS x FROM events),
+        |b AS (SELECT event_type, CAST(('0x' || substr(x, 1, 2)) AS BIGINT) AS bucket,
+        |             CAST(('0x' || substr(x, 3, 13)) AS BIGINT) AS w FROM h),
+        |r AS (SELECT event_type, bucket,
+        |        CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM b),
+        |reg AS (SELECT event_type, bucket, max(rho) AS rho
+        |        FROM r GROUP BY event_type, bucket),
+        |g AS (SELECT DISTINCT event_type FROM events),
+        |f AS (SELECT g.event_type, gb.bucket, coalesce(reg.rho, 0) AS rho
+        |      FROM g CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) gb
+        |      LEFT JOIN reg ON g.event_type = reg.event_type AND gb.bucket = reg.bucket),
+        |z AS (SELECT event_type,
+        |        CAST(sum(1::BIGINT << CAST(53 - rho AS INTEGER)) AS BIGINT) AS zi
+        |      FROM f GROUP BY event_type),
+        |x AS (SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS exact_n
+        |      FROM events GROUP BY event_type)
+        |SELECT x.event_type, exact_n,
+        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |    * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / CAST(zi AS DOUBLE) AS hll_est
+        |FROM x JOIN z USING (event_type) ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val ev = Tables.load(s, dir, "events")
+      val est = HyperLogLog.estimateByGroup(
+        HyperLogLog.groupedRegisters(ev, col("event_id"), col("event_type")))
+        .withColumnRenamed("grp", "event_type")
+      ev.groupBy("event_type").agg(countDistinct("event_id").as("exact_n"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("exact_n"), col("hll_est"))
+        .orderBy("event_type")
     })
 }

@@ -293,5 +293,15 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("bucket").agg(max("rho").as("rho"))
       .orderBy("bucket").as[(Int, Int)].collect().toSeq
     assert(viaGroups == merged)
+    // per-group estimates equal independent whole-builds of each group
+    val byGroup = HyperLogLog
+      .estimateByGroup(HyperLogLog.groupedRegisters(ids, $"id", pmod($"id", lit(2))))
+      .as[(Long, Double)].collect().toMap
+    for (g <- 0 to 1) {
+      val solo = HyperLogLog
+        .estimate(HyperLogLog.registers(ids.filter(pmod($"id", lit(2)) === g), $"id"))
+        .as[Double].head()
+      assert(byGroup(g.toLong) == solo)
+    }
   }
 }
