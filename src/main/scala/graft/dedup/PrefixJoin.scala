@@ -64,13 +64,16 @@ object PrefixJoin {
     // canonical-set collapse: one group per distinct shingle set. Persisted
     // because members (expansion) and reps (core) both read it.
     // '|' cannot occur inside a shingle (tokens are [a-z0-9]+), so the
-    // joined sorted set is an injective key.
+    // joined sorted set is an injective key. The empty-set filter sits ON
+    // TOP of the cache, not under it: pushed below the projection, Catalyst
+    // substitutes the alias and evaluates the whole tokenize+shingle
+    // expression twice per row during the cache build.
     val keyed = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col(idCol), NGramJaccard.shingleSetOfTokens(col("_t"), shingleSize).as("_set"))
-      .filter(size(col("_set")) > 0)
       .withColumn("_gid", md5(concat_ws("|", sort_array(col("_set")))))
       .persist()
+      .filter(size(col("_set")) > 0)
     val members = keyed.select(col("_gid"), col(idCol))
     // all sets under a gid are equal, so first() is value-deterministic
     val reps = keyed.groupBy(col("_gid")).agg(first(col("_set")).as("_set"))
