@@ -605,5 +605,36 @@ object AnalyticsQueries {
         .join(est, "event_type")
         .select(col("event_type"), col("exact_n"), col("hll_est"))
         .orderBy("event_type")
+    },
+
+    // Rendezvous (highest-random-weight) sharding: the 4-shard -> 5-shard
+    // transition matrix. The output SHAPE is the stability proof — only
+    // diagonal cells (unmoved) and the shard_new = 4 column (moved to the
+    // NEW shard) can appear; a key migrating between two old shards is
+    // impossible by construction, unlike modulo partitioning which
+    // reshuffles nearly everything on resize. Engines agree bit-for-bit
+    // because the winner is an md5 argmax.
+    Q(
+      "q142_rendezvous_shards",
+      """WITH c4 AS (SELECT doc_id, arg_max(r, md5(r::VARCHAR || ':' || doc_id::VARCHAR))
+        |              AS shard_old
+        |            FROM documents, unnest(generate_series(0, 3)) AS u(r)
+        |            GROUP BY doc_id),
+        |c5 AS (SELECT doc_id, arg_max(r, md5(r::VARCHAR || ':' || doc_id::VARCHAR))
+        |         AS shard_new
+        |       FROM documents, unnest(generate_series(0, 4)) AS u(r)
+        |       GROUP BY doc_id)
+        |SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c4 JOIN c5 USING (doc_id)
+        |GROUP BY shard_old, shard_new
+        |ORDER BY shard_old, shard_new""".stripMargin) { (s, dir) =>
+      import graft.operators.Rendezvous
+      Tables.load(s, dir, "documents")
+        .select(
+          Rendezvous.shard(col("doc_id"), 4).as("shard_old"),
+          Rendezvous.shard(col("doc_id"), 5).as("shard_new"))
+        .groupBy("shard_old", "shard_new")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_old", "shard_new")
     })
 }

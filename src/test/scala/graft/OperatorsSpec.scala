@@ -304,4 +304,21 @@ class OperatorsSpec extends SparkSpec {
       assert(byGroup(g.toLong) == solo)
     }
   }
+
+  test("rendezvous sharding: balanced, stable under growth (moves only to the new shard)") {
+    import graft.operators.Rendezvous
+    val keys = spark.range(10000)
+    val assigned = keys.select($"id",
+      Rendezvous.shard($"id", 4).as("s4"), Rendezvous.shard($"id", 5).as("s5"))
+      .as[(Long, Long, Long)].collect()
+    // every shard id in range, roughly balanced (within 3x of ideal)
+    val by4 = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by4.keySet.subsetOf((0L until 4L).toSet))
+    assert(by4.values.forall(n => n > 10000 / 12 && n < 10000 * 3 / 4))
+    // growth property: s5 == s4 (unmoved) or s5 == 4 (the NEW shard); a key
+    // migrating between two old shards is impossible by construction
+    assert(assigned.forall { case (_, s4, s5) => s5 == s4 || s5 == 4L })
+    val moved = assigned.count { case (_, s4, s5) => s5 != s4 }
+    assert(moved > 10000 / 10 && moved < 10000 * 3 / 10, s"moved=$moved, expected ~1/5")
+  }
 }
