@@ -129,5 +129,11 @@ class NearDupSpec extends SparkSpec {
     assert(got.exists { case (a, b, j) => (a, b) == (5L, 6L) && j == 1.0 }) // exact dup
     assert(got.exists { case (a, b, _) => (a, b) == (8L, 9L) }) // single-shingle dup
     assert(got.contains((1L, 2L, got.find(p => p._1 == 1L && p._2 == 2L).get._3))) // near-dup found
+    // t = 1 degenerates to identical-set pairs only: prefix length 1 (the
+    // single rarest shingle) and the threshold forces o == na == nb
+    val exact = graft.dedup.PrefixJoin
+      .jaccardPairs(corpus, "doc_id", "text", shingleSize = 3, tNum = 1, tDen = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == Set((5L, 6L, 1.0), (8L, 9L, 1.0)))
   }
 }
