@@ -1381,7 +1381,7 @@ object CurationQueries {
         |    END AS u
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
-        |s2 AS (SELECT doc_id, u, regexp_extract(u, '^[a-zA-Z]+://[^/]+') AS p FROM s1),
+        |s2 AS (SELECT doc_id, u, regexp_extract(u, '^[a-zA-Z]+://[^/?]+') AS p FROM s1),
         |s3 AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(lower(p),
         |        '^(https://[^/]*):443$', '\1'), '^(http://[^/]*):80$', '\1'),

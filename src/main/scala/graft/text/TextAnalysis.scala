@@ -220,7 +220,10 @@ object TextAnalysis {
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    val prefix = regexp_extract(noFrag, "^[a-zA-Z]+://[^/]+", 0)
+    // host prefix stops at '/' OR '?': a path-less URL with a query
+    // (https://host?x=1) must not swallow the query into the host, or the
+    // utm/port rules below never see it
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?]+", 0)
     val rest = noFrag.substr(length(prefix) + 1, lit(1000000))
     val host = regexp_replace(
       regexp_replace(

@@ -134,7 +134,9 @@ class TextAnalysisSpec extends SparkSpec {
       "https://c.org:80/x" -> "https://c.org:80/x", // :80 is NOT https's default
       "https://d.org/docs/utm_guide?id=1" -> "https://d.org/docs/utm_guide?id=1", // path utm kept
       "https://e.org/p?xutm_source=1&utm_source=2" -> "https://e.org/p?xutm_source=1", // &-anchored
-      "https://f.org/p?" -> "https://f.org/p") // bare '?' tidied away
+      "https://f.org/p?" -> "https://f.org/p", // bare '?' tidied away
+      "https://g.org?utm_source=x&b=1" -> "https://g.org?b=1", // path-less URL keeps its query rules
+      "HTTPS://WWW.H.org:443?utm_only=1" -> "https://h.org") // path-less: port+www+utm all apply
     val got = cases.map(_._1).toDF("u")
       .select(TextAnalysis.canonicalizeUrl($"u")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
