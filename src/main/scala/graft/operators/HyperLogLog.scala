@@ -37,19 +37,27 @@ object HyperLogLog {
   /** Register count m = 2^8. Fixed so sketches are always mergeable. */
   val Buckets = 256
 
-  /** Bucket index (0..255): the first 8 bits (2 hex chars) of md5(key). */
-  def bucketOf(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+  private def bucketOfHash(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast("int")
 
-  /** rho = leading-zero count of the 52-bit suffix + 1, in [1, 53]. */
-  def rhoOf(key: Column): Column = {
-    val w = conv(substring(md5(key.cast("string")), 3, 13), 16, 10).cast("long")
+  private def rhoOfHash(h: Column): Column = {
+    val w = conv(substring(h, 3, 13), 16, 10).cast("long")
     when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w))).cast("int")
   }
 
-  /** Sketch table (bucket, rho) — at most [[Buckets]] rows. */
+  /** Bucket index (0..255): the first 8 bits (2 hex chars) of md5(key). */
+  def bucketOf(key: Column): Column = bucketOfHash(md5(key.cast("string")))
+
+  /** rho = leading-zero count of the 52-bit suffix + 1, in [1, 53]. */
+  def rhoOf(key: Column): Column = rhoOfHash(md5(key.cast("string")))
+
+  /** Sketch table (bucket, rho) — at most [[Buckets]] rows. The hash is
+    * projected once and bucket/rho derive from it (one md5 per row by
+    * construction, not by trusting codegen subexpression elimination).
+    */
   def registers(df: DataFrame, key: Column): DataFrame =
-    df.select(bucketOf(key).as("bucket"), rhoOf(key).as("rho"))
+    df.select(md5(key.cast("string")).as("_h"))
+      .select(bucketOfHash(col("_h")).as("bucket"), rhoOfHash(col("_h")).as("rho"))
       .groupBy("bucket")
       .agg(max("rho").as("rho"))
 
@@ -58,7 +66,8 @@ object HyperLogLog {
     * whole-stream build (pinned by the q136 oracle and OperatorsSpec).
     */
   def groupedRegisters(df: DataFrame, key: Column, groupCol: Column): DataFrame =
-    df.select(groupCol.as("grp"), bucketOf(key).as("bucket"), rhoOf(key).as("rho"))
+    df.select(groupCol.as("grp"), md5(key.cast("string")).as("_h"))
+      .select(col("grp"), bucketOfHash(col("_h")).as("bucket"), rhoOfHash(col("_h")).as("rho"))
       .groupBy("grp", "bucket")
       .agg(max("rho").as("rho"))
 

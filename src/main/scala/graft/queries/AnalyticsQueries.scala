@@ -636,5 +636,62 @@ object AnalyticsQueries {
         .groupBy("shard_old", "shard_new")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("shard_old", "shard_new")
+    },
+
+    // HLL set algebra: distinct-overlap of two key sets by
+    // inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where
+    // the union estimate comes FREE from the bucket-wise-max merge (the
+    // property exact distinct counts lack: two exact per-set counts cannot
+    // produce an overlap without rescanning both sets; two 256-row
+    // sketches can). All three estimates are the same integer-exact
+    // algebra as q136, so the combination is bit-identical cross-engine.
+    Q(
+      "q143_hll_overlap",
+      """WITH ha AS (SELECT md5(event_id::VARCHAR) AS x FROM events WHERE event_id % 3 != 0),
+        |hb AS (SELECT md5(event_id::VARCHAR) AS x FROM events WHERE event_id % 2 = 0),
+        |ra AS (SELECT CAST(('0x' || substr(x, 1, 2)) AS BIGINT) AS bucket,
+        |         max(CASE WHEN CAST(('0x' || substr(x, 3, 13)) AS BIGINT) = 0 THEN 53
+        |             ELSE 53 - length(bin(CAST(('0x' || substr(x, 3, 13)) AS BIGINT))) END)
+        |           AS rho
+        |       FROM ha GROUP BY bucket),
+        |rb AS (SELECT CAST(('0x' || substr(x, 1, 2)) AS BIGINT) AS bucket,
+        |         max(CASE WHEN CAST(('0x' || substr(x, 3, 13)) AS BIGINT) = 0 THEN 53
+        |             ELSE 53 - length(bin(CAST(('0x' || substr(x, 3, 13)) AS BIGINT))) END)
+        |           AS rho
+        |       FROM hb GROUP BY bucket),
+        |regs AS (SELECT 'a' AS side, bucket, rho FROM ra
+        |         UNION ALL SELECT 'b', bucket, rho FROM rb
+        |         UNION ALL SELECT 'u', bucket, max(rho)
+        |           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+        |f AS (SELECT s.side, gb.bucket, coalesce(regs.rho, 0) AS rho
+        |      FROM (SELECT DISTINCT side FROM regs) s
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) gb
+        |      LEFT JOIN regs ON s.side = regs.side AND gb.bucket = regs.bucket),
+        |e AS (SELECT side,
+        |        (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |          * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+        |          / CAST(CAST(sum(1::BIGINT << CAST(53 - rho AS INTEGER)) AS BIGINT) AS DOUBLE)
+        |          AS est
+        |      FROM f GROUP BY side),
+        |x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_overlap
+        |      FROM events WHERE event_id % 3 != 0 AND event_id % 2 = 0)
+        |SELECT exact_overlap,
+        |  max(CASE WHEN side = 'a' THEN est END)
+        |    + max(CASE WHEN side = 'b' THEN est END)
+        |    - max(CASE WHEN side = 'u' THEN est END) AS est_overlap
+        |FROM x, e GROUP BY exact_overlap""".stripMargin) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val ev = Tables.load(s, dir, "events").select(col("event_id"))
+      val ra = HyperLogLog.registers(ev.filter(col("event_id") % 3 =!= 0), col("event_id"))
+      val rb = HyperLogLog.registers(ev.filter(col("event_id") % 2 === 0), col("event_id"))
+      val ea = HyperLogLog.estimate(ra).withColumnRenamed("hll_est", "_ea")
+      val eb = HyperLogLog.estimate(rb).withColumnRenamed("hll_est", "_eb")
+      val eu = HyperLogLog.estimate(HyperLogLog.merge(ra, rb))
+        .withColumnRenamed("hll_est", "_eu")
+      val exact = ev.filter(col("event_id") % 3 =!= 0 && col("event_id") % 2 === 0)
+        .agg(countDistinct(col("event_id")).as("exact_overlap"))
+      exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+        .select(col("exact_overlap"),
+          (col("_ea") + col("_eb") - col("_eu")).as("est_overlap"))
     })
 }
