@@ -173,4 +173,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k in:\n$p")
     assert(!p.contains("Exchange"), s"quantize/dequantize should be shuffle-free:\n$p")
   }
+
+  test("q136: HLL register build aggregates partially (map-side combine) before the exchange") {
+    // the whole point of the sketch: the per-occurrence stream combines to
+    // <= 256 rows on the map side; shuffling raw occurrences would defeat it
+    val p = plan("q136_hll_distinct")
+    assert(p.contains("partial_max"), s"expected partial max register build in:\n$p")
+  }
+
+  test("q142: rendezvous shard assignment is a stateless projection + one partial agg") {
+    // the md5 argmax must stay a projection (no join, no window, no extra
+    // shuffle beyond the count's own partial-agg exchange)
+    val p = plan("q142_rendezvous_shards")
+    assert(!p.contains("Join"), s"rendezvous shard must not plan a join:\n$p")
+    assert(!p.contains("Window"), s"rendezvous shard must not plan a window:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combined count in:\n$p")
+  }
+
+  test("q137: prefix-join candidates come from equi-joins, never a cross product") {
+    val p = plan("q137_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to a cross product:\n$p")
+  }
 }
