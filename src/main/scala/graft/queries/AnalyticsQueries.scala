@@ -693,5 +693,28 @@ object AnalyticsQueries {
       exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
         .select(col("exact_overlap"),
           (col("_ea") + col("_eb") - col("_eu")).as("est_overlap"))
+    },
+
+    // Spark 4 VariantType ingestion: parse the JSON props ONCE into a
+    // variant and extract typed fields from the parsed form — the
+    // semi-structured path that beats q53's per-field get_json_object
+    // (which re-parses the string for every extraction). try_parse_json on
+    // malformed input nulls instead of failing the batch — the ingest
+    // robustness contract. The oracle replays the same semantics through
+    // DuckDB's JSON functions; outputs are plain BIGINT/BOOLEAN so the
+    // engines compare bit-for-bit.
+    Q(
+      "q144_variant_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  bool_and(NOT json_valid('{oops')) AS bad_is_null
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(variant_get(parse_json(col("props")), "$.k", "bigint").as("_k"))
+        .groupBy((col("_k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("_k")).as("sum_k"),
+          bool_and(try_parse_json(lit("{oops")).isNull).as("bad_is_null"))
+        .orderBy("k_mod")
     })
 }
