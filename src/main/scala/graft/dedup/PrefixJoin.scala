@@ -49,18 +49,17 @@ import org.apache.spark.sql.functions._
   */
 object PrefixJoin {
 
-  /** All pairs with shingle-set Jaccard ≥ tNum/tDen: (id_a, id_b, jaccard).
-    * Docs with empty shingle sets can match nothing and are dropped.
+  /** The canonical-set collapse + frequency-ordered token lists both join
+    * flavors run on: `members` (_gid, id), `reps` (_gid, _set), `arr`
+    * (_gid, _lst) with _lst sorted (corpus freq ASC, shingle ASC).
     */
-  def jaccardPairs(
+  private final case class Collapsed(members: DataFrame, reps: DataFrame, arr: DataFrame)
+
+  private def collapse(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
-      tNum: Int = 1,
-      tDen: Int = 2): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen,
-      s"threshold $tNum/$tDen must be in (0, 1]")
+      shingleSize: Int): Collapsed = {
     // canonical-set collapse: one group per distinct shingle set. Persisted
     // because members (expansion) and reps (core) both read it.
     // '|' cannot occur inside a shingle (tokens are [a-z0-9]+), so the
@@ -84,6 +83,22 @@ object PrefixJoin {
     val arr = toks.join(cnt, "_sh")
       .groupBy(col("_gid"))
       .agg(sort_array(collect_list(struct(col("_c"), col("_sh")))).as("_lst"))
+    Collapsed(members, reps, arr)
+  }
+
+  /** All pairs with shingle-set Jaccard ≥ tNum/tDen: (id_a, id_b, jaccard).
+    * Docs with empty shingle sets can match nothing and are dropped.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    val Collapsed(members, reps, arr) = collapse(df, idCol, textCol, shingleSize)
     val n = size(col("_lst"))
     // prefix length p = n - ceil(t*n) + 1, integer-exact
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list, in SCALED-INTEGER
+  * arithmetic: ranks are `Long`s in units of `scale⁻¹`, every step is
+  * integer division and integer sums, so the result is bit-identical across
+  * engines and independent of aggregation order (double sums are not
+  * associative; long sums are). The classic damping update, d = 17/20:
+  *
+  *   r'(v) = (3·scale) div 20  +  (17 · Σ_{u→v} (r(u) div deg(u))) div 20
+  *
+  * This is the power-iteration shape every distributed PageRank uses
+  * (contributions keyed by edge, one shuffle per iteration on dst); a fixed
+  * iteration count rather than a convergence test keeps the plan static —
+  * at 100 TB you run k iterations as k deterministic stages, checkpointing
+  * between them, not a driver-side convergence loop over collect()s.
+  *
+  * Simplifications, both standard and documented: dangling mass (nodes
+  * without out-edges) is dropped, not redistributed — feed an undirected
+  * graph (each edge in both directions) and none exist; `div` truncation
+  * loses < 1 unit per edge per iteration (set `scale` high enough that
+  * deg · iterations ≪ scale).
+  *
+  * Integer headroom: 17 · Σ contrib ≤ 17 · (total mass) = 17 · N · scale
+  * must stay below 2⁶³ — at the default scale 10¹² that bounds N at
+  * ~5·10⁵ nodes; pass scale = 10⁶ for billion-node graphs (rank resolution
+  * trades off against node count — same ratio semantics).
+  */
+object PageRank {
+
+  /** `edges`: (src, dst) string columns, pre-deduplicated. Returns
+    * (node, rank) with rank in `scale⁻¹` units after `iters` updates from
+    * the uniform start r₀ = scale.
+    */
+  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    var r = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
+        .groupBy("node")
+        .agg(sum("_c").as("_in"))
+      r = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(3L * (scale / 20)) +
+            expr(s"(17 * coalesce(_in, 0L)) div 20")).as("rank"))
+    }
+    r
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by DEGREE-ORDERED edge orientation — the
+  * node-iterator++ / "compact-forward" algorithm every large-scale graph
+  * engine uses:
+  *
+  *  1. orient each undirected edge from its lower-(degree, id) endpoint to
+  *     the higher one — the oriented out-degree of ANY node is O(√m), even
+  *     a celebrity hub, which is the whole point: wedge generation (the
+  *     quadratic step) is bounded per node instead of exploding on hubs;
+  *  2. wedges = oriented ⋈ oriented on the middle vertex (u→v, v→w);
+  *  3. close each wedge with a semi-join-shaped INNER join against the
+  *     oriented edge set on (u, w).
+  *
+  * Every triangle {a,b,c} is produced exactly once (its vertices are
+  * totally ordered by (degree, id), and only the orientation-ascending
+  * wedge closes). Three equi-join shuffles, no windows, no driver state —
+  * the plan a 1000-executor cluster runs unchanged.
+  *
+  * Input `edges`: (a, b) string columns, one row per undirected edge in
+  * either order; self-loops and duplicates are dropped internally.
+  */
+object Triangles {
+
+  /** The closed triangles, one row each: (v1, v2, v3) with
+    * (deg, id)-ascending vertex order. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("a") =!= col("b"))
+      .select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // symmetric view for degree counting
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint -> higher endpoint
+    val oriented = sym
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("v1"), col("e1.dst").as("v2"), col("e2.dst").as("v3"))
+    wedges.join(
+      oriented.select(col("src").as("v1"), col("dst").as("v3")),
+      Seq("v1", "v3"))
+  }
+
+  /** (node, n_triangles) per-vertex triangle participation — the local
+    * clustering-coefficient numerator. Nodes in no triangle are absent. */
+  def perVertexCounts(edges: DataFrame): DataFrame = {
+    val t = triangles(edges)
+    t.select(col("v1").as("node"))
+      .union(t.select(col("v2").as("node")))
+      .union(t.select(col("v3").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -716,5 +716,187 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum(col("_k")).as("sum_k"),
           bool_and(try_parse_json(lit("{oops")).isNull).as("bad_is_null"))
         .orderBy("k_mod")
+    },
+
+    // Blocked inverted index (Retrieval.invertedIndex): postings keyed by
+    // (token, doc-id-range block) — the block id is a projection, NOT a
+    // per-token row_number, so a stop word's postings split across blocks
+    // mechanically instead of dragging into one reducer. The in-block
+    // "doc:tf" string is array_sort-ed into doc-id order (collect order is
+    // nondeterministic; struct sort restores it exactly).
+    Q(
+      "q145_inverted_index",
+      """WITH tt AS (SELECT doc_id, u.tok AS token
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tt GROUP BY doc_id, token)
+        |SELECT token, doc_id // 128 AS block_id, count(*) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS tf_block,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY token, block_id
+        |ORDER BY token, block_id""".stripMargin) { (s, dir) =>
+      graft.text.Retrieval.invertedIndex(
+        Tables.load(s, dir, "documents"), "doc_id", "text", docRange = 128)
+        .orderBy("token", "block_id")
+    },
+
+    // Collocation mining by PMI lift (Vocab.collocations): the PMI's log
+    // argument kept un-logged (monotone → identical ranking, no libm in the
+    // gate), evaluated in a pinned double operation order so both engines
+    // produce the same bits. minCount floors away the hapax-pair pathology.
+    Q(
+      "q146_pmi_bigrams",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |uni AS (SELECT u.tok AS token, count(*) AS c1 FROM tok, unnest(t) AS u(tok) GROUP BY token),
+        |t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM uni),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |pc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS t2 FROM pc)
+        |SELECT gram, n AS n_pair,
+        |  round(CAST(n AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) /
+        |    (CAST(t2 AS DOUBLE) * CAST(cx.c1 AS DOUBLE) * CAST(cy.c1 AS DOUBLE)), 4) AS lift
+        |FROM pc
+        |JOIN uni cx ON cx.token = split_part(gram, ' ', 1)
+        |JOIN uni cy ON cy.token = split_part(gram, ' ', 2)
+        |CROSS JOIN t1 CROSS JOIN t2
+        |WHERE n >= 5
+        |ORDER BY lift DESC, gram LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.collocations(Tables.load(s, dir, "documents"), "text", minCount = 5)
+        .orderBy(col("lift").desc, col("gram"))
+        .limit(100)
+    },
+
+    // BM25 ranked retrieval (Retrieval.bm25): k1 = 6/5 and b = 3/4 make the
+    // tf saturation a single division of exact 64-bit integers
+    // (22·tf·S / (10·tf·S + 3·S + 9·dl·N)), and the idf is the classical
+    // formula's log ARGUMENT (2N−2df+1)/(2df+1) — monotone, so per-term
+    // ranking matches log-BM25 while the gate stays bit-portable. Top-10
+    // per query term via row_number (Spark 4 WindowGroupLimit pushes the
+    // limit below the exchange).
+    Q(
+      "q147_bm25_topk",
+      """WITH tt AS (SELECT doc_id, u.tok AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |hits AS (SELECT * FROM tf WHERE term IN ('spark', 'vector', 'stream')),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM hits GROUP BY term),
+        |sc AS (SELECT h.term, h.doc_id, h.tf, d.dl,
+        |    round(CAST(22 * h.tf * s AS DOUBLE) /
+        |        CAST(10 * h.tf * s + 3 * s + 9 * d.dl * n AS DOUBLE) *
+        |      (CAST(2 * n - 2 * dfr + 1 AS DOUBLE) / CAST(2 * dfr + 1 AS DOUBLE)),
+        |      4) AS score
+        |  FROM hits h JOIN dl d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+        |       FROM sc)
+        |SELECT term, doc_id, tf, dl, score, rk FROM rk
+        |WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.text.Retrieval.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "stream"))
+        .withColumn("rk",
+          row_number().over(
+            Window.partitionBy("term").orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("term", "rk")
+    },
+
+    // Fixed-iteration PageRank (operators.PageRank) over the part↔supplier
+    // bipartite graph, in scaled-INTEGER arithmetic: every step is integer
+    // division + integer sums, so the result is independent of aggregation
+    // order (double sums aren't associative) and bit-identical in DuckDB's
+    // unrolled replay. Three iterations = three keyed shuffles — the static
+    // power-iteration plan a cluster runs with checkpoints between stages.
+    Q(
+      "q148_pagerank",
+      """WITH e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+        |           UNION ALL
+        |           SELECT DISTINCT 's' || l_suppkey, 'p' || l_partkey FROM lineitem),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r0.pr // deg.deg) AS BIGINT) AS inr
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 150000000000 + (17 * coalesce(c1.inr, 0)) // 20 AS pr
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r1.pr // deg.deg) AS BIGINT) AS inr
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 150000000000 + (17 * coalesce(c2.inr, 0)) // 20 AS pr
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r2.pr // deg.deg) AS BIGINT) AS inr
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 150000000000 + (17 * coalesce(c3.inr, 0)) // 20 AS pr
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = li
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    },
+
+    // Per-vertex triangle counts (operators.Triangles) over the token
+    // adjacency graph: degree-ordered edge orientation bounds every node's
+    // oriented out-degree at O(√m) — wedge generation can't explode on a
+    // hub — and each triangle closes exactly once. The oracle brute-forces
+    // the lexicographic triple join it can afford at oracle scale; the
+    // triangle SET is orientation-independent, so the counts must agree.
+    Q(
+      "q149_triangles",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |pc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+        |ed AS (SELECT DISTINCT
+        |         least(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS a,
+        |         greatest(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS b
+        |       FROM pc
+        |       WHERE n >= 5 AND split_part(gram, ' ', 1) != split_part(gram, ' ', 2)),
+        |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles
+        |FROM (SELECT v1 AS node FROM tri
+        |      UNION ALL SELECT v2 FROM tri
+        |      UNION ALL SELECT v3 FROM tri)
+        |GROUP BY node ORDER BY n_triangles DESC, node""".stripMargin) { (s, dir) =>
+      val bg = graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
+        .filter(col("n") >= 5)
+      val edges = bg.select(
+        split(col("gram"), " ").getItem(0).as("a"),
+        split(col("gram"), " ").getItem(1).as("b"))
+      graft.operators.Triangles.perVertexCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+    },
+
+    // Skip-gram pair generation (Vocab.skipgramPairs): the word2vec
+    // training-pair step. Pairs are emitted by a nested array transform —
+    // a pure codegen projection bounded at 2·window pairs per token — NOT
+    // by a per-document position self-join; the only shuffle is the final
+    // (center, context) count.
+    Q(
+      "q150_skipgram_pairs",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |pr AS (SELECT t[i] AS center, t[j] AS context
+        |       FROM tok, unnest(generate_series(1, len(t))) AS a(i),
+        |            unnest(generate_series(greatest(i - 2, 1), least(i + 2, len(t)))) AS b(j)
+        |       WHERE j != i)
+        |SELECT center, context, count(*) AS n
+        |FROM pr GROUP BY center, context
+        |ORDER BY n DESC, center, context LIMIT 200""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.skipgramPairs(Tables.load(s, dir, "documents"), "text", window = 2)
+        .orderBy(col("n").desc, col("center"), col("context"))
+        .limit(200)
     })
 }

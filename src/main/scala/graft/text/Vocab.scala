@@ -129,4 +129,81 @@ object Vocab {
       .groupBy("gram")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** (center, context, n) skip-gram co-occurrence counts within a ±`window`
+    * token radius — the word2vec/fastText training-pair generation step.
+    * Pair generation is a PURE PROJECTION (nested array transforms, no
+    * per-document self-join on positions — a position range-join would
+    * shuffle the occurrence stream; this emits ≤ 2·window pairs per token
+    * inside codegen), followed by one map-side-combined count keyed on the
+    * compact (center, context) pair.
+    *
+    * NOTE `sequence(1, n)` is guarded by the n = 0 case: Spark's sequence
+    * defaults to step −1 when start > stop, so an unguarded empty document
+    * would yield [1, 0], not [].
+    */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    val t = TextAnalysis.tokens(col(textCol))
+    val pairs = when(size(t) === 0, array().cast("array<struct<center:string,context:string>>"))
+      .otherwise(flatten(transform(sequence(lit(1), size(t)), i =>
+        transform(
+          filter(
+            sequence(greatest(i - window, lit(1)), least(i + window, size(t))),
+            j => j =!= i),
+          j => struct(
+            element_at(t, i).as("center"),
+            element_at(t, j).as("context"))))))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** (gram, n_pair, lift) collocation mining over adjacent token pairs:
+    * `lift` is the PMI's log argument
+    *
+    *   P(x,y) / (P(x)·P(y))  =  (n_pair/T2) / ((n_x/T1)·(n_y/T1))
+    *
+    * kept UN-logged (PMI = ln(lift); ln is monotone, so the collocation
+    * ranking is identical and the gate stays libm-free — the [[tfIdf]]
+    * rational-IDF policy). T1 = total tokens, T2 = total adjacent pairs.
+    *
+    * The quotient is evaluated in a FIXED operation order,
+    * ((n_pair·T1)·T1) / ((T2·n_x)·n_y), every operand cast to double before
+    * the first multiply: each IEEE multiply/divide is correctly rounded, so
+    * the result is bit-identical across engines and immune to 64-bit
+    * overflow (T1² alone exceeds 2⁶³ past ~3·10⁹ tokens).
+    *
+    * `minCount` floors n_pair — lift is a ratio of small counts and explodes
+    * on hapax pairs (the classic PMI pathology); real collocation mining
+    * always applies a support floor.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined wordcount
+    * aggregates; the pair→unigram joins are keyed by token, and the unigram
+    * side (distinct vocab, Zipf-small) broadcasts under AQE when it fits.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val uni = termFrequencies(df, textCol).select(col("token"), col("tf").as("_c1"))
+    val t1 = uni.agg(sum("_c1").as("_t1"))
+    // one bigram-count subtree, referenced twice — the (gram) aggregate
+    // exchange is identical in both branches, so ReuseExchange runs it once
+    val bigrams = ngramCounts(df, textCol, 2)
+    val pairs = bigrams.filter(col("n") >= minCount)
+    val t2 = bigrams.agg(sum("n").as("_t2"))
+    pairs
+      .withColumn("_x", split(col("gram"), " ").getItem(0))
+      .withColumn("_y", split(col("gram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("token", "_x").withColumnRenamed("_c1", "_cx"), "_x")
+      .join(uni.withColumnRenamed("token", "_y").withColumnRenamed("_c1", "_cy"), "_y")
+      .crossJoin(broadcast(t1))
+      .crossJoin(broadcast(t2))
+      .select(
+        col("gram"),
+        col("n").as("n_pair"),
+        round(
+          col("n").cast("double") * col("_t1").cast("double") * col("_t1").cast("double") /
+            (col("_t2").cast("double") * col("_cx").cast("double") * col("_cy").cast("double")),
+          4).as("lift"))
+  }
 }
