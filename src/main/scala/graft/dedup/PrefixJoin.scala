@@ -134,4 +134,67 @@ object PrefixJoin {
         greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
     withinPairs.unionByName(crossPairs)
   }
+
+  /** DIRECTED near-superset detection: every ordered pair (id_sub,
+    * id_super), sub ≠ super, with containment |A∩B| / |A| ≥ tNum/tDen
+    * (A = sub's shingle set, B = super's) — the asymmetric complement to
+    * [[jaccardPairs]], catching documents swallowed whole by larger ones
+    * (quotes, mirrored sections, doc-in-doc concatenations) that Jaccard
+    * misses because the size imbalance caps |A∩B|/|A∪B| at |A|/|B|.
+    *
+    * Prefix bound: o ≥ ⌈t·n_a⌉ shared shingles means the SUB side must
+    * share one of its first n_a − ⌈t·n_a⌉ + 1 rarest tokens with B — but
+    * B cannot be prefix-pruned (containment never lower-bounds B's share),
+    * so the probe side indexes ALL its tokens. The join still keys on the
+    * sub's rare prefix: a rare token's FULL posting list is short, so
+    * candidate fan-out stays on the Zipf tail exactly as in the symmetric
+    * join — the cost shifts only where a small set holds solely hot
+    * tokens, which is the inherent price of the asymmetric semantics.
+    *
+    * Same canonical-set collapse, integer-exact threshold
+    * (o·tDen ≥ tNum·n_a), and output-sized member expansion; same-set
+    * groups expand to both directions at containment 1.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      tNum: Int = 2,
+      tDen: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    val Collapsed(members, reps, arr) = collapse(df, idCol, textCol, shingleSize)
+    val n = size(col("_lst"))
+    val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
+    val pre = arr
+      .select(col("_gid"), explode(slice(col("_lst"), lit(1), p)).as("_s"))
+      .select(col("_gid").as("_ga"), col("_s._sh").as("_sh"))
+    // probe side: EVERY token of every set (no prefix prune on the super)
+    val allTok = reps
+      .select(col("_gid").as("_gb"), explode(col("_set")).as("_sh"))
+    val cand = pre.join(allTok, Seq("_sh"))
+      .filter(col("_ga") =!= col("_gb"))
+      .select("_ga", "_gb")
+      .distinct()
+    val szs = reps.select(col("_gid"), col("_set"), size(col("_set")).as("_n"))
+    val corePairs = cand
+      .join(szs.select(col("_gid").as("_ga"), col("_set").as("_sa"), col("_n").as("_na")), "_ga")
+      .join(szs.select(col("_gid").as("_gb"), col("_set").as("_sb")), "_gb")
+      .withColumn("_o", size(array_intersect(col("_sa"), col("_sb"))))
+      // integer-exact threshold: o / na >= tNum/tDen
+      .filter(col("_o") * tDen >= col("_na") * tNum)
+      .select(col("_ga"), col("_gb"),
+        (col("_o").cast("double") / col("_na").cast("double")).as("containment"))
+    // same-set members contain each other exactly, both directions
+    val withinPairs = members.select(col("_gid"), col(idCol).as("_ia"))
+      .join(members.select(col("_gid"), col(idCol).as("_ib")), Seq("_gid"))
+      .filter(col("_ia") =!= col("_ib"))
+      .select(col("_ia").as("id_sub"), col("_ib").as("id_super"), lit(1.0).as("containment"))
+    val crossPairs = corePairs
+      .join(members.select(col("_gid").as("_ga"), col(idCol).as("_ia")), "_ga")
+      .join(members.select(col("_gid").as("_gb"), col(idCol).as("_ib")), "_gb")
+      .select(col("_ia").as("id_sub"), col("_ib").as("id_super"), col("containment"))
+    withinPairs.unionByName(crossPairs)
+  }
 }

@@ -910,5 +910,57 @@ object TrainingQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, tNum = 1, tDen = 2)
         .orderBy("id_a", "id_b")
+    },
+
+    // Hard-negative mining (Similarity.hardNegatives): each anchor's most
+    // similar DIFFERENT-label vector — the contrastive-training pair
+    // generator. Top-1 per anchor is a map-side-combined max over
+    // struct(sim, -id), not a corpus-sized window; sim is rounded to 6 dp
+    // BEFORE ranking so both engines rank identical keys.
+    Q(
+      "q151_hard_negatives",
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae, label AS al
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |s AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+        |    round(
+        |      list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> e.embedding[i]::DOUBLE * a.ae[i]::DOUBLE), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(generate_series(1, len(a.ae)),
+        |           i -> a.ae[i]::DOUBLE * a.ae[i]::DOUBLE), 'sum'))), 6) AS sim
+        |  FROM a JOIN embeddings e ON e.label != a.al)
+        |SELECT anchor_id, neg_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY sim DESC, neg_id) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", "label")
+        .orderBy("anchor_id")
+    },
+
+    // Directed containment join (PrefixJoin.containmentPairs): near-SUPERSET
+    // detection |A∩B|/|A| >= 2/3 — the doc-swallowed-by-doc case Jaccard
+    // structurally misses (size imbalance caps |A∩B|/|A∪B| at |A|/|B|).
+    // The sub side is prefix-pruned under the rare-first global order; the
+    // super side indexes all tokens (containment can't lower-bound its
+    // share). The oracle brute-forces the quadratic definition.
+    Q(
+      "q152_containment_join",
+      s"""WITH $TokCte,
+         |$ShCte,
+         |ds AS (SELECT doc_id, list_distinct(s) AS st FROM sh WHERE len(s) > 0),
+         |sz AS (SELECT doc_id, st, len(st) AS n FROM ds)
+         |SELECT id_sub, id_super, CAST(o AS DOUBLE) / na AS containment
+         |FROM (SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+         |        len(list_intersect(a.st, b.st)) AS o, a.n AS na
+         |      FROM sz a JOIN sz b ON a.doc_id != b.doc_id)
+         |WHERE o * 3 >= na * 2
+         |ORDER BY id_sub, id_super""".stripMargin) { (s, dir) =>
+      graft.dedup.PrefixJoin.containmentPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, tNum = 2, tDen = 3)
+        .orderBy("id_sub", "id_super")
     })
 }

@@ -160,6 +160,42 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** (anchor_id, neg_id, sim) hard-negative mining for metric learning:
+    * each anchor's MOST similar corpus vector with a different label — the
+    * pairs that actually move a contrastive loss (easy negatives are
+    * already separated; the hardest ones define the margin).
+    *
+    * Top-1 per anchor is a partial-aggregated `max(struct(sim, −id))` —
+    * ties break to the LOWEST candidate id — NOT a per-anchor window over
+    * the full corpus (an anchor's candidate stream is corpus-sized; a
+    * window would sort it, the max aggregates it map-side). Similarity is
+    * rounded to 6 dp BEFORE the max so cross-engine rank comparisons see
+    * identical keys. Anchors broadcast (the nested-loop join streams the
+    * corpus once per anchor partition); `idCol` must be numeric for the
+    * tie-break negation.
+    *
+    * At 100 TB scale the exact full scan is the calibration path — cap the
+    * anchor batch, or pre-restrict `corpus` with [[lshCandidatePairs]] /
+    * [[ivfTopK]] blocking and accept approximate hardest-negatives.
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("_av"), col(labelCol).as("_al"))
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(vecCol).as("_nv"), col(labelCol).as("_nl"))
+    broadcast(a).join(c, col("_al") =!= col("_nl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine(col("_av"), col("_nv")), 6).as("_sim"))
+      .groupBy("anchor_id")
+      .agg(max(struct(col("_sim").as("_s"), (-col("neg_id")).as("_ni"))).as("_top"))
+      .select(col("anchor_id"), (-col("_top._ni")).as("neg_id"), col("_top._s").as("sim"))
+  }
+
   /** Corpus-aware hyperplane count: with p planes there are 2^p buckets, so
     * expected occupancy is N/2^p — p ≈ log₂(N) + margin keeps expected
     * occupancy at 2^−margin and the candidate-join output near-linear. A

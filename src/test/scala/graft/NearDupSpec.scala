@@ -136,4 +136,50 @@ class NearDupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(exact == Set((5L, 6L, 1.0), (8L, 9L, 1.0)))
   }
+
+  test("containment join: exactly the brute-force directed pairs; catches doc-in-doc") {
+    // doc 11 is doc 10 plus a long tail: Jaccard is low (size imbalance)
+    // but containment(10 -> 11) is 1
+    val corpus = docs.union(Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon plus a very long unrelated tail " +
+        "of extra words that dilutes the union far below any jaccard cut"),
+      (12L, "")).toDF("doc_id", "text"))
+    val got = graft.dedup.PrefixJoin
+      .containmentPairs(corpus, "doc_id", "text", shingleSize = 3, tNum = 2, tDen = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = corpus.select($"doc_id",
+        NGramJaccard.shingleSet($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys
+      if a != b && sets(a).nonEmpty && sets(b).nonEmpty
+      o = sets(a).toSet.intersect(sets(b).toSet).size
+      if o * 3 >= sets(a).size * 2
+    } yield (a, b, o.toDouble / sets(a).size)).toSet
+    assert(got == brute)
+    assert(got.contains((10L, 11L, 1.0))) // sub swallowed by super
+    assert(!got.exists { case (a, b, _) => (a, b) == (11L, 10L) }) // not symmetric
+    // the symmetric join must MISS the swallowed doc at the same threshold
+    val jac = graft.dedup.PrefixJoin
+      .jaccardPairs(corpus, "doc_id", "text", shingleSize = 3, tNum = 2, tDen = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists { case (a, b, _) => (a, b) == (10L, 11L) })
+  }
+
+  test("hard negatives: hardest different-label neighbor, ties to lowest id") {
+    import graft.sim.Similarity
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0), // same label — never a negative
+      (2L, Array(0.8f, 0.6f), 1),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(1f, 0f), 2)) // identical direction to anchor, label 2
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb.filter($"vec_id" === 0), emb, "vec_id", "embedding", "label")
+      .as[(Long, Long, Double)].collect().toSeq
+    // cos(anchor, 4) = 1.0 beats cos(anchor, 2) ≈ 0.8; label-0 vec 1 excluded
+    assert(out == Seq((0L, 4L, 1.0)))
+  }
 }
