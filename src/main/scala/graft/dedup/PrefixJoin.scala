@@ -74,7 +74,12 @@ object PrefixJoin {
       .persist()
       .filter(size(col("_set")) > 0)
     val members = keyed.select(col("_gid"), col(idCol))
-    // all sets under a gid are equal, so first() is value-deterministic
+    // all sets under a gid are equal, so first() is value-deterministic.
+    // NOT persisted: the downstream consumers each prune differently
+    // (explode wants _set, the size frames want only its length) and the
+    // re-aggregation runs over the already-cached `keyed` — caching the
+    // full set arrays here measured 2.6× SLOWER on q137 (the cache write
+    // + unpruned array scans cost more than the cheap re-agg).
     val reps = keyed.groupBy(col("_gid")).agg(first(col("_set")).as("_set"))
     val toks = reps.select(col("_gid"), explode(col("_set")).as("_sh"))
     val cnt = toks.groupBy("_sh").agg(count(lit(1)).as("_c"))
@@ -168,13 +173,17 @@ object PrefixJoin {
     val n = size(col("_lst"))
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
     val pre = arr
-      .select(col("_gid"), explode(slice(col("_lst"), lit(1), p)).as("_s"))
-      .select(col("_gid").as("_ga"), col("_s._sh").as("_sh"))
+      .select(col("_gid"), size(col("_lst")).as("_na"),
+        explode(slice(col("_lst"), lit(1), p)).as("_s"))
+      .select(col("_gid").as("_ga"), col("_na"), col("_s._sh").as("_sh"))
     // probe side: EVERY token of every set (no prefix prune on the super)
     val allTok = reps
-      .select(col("_gid").as("_gb"), explode(col("_set")).as("_sh"))
+      .select(col("_gid").as("_gb"), size(col("_set")).as("_nb"),
+        explode(col("_set")).as("_sh"))
+    // size prune, no false negatives: o ≤ |B| and o ≥ ⌈t·n_a⌉ force
+    // |B|·tDen ≥ n_a·tNum — supers too small to cover the sub never verify
     val cand = pre.join(allTok, Seq("_sh"))
-      .filter(col("_ga") =!= col("_gb"))
+      .filter(col("_ga") =!= col("_gb") && col("_nb") * tDen >= col("_na") * tNum)
       .select("_ga", "_gb")
       .distinct()
     val szs = reps.select(col("_gid"), col("_set"), size(col("_set")).as("_n"))

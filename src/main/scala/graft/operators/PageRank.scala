@@ -33,20 +33,39 @@ object PageRank {
   /** `edges`: (src, dst) string columns, pre-deduplicated. Returns
     * (node, rank) with rank in `scale⁻¹` units after `iters` updates from
     * the uniform start r₀ = scale.
+    *
+    * Join strategy: the rank and degree tables are NODE-sized while the
+    * edge list is EDGE-sized — on power-law graphs orders of magnitude
+    * apart — so with `broadcastRanks` (default) each iteration
+    * broadcast-joins rank+degree into a single edge scan and the only
+    * shuffle is the map-side-combined contribution sum (≤ |nodes| rows per
+    * partition). The edge list itself never moves. Set it false past
+    * broadcast size (~billions of nodes) to fall back to src-keyed shuffle
+    * joins — then pre-partition `edges` by src so the cached edge side
+    * keeps its partitioning across iterations.
     */
-  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+  def ranks(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    // every iteration re-reads all three; without the persist the edge
+    // list's upstream plan (often a distinct over a fact-table scan) would
+    // execute 3× per iteration
+    val e = edges.select(col("src"), col("dst")).persist()
+    val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .persist()
     var r = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r"), "src")
-        .join(deg, "src")
+        .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
+        .join(small(deg), "src")
         .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
         .groupBy("node")
         .agg(sum("_c").as("_in"))

