@@ -898,5 +898,58 @@ object AnalyticsQueries {
       graft.text.Vocab.skipgramPairs(Tables.load(s, dir, "documents"), "text", window = 2)
         .orderBy(col("n").desc, col("center"), col("context"))
         .limit(200)
+    },
+
+    // Market-basket co-occurrence: parts ordered together, by order-keyed
+    // self-join — the shuffle keys on l_orderkey and ReuseExchange runs the
+    // (orderkey, partkey) distinct ONCE for both sides. Pair fan-out per
+    // order is bounded by basket size squared (max 17 items here; a cap on
+    // basket size is the skew valve for pathological carts at 100 TB).
+    Q(
+      "q153_copurchase",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
+      val op = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
+    // Cohort retention by acquisition channel: users cohorted on their
+    // FIRST event's type (first-touch attribution), then distinct active
+    // users per (cohort, week offset). First-touch is a map-side-combined
+    // min(struct(ts, event_id, event_type)) — the deterministic argmin
+    // (ties beyond ts broken by event_id), NOT a per-user window sort.
+    Q(
+      "q154_retention_cohorts",
+      """WITH e AS (SELECT user_id, event_type, ts, event_id, CAST(ts AS DATE) AS d
+        |           FROM events),
+        |f AS (SELECT user_id, event_type AS cohort, d AS d0 FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn FROM e) WHERE rn = 1)
+        |SELECT cohort, CAST((e.d - f.d0) // 7 AS BIGINT) AS wk,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("d"))
+      val first = ev
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"), col("d"))).as("_f"))
+        .select(col("user_id"), col("_f.event_type").as("cohort"), col("_f.d").as("d0"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), expr("datediff(d, d0) div 7").as("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "wk")
     })
 }
