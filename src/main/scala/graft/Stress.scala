@@ -332,6 +332,36 @@ object Stress {
       .lastPriorMatch(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts")).count())
     time("asof_native_1M")(graft.operators.AsOfJoin
       .lastPriorMatchNative(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pts")).count())
+
+    // round-7 retrieval/graph operators at 10x
+    time("skipgram_50k_docs")(graft.text.Vocab
+      .skipgramPairs(docs, "text", window = 2).count())
+    time("inverted_index_50k")(graft.text.Retrieval
+      .invertedIndex(docs, "doc_id", "text", docRange = 512).count())
+    // containment on the 10x REPLICA corpus — every doc has 9 exact twins,
+    // the dup-heavy case the canonical-set collapse exists for: the core
+    // runs once per distinct set, expansion is output-sized
+    time("containment_50k_dup")(graft.dedup.PrefixJoin
+      .containmentPairs(docs, "doc_id", "text", 3, 2, 3).count())
+    // pagerank over 10 disjoint shifted copies of the part<->supplier graph
+    // (240k nodes, 12M directed edges): per-iteration cost must scale with
+    // the edge list, rounds stay 3
+    val li1 = Tables.load(spark, dir, "lineitem")
+    val pg = (1 to 10).map(i => li1
+        .select((col("l_partkey") + lit(i * 1000000L)).as("p"),
+          (col("l_suppkey") + lit(i * 1000000L)).as("s")))
+      .reduce(_ unionByName _).distinct()
+    val pgEdges = pg.select(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst"))
+      .union(pg.select(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))
+    time("pagerank3_12M_edges")(graft.operators.PageRank.ranks(pgEdges, iters = 3).count())
+    // triangles over the co-purchase graph (parts as nodes, co-ordered
+    // pairs as edges — a real skewed-degree graph, not the toy token one)
+    val op1 = li1.select("l_orderkey", "l_partkey").distinct()
+    val coEdges = op1.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(op1.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+    time("triangles_copurchase")(graft.operators.Triangles.perVertexCounts(coEdges).count())
     spark.stop()
   }
 }
