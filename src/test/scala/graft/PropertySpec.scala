@@ -354,6 +354,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment join equals brute force on random corpora (directed, no false negatives)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(12, Gen.choose(2, 9).flatMap(n => Gen.listOfN(n, wordGen)))
+    for (docs <- samples(docGen, 3)) {
+      val corpus = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.dedup.PrefixJoin
+        .containmentPairs(corpus, "doc_id", "text", shingleSize = 2, tNum = 1, tDen = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.select($"doc_id",
+          graft.dedup.NGramJaccard.shingleSet($"text", 2).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys
+        if a != b && sets(a).nonEmpty && sets(b).nonEmpty
+        o = sets(a).toSet.intersect(sets(b).toSet).size
+        if o * 2 >= sets(a).size
+      } yield (a, b, o.toDouble / sets(a).size)).toSet
+      assert(got == brute)
+    }
+  }
+
+  test("skip-gram pairs equal the brute-force window definition on random docs") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.listOfN(8, Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, wordGen)))
+    for ((docs, w) <- samples(docGen, 3).zip(Seq(1, 2, 3))) {
+      val corpus = docs.map(_.mkString(" ")).toDF("text")
+      val got = graft.text.Vocab.skipgramPairs(corpus, "text", window = w)
+        .as[(String, String, Long)].collect()
+        .map { case (c, x, n) => ((c, x), n) }.toMap
+      val brute = docs.flatMap { toks =>
+        for {
+          i <- toks.indices; j <- toks.indices
+          if i != j && math.abs(i - j) <= w
+        } yield (toks(i), toks(j))
+      }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      assert(got == brute)
+    }
+  }
+
+  test("triangles equal brute force on random graphs; counts are orientation-free") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+    for (raw <- samples(edgeGen, 3)) {
+      val edges = raw.map { case (a, b) => (s"n$a", s"n$b") }.toDF("a", "b")
+      val got = graft.operators.Triangles.perVertexCounts(edges)
+        .as[(String, Long)].collect().toMap
+      val und = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val tris = for {
+        a <- nodes; b <- nodes; c <- nodes
+        if a < b && b < c && und((a, b)) && und((b, c)) && und((a, c))
+      } yield (a, b, c)
+      val brute = tris.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (k, v) => (s"n$k", v.size.toLong) }
+      assert(got == brute)
+    }
+  }
+
+  test("pagerank: total rank is bounded and node relabeling permutes ranks exactly") {
+    import graft.operators.PageRank
+    val edgeGen = Gen.listOfN(20, Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7)))
+    for (raw <- samples(edgeGen, 2)) {
+      val clean = raw.filter(p => p._1 != p._2)
+      if (clean.nonEmpty) {
+        // undirected: both directions, so no dangling mass
+        val sym = (clean ++ clean.map(_.swap)).distinct
+        val edges = sym.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst")
+        val r = PageRank.ranks(edges, iters = 2).as[(String, Long)].collect().toMap
+        val n = r.size
+        val scale = 1000000000000L
+        // truncation only ever LOSES mass; the 0.15 floor is exact
+        assert(r.values.sum <= n * scale)
+        assert(r.values.forall(_ >= 3L * (scale / 20)))
+        // relabel nodes: ranks must follow the relabeling bijectively
+        val edges2 = sym.map { case (a, b) => (s"m${9 - a}", s"m${9 - b}") }.toDF("src", "dst")
+        val r2 = PageRank.ranks(edges2, iters = 2).as[(String, Long)].collect().toMap
+        assert(r.map { case (k, v) => (s"m${9 - k.drop(1).toInt}", v) } == r2)
+      }
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
