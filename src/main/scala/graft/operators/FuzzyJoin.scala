@@ -92,4 +92,52 @@ object FuzzyJoin {
       .filter(col("dist") >= 0) // 3-arg levenshtein returns -1 past the threshold
       .select("id_a", "id_b", "dist")
   }
+
+  /** Sorted-neighborhood ER blocking (Hernández–Stolfo): rank all records
+    * under ONE global sort key, then verify only pairs within `window`
+    * rank positions — candidates O(N·w) regardless of value distribution,
+    * the method of choice when no natural equi-block exists or blocks are
+    * hugely skewed (the q139-style segment block degrades on a 10⁸-row
+    * block; rank windows cannot).
+    *
+    * Distributed shape: [[GlobalRank.withRowNumber]] supplies the global
+    * rank with NO Window/SinglePartition stage; rank-window candidates
+    * come from an EQUI-join on the rank bucket `rn div window` (a pair
+    * within `window` ranks spans at most adjacent buckets, so the probe
+    * side explodes to [bucket, bucket+1] — 2 keys/row, never a range
+    * join); the levenshtein verify runs only inside the window (and the
+    * BandedLevenshtein rule rewrites it to the O(d·n) banded form).
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ `maxDist`.
+    * Caveat inherited from the method: matches sorting FAR apart (e.g. a
+    * corrupted first character) need a second pass under a different key
+    * — compose two calls and union, the standard multi-pass recipe.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      window: Int,
+      maxDist: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val ranked = GlobalRank
+      .withRowNumber(df.select(col(idCol), col(strCol)), Seq(strCol, idCol), "_rn", "_n")
+      .withColumn("_b", expr(s"_rn div $window"))
+    val probe = ranked
+      .withColumn("_pb", explode(array(col("_b"), col("_b") + 1)))
+      .select(col("_pb"), col("_rn").as("_ra"),
+        col(idCol).as("_ia"), col(strCol).as("_sa"))
+    val index = ranked
+      .select(col("_b").as("_pb"), col("_rn").as("_rb"),
+        col(idCol).as("_ib"), col(strCol).as("_sb"))
+    probe.join(index, "_pb")
+      .filter(col("_rb") > col("_ra") && col("_rb") <= col("_ra") + window)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("dist"))
+  }
 }

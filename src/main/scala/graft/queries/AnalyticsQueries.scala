@@ -951,5 +951,60 @@ object AnalyticsQueries {
         .groupBy(col("cohort"), expr("datediff(d, d0) div 7").as("wk"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort", "wk")
+    },
+
+    // Bottom-k-by-hash sample sketch (SampleSketch): a fixed-size MERGEABLE
+    // uniform sample (min-k law — the sample analog of the HLL registers),
+    // built by distributed TakeOrdered, never a global sort. Selection
+    // quantiles from the 2000-row sketch beside the exact ones: the gate
+    // pins BOTH the sample membership and the estimates, and the est/exact
+    // columns show the O(1/√k) rank error directly.
+    Q(
+      "q155_sample_quantiles",
+      """WITH li AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber,
+        |    md5(l_orderkey || ':' || l_linenumber) AS h FROM lineitem),
+        |s AS (SELECT v, h FROM li ORDER BY h LIMIT 2000),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+        |       count(*) OVER () AS k FROM s),
+        |ex AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn,
+        |       count(*) OVER () AS n FROM li)
+        |SELECT p.pct, sr.v AS est, ex.v AS exact
+        |FROM (VALUES (50), (90), (99)) AS p(pct)
+        |JOIN sr ON sr.rn = (p.pct * sr.k + 99) // 100
+        |JOIN ex ON ex.rn = (p.pct * ex.n + 99) // 100
+        |ORDER BY pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{GlobalRank, SampleSketch}
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val sample = SampleSketch.bottomK(
+        li, concat_ws(":", col("l_orderkey"), col("l_linenumber")), 2000)
+      val est = SampleSketch.quantiles(sample, Seq("v", "_h"), Seq(50, 90, 99))
+      val exact = GlobalRank
+        .withRowNumber(li, Seq("v", "l_orderkey", "l_linenumber"), "_rn", "_n")
+        .join(Seq(50, 90, 99).toDF("pct"), col("_rn") === expr("(pct * _n + 99) div 100"))
+        .select(col("pct"), col("v").as("exact"))
+      est.join(exact, "pct").select("pct", "est", "exact").orderBy("pct")
+    },
+
+    // Sorted-neighborhood ER (FuzzyJoin.sortedNeighborhoodPairs): candidates
+    // from a GLOBAL rank window (O(N·w) pairs independent of value skew —
+    // the blocking that survives when q139's equi-blocks don't exist or
+    // one block holds 10^8 rows). Rank via GlobalRank (no Window stage);
+    // window pairs via an equi-join on the rank bucket with a 2-key probe
+    // explode. The oracle replays the definition with a window function.
+    Q(
+      "q156_sorted_neighborhood",
+      """WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn FROM customer)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+        Tables.load(s, dir, "customer"), "c_custkey", "c_name",
+        window = 5, maxDist = 2)
+        .orderBy("id_a", "id_b")
     })
 }

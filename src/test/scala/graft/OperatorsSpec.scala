@@ -321,4 +321,64 @@ class OperatorsSpec extends SparkSpec {
     val moved = assigned.count { case (_, s4, s5) => s5 != s4 }
     assert(moved > 10000 / 10 && moved < 10000 * 3 / 10, s"moved=$moved, expected ~1/5")
   }
+
+  test("sample sketch: min-k merge law — merged partial sketches == whole-stream sketch") {
+    import graft.operators.SampleSketch
+    val all = spark.range(5000L).toDF("id")
+    val whole = SampleSketch.bottomK(all, col("id"), 64)
+      .select("id").as[Long].collect().toSet
+    // split into 3 arbitrary parts, sketch each, merge the sketches, re-sketch
+    val parts = Seq(
+      all.filter(col("id") % 3 === 0), all.filter(col("id") % 3 === 1),
+      all.filter(col("id") % 3 === 2))
+    val merged = SampleSketch.bottomK(
+      parts.map(p => SampleSketch.bottomK(p, col("id"), 64)).reduce(_ unionByName _)
+        .select("id"),
+      col("id"), 64)
+      .select("id").as[Long].collect().toSet
+    assert(merged == whole && whole.size == 64)
+  }
+
+  test("sample sketch: quantiles of a full-coverage sample are the exact quantiles") {
+    import graft.operators.SampleSketch
+    // k >= N: the sample IS the population, so estimates must be exact
+    val df = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val s = SampleSketch.bottomK(df, col("id"), 100)
+    val q = SampleSketch.quantiles(s, Seq("v", "_h"), Seq(50, 90, 100))
+      .as[(Int, Double)].collect().toMap
+    // rank = ceil(p*10/100): p50 -> rank 5 -> 50.0; p90 -> rank 9 -> 90.0
+    assert(q == Map(50 -> 50.0, 90 -> 90.0, 100 -> 100.0))
+  }
+
+  test("sorted neighborhood: equals the rank-window brute force, catches a close pair") {
+    import graft.operators.FuzzyJoin
+    val names = Seq(
+      (1L, "ann smith"), (2L, "ann smyth"), (3L, "bob jones"),
+      (4L, "bob jonez"), (5L, "carol white"), (6L, "zed zulu"))
+    val df = names.toDF("id", "nm")
+    val got = FuzzyJoin.sortedNeighborhoodPairs(df, "id", "nm", window = 2, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the same definition: global (nm, id) rank, pairs
+    // within 2 rank positions, levenshtein <= 2
+    val ranked = names.sortBy { case (id, nm) => (nm, id) }.zipWithIndex
+    val brute = (for {
+      ((ia, na), ra) <- ranked; ((ib, nb), rb) <- ranked
+      if rb > ra && rb <= ra + 2
+      d = levenshteinRef(na, nb) if d <= 2
+    } yield (math.min(ia, ib), math.max(ia, ib), d)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 1)) && got.contains((3L, 4L, 1)))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
