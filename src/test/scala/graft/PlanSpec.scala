@@ -222,4 +222,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment join degenerated to a cross product:\n$p")
   }
+
+  test("q155: the sample sketch is a distributed TakeOrdered, not a global sort") {
+    // assert on the sketch subplan: in the composed q155 plan it hides
+    // behind GlobalRank's ExistingRDD lineage break
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val p = graft.operators.SampleSketch
+      .bottomK(li, concat_ws(":", col("l_orderkey"), col("l_linenumber")), 2000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k sample in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"sample must not global-sort:\n$p")
+  }
+
+  test("q156: sorted-neighborhood candidates come from equi-joins, no window, no cross product") {
+    val p = plan("q156_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank-window candidates degenerated to a cross product:\n$p")
+    assert(!p.contains("Window"), s"global rank must come from GlobalRank, not a Window:\n$p")
+  }
 }
