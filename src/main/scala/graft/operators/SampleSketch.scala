@@ -30,6 +30,8 @@ object SampleSketch {
     * `key` must be unique per row (ties beyond the hash break on it). */
   def bottomK(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
+    require(!df.columns.contains("_h"),
+      "input already has a '_h' column (reserved for the sample hash)")
     df.withColumn("_h", md5(key.cast("string")))
       .orderBy(col("_h"), key)
       .limit(k)

@@ -339,6 +339,15 @@ class OperatorsSpec extends SparkSpec {
     assert(merged == whole && whole.size == 64)
   }
 
+  test("sample sketch: reserved '_h' column is rejected, not silently overwritten") {
+    import graft.operators.SampleSketch
+    val bad = Seq((1L, "x")).toDF("id", "_h")
+    val ex = intercept[IllegalArgumentException] {
+      SampleSketch.bottomK(bad, col("id"), 10)
+    }
+    assert(ex.getMessage.contains("_h"))
+  }
+
   test("sample sketch: quantiles of a full-coverage sample are the exact quantiles") {
     import graft.operators.SampleSketch
     // k >= N: the sample IS the population, so estimates must be exact
