@@ -45,4 +45,42 @@ object TypedAggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
       def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
     }
+
+  final case class HashedId(h: String, id: Long)
+
+  /** Per-group bottom-k-by-md5 sample — the group-keyed form of
+    * [[graft.operators.SampleSketch]], as a typed `Aggregator` so the
+    * buffer is BOUNDED at k (hash, id) pairs per group regardless of group
+    * size: reduce inserts only when the hash beats the current k-th, merge
+    * is the min-k law. The scale contrast is with `collect_list`-then-slice
+    * (buffer grows with the group) and with a per-group rank window (sorts
+    * the whole group to keep k rows). Ids return in hash order — a
+    * deterministic uniform sample of each group, reproducible on any
+    * engine (the md5 rank is the randomness).
+    */
+  def groupBottomK(k: Int): Aggregator[Long, Seq[HashedId], Seq[Long]] = {
+    require(k > 0, s"k=$k must be positive")
+    new Aggregator[Long, Seq[HashedId], Seq[Long]] {
+      private def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.map(b => f"$b%02x").mkString
+      }
+      private def trim(b: Seq[HashedId]): Seq[HashedId] =
+        b.sortBy(x => (x.h, x.id)).take(k)
+      def zero: Seq[HashedId] = Seq.empty
+      def reduce(b: Seq[HashedId], id: Long): Seq[HashedId] = {
+        val h = md5hex(id.toString)
+        // bounded insert: skip the sort entirely when the buffer is full
+        // and the candidate can't beat the current k-th hash
+        if (b.length >= k && h >= b.last.h) b else trim(b :+ HashedId(h, id))
+      }
+      def merge(a: Seq[HashedId], b: Seq[HashedId]): Seq[HashedId] = trim(a ++ b)
+      def finish(b: Seq[HashedId]): Seq[Long] = b.map(_.id)
+      def bufferEncoder: Encoder[Seq[HashedId]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedId]]()
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+  }
 }

@@ -1006,5 +1006,32 @@ object AnalyticsQueries {
         Tables.load(s, dir, "customer"), "c_custkey", "c_name",
         window = 5, maxDist = 2)
         .orderBy("id_a", "id_b")
+    },
+
+    // Per-group uniform sample via the typed bottom-k Aggregator
+    // (TypedAggregators.groupBottomK): buffer BOUNDED at k per group —
+    // unlike collect_list (grows with the group) or a per-group rank
+    // window (sorts the whole group for k rows). The md5 rank makes the
+    // sample deterministic; the oracle replays it with a rank window it
+    // CAN afford at oracle scale.
+    Q(
+      "q157_group_sample",
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT coalesce(lang, 'und') AS lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY coalesce(lang, 'und')
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(coalesce(col("lang"), lit("und")).as("lang"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.TypedAggregators.groupBottomK(5).toColumn.name("ids"))
+        .toDF("lang", "ids")
+        .select(col("lang"), posexplode(col("ids")).as(Seq("_p", "doc_id")))
+        .select(col("lang"), (col("_p") + 1).cast("long").as("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
     })
 }

@@ -483,8 +483,12 @@ object CurationQueries {
 
     // Linear interpolation of interior nulls (the gap-repair step past
     // q72's forward fill): straight line between nearest observations,
-    // weighted by x-distance; edge nulls stay null. Identical formula
-    // shape on both engines → bit-identical at 6 dp.
+    // weighted by x-distance; edge nulls stay null. Rounding is the
+    // explicit floor(x·10⁶ + 0.5)/10⁶ form on BOTH sides — engine round()
+    // implementations differ on tie boundaries (Spark rounds the exact
+    // decimal HALF_UP, DuckDB rounds through x·10⁶ double arithmetic; at
+    // sf0.1 two rows landed a last-ulp apart), while the floor form is a
+    // fixed sequence of correctly-rounded IEEE ops → bit-identical.
     Q(
       "q108_interpolate",
       """WITH b AS (SELECT user_id, event_id,
@@ -502,17 +506,19 @@ object CurationQueries {
         |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
         | FROM b)
         |SELECT user_id, event_id,
-        |  round(CASE WHEN pv IS NOT NULL THEN pv
+        |  floor((CASE WHEN pv IS NOT NULL THEN pv
         |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
         |      prev_v + (next_v - prev_v) * (event_id - prev_x) / (next_x - prev_x)
-        |  END, 6) AS y
+        |  END) * 1000000.0 + 0.5) / 1000000.0 AS y
         |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
         .withColumn("pv", when(col("event_type") === "purchase", col("value")))
         .select("user_id", "event_id", "pv")
       graft.operators.TimeSeries
         .interpolateLinear(ev, Seq("user_id"), "event_id", "pv", "y")
-        .select(col("user_id"), col("event_id"), round(col("y"), 6).as("y"))
+        .select(col("user_id"), col("event_id"),
+          (floor(col("y") * lit(1000000.0) + lit(0.5)).cast("double") /
+            lit(1000000.0)).as("y"))
         .orderBy("user_id", "event_id")
     },
 

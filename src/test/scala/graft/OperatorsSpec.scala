@@ -360,6 +360,22 @@ class OperatorsSpec extends SparkSpec {
     assert(q == Map(50 -> 50.0, 90 -> 90.0, 100 -> 100.0))
   }
 
+  test("group bottom-k aggregator: equals the rank-window sample at any partitioning") {
+    import graft.functions.TypedAggregators
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i))
+    val expected = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).sortBy(id => (h(id), id)).take(4)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("g", "id").repartition(parts).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(TypedAggregators.groupBottomK(4).toColumn.name("ids"))
+        .collect().toMap
+      assert(got.view.mapValues(_.toSeq).toMap == expected, s"parts=$parts")
+    }
+  }
+
   test("sorted neighborhood: equals the rank-window brute force, catches a close pair") {
     import graft.operators.FuzzyJoin
     val names = Seq(
