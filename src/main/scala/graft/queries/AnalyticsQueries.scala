@@ -1033,5 +1033,51 @@ object AnalyticsQueries {
         .select(col("lang"), posexplode(col("ids")).as(Seq("_p", "doc_id")))
         .select(col("lang"), (col("_p") + 1).cast("long").as("rk"), col("doc_id"))
         .orderBy("lang", "rk")
+    },
+
+    // Per-group winsorization (outlier repair by clamping at the p05/p95
+    // SELECTION quantiles): the bounds are actual stored values picked by
+    // integer-exact rank arithmetic — in-group rank = global GlobalRank
+    // rank minus the group's min rank (aggregate + join, no per-group
+    // window partition, so a group with 10^10 rows costs what the global
+    // rank costs) — and the clamp is least/greatest on raw doubles, so no
+    // floating arithmetic exists anywhere before the decimal-routed sum.
+    Q(
+      "q158_winsorize",
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (ORDER BY event_type, value, event_id) AS rn FROM events),
+        |b AS (SELECT event_type, min(rn) AS r0, count(*) AS n FROM r GROUP BY event_type),
+        |lo AS (SELECT r.event_type, r.value AS lo FROM r JOIN b USING (event_type)
+        |       WHERE r.rn - b.r0 + 1 = (b.n + 19) // 20),
+        |hi AS (SELECT r.event_type, r.value AS hi FROM r JOIN b USING (event_type)
+        |       WHERE r.rn - b.r0 + 1 = (19 * b.n + 19) // 20)
+        |SELECT e.event_type, lo, hi,
+        |  CAST(sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(CAST(least(greatest(e.value, lo), hi) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS w_sum
+        |FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY e.event_type, lo, hi
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.operators.GlobalRank
+      val ev = Tables.events(s, dir).select("event_type", "value", "event_id")
+      val ranked = GlobalRank.withRowNumber(
+        ev, Seq("event_type", "value", "event_id"), "_rn", "_n")
+      val base = ranked.groupBy("event_type")
+        .agg(min(col("_rn")).as("_r0"), count(lit(1)).as("_gn"))
+      val inRank = ranked.join(base, "event_type")
+        .withColumn("_gr", col("_rn") - col("_r0") + 1)
+      val lo = inRank.filter(col("_gr") === expr("(_gn + 19) div 20"))
+        .select(col("event_type"), col("value").as("lo"))
+      val hi = inRank.filter(col("_gr") === expr("(19 * _gn + 19) div 20"))
+        .select(col("event_type"), col("value").as("hi"))
+      ev.join(lo, "event_type").join(hi, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast("decimal(18,2)")).cast("double").as("w_sum"))
+        .orderBy("event_type")
     })
 }
