@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

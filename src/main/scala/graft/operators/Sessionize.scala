@@ -120,4 +120,59 @@ object Funnel {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*").orderBy("pos")
   }
+
+  /** Windowed, strictly-ordered variant of [[stepTimes]]: step k counts only
+    * STRICTLY after the key's step k−1 time (a simultaneous event can't
+    * satisfy two steps), and every step must land within `windowSec` of the
+    * step-0 time — the "converted within 7 days" funnel of product
+    * analytics. Same scale shape: one user-keyed aggregate per step chained
+    * by same-key joins, shuffles bounded by distinct keys.
+    */
+  def windowedStepTimes(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowSec > 0, s"windowSec=$windowSec must be positive")
+    val first = events
+      .filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("t_0"))
+    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val stepMin = events
+        .filter(col(typeCol) === step)
+        .join(acc.select(col(keyCol), col("t_0"), col(s"t_${i - 1}")), keyCol)
+        .filter(
+          col(tsCol) > col(s"t_${i - 1}") &&
+            col(tsCol) <= col("t_0") + expr(s"INTERVAL $windowSec SECONDS"))
+        .groupBy(col(keyCol))
+        .agg(min(col(tsCol)).as(s"t_$i"))
+      acc.join(stepMin, Seq(keyCol), "left")
+    }
+  }
+
+  /** (step, step_type, n_users) counts for [[windowedStepTimes]] — one
+    * aggregation, then stack() to rows (per-step aggregates would re-run
+    * the join chain once per step).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.forall(!_.contains("'")), "step names must not contain quotes")
+    val times = windowedStepTimes(events, keyCol, tsCol, typeCol, steps, windowSec)
+    val aggs = steps.indices.map(i => count(col(s"t_$i")).as(s"_n_$i"))
+    val one = times.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (st, k) => s"${k}L, '$st', _n_$k" }
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step, step_type, n_users)")
+  }
 }

@@ -46,4 +46,59 @@ object TimeSeries {
             (col(xCol).cast("double") - prevX.cast("double")) /
             (nextX.cast("double") - prevX.cast("double"))))
   }
+
+  /** Per-group ordinary-least-squares trend line, closed form:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * (intercept = (Σy − slope·Σx)/n), with EVERY sum routed through exact
+    * arithmetic: `xCol` must be an integer axis (epoch seconds against a
+    * fixed origin — slope is shift-invariant, and the small offsets keep
+    * Σx² inside 64-bit range), `yCol` is cast to DECIMAL(18,2) (stored
+    * 2-dp doubles are exact there), so Σx, Σy, Σxy, Σx², n are all
+    * bit-identical across engines regardless of accumulation order —
+    * a double Σxy would differ in the last ulp between Spark's and the
+    * oracle's summation order. Only the FINAL division happens in floating
+    * point: one correctly-rounded IEEE op on exactly-agreed operands.
+    *
+    * Scale shape: one map-side-combined aggregation keyed by the group —
+    * no window, no second pass; the textbook "regression by sufficient
+    * statistics" decomposition that also powers streaming / incremental
+    * maintenance (the five sums are mergeable monoids).
+    *
+    * Groups with < 2 points or a constant x (denominator 0) yield null.
+    */
+  def groupTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      yScale: Int = 100): DataFrame = {
+    require(yScale > 0, s"yScale=$yScale must be positive")
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    // fixed-dp doubles → exact integer units (2-dp money at yScale = 100):
+    // value·scale is within ~1e-10 of an integer, so round() lands on it in
+    // every engine — no HALF_UP-vs-double-tie hazard (true .5 ties can't
+    // occur)
+    val yc = round(col(yCol) * yScale, 0).cast("long")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        // per-row products fit comfortably in 64-bit (offset·cents ~ 1e11);
+        // the SUMS go through decimal(38,0) so 10^12-row groups can't wrap
+        sum(x.cast(dec)).as("_sx"),
+        sum(yc.cast(dec)).as("_sy"),
+        sum((x * yc).cast(dec)).as("_sxy"),
+        sum((x * x).cast(dec)).as("_sxx"))
+      .withColumn(
+        "_num", col("n").cast(dec) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn(
+        "_den", col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn(
+        "slope",
+        when(col("_den") =!= 0,
+          col("_num").cast("double") / col("_den").cast("double") / yScale.toDouble))
+      .drop("_sx", "_sy", "_sxy", "_sxx", "_num", "_den")
+  }
 }

@@ -1079,5 +1079,87 @@ object AnalyticsQueries {
           sum(least(greatest(col("value"), col("lo")), col("hi"))
             .cast("decimal(18,2)")).cast("double").as("w_sum"))
         .orderBy("event_type")
+    },
+
+    // WINDOWED funnel (Funnel.windowedCounts; q64's unbounded funnel is the
+    // sibling): users reaching view → click → purchase in STRICT time order
+    // with the whole funnel capped at 7 days from the first view — the
+    // "converted within N days" form. k conditional min-aggregates chained
+    // by user-keyed joins — never a per-user sort/window over raw events,
+    // so the shuffles are bounded by distinct users. Counts are exact.
+    Q(
+      "q160_funnel",
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t0
+        |         AND e.ts <= t0 + INTERVAL 604800 SECONDS GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t1
+        |         AND e.ts <= t0 + INTERVAL 604800 SECONDS GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_type, count(*) AS n_users FROM s0
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.windowedCounts(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), windowSec = 604800L)
+        .orderBy("step")
+    },
+
+    // Blocked fuzzy match on the native jaro_winkler expression (the ER
+    // scorer Spark lacks; one static call inside whole-stage codegen, like
+    // the built-in levenshtein). Candidates come from an equi-join on the
+    // blocking key (the name's noun), so the scorer never sees the cross
+    // product; the filter runs on the ROUNDED score so a last-ulp
+    // cross-engine wobble can't flip membership at the threshold.
+    Q(
+      "q161_jw_blocked",
+      """WITH d AS (SELECT DISTINCT p_name AS nm FROM part),
+        |b AS (SELECT nm, split_part(nm, ' ', 2) AS noun FROM d),
+        |sc AS (SELECT a.nm AS name_a, b2.nm AS name_b,
+        |    floor(jaro_winkler_similarity(a.nm, b2.nm) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS jw
+        |  FROM b a JOIN b b2 ON a.noun = b2.noun AND a.nm < b2.nm)
+        |SELECT name_a, name_b, jw FROM sc WHERE jw >= 0.75
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "part").select(col("p_name").as("nm")).distinct()
+        .withColumn("noun", split(col("nm"), " ").getItem(1))
+      d.as("a").join(d.as("b"),
+          col("a.noun") === col("b.noun") && col("a.nm") < col("b.nm"))
+        .select(
+          col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+          (floor(graft.functions.JaroWinklerSim.jaroWinkler(col("a.nm"), col("b.nm"))
+            * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)).as("jw"))
+        .filter(col("jw") >= 0.75)
+        .orderBy("name_a", "name_b")
+    },
+
+    // Per-group OLS trend (TimeSeries.groupTrend): regression by sufficient
+    // statistics — five mergeable sums in ONE map-side-combined aggregation,
+    // all routed through exact arithmetic (integer seconds axis, 2-dp values
+    // as integer cents, decimal(38,0) sums / HUGEINT on the oracle side), so
+    // both engines agree bit-for-bit until the single final IEEE division.
+    Q(
+      "q162_group_trend",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(yc) AS HUGEINT) AS sy,
+        |    CAST(sum(x * yc) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS slope
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("x", col("ts").cast("long") - lit(1704067200L))
+      graft.operators.TimeSeries.groupTrend(ev, Seq("event_type"), "x", "value")
+        .select(col("event_type"), col("n"),
+          (floor(col("slope") * lit(1000000.0) + lit(0.5)).cast("double")
+            / lit(1000000.0)).as("slope"))
+        .orderBy("event_type")
     })
 }

@@ -962,5 +962,26 @@ object TrainingQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, tNum = 2, tDen = 3)
         .orderBy("id_sub", "id_super")
+    },
+
+    // BPE merge-candidate counting (Vocab.bpePairCounts): adjacent char-pair
+    // frequencies over the DISTINCT word table weighted by word frequency —
+    // iteration 0 of byte-pair-encoding vocabulary training (the argmax
+    // pair is the next merge). The Heaps'-law point: the explode runs over
+    // distinct words (~O(corpus^0.5)), never token occurrences, so tokenizer
+    // training stays cheap at 100 TB. Counts are exact integers → no
+    // rounding surface; top-50 by (n desc, pair) is a total order.
+    Q(
+      "q159_bpe_pairs",
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |w AS (SELECT u.tok AS w, count(*) AS tf FROM tok, unnest(t) AS u(tok) GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, tf
+        |      FROM w, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        |      WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.bpePairCounts(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
     })
 }

@@ -214,4 +214,32 @@ object Vocab {
             (col("_t2").cast("double") * col("_cx").cast("double") * col("_cy").cast("double")),
           4).as("lift"))
   }
+
+  /** (pair, n) adjacent symbol-pair counts over the word-frequency table —
+    * one iteration of BPE vocabulary training (the merge-candidate scoring
+    * step: the argmax pair becomes the next merge; Sennrich et al. 2016).
+    *
+    * Scale shape is the whole point: the pair scan runs over the DISTINCT
+    * word table weighted by word frequency, not over token occurrences.
+    * Under Zipf, distinct words grow ~O(corpus^0.5) (Heaps' law), so at
+    * 100 TB the explode touches millions of short strings, not trillions
+    * of tokens — this is exactly how production BPE trainers batch the
+    * count step. Per word, pair i is `substring(word, i, 2)` for
+    * i ∈ [1, len−1] (char-level symbols, the iteration-0 alphabet), an
+    * expression DuckDB replays verbatim for the gate.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = termFrequencies(df, textCol) // (token, tf): the distinct-word table
+    words
+      .filter(length(col("token")) >= 2)
+      // explode an int sequence, then one codegen'd substring per position —
+      // not a transform() lambda (higher-order functions are CodegenFallback,
+      // the skipgramPairs lesson)
+      .select(
+        col("tf"), col("token"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("_i"))
+      .select(col("tf"), col("token").substr(col("_i"), lit(2)).as("pair"))
+      .groupBy("pair")
+      .agg(sum("tf").as("n"))
+  }
 }

@@ -63,6 +63,37 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(1L, 1L))
   }
 
+  test("windowed funnel: strict order, cap measured from step 0") {
+    // user 1: full funnel inside the window. user 2: click at the SAME ts as
+    // view (strict > → never qualifies). user 3: purchase lands past the
+    // 1-hour cap from first view. user 4: purchase exactly AT the cap (<=
+    // qualifies).
+    val f = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:01:00"), "click"),
+      (3L, ts("2024-01-01 09:00:01"), "purchase"),
+      (4L, ts("2024-01-01 07:00:00"), "view"),
+      (4L, ts("2024-01-01 07:30:00"), "click"),
+      (4L, ts("2024-01-01 08:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.windowedCounts(f, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowSec = 3600L)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((0L, "view", 4L), (1L, "click", 3L), (2L, "purchase", 2L)))
+  }
+
+  test("bpePairCounts: frequency-weighted adjacent char pairs over distinct words") {
+    // "aab" ×3, "ab" ×1 → aa:3, ab:3+1=4; single-char words contribute none
+    val docs = Seq((1L, "aab aab ab a"), (2L, "aab")).toDF("doc_id", "text")
+    val got = Vocab.bpePairCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 3L, "ab" -> 4L))
+  }
+
   // ---- splits -------------------------------------------------------------
 
   test("hash split: deterministic, total, respects weight ranges") {

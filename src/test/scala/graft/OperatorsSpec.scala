@@ -128,6 +128,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out((1L, 15L)).get - 3.0) < 1e-12)
   }
 
+  test("groupTrend: exact slope on a known line; degenerate groups null") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      // y = 2x + 1 exactly (2-dp values): slope 2
+      ("line", 0L, 1.0), ("line", 10L, 21.0), ("line", 20L, 41.0),
+      // constant y: slope 0
+      ("flat", 0L, 5.25), ("flat", 100L, 5.25),
+      // single point → denominator 0 → null
+      ("one", 7L, 3.0),
+      // constant x → denominator 0 → null
+      ("vert", 4L, 1.0), ("vert", 4L, 9.0))
+      .toDF("g", "x", "y")
+    val got = TimeSeries.groupTrend(df, Seq("g"), "x", "y")
+      .select("g", "slope").as[(String, Option[Double])].collect().toMap
+    assert(got("line").contains(2.0))
+    assert(got("flat").contains(0.0))
+    assert(got("one").isEmpty && got("vert").isEmpty)
+  }
+
   test("madOutlierStats: hand-computed median/MAD/outlier count") {
     import graft.operators.RobustStats
     // values 1..9 plus a wild 1000: median 5.5, |x-5.5| = {4.5,3.5,...,0.5,994.5}
