@@ -61,6 +61,29 @@ object Splits {
   def fixedSample(df: DataFrame, key: Column, n: Int): DataFrame =
     df.orderBy(md5(key.cast("string")), key).limit(n)
 
+  /** Deterministic weighted sample of EXACTLY n rows, inclusion probability
+    * ~proportional to `weight` — sequential Poisson sampling (Ohlsson 1998,
+    * the πps design production statistics offices use): each row gets
+    * priority ξ = u/w with u its key's 24-bit md5 uniform, and the n
+    * SMALLEST priorities win. Heavier rows draw smaller ξ, so a document
+    * 10× longer is ~10× likelier in-sample — the "sample tokens, not
+    * documents" knob of corpus curation.
+    *
+    * Engine-portable by construction: u is an exact dyadic rational
+    * (24-bit int / 2^24) and w an exact integer-valued double, so ξ is ONE
+    * correctly-rounded IEEE division both engines perform on identical
+    * operands — no RNG, no libm (`-ln(u)/w` exponential keys would hit
+    * cross-engine `ln` last-ulp skew). Ties (same ξ) break by key.
+    *
+    * Scale shape: same distributed TopK as [[fixedSample]] — per-partition
+    * top-n then an n·partitions merge, never a global sort.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val xi = (hash24(key).cast("double") / lit(16777216.0)) / weight.cast("double")
+    df.filter(weight > 0).orderBy(xi, key).limit(n)
+  }
+
   /** Deterministic stratified Bernoulli sample — the REBALANCING knob of
     * corpus curation (downsample the over-represented language/source, keep
     * the rare stratum whole): keep a row iff its key's 24-bit md5 uniform

@@ -101,4 +101,51 @@ object TimeSeries {
           col("_num").cast("double") / col("_den").cast("double") / yScale.toDouble))
       .drop("_sx", "_sy", "_sxy", "_sxx", "_num", "_den")
   }
+
+  /** Trailing exponentially-weighted moving average with DYADIC decay
+    * (α = 1/2) over a bounded `lags`-term window — the smoothing kernel of
+    * monitoring dashboards and feature pipelines, in a form two engines can
+    * agree on bit-for-bit. The trick: weight (1/2)^k over values stored at
+    * `scale` decimal places means EVERY term `2^(lags-1-k) · round(v·scale)`
+    * is a 64-bit integer, so the weighted numerator and the
+    * present-weight denominator are exact integer sums; the whole EWMA is
+    * ONE IEEE division of exactly-agreed operands (then an exact /scale).
+    * Classic unbounded EWMA is a sequential fp recurrence (order-dependent,
+    * unfriendly to both parallelism and cross-engine identity); the bounded
+    * dyadic form keeps >99.9% of the mass at 10 lags and restores both.
+    *
+    * Rows with a NULL value contribute nothing (their weight drops from the
+    * denominator); a row whose whole window is NULL yields null.
+    *
+    * Scale shape: one frame-bounded window over (keys, order) — a single
+    * shuffle, `lags` lag() calls fused into one window stage, arithmetic in
+    * whole-stage codegen. No self-join, no explode.
+    */
+  def dyadicEwma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      lags: Int = 4,
+      scale: Int = 100,
+      outCol: String = "ewma"): DataFrame = {
+    require(lags >= 1 && lags <= 16, s"lags=$lags must be in [1,16]")
+    require(scale > 0, s"scale=$scale must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    // exact integer units (2-dp money at scale=100); computed BEFORE the
+    // lags so every term below is integer arithmetic
+    val cents = round(col(valueCol) * scale, 0).cast("long")
+    val terms = (0 until lags).map { k =>
+      val c = if (k == 0) cents else lag(cents, k).over(w)
+      val wt = 1L << (lags - 1 - k)
+      (when(c.isNotNull, c * wt).otherwise(lit(0L)),
+        when(c.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(
+      outCol,
+      when(den =!= 0,
+        num.cast("double") / den.cast("double") / scale.toDouble))
+  }
 }

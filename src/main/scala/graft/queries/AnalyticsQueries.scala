@@ -1161,5 +1161,66 @@ object AnalyticsQueries {
           (floor(col("slope") * lit(1000000.0) + lit(0.5)).cast("double")
             / lit(1000000.0)).as("slope"))
         .orderBy("event_type")
+    },
+
+    // Trailing EWMA with dyadic decay (TimeSeries.dyadicEwma): α = 1/2 over
+    // a 4-lag window means every weighted term is an exact 64-bit integer
+    // (2-dp cents × a power of two), so the smoothed value is ONE IEEE
+    // division both engines perform on identical operands — the classic
+    // sequential-fp EWMA recurrence re-expressed as a frame-bounded window
+    // (one shuffle, codegen arithmetic). values have no nulls in this
+    // table, so the oracle's c0 term needs no null guard.
+    Q(
+      "q163_ewma",
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, event_id, c AS c0,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CAST(8 * c0 + coalesce(4 * c1, 0) + coalesce(2 * c2, 0) + coalesce(c3, 0) AS DOUBLE)
+        |    / CAST(8 + (CASE WHEN c1 IS NULL THEN 0 ELSE 4 END)
+        |         + (CASE WHEN c2 IS NULL THEN 0 ELSE 2 END)
+        |         + (CASE WHEN c3 IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 100.0 AS ewma
+        |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      graft.operators.TimeSeries.dyadicEwma(
+        Tables.events(s, dir), Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "value", lags = 4)
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Fellegi-Sunter record linkage (RecordLinkage.linkPairs): blocked
+    // candidate pairs scored by integer milli-log-odds field weights —
+    // agreement on source/length/prefix adds ln(m/u)-style evidence,
+    // disagreement subtracts — thresholded at +1.5 log-odds units. Integer
+    // weights keep the score an exact 64-bit sum (a double log-sum differs
+    // in the last ulp with accumulation order, and the threshold sits
+    // exactly where that hurts). Blocking = one shuffle on
+    // (lang, n_chars//64); the scorer is a codegen'd projection.
+    Q(
+      "q166_linkage_score",
+      """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+        |             n_chars // 64 AS blk FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (CASE WHEN a.source = b.source THEN 1585 ELSE -1000 END)
+        |  + (CASE WHEN a.n_chars = b.n_chars THEN 2000 ELSE -200 END)
+        |  + (CASE WHEN substr(a.text, 1, 16) = substr(b.text, 1, 16) THEN 2500 ELSE -100 END)
+        |    AS link_score
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(link_score AS BIGINT) AS link_score FROM p
+        |WHERE link_score >= 1500 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("blk", floor(col("n_chars") / lit(64)).cast("long"))
+      graft.operators.RecordLinkage.linkPairs(
+        d, "doc_id", Seq("lang", "blk"),
+        evidence = Seq(
+          (col("a_source") === col("b_source"), 1585, -1000),
+          (col("a_n_chars") === col("b_n_chars"), 2000, -200),
+          (substring(col("a_text"), 1, 16) === substring(col("b_text"), 1, 16), 2500, -100)),
+        minScore = 1500L)
+        .select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"), col("link_score"))
+        .orderBy("id_a", "id_b")
     })
 }

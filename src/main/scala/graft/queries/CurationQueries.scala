@@ -31,7 +31,10 @@ object CurationQueries {
     * the identical `c·c − 2·x·c` form and both engines fold the dot
     * products sequentially in index order.
     */
-  private def kmeansUnrolledOracle(k: Int, iters: Int, dims: Int): String = {
+  /** The WITH-clause body shared by every oracle that replays the k-means
+    * fit: `cents0 … fin`, where `fin(vec_id, cid)` is the final assignment.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     def dist(emb: String, c: String): String =
       s"(list_aggregate(list_transform(generate_series(1, $dims), i -> $c[i]*$c[i]), 'sum')" +
         s" - 2 * list_aggregate(list_transform(generate_series(1, $dims)," +
@@ -61,12 +64,35 @@ object CurationQueries {
          |    (SELECT cid, list(m ORDER BY i) AS c FROM means$t GROUP BY cid) m
          |    ON p.cid = m.cid)""".stripMargin
     }
-    (Seq(init) ++ rounds ++ Seq(assignCte("fin", s"cents$iters"))).mkString("WITH ", ",\n", "") +
-      """
-        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+    (Seq(init) ++ rounds ++ Seq(assignCte("fin", s"cents$iters"))).mkString(",\n")
+  }
+
+  private def kmeansUnrolledOracle(k: Int, iters: Int, dims: Int): String =
+    s"WITH ${kmeansCtes(k, iters, dims)}\n" +
+      """SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
         |  count(*) OVER (PARTITION BY cid) AS cluster_n
         |FROM fin ORDER BY vec_id""".stripMargin
-  }
+
+  /** SemDeDup oracle: the k-means replay above, then within-cluster cosine
+    * pairs at ≥ `tau` (6-dp rounded, the q34 convention) mark every
+    * higher-id member of a pair dropped; the rest are kept.
+    */
+  private def semDedupOracle(k: Int, iters: Int, dims: Int, tau: Double): String =
+    s"WITH ${kmeansCtes(k, iters, dims)},\n" +
+      s"""n AS (
+         |  SELECT f.vec_id, f.cid, e.embedding,
+         |    sqrt(list_aggregate(list_transform(generate_series(1, $dims),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')) AS nrm
+         |  FROM fin f JOIN embeddings e USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    round(list_aggregate(list_transform(generate_series(1, $dims),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+         |      / (a.nrm * b.nrm), 6) AS cs
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT idb FROM p WHERE cs >= $tau)
+         |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cluster, (d.idb IS NULL) AS kept
+         |FROM n LEFT JOIN d ON n.vec_id = d.idb ORDER BY vec_id""".stripMargin
 
   /** q81 and q82 mine the SAME MinHash-LSH pair graph and cluster it the
     * same way; computing it inside each gate measured re-mining, not
@@ -1451,5 +1477,36 @@ object CurationQueries {
         .groupBy("url")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("url")
+    },
+
+    // Sequential Poisson sampling (Splits.weightedSample): exactly-100
+    // sample with inclusion ~proportional to n_chars — the "sample tokens,
+    // not documents" knob. Priority ξ = md5-uniform / weight is one IEEE
+    // division of exactly-agreed operands (no RNG, no libm), and the pick
+    // is the fixedSample TopK shape — per-partition top-n + merge, never a
+    // global sort.
+    Q(
+      "q164_weighted_sample",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY (CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT) AS DOUBLE)
+        |    / 16777216.0) / CAST(n_chars AS DOUBLE), doc_id
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      Splits.weightedSample(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("n_chars"), 100)
+        .select("doc_id", "lang", "n_chars")
+    },
+
+    // SemDeDup (Similarity.semanticDedup): k-means clusters the embedding
+    // space (the same fit q86 gates), then within-cluster cosine ≥ 0.3
+    // drops every higher-id member — first-wins semantic dedup with the
+    // pair space bounded to (n/k)² per cluster. The oracle replays the
+    // full fit from scratch AND the pair decisions.
+    Q("q165_semdedup", semDedupOracle(k = 5, iters = 3, dims = 64, tau = 0.3)) {
+      (s, dir) =>
+        graft.sim.Similarity.semanticDedup(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, iters = 3, minCosine = 0.3)
+          .orderBy("vec_id")
     })
 }

@@ -417,4 +417,45 @@ object Similarity {
         graft.functions.VectorFunctions.dot(col("_na"), col("_nb")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
+    * embedding space with k-means, then dropping, WITHIN each cluster, every
+    * vector that has a lower-id neighbor at cosine ≥ `minCosine` (first-wins,
+    * the library's deterministic stand-in for the paper's
+    * keep-lowest-centroid-distance rule). Clustering bounds the pair space
+    * the way the paper intends: candidate pairs form within a cluster only,
+    * so the quadratic term is (n/k)² per cluster, not n² — and
+    * [[nearDuplicatePairs]]' triangle sub-blocking caps the damage when
+    * k-means hands back a hot cluster.
+    *
+    * Returns one row per input vector: (`idCol`, cluster, kept) — survivors
+    * carry `kept = true`; the training set is the kept slice, the audit
+    * trail is the rest. Cosines are rounded to `roundDp` before the
+    * threshold so a last-ulp cross-engine wobble can't flip a pair's fate.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      minCosine: Double,
+      roundDp: Int = 6): DataFrame = {
+    val centroids = KMeans.fit(corpus, idCol, vecCol, k, iters)
+    val clustered = KMeans.assign(corpus, vecCol, centroids)
+    // pre-filter slightly below the threshold (round-up headroom), then
+    // apply the rounded threshold exactly — pair volume stays bounded
+    // without admitting a rounding-boundary discrepancy
+    val guard = math.pow(10.0, -roundDp)
+    val dropped = nearDuplicatePairs(
+      clustered, idCol, vecCol, "_cluster", minCosine - guard)
+      .filter(round(col("cos_sim"), roundDp) >= minCosine)
+      .select(col("id_b").as(idCol))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    clustered
+      .select(col(idCol), col("_cluster").cast("long").as("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+  }
 }

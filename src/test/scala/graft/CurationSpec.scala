@@ -94,6 +94,24 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("aa" -> 3L, "ab" -> 4L))
   }
 
+  test("weightedSample: matches the md5-priority formula; zero weights excluded") {
+    val docs = Seq((1L, 10L), (2L, 1000L), (3L, 10L), (4L, 0L), (5L, 500L))
+      .toDF("id", "w")
+    val got = Splits.weightedSample(docs, col("id"), col("w"), 3)
+      .select("id").as[Long].collect().toSet
+    // replicate ξ = (24-bit md5 uniform)/w on the driver
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16).toDouble / 16777216.0
+    }
+    val expect = Seq(1L -> 10L, 2L -> 1000L, 3L -> 10L, 5L -> 500L)
+      .sortBy { case (id, w) => (u(id) / w, id) }.take(3).map(_._1).toSet
+    assert(got == expect)
+    assert(!got.contains(4L), "zero-weight rows can never be sampled")
+  }
+
   // ---- splits -------------------------------------------------------------
 
   test("hash split: deterministic, total, respects weight ranges") {

@@ -182,4 +182,24 @@ class NearDupSpec extends SparkSpec {
     // cos(anchor, 4) = 1.0 beats cos(anchor, 2) ≈ 0.8; label-0 vec 1 excluded
     assert(out == Seq((0L, 4L, 1.0)))
   }
+
+  test("semanticDedup: within-cluster first-wins drop, cross-cluster pairs never compared") {
+    import graft.sim.Similarity
+    // two orthogonal directions; Lloyd (k=2, iters=2, init = ids 0,1)
+    // converges to x-axis {0,1} vs y-axis {2,3}; within each cluster the
+    // colinear pair has cosine 1 ≥ 0.3 → higher id dropped. 0 and 2 are
+    // orthogonal but in DIFFERENT clusters — never even compared.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0f, 3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, minCosine = 0.3)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, kept) => id -> (c, kept) }.toMap
+    assert(got(0L)._2 && got(2L)._2, "lowest id per direction survives")
+    assert(!got(1L)._2 && !got(3L)._2, "colinear higher ids are dropped")
+    assert(got(0L)._1 == got(1L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(0L)._1 != got(2L)._1)
+  }
 }

@@ -415,6 +415,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1)) && got.contains((3L, 4L, 1)))
   }
 
+  test("dyadicEwma: exact hand-computed weighted means, null value drops its weight") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      ("a", 1L, Some(1.00)), ("a", 2L, Some(2.00)), ("a", 3L, Some(3.00)),
+      ("a", 4L, Some(4.00)), ("a", 5L, Some(5.00)),
+      // null at the 2nd position: its weight vanishes from later windows
+      ("b", 1L, Some(1.00)), ("b", 2L, None), ("b", 3L, Some(3.00)))
+      .toDF("g", "seq", "v")
+    val got = TimeSeries.dyadicEwma(df, Seq("g"), Seq(col("seq")), "v")
+      .select("g", "seq", "ewma").as[(String, Long, Option[Double])]
+      .collect().map { case (g, s, e) => (g, s) -> e }.toMap
+    assert(got(("a", 1L)).contains(1.0)) // 8·100/8/100
+    assert(got(("a", 2L)).contains(2000.0 / 12 / 100)) // (8·200+4·100)/12
+    assert(got(("a", 3L)).contains(3400.0 / 14 / 100))
+    assert(got(("a", 4L)).contains(4900.0 / 15 / 100))
+    assert(got(("a", 5L)).contains(6400.0 / 15 / 100)) // window slid past v=1
+    assert(got(("b", 2L)).contains(400.0 / 4 / 100)) // c0 null → only lag1 left
+    assert(got(("b", 3L)).contains((8 * 300 + 2 * 100).toDouble / 10 / 100))
+  }
+
+  test("record linkage: blocked pairs, FS score arithmetic, null agrees with nothing") {
+    import graft.operators.RecordLinkage
+    val df = Seq(
+      (1L, "x", "s1", 10L), (2L, "x", "s1", 10L), (3L, "x", "s2", 11L),
+      (4L, "y", "s1", 10L), // different block — never paired with 1-3
+      (5L, "x", null, 10L)) // null source: disagreement, not agreement
+      .toDF("id", "blk", "src", "len")
+    val pairs = RecordLinkage.blockedSelfPairs(df, "id", Seq("blk"))
+    assert(pairs.count() == 6) // C(4,2) within block x (ids 1,2,3,5)
+    val scored = RecordLinkage.linkPairs(
+      df, "id", Seq("blk"),
+      evidence = Seq(
+        (col("a_src") === col("b_src"), 1000, -500),
+        (col("a_len") === col("b_len"), 700, -300)),
+      minScore = 0L)
+      .select("a_id", "b_id", "link_score").as[(Long, Long, Long)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(scored((1L, 2L)) == 1700L) // both fields agree
+    assert(scored.get((1L, 3L)).isEmpty) // -500 + -300 < 0: thresholded out
+    assert(scored((1L, 5L)) == -500L + 700L) // null src = disagree; len agrees
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
