@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -1222,5 +1222,60 @@ object AnalyticsQueries {
         minScore = 1500L)
         .select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"), col("link_score"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Sliding-window DISTINCT users — the DAU/WAU shape (q87 counts rows;
+    // this deduplicates the entity inside each overlapping window). The
+    // oracle enumerates the same epoch-aligned windows arithmetically;
+    // count(DISTINCT) is exact, windowing adds windowDuration/slide = 2
+    // copies per event before the dedup-aggregate (both engines identical).
+    Q(
+      "q167_windowed_dau",
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id,
+        |        to_timestamp((epoch_us(ts) // 1800000000 - u.i) * 1800)::TIMESTAMP AS wstart
+        |      FROM events, unnest([0, 1]) AS u(i)
+        |      WHERE epoch_us(ts) // 1800000000 - u.i >= 0)
+        |GROUP BY wstart ORDER BY window_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_users"))
+        .orderBy("window_start")
+    },
+
+    // Right-to-be-forgotten cascade (Tombstone.purgeCounts): a tombstone
+    // set (subjects who raised an 'error' event, standing in for a deletion
+    // queue) audited against three tables in ONE broadcast-join scan per
+    // table — n_before / n_purged / n_after, no purge-then-recount second
+    // pass. The purge itself (broadcast LEFT ANTI) is the same plan minus
+    // the aggregate.
+    Q(
+      "q168_tombstone_purge",
+      """WITH t AS (SELECT DISTINCT user_id AS id FROM events WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT 'customer' AS table_name, count(*) AS n_before, count(t.id) AS n_purged
+        |  FROM customer c LEFT JOIN t ON c.c_custkey = t.id
+        |  UNION ALL
+        |  SELECT 'events', count(*), count(t.id)
+        |  FROM events e LEFT JOIN t ON e.user_id = t.id
+        |  UNION ALL
+        |  SELECT 'orders', count(*), count(t.id)
+        |  FROM orders o LEFT JOIN t ON o.o_custkey = t.id)
+        |SELECT table_name, n_before, n_purged, n_before - n_purged AS n_after
+        |FROM u ORDER BY table_name""".stripMargin) { (s, dir) =>
+      val tomb = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("id"))
+      graft.load.Tombstone.purgeCounts(
+        Seq(
+          ("customer", Tables.load(s, dir, "customer"), col("c_custkey")),
+          ("events", Tables.events(s, dir), col("user_id")),
+          ("orders", Tables.load(s, dir, "orders"), col("o_custkey"))),
+        tomb, "id")
+        .orderBy("table_name")
     })
 }

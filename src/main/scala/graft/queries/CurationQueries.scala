@@ -1508,5 +1508,29 @@ object CurationQueries {
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           k = 5, iters = 3, minCosine = 0.3)
           .orderBy("vec_id")
+    },
+
+    // Unicode NFC normalization (functions.NfcNormalize, SQL
+    // `nfc_normalize`): the canonical-composition pass that belongs before
+    // any hash/dedup on real text. The corpus is ASCII, so each doc gets a
+    // decomposed suffix (e + U+0301, A + U+0308) appended IN THE QUERY —
+    // normalization composes both pairs (char length drops by exactly 2),
+    // and both engines implement the same Unicode mapping (JDK Normalizer
+    // here, utf8proc in the oracle).
+    Q(
+      "q169_nfc_normalize",
+      """SELECT doc_id, nfc_normalize(s) AS norm,
+        |  length(s) AS n_raw, length(nfc_normalize(s)) AS n_norm
+        |FROM (SELECT doc_id, substr(text, 1, 24) || 'e' || chr(769) || 'A' || chr(776) AS s
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(substring(col("text"), 1, 24), lit("e\u0301A\u0308"))
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.NfcNormalize.nfc(raw).as("norm"),
+          length(raw).cast("long").as("n_raw"),
+          length(graft.functions.NfcNormalize.nfc(raw)).cast("long").as("n_norm"))
+        .orderBy("doc_id")
     })
 }

@@ -94,6 +94,21 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("aa" -> 3L, "ab" -> 4L))
   }
 
+  test("tombstone purge: anti-join removal, null keys survive, counts reconcile") {
+    import graft.load.Tombstone
+    val events = Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Some(10L)), (4L, None), (5L, Some(30L)))
+      .toDF("event_id", "user_id")
+    val tomb = Seq(10L, 10L, 99L).toDF("id") // dup + no-match ids are harmless
+    val purged = Tombstone.purge(events, col("user_id"), tomb, "id")
+      .select("event_id").as[Long].collect().toSet
+    assert(purged == Set(2L, 4L, 5L), "rows of subject 10 gone; null-key row survives")
+    val counts = Tombstone.purgeCounts(
+      Seq(("events", events, col("user_id"))), tomb, "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(counts == Seq(("events", 5L, 2L, 3L)))
+  }
+
   test("weightedSample: matches the md5-priority formula; zero weights excluded") {
     val docs = Seq((1L, 10L), (2L, 1000L), (3L, 10L), (4L, 0L), (5L, 500L))
       .toDF("id", "w")

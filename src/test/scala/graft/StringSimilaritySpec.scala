@@ -53,4 +53,22 @@ class StringSimilaritySpec extends SparkSpec {
     val got = df.select(JaroWinklerSim.jaroWinkler($"a", $"b")).collect().head
     assert(got.isNullAt(0))
   }
+
+  test("nfc_normalize: composes decomposed sequences, ASCII fast path, null propagates") {
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      Some("e\u0301"), // decomposed e + combining acute
+      Some("A\u0308scii rest"), // decomposed at the head
+      Some("plain ascii"), // isNormalized fast path: returned as-is
+      None)
+      .toDF("s")
+    val got = df.select(NfcNormalize.nfc($"s")).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("\u00e9"), Some("\u00c4scii rest"), Some("plain ascii"), None))
+  }
+
+  test("nfc_normalize is SQL-registered via GraftExtensions") {
+    val got = spark.sql("SELECT nfc_normalize('ex' || 'e\u0301') AS s")
+      .as[String].collect().head
+    assert(got == "ex\u00e9" && got.length == 3)
+  }
 }
