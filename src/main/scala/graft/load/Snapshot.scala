@@ -277,4 +277,43 @@ object Snapshot {
       .filter(col("_rk") === 1)
       .drop("_rk", "_src")
   }
+
+  /** Apply a CDC change feed — rows of `(key, seq, op ∈ {'U','D'}, payload)`
+    * — onto a base snapshot: per key the HIGHEST-`seqCol` record decides the
+    * outcome ('U' upserts its payload, 'D' deletes the key), base rows act
+    * as sequence −∞ upserts. The missing half of [[upsertLatestWins]]: that
+    * one can only add/replace; a change feed also RETRACTS (Debezium-style
+    * full-row CDC, tombstones included).
+    *
+    * `changes` must carry the base's payload columns by name, plus `seqCol`
+    * and `opCol`; `seqCol` must be unique per key and > `baseSeq` (a change
+    * LOG has a total order — enforce upstream). Scale shape: ONE shuffle on
+    * the key — the winner per key is a partial `max(struct(seq, op,
+    * payload))` aggregate (map-side combined, no window, no join), then
+    * tombstones drop out. The base enters at the explicit `baseSeq`
+    * sentinel, not NULL: null-inside-struct ordering is exactly the kind of
+    * engine-specific corner a portable plan avoids.
+    */
+  def applyChangeFeed(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      baseSeq: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    val seqT = changes.schema(seqCol).dataType
+    val all = base
+      .withColumn(seqCol, lit(baseSeq).cast(seqT))
+      .withColumn(opCol, lit("U"))
+      .unionByName(changes.select(base.columns.map(col) :+ col(seqCol) :+ col(opCol): _*))
+    val winner = struct((Seq(col(seqCol), col(opCol)) ++ payload.map(col)): _*)
+    all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(winner).as("_w"))
+      .filter(col("_w").getField(opCol) === "U")
+      .select(keyCols.map(col) ++ payload.map(p => col("_w").getField(p).as(p)): _*)
+  }
 }

@@ -35,4 +35,34 @@ object RobustStats {
       .agg(sum(when(abs(col(valueCol) - col("_med")) > lit(k) * col("_mad"), 1L)
         .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Weighted (lower) median: the smallest value whose INCLUSIVE cumulative
+    * weight reaches ⌈W/2⌉ — "the price below which half the QUANTITY
+    * trades", the robust center estimate when rows carry unequal mass.
+    * Weights must be non-negative integers (cast to long).
+    *
+    * Scale shape: the cumulative weight comes from
+    * [[GlobalRank.withRunningTotal]] — a two-pass range-partitioned scan
+    * (per-partition sums to the driver, then a stamped second pass), NEVER
+    * a single-partition running-sum window; the median pick is then one
+    * filter + min aggregate. `tieCols` must make (value, tieCols) a total
+    * order — running totals over duplicated keys would be nondeterministic
+    * (withRunningTotal enforces this loudly).
+    */
+  def weightedMedian(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val slim = df.select(
+      (col(valueCol).as("_v") +: tieCols.map(col)) :+
+        col(weightCol).cast("long").as("_w"): _*)
+    val total = Option(slim.agg(sum(col("_w"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(total > 0, "weightedMedian needs positive total weight")
+    val half = (total + 1L) / 2L
+    GlobalRank.withRunningTotal(slim, "_v" +: tieCols, "_w", "_cum")
+      .filter(col("_cum") + col("_w") >= half && col("_w") > 0)
+      .agg(min(col("_v")).as("weighted_median"))
+  }
 }

@@ -102,6 +102,56 @@ object TimeSeries {
       .drop("_sx", "_sy", "_sxy", "_sxx", "_num", "_den")
   }
 
+  /** Per-group Pearson correlation by the same sufficient-statistics
+    * decomposition as [[groupTrend]] (one map-side-combined aggregate, five
+    * exact decimal sums plus Σy²):
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * Every operation after the exact integer sums is CORRECTLY ROUNDED in
+    * IEEE 754 on the JVM: BigDecimal→double casts, `sqrt` (required
+    * correctly rounded by the standard — unlike ln/exp, which libm only
+    * promises faithfully), one multiply, one divide. Cross-engine callers
+    * should still pin the result (6-dp floor-round, the q162 rule): other
+    * engines' wide-integer→double casts are not all correctly rounded
+    * (DuckDB's HUGEINT cast converts limb-wise — measured 1-ulp skew). r is
+    * scale-invariant, so the cents scaling cancels and needs no undo.
+    *
+    * Groups where either variance term is 0 (constant series, < 2 points)
+    * yield null.
+    */
+  def groupCorr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      yScale: Int = 100): DataFrame = {
+    require(yScale > 0, s"yScale=$yScale must be positive")
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long")
+    val yc = round(col(yCol) * yScale, 0).cast("long")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(dec)).as("_sx"),
+        sum(yc.cast(dec)).as("_sy"),
+        sum((x * yc).cast(dec)).as("_sxy"),
+        sum((x * x).cast(dec)).as("_sxx"),
+        sum((yc * yc).cast(dec)).as("_syy"))
+      .withColumn(
+        "_num", col("n").cast(dec) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn(
+        "_dx", col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn(
+        "_dy", col("n").cast(dec) * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn(
+        "corr",
+        when(col("_dx") =!= 0 && col("_dy") =!= 0,
+          col("_num").cast("double") /
+            (sqrt(col("_dx").cast("double")) * sqrt(col("_dy").cast("double")))))
+      .drop("_sx", "_sy", "_sxy", "_sxx", "_syy", "_num", "_dx", "_dy")
+  }
+
   /** Trailing exponentially-weighted moving average with DYADIC decay
     * (α = 1/2) over a bounded `lags`-term window — the smoothing kernel of
     * monitoring dashboards and feature pipelines, in a form two engines can

@@ -1277,5 +1277,144 @@ object AnalyticsQueries {
           ("orders", Tables.load(s, dir, "orders"), col("o_custkey"))),
         tomb, "id")
         .orderBy("table_name")
+    },
+
+    // CDC change-feed apply (Snapshot.applyChangeFeed): Debezium-style
+    // full-row changes — op 'U' upserts, 'D' retracts — folded onto a base
+    // snapshot in ONE key shuffle via a partial max(struct(seq, op,
+    // payload)) aggregate: no window, no join, map-side combined. Orders
+    // stand in for the change log (orderkey = unique sequence; status 'F'
+    // = tombstone). The retraction half is what upsertLatestWins (q78)
+    // can't express.
+    Q(
+      "q170_cdc_apply",
+      """WITH u AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment, CAST(-1 AS BIGINT) AS seq, 'U' AS op
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice, o_orderpriority, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |      FROM u)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM r
+        |WHERE rn = 1 AND op = 'U' ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val changes = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"))
+      graft.load.Snapshot.applyChangeFeed(
+        base, changes, Seq("c_custkey"), "seq", "op")
+        .orderBy("c_custkey")
+    },
+
+    // Gaps-and-islands over the order-key sequence — the id-continuity
+    // audit ("which ranges are missing?") every ingest pipeline owes its
+    // watermark logic. The classic grp = id − row_number() trick, but the
+    // row_number is GlobalRank's distributed two-pass rank, never a
+    // single-partition window; the island roll-up is one map-combined
+    // aggregate on grp.
+    Q(
+      "q171_id_islands",
+      """WITH r AS (SELECT o_orderkey,
+        |    o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT min(o_orderkey) AS island_start, max(o_orderkey) AS island_end,
+        |  count(*) AS n
+        |FROM r GROUP BY grp ORDER BY island_start""".stripMargin) { (s, dir) =>
+      graft.operators.GlobalRank.withRowNumber(
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") =!= "F")
+          .select("o_orderkey"),
+        orderCols = Seq("o_orderkey"))
+        .withColumn("grp", col("o_orderkey") - col("_rn"))
+        .groupBy("grp")
+        .agg(
+          min("o_orderkey").as("island_start"),
+          max("o_orderkey").as("island_end"),
+          count(lit(1)).as("n"))
+        .drop("grp")
+        .orderBy("island_start")
+    },
+
+    // Per-group Pearson correlation (TimeSeries.groupCorr): the groupTrend
+    // decomposition plus Σy² — six exact integer sums, then IEEE ops on
+    // them. sqrt/multiply/divide are correctly rounded everywhere, but
+    // DuckDB's HUGEINT→DOUBLE cast is NOT (it converts limb-wise, two
+    // roundings — measured 1-ulp skew at sf0.1), so the computed double
+    // takes the repo's standard 6-dp floor-round pin on both sides.
+    Q(
+      "q172_group_corr",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(yc) AS HUGEINT) AS sy,
+        |    CAST(sum(x * yc) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(yc * yc) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS corr
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("x", col("ts").cast("long") - lit(1704067200L))
+      graft.operators.TimeSeries.groupCorr(ev, Seq("event_type"), "x", "value")
+        .select(col("event_type"), col("n"),
+          (floor(col("corr") * lit(1000000.0) + lit(0.5)).cast("double")
+            / lit(1000000.0)).as("corr"))
+        .orderBy("event_type")
+    },
+
+    // Quantity-weighted median price (RobustStats.weightedMedian): the
+    // smallest price at which half the traded QUANTITY has cleared. The
+    // cumulative weight is GlobalRank's two-pass running total — never a
+    // single-partition window; the oracle's window replays it with a
+    // unique (price, orderkey, linenumber) order so RANGE==ROWS.
+    Q(
+      "q173_weighted_median",
+      """WITH t AS (SELECT l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    sum(CAST(l_quantity AS BIGINT))
+        |      OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw FROM lineitem)
+        |SELECT min(v) AS weighted_median FROM t, tot
+        |WHERE cum >= (tw + 1) // 2 AND w > 0""".stripMargin) { (s, dir) =>
+      graft.operators.RobustStats.weightedMedian(
+        Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", tieCols = Seq("l_orderkey", "l_linenumber"))
+    },
+
+    // New vs returning users per day — the first-touch split every growth
+    // dashboard opens with: a user's first active day counts as new, every
+    // later active day as returning. Two keyed aggregates + one user-keyed
+    // join; exact integer counts.
+    Q(
+      "q174_new_vs_returning",
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE d.day = f.first_day) AS n_new,
+        |  count(*) FILTER (WHERE d.day > f.first_day) AS n_returning
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY d.day ORDER BY day""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val f = d.groupBy("user_id").agg(min("day").as("first_day"))
+      d.join(f, "user_id")
+        .withColumn("is_new", col("day") === col("first_day")) // day ≥ first_day always
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("is_new"))
+        .groupBy("day")
+        .agg(
+          count(when(col("is_new"), 1)).as("n_new"),
+          count(when(!col("is_new"), 1)).as("n_returning"))
+        .orderBy("day")
     })
 }

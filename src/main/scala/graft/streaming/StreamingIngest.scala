@@ -125,6 +125,25 @@ object StreamingIngest {
         s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $maxDelay"))
   }
 
+  /** Stream-static dimension enrichment: every micro-batch joins against
+    * the STATIC side with a broadcast hash join — no state store at all
+    * (unlike stream-stream joins there is nothing to buffer: the static
+    * side is wholly known). Spark re-resolves the static plan per batch, so
+    * a dim table backed by files picks up overwrites between batches.
+    * `how` may be "inner" or "left_outer" (stream side preserved); the
+    * stream side never shuffles.
+    */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      how: String = "left_outer"): DataFrame = {
+    require(Set("inner", "left_outer").contains(how),
+      s"how=$how: stream-static enrichment preserves the stream side" +
+        " (inner or left_outer)")
+    stream.join(broadcast(dim), keyCols, how)
+  }
+
   /** Streaming corpus curation: the training-data intake loop as ONE
     * AvailableNow pass — per micro-batch: quality gate (token count), intra-
     * batch exact dedup (first-wins by id on the content hash), cross-run

@@ -94,6 +94,20 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("aa" -> 3L, "ab" -> 4L))
   }
 
+  test("applyChangeFeed: latest op wins, tombstones retract, new keys insert") {
+    import graft.load.Snapshot
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 10L, "U"), (1L, "a3", 20L, "U"), // two updates: seq 20 wins
+      (2L, "x", 5L, "D"), // retraction: key 2 gone
+      (3L, "c2", 7L, "U"), (3L, "x", 9L, "D"), (3L, "c3", 11L, "U"), // U after D: alive
+      (4L, "new", 1L, "U")) // insert of an unseen key
+      .toDF("k", "v", "seq", "op")
+    val got = Snapshot.applyChangeFeed(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a3", 3L -> "c3", 4L -> "new"))
+  }
+
   test("tombstone purge: anti-join removal, null keys survive, counts reconcile") {
     import graft.load.Tombstone
     val events = Seq(

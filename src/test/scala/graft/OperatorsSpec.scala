@@ -435,6 +435,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got(("b", 3L)).contains((8 * 300 + 2 * 100).toDouble / 10 / 100))
   }
 
+  test("groupCorr: perfect lines hit ±1, constant series null") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      ("up", 0L, 1.00), ("up", 10L, 21.00), ("up", 20L, 41.00), // y = 2x+1
+      ("down", 0L, 9.00), ("down", 5L, 4.00), ("down", 10L, -1.00), // y = -x+9
+      ("flat", 0L, 5.0), ("flat", 9L, 5.0), // zero y-variance
+      ("one", 3L, 2.0))
+      .toDF("g", "x", "y")
+    val got = TimeSeries.groupCorr(df, Seq("g"), "x", "y")
+      .select("g", "corr").as[(String, Option[Double])].collect().toMap
+    assert(math.abs(got("up").get - 1.0) < 1e-12)
+    assert(math.abs(got("down").get + 1.0) < 1e-12)
+    assert(got("flat").isEmpty && got("one").isEmpty)
+  }
+
+  test("weightedMedian: mass-weighted crossing, not the row median") {
+    import graft.operators.RobustStats
+    // quantities: 1.0×1, 2.0×3, 3.0×2 → W=6, ⌈W/2⌉=3, crossing at 2.0
+    // (the UNweighted median of the three rows would be 2.0 too, so also
+    // check a skewed case where they differ)
+    val df = Seq((1L, 1.00, 1L), (2L, 2.00, 3L), (3L, 3.00, 2L))
+      .toDF("id", "v", "w")
+    val m1 = RobustStats.weightedMedian(df, "v", "w", Seq("id"))
+      .as[Double].collect().head
+    assert(m1 == 2.00)
+    // 1.0×9, 5.0×1, 9.0×1 → half the mass sits on 1.0: weighted 1.0, row median 5.0
+    val skew = Seq((1L, 1.00, 9L), (2L, 5.00, 1L), (3L, 9.00, 1L)).toDF("id", "v", "w")
+    val m2 = RobustStats.weightedMedian(skew, "v", "w", Seq("id"))
+      .as[Double].collect().head
+    assert(m2 == 1.00)
+  }
+
   test("record linkage: blocked pairs, FS score arithmetic, null agrees with nothing") {
     import graft.operators.RecordLinkage
     val df = Seq(

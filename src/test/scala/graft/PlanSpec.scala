@@ -241,4 +241,30 @@ class PlanSpec extends SparkSpec {
       s"rank-window candidates degenerated to a cross product:\n$p")
     assert(!p.contains("Window"), s"global rank must come from GlobalRank, not a Window:\n$p")
   }
+
+  test("q164: weighted sample is a distributed TakeOrdered, never a global sort") {
+    val p = plan("q164_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k pick in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"sample must not global-sort:\n$p")
+  }
+
+  test("q168: tombstone audit broadcasts the deletion set — fact tables never shuffle") {
+    val p = plan("q168_tombstone_purge")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of tombstones in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the join:\n$p")
+  }
+
+  test("q170: CDC apply is one partial max(struct) aggregate — no window, no join") {
+    val p = plan("q170_cdc_apply")
+    assert(p.contains("partial_max"), s"expected map-side combined max(struct) in:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"CDC fold must not need a window or a join:\n$p")
+  }
+
+  test("q163: EWMA is a single window stage over one exchange") {
+    val p = plan("q163_ewma")
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert("Window".r.findAllIn(p).size == 1, s"the lag family must fuse into ONE window:\n$p")
+    assert(!p.contains("Join"), s"no self-join for lags:\n$p")
+  }
 }

@@ -149,6 +149,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 7L)))
   }
 
+  test("stream-static enrichment: dim broadcast-joined per batch, stream rows preserved") {
+    val root = tmpDir("enrich")
+    val evDir = s"$root/ev"
+    Files.createDirectories(Paths.get(evDir))
+    Seq((1L, 10.0), (2L, 20.0), (9L, 90.0)) // 9 has no dim row
+      .toDF("uid", "v").repartition(1).write.parquet(s"$evDir/f1")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$evDir/f1").schema).parquet(s"$evDir/*")
+    val q = StreamingIngest.enrichWithDim(stream, dim, Seq("uid"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").select("uid", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (9L, None)))
+    intercept[IllegalArgumentException] {
+      StreamingIngest.enrichWithDim(stream, dim, Seq("uid"), how = "right_outer")
+    }
+  }
+
   test("streaming corpus curation: quality gate + exact dedup across files AND runs") {
     val root = tmpDir("scur")
     val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
