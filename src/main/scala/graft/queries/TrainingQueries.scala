@@ -983,5 +983,35 @@ object TrainingQueries {
       graft.text.Vocab.bpePairCounts(Tables.load(s, dir, "documents"), "text")
         .orderBy(col("n").desc, col("pair"))
         .limit(50)
+    },
+
+    // Linear projection 64→4 (Similarity.projectExpr): the PCA/random-
+    // projection APPLY step before ANN indexing — k fused codegen dots per
+    // row against broadcast-literal matrix rows; no join, no shuffle, no
+    // UDF. The deterministic test matrix (((i·j) mod 7) − 3)/8 is dyadic,
+    // so every product is exact and both engines fold the same sequence;
+    // 6-dp rounding guards the print path (the q34/q35 convention).
+    Q(
+      "q175_project",
+      """SELECT vec_id,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> embedding[i]::DOUBLE * ((((i-1) * 1) % 7) - 3) * 0.125), 'sum'), 6) AS p1,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> embedding[i]::DOUBLE * ((((i-1) * 2) % 7) - 3) * 0.125), 'sum'), 6) AS p2,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> embedding[i]::DOUBLE * ((((i-1) * 3) % 7) - 3) * 0.125), 'sum'), 6) AS p3,
+        |  round(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> embedding[i]::DOUBLE * ((((i-1) * 4) % 7) - 3) * 0.125), 'sum'), 6) AS p4
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val m = Array.tabulate(4, 64)((j, i) => (((i * (j + 1)) % 7) - 3) * 0.125)
+      val p = graft.sim.Similarity.projectExpr(col("embedding"), m)
+      Tables.load(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(element_at(p, 1), 6).as("p1"),
+          round(element_at(p, 2), 6).as("p2"),
+          round(element_at(p, 3), 6).as("p3"),
+          round(element_at(p, 4), 6).as("p4"))
+        .orderBy("vec_id")
     })
 }

@@ -418,6 +418,26 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** Linear projection of an embedding column through a fixed matrix — the
+    * serving half of dimensionality reduction (PCA/random-projection apply:
+    * train offline, ship the matrix, project the corpus before ANN
+    * indexing; a 64→k projection cuts every downstream pair dot product by
+    * 64/k). One fused [[graft.functions.VectorFunctions.dot]] per output
+    * dimension against a BROADCAST-LITERAL row of the matrix — k codegen'd
+    * dots per input row, no join, no shuffle, no UDF.
+    *
+    * `matrix(j)` is the j-th output dimension's weight row (length = input
+    * dims; enforced per-row at plan build).
+    */
+  def projectExpr(vecCol: Column, matrix: Array[Array[Double]]): Column = {
+    require(matrix.nonEmpty, "projection needs at least one output dimension")
+    require(matrix.forall(_.length == matrix.head.length),
+      "projection matrix rows must share one input dimensionality")
+    array(matrix.toSeq.map { row =>
+      graft.functions.VectorFunctions.dot(vecCol, array(row.toSeq.map(lit): _*))
+    }: _*)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
     * embedding space with k-means, then dropping, WITHIN each cluster, every
     * vector that has a lower-id neighbor at cosine ≥ `minCosine` (first-wins,

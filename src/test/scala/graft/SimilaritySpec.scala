@@ -205,4 +205,15 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(cap2 == unc2)
   }
+
+  test("projectExpr: exact hand-computed projection; ragged matrix rejected") {
+    val df = Seq((1L, Array(1f, 2f, 4f))).toDF("vec_id", "embedding")
+    val m = Array(Array(0.5, 0.0, 0.25), Array(-1.0, 1.0, 0.0))
+    val got = df.select(Similarity.projectExpr($"embedding", m))
+      .as[Seq[Double]].collect().head
+    assert(got == Seq(0.5 * 1 + 0.25 * 4, -1.0 + 2.0)) // (1.5, 1.0) exactly
+    intercept[IllegalArgumentException] {
+      Similarity.projectExpr($"embedding", Array(Array(1.0), Array(1.0, 2.0)))
+    }
+  }
 }
