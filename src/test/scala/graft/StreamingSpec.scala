@@ -149,6 +149,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 7L)))
   }
 
+  test("statefulSessions: event-time timeout closes sessions exactly once, state evicted") {
+    val root = tmpDir("fmgws")
+    val evDir = s"$root/ev"
+    Files.createDirectories(Paths.get(evDir))
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def stream() = spark.readStream
+      .schema("userId LONG, ts TIMESTAMP").parquet(s"$evDir/*")
+      .as[(Long, java.sql.Timestamp)]
+    // batch 1: user 7's session (10:00, 10:05); batch 2 advances the
+    // watermark only to 10:05−10m (timeout 10:35 not reached — nothing
+    // emits); batch 3 pushes the watermark past 10:35 → session closes.
+    Seq((7L, ts(10, 0)), (7L, ts(10, 5)))
+      .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f1")
+    val q = StreamingIngest.statefulSessions(stream(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("fmgws_out").start()
+    q.processAllAvailable()
+    assert(spark.table("fmgws_out").isEmpty, "open session must not emit")
+    Seq((8L, ts(10, 20))).toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f2")
+    q.processAllAvailable()
+    assert(spark.table("fmgws_out").isEmpty, "watermark still before the timeout")
+    Seq((8L, ts(12, 0))).toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f3")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgws_out")
+      .as[StreamingIngest.ClosedSession].collect().toSet
+    assert(got == Set(
+      StreamingIngest.ClosedSession(7L, ts(10, 0), ts(10, 5), 2L)),
+      s"exactly user 7's session closes (8's is still open): $got")
+  }
+
   test("stream-static enrichment: dim broadcast-joined per batch, stream rows preserved") {
     val root = tmpDir("enrich")
     val evDir = s"$root/ev"
