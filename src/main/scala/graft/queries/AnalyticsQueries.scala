@@ -1416,5 +1416,106 @@ object AnalyticsQueries {
           count(when(col("is_new"), 1)).as("n_new"),
           count(when(!col("is_new"), 1)).as("n_returning"))
         .orderBy("day")
+    },
+
+    // Declarative DQ rule audit (Quality.checkRules): every rule a
+    // violation predicate, ALL rules evaluated in ONE scan (conditional
+    // sums in a single aggregate, stacked to a ledger) — never a pass per
+    // rule. Mix of always-clean contract rules and rules that actually
+    // fire on this data (price cap, pre-1996 dates).
+    Q(
+      "q176_dq_rules",
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS v_custkey_null,
+        |    count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1996-01-01') AS v_date_old,
+        |    count(*) FILTER (WHERE o_totalprice <= 0) AS v_price_nonpos,
+        |    count(*) FILTER (WHERE o_totalprice > 400000) AS v_price_cap,
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS v_status_dom
+        |  FROM orders)
+        |SELECT rule, n AS n_checked, v AS n_violations, v = 0 AS pass
+        |FROM (
+        |  SELECT 'custkey_null' AS rule, n, v_custkey_null AS v FROM a
+        |  UNION ALL SELECT 'date_old', n, v_date_old FROM a
+        |  UNION ALL SELECT 'price_cap', n, v_price_cap FROM a
+        |  UNION ALL SELECT 'price_nonpos', n, v_price_nonpos FROM a
+        |  UNION ALL SELECT 'status_domain', n, v_status_dom FROM a)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      graft.load.Quality.checkRules(
+        Tables.load(s, dir, "orders"),
+        Seq(
+          "custkey_null" -> col("o_custkey").isNull,
+          "date_old" -> (col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          "price_cap" -> (col("o_totalprice") > 400000),
+          "price_nonpos" -> (col("o_totalprice") <= 0),
+          "status_domain" -> !col("o_orderstatus").isin("F", "O", "P")))
+        .orderBy("rule")
+    },
+
+    // Share-of-total (ratio-to-report): revenue contribution per market
+    // segment — exact decimal sums, the share = one division of
+    // exactly-agreed cents (then the standard 6-dp pin on the computed
+    // double).
+    Q(
+      "q177_share_of_total",
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM s)
+        |SELECT seg, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  floor(CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share
+        |FROM s, t ORDER BY seg""".stripMargin) { (s, dir) =>
+      val seg = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val total = seg.agg(sum("cents")).head().getLong(0)
+      seg.select(
+        col("seg"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (floor(col("cents").cast("double") / lit(total.toDouble) * lit(1000000.0)
+          + lit(0.5)).cast("double") / lit(1000000.0)).as("share"))
+        .orderBy("seg")
+    },
+
+    // Pareto / ABC classification with NO division at all: the cumulative
+    // share thresholds compare exact integers (cum·100 vs total·80 /
+    // total·95), so the A/B/C boundary can never wobble on a computed
+    // double. Running total over the few segment rows is a window over a
+    // tiny aggregate — the window never sees fact rows.
+    Q(
+      "q178_pareto_abc",
+      """WITH s AS (SELECT c_mktsegment AS seg,
+        |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |r AS (SELECT seg, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, seg) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM s)
+        |SELECT seg, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |       WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls
+        |FROM r ORDER BY revenue DESC, seg""".stripMargin) { (s, dir) =>
+      val seg = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val wCum = Window.orderBy(col("cents").desc, col("seg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      seg
+        .withColumn("cum", sum("cents").over(wCum))
+        .withColumn("total", sum("cents").over(wAll))
+        .select(
+          col("seg"),
+          (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("cls"))
+        .orderBy(col("revenue").desc, col("seg"))
     })
 }

@@ -94,6 +94,29 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("aa" -> 3L, "ab" -> 4L))
   }
 
+  test("Quality.checkRules: one-scan ledger, null predicate is not a violation") {
+    import graft.load.Quality
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(-5.0)), (3L, None), (4L, Some(200.0)))
+      .toDF("id", "v")
+    val got = Quality.checkRules(df, Seq(
+      "v_null" -> col("v").isNull,
+      "v_neg" -> (col("v") < 0), // NULL v → null predicate → NOT a violation
+      "v_cap" -> (col("v") > 100)))
+      .orderBy("rule")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("v_cap", 4L, 1L, false),
+      ("v_neg", 4L, 1L, false),
+      ("v_null", 4L, 1L, false)))
+    val clean = Quality.checkRules(df, Seq("id_null" -> col("id").isNull))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(clean == (("id_null", 4L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      Quality.checkRules(df, Seq("a" -> col("id").isNull, "a" -> col("v").isNull))
+    }
+  }
+
   test("applyChangeFeed: latest op wins, tombstones retract, new keys insert") {
     import graft.load.Snapshot
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
