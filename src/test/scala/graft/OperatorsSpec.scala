@@ -453,6 +453,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("record linkage: phonetic (soundex) blocking pairs sound-alikes only") {
+    import graft.operators.RecordLinkage
+    // smith/smyth/smithe share soundex S530; jones is J520 — never paired
+    val df = Seq((1L, "smith"), (2L, "smyth"), (3L, "smithe"), (4L, "jones"))
+      .toDF("id", "nm")
+      .withColumn("blk", soundex(col("nm")))
+    val pairs = RecordLinkage.blockedSelfPairs(df, "id", Seq("blk"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("groupCorr: perfect lines hit ±1, constant series null") {
     import graft.operators.TimeSeries
     val df = Seq(
