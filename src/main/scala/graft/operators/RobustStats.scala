@@ -65,4 +65,51 @@ object RobustStats {
       .filter(col("_cum") + col("_w") >= half && col("_w") > 0)
       .agg(min(col("_v")).as("weighted_median"))
   }
+
+  /** Pairwise Welch's t statistic between groups — the unequal-variance
+    * two-sample test behind every A/B readout. Values are scaled to integers
+    * (`round(value · scale)`), so per-group n / Σx / Σx² are EXACT decimal
+    * sums (one map-side-combined aggregate over the facts); each group
+    * pair's t is then a single closed-form double expression over those
+    * exactly-agreed integers — the only fp ops are the final mean/variance
+    * divisions and one sqrt, identical in any IEEE engine. (Welch rather
+    * than pooled Student: no equal-variance assumption, the safe default.)
+    *
+    * Output: one row per unordered group pair (a < b by group value) with
+    * n_a/n_b and `t` (sign convention: positive when a's mean is larger).
+    * Groups need n >= 2 and nonzero variance on at least one side —
+    * degenerate pairs yield null t rather than ±inf. The pairwise join runs
+    * on the GROUP aggregate (g rows → g·(g−1)/2 pairs), never on facts.
+    */
+  def welchT(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    val dec = "decimal(38,0)"
+    val v = round(col(valueCol) * scale, 0).cast("long")
+    val g = df.groupBy(col(groupCol).as("_g"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(v.cast(dec)).as("_sx"),
+        sum((v * v).cast(dec)).as("_sxx"))
+    def side(tag: String) = g.select(
+      col("_g").as(s"group_$tag"), col("_n").as(s"n_$tag"),
+      col("_sx").as(s"_sx_$tag"), col("_sxx").as(s"_sxx_$tag"))
+    def mean(tag: String) =
+      col(s"_sx_$tag").cast("double") / col(s"n_$tag").cast("double")
+    // sample variance in scaled units: (n·Σx² − (Σx)²) / (n·(n−1))
+    def variance(tag: String) =
+      (col(s"n_$tag").cast(dec) * col(s"_sxx_$tag") -
+        col(s"_sx_$tag") * col(s"_sx_$tag")).cast("double") /
+        (col(s"n_$tag").cast("double") * (col(s"n_$tag") - 1).cast("double"))
+    val se = sqrt(variance("a") / col("n_a").cast("double") +
+      variance("b") / col("n_b").cast("double"))
+    side("a").join(side("b"), col("group_a") < col("group_b"))
+      .withColumn("t",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se > 0.0,
+          (mean("a") - mean("b")) / se))
+      .select("group_a", "group_b", "n_a", "n_b", "t")
+  }
 }

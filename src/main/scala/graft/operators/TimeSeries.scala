@@ -198,4 +198,36 @@ object TimeSeries {
       when(den =!= 0,
         num.cast("double") / den.cast("double") / scale.toDouble))
   }
+
+  /** Per-key lag-`lagN` autocorrelation: Pearson correlation of the series
+    * against its own `lagN`-step-shifted self — the "is yesterday predictive
+    * of today" signal behind seasonality detection and anomaly baselines.
+    *
+    * Pairs come from ONE keyed window (lag over (keys, order)); the
+    * correlation then reuses [[groupCorr]]'s exact-integer-sum formulation
+    * (values pre-scaled to longs with `yScale`), so everything up to the
+    * final sqrt/divide is engine-exact. Rows whose lagged partner falls off
+    * the series start contribute nothing. `n` counts the pairs actually
+    * correlated; keys with constant series (zero variance on either side)
+    * yield null corr, filter as needed.
+    */
+  def autoCorrLag(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      lagN: Int = 1,
+      yScale: Int = 1): DataFrame = {
+    require(lagN >= 1, s"lagN=$lagN must be >= 1")
+    require(yScale > 0, s"yScale=$yScale must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val vc = round(col(valueCol) * yScale, 0).cast("long")
+    val paired = df
+      .withColumn("_cur", vc)
+      .withColumn("_prev", lag(vc, lagN).over(w))
+      .filter(col("_prev").isNotNull)
+    // both columns already exact longs → yScale=1 round-trips them unchanged
+    groupCorr(paired, keyCols, "_prev", "_cur", yScale = 1)
+      .withColumnRenamed("corr", "autocorr")
+  }
 }

@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-lifecycle and statistics operators added in round 7's
+  * continuation: SCD Type-2 dimension versioning + point-in-time facts,
+  * exact integer proration, LM-proxy surprisal scoring, Benford DQ audit,
+  * per-key autocorrelation, k-core graph peeling, Welch's t, co-occurrence
+  * Jaccard, and rank-with-ties group limits. Determinism rules as
+  * elsewhere: integers wherever a sum happens, one pinned (6-dp floor)
+  * double at the very end of each computed-double column.
+  */
+object WarehouseQueries {
+
+  private val pin6 = (c: org.apache.spark.sql.Column) =>
+    (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
+
+  val all: Seq[Q] = Seq(
+
+    // SCD Type-2 build (Scd.buildVersions): the events changelog collapsed
+    // into versioned per-user state intervals — run-collapse filter and
+    // version numbering share one window partitioning (a single exchange
+    // on user_id). Timestamps exported as exact epoch-microsecond longs.
+    Q(
+      "q179_scd2_build",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT *, row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |             event_type AS state, t AS valid_from_us,
+        |             lead(t) OVER w2 AS valid_to_us
+        |      FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |      WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, version, state, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM s ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      graft.operators.Scd
+        .buildVersions(ev, Seq("user_id"), "t", Seq("event_id"), "event_type")
+        .select(
+          col("user_id"), col("version"), col("state"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // Point-in-time fact enrichment (Scd.pointInTime → the NATIVE as-of
+    // merge exec): each purchase joined to the dimension version current at
+    // its timestamp. The oracle replays it as an interval-containment join
+    // — an INDEPENDENT formulation (as-of pick == containing interval only
+    // because buildVersions' intervals partition each key's timeline).
+    Q(
+      "q180_scd2_pit",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT *, row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |             event_type AS state, t AS valid_from_us,
+        |             lead(t) OVER w2 AS valid_to_us
+        |      FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |      WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, s.state, s.version
+        |FROM f JOIN s ON f.user_id = s.user_id AND f.ts_us >= s.valid_from_us
+        |            AND (s.valid_to_us IS NULL OR f.ts_us < s.valid_to_us)
+        |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val dim = graft.operators.Scd
+        .buildVersions(ev, Seq("user_id"), "t", Seq("event_id"), "event_type")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t").as("ts_us"))
+      graft.operators.Scd
+        .pointInTime(facts, dim, Seq("user_id"), "ts_us", Seq("state", "version"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_state").as("state"), col("asof_version").as("version"))
+        .orderBy("event_id")
+    },
+
+    // Largest-remainder proration (Allocation.largestRemainder): a 1M-unit
+    // budget apportioned across nations by exact revenue cents — the alloc
+    // column SUMS TO THE TOTAL EXACTLY, all decimal(38,0) integer math.
+    // Facts aggregate to the 25-row target grain first; the remainder-rank
+    // window only ever sees that aggregate.
+    Q(
+      "q181_proration",
+      """WITH s AS (SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS weight_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight_cents) AS HUGEINT) AS tw FROM s),
+        |b AS (SELECT nk, weight_cents,
+        |    (1000000 * CAST(weight_cents AS HUGEINT)) // tw AS base,
+        |    (1000000 * CAST(weight_cents AS HUGEINT)) % tw AS rem
+        |  FROM s, t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, nk) AS rk,
+        |    1000000 - sum(base) OVER () AS short FROM b)
+        |SELECT nk, weight_cents,
+        |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY nk""".stripMargin) { (s, dir) =>
+      val targets = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("weight_cents"))
+      graft.operators.Allocation
+        .largestRemainder(targets, "weight_cents", 1000000L, tieCols = Seq("nk"))
+        .select(col("nk"), col("weight_cents"), col("alloc"))
+        .orderBy("nk")
+    },
+
+    // Unigram surprisal quality score (Vocab.surprisalScores): the
+    // LM-perplexity proxy for corpus filtering. Per-token surprisal is
+    // rounded ONCE to integer micro-nats on the vocabulary table; document
+    // scores are exact long sums + floor division — the single ln per
+    // distinct token is the only fp op in the pipeline.
+    Q(
+      "q182_surprisal",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM tok),
+        |w AS (SELECT token,
+        |    CAST(floor(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS unats
+        |  FROM c, nt),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(sum(unats) AS BIGINT) AS su
+        |      FROM tok JOIN w USING (token) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN su // p.n_tokens ELSE 0 END AS mean_unats
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Vocab
+        .surprisalScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Benford first-digit audit (Quality.benfordAudit): leading-digit
+    // distribution of order amounts vs log10(1 + 1/d), with per-digit χ²
+    // contributions. Digit extraction is integer/string only; the two
+    // computed doubles are pinned (1e-9 for the expected share, 1e-6 for
+    // the χ² term).
+    Q(
+      "q183_benford",
+      """WITH u AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
+        |      FROM u WHERE c > 0 GROUP BY 1),
+        |f AS (SELECT CAST(g.i AS INT) AS digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |      FROM generate_series(1, 9) AS g(i) LEFT JOIN d ON d.digit = g.i),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM f),
+        |e AS (SELECT digit, n, tot,
+        |    floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS expected_p
+        |  FROM f, t)
+        |SELECT digit, n, expected_p,
+        |  floor((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * expected_p)
+        |    * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * expected_p)
+        |    / (CAST(tot AS DOUBLE) * expected_p) * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin) { (s, dir) =>
+      graft.load.Quality
+        .benfordAudit(Tables.load(s, dir, "orders"), "o_totalprice", scale = 100)
+        .orderBy("digit")
+    },
+
+    // Lag-1 autocorrelation of per-user daily activity
+    // (TimeSeries.autoCorrLag): one grouped count, one keyed lag window,
+    // then the exact-integer-sum correlation — the q172 groupCorr recipe
+    // applied to a series against its shifted self.
+    Q(
+      "q184_autocorr",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, lag(c) OVER (PARTITION BY user_id ORDER BY day) AS x, c AS y
+        |      FROM d),
+        |q AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM q GROUP BY 1),
+        |r AS (SELECT user_id, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+        |  FROM a)
+        |SELECT user_id, n,
+        |  floor(CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr
+        |FROM r WHERE n >= 8 AND dx != 0 AND dy != 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries
+        .autoCorrLag(daily, Seq("user_id"), Seq(col("day").asc), "c", lagN = 1)
+        .filter(col("n") >= 8 && col("autocorr").isNotNull)
+        .select(col("user_id"), col("n"), pin6(col("autocorr")).as("autocorr"))
+        .orderBy("user_id")
+    },
+
+    // k-core peeling (KCore.peel, k=3, 3 rounds) over the bigram
+    // co-occurrence graph — the dense-region extractor; the oracle unrolls
+    // the same three peel rounds (degree → filter → induced subgraph) in
+    // CTEs, cascade deletions included.
+    Q(
+      "q185_kcore",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |pc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+        |ed AS (SELECT DISTINCT
+        |         least(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS a,
+        |         greatest(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS b
+        |       FROM pc
+        |       WHERE n >= 5 AND split_part(gram, ' ', 1) != split_part(gram, ' ', 2)),
+        |s0 AS (SELECT a AS s, b AS d FROM ed UNION ALL SELECT b, a FROM ed),
+        |k1 AS (SELECT s FROM (SELECT s, count(*) AS dg FROM s0 GROUP BY 1) WHERE dg >= 3),
+        |s1 AS (SELECT s0.s, s0.d FROM s0 JOIN k1 USING (s) JOIN k1 kb ON s0.d = kb.s),
+        |k2 AS (SELECT s FROM (SELECT s, count(*) AS dg FROM s1 GROUP BY 1) WHERE dg >= 3),
+        |s2 AS (SELECT s1.s, s1.d FROM s1 JOIN k2 USING (s) JOIN k2 kb ON s1.d = kb.s),
+        |k3 AS (SELECT s FROM (SELECT s, count(*) AS dg FROM s2 GROUP BY 1) WHERE dg >= 3),
+        |s3 AS (SELECT s2.s, s2.d FROM s2 JOIN k3 USING (s) JOIN k3 kb ON s2.d = kb.s)
+        |SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM s3 GROUP BY 1 ORDER BY node""".stripMargin) { (s, dir) =>
+      val bg = graft.text.Vocab
+        .ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
+        .filter(col("n") >= 5)
+      val sp = split(col("gram"), " ")
+      val edges = bg
+        .select(least(sp.getItem(0), sp.getItem(1)).as("a"),
+          greatest(sp.getItem(0), sp.getItem(1)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      graft.operators.KCore.peel(edges, k = 3, rounds = 3).orderBy("node")
+    },
+
+    // Pairwise Welch's t across market segments (RobustStats.welchT): exact
+    // integer n/Σx/Σx² per group from ONE fact scan, then the closed-form t
+    // on the 10-row pair join — the A/B-test readout at warehouse scale.
+    Q(
+      "q186_welch_ttest",
+      """WITH g AS (SELECT c_mktsegment AS seg, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |           * CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS sxx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |p AS (SELECT a.seg AS group_a, b.seg AS group_b, a.n AS n_a, b.n AS n_b,
+        |    CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+        |    CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+        |    CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+        |      / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) AS va,
+        |    CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+        |      / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)) AS vb
+        |  FROM g a JOIN g b ON a.seg < b.seg)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  floor((ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS t
+        |FROM p ORDER BY group_a, group_b""".stripMargin) { (s, dir) =>
+      val joined = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      graft.operators.RobustStats
+        .welchT(joined, "c_mktsegment", "o_totalprice", scale = 100)
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          pin6(col("t")).as("t"))
+        .orderBy("group_a", "group_b")
+    },
+
+    // Item-item Jaccard from basket co-occurrence: the q153 pair counts
+    // normalized by per-item order counts — n_ab / (n_a + n_b − n_ab), the
+    // item-recommendation similarity. All counts exact; one pinned division
+    // per pair row; top-100 orders by the PINNED value so both engines cut
+    // the same boundary.
+    Q(
+      "q187_item_jaccard",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders FROM op GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(ca.n_orders + cb.n_orders - n_ab AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pr JOIN pc ca ON pr.part_a = ca.l_partkey
+        |        JOIN pc cb ON pr.part_b = cb.l_partkey
+        |ORDER BY jaccard DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
+      val op = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val pc = op.groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
+      val pr = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_ab"))
+      pr
+        .join(pc.select(col("l_partkey").as("part_a"), col("n_orders").as("_na")), "part_a")
+        .join(pc.select(col("l_partkey").as("part_b"), col("n_orders").as("_nb")), "part_b")
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          pin6(col("n_ab").cast("double") /
+            (col("_na") + col("_nb") - col("n_ab")).cast("double")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
+    // Top-3 orders per segment WITH TIES (rank(), not row_number): the
+    // group limit that keeps equal-amount rows together. Spark 4 rewrites
+    // the rank filter into WindowGroupLimit — per-partition top-k BEFORE
+    // the window exchange (asserted in PlanSpec).
+    Q(
+      "q188_rank_ties",
+      """WITH r AS (SELECT c_mktsegment AS seg, o_orderkey, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT seg, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3
+        |ORDER BY seg, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("seg")).orderBy(col("o_totalprice").desc)
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("seg", "rnk", "o_orderkey")
+    })
+}

@@ -242,4 +242,42 @@ object Vocab {
       .groupBy("pair")
       .agg(sum("tf").as("n"))
   }
+
+  /** Per-document mean unigram surprisal — the cheap proxy for LM-perplexity
+    * quality filtering (CCNet/Gopher-style): documents made of globally
+    * common tokens score low, documents of rare tokens score high, and both
+    * tails are curation candidates.
+    *
+    * Determinism discipline: a double Σ ln p would depend on accumulation
+    * order, so per-TOKEN surprisal ln(N / count(t)) is rounded once to
+    * integer MICRO-NATS on the (small) vocabulary table, per-document totals
+    * are exact long sums of those integers, and the mean is a floor integer
+    * division — the single ln call per DISTINCT token is the only fp op, and
+    * its 1-ulp wobble is absorbed by the 10⁻⁶ rounding grid.
+    *
+    * Scale shape: one token explode feeding two aggregates (vocab counts,
+    * per-doc sums) + one shuffle join on the token key; the corpus token
+    * total N rides in via a broadcast 1-row cross join, never a collect on
+    * the hot path (same recipe as docTfidf's N).
+    */
+  def surprisalScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val totals = toks.agg(count(lit(1)).as("_nt"))
+    val weights = toks.groupBy("token").agg(count(lit(1)).as("_cnt"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"),
+        floor(log(col("_nt").cast("double") / col("_cnt").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("_unats"))
+    val per = toks.join(weights, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("_unats").as("_su"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("_su div n_tokens")).otherwise(lit(0L)).as("mean_unats"))
+  }
 }
