@@ -50,14 +50,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String) =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its nanosecond `ts` converted to a proper timestamp
-    * (truncated to microseconds, exactly like DuckDB's ns→us cast, so oracle
-    * comparisons agree).
+  /** `events` with `ts` normalized to a session-zone timestamp regardless of
+    * how the generator wrote it: older drops used INT64 TIMESTAMP(NANOS)
+    * (surfaced as long under `nanosAsLong`, converted here by integer ns→us
+    * division — not fp, ns epochs exceed double's 2^53), newer drops write a
+    * plain microsecond timestamp (surfaced as TIMESTAMP_NTZ, cast to the
+    * session-UTC timestamp so downstream queries and oracle dumps see the
+    * identical values and type either way).
     */
   def events(spark: SparkSession, dir: String) = {
     import org.apache.spark.sql.functions._
-    // integer div (not fp): ns epoch values exceed double's 2^53 precision
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
