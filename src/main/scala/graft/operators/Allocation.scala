@@ -74,4 +74,49 @@ object Allocation {
         col("_base") + when(col("_rk") <= col("_short"), 1L).otherwise(0L))
       .drop("_w", "_q", "_tot", "_rem", "_base", "_rk", "_short")
   }
+
+  /** GROUPED largest remainder: one independent apportionment per
+    * `groupCols` key, each distributing that group's own `totalCol` (which
+    * must be group-constant — it is read per-row) across the group's rows
+    * in proportion to `weightCol`. The per-stratum split-size computation
+    * of an exact stratified train/val/test split is the canonical caller
+    * (a handful of rows per stratum), and unlike [[largestRemainder]] the
+    * windows here are PARTITIONED by the group key, so the operator is
+    * safe on any number of groups — the single-partition caveat applies
+    * only within one group, whose row count is the number of allocation
+    * buckets (tiny by construction).
+    */
+  def largestRemainderBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      weightCol: String,
+      totalCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "largestRemainderBy needs group columns")
+    require(tieCols.nonEmpty, "need tie-break columns for a deterministic remainder rank")
+    Seq("_w", "_q", "_tot", "_base", "_rem", "_rk", "_short", "alloc").foreach { c =>
+      require(!df.columns.contains(c), s"input column '$c' collides with an internal name")
+    }
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val w = col("_w").cast(Dec)
+    val withW = df.withColumn("_w",
+      when(col(weightCol).cast("long") < 0,
+        raise_error(concat(lit(s"negative weight in $weightCol: "), col(weightCol))))
+        .otherwise(col(weightCol).cast("long")))
+    val grand = sum(col("_w").cast(Dec)).over(wAll)
+    val q = col(totalCol).cast(Dec) * w
+    val staged = withW
+      .withColumn("_q", q)
+      .withColumn("_tot", grand)
+      .withColumn("_rem", col("_q") % col("_tot"))
+      .withColumn("_base", ((col("_q") - col("_rem")) / col("_tot")).cast("long"))
+    val wRank = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_rem").desc +: tieCols.map(col(_).asc): _*)
+    staged
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_short", col(totalCol).cast("long") - sum(col("_base")).over(wAll))
+      .withColumn("alloc",
+        col("_base") + when(col("_rk") <= col("_short"), 1L).otherwise(0L))
+      .drop("_w", "_q", "_tot", "_rem", "_base", "_rk", "_short")
+  }
 }

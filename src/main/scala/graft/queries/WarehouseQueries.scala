@@ -319,5 +319,214 @@ object WarehouseQueries {
         .withColumn("rnk", rank().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("seg", "rnk", "o_orderkey")
+    },
+
+    // Hybrid retrieval: BM25 more-like-this (each anchor doc's distinct
+    // tokens as the query, per-term scores summed as exact 1e4-scaled
+    // longs) fused with embedding-cosine ranking by reciprocal-rank fusion
+    // (Retrieval.moreLikeThis + rrfFuse). The RRF contribution is the
+    // INTEGER quotient 1000000 div (60 + rank) — a double 1/(k+r) sum
+    // would be aggregation-order-sensitive; the integer sum is not.
+    Q(
+      "q189_rrf_fusion",
+      """WITH tt AS (SELECT doc_id, u.tok AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |aterms AS (SELECT DISTINCT doc_id AS anchor_id, term FROM tt WHERE doc_id IN (0, 1, 2)),
+        |qterms AS (SELECT DISTINCT term FROM aterms),
+        |hits AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM hits GROUP BY term),
+        |sc AS (SELECT h.term, h.doc_id,
+        |    CAST(floor(round(CAST(22 * h.tf * s AS DOUBLE) /
+        |        CAST(10 * h.tf * s + 3 * s + 9 * d.dl * n AS DOUBLE) *
+        |        (CAST(2 * n - 2 * dfr + 1 AS DOUBLE) / CAST(2 * dfr + 1 AS DOUBLE)), 4)
+        |      * 10000.0 + 0.5) AS BIGINT) AS s4
+        |  FROM hits h JOIN dl d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |lexsum AS (SELECT a.anchor_id, sc.doc_id, CAST(sum(sc.s4) AS BIGINT) AS lex_i4
+        |  FROM sc JOIN aterms a USING (term) WHERE sc.doc_id != a.anchor_id
+        |  GROUP BY a.anchor_id, sc.doc_id),
+        |lex AS (SELECT * FROM (SELECT anchor_id, doc_id, lex_i4,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY lex_i4 DESC, doc_id)
+        |      AS BIGINT) AS lex_rank FROM lexsum) WHERE lex_rank <= 20),
+        |nv AS (SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings),
+        |semsc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS doc_id,
+        |    round(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+        |      / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM nv a JOIN nv b ON b.vec_id != a.vec_id WHERE a.vec_id IN (0, 1, 2)),
+        |sem AS (SELECT * FROM (SELECT anchor_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, doc_id)
+        |      AS BIGINT) AS sem_rank FROM semsc) WHERE sem_rank <= 20),
+        |u AS (SELECT anchor_id, doc_id FROM lex UNION SELECT anchor_id, doc_id FROM sem),
+        |f AS (SELECT u.anchor_id, u.doc_id, l.lex_rank, s.sem_rank,
+        |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+        |       + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_i6
+        |  FROM u LEFT JOIN lex l ON u.anchor_id = l.anchor_id AND u.doc_id = l.doc_id
+        |         LEFT JOIN sem s ON u.anchor_id = s.anchor_id AND u.doc_id = s.doc_id)
+        |SELECT anchor_id, doc_id, lex_rank, sem_rank, rrf_i6,
+        |  CAST(rrf_i6 AS DOUBLE) / 1000000.0 AS rrf, fused_rank
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY rrf_i6 DESC, doc_id) AS BIGINT) AS fused_rank FROM f)
+        |WHERE fused_rank <= 10 ORDER BY anchor_id, fused_rank""".stripMargin) { (s, dir) =>
+      import graft.text.Retrieval
+      import graft.sim.Similarity
+      val docs = Tables.load(s, dir, "documents")
+      val lex = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val emb = Tables.load(s, dir, "embeddings")
+      val nv = emb.select(col("vec_id"), Similarity.normalized(col("embedding")).as("_nv"))
+      val anchors = nv.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("anchor_id"), col("_nv").as("_na"))
+      val semW = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+      val sem = broadcast(anchors).crossJoin(nv)
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("doc_id"),
+          round(graft.functions.VectorFunctions.dot(col("_na"), col("_nv")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(semW).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("anchor_id", "doc_id", "rank")
+      Retrieval.rrfFuse(
+        Seq("lex" -> lex.select("anchor_id", "doc_id", "rank"),
+          "sem" -> sem),
+        "anchor_id", "doc_id", kRrf = 60, topK = 10)
+        .select("anchor_id", "doc_id", "lex_rank", "sem_rank", "rrf_i6", "rrf", "fused_rank")
+        .orderBy("anchor_id", "fused_rank")
+    },
+
+    // Exact stratified 80/10/10 split (Splits.exactStratifiedSplit): per
+    // lang, split sizes are the grouped largest-remainder apportionment
+    // (Allocation.largestRemainderBy) of the stratum count by 8/1/1, and
+    // rows assign in md5(seed|id) order — counts exact to the row per
+    // stratum, membership a pure function of (seed, id). Ranks come from
+    // the two-pass GlobalRank stamping, never a single-partition window.
+    Q(
+      "q190_exact_split",
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM documents GROUP BY lang),
+        |sp AS (SELECT * FROM (VALUES ('train', 8, 0), ('val', 1, 1), ('test', 1, 2))
+        |       AS v(split, w, ord)),
+        |t AS (SELECT lang, tot, split, w, ord, (tot * w) // 10 AS base, (tot * w) % 10 AS rem
+        |      FROM cnt CROSS JOIN sp),
+        |a AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY rem DESC, split)
+        |        AS BIGINT) AS rk,
+        |        tot - sum(base) OVER (PARTITION BY lang) AS short FROM t),
+        |al AS (SELECT lang, split, ord,
+        |        base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc FROM a),
+        |cu AS (SELECT lang, split,
+        |        sum(alloc) OVER (PARTITION BY lang ORDER BY ord) AS hi,
+        |        sum(alloc) OVER (PARTITION BY lang ORDER BY ord) - alloc AS lo FROM al),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5('split42|' || doc_id::VARCHAR), doc_id) AS BIGINT) AS rr
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, cu.split
+        |FROM r JOIN cu ON r.lang = cu.lang AND r.rr > cu.lo AND r.rr <= cu.hi
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.exactStratifiedSplit(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", Seq("lang"),
+        weights = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L),
+        seed = "split42")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic epoch shuffle + loader sharding (Splits.epochShuffle):
+    // shard from one md5 segment, intra-shard position from the full
+    // digest via GlobalRank's two-pass stamping, interleaved global order
+    // key pos*S + shard. Reproducible across runs and cluster layouts —
+    // the property rand(seed) does not have under Spark's per-partition
+    // draw.
+    Q(
+      "q191_epoch_shuffle",
+      """WITH h AS (SELECT doc_id, md5('epoch1|' || doc_id::VARCHAR) AS hh FROM documents),
+        |s AS (SELECT doc_id, hh,
+        |        CAST(CAST('0x' || substr(hh, 1, 2) AS INT) % 8 AS INT) AS shard FROM h),
+        |p AS (SELECT doc_id, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+        |          AS BIGINT) AS pos FROM s)
+        |SELECT doc_id, shard, pos, CAST(pos * 8 + shard AS BIGINT) AS global_pos
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Splits.epochShuffle(
+        Tables.load(s, dir, "documents").select("doc_id"), "doc_id",
+        seed = "epoch1", numShards = 8)
+        .select("doc_id", "shard", "pos", "global_pos")
+        .orderBy("doc_id")
+    },
+
+    // Distinctive terms per language (Keyness.oddsRatio): Haldane-corrected
+    // odds ratio vs the rest of the corpus — numerator and denominator are
+    // exact integer products, the emitted double is ONE division, so the
+    // rank order is engine-identical with no libm log anywhere.
+    Q(
+      "q192_keyness",
+      """WITH tt AS (SELECT lang, u.tok AS token
+        |  FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |y AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS y FROM tt GROUP BY lang, token),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tt GROUP BY lang),
+        |yt AS (SELECT token, CAST(count(*) AS BIGINT) AS ytot FROM tt GROUP BY token),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM tt),
+        |o AS (SELECT y.lang, y.token, y.y, n.n,
+        |    yt.ytot - y.y AS y_rest, nt.ntot - n.n AS n_rest,
+        |    CAST((2 * y.y + 1) * (2 * ((nt.ntot - n.n) - (yt.ytot - y.y)) + 1) AS DOUBLE)
+        |      / CAST((2 * (n.n - y.y) + 1) * (2 * (yt.ytot - y.y) + 1) AS DOUBLE) AS odds_ratio
+        |  FROM y JOIN n USING (lang) JOIN yt USING (token) CROSS JOIN nt)
+        |SELECT lang, token, y, n, y_rest, n_rest, odds_ratio, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY odds_ratio DESC, token) AS BIGINT) AS rk FROM o)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy(col("odds_ratio").desc, col("token"))
+      graft.text.Keyness.oddsRatio(Tables.load(s, dir, "documents"), "text", "lang")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
+    // Score the q40 language-ID heuristic against the labeled lang column
+    // (Eval.perClassPrf): per-class confusion counts and precision/recall/
+    // F1, each ONE integer division (F1 via 2tp/(n_true+n_pred) — no
+    // intermediate P,R rounding); zero-denominator metrics are NULL, not
+    // NaN. zh (never predicted — latin stopword sets) exercises the
+    // null-precision path; und (never true) the null-recall path.
+    Q(
+      "q193_langid_eval",
+      """WITH p AS (SELECT lang AS truth,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred
+        |  FROM (SELECT lang,
+        |      len(list_filter(t, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+        |      len(list_filter(t, x -> x IN ('el','la','de','que','los','es','una'))) AS s_es,
+        |      len(list_filter(t, x -> x IN ('der','die','und','das','ist','ein','nicht'))) AS s_de,
+        |      len(list_filter(t, x -> x IN ('le','la','les','des','est','une','dans'))) AS s_fr
+        |    FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |          FROM documents))),
+        |bt AS (SELECT truth AS clazz, CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM p GROUP BY truth),
+        |bp AS (SELECT pred AS clazz, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY pred)
+        |SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+        |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(tp, 0) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |    THEN CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+        |  CASE WHEN coalesce(n_true, 0) > 0
+        |    THEN CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+        |  CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+        |    THEN CAST(2 * coalesce(tp, 0) AS DOUBLE)
+        |       / CAST(coalesce(n_true, 0) + coalesce(n_pred, 0) AS DOUBLE) END AS f1
+        |FROM bt FULL OUTER JOIN bp ON bt.clazz = bp.clazz
+        |ORDER BY clazz""".stripMargin) { (s, dir) =>
+      val pairs = Tables.load(s, dir, "documents")
+        .select(col("lang").as("truth"),
+          graft.text.TextAnalysis.langId(col("text")).as("pred"))
+      graft.operators.Eval.perClassPrf(pairs, "truth", "pred")
+        .orderBy("clazz")
     })
 }

@@ -267,4 +267,32 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 1, s"the lag family must fuse into ONE window:\n$p")
     assert(!p.contains("Join"), s"no self-join for lags:\n$p")
   }
+
+  test("q189: every RRF top-k is a pre-shuffle WindowGroupLimit, never a full window sort") {
+    val p = plan("q189_rrf_fusion")
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit pushdown in:\n$p")
+  }
+
+  test("q190/q191: rank stamping comes from GlobalRank's RDD pass, offsets broadcast back") {
+    for (q <- Seq("q190_exact_split", "q191_epoch_shuffle")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q: expected the two-pass rank stamp in:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: offsets/cuts must broadcast in:\n$p")
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q: no stage may collapse the facts to one partition:\n$p")
+    }
+  }
+
+  test("q192: keyness token counts are map-side combined before their exchange") {
+    val p = plan("q192_keyness")
+    assert(p.contains("partial_count"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q193: eval metrics reduce BEFORE the class-level full-outer join") {
+    val p = plan("q193_langid_eval")
+    assert(p.contains("partial_"), s"expected map-side combined confusion counts in:\n$p")
+    assert(p.contains("FullOuter"), s"expected a class-keyed full outer join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"class join must stay an equi-join:\n$p")
+  }
 }

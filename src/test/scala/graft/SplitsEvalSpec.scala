@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{Allocation, Eval, Splits}
+import graft.text.{Keyness, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Unit gates for the q189–q193 batch: RRF hybrid fusion, more-like-this
+  * BM25, grouped largest remainder, exact stratified split, epoch shuffle,
+  * keyness odds ratio, per-class classifier metrics.
+  */
+class SplitsEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- rrfFuse ----
+
+  test("rrfFuse: integer RRF contributions sum, per-system ranks carry, misses are null") {
+    val lex = Seq(("q1", 10L, 1L), ("q1", 11L, 2L)).toDF("q", "id", "rank")
+    val sem = Seq(("q1", 11L, 1L), ("q1", 12L, 2L)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "q", "id")
+      .orderBy("fused_rank").collect()
+    // doc 11: 1000000/62 + 1000000/61 = 16129 + 16393; docs 10/12 single-system
+    assert(out.map(r => (r.getLong(1), r.getLong(r.fieldIndex("rrf_i6")))).toSeq ==
+      Seq((11L, 32522L), (10L, 16393L), (12L, 16129L)))
+    val d10 = out.find(_.getLong(1) == 10L).get
+    assert(d10.getLong(d10.fieldIndex("lex_rank")) == 1L)
+    assert(d10.isNullAt(d10.fieldIndex("sem_rank")))
+    assert(out.map(_.getLong(out.head.fieldIndex("fused_rank"))).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("rrfFuse: topK truncates per query by (rrf desc, id)") {
+    val one = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq("s" -> one), "q", "id", topK = 2).collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  // ---- moreLikeThis ----
+
+  test("moreLikeThis: anchor excluded, shared-vocabulary docs rank by summed bm25") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma delta"), // shares 3 anchor terms
+      (2L, "alpha zzz yyy xxx"), //       shares 1
+      (3L, "qqq rrr sss")) //             shares 0 -> absent
+      .toDF("doc_id", "text")
+    val out = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L), k = 10)
+      .orderBy("rank").collect()
+    assert(!out.map(_.getLong(1)).contains(0L), "anchor must not retrieve itself")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L), "3-term overlap beats 1, 0 absent")
+    assert(out.map(r => r.getLong(r.fieldIndex("rank"))).toSeq == Seq(1L, 2L))
+  }
+
+  // ---- largestRemainderBy ----
+
+  test("largestRemainderBy: per-group exact apportionment with split-name tie-break") {
+    val targets = Seq(
+      ("g1", "train", 8L, 7L), ("g1", "val", 1L, 7L), ("g1", "test", 1L, 7L),
+      ("g2", "train", 8L, 20L), ("g2", "val", 1L, 20L), ("g2", "test", 1L, 20L))
+      .toDF("g", "split", "w", "tot")
+    val out = Allocation.largestRemainderBy(targets, Seq("g"), "w", "tot", Seq("split"))
+      .select("g", "split", "alloc").collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // g1 n=7: bases 5/0/0, remainders 6/7/7 -> the two +1s go to test, val (name asc)
+    assert(byKey(("g1", "train")) == 5L && byKey(("g1", "val")) == 1L
+      && byKey(("g1", "test")) == 1L)
+    // g2 n=20: exact 16/2/2, no remainder distribution
+    assert(byKey(("g2", "train")) == 16L && byKey(("g2", "val")) == 2L
+      && byKey(("g2", "test")) == 2L)
+    assert(byKey.size == 6)
+  }
+
+  // ---- exactStratifiedSplit ----
+
+  test("exact split: per-stratum counts are the largest-remainder sizes, all rows kept") {
+    val rows = (0L until 37L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "grp")
+    val out = Splits.exactStratifiedSplit(
+      rows, "id", Seq("grp"), Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), "s1")
+    assert(out.count() == 37L)
+    val sizes = out.groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // stratum a: 13 rows -> bases 10/1/1, remainders 4/3/3 -> +1 to train
+    assert(sizes(("a", "train")) == 11L && sizes(("a", "val")) == 1L
+      && sizes(("a", "test")) == 1L)
+    // stratum b: 24 rows -> bases 19/2/2, remainders 2/4/4 -> +1 to test (name asc)
+    assert(sizes(("b", "train")) == 19L && sizes(("b", "val")) == 2L
+      && sizes(("b", "test")) == 3L)
+  }
+
+  test("exact split: assignment is a pure function of (seed, id)") {
+    val rows = (0L until 50L).map(i => (i, "x")).toDF("id", "grp")
+    def run(seed: String) = Splits.exactStratifiedSplit(
+      rows, "id", Seq("grp"), Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), seed)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run("s1") == run("s1"), "same seed must reproduce")
+    assert(run("s1") != run("s2"), "different seed must re-deal")
+  }
+
+  // ---- epochShuffle ----
+
+  test("epochShuffle: shards bounded, positions contiguous per shard, global_pos unique") {
+    val rows = (0L until 100L).map(Tuple1(_)).toDF("id")
+    val out = Splits.epochShuffle(rows, "id", "e1", numShards = 8).collect()
+    assert(out.length == 100)
+    assert(out.forall(r => { val sh = r.getInt(r.fieldIndex("shard")); sh >= 0 && sh < 8 }))
+    val byShard = out.groupBy(_.getInt(out.head.fieldIndex("shard")))
+    byShard.foreach { case (_, rs) =>
+      val ps = rs.map(r => r.getLong(r.fieldIndex("pos"))).sorted.toSeq
+      assert(ps == (0L until ps.length).toSeq, "pos must be 0..n_s-1 within a shard")
+    }
+    val gp = out.map(r => r.getLong(r.fieldIndex("global_pos")))
+    assert(gp.distinct.length == gp.length, "global_pos must be unique")
+  }
+
+  test("epochShuffle: a new seed permutes, the same seed reproduces") {
+    val rows = (0L until 64L).map(Tuple1(_)).toDF("id")
+    def order(seed: String) = Splits.epochShuffle(rows, "id", seed, 4)
+      .orderBy("global_pos").select("id").as[Long].collect().toSeq
+    assert(order("e1") == order("e1"))
+    assert(order("e1") != order("e2"))
+  }
+
+  // ---- Keyness ----
+
+  test("keyness odds ratio: hand-computed Haldane-corrected value") {
+    val docs = Seq(("g1", "a a b"), ("g2", "b b")).toDF("grp", "text")
+    val out = Keyness.oddsRatio(docs, "text", "grp").collect()
+      .map(r => (r.getString(r.fieldIndex("grp")), r.getString(r.fieldIndex("token"))) ->
+        r.getDouble(r.fieldIndex("odds_ratio"))).toMap
+    // (g1, a): y=2 n=3 y'=0 n'=2 -> (2*2+1)(2*2+1) / (2*1+1)(2*0+1) = 25/3
+    assert(math.abs(out(("g1", "a")) - 25.0 / 3.0) < 1e-12)
+    // (g2, b): y=2 n=2 y'=1 n'=3 -> (5)(2*2+1) / (1)(3) = 25/3
+    assert(math.abs(out(("g2", "b")) - 25.0 / 3.0) < 1e-12)
+    assert(!out.contains(("g2", "a")), "zero-occurrence (group, token) cells are absent")
+  }
+
+  // ---- Eval ----
+
+  test("perClassPrf: confusion counts and single-division metrics, nulls not NaN") {
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "b"))
+      .toDF("truth", "pred")
+    val out = Eval.perClassPrf(pairs, "truth", "pred").orderBy("clazz").collect()
+    val a = out(0); val b = out(1); val c = out(2)
+    assert(a.getString(0) == "a" && a.getLong(1) == 2 && a.getLong(2) == 1 && a.getLong(3) == 1)
+    assert(a.getDouble(a.fieldIndex("precision")) == 1.0)
+    assert(a.getDouble(a.fieldIndex("recall")) == 0.5)
+    assert(math.abs(a.getDouble(a.fieldIndex("f1")) - 2.0 / 3.0) < 1e-15)
+    assert(b.getLong(2) == 3 && b.getDouble(b.fieldIndex("precision")) == 1.0 / 3.0)
+    // class c: never predicted -> precision NULL, recall 0, f1 0
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getDouble(c.fieldIndex("recall")) == 0.0)
+    assert(c.getDouble(c.fieldIndex("f1")) == 0.0)
+  }
+
+  test("perClassPrf: a class only ever predicted gets null recall") {
+    val pairs = Seq(("a", "und"), ("a", "a")).toDF("truth", "pred")
+    val und = Eval.perClassPrf(pairs, "truth", "pred")
+      .filter(col("clazz") === "und").collect().head
+    assert(und.getLong(und.fieldIndex("n_true")) == 0L)
+    assert(und.isNullAt(und.fieldIndex("recall")))
+    assert(und.getDouble(und.fieldIndex("precision")) == 0.0)
+  }
+}
