@@ -49,4 +49,69 @@ object Eval {
           (lit(2L) * col("tp")).cast("double") /
             (col("n_true") + col("n_pred")).cast("double")))
   }
+
+  /** Ranked-retrieval quality per query: hits, first relevant rank, MRR,
+    * precision@k, and AP@k (MAP's per-query term) — the evaluation loop
+    * that closes the index → rank → fuse retrieval family. NDCG is
+    * deliberately absent: its log2 discount drags libm into the gate;
+    * MRR/AP carry the same ordering signal as exact rationals.
+    *
+    * Determinism: the reciprocal rank is the INTEGER quotient
+    * 1000000 div rank; each AP term is (hits_at_i · 1000000) div i — all
+    * integer division — summed as longs, and every emitted double is one
+    * final division. Queries with no relevant document in the corpus get
+    * NULL ap (0/0 is undefined, not zero); queries whose list has no
+    * relevant hit get mrr 0 and NULL first_rel_rank.
+    *
+    * Scale shape: the relevance flag joins on (query, doc); the running
+    * hit count is a window PARTITIONED BY query over the top-k list —
+    * k rows per query, bounded by construction, never corpus-sized. One
+    * aggregate keyed by query, then a broadcast join of per-query
+    * relevant-total counts.
+    *
+    * @param ranked    (queryCol, idCol, rank) — per-query top-k, rank 1-based
+    * @param relevant  (queryCol, idCol) — the qrels pairs
+    * @param relTotals (queryCol, n_rel) — relevant docs per query IN THE
+    *                  CORPUS (caps AP's denominator, so a query with fewer
+    *                  than k relevant docs can still reach AP 1.0)
+    */
+  def rankingMetrics(
+      ranked: DataFrame,
+      relevant: DataFrame,
+      relTotals: DataFrame,
+      queryCol: String,
+      idCol: String,
+      pAtK: Int = 10,
+      apAtK: Int = 20): DataFrame = {
+    require(pAtK > 0 && apAtK > 0, s"pAtK=$pAtK and apAtK=$apAtK must be positive")
+    val flagged = ranked
+      .join(relevant.select(col(queryCol), col(idCol), lit(true).as("_rel")),
+        Seq(queryCol, idCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val scored = flagged
+      .withColumn("_hits", sum(when(col("_rel"), 1L).otherwise(0L)).over(w))
+      .withColumn("_ap_term",
+        when(col("_rel") && col("rank") <= apAtK,
+          expr("(_hits * 1000000L) div rank")).otherwise(0L))
+    scored
+      .groupBy(col(queryCol))
+      .agg(
+        sum(when(col("_rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("_rel"), col("rank"))).as("first_rel_rank"),
+        sum(when(col("_rel") && col("rank") <= pAtK, 1L).otherwise(0L)).as("_p_hits"),
+        sum(col("_ap_term")).as("_ap_sum"))
+      .join(broadcast(relTotals.select(col(queryCol), col("n_rel"))), Seq(queryCol))
+      .withColumn("mrr",
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)).cast("double") / 1000000.0)
+      .withColumn("p_at_k", col("_p_hits").cast("double") / pAtK.toDouble)
+      .withColumn("ap",
+        when(col("n_rel") > 0,
+          col("_ap_sum").cast("double") /
+            (least(col("n_rel"), lit(apAtK.toLong)) * 1000000L).cast("double")))
+      .select(col(queryCol), col("n_rel"), col("hits"), col("first_rel_rank"),
+        col("mrr"), col("p_at_k"), col("ap"))
+  }
 }

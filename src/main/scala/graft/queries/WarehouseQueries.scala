@@ -17,6 +17,20 @@ object WarehouseQueries {
   private val pin6 = (c: org.apache.spark.sql.Column) =>
     (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
 
+  /** Shared oracle CTE fragments, same text as TrainingQueries' (private
+    * there): tokenization and word 3-shingles matching TextAnalysis.tokens /
+    * MinHashLsh.shingles.
+    */
+  private val TokCteW =
+    "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
+  private val ShCteW =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |       ELSE list_transform(generate_series(1, len(t) - 2),
+      |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  END AS s FROM tok)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // SCD Type-2 build (Scd.buildVersions): the events changelog collapsed
@@ -528,5 +542,129 @@ object WarehouseQueries {
           graft.text.TextAnalysis.langId(col("text")).as("pred"))
       graft.operators.Eval.perClassPrf(pairs, "truth", "pred")
         .orderBy("clazz")
+    },
+
+    // Score q189's LEXICAL ranking against embedding-label relevance
+    // (Eval.rankingMetrics): hits, MRR, P@10, AP@20 per anchor — the
+    // evaluation loop that closes index → rank → fuse. Reciprocal ranks
+    // and AP terms are INTEGER quotients (1000000 div rank,
+    // hits·1e6 div i) summed as longs; each emitted double is one final
+    // division. NDCG is deliberately absent — its log2 discount would
+    // drag libm into the gate; MRR/AP carry the ordering signal as exact
+    // rationals.
+    Q(
+      "q194_retrieval_eval",
+      """WITH tt AS (SELECT doc_id, u.tok AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |aterms AS (SELECT DISTINCT doc_id AS anchor_id, term FROM tt WHERE doc_id IN (0, 1, 2)),
+        |qterms AS (SELECT DISTINCT term FROM aterms),
+        |hits0 AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM hits0 GROUP BY term),
+        |sc0 AS (SELECT h.term, h.doc_id,
+        |    CAST(floor(round(CAST(22 * h.tf * s AS DOUBLE) /
+        |        CAST(10 * h.tf * s + 3 * s + 9 * d.dl * n AS DOUBLE) *
+        |        (CAST(2 * n - 2 * dfr + 1 AS DOUBLE) / CAST(2 * dfr + 1 AS DOUBLE)), 4)
+        |      * 10000.0 + 0.5) AS BIGINT) AS s4
+        |  FROM hits0 h JOIN dl d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |lexsum AS (SELECT a.anchor_id, sc0.doc_id, CAST(sum(sc0.s4) AS BIGINT) AS lex_i4
+        |  FROM sc0 JOIN aterms a USING (term) WHERE sc0.doc_id != a.anchor_id
+        |  GROUP BY a.anchor_id, sc0.doc_id),
+        |lex AS (SELECT * FROM (SELECT anchor_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY lex_i4 DESC, doc_id)
+        |      AS BIGINT) AS rank FROM lexsum) WHERE rank <= 20),
+        |rel AS (SELECT a.vec_id AS anchor_id, b.vec_id AS doc_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id != a.vec_id WHERE a.vec_id IN (0, 1, 2)),
+        |rt AS (SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY anchor_id),
+        |fl AS (SELECT l.anchor_id, l.doc_id, l.rank, r.doc_id IS NOT NULL AS rel
+        |  FROM lex l LEFT JOIN rel r ON l.anchor_id = r.anchor_id AND l.doc_id = r.doc_id),
+        |scn AS (SELECT *, sum(CASE WHEN rel THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY anchor_id ORDER BY rank) AS hits_run FROM fl),
+        |ag AS (SELECT anchor_id,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(min(CASE WHEN rel THEN rank END) AS BIGINT) AS first_rel_rank,
+        |    CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS p_hits,
+        |    CAST(sum(CASE WHEN rel AND rank <= 20
+        |      THEN (hits_run * 1000000) // rank ELSE 0 END) AS BIGINT) AS ap_sum
+        |  FROM scn GROUP BY anchor_id)
+        |SELECT ag.anchor_id, rt.n_rel, ag.hits, ag.first_rel_rank,
+        |  CAST(coalesce(1000000 // first_rel_rank, 0) AS DOUBLE) / 1000000.0 AS mrr,
+        |  CAST(p_hits AS DOUBLE) / 10.0 AS p_at_k,
+        |  CASE WHEN n_rel > 0 THEN CAST(ap_sum AS DOUBLE)
+        |    / CAST(least(n_rel, 20) * 1000000 AS DOUBLE) END AS ap
+        |FROM ag JOIN rt USING (anchor_id) ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      import graft.text.Retrieval
+      val docs = Tables.load(s, dir, "documents")
+      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+        .select("anchor_id", "doc_id", "rank")
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("anchor_id"), col("label").as("_al"))
+      val rel = broadcast(anchors)
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("_al") && col("doc_id") =!= col("anchor_id"))
+        .select("anchor_id", "doc_id")
+      val rt = rel.groupBy("anchor_id").agg(count(lit(1)).as("n_rel"))
+      graft.operators.Eval.rankingMetrics(
+        ranked, rel, rt, "anchor_id", "doc_id", pAtK = 10, apAtK = 20)
+        .orderBy("anchor_id")
+    },
+
+    // MinHash sketch calibration audit (the DQ-of-sketches loop): on every
+    // LSH candidate pair, the 12-hash signature-agreement ESTIMATE of
+    // Jaccard next to the exact shingle-set value and the absolute error —
+    // how a pipeline validates its sketch parameters (hash count, band
+    // layout) against ground truth before trusting them at full scale.
+    // n_eq is an integer column-agreement count; estimate and exact are
+    // each one division, rounded to 6 dp before differencing so the error
+    // column is a difference of pinned values in both engines.
+    Q(
+      "q195_minhash_calibration",
+      s"""WITH $TokCteW,
+         |$ShCteW,
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11), i ->
+         |    list_aggregate(list_transform(s, sh2 -> md5(i::VARCHAR || ':' || sh2)), 'min')) AS g
+         |  FROM sh WHERE len(s) > 0),
+         |band AS (SELECT doc_id, u.b AS band,
+         |    md5(array_to_string(g[u.b*3+1 : u.b*3+3], '|')) AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |st AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |eq AS (SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(generate_series(1, 12), i -> x.g[i] = y.g[i])) AS BIGINT)
+         |      AS n_eq,
+         |    round(len(list_intersect(p.ds, q.ds)) * 1.0
+         |      / (len(p.ds) + len(q.ds) - len(list_intersect(p.ds, q.ds))), 6) AS jaccard
+         |  FROM cand c JOIN sig x ON x.doc_id = c.id_a JOIN sig y ON y.doc_id = c.id_b
+         |    JOIN st p ON p.doc_id = c.id_a JOIN st q ON q.doc_id = c.id_b)
+         |SELECT id_a, id_b, n_eq, round(n_eq / 12.0, 6) AS est, jaccard,
+         |  round(abs(round(n_eq / 12.0, 6) - jaccard), 6) AS abs_err
+         |FROM eq ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import graft.dedup.{MinHashLsh, NGramJaccard}
+      val docs = Tables.load(s, dir, "documents")
+      val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text", 3, 12, 4)
+      val exact = NGramJaccard.verifyPairs(cands, docs, "doc_id", "text", 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+      val sig = MinHashLsh.signatureTable(docs, "doc_id", "text", 3, 12)
+      val sa = sig.select(
+        col("doc_id").as("id_a") +: (0 until 12).map(i => col(s"_h$i").as(s"_a$i")): _*)
+      val sb = sig.select(
+        col("doc_id").as("id_b") +: (0 until 12).map(i => col(s"_h$i").as(s"_b$i")): _*)
+      val nEq = (0 until 12)
+        .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      exact.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("n_eq", nEq)
+        .withColumn("est", round(col("n_eq") / 12.0, 6))
+        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+        .select("id_a", "id_b", "n_eq", "est", "jaccard", "abs_err")
+        .orderBy("id_a", "id_b")
     })
 }

@@ -150,6 +150,27 @@ class SplitsEvalSpec extends SparkSpec {
     assert(c.getDouble(c.fieldIndex("f1")) == 0.0)
   }
 
+  test("rankingMetrics: integer-quotient MRR and AP, capped denominator, null on no qrels") {
+    val ranked = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 1L, 1L)).toDF("q", "id", "rank")
+    val rel = Seq(("a", 2L), ("a", 4L), ("a", 9L)).toDF("q", "id")
+    val rt = Seq(("a", 3L), ("b", 0L)).toDF("q", "n_rel")
+    val out = Eval.rankingMetrics(ranked, rel, rt, "q", "id", pAtK = 10, apAtK = 20)
+      .orderBy("q").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(a.fieldIndex("hits")) == 2L)
+    assert(a.getLong(a.fieldIndex("first_rel_rank")) == 2L)
+    assert(a.getDouble(a.fieldIndex("mrr")) == 0.5)
+    assert(a.getDouble(a.fieldIndex("p_at_k")) == 0.2)
+    // AP terms: rank 2 -> 1e6*1 div 2 = 500000; rank 4 -> 1e6*2 div 4 = 500000;
+    // denominator min(3, 20) * 1e6 -> AP = 1/3
+    assert(math.abs(a.getDouble(a.fieldIndex("ap")) - 1.0 / 3.0) < 1e-12)
+    // query b: empty qrels -> mrr 0, ap NULL (0/0 undefined, not zero)
+    assert(b.getDouble(b.fieldIndex("mrr")) == 0.0)
+    assert(b.isNullAt(b.fieldIndex("ap")))
+    assert(b.isNullAt(b.fieldIndex("first_rel_rank")))
+  }
+
   test("perClassPrf: a class only ever predicted gets null recall") {
     val pairs = Seq(("a", "und"), ("a", "a")).toDF("truth", "pred")
     val und = Eval.perClassPrf(pairs, "truth", "pred")
