@@ -31,6 +31,35 @@ object WarehouseQueries {
       |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |  END AS s FROM tok)""".stripMargin
 
+  /** One unrolled BPE training round for the q196 oracle: pair counts with
+    * lead(), argmax with a total order, merge application as the same
+    * windowed position arithmetic Vocab.bpeTrain runs (runs of adjacent
+    * flagged positions merge at even in-run offsets = greedy leftmost).
+    */
+  private def bpeRound(k: Int): String = {
+    val p = s"p${k - 1}"
+    s"""c$k AS (SELECT sym, nxt, CAST(sum(tf) AS BIGINT) AS n FROM (
+       |    SELECT sym, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt, tf FROM $p)
+       |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+       |b$k AS (SELECT sym AS a, nxt AS b, n FROM c$k ORDER BY n DESC, a, b LIMIT 1),
+       |f$k AS (SELECT p.wid, p.tf, p.pos, p.sym,
+       |    coalesce(p.sym = b.a AND
+       |      lead(p.sym) OVER (PARTITION BY p.wid ORDER BY p.pos) = b.b, false) AS flg,
+       |    b.b AS bb
+       |  FROM $p p CROSS JOIN b$k b),
+       |g$k AS (SELECT *, CASE WHEN flg
+       |    THEN pos - row_number() OVER (PARTITION BY wid, flg ORDER BY pos) END AS grp
+       |  FROM f$k),
+       |m$k AS (SELECT *, flg AND (pos - min(pos) OVER (PARTITION BY wid, grp)) % 2 = 0 AS mrg
+       |  FROM g$k),
+       |n$k AS (SELECT wid, tf, pos, CASE WHEN mrg THEN sym || bb ELSE sym END AS sym,
+       |    coalesce(lag(mrg) OVER (PARTITION BY wid ORDER BY pos), false) AS consumed
+       |  FROM m$k),
+       |p$k AS (SELECT wid, tf,
+       |    CAST(row_number() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos, sym
+       |  FROM n$k WHERE NOT consumed)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // SCD Type-2 build (Scd.buildVersions): the events changelog collapsed
@@ -666,5 +695,32 @@ object WarehouseQueries {
         .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
         .select("id_a", "id_b", "n_eq", "est", "jaccard", "abs_err")
         .orderBy("id_a", "id_b")
+    },
+
+    // BPE merge TRAINING, three full rounds (Vocab.bpeTrain; q159 counts
+    // round 0's pairs, this gate runs the whole count → argmax → apply
+    // loop): the learned merge list, where rounds 2-3's counts gate round
+    // 1-2's merge APPLICATION deeply — a wrong apply shifts every later
+    // count. Merge application is windowed position arithmetic on the
+    // distinct-word table (Heaps'-law state, never the token stream); the
+    // oracle unrolls the identical algebra per round.
+    Q(
+      "q196_bpe_train",
+      s"""WITH tt AS (SELECT u.tok AS tok
+         |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |    unnest(t) AS u(tok)),
+         |wt AS (SELECT tok AS wid, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY tok),
+         |p0 AS (SELECT wid, tf, CAST(i.i AS BIGINT) AS pos, substr(wid, i.i, 1) AS sym
+         |  FROM wt, unnest(generate_series(1, len(wid))) AS i(i)),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS iter, a AS lsym, b AS rsym, n FROM b1
+         |  UNION ALL SELECT 2, a, b, n FROM b2
+         |  UNION ALL SELECT 3, a, b, n FROM b3)
+         |ORDER BY iter""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.bpeTrain(Tables.load(s, dir, "documents"), "text", iterations = 3)
+        .orderBy("iter")
     })
 }

@@ -280,4 +280,80 @@ object Vocab {
         when(coalesce(col("n_tokens"), lit(0L)) > 0,
           expr("_su div n_tokens")).otherwise(lit(0L)).as("mean_unats"))
   }
+
+  /** BPE merge TRAINING, the full loop ([[bpePairCounts]] is its iteration
+    * 0): `iterations` rounds of count-pairs → pick-best → apply-merge over
+    * the distinct-word table, returning the learned merge list
+    * (iter, lsym, rsym, n). The whole loop is declarative DataFrame
+    * algebra — merge application is windowed POSITION arithmetic, not a
+    * per-row lambda/UDF, so every stage stays in Spark's native execution:
+    *
+    *  - state = (wid, tf, pos, sym): each distinct word exploded to one
+    *    row per current symbol. Size is Σ|word| over DISTINCT words — the
+    *    Heaps'-law bound, ~O(corpus^0.5), never the token stream.
+    *  - pair counts: `lead(sym)` over (wid, pos) + a tf-weighted aggregate
+    *    (map-side combined).
+    *  - best pair: orderBy(n desc, pair asc).limit(1) — a distributed
+    *    TakeOrdered, broadcast back; total order makes the argmax (and so
+    *    the whole training run) deterministic under ties.
+    *  - apply: greedy leftmost non-overlapping merge as pure window math.
+    *    Overlap only matters when lsym == rsym (an "aaaa" run); flagged
+    *    positions group into runs via pos − row_number() and merge at even
+    *    in-run offsets — exactly the leftmost-first rule. A merged
+    *    position takes symbol lsym||rsym; the position it consumed drops
+    *    via a lag(merged) flag; positions renumber with row_number per
+    *    word (bounded partitions: a word's symbol count).
+    *
+    * Each round's state is persisted: round k's plan would otherwise
+    * re-derive rounds 1..k−1 once per downstream branch — the standard
+    * iterative-algorithm checkpoint discipline (cf. PageRank.ranks).
+    * Caches release on session cleanup; callers running many iterations
+    * should unpersist as they go.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+    require(iterations > 0, s"iterations=$iterations must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("wid").orderBy("pos")
+    var state = termFrequencies(df, textCol)
+      .select(col("token").as("wid"), col("tf"),
+        explode(sequence(lit(1), length(col("token")))).as("pos"))
+      .withColumn("sym", col("wid").substr(col("pos"), lit(1)))
+      .persist()
+    val merges = (1 to iterations).map { k =>
+      val pairs = state
+        .withColumn("_nxt", lead(col("sym"), 1).over(w))
+        .filter(col("_nxt").isNotNull)
+        .groupBy(col("sym"), col("_nxt"))
+        .agg(sum(col("tf")).as("n"))
+      val best = pairs
+        .orderBy(col("n").desc, col("sym").asc, col("_nxt").asc)
+        .limit(1)
+        .select(col("sym").as("_a"), col("_nxt").as("_b"), col("n"))
+        .persist()
+      val flagged = state.crossJoin(broadcast(best))
+        .withColumn("_flg",
+          coalesce(col("sym") === col("_a") &&
+            lead(col("sym"), 1).over(w) === col("_b"), lit(false)))
+      // leftmost non-overlap: runs of ADJACENT flagged positions merge at
+      // even in-run offsets (pos - row_number over flagged rows is
+      // constant exactly within such a run)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("wid", "_flg").orderBy("pos")
+      val grouped = flagged
+        .withColumn("_grp", when(col("_flg"), col("pos") - row_number().over(wf)))
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("wid", "_grp")
+      val applied = grouped
+        .withColumn("_mrg",
+          col("_flg") && (col("pos") - min(col("pos")).over(wg)) % 2 === 0)
+        .withColumn("_consumed", coalesce(lag(col("_mrg"), 1).over(w), lit(false)))
+        .filter(!col("_consumed"))
+        .select(col("wid"), col("tf"),
+          row_number().over(w).as("pos"),
+          when(col("_mrg"), concat(col("sym"), col("_b"))).otherwise(col("sym")).as("sym"))
+      val prev = state
+      state = applied.persist()
+      prev.unpersist(blocking = false)
+      best.select(lit(k).as("iter"), col("_a").as("lsym"), col("_b").as("rsym"), col("n"))
+    }
+    merges.reduce(_ unionByName _)
+  }
 }

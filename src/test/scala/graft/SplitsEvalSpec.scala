@@ -118,6 +118,30 @@ class SplitsEvalSpec extends SparkSpec {
     assert(order("e1") != order("e2"))
   }
 
+  // ---- bpeTrain ----
+
+  test("bpeTrain: three rounds with hand-computed merges, greedy leftmost apply") {
+    // corpus: aaab ×2, ab ×1
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val out = graft.text.Vocab.bpeTrain(docs, "text", iterations = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,a)=4 beats (a,b)=3; aaab -> [aa,a,b] (leftmost of the aa-run)
+    // r2: (a,b)=3 (aaab's a+b ×2, ab ×1) beats (aa,a)=2; aaab -> [aa,ab], ab -> [ab]
+    // r3: (aa,ab)=2
+    assert(out.toSeq == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeTrain: an aaaa run merges at even offsets only (non-overlap rule)") {
+    val docs = Seq("aaaa").toDF("text")
+    val out = graft.text.Vocab.bpeTrain(docs, "text", iterations = 2)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,a)=3 raw adjacencies; apply merges positions 1&3 -> [aa,aa]
+    // r2: the only remaining pair is (aa,aa)=1
+    assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   // ---- Keyness ----
 
   test("keyness odds ratio: hand-computed Haldane-corrected value") {
