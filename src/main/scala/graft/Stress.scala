@@ -261,9 +261,11 @@ object Stress {
     time("window_6M")(li.select(org.apache.spark.sql.functions.row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey", "_rep").orderBy("l_orderkey")).as("rn")).filter(col("rn") === 1).count())
 
-    // round-2 operators at 10x
-    val ev = x10("events").withColumn("user_id", col("user_id") + col("_rep") * lit(100000L))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    // round-2 operators at 10x (events through Tables.events — it
+    // normalizes whichever ts encoding the generator wrote)
+    val ev = (1 to 10).map(i =>
+        Tables.events(spark, dir).withColumn("_rep", lit(i))).reduce(_ unionByName _)
+      .withColumn("user_id", col("user_id") + col("_rep") * lit(100000L))
     time("sessionize_1M")(graft.operators.Sessionize
       .sessionStats(ev, "user_id", "ts", "event_id", 1800L).count())
     val docs = x10("documents").withColumn("doc_id", col("doc_id") + col("_rep") * lit(1000000L))
@@ -362,6 +364,24 @@ object Stress {
       .filter(col("a") < col("b"))
       .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
     time("triangles_copurchase")(graft.operators.Triangles.perVertexCounts(coEdges).count())
+
+    // round-7 curation assigners at 6M rows: both ride GlobalRank's
+    // two-pass stamp, so the cost target is "a global sort plus one cheap
+    // reduce-side pass" — no single-partition stage anywhere
+    val ids = li.select(
+      (col("l_orderkey") * 100 + col("l_linenumber") +
+        col("_rep").cast("long") * 1000000000L).as("id"),
+      col("l_returnflag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    time("epoch_shuffle_6M")(graft.operators.Splits
+      .epochShuffle(ids.select("id"), "id", "e1", numShards = 64).count())
+    time("exact_split_6M")(graft.operators.Splits.exactStratifiedSplit(
+      ids.select("id", "l_returnflag"), "id", Seq("l_returnflag"),
+      Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), "s1").count())
+    // jackknife SE over 6M values: one map-combined fold aggregate + a
+    // 10-row reduction — the error bar costs one aggregate scan
+    time("jackknife_6M")(graft.operators.RobustStats
+      .jackknifeMeanSe(ids.select("id", "cents"), "cents", "id").count())
     spark.stop()
   }
 }

@@ -112,4 +112,51 @@ object RobustStats {
           (mean("a") - mean("b")) / se))
       .select("group_a", "group_b", "n_a", "n_b", "t")
   }
+
+  /** Delete-one-fold jackknife standard error of a mean — the error bar a
+    * metrics pipeline attaches to every scorecard figure without a second
+    * pass over the data. Rows hash-partition into `folds` deterministic
+    * pseudo-replicates (`md5(key) mod k` — reproducible across runs and
+    * layouts, unlike rand()); each leave-one-out mean θᵢ is the exact
+    * integer floor quotient (S−sᵢ)·10⁶ div (N−nᵢ) in micro-units, and
+    *
+    *   SE = 3·√A / 10   with  A = k·Σθᵢ² − (Σθᵢ)²  at k = 10
+    *   (general k: SE = √((k−1)/k · (Σθᵢ² − (Σθᵢ)²/k)))
+    *
+    * where A is computed in decimal(38,0) — exact, aggregation-order-free —
+    * and the one double conversion feeds IEEE sqrt (correctly rounded by
+    * spec, no libm drift). Output: one row (n, sum_units, mean_micro,
+    * se_micro).
+    *
+    * Scale shape: one map-side-combined aggregate to k fold rows, a
+    * broadcast 1-row total, and a k-row reduction — the fold count, not
+    * the data, bounds everything after the first pass.
+    */
+  def jackknifeMeanSe(
+      df: DataFrame,
+      unitsCol: String,
+      keyCol: String,
+      folds: Int = 10): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be at least 2")
+    val dec = "decimal(38,0)"
+    val f = df.select(
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10).cast("int")
+        % folds).as("_f"),
+      col(unitsCol).cast("long").as("_c"))
+    val per = f.groupBy("_f").agg(count(lit(1)).as("_ni"), sum("_c").as("_si"))
+    val tot = per.agg(sum("_ni").as("_n"), sum("_si").as("_s"))
+    val theta = per.crossJoin(broadcast(tot))
+      .withColumn("_th", expr("((_s - _si) * 1000000L) div (_n - _ni)"))
+    theta
+      .agg(
+        max(col("_n")).as("n"),
+        max(col("_s")).as("sum_units"),
+        sum(col("_th").cast(dec)).as("_t1"),
+        sum((col("_th").cast(dec) * col("_th").cast(dec))).as("_t2"))
+      .withColumn("mean_micro", expr("(sum_units * 1000000L) div n"))
+      .withColumn("se_micro",
+        sqrt(((lit(folds).cast(dec) * col("_t2") - col("_t1") * col("_t1")).cast("double") *
+          (folds - 1).toDouble) / (folds.toDouble * folds.toDouble)))
+      .select("n", "sum_units", "mean_micro", "se_micro")
+  }
 }

@@ -722,5 +722,40 @@ object WarehouseQueries {
          |ORDER BY iter""".stripMargin) { (s, dir) =>
       graft.text.Vocab.bpeTrain(Tables.load(s, dir, "documents"), "text", iterations = 3)
         .orderBy("iter")
+    },
+
+    // Delete-one-fold jackknife SE of mean order value
+    // (RobustStats.jackknifeMeanSe): the error bar a metrics pipeline
+    // attaches to scorecard figures in the SAME pass — hash folds
+    // (md5 mod 10, reproducible under any layout), leave-one-out means as
+    // exact integer floor quotients in micro-cents, the deviation sum in
+    // decimal(38,0) (k·Σθ² − (Σθ)², order-free), ONE double conversion
+    // into IEEE sqrt (correctly rounded by spec — not a libm log).
+    Q(
+      "q197_jackknife_se",
+      """WITH c AS (SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT CAST(CAST('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4) AS INT) % 10
+        |    AS INT) AS fold, cents FROM c),
+        |p AS (SELECT fold, CAST(count(*) AS BIGINT) AS ni, CAST(sum(cents) AS BIGINT) AS si
+        |      FROM f GROUP BY fold),
+        |t AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s FROM p),
+        |th AS (SELECT ((s - si) * 1000000) // (n - ni) AS th FROM p CROSS JOIN t),
+        |a AS (SELECT CAST(sum(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t1,
+        |             CAST(sum(CAST(th AS DECIMAL(38,0)) * CAST(th AS DECIMAL(38,0)))
+        |               AS DECIMAL(38,0)) AS t2 FROM th)
+        |SELECT t.n,
+        |  round(CAST((t.s * 1000000) // t.n AS DOUBLE) / 100000000.0, 6) AS mean_price,
+        |  round(sqrt(CAST(10 * t2 - t1 * t1 AS DOUBLE) * 9.0 / 100.0) / 100000000.0, 6)
+        |    AS se_price
+        |FROM a CROSS JOIN t ORDER BY n""".stripMargin) { (s, dir) =>
+      // round-then-cast matches DuckDB's rounding double->BIGINT cast (the
+      // q177 cents precedent); a bare .cast("long") truncates and drifts
+      val cents = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.RobustStats.jackknifeMeanSe(cents, "cents", "o_orderkey", folds = 10)
+        .select(col("n"),
+          round(col("mean_micro").cast("double") / 100000000.0, 6).as("mean_price"),
+          round(col("se_micro") / 100000000.0, 6).as("se_price"))
+        .orderBy("n")
     })
 }

@@ -142,6 +142,29 @@ class SplitsEvalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  // ---- jackknifeMeanSe ----
+
+  test("jackknifeMeanSe: constant values give SE exactly 0, exact n/sum/mean") {
+    val rows = (1L to 100L).map(i => (i, 250L)).toDF("k", "cents")
+    val out = graft.operators.RobustStats.jackknifeMeanSe(rows, "cents", "k").collect().head
+    assert(out.getLong(out.fieldIndex("n")) == 100L)
+    assert(out.getLong(out.fieldIndex("sum_units")) == 25000L)
+    assert(out.getLong(out.fieldIndex("mean_micro")) == 250000000L)
+    assert(out.getDouble(out.fieldIndex("se_micro")) == 0.0)
+  }
+
+  test("jackknifeMeanSe: non-degenerate data gives a positive, bounded SE") {
+    val rows = (1L to 1000L).map(i => (i, i % 97)).toDF("k", "cents")
+    val out = graft.operators.RobustStats.jackknifeMeanSe(rows, "cents", "k").collect().head
+    val se = out.getDouble(out.fieldIndex("se_micro"))
+    val mean = out.getLong(out.fieldIndex("mean_micro"))
+    assert(se > 0.0, "spread data must have positive SE")
+    // jackknife SE of a mean of values in [0, 96] over 1000 rows: well under
+    // the value range itself (micro-units)
+    assert(se < 96000000.0)
+    assert(mean > 0L && mean < 96000000L)
+  }
+
   // ---- Keyness ----
 
   test("keyness odds ratio: hand-computed Haldane-corrected value") {
