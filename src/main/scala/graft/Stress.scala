@@ -367,12 +367,14 @@ object Stress {
 
     // round-7 curation assigners at 6M rows: both ride GlobalRank's
     // two-pass stamp, so the cost target is "a global sort plus one cheap
-    // reduce-side pass" — no single-partition stage anywhere
+    // reduce-side pass" — no single-partition stage anywhere. The synthetic
+    // id is monotonically_increasing_id: the generator's (orderkey,
+    // linenumber) is NOT unique, and the splitters require (and loudly
+    // enforce, via failOnTies) a unique id
     val ids = li.select(
-      (col("l_orderkey") * 100 + col("l_linenumber") +
-        col("_rep").cast("long") * 1000000000L).as("id"),
-      col("l_returnflag"),
-      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("id", monotonically_increasing_id())
     time("epoch_shuffle_6M")(graft.operators.Splits
       .epochShuffle(ids.select("id"), "id", "e1", numShards = 64).count())
     time("exact_split_6M")(graft.operators.Splits.exactStratifiedSplit(

@@ -31,6 +31,10 @@ object Splits {
     * `md5(seed|id)` order, so membership is stable under re-runs and
     * unrelated inserts elsewhere in the table.
     *
+    * `idCol` must be UNIQUE — it is the hash input and the rank tie-break,
+    * and GlobalRank's failOnTies turns a duplicated id into a loud error
+    * rather than a silent misassignment.
+    *
     * @param weights (splitName, weight) in cut order — the order determines
     *                which hash range lands in which split
     * @return input columns + `split`
@@ -94,7 +98,8 @@ object Splits {
     * The shard comes from a different hash segment (hex digits 1-2) than
     * the intra-shard order (the full digest), so shard membership and
     * read order are decorrelated. A new seed = a new epoch permutation,
-    * with zero state carried between epochs.
+    * with zero state carried between epochs. `idCol` must be UNIQUE (same
+    * failOnTies contract as [[exactStratifiedSplit]]).
     *
     * @return input columns + (`shard` int, `pos` long, `global_pos` long)
     */
