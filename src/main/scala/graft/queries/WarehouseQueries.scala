@@ -757,5 +757,37 @@ object WarehouseQueries {
           round(col("mean_micro").cast("double") / 100000000.0, 6).as("mean_price"),
           round(col("se_micro") / 100000000.0, 6).as("se_price"))
         .orderBy("n")
+    },
+
+    // BPE compression audit (Vocab.bpeCompressionStats): tf-weighted
+    // symbol count + distinct-symbol count of the corpus after each
+    // training round, round 0 = the character baseline. Each row gates the
+    // whole round-k STATE table (q196 gates only the argmaxes); the
+    // round-over-round token drop equals the APPLIED merge count, so the
+    // greedy non-overlap rule is pinned too.
+    Q(
+      "q198_bpe_compression",
+      s"""WITH tt AS (SELECT u.tok AS tok
+         |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |    unnest(t) AS u(tok)),
+         |wt AS (SELECT tok AS wid, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY tok),
+         |p0 AS (SELECT wid, tf, CAST(i.i AS BIGINT) AS pos, substr(wid, i.i, 1) AS sym
+         |  FROM wt, unnest(generate_series(1, len(wid))) AS i(i)),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)}
+         |SELECT * FROM (
+         |  SELECT 0 AS iter, CAST(sum(tf) AS BIGINT) AS corpus_tokens,
+         |    CAST(count(DISTINCT sym) AS BIGINT) AS distinct_syms FROM p0
+         |  UNION ALL SELECT 1, CAST(sum(tf) AS BIGINT), CAST(count(DISTINCT sym) AS BIGINT)
+         |    FROM p1
+         |  UNION ALL SELECT 2, CAST(sum(tf) AS BIGINT), CAST(count(DISTINCT sym) AS BIGINT)
+         |    FROM p2
+         |  UNION ALL SELECT 3, CAST(sum(tf) AS BIGINT), CAST(count(DISTINCT sym) AS BIGINT)
+         |    FROM p3)
+         |ORDER BY iter""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.bpeCompressionStats(
+        Tables.load(s, dir, "documents"), "text", iterations = 3)
+        .orderBy("iter")
     })
 }

@@ -310,7 +310,38 @@ object Vocab {
     * Caches release on session cleanup; callers running many iterations
     * should unpersist as they go.
     */
-  def bpeTrain(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeRounds(df, textCol, iterations)._1.reduce(_ unionByName _)
+
+  /** Per-round corpus compression audit for the same training run:
+    * (iter, corpus_tokens, distinct_syms) for iter 0 (character baseline)
+    * through `iterations` — corpus_tokens is the tf-weighted symbol count
+    * (what the encoded corpus would occupy), so each row gates the whole
+    * round-k STATE table, not just its argmax. The drop from row k−1 to k
+    * is the number of merges APPLIED — equal to merge k's pair count n
+    * when lsym ≠ rsym, and strictly less under overlap suppression (an
+    * "aaa" run counts two (a,a) adjacencies but admits one merge) — so
+    * the audit also pins the non-overlap rule, not just the counts.
+    */
+  def bpeCompressionStats(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+    val (_, states) = bpeRounds(df, textCol, iterations)
+    states.zipWithIndex.map { case (st, k) =>
+      st.agg(
+        sum(col("tf")).as("corpus_tokens"),
+        countDistinct(col("sym")).as("distinct_syms"))
+        .select(lit(k).as("iter"), col("corpus_tokens"), col("distinct_syms"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The shared training loop: per-round merge rows and the state tables
+    * for rounds 0..iterations (all persisted — they are Heaps'-law small;
+    * callers consuming only the merges can let session cleanup collect
+    * them).
+    */
+  private def bpeRounds(
+      df: DataFrame,
+      textCol: String,
+      iterations: Int): (Seq[DataFrame], Seq[DataFrame]) = {
     require(iterations > 0, s"iterations=$iterations must be positive")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("wid").orderBy("pos")
     var state = termFrequencies(df, textCol)
@@ -318,6 +349,7 @@ object Vocab {
         explode(sequence(lit(1), length(col("token")))).as("pos"))
       .withColumn("sym", col("wid").substr(col("pos"), lit(1)))
       .persist()
+    val states = scala.collection.mutable.ArrayBuffer(state)
     val merges = (1 to iterations).map { k =>
       val pairs = state
         .withColumn("_nxt", lead(col("sym"), 1).over(w))
@@ -349,11 +381,10 @@ object Vocab {
         .select(col("wid"), col("tf"),
           row_number().over(w).as("pos"),
           when(col("_mrg"), concat(col("sym"), col("_b"))).otherwise(col("sym")).as("sym"))
-      val prev = state
       state = applied.persist()
-      prev.unpersist(blocking = false)
+      states += state
       best.select(lit(k).as("iter"), col("_a").as("lsym"), col("_b").as("rsym"), col("n"))
     }
-    merges.reduce(_ unionByName _)
+    (merges, states.toSeq)
   }
 }

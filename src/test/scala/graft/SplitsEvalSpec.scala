@@ -142,6 +142,18 @@ class SplitsEvalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeCompressionStats: per-round weighted token totals pin the applied merges") {
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val out = graft.text.Vocab.bpeCompressionStats(docs, "text", iterations = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // iter0: 2*4 + 1*2 = 10 chars, syms {a,b}
+    // iter1 merge (a,a): ONE applied per aaab instance (overlap rule) -> 8, {aa,a,b}
+    // iter2 merge (a,b): applied 3x -> 5, {aa,ab}
+    // iter3 merge (aa,ab): applied 2x -> 3, {aaab,ab}
+    assert(out.toSeq == Seq((0, 10L, 2L), (1, 8L, 3L), (2, 5L, 2L), (3, 3L, 2L)))
+  }
+
   // ---- jackknifeMeanSe ----
 
   test("jackknifeMeanSe: constant values give SE exactly 0, exact n/sum/mean") {
