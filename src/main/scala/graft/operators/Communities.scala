@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label-propagation community detection (Raghavan et al. 2007) over an
+  * undirected edge list — the cheap "which dense neighborhoods exist?"
+  * complement to [[graft.dedup.DupClusters]]' connected components:
+  * components find anything REACHABLE, label propagation finds anything
+  * DENSELY reachable, so a giant hairball component splits into its real
+  * communities (the structure a dedup/topic audit actually wants).
+  *
+  * This is the fully deterministic SYNCHRONOUS variant: every round, every
+  * node simultaneously adopts the most frequent label among its neighbors,
+  * ties broken by SMALLEST label — no random visit order, no asynchronous
+  * races, identical output on every engine and run. (Synchronous LPA can
+  * oscillate on bipartite-ish structures; a fixed round budget — the same
+  * contract as [[PageRank]] — sidesteps non-termination and keeps the
+  * oracle unrollable.)
+  *
+  * Scale shape per round: edges ⋈ labels (keyed shuffle on node id, the
+  * label side is |V| rows), one (node, neighbor-label) count aggregate with
+  * map-side combine, one deterministic argmax reduce via max-of-struct —
+  * three shuffles of at most |E| rows, no windows, no driver data paths.
+  * Rounds are a fixed small constant; each round's plan chains off a
+  * localCheckpoint-free lineage of bounded depth (labels table is |V| rows,
+  * re-derived per round).
+  */
+object Communities {
+
+  /** Propagate labels for `rounds` synchronous rounds over the undirected
+    * edge list `edges(srcCol, dstCol)` (each undirected edge listed ONCE in
+    * either orientation; self-loops ignored). Initial label = the node's
+    * own id. Returns (node, label).
+    *
+    * Isolated endpoints cannot occur (nodes exist only via edges); a node
+    * whose neighbor multiset is empty never arises. Nodes keep their
+    * current label only by losing every vote — the standard LPA update.
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val und = edges
+      .select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+    // both orientations: each node sees its full neighbor multiset
+    val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+    var labels = adj.select(col("_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node", "_b"), "_b")
+        .groupBy(col("_a").as("node"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+      // deterministic argmax: max count, tie -> SMALLEST label, via a
+      // single max-of-struct reduce (negated-ish: invert label order by
+      // taking min over (-cnt, label) ... struct max handles (cnt, rev)
+      // cleanly only for one direction, so do it as two-field min with
+      // count negated)
+      labels = votes
+        .groupBy("node")
+        .agg(min(struct((-col("_cnt")).as("_neg"), col("label"))).as("_best"))
+        .select(col("node"), col("_best.label").as("label"))
+    }
+    labels
+  }
+
+  /** Community size histogram after `rounds` rounds: (label, n_members) —
+    * the audit readout ("how many communities, how big").
+    */
+  def communitySizes(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame =
+    labelPropagate(edges, srcCol, dstCol, rounds)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+}

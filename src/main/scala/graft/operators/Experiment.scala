@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment / A-B-test analytics: CUPED variance reduction, the
+  * chi-squared contingency test (with Cramér's V effect size), and the
+  * Kolmogorov-Smirnov separation statistic — the readouts an
+  * experimentation or data-quality platform computes daily over the
+  * warehouse, built on the library's exact-arithmetic policy (integer /
+  * decimal(38,0) sums until ONE closed-form double step at the end, the
+  * welchT / jackknifeMeanSe recipe) so every engine reproduces them
+  * bit-for-bit. No libm logs anywhere (the Keyness rational-over-log
+  * policy): chi-squared and KS are squares, divisions, and one IEEE sqrt.
+  *
+  * Scale shape, all three: ONE map-side-combined aggregate over the fact
+  * table down to a per-group / per-cell / per-score-grain table, then all
+  * remaining algebra runs on that reduced table (variants × 1, R × C cells,
+  * distinct-score rows). Nothing after the first pass scales with row
+  * count; the KS cumulative uses [[GlobalRank.withRunningTotal]]'s
+  * two-pass range-partitioned prefix sum, never a single-partition window.
+  */
+object Experiment {
+
+  private val dec = "decimal(38,0)"
+
+  /** CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.
+    * 2013): shrink each unit's experiment metric Y by its pre-period
+    * covariate X before comparing variants —
+    *
+    *   Y'ᵢ = Yᵢ − θ·(Xᵢ − X̄),   θ = Cov(X,Y) / Var(X)  (pooled)
+    *
+    * which preserves every variant's true treatment effect (θ·X̄ cancels in
+    * any A−B difference) while cutting metric variance by the factor ρ²
+    * (the squared X-Y correlation) — the standard way to make an
+    * experiment readable at a fraction of the sample size.
+    *
+    * Values are scaled to integers (`round(value·scale)`): per-variant
+    * n/Σx/Σy and pooled Σxy/Σx²/Σy² are EXACT decimal sums from one fact
+    * pass, and θ, the adjusted means, and ρ² are closed-form doubles over
+    * those exactly-agreed integers — the only fp ops are the final
+    * divisions, identical in any IEEE engine.
+    *
+    * Output: one row per variant — (variant, n, mean_y, mean_y_adj) plus
+    * the pooled (theta, rho2) repeated on each row (rho2 IS the fraction of
+    * variance CUPED removes). Requires ≥ 2 rows total and nonzero pooled
+    * Var(X); a constant covariate has no θ and fails loudly via null.
+    */
+  def cuped(
+      df: DataFrame,
+      variantCol: String,
+      yCol: String,
+      xCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    val yi = round(col(yCol) * scale, 0).cast("long")
+    val xi = round(col(xCol) * scale, 0).cast("long")
+    val g = df.groupBy(col(variantCol).as("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(yi.cast(dec)).as("_sy"),
+        sum(xi.cast(dec)).as("_sx"),
+        sum((xi.cast(dec) * yi.cast(dec))).as("_sxy"),
+        sum((xi.cast(dec) * xi.cast(dec))).as("_sxx"),
+        sum((yi.cast(dec) * yi.cast(dec))).as("_syy"))
+    // pooled moments: a handful of decimal adds over the variant rows
+    val tot = g.agg(
+      sum("n").as("_tn"), sum("_sy").as("_tsy"), sum("_sx").as("_tsx"),
+      sum("_sxy").as("_tsxy"), sum("_sxx").as("_tsxx"), sum("_syy").as("_tsyy"))
+    // N·Σxy − Σx·Σy  /  N·Σx² − (Σx)²  — both exact decimals, ONE division
+    val covNum = (col("_tn").cast(dec) * col("_tsxy") - col("_tsx") * col("_tsy"))
+    val varXNum = (col("_tn").cast(dec) * col("_tsxx") - col("_tsx") * col("_tsx"))
+    val varYNum = (col("_tn").cast(dec) * col("_tsyy") - col("_tsy") * col("_tsy"))
+    val theta = when(varXNum =!= 0, covNum.cast("double") / varXNum.cast("double"))
+    // ρ² as a PRODUCT of two exact-decimal ratios — covNum² / (varX·varY)
+    // would overflow decimal(38,0) (and DuckDB's HUGEINT) once the moment
+    // sums pass ~10¹⁹; each factor alone stays in range
+    val rho2 = when(varXNum =!= 0 && varYNum =!= 0,
+      (covNum.cast("double") / varXNum.cast("double")) *
+        (covNum.cast("double") / varYNum.cast("double")))
+    val meanX = col("_tsx").cast("double") / (lit(scale) * col("_tn")).cast("double")
+    g.crossJoin(broadcast(tot))
+      .withColumn("_theta", theta)
+      .withColumn("mean_y",
+        col("_sy").cast("double") / (lit(scale) * col("n")).cast("double"))
+      .withColumn("_mean_x",
+        col("_sx").cast("double") / (lit(scale) * col("n")).cast("double"))
+      .withColumn("mean_y_adj", col("mean_y") - col("_theta") * (col("_mean_x") - meanX))
+      .withColumn("rho2", rho2)
+      .select(col("variant"), col("n"), col("mean_y"), col("mean_y_adj"),
+        col("_theta").as("theta"), col("rho2"))
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, plus Cramér's V — "does outcome depend on variant / segment /
+    * source?" over an R × C contingency table. Per cell,
+    *
+    *   contrib = (N·n_xy − r_x·c_y)² / (N·r_x·c_y)
+    *
+    * (the (obs−exp)²/exp term multiplied through by N², so numerator and
+    * denominator are exact decimal products). Each cell's contribution is a
+    * closed-form double over exact integers, then pinned to integer
+    * MICRO-units (`floor(x·10⁶ + 0.5)`) and summed as integers — an exact,
+    * aggregation-order-free total where a double sum would depend on cell
+    * order. V = √(χ² / (N·min(R−1, C−1))).
+    *
+    * Output: ONE row — (n, n_rows, n_cols, dof, chi2, cramers_v), chi2 at
+    * 6 dp by construction, V pinned to 6 dp.
+    *
+    * Scale shape: one fact-pass groupBy to R·C cell rows; marginals are
+    * re-aggregations of the CELL table (never a second fact pass) joined
+    * back broadcast; the micro-integer reduction is over R·C rows.
+    */
+  def chiSquared(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val rows = cells.groupBy("_x").agg(sum("_nxy").as("_r"))
+    val cols = cells.groupBy("_y").agg(sum("_nxy").as("_c"))
+    val tot = cells.agg(
+      sum("_nxy").as("_n"),
+      countDistinct("_x").as("n_rows"),
+      countDistinct("_y").as("n_cols"))
+    val num = (col("_n").cast(dec) * col("_nxy").cast(dec) -
+      col("_r").cast(dec) * col("_c").cast(dec))
+    val den = col("_n").cast(dec) * col("_r").cast(dec) * col("_c").cast(dec)
+    val contribMicro =
+      floor(((num * num).cast("double") / den.cast("double")) * 1e6 + 0.5).cast("long")
+    // the FULL R × C grid, not just observed cells: an absent combination is
+    // an OBSERVED ZERO and still contributes (0−e)²/e = r·c/N — dropping it
+    // understates χ² exactly where dependence is strongest
+    rows.crossJoin(cols)
+      .join(cells, Seq("_x", "_y"), "left")
+      .withColumn("_nxy", coalesce(col("_nxy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("_n").as("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(contribMicro).as("_chi2_micro"))
+      .withColumn("dof", (col("n_rows") - 1) * (col("n_cols") - 1))
+      .withColumn("chi2", col("_chi2_micro").cast("double") / 1e6)
+      .withColumn("cramers_v",
+        floor(sqrt(col("chi2") /
+          (col("n").cast("double") * least(col("n_rows") - 1, col("n_cols") - 1)
+            .cast("double"))) * 1e6 + 0.5) / 1e6)
+      .select("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic of a SCORE against a binary
+    * label — the separation readout behind every "does this quality score
+    * actually split good from bad?" check in a curation pipeline:
+    *
+    *   KS = max over thresholds t of |F_pos(t) − F_neg(t)|
+    *
+    * computed exactly: per distinct score, positive/negative counts; their
+    * cumulative sums in score order; and the argmax of the INTEGER
+    * |cumPos·N_neg − cumNeg·N_pos| (= KS·N_pos·N_neg — the division by
+    * the constant N_pos·N_neg is monotone, so the integer argmax IS the KS
+    * argmax, and the reported ks is that one pinned double division). Ties
+    * in the max take the SMALLEST score, so the reported threshold is
+    * deterministic.
+    *
+    * `scoreCol` must be integral (cast to long — scale fractional scores
+    * first). Output: ONE row (n_pos, n_neg, ks_score, ks) — ks_score the
+    * best threshold ("predict positive when score ≤ t"), ks in [0,1]
+    * pinned to 6 dp.
+    *
+    * Scale shape: one fact pass to the distinct-score grain (map-side
+    * combine), then [[GlobalRank.withRunningTotal]]'s two-pass prefix sum
+    * over the score-grain table — range-partitioned, never a
+    * single-partition ORDER BY window — and a 1-row argmax reduction.
+    */
+  def ksStatistic(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val grain = df
+      .select(col(scoreCol).cast("long").as("_s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_p"))
+      .groupBy("_s")
+      .agg(sum("_p").as("_np"), (count(lit(1)) - sum("_p")).as("_nn"))
+    val cumP = GlobalRank.withRunningTotal(grain, Seq("_s"), "_np", "_cp")
+    val cum = GlobalRank.withRunningTotal(cumP, Seq("_s"), "_nn", "_cn")
+      // withRunningTotal is EXCLUSIVE — add the row's own counts for the
+      // inclusive "≤ score" CDF numerators
+      .select(col("_s"), (col("_cp") + col("_np")).as("_ip"),
+        (col("_cn") + col("_nn")).as("_in"))
+    val tot = cum.agg(max("_ip").as("n_pos"), max("_in").as("n_neg"))
+    val d = cum.crossJoin(broadcast(tot))
+      .withColumn("_d", abs(col("_ip") * col("n_neg") - col("_in") * col("n_pos")))
+    // deterministic argmax: max |D| first, then the smallest score at it
+    d.groupBy("n_pos", "n_neg")
+      .agg(max("_d").as("_dmax"))
+      .join(d, Seq("n_pos", "n_neg"))
+      .filter(col("_d") === col("_dmax"))
+      .groupBy("n_pos", "n_neg", "_dmax")
+      .agg(min("_s").as("ks_score"))
+      .withColumn("ks",
+        floor(col("_dmax").cast("double") /
+          (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double") * 1e6 + 0.5) / 1e6)
+      .select("n_pos", "n_neg", "ks_score", "ks")
+  }
+}

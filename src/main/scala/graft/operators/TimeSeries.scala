@@ -230,4 +230,63 @@ object TimeSeries {
     groupCorr(paired, keyCols, "_prev", "_cur", yScale = 1)
       .withColumnRenamed("corr", "autocorr")
   }
+
+  /** Per-key CUSUM change-point: the single most likely level-shift
+    * position in each series — the "when did this metric move?" detector
+    * behind pipeline-drift and data-incident triage. For a series
+    * x₁…x_n, the centered cumulative sum S_t = Σ_{i≤t}(xᵢ − x̄) peaks (in
+    * absolute value) at the change point; multiplying through by n,
+    *
+    *   D_t = n·C_t − t·S      (C_t = Σ_{i≤t} xᵢ,  S = Σ xᵢ = n·S_t … /n)
+    *
+    * is an EXACT integer (`valueCol` cast to long units first), so the
+    * argmax is engine-exact — no fp anywhere. Ties on |D| take the
+    * SMALLEST t. Output per key: (keys…, n, t_star (1-based position),
+    * order-col value at t_star as `at_order`, d_abs = |D_t*|, and
+    * `shift_norm` = |S_t*| / n = d_abs/n² — the mean-shift magnitude in
+    * original units, ONE pinned double division).
+    *
+    * Integer headroom: |D| ≤ n·Σ|x| — with per-key series of ~10⁵ points
+    * of ~10¹¹-unit sums this stays well inside int64; for larger series,
+    * downscale units first.
+    *
+    * Scale shape: callers pre-aggregate to series grain (key, order, value)
+    * — this runs ONE keyed window (partitionBy key, orderBy order: running
+    * sum + row number fused in a single stage) and a per-key argmax
+    * aggregate. Parallelism follows keys; a single series never exceeds a
+    * partition because series grain ≪ fact grain.
+    */
+  def cusumChangePoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cusumChangePoint needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    // long, not int: the t_star output must hash-match BIGINT oracles
+    val stamped = df
+      .withColumn("_t", row_number().over(w).cast("long"))
+      .withColumn("_c", sum(v).over(w))
+    val per = stamped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"))
+    val d = stamped.join(per, keyCols)
+      .withColumn("_d", abs(col("_n") * col("_c") - col("_t") * col("_s")))
+    // deterministic argmax: per-key max |D|, then smallest t at it, then
+    // that row's order value — three reductions over the series grain
+    val best = d.groupBy(keyCols.map(col): _*).agg(max("_d").as("_dmax"))
+    val at = d.join(best, keyCols)
+      .filter(col("_d") === col("_dmax"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("_t").as("t_star"))
+    d.join(at, keyCols)
+      .filter(col("_t") === col("t_star"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("_n").as("n"), col("t_star"), col(orderCol).as("at_order"),
+          col("_d").as("d_abs"),
+          floor(col("_d").cast("double") /
+            (col("_n").cast("double") * col("_n").cast("double")) * 1e6 + 0.5)
+            .cast("long").as("shift_norm_micro")): _*)
+  }
 }

@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Experimentation + feature-prep operators (round 7 continuation):
+  * CUPED variance reduction, CUSUM change-point, chi-squared independence
+  * with Cramér's V, the Kolmogorov-Smirnov separation statistic,
+  * leave-one-out target encoding, equal-frequency binning, synchronous
+  * label-propagation communities, and association rules — the A/B-test
+  * and feature-engineering surface of the warehouse. Determinism rules
+  * as elsewhere: exact integer/decimal sums everywhere a reduction
+  * happens, closed-form doubles only at the very end, pinned to 6 dp
+  * (or emitted as exact integer micro-units).
+  */
+object ExperimentQueries {
+
+  private val pin6 = (c: org.apache.spark.sql.Column) =>
+    (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
+
+  /** Bigram co-occurrence edges (the q185 graph): distinct undirected
+    * word pairs appearing adjacently ≥ 5 times corpus-wide.
+    */
+  private val EdgeCte =
+    """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
+      |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+      |pc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+      |ed AS (SELECT DISTINCT
+      |         least(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS a,
+      |         greatest(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS b
+      |       FROM pc
+      |       WHERE n >= 5 AND split_part(gram, ' ', 1) != split_part(gram, ' ', 2)),
+      |s0 AS (SELECT a AS s, b AS d FROM ed UNION ALL SELECT b, a FROM ed)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // CUPED adjusted means (Experiment.cuped): units = customers, variant =
+    // md5 hash bit (the q197 fold recipe), Y = lifetime order spend, X =
+    // account balance as the pre-period covariate. Per-variant n/Σ and the
+    // pooled cross-moments are exact HUGEINT/decimal sums from one pass;
+    // θ, the adjusted means, and ρ² are the same closed-form double
+    // expression tree in both engines, pinned at 6 dp.
+    Q(
+      "q199_cuped",
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(c_custkey::VARCHAR), 1, 4) AS INT) % 2 AS INT)
+        |      AS variant,
+        |    COALESCE(sp.spend, 0) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x
+        |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS HUGEINT) AS tn, CAST(sum(sy) AS HUGEINT) AS tsy,
+        |    CAST(sum(sx) AS HUGEINT) AS tsx, CAST(sum(sxy) AS HUGEINT) AS tsxy,
+        |    CAST(sum(sxx) AS HUGEINT) AS tsxx, CAST(sum(syy) AS HUGEINT) AS tsyy FROM g),
+        |e AS (SELECT variant, n,
+        |    CAST(tn * tsxy - tsx * tsy AS DOUBLE) AS covn,
+        |    CAST(tn * tsxx - tsx * tsx AS DOUBLE) AS vxn,
+        |    CAST(tn * tsyy - tsy * tsy AS DOUBLE) AS vyn,
+        |    CAST(sy AS DOUBLE) / CAST(1 * n AS DOUBLE) AS my,
+        |    CAST(sx AS DOUBLE) / CAST(1 * n AS DOUBLE) AS mx,
+        |    CAST(tsx AS DOUBLE) / CAST(1 * tn AS DOUBLE) AS mxp
+        |  FROM g CROSS JOIN t)
+        |SELECT variant, n,
+        |  floor(my / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+        |  floor((my - (covn / vxn) * (mx - mxp)) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean_y_adj,
+        |  floor((covn / vxn) * 1000000.0 + 0.5) / 1000000.0 AS theta,
+        |  floor((covn / vxn) * (covn / vyn) * 1000000.0 + 0.5) / 1000000.0 AS rho2
+        |FROM e ORDER BY variant""".stripMargin) { (s, dir) =>
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_spend"))
+      val units = Tables.load(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 2).as("variant"),
+          coalesce(col("_spend"), lit(0L)).as("y"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("x"))
+      graft.operators.Experiment.cuped(units, "variant", "y", "x", scale = 1)
+        .select(col("variant"), col("n"),
+          pin6(col("mean_y") / 100.0).as("mean_y"),
+          pin6(col("mean_y_adj") / 100.0).as("mean_y_adj"),
+          pin6(col("theta")).as("theta"),
+          pin6(col("rho2")).as("rho2"))
+        .orderBy("variant")
+    },
+
+    // CUSUM change-point per order priority (TimeSeries.cusumChangePoint)
+    // over the daily-revenue series: the argmax of the EXACT integer
+    // |n·C_t − t·S| — no fp anywhere until the one pinned shift_norm
+    // division; ties take the earliest day. The oracle replays the
+    // identical integer algebra through window sums (CAST back to BIGINT —
+    // DuckDB window sums widen to HUGEINT, the q113 lesson).
+    Q(
+      "q200_cusum",
+      """WITH d AS (SELECT o_orderpriority AS priority, o_orderdate AS dt,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT priority, dt, v,
+        |    CAST(row_number() OVER (PARTITION BY priority ORDER BY dt) AS BIGINT) AS t,
+        |    CAST(sum(v) OVER (PARTITION BY priority ORDER BY dt) AS BIGINT) AS c,
+        |    CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY priority) AS BIGINT) AS s
+        |  FROM d),
+        |x AS (SELECT priority, n, t, dt, CAST(abs(n * c - t * s) AS BIGINT) AS dd FROM w),
+        |b AS (SELECT priority, CAST(max(dd) AS BIGINT) AS dmax FROM x GROUP BY 1),
+        |a AS (SELECT x.priority, min(t) AS t_star
+        |      FROM x JOIN b ON x.priority = b.priority AND x.dd = b.dmax GROUP BY 1)
+        |SELECT x.priority, x.n, x.t AS t_star, CAST(x.dt AS VARCHAR) AS at_order,
+        |  x.dd AS d_abs,
+        |  CAST(floor(CAST(x.dd AS DOUBLE) / (CAST(x.n AS DOUBLE) * CAST(x.n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS shift_norm_micro
+        |FROM x JOIN a ON x.priority = a.priority AND x.t = a.t_star
+        |ORDER BY x.priority""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"), col("o_orderdate").as("dt"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries
+        .cusumChangePoint(daily, Seq("priority"), "dt", "v")
+        .select(col("priority"), col("n"), col("t_star"),
+          col("at_order").cast("string").as("at_order"),
+          col("d_abs"), col("shift_norm_micro"))
+        .orderBy("priority")
+    },
+
+    // Chi-squared independence of market segment × order priority
+    // (Experiment.chiSquared): exact cell/marginal counts, per-cell
+    // (N·n−r·c)²/(N·r·c) pinned to integer micro-units BEFORE the sum (an
+    // order-free integer total where a double sum would drift), Cramér's V
+    // from one IEEE sqrt.
+    Q(
+      "q201_chi_squared",
+      """WITH f AS (SELECT c_mktsegment AS x, o_orderpriority AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM f GROUP BY 1, 2),
+        |r AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS rx FROM cells GROUP BY 1),
+        |c AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT x) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS n_cols FROM cells),
+        |grid AS (SELECT r.x, r.rx, c.y, c.cy, COALESCE(cells.nxy, 0) AS nxy
+        |  FROM r CROSS JOIN c LEFT JOIN cells ON cells.x = r.x AND cells.y = c.y),
+        |k AS (SELECT n, n_rows, n_cols,
+        |    CAST(sum(CAST(floor(
+        |      CAST((CAST(n AS HUGEINT) * nxy - CAST(rx AS HUGEINT) * cy)
+        |         * (CAST(n AS HUGEINT) * nxy - CAST(rx AS HUGEINT) * cy) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * rx * cy AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS chi2_micro
+        |  FROM grid CROSS JOIN t
+        |  GROUP BY 1, 2, 3)
+        |SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof,
+        |  CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+        |  floor(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+        |      / (CAST(n AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+        |FROM k""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      graft.operators.Experiment.chiSquared(f, "c_mktsegment", "o_orderpriority")
+    },
+
+    // Kolmogorov-Smirnov separation of order price against final-status
+    // (Experiment.ksStatistic): distinct-score grain, two-pass
+    // range-partitioned cumulative sums (GlobalRank — no single-partition
+    // window), EXACT integer argmax |cumPos·N_neg − cumNeg·N_pos|, earliest
+    // threshold on ties, one pinned division.
+    Q(
+      "q202_ks_stat",
+      """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p FROM orders),
+        |g AS (SELECT sc, CAST(sum(p) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(p) AS BIGINT) AS nn FROM s GROUP BY 1),
+        |cu AS (SELECT sc, CAST(sum(np) OVER (ORDER BY sc) AS BIGINT) AS ip,
+        |    CAST(sum(nn) OVER (ORDER BY sc) AS BIGINT) AS ic FROM g),
+        |t AS (SELECT max(ip) AS n_pos, max(ic) AS n_neg FROM cu),
+        |d AS (SELECT sc, CAST(abs(ip * n_neg - ic * n_pos) AS BIGINT) AS dd,
+        |    n_pos, n_neg FROM cu CROSS JOIN t),
+        |m AS (SELECT n_pos, n_neg, CAST(max(dd) AS BIGINT) AS dmax FROM d GROUP BY 1, 2)
+        |SELECT m.n_pos, m.n_neg, min(d.sc) AS ks_score,
+        |  floor(CAST(m.dmax AS DOUBLE)
+        |      / CAST(CAST(m.n_pos AS HUGEINT) * CAST(m.n_neg AS HUGEINT) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ks
+        |FROM d JOIN m ON d.dd = m.dmax
+        |GROUP BY m.n_pos, m.n_neg, m.dmax""".stripMargin) { (s, dir) =>
+      val in = Tables.load(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("sc"),
+          (col("o_orderstatus") === "F").as("lbl"))
+      graft.operators.Experiment.ksStatistic(in, "lbl", "sc")
+    },
+
+    // Leave-one-out target encoding of order priority against price
+    // (Encoders.looTargetEncode): each order's encoding is the exact
+    // integer floor quotient (Σ_cat − y)·10⁶ div (n_cat − 1) — the
+    // leakage-safe categorical feature, bit-exact in any engine; singleton
+    // categories fall back to the global mean.
+    Q(
+      "q203_loo_encode",
+      """WITH c AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |g AS (SELECT CAST(sum(y) AS BIGINT) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM c),
+        |w AS (SELECT o_orderkey, pri, y,
+        |    CAST(sum(y) OVER (PARTITION BY pri) AS BIGINT) AS csum,
+        |    CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS cn FROM c)
+        |SELECT o_orderkey, pri,
+        |  CASE WHEN cn > 1 THEN ((csum - y) * 1000000) // (cn - 1)
+        |       ELSE (gsum * 1000000) // gn END AS loo_enc_micro
+        |FROM w CROSS JOIN g ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val in = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+      graft.load.Encoders.looTargetEncode(in, "pri", "y", "loo_enc_micro")
+        .select("o_orderkey", "pri", "loo_enc_micro")
+        .orderBy("o_orderkey")
+    },
+
+    // Synchronous label-propagation communities, 2 rounds, over the q185
+    // bigram co-occurrence graph (Communities.labelPropagate): every node
+    // adopts its neighbors' plurality label, ties to the SMALLEST — fully
+    // deterministic, no random visit order; the oracle unrolls both rounds.
+    Q(
+      "q204_label_prop",
+      s"""WITH $EdgeCte,
+         |l0 AS (SELECT DISTINCT s AS node, s AS label FROM s0),
+         |v1 AS (SELECT s0.s AS node, l0.label, count(*) AS c
+         |       FROM s0 JOIN l0 ON s0.d = l0.node GROUP BY 1, 2),
+         |l1 AS (SELECT node, label FROM (
+         |         SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT s0.s AS node, l1.label, count(*) AS c
+         |       FROM s0 JOIN l1 ON s0.d = l1.node GROUP BY 1, 2),
+         |l2 AS (SELECT node, label FROM (
+         |         SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |         FROM v2) WHERE rn = 1)
+         |SELECT node, label FROM l2 ORDER BY node""".stripMargin) { (s, dir) =>
+      val bg = graft.text.Vocab
+        .ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
+        .filter(col("n") >= 5)
+      val sp = split(col("gram"), " ")
+      val edges = bg
+        .select(least(sp.getItem(0), sp.getItem(1)).as("a"),
+          greatest(sp.getItem(0), sp.getItem(1)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      graft.operators.Communities.labelPropagate(edges, "a", "b", rounds = 2)
+        .orderBy("node")
+    },
+
+    // Association rules over order baskets (MarketBasket.associationRules):
+    // directional support/confidence/lift from exact distinct-basket
+    // counts, low-support pairs dropped BEFORE any join, measures as exact
+    // integer micro-units; top-100 by lift with a total-order tiebreak so
+    // both engines cut the same boundary.
+    Q(
+      "q205_assoc_rules",
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+        |pr AS (SELECT a.it AS ante, b.it AS cons, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bi a JOIN bi b ON a.bk = b.bk AND a.it != b.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT ante, cons, ia.ni AS n_a, ib.ni AS n_b, n_ab,
+        |  CAST(floor(CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS support_micro,
+        |  CAST(floor(CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS confidence_micro,
+        |  CAST(floor(CAST(n_ab * nb AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+        |FROM pr JOIN ic ia ON pr.ante = ia.it JOIN ic ib ON pr.cons = ib.it
+        |CROSS JOIN n
+        |ORDER BY lift_micro DESC, ante, cons LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.operators.MarketBasket
+        .associationRules(Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minPairCount = 2L)
+        .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+        .limit(100)
+    },
+
+    // Equal-frequency decile binning of order price (Encoders.quantileBin —
+    // GlobalRank's two-pass ntile, never a single-partition ORDER BY
+    // window), summarized per bin: the feature-discretization step, gated
+    // on exact bin boundaries.
+    Q(
+      "q206_quantile_bin",
+      """WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT cents, CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+        |    AS bin FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val in = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.load.Encoders.quantileBin(in, "cents", Seq("o_orderkey"), buckets = 10)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+        .orderBy("bin")
+    })
+}
