@@ -231,6 +231,46 @@ object TimeSeries {
       .withColumnRenamed("corr", "autocorr")
   }
 
+  /** Per-key TRAILING z-score — "how unusual is today against the
+    * preceding `window` observations?", the rolling anomaly detector of
+    * metric monitoring. The frame is strictly PRECEDING (rows −window..−1),
+    * so the tested value never contaminates its own baseline. Emits `z`
+    * only when the trailing frame is FULL (`cnt == window`) and has
+    * positive variance — partial or constant baselines yield null, not a
+    * fake score.
+    *
+    * `valueCol` must be integral (long units): the frame's Σx is a long
+    * and Σx² a decimal(38,0), so mean and variance numerators are exact
+    * and z is one closed-form double —
+    * `(x − S/n) / sqrt((n·Σx² − S²)/(n·(n−1)))` — identical in any IEEE
+    * engine.
+    *
+    * Scale shape: ONE frame-bounded keyed window (count/sum/sum-of-squares
+    * fuse into a single window stage over the (keys, order) shuffle) —
+    * the [[dyadicEwma]] shape; callers pre-aggregate to series grain
+    * first, so the window sees thousands of rows per key, not facts.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      window: Int = 6,
+      outCol: String = "z"): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-window, -1)
+    val v = col(valueCol).cast("long")
+    val cnt = count(lit(1)).over(w)
+    val s = sum(v).over(w)
+    val ss = sum(v.cast(dec) * v.cast(dec)).over(w)
+    val varNum = cnt.cast(dec) * ss - s.cast(dec) * s.cast(dec)
+    val z = (v.cast("double") - s.cast("double") / cnt.cast("double")) /
+      sqrt(varNum.cast("double") / (cnt * (cnt - 1)).cast("double"))
+    df.withColumn(outCol, when(cnt === window && varNum > 0, z))
+  }
+
   /** Per-key CUSUM change-point: the single most likely level-shift
     * position in each series — the "when did this metric move?" detector
     * behind pipeline-drift and data-incident triage. For a series

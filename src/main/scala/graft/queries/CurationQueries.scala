@@ -96,66 +96,24 @@ object CurationQueries {
 
   /** q81 and q82 mine the SAME MinHash-LSH pair graph and cluster it the
     * same way; computing it inside each gate measured re-mining, not
-    * clustering. Shared per (session, dir) the way [[graft.pipeline.CorpusPipeline]]
-    * shares its candidate table: [[graft.dedup.DupClusters.components]]
+    * clustering. Shared per (session, dir) via [[Memo]] (see its scaladoc
+    * for the lifecycle contract): [[graft.dedup.DupClusters.components]]
     * already returns a localCheckpoint'ed (lineage-truncated, block-manager
     * cached) frame, so the memoized handle survives the bench harness's
     * per-query `spark.catalog.clearCache()` (which clears only the SQL cache)
     * and the second consumer pays a cache read, not a re-mine.
-    *
-    * Lifecycle (a plain forever-map would pin stopped-session DataFrames and
-    * their localCheckpoint blocks in a long-lived service): entries key on
-    * the session OBJECT (reference equality — identityHashCode can recycle
-    * after GC and hand back a frame bound to a dead session), stopped-context
-    * entries are pruned on every access, a SparkListener evicts on
-    * application end, and [[evictMemos]] is public for a multi-session
-    * service retiring one session on a shared context. A weak-keyed map
-    * can't do this alone: the memoized DataFrame strongly references its
-    * SparkSession (value→key), so WeakHashMap entries would never collect.
     */
-  private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
-  private val corpusRunMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]
-  private val cleanupRegistered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+  private val componentsMemo = Memo.slot[DataFrame]()
+  private val corpusRunMemo = Memo.slot[(DataFrame, DataFrame)]()
 
-  /** Drop every memoized handle bound to `s` — called automatically when
-    * its SparkContext ends; call it directly when retiring one session of
-    * several sharing a context.
+  /** Drop every memoized handle bound to `s` (all slots, all query
+    * modules) — called automatically when its SparkContext ends; call it
+    * directly when retiring one session of several sharing a context.
     */
-  def evictMemos(s: SparkSession): Unit = {
-    componentsMemo.remove(s)
-    corpusRunMemo.remove(s)
-    cleanupRegistered.remove(s)
-  }
-
-  private def pruneStopped(): Unit =
-    for (m <- Seq(componentsMemo, corpusRunMemo)) {
-      val it = m.keySet().iterator()
-      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-    }
-
-  private def memoFor[V](
-      memo: java.util.concurrent.ConcurrentHashMap[
-        SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]],
-      s: SparkSession,
-      dir: String)(compute: => V): V = {
-    pruneStopped()
-    if (cleanupRegistered.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evictMemos(s)
-      })
-    memo
-      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, V])
-      .computeIfAbsent(dir, _ => compute)
-  }
+  def evictMemos(s: SparkSession): Unit = Memo.evict(s)
 
   private[graft] def minhashComponents(s: SparkSession, dir: String): DataFrame =
-    memoFor(componentsMemo, s, dir) {
+    componentsMemo(s, dir) {
       val pairs = graft.dedup.MinHashLsh.candidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 12, bands = 4)
@@ -185,7 +143,7 @@ object CurationQueries {
   }
 
   private def corpusRun(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    memoFor(corpusRunMemo, s, dir) {
+    corpusRunMemo(s, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q110_").toString
       tempDirs.add(tmp)
       val docs = Tables.load(s, dir, "documents")

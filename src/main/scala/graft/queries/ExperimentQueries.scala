@@ -245,16 +245,8 @@ object ExperimentQueries {
          |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
          |         FROM v2) WHERE rn = 1)
          |SELECT node, label FROM l2 ORDER BY node""".stripMargin) { (s, dir) =>
-      val bg = graft.text.Vocab
-        .ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
-        .filter(col("n") >= 5)
-      val sp = split(col("gram"), " ")
-      val edges = bg
-        .select(least(sp.getItem(0), sp.getItem(1)).as("a"),
-          greatest(sp.getItem(0), sp.getItem(1)).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-      graft.operators.Communities.labelPropagate(edges, "a", "b", rounds = 2)
+      graft.operators.Communities
+        .labelPropagate(SharedFrames.bigramEdges(s, dir), "a", "b", rounds = 2)
         .orderBy("node")
     },
 
@@ -306,5 +298,128 @@ object ExperimentQueries {
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
         .orderBy("bin")
+    },
+
+    // Bounded-round BFS levels from the lexicographically smallest node of
+    // the bigram graph (ShortestPath.bfsLevels, 3 rounds): exact integer
+    // hop distances, |E|-bounded keyed joins per round; the oracle unrolls
+    // the same three relax-and-min rounds.
+    Q(
+      "q207_bfs_levels",
+      s"""WITH $EdgeCte,
+         |d0 AS (SELECT min(s) AS node, CAST(0 AS BIGINT) AS dist FROM s0),
+         |u1 AS (SELECT node, dist FROM d0
+         |       UNION ALL SELECT s0.d, d0.dist + 1 FROM s0 JOIN d0 ON s0.s = d0.node),
+         |d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM u1 GROUP BY 1),
+         |u2 AS (SELECT node, dist FROM d1
+         |       UNION ALL SELECT s0.d, d1.dist + 1 FROM s0 JOIN d1 ON s0.s = d1.node),
+         |d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM u2 GROUP BY 1),
+         |u3 AS (SELECT node, dist FROM d2
+         |       UNION ALL SELECT s0.d, d2.dist + 1 FROM s0 JOIN d2 ON s0.s = d2.node),
+         |d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM u3 GROUP BY 1)
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val edges = SharedFrames.bigramEdges(s, dir)
+      val sources = edges.agg(min(col("a")).as("node"))
+      graft.operators.ShortestPath.bfsLevels(edges, "a", "b", sources, rounds = 3)
+        .orderBy("node")
+    },
+
+    // Degree assortativity of the bigram graph: Pearson correlation of
+    // endpoint degrees over the directed edge list — "do hubs link to
+    // hubs?" (TimeSeries.groupCorr with no keys: the exact-decimal-moments
+    // correlation, one pinned double at the end).
+    Q(
+      "q208_assortativity",
+      s"""WITH $EdgeCte,
+         |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM s0 GROUP BY 1),
+         |pr AS (SELECT da.deg AS x, db.deg AS y
+         |       FROM s0 JOIN dg da ON s0.s = da.s JOIN dg db ON s0.d = db.s),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+         |  FROM pr)
+         |SELECT n,
+         |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS corr
+         |FROM m""".stripMargin) { (s, dir) =>
+      val und = SharedFrames.bigramEdges(s, dir)
+      val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      val dg = adj.groupBy(col("a").as("_nd")).agg(count(lit(1)).as("deg"))
+      val pairs = adj
+        .join(dg.select(col("_nd").as("a"), col("deg").as("x")), "a")
+        .join(dg.select(col("_nd").as("b"), col("deg").as("y")), "b")
+      graft.operators.TimeSeries.groupCorr(pairs, Seq.empty, "x", "y", yScale = 1)
+        .select(col("n"), pin6(col("corr")).as("corr"))
+    },
+
+    // Interpolated Kneser-Ney bigram LM (NgramLm.kneserNeyBigrams, d=3/4):
+    // discounted bigram term + continuation-count interpolation, all
+    // rational over exact integer counts (4c−3 / 4c(v) etc. — the dyadic
+    // discount keeps libm out); top-100 bigrams by count.
+    Q(
+      "q209_kneser_ney",
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |bp AS (SELECT t[i] AS v, t[i+1] AS w
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |cb AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM bp GROUP BY 1, 2),
+        |cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cb GROUP BY 1),
+        |fw AS (SELECT v, CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY 1),
+        |bk AS (SELECT w, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb)
+        |SELECT cb.v, cb.w, cb.c_vw, cv.c_v,
+        |  floor((CASE WHEN 4 * c_vw - 3 > 0
+        |           THEN CAST(4 * c_vw - 3 AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+        |           ELSE 0.0 END
+        |       + CAST(3 * n1f * n1b AS DOUBLE) / CAST(4 * c_v * t AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p_kn
+        |FROM cb JOIN cv USING (v) JOIN fw USING (v) JOIN bk USING (w) CROSS JOIN tt
+        |ORDER BY c_vw DESC, v, w LIMIT 100""".stripMargin) { (s, dir) =>
+      val sp = split(col("gram"), " ")
+      graft.text.NgramLm.kneserNeyFromCounts(
+        SharedFrames.bigramCounts(s, dir)
+          .select(sp.getItem(0).as("v"), sp.getItem(1).as("w"), col("n").as("c_vw")))
+        .select(col("v"), col("w"), col("c_vw"), col("c_v"), pin6(col("p_kn")).as("p_kn"))
+        .orderBy(col("c_vw").desc, col("v"), col("w"))
+        .limit(100)
+    },
+
+    // Trailing rolling z-score over daily revenue per priority
+    // (TimeSeries.rollingZScore, 6-day strictly-preceding frame): exact
+    // long/decimal frame sums, z emitted only on full positive-variance
+    // baselines — the metric-anomaly readout.
+    Q(
+      "q210_rolling_z",
+      """WITH d AS (SELECT o_orderpriority AS priority, o_orderdate AS dt,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT priority, dt, v,
+        |    CAST(count(*) OVER win AS BIGINT) AS cnt,
+        |    CAST(sum(v) OVER win AS BIGINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) OVER win AS HUGEINT) AS ss
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY priority ORDER BY dt
+        |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT priority, CAST(dt AS VARCHAR) AS dt, v,
+        |  floor((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      / sqrt(CAST(cnt * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |             / CAST(cnt * (cnt - 1) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM w
+        |WHERE cnt = 6 AND cnt * ss - CAST(s AS HUGEINT) * s > 0
+        |ORDER BY priority, dt""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"), col("o_orderdate").as("dt"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries
+        .rollingZScore(daily, Seq("priority"), "dt", "v", window = 6)
+        .filter(col("z").isNotNull)
+        .select(col("priority"), col("dt").cast("string").as("dt"), col("v"),
+          pin6(col("z")).as("z"))
+        .orderBy("priority", "dt")
     })
 }

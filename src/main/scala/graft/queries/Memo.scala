@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped (session, dir) → value memo slots, shared by gate
+  * queries that mine the SAME intermediate (the MinHash pair graph for
+  * q81/q82, the corpus-pipeline run for q110/q111, the bigram
+  * co-occurrence base for q185/q204/q207–q209): computing it inside each
+  * gate would measure re-mining, not the operator under test. Memoized
+  * values are expected to be lineage-truncated handles (localCheckpoint —
+  * block-manager cached, so they survive the bench harness's per-query
+  * `spark.catalog.clearCache()`, which clears only the SQL cache).
+  *
+  * Lifecycle (a plain forever-map would pin stopped-session DataFrames
+  * and their localCheckpoint blocks in a long-lived service): entries key
+  * on the session OBJECT (reference equality — identityHashCode can
+  * recycle after GC and hand back a frame bound to a dead session),
+  * stopped-context entries are pruned on every access, a SparkListener
+  * evicts on application end, and [[evict]] is public-to-the-package for
+  * a multi-session service retiring one session on a shared context. A
+  * weak-keyed map can't do this alone: the memoized DataFrame strongly
+  * references its SparkSession (value→key), so WeakHashMap entries would
+  * never collect.
+  */
+private[queries] object Memo {
+  private val slots = new java.util.concurrent.CopyOnWriteArrayList[Slot[_]]
+  private val cleanupRegistered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  final class Slot[V] private[Memo] () {
+    private[Memo] val m = new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]
+
+    def apply(s: SparkSession, dir: String)(compute: => V): V = {
+      pruneStopped()
+      if (cleanupRegistered.add(s))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(s)
+        })
+      m.computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, V])
+        .computeIfAbsent(dir, _ => compute)
+    }
+  }
+
+  /** A fresh memo slot, registered for lifecycle management. Call once per
+    * shared intermediate (object-initialization time), not per lookup.
+    */
+  def slot[V](): Slot[V] = {
+    val sl = new Slot[V]()
+    slots.add(sl)
+    sl
+  }
+
+  /** Drop every memoized handle bound to `s`, across all slots. */
+  def evict(s: SparkSession): Unit = {
+    slots.forEach(sl => sl.m.remove(s))
+    cleanupRegistered.remove(s)
+  }
+
+  private def pruneStopped(): Unit =
+    slots.forEach { sl =>
+      val it = sl.m.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    }
+}

@@ -263,16 +263,9 @@ object WarehouseQueries {
         |s3 AS (SELECT s2.s, s2.d FROM s2 JOIN k3 USING (s) JOIN k3 kb ON s2.d = kb.s)
         |SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM s3 GROUP BY 1 ORDER BY node""".stripMargin) { (s, dir) =>
-      val bg = graft.text.Vocab
-        .ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
-        .filter(col("n") >= 5)
-      val sp = split(col("gram"), " ")
-      val edges = bg
-        .select(least(sp.getItem(0), sp.getItem(1)).as("a"),
-          greatest(sp.getItem(0), sp.getItem(1)).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-      graft.operators.KCore.peel(edges, k = 3, rounds = 3).orderBy("node")
+      graft.operators.KCore
+        .peel(SharedFrames.bigramEdges(s, dir), k = 3, rounds = 3)
+        .orderBy("node")
     },
 
     // Pairwise Welch's t across market segments (RobustStats.welchT): exact

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995; the
+  * Chen & Goodman 1998 interpolated form) — the classic count-based LM a
+  * data pipeline can train in two aggregates and use for perplexity-proxy
+  * quality scoring, domain drift detection, and decontamination triage
+  * without any learned weights:
+  *
+  *   p(w|v) = max(c(vw) − d, 0)/c(v) + λ(v)·p_cont(w)
+  *   λ(v)      = d · N1+(v·) / c(v)        (mass discounted off v's bigrams)
+  *   p_cont(w) = N1+(·w) / T               (how many CONTEXTS w follows)
+  *
+  * with the standard discount d = 0.75 = 3/4 — dyadic, so multiplying
+  * through by 4 makes every numerator and denominator an exact 64-bit
+  * integer product ([[Keyness]]' rational-over-log policy):
+  *
+  *   p(w|v) = max(4c−3, 0)/(4·c(v)) + 3·N1+(v·)·N1+(·w) / (4·c(v)·T)
+  *
+  * — two IEEE divisions and one add per bigram, identical in any engine.
+  * The continuation count N1+(·w) (distinct LEFT contexts of w) is what
+  * makes KN beat naive backoff: "francisco" is frequent but follows only
+  * "san", so its unigram fallback mass is tiny.
+  *
+  * Scale shape: bigram counts from one explode + map-side-combined
+  * groupBy ([[Vocab.ngramCounts]]); c(v) / N1+(v·) / N1+(·w) / T are all
+  * re-aggregations of that BIGRAM TYPE table (Heaps'-law sized, never the
+  * token stream), joined back on (v) and (w) — both sides reduced before
+  * every join.
+  *
+  * Integer headroom: 4·c(v)·T — with corpus-scale c(v) ~ 10⁹ and bigram
+  * types T ~ 10⁸ this exceeds int64; downscale T and the continuation
+  * counts by a common power of ten first (the ratio carries the
+  * statistic — the Keyness/BM25 documented policy).
+  */
+object NgramLm {
+
+  /** Per-bigram interpolated-KN probability: (v, w, c_vw, c_v, p_kn).
+    * `p_kn` is the two-term closed form above, NOT pinned — callers pin
+    * for gates. Bigrams are adjacent within-document token pairs.
+    */
+  def kneserNeyBigrams(df: DataFrame, textCol: String): DataFrame =
+    kneserNeyFromCounts(
+      Vocab.ngramCounts(df, textCol, 2)
+        .select(split(col("gram"), " ").getItem(0).as("v"),
+          split(col("gram"), " ").getItem(1).as("w"),
+          col("n").as("c_vw")))
+
+  /** Same model from a pre-computed bigram-type table (v, w, c_vw) — for
+    * callers that already hold the corpus bigram counts.
+    */
+  def kneserNeyFromCounts(cb: DataFrame): DataFrame = {
+    val cv = cb.groupBy("v").agg(sum("c_vw").as("c_v"))
+    val fwd = cb.groupBy("v").agg(count(lit(1)).as("_n1f"))
+    val back = cb.groupBy("w").agg(count(lit(1)).as("_n1b"))
+    val types = cb.agg(count(lit(1)).as("_t"))
+    cb.join(cv, "v")
+      .join(fwd, "v")
+      .join(back, "w")
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn",
+        when(lit(4L) * col("c_vw") - 3L > 0,
+          (lit(4L) * col("c_vw") - 3L).cast("double") /
+            (lit(4L) * col("c_v")).cast("double")).otherwise(0.0) +
+          (lit(3L) * col("_n1f") * col("_n1b")).cast("double") /
+            (lit(4L) * col("c_v") * col("_t")).cast("double"))
+      .select("v", "w", "c_vw", "c_v", "p_kn")
+  }
+}
