@@ -384,6 +384,52 @@ object Stress {
     // 10-row reduction — the error bar costs one aggregate scan
     time("jackknife_6M")(graft.operators.RobustStats
       .jackknifeMeanSe(ids.select("id", "cents"), "cents", "id").count())
+
+    // round-7 experimentation operators at 6M rows — each must reduce to
+    // "one fact-pass aggregate + small-table algebra" (cuped/chi2) or
+    // "one keyed window over series/category grain" (loo/cusum); KS pays
+    // the distinct-score grain + GlobalRank two-pass
+    val exp6 = li.select(
+      col("l_orderkey"), col("l_returnflag"), col("l_linestatus"), col("_rep"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    time("cuped_6M")(graft.operators.Experiment.cuped(
+      exp6.select((pmod(col("l_orderkey"), lit(2))).as("variant"),
+        col("cents").as("y"), col("qty").as("x")),
+      "variant", "y", "x", scale = 1).count())
+    time("chi2_6M")(graft.operators.Experiment
+      .chiSquared(exp6, "l_returnflag", "l_linestatus").count())
+    time("ks_6M")(graft.operators.Experiment.ksStatistic(
+      exp6.select((col("l_returnflag") === "R").as("lbl"), col("cents").as("sc")),
+      "lbl", "sc").count())
+    time("loo_encode_6M")(graft.load.Encoders.looTargetEncode(
+      exp6.select(concat_ws(":", col("l_returnflag"), col("_rep")).as("cat"), col("cents")),
+      "cat", "cents").count())
+    time("cusum_30_series") {
+      val daily = li.groupBy(col("l_returnflag").as("k"), col("_rep"), col("l_shipdate"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries
+        .cusumChangePoint(daily, Seq("k", "_rep"), "l_shipdate", "v").count()
+    }
+    // graph rounds over the REAL skewed co-purchase graph (20k part nodes,
+    // ~900k co-order edges): per-round shuffles bounded by |E|
+    time("label_prop2_copurchase")(graft.operators.Communities
+      .labelPropagate(coEdges, "a", "b", rounds = 2).count())
+    time("bfs3_copurchase") {
+      val src = coEdges.agg(min(col("a")).as("node"))
+      graft.operators.ShortestPath.bfsLevels(coEdges, "a", "b", src, rounds = 3).count()
+    }
+    // association rules over the 10x basket table (1.5M baskets after
+    // per-rep key shifting): pair space stays sum-of-basket-size-squared
+    time("assoc_rules_1M5_baskets") {
+      val bi = li.select(
+        concat_ws(":", col("l_orderkey"), col("_rep")).as("bk"), col("l_partkey").as("it"))
+      graft.operators.MarketBasket.associationRules(bi, "bk", "it", minPairCount = 2L).count()
+    }
+    // Kneser-Ney over the 10x-replica corpus: the bigram TYPE table is the
+    // state — replicas collapse into counts, so cost tracks DISTINCT types
+    time("kneser_ney_50k_docs")(graft.text.NgramLm
+      .kneserNeyBigrams(docs, "text").count())
     spark.stop()
   }
 }
