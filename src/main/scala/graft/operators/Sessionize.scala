@@ -60,6 +60,36 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))).as("duration_us"))
+
+  /** First-order Markov transition matrix of a per-key event sequence:
+    * (src, dst, n, p_micro) where n counts src→dst adjacencies across all
+    * keys' sequences and p_micro is the row-normalized transition
+    * probability as an EXACT integer floor quotient (n·10⁶ div Σ_dst n) —
+    * the behavioral fingerprint behind next-event prediction baselines,
+    * funnel-drift detection, and bot/anomaly triage ("this cohort's
+    * click→purchase mass halved"). `orderCols` must totally order each
+    * key's events (append a unique tie-break — the sessionize contract).
+    *
+    * Scale shape: ONE keyed window (lead over (key, order)) + one
+    * map-side-combined pair count; the row-normalizing join runs on the
+    * STATE-PAIR table (|states|² rows at most), never on events.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .withColumn("_nxt", lead(col(stateCol), 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .groupBy(col(stateCol).as("src"), col("_nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src").agg(sum("n").as("_tn"))
+    pairs.join(totals, "src")
+      .withColumn("p_micro", expr("(n * 1000000L) div _tn"))
+      .select("src", "dst", "n", "p_micro")
+  }
 }
 
 /** Ordered-step funnel analysis: how many keys reached step k, where step k

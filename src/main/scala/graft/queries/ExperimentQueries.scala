@@ -421,5 +421,84 @@ object ExperimentQueries {
         .select(col("priority"), col("dt").cast("string").as("dt"), col("v"),
           pin6(col("z")).as("z"))
         .orderBy("priority", "dt")
+    },
+
+    // ROLLUP hierarchy totals with grouping_id: status × priority revenue
+    // plus per-status and grand totals in ONE pass (Catalyst expands the
+    // grouping sets — one scan, not three). 'ALL' placeholders keep NULL
+    // ordering differences between engines out of the gate. Single-table
+    // input is deliberate: Spark 4's DetectAmbiguousSelfJoin false-flags
+    // rollup's Expand when the input lineage contains a join (the Expand
+    // duplicates the join-derived grouping attrs) — a hierarchy over a
+    // joined frame should pre-materialize the projection.
+    Q(
+      "q211_rollup",
+      """WITH f AS (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(GROUPING(st, pri) AS BIGINT) AS gid,
+        |  coalesce(st, 'ALL') AS st, coalesce(pri, 'ALL') AS pri,
+        |  CAST(sum(cents) AS BIGINT) AS rev, CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY ROLLUP(st, pri)
+        |ORDER BY gid, st, pri""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      f.rollup("st", "pri")
+        .agg(grouping_id().as("_gid"), sum("cents").as("rev"), count(lit(1)).as("n"))
+        // selectExpr: name-resolved against THIS frame (col("st") would
+        // carry upstream dataset-id tags into the ambiguity check)
+        .selectExpr("cast(_gid as bigint) as gid", "coalesce(st, 'ALL') as st",
+          "coalesce(pri, 'ALL') as pri", "rev", "n")
+        .orderBy("gid", "st", "pri")
+    },
+
+    // Pivot (long → wide): revenue cents per segment × priority as five
+    // typed columns — Spark's relational pivot with an EXPLICIT value list
+    // (an inferred list would scan twice and order nondeterministically);
+    // the oracle is the equivalent conditional aggregation.
+    Q(
+      "q212_pivot",
+      """WITH f AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT seg,
+        |  CAST(coalesce(sum(CASE WHEN pri = '1-URGENT' THEN cents END), 0) AS BIGINT) AS p1,
+        |  CAST(coalesce(sum(CASE WHEN pri = '2-HIGH' THEN cents END), 0) AS BIGINT) AS p2,
+        |  CAST(coalesce(sum(CASE WHEN pri = '3-MEDIUM' THEN cents END), 0) AS BIGINT) AS p3,
+        |  CAST(coalesce(sum(CASE WHEN pri = '4-NOT SPECIFIED' THEN cents END), 0)
+        |    AS BIGINT) AS p4,
+        |  CAST(coalesce(sum(CASE WHEN pri = '5-LOW' THEN cents END), 0) AS BIGINT) AS p5
+        |FROM f GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val piv = f.groupBy("seg").pivot("pri", vals).agg(sum("cents"))
+      piv.select(col("seg") +:
+          vals.zipWithIndex.map { case (v, i) =>
+            coalesce(col(s"`$v`"), lit(0L)).as(s"p${i + 1}") }: _*)
+        .orderBy("seg")
+    },
+
+    // First-order Markov transition matrix over per-user event streams
+    // (Sessionize.transitionMatrix): lead() over (user, ts, event_id),
+    // pair counts, row-normalized probabilities as exact integer floor
+    // quotients — the next-event-prediction baseline.
+    Q(
+      "q213_markov",
+      """WITH e AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tn FROM p GROUP BY 1)
+        |SELECT p.src, p.dst, p.n, (p.n * 1000000) // t.tn AS p_micro
+        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize
+        .transitionMatrix(Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+          "event_type")
+        .orderBy("src", "dst")
     })
 }

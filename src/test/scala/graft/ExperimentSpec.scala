@@ -169,6 +169,25 @@ class ExperimentSpec extends SparkSpec {
     assert(r(1L) == 1L && r(2L) == 2L && r(3L) == 2L && r(4L) == 2L)
   }
 
+  // ---- Markov transitions ----
+
+  test("transitionMatrix: per-key adjacencies, exact row-normalized micro probs") {
+    // user 1: a->b->a ; user 2: a->c  => from a: b once, c once; from b: a once
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (2L, 1L, "a"), (2L, 2L, "c"))
+      .toDF("u", "t", "e")
+    val r = graft.operators.Sessionize.transitionMatrix(ev, "u", Seq("t"), "e")
+      .orderBy("src", "dst")
+      .as[(String, String, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      ("a", "b", 1L, 500000L), ("a", "c", 1L, 500000L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix: sequence boundaries don't leak across keys") {
+    // last event of user 1 must NOT chain into user 2's first event
+    val ev = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("u", "t", "e")
+    assert(graft.operators.Sessionize.transitionMatrix(ev, "u", Seq("t"), "e").count() == 0L)
+  }
+
   // ---- association rules ----
 
   test("associationRules: exact support/confidence/lift micro-units") {
