@@ -295,4 +295,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"class join must stay an equi-join:\n$p")
   }
+
+  test("q202: KS cumulative rides GlobalRank's RDD stamp — no Window, no fact-sized single partition") {
+    val p = plan("q202_ks_stat")
+    assert(!p.contains("Window"), s"KS regressed to an ORDER BY window plan:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"expected the two-pass prefix stamp in:\n$p")
+  }
+
+  test("q203: LOO encoding is ONE keyed window — no self-join of the facts") {
+    val p = plan("q203_loo_encode")
+    assert(p.contains("Window"), s"expected the category window in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"LOO must not self-join the fact table:\n$p")
+  }
+
+  test("q205: association pairs come from a basket equi-join; support floor precedes the measure joins") {
+    val p = plan("q205_assoc_rules")
+    assert(!p.contains("CartesianProduct"), s"pair generation degraded to all-pairs:\n$p")
+    // the n_ab >= 2 floor must sit on the aggregate output, before the
+    // item-count joins — visible as a count filter over a final hash agg
+    assert(p.contains("(n_ab") && p.contains(">= 2"), s"minPairCount floor missing:\n$p")
+  }
+
+  test("q211: rollup is ONE Expand pass, not a union of re-scans") {
+    val p = plan("q211_rollup")
+    assert(p.contains("Expand"), s"expected grouping-sets Expand in:\n$p")
+    assert(!p.contains("Union"), s"rollup regressed to unioned re-aggregations:\n$p")
+  }
+
+  test("q213: transition matrix is one keyed window + map-combined pair counts") {
+    val p = plan("q213_markov")
+    assert(p.contains("Window"), s"expected the per-user lead window in:\n$p")
+    assert(p.contains("partial_count"), s"pair counts must map-side combine:\n$p")
+  }
 }

@@ -436,6 +436,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KS statistic == brute-force max CDF gap on random labeled scores") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf(true, false), Gen.choose(0L, 20L)))
+    for (rows <- samples(gen, 5)
+         if rows.exists(_._1) && rows.exists(!_._1)) {
+      val df = rows.toDF("lbl", "sc")
+      val got = graft.operators.Experiment.ksStatistic(df, "lbl", "sc").head()
+      // brute force: for every threshold t, |F_pos(t) − F_neg(t)| via exact
+      // integer cross products; tie -> smallest t
+      val nP = rows.count(_._1).toLong
+      val nN = rows.size - nP
+      val byT = rows.map(_._2).distinct.sorted.map { t =>
+        val ip = rows.count(r => r._1 && r._2 <= t).toLong
+        val in = rows.count(r => !r._1 && r._2 <= t).toLong
+        (t, math.abs(ip * nN - in * nP))
+      }
+      val dMax = byT.map(_._2).max
+      val tStar = byT.filter(_._2 == dMax).map(_._1).min
+      assert(got.getAs[Long]("n_pos") == nP && got.getAs[Long]("n_neg") == nN)
+      assert(got.getAs[Long]("ks_score") == tStar, s"rows=$rows")
+      val ksExpected = math.floor(dMax.toDouble / (nP * nN).toDouble * 1e6 + 0.5) / 1e6
+      assert(got.getAs[Double]("ks") == ksExpected, s"rows=$rows")
+    }
+  }
+
+  test("rolling z-score matches the brute-force trailing baseline everywhere") {
+    val gen = Gen.listOfN(25, Gen.choose(0L, 50L))
+    for (vals <- samples(gen, 5) if vals.size >= 5) {
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("g", "t", "v")
+      val got = graft.operators.TimeSeries
+        .rollingZScore(df, Seq("g"), "t", "v", window = 4)
+        .orderBy("t").select("z").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      vals.indices.foreach { i =>
+        val base = vals.slice(math.max(0, i - 4), i)
+        val expect =
+          if (base.size < 4) None
+          else {
+            val n = base.size.toLong
+            val s = base.sum
+            val ss = base.map(x => BigInt(x) * BigInt(x)).sum
+            val varNum = BigInt(n) * ss - BigInt(s) * BigInt(s)
+            if (varNum <= 0) None
+            else Some((vals(i).toDouble - s.toDouble / n.toDouble) /
+              math.sqrt(varNum.toDouble / (n * (n - 1)).toDouble))
+          }
+        assert(got(i) == expect, s"i=$i vals=$vals")
+      }
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
