@@ -14,7 +14,8 @@ object SparkEntry {
   /** All gate queries, grouped by module. */
   def allQs: Seq[Q] =
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all
+      CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
+      StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -430,6 +430,57 @@ object Stress {
     // state — replicas collapse into counts, so cost tracks DISTINCT types
     time("kneser_ney_50k_docs")(graft.text.NgramLm
       .kneserNeyBigrams(docs, "text").count())
+
+    // round-7 rank-stat batch at 6M rows: AUC/MWU must run at the
+    // DISTINCT-SCORE grain (tie table + GlobalRank two-pass prefix sum),
+    // so the cost target is "one grouped count + a range-partitioned
+    // stamp" — never a global rank window over 6M rows
+    val scored = li.select(
+      round(col("l_extendedprice") * 100, 0).cast("long").as("score"),
+      (col("l_returnflag") === "R").cast("int").as("label"))
+    time("auc_6M")(graft.operators.RankStats
+      .aucFromScores(scored, "score", "label").count())
+    time("mwu_6M")(graft.operators.RankStats
+      .mannWhitney(scored, "score", "label").count())
+    // spearman: per-group windows at (flag, rep) grain — 30 groups of
+    // ~200k rows each; the window shuffle is the unit of parallelism
+    time("spearman_6M_30groups")(graft.operators.RankStats.spearmanByGroup(
+      li.select(col("l_returnflag"), col("_rep"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y")),
+      Seq("l_returnflag", "_rep"), "x", "y").count())
+    // PSI + HHI: one map-combined grouped count each over the 6M stream
+    time("psi_6M")(graft.operators.Drift.psiTerms(
+      scored.select(
+        graft.operators.Drift.widthBucket(col("score"), 0L, 500000L, 20).as("b"),
+        col("label").as("sl")),
+      "b", "sl").count())
+    time("hhi_6M")(graft.operators.Drift.hhi(
+      li.select(col("l_returnflag"), round(col("l_extendedprice") * 100, 0)
+        .cast("long").as("m")),
+      Seq("l_returnflag"), "m").count())
+    // seasonal index + Theil-Sen + Kendall at series grain: the fact scan
+    // pays once at the daily rollup; pair joins are quadratic in SERIES
+    // length (weekly grain ≈ 350 points → 61k pairs × 30 series)
+    val weekly = li.groupBy(col("l_returnflag").as("k"), col("_rep"),
+        (floor(unix_timestamp(col("l_shipdate")) / lit(604800L)).cast("long")).as("t"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("v"),
+        count(lit(1)).as("c"))
+    time("seasonal_6M")(graft.operators.TimeSeries.seasonalIndex(
+      weekly.select(col("k"), col("_rep"), pmod(col("t"), lit(52L)).as("season"), col("v")),
+      Seq("k", "_rep"), "season", "v").count())
+    time("theil_sen_30_series")(graft.operators.TimeSeries
+      .theilSenSlope(weekly, Seq("k", "_rep"), "t", "v").count())
+    time("kendall_30_series")(graft.operators.RankStats
+      .kendallTauByGroup(weekly, Seq("k", "_rep"), "t", "c", "v").count())
+    // novelty + HITS + compaction over the 10x corpus / co-purchase graph
+    time("novelty_50k_docs")(graft.text.Vocab
+      .noveltyRatios(docs, "doc_id", "text", 3).count())
+    time("hits_copurchase")(graft.operators.Hits
+      .hitsCounts(coEdges, "a", "b").count())
+    time("compaction_50k_files")(graft.load.Compaction
+      .plan(docs.withColumn("_p", concat_ws(":", col("lang"), col("_rep"))),
+        Seq("_p"), "doc_id", "n_chars", 65536L).count())
     spark.stop()
   }
 }

@@ -114,4 +114,42 @@ object Eval {
       .select(col(queryCol), col("n_rel"), col("hits"), col("first_rel_rank"),
         col("mrr"), col("p_at_k"), col("ap"))
   }
+
+  /** Probability-calibration bins + per-bin Brier contribution: given a
+    * bucketed score (`bucketCol` — any deterministic bucketing; deciles
+    * via [[graft.operators.GlobalRank.ntile]] at scale), a predicted
+    * probability in exact integer MICRO units (`pMicroCol` ∈ [0, 10⁶]) and
+    * a binary label, returns per bucket:
+    * (bucket, n, n_pos, mean_p_micro, frac_pos, brier_micro) where
+    * `mean_p_micro = Σp div n` (exact), `frac_pos` is one IEEE division of
+    * exact counts, and `brier_micro = Σ(p − 10⁶·y)² div (10⁶·n)` — the
+    * bucket's mean squared error in micro units, exact integer end-to-end.
+    * Reliability reads as mean_p_micro vs frac_pos per bucket; ECE/Brier
+    * totals are weighted sums the caller takes over the bins.
+    *
+    * Scale shape: one map-side-combined grouped aggregate keyed by bucket;
+    * |buckets| output rows. Scan-dominated.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      bucketCol: String,
+      pMicroCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = col(pMicroCol).cast("long")
+    val y1m = when(col(labelCol) =!= 0, 1000000L).otherwise(0L)
+    df.groupBy(col(bucketCol).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(p.cast(dec)).as("_sp"),
+        sum(((p - y1m) * (p - y1m)).cast(dec)).as("_sq"))
+      .select(
+        col("bucket"), col("n"), col("n_pos"),
+        // `div`, not `/`: decimal `/` rounds at a derived scale before the
+        // cast — integral divide is the exact floor both engines agree on
+        expr("_sp div n").as("mean_p_micro"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        expr("_sq div (cast(n as decimal(38,0)) * 1000000)").as("brier_micro"))
+  }
 }

@@ -194,4 +194,92 @@ object Experiment {
           (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double") * 1e6 + 0.5) / 1e6)
       .select("n_pos", "n_neg", "ks_score", "ks")
   }
+
+  /** Per-key Shannon entropy of a categorical column, in integer
+    * micro-nats — the class-balance audit (is this split all one label?
+    * is this source all one language?). Per (key, category) counts n and
+    * key totals s give H = Σ −(n/s)·ln(n/s); each category's term does its
+    * ONE ln on a ratio of exact integers and pins to micro-nats BEFORE the
+    * sum (the chiSquared order-free-total recipe), so the total is
+    * aggregation-order-independent. Output: (keys…, n_cats, n_rows,
+    * entropy_micro); 0 for single-category keys by construction.
+    *
+    * Scale shape: one fact-pass groupBy to (key, cat) grain, a key-grain
+    * re-aggregation joined back broadcast, one integer reduction.
+    */
+  def entropy(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame = {
+    val cells = df.groupBy(keyCols.map(col) :+ col(catCol).as("_cat"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val totals = cells.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_cats"), sum("_n").as("n_rows"))
+    val p = col("_n").cast("double") / col("n_rows").cast("double")
+    cells.join(broadcast(totals), keyCols)
+      .withColumn("_term_micro",
+        floor(-p * log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(keyCols.map(col) :+ col("n_cats") :+ col("n_rows"): _*)
+      .agg(sum("_term_micro").as("entropy_micro"))
+  }
+
+  /** Mutual information between two categorical columns, in integer
+    * micro-nats: MI = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y)) — the
+    * dependence-strength companion to [[chiSquared]], on the same
+    * one-fact-pass cell/marginal shape. Only observed cells contribute
+    * (lim p→0 of p·ln p = 0, so absent combinations add nothing — unlike
+    * χ², no zero-cell grid is needed). Each cell pins its one ln to
+    * micro-nats before the integer sum. Output: ONE row (n, n_rows,
+    * n_cols, mi_micro).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val rows = cells.groupBy("_x").agg(sum("_nxy").as("_r"))
+    val cols = cells.groupBy("_y").agg(sum("_nxy").as("_c"))
+    val tot = cells.agg(
+      sum("_nxy").as("_n"),
+      countDistinct("_x").as("n_rows"),
+      countDistinct("_y").as("n_cols"))
+    val pxy = col("_nxy").cast("double") / col("_n").cast("double")
+    val ratio = (col("_nxy").cast(dec) * col("_n").cast(dec)).cast("double") /
+      (col("_r").cast(dec) * col("_c").cast(dec)).cast("double")
+    cells
+      .join(broadcast(rows), Seq("_x"))
+      .join(broadcast(cols), Seq("_y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_term_micro",
+        floor(pxy * log(ratio) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("_n").as("n"), col("n_rows"), col("n_cols"))
+      .agg(sum("_term_micro").as("mi_micro"))
+      .select("n", "n_rows", "n_cols", "mi_micro")
+  }
+
+  /** Benjamini-Hochberg FDR adjustment over a hypothesis table:
+    * given (test id, p in exact micro units), ranks the p-values
+    * ascending and reports the step-up adjusted value
+    * `p_adj(i) = min_{j ≥ i} p(j)·m/j` (clamped to 1) — the
+    * multiple-testing correction a metrics platform applies before
+    * flagging "significant" segments. Each candidate `p·m div j` is an
+    * exact integer floor quotient; the suffix min is a window running
+    * min over the ranked table.
+    *
+    * Scale shape: the hypothesis table is TEST grain (thousands of
+    * segments, not fact rows), so one ordered window over it is the
+    * documented bounded-grain pattern (cf. kendallTauByGroup); ties in p
+    * are broken by `idCol` for a total order. Output: (idCol, p_micro,
+    * rank, p_adj_micro).
+    */
+  def bhFdr(df: DataFrame, idCol: String, pMicroCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(idCol), col(pMicroCol).cast("long").as("p_micro"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p_micro"), col(idCol))).cast("long"))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_cand", least(expr("p_micro * _m div rank"), lit(1000000L)))
+    ranked
+      .withColumn("p_adj_micro",
+        min(col("_cand")).over(
+          Window.orderBy(col("rank").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(idCol), col("p_micro"), col("rank"), col("p_adj_micro"))
+  }
 }

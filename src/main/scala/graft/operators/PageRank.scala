@@ -78,4 +78,56 @@ object PageRank {
     }
     r
   }
+
+  /** PERSONALIZED PageRank: same scaled-integer power iteration, but the
+    * (1−d) restart mass teleports to a SOURCE SET instead of everywhere —
+    * "importance as seen from these seeds", the relevance spreader behind
+    * related-item panels and seed-expansion labeling. `sources` is a
+    * one-column (node) frame; restart mass splits equally across it
+    * (r₀ = scale at each source, 0 elsewhere; each iteration adds
+    * 3·scale/20 at sources only). Non-source nodes keep only propagated
+    * mass, so rank decays with seed distance — exactly the locality that
+    * distinguishes PPR from the global walk.
+    *
+    * Scale shape identical to [[ranks]]: per-iteration broadcast of the
+    * node-sized rank table into one edge scan + one map-combined sum; the
+    * source table broadcasts (seed sets are small by use-case).
+    */
+  def personalizedRanks(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val src = sources.select(col(sources.columns.head).as("node"))
+      .distinct().withColumn("_is_src", lit(1L))
+    val seeded = nodes.join(small(src), Seq("node"), "left")
+      .withColumn("_is_src", coalesce(col("_is_src"), lit(0L)))
+      .persist()
+    var r = seeded.select(col("node"), (col("_is_src") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
+        .join(small(deg), "src")
+        .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
+        .groupBy("node")
+        .agg(sum("_c").as("_in"))
+      r = seeded
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (col("_is_src") * lit(3L * (scale / 20)) +
+            expr(s"(17 * coalesce(_in, 0L)) div 20")).as("rank"))
+    }
+    r
+  }
 }

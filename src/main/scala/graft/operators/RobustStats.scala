@@ -159,4 +159,66 @@ object RobustStats {
           (folds - 1).toDouble) / (folds.toDouble * folds.toDouble)))
       .select("n", "sum_units", "mean_micro", "se_micro")
   }
+
+  /** Exact symmetric trimmed mean: drop the lowest and highest
+    * ⌊n·trimNum/trimDen⌋ values, average the middle exactly — the robust
+    * center when a median is too coarse and a mean too fragile (latency
+    * SLO reporting, payout averages). `tieCols` must totalize the order
+    * (same contract as [[weightedMedian]]).
+    *
+    * Scale shape: one [[GlobalRank.withRowNumber]] range-partitioned
+    * stamp + a scan-speed rank filter + one exact decimal sum — never a
+    * single-partition ORDER BY window. Output: ONE row (n, n_trimmed,
+    * trimmed_mean_micro = Σkept·10⁶ div kept-count).
+    */
+  def trimmedMean(
+      df: DataFrame,
+      valueCol: String,
+      tieCols: Seq[String],
+      trimNum: Int,
+      trimDen: Int): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      s"trim fraction $trimNum/$trimDen must be in [0, 1/2)")
+    val dec = "decimal(38,0)"
+    val slim = df.select(col(valueCol).cast("long").as("_v") +: tieCols.map(col): _*)
+    GlobalRank.withRowNumber(slim, "_v" +: tieCols, "_rn", "_n")
+      .withColumn("_k", expr(s"(_n * $trimNum) div $trimDen"))
+      .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      .agg(
+        max("_n").as("n"),
+        max("_k").as("_kk"),
+        count(lit(1)).as("_kept"),
+        sum(col("_v").cast(dec)).as("_s"))
+      .select(
+        col("n"),
+        (lit(2L) * col("_kk")).as("n_trimmed"),
+        expr("(_s * 1000000) div _kept").as("trimmed_mean_micro"))
+  }
+
+  /** Weighted lower quantile at pNum/pDen: the smallest value whose
+    * INCLUSIVE cumulative weight reaches ⌈W·pNum/pDen⌉ — the
+    * generalization of [[weightedMedian]] (pNum/pDen = 1/2) to tail
+    * quantiles over unequal-mass rows (p95 of latency weighted by request
+    * count). Same running-total shape and `tieCols` contract.
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      tieCols: Seq[String],
+      pNum: Long,
+      pDen: Long): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum <= pDen,
+      s"quantile $pNum/$pDen must be in (0, 1]")
+    val slim = df.select(
+      (col(valueCol).as("_v") +: tieCols.map(col)) :+
+        col(weightCol).cast("long").as("_w"): _*)
+    val total = Option(slim.agg(sum(col("_w"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(total > 0, "weightedQuantile needs positive total weight")
+    val target = (total * pNum + pDen - 1L) / pDen // ceil(W·p)
+    GlobalRank.withRunningTotal(slim, "_v" +: tieCols, "_w", "_cum")
+      .filter(col("_cum") + col("_w") >= target && col("_w") > 0)
+      .agg(min(col("_v")).as("weighted_quantile"))
+  }
 }

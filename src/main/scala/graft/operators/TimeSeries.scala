@@ -329,4 +329,87 @@ object TimeSeries {
             (col("_n").cast("double") * col("_n").cast("double")) * 1e6 + 0.5)
             .cast("long").as("shift_norm_micro")): _*)
   }
+
+  /** Multiplicative seasonal index per (key, season): the season's mean
+    * value relative to the key's overall mean —
+    * `idx = mean(season) / mean(all)` — the day-of-week / month-of-year
+    * profile behind seasonally-adjusted anomaly thresholds. Both means are
+    * ratios of exact long sums, and the index is emitted as the exact
+    * integer floor quotient `(s_season · n_all · 10⁶) div (n_season ·
+    * s_all)` — no fp at all.
+    *
+    * Scale shape: one grouped aggregate at (key, season) grain + a per-key
+    * rollup broadcast back — two shuffles of tiny frames, scan-dominated.
+    */
+  def seasonalIndex(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seasonCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val bySeason = df.groupBy(keyCols.map(col) :+ col(seasonCol).as("season"): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("s"))
+    val byKey = bySeason.groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("_na"), sum("s").as("_sa"))
+    bySeason.join(broadcast(byKey), keyCols)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("season"), col("n"), col("s"),
+          // `div`, not `/`: decimal `/` rounds at a derived scale — the
+          // integral divide is the exact floor both engines agree on
+          when(col("_na") > 0 && col("_sa") =!= 0,
+            expr(s"(cast(s as $dec) * cast(_na as $dec) * 1000000) " +
+              s"div (cast(n as $dec) * cast(_sa as $dec))"))
+            .as("idx_micro")): _*)
+  }
+
+  /** Theil-Sen slope per key: the MEDIAN of all pairwise slopes
+    * `(vⱼ−vᵢ)/(tⱼ−tᵢ)` over a series — the robust trend estimate a single
+    * outlier month can't bend (OLS breaks at one bad point; Theil-Sen
+    * tolerates 29%). Input must be at series grain (one row per (key, t),
+    * integer t and v); pairs are quadratic in SERIES length, never corpus
+    * size — the same bounded-group contract as the library's other pair
+    * operators.
+    *
+    * Determinism: each slope is pinned once to integer micro-units via a
+    * floor division with a POSITIVE-offset numerator
+    * (`(Δv·10⁶ + B·Δt) div Δt − B`, Δt > 0) so floor-vs-truncate division
+    * semantics can never disagree across engines on negative slopes; the
+    * median over slopes is the exact lower-mid/upper-mid average (the q124
+    * recipe, in-group window — group grain, bounded).
+    */
+  def theilSenSlope(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "theilSenSlope needs at least one key column")
+    val offset = 1000000000000L // shifts every numerator positive: |Δv·1e6| ≪ B·Δt
+    val l = df.select(
+      keyCols.map(col) ++ Seq(
+        col(tCol).cast("long").as("_t1"), col(valueCol).cast("long").as("_v1")): _*)
+    val r = df.select(
+      keyCols.map(c => col(c).as(s"_r_$c")) ++ Seq(
+        col(tCol).cast("long").as("_t2"), col(valueCol).cast("long").as("_v2")): _*)
+    val exact = l.join(
+        r,
+        keyCols.map(c => col(c) === col(s"_r_$c")).reduce(_ && _) &&
+          col("_t1") < col("_t2"))
+      .withColumn("_num",
+        (col("_v2") - col("_v1")) * lit(1000000L) + lit(offset) * (col("_t2") - col("_t1")))
+      .withColumn("_slope", expr("_num div (_t2 - _t1)") - lit(offset))
+      .select(keyCols.map(col) :+ col("_slope"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val ranked = exact
+      .withColumn("_rn",
+        row_number().over(w.orderBy(col("_slope"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(w))
+    ranked
+      .filter(col("_rn") === expr("(_n + 1) div 2") || col("_rn") === expr("(_n + 2) div 2"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        min("_n").cast("long").as("n_pairs"),
+        avg(col("_slope")).as("slope_micro"))
+  }
 }

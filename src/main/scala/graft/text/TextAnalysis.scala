@@ -27,6 +27,18 @@ object TextAnalysis {
   /** Whitespace-split token count (the cheap estimator). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Flesch-style readability ingredients from regex counts shared
+    * verbatim with the SQL oracle: words = `[a-z0-9]+` runs, sentences =
+    * `[.!?]+` terminator runs (min 1 for non-empty text), syllable proxy =
+    * `[aeiouy]+` vowel-group runs. All three are exact integers; the score
+    * `206.835 − 1.015·W/S − 84.6·V/W` is the caller's one pinned double.
+    */
+  def wordCount(c: Column): Column = size(tokens(c))
+  def sentenceCount(c: Column): Column =
+    greatest(regexp_count(coalesce(c, lit("")), lit("[.!?]+")), lit(1))
+  def vowelGroupCount(c: Column): Column =
+    regexp_count(lower(coalesce(c, lit(""))), lit("[aeiouy]+"))
+
   /** BPE-ish subword count estimate: alphanumeric runs + standalone
     * punctuation marks each count as one token (a common pre-tokenizer
     * approximation when no vocab is available).

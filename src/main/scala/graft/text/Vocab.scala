@@ -116,6 +116,42 @@ object Vocab {
           .otherwise(col("n_oov") * lit(1.0) / col("n_tokens")).as("oov_ratio"))
   }
 
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * in `idCol` order: the share of the document's distinct n-grams whose
+    * FIRST corpus occurrence (min doc id) is this document — the
+    * "how much of this is new text?" curation signal that separates fresh
+    * content from boilerplate recombination. Returns (idCol, n_grams,
+    * n_novel, novelty_micro) with `novelty_micro = n_novel·10⁶ div
+    * n_grams` (exact integer; 0 for gram-less docs).
+    *
+    * Scale shape: one explode → per-doc-distinct pass, one grouped min to
+    * get each gram's first document, one join back keyed on the gram —
+    * all shuffles keyed by gram/doc, map-side combined; no windows, no
+    * collect. The gram key follows Heaps' law (≪ token count), so the
+    * first-occurrence table stays small relative to the corpus.
+    */
+  def noveltyRatios(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        array_join(slice(t, i, lit(n)), " ")))
+    val dg = df.select(col(idCol).as("_id"), explode(grams).as("gram")).distinct()
+    val first = dg.groupBy("gram").agg(min("_id").as("_first"))
+    val per = dg.join(first, Seq("gram"))
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col("_id"), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(per, col(idCol) === col("_id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("n_novel * 1000000 div n_grams")).otherwise(0L).as("novelty_micro"))
+  }
+
   /** (gram, n) word n-gram frequencies (n-gram = space-joined token run —
     * same shape as [[graft.dedup.MinHashLsh.shingles]], but counted, not
     * hashed).
