@@ -252,6 +252,41 @@ object Experiment {
       .select("n", "n_rows", "n_cols", "mi_micro")
   }
 
+  /** Two-proportion z-test per stratum: conversion-rate lift between a
+    * binary variant's arms, with the pooled-variance z — the categorical
+    * sibling of [[RobustStats.welchT]]. Input at unit grain with
+    * `variantCol` ∈ {0, 1} and `convCol` ∈ {0, 1}; one map-combined
+    * aggregate per stratum. Output: (keys…, n0, n1, conv0, conv1,
+    * p0, p1, z) — p0/p1 one exact-count division each, z the closed-form
+    * `(p1 − p0) / √(p̂(1−p̂)(1/n0 + 1/n1))` over exactly-agreed operands.
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      keyCols: Seq[String],
+      variantCol: String,
+      convCol: String): DataFrame = {
+    val isT = col(variantCol) =!= 0
+    val isC = when(col(convCol) =!= 0, 1L).otherwise(0L)
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(!isT, 1L).otherwise(0L)).as("n0"),
+        sum(when(isT, 1L).otherwise(0L)).as("n1"),
+        sum(when(!isT, isC).otherwise(0L)).as("conv0"),
+        sum(when(isT, isC).otherwise(0L)).as("conv1"))
+    val p0 = col("conv0").cast("double") / col("n0").cast("double")
+    val p1 = col("conv1").cast("double") / col("n1").cast("double")
+    val pPool = (col("conv0") + col("conv1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n0"), col("n1"), col("conv0"), col("conv1"),
+        when(col("n0") > 0, p0).as("p0"),
+        when(col("n1") > 0, p1).as("p1"),
+        when(col("n0") > 0 && col("n1") > 0 && se > 0, (p1 - p0) / se).as("z")): _*)
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a hypothesis table:
     * given (test id, p in exact micro units), ranks the p-values
     * ascending and reports the step-up adjusted value

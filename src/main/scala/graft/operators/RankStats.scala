@@ -104,6 +104,51 @@ object RankStats {
             (u - n1 * n0 / lit(2.0)) / sqrt(sigma2)).as("z")
         })
 
+  /** Per-GROUP ROC AUC (the per-language / per-segment model eval):
+    * same mid-rank Mann-Whitney estimator as [[aucFromScores]], with the
+    * tie table and its cumulative built per group — the tie aggregation
+    * is one grouped count keyed (group, score) and the exclusive prefix
+    * sum is a window PARTITIONED by the group (groups are the unit of
+    * parallelism — the legitimate window use; a single giant group should
+    * use the global [[aucFromScores]] instead). Returns (keys…, n_pos,
+    * n_neg, auc).
+    */
+  def aucByGroup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "aucByGroup needs grouping keys (global: aucFromScores)")
+    val keys = keyCols.map(col)
+    val byScore = df
+      .groupBy(keys :+ col(scoreCol).cast("long").as("_s"): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tied = byScore
+      .withColumn("_cb", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("_r2", lit(2L) * col("_cb") + col("_n") + lit(1L))
+    tied
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("_np")).as("_npos"),
+        sum(col("_n") - col("_np")).as("_nneg"),
+        sum((col("_np") * col("_r2")).cast(dec)).as("_rs2"))
+      .select(
+        keys ++ Seq(
+          col("_npos").cast("long").as("n_pos"),
+          col("_nneg").cast("long").as("n_neg"),
+          when(col("_npos") > 0 && col("_nneg") > 0,
+            (col("_rs2") - (col("_npos").cast(dec) * (col("_npos") + 1).cast(dec)))
+              .cast("double") /
+              (lit(2L).cast(dec) * col("_npos").cast(dec) * col("_nneg").cast(dec))
+                .cast("double"))
+            .as("auc")): _*)
+  }
+
   /** Per-group Spearman rank correlation between two integer-valued
     * columns, mid-ranks for ties, computed as Pearson over the DOUBLED
     * average ranks (doubling cancels in the correlation, so ranks stay

@@ -231,7 +231,7 @@ object CurationQueries {
       |kept AS (SELECT doc_id FROM ded
       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
 
-  private val MinhashComponentCtes =
+  private[queries] val MinhashComponentCtes =
     """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |sh3 AS (SELECT doc_id,
       |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])

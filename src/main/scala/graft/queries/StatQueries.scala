@@ -706,5 +706,405 @@ object StatQueries {
           col("idx_micro"),
           expr("(cast(v as decimal(38,0)) * 1000000) div idx_micro").as("v_adj"))
         .orderBy("priority", "dt")
+    },
+
+    // Per-segment ROC AUC (RankStats.aucByGroup): the per-language /
+    // per-segment model readout — tie table keyed (group, score), prefix
+    // sum windowed BY GROUP (groups are the parallelism unit).
+    Q(
+      "q235_group_auc",
+      """WITH hc AS (SELECT DISTINCT o_custkey FROM orders),
+        |u AS (SELECT c_mktsegment AS seg, CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+        |    CASE WHEN hc.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+        |  FROM customer LEFT JOIN hc ON c_custkey = o_custkey),
+        |t AS (SELECT seg, score, CAST(count(*) AS BIGINT) AS tn,
+        |    CAST(sum(label) AS BIGINT) AS np FROM u GROUP BY 1, 2),
+        |w AS (SELECT seg, tn, np,
+        |    CAST(2 * (sum(tn) OVER (PARTITION BY seg ORDER BY score) - tn)
+        |      + tn + 1 AS BIGINT) AS r2
+        |  FROM t),
+        |g AS (SELECT seg, CAST(sum(np) AS HUGEINT) AS n_pos,
+        |    CAST(sum(tn - np) AS HUGEINT) AS n_neg,
+        |    CAST(sum(CAST(np AS HUGEINT) * r2) AS HUGEINT) AS rs2
+        |  FROM w GROUP BY 1)
+        |SELECT seg, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  floor(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS auc
+        |FROM g ORDER BY seg""".stripMargin) { (s, dir) =>
+      val hasOrder = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      val units = Tables.load(s, dir, "customer")
+        .join(hasOrder, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("score"),
+          when(col("o_custkey").isNull, 0).otherwise(1).as("label"))
+      graft.operators.RankStats.aucByGroup(units, Seq("seg"), "score", "label")
+        .select(col("seg"), col("n_pos"), col("n_neg"), pin6(col("auc")).as("auc"))
+        .orderBy("seg")
+    },
+
+    // Two-proportion z per segment (Experiment.twoProportionZ): conversion
+    // lift between the md5-bit variants — the categorical A/B readout,
+    // pooled-variance z over exactly-agreed operands.
+    Q(
+      "q236_two_proportion",
+      """WITH hc AS (SELECT DISTINCT o_custkey FROM orders),
+        |u AS (SELECT c_mktsegment AS seg,
+        |    CAST(CAST('0x' || substr(md5(c_custkey::VARCHAR), 1, 4) AS INT) % 2 AS INT)
+        |      AS variant,
+        |    CASE WHEN hc.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM customer LEFT JOIN hc ON c_custkey = o_custkey),
+        |g AS (SELECT seg,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM u GROUP BY 1)
+        |SELECT seg, n0, n1, conv0, conv1,
+        |  floor(CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p0,
+        |  floor(CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p1,
+        |  floor((CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / sqrt((CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |           * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM g ORDER BY seg""".stripMargin) { (s, dir) =>
+      val hasOrder = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      val units = Tables.load(s, dir, "customer")
+        .join(hasOrder, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_mktsegment").as("seg"),
+          (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 2).as("variant"),
+          when(col("o_custkey").isNull, 0).otherwise(1).as("conv"))
+      graft.operators.Experiment.twoProportionZ(units, Seq("seg"), "variant", "conv")
+        .select(col("seg"), col("n0"), col("n1"), col("conv0"), col("conv1"),
+          pin6(col("p0")).as("p0"), pin6(col("p1")).as("p1"), pin6(col("z")).as("z"))
+        .orderBy("seg")
+    },
+
+    // Dup-cluster audit over the q81 MinHash components: cluster-size
+    // histogram + the projected dedup win (redundant docs / corpus) — the
+    // "how much will dedup save?" readout, riding the shared component
+    // memo so the gate measures the AUDIT, not re-mining.
+    Q(
+      "q237_dup_stats",
+      s"""WITH RECURSIVE ${CurationQueries.MinhashComponentCtes},
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cs FROM comp GROUP BY 1),
+        |h AS (SELECT cs AS clust_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM sz GROUP BY 1),
+        |tt AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs_total,
+        |    CAST(sum(cs - 1) AS BIGINT) AS n_redundant FROM sz)
+        |SELECT clust_size, n_clusters, n_docs_total, n_redundant,
+        |  n_redundant * 1000000 // n_docs_total AS dedup_micro
+        |FROM h, tt ORDER BY clust_size""".stripMargin) { (s, dir) =>
+      val comp = CurationQueries.minhashComponents(s, dir)
+      val sz = comp.groupBy("component").agg(count(lit(1)).as("cs"))
+      val h = sz.groupBy(col("cs").as("clust_size")).agg(count(lit(1)).as("n_clusters"))
+      val tots = sz.agg(sum(col("cs") - 1).as("n_redundant"))
+        .crossJoin(Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_docs_total")))
+      h.crossJoin(broadcast(tots))
+        .select(col("clust_size"), col("n_clusters"), col("n_docs_total"),
+          col("n_redundant"),
+          expr("n_redundant * 1000000 div n_docs_total").as("dedup_micro"))
+        .orderBy("clust_size")
+    },
+
+    // Incremental aggregate maintenance: per-customer (n, spend) state
+    // from the pre-2000 history, a signed delta batch (2000+ inserts,
+    // 1999 5-LOW retro-corrections as deletes) folded in WITHOUT
+    // rescanning history — the materialized-view maintenance pattern; at
+    // 100 TB the state table is keyed storage and only the delta scans.
+    Q(
+      "q238_agg_maintain",
+      """WITH state AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders WHERE year(o_orderdate) < 2000 GROUP BY 1),
+        |delta AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CASE WHEN year(o_orderdate) >= 2000 THEN 1 ELSE -1 END) AS BIGINT)
+        |      AS dn,
+        |    CAST(sum(CASE WHEN year(o_orderdate) >= 2000
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS ds
+        |  FROM orders
+        |  WHERE year(o_orderdate) >= 2000
+        |     OR (year(o_orderdate) = 1999 AND o_orderpriority = '5-LOW')
+        |  GROUP BY 1)
+        |SELECT COALESCE(state.ck, delta.ck) AS ck,
+        |  COALESCE(state.n, 0) + COALESCE(dn, 0) AS n,
+        |  COALESCE(state.spend, 0) + COALESCE(ds, 0) AS spend
+        |FROM state FULL OUTER JOIN delta ON state.ck = delta.ck
+        |WHERE COALESCE(state.n, 0) + COALESCE(dn, 0) > 0
+        |ORDER BY ck""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val state = o.filter(year(col("o_orderdate")) < 2000)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("spend"))
+      val isIns = year(col("o_orderdate")) >= 2000
+      val delta = o
+        .filter(isIns ||
+          (year(col("o_orderdate")) === 1999 && col("o_orderpriority") === "5-LOW"))
+        .groupBy(col("o_custkey").as("_dck"))
+        .agg(
+          sum(when(isIns, 1L).otherwise(-1L)).as("dn"),
+          sum(when(isIns, cents).otherwise(-cents)).as("ds"))
+      state.join(delta, col("ck") === col("_dck"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("_dck")).as("ck"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("spend"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("spend"))
+        .filter(col("n") > 0)
+        .orderBy("ck")
+    },
+
+    // Model lift/gains table by score decile (GlobalRank.ntile on the
+    // DESCENDING score): per-decile response rate, cumulative positive
+    // share (gains), and lift vs the base rate — all exact integer floor
+    // quotients; the 10-row cumulative window is decile grain by
+    // construction.
+    Q(
+      "q239_lift_table",
+      """WITH hc AS (SELECT DISTINCT o_custkey FROM orders),
+        |u AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |    CASE WHEN hc.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+        |  FROM customer LEFT JOIN hc ON c_custkey = o_custkey),
+        |d AS (SELECT CAST(ntile(10) OVER (ORDER BY -x, c_custkey) AS BIGINT) AS decile,
+        |    label FROM u),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+        |      FROM g),
+        |c AS (SELECT decile, n, n_pos,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos FROM g)
+        |SELECT c.decile, c.n, c.n_pos, c.cum_pos,
+        |  CAST(CAST(c.n_pos AS HUGEINT) * 1000000 // c.n AS BIGINT) AS resp_micro,
+        |  CAST(CAST(c.cum_pos AS HUGEINT) * 1000000 // tp AS BIGINT) AS gain_micro,
+        |  CAST(CAST(c.n_pos AS HUGEINT) * tn * 1000000
+        |    // (CAST(c.n AS HUGEINT) * tp) AS BIGINT) AS lift_micro
+        |FROM c, t ORDER BY c.decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hasOrder = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      val units = Tables.load(s, dir, "customer")
+        .join(hasOrder, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          (-round(col("c_acctbal") * 100, 0).cast("long")).as("xneg"),
+          when(col("o_custkey").isNull, 0).otherwise(1).as("label"))
+      val g = graft.operators.GlobalRank
+        .ntile(units, Seq("xneg", "c_custkey"), 10, "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      val t = g.agg(sum("n").as("_tn"), sum("n_pos").as("_tp"))
+      // decile grain: the cumulative window runs over exactly 10 rows
+      val c = g.withColumn("cum_pos",
+        sum("n_pos").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      c.crossJoin(broadcast(t))
+        .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+          expr("(cast(n_pos as decimal(38,0)) * 1000000) div n").as("resp_micro"),
+          expr("(cast(cum_pos as decimal(38,0)) * 1000000) div _tp").as("gain_micro"),
+          expr("(cast(n_pos as decimal(38,0)) * _tn * 1000000) div " +
+            "(cast(n as decimal(38,0)) * _tp)").as("lift_micro"))
+        .orderBy("decile")
+    },
+
+    // Kaplan-Meier churn curve per segment (Survival.kaplanMeier):
+    // duration = first→last order days, event = churned (last order
+    // before 2001). The product limit is reassociated as a SUM of
+    // per-step ln terms pinned to micro-nats at distinct-time grain —
+    // order-free, engine-exact; exhausted-risk steps drop survival to 0.
+    Q(
+      "q240_kaplan_meier",
+      """WITH fl AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |            FROM orders GROUP BY 1),
+        |u AS (SELECT c_mktsegment AS seg,
+        |    CAST(date_diff('day', fl.f, fl.l) AS BIGINT) AS t0,
+        |    CASE WHEN fl.l < TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END AS ev
+        |  FROM fl JOIN customer ON o_custkey = c_custkey),
+        |bt AS (SELECT seg, t0 AS t, CAST(sum(ev) AS BIGINT) AS n_event,
+        |    CAST(sum(1 - ev) AS BIGINT) AS n_censor FROM u GROUP BY 1, 2),
+        |st AS (SELECT seg, t, n_event, n_censor,
+        |    CAST(sum(n_event + n_censor) OVER (PARTITION BY seg) AS BIGINT) AS tot,
+        |    CAST(COALESCE(sum(n_event + n_censor) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gb
+        |  FROM bt),
+        |sp AS (SELECT seg, t, n_event, n_censor, tot - gb AS n_risk,
+        |    CASE WHEN n_event = 0 THEN 0
+        |         WHEN n_event < tot - gb THEN
+        |           CAST(floor(ln(CAST(tot - gb - n_event AS DOUBLE)
+        |             / CAST(tot - gb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE NULL END AS step
+        |  FROM st),
+        |fin AS (SELECT seg, t, n_risk, n_event, n_censor,
+        |    max(CASE WHEN step IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY seg
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    CAST(sum(COALESCE(step, 0)) OVER (PARTITION BY seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sp)
+        |SELECT seg, t, n_risk, n_event, n_censor,
+        |  CASE WHEN dead = 1 THEN 0 ELSE
+        |    CAST(floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS surv_micro
+        |FROM fin ORDER BY seg, t""".stripMargin) { (s, dir) =>
+      val fl = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("_f"), max(col("o_orderdate")).as("_l"))
+      val units = Tables.load(s, dir, "customer")
+        .join(fl, col("c_custkey") === col("o_custkey"))
+        .select(
+          col("c_mktsegment").as("seg"),
+          datediff(col("_l"), col("_f")).cast("long").as("dur"),
+          when(col("_l") < lit("2001-01-01").cast("timestamp"), 1).otherwise(0).as("ev"))
+      graft.operators.Survival.kaplanMeier(units, Seq("seg"), "dur", "ev")
+        .orderBy("seg", "t")
+    },
+
+    // Cohort LTV curve: first-order-year cohorts, revenue by months since
+    // first order, cumulative per cohort, LTV cents per member as exact
+    // floor quotients — the q154 retention shape with the money dimension.
+    Q(
+      "q241_ltv_curve",
+      """WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1),
+        |sz AS (SELECT CAST(year(fd) AS BIGINT) AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n_customers FROM f GROUP BY 1),
+        |r AS (SELECT CAST(year(f.fd) AS BIGINT) AS cohort,
+        |    CAST((year(o_orderdate) * 12 + month(o_orderdate))
+        |       - (year(f.fd) * 12 + month(f.fd)) AS BIGINT) AS age_m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |c AS (SELECT cohort, age_m, rev,
+        |    CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age_m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+        |  FROM r)
+        |SELECT c.cohort, c.age_m, sz.n_customers, c.rev, c.cum_rev,
+        |  c.cum_rev // sz.n_customers AS ltv_cents
+        |FROM c JOIN sz USING (cohort) ORDER BY c.cohort, c.age_m""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.load(s, dir, "orders")
+        val f = o.groupBy(col("o_custkey").as("_fck"))
+          .agg(min(col("o_orderdate")).as("fd"))
+        val r = o.join(f, col("o_custkey") === col("_fck"))
+          .groupBy(
+            year(col("fd")).cast("long").as("cohort"),
+            ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              - (year(col("fd")) * 12 + month(col("fd")))).cast("long").as("age_m"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+        val sz = f.groupBy(year(col("fd")).cast("long").as("_szc"))
+          .agg(count(lit(1)).as("n_customers"))
+        r.withColumn("cum_rev",
+            sum("rev").over(Window.partitionBy("cohort").orderBy("age_m")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(sz), col("cohort") === col("_szc"))
+          .select(col("cohort"), col("age_m"), col("n_customers"), col("rev"),
+            col("cum_rev"), expr("cum_rev div n_customers").as("ltv_cents"))
+          .orderBy("cohort", "age_m")
+    },
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent prior click (AsOfJoin.lastPriorMatchNative — the custom
+    // merge exec), rolled up by click hour-of-day; unattributed
+    // purchases land in hour −1. The marketing-attribution composite
+    // over the native as-of operator.
+    Q(
+      "q242_attribution",
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        |a AS (SELECT p.event_id, p.cents, c.cts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts)
+        |SELECT CAST(COALESCE(hour(cts), -1) AS BIGINT) AS click_hour,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      graft.operators.AsOfJoin
+        .lastPriorMatchNative(purchases, clicks, Seq("user_id"), "ts", "cts", Seq("cts"))
+        .groupBy(coalesce(hour(col("asof_cts")).cast("long"), lit(-1L)).as("click_hour"))
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+        .orderBy("click_hour")
+    },
+
+    // Referential-integrity audit across the star schema: orphan-FK rates
+    // for lineitem→orders, orders→customer, customer→nation in one
+    // stacked ledger — each relation is a broadcast/keyed anti-join
+    // count, the warehouse-health pre-flight.
+    Q(
+      "q243_fk_audit",
+      """WITH a AS (SELECT 'lineitem.l_orderkey->orders' AS rel,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphan
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT 'orders.o_custkey->customer' AS rel,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphan
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |n AS (SELECT 'customer.c_nationkey->nation' AS rel,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN na.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphan
+        |  FROM customer c LEFT JOIN nation na ON c.c_nationkey = na.n_nationkey)
+        |SELECT rel, n_child, n_orphan, n_orphan * 1000000 // n_child AS orphan_micro
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM n)
+        |ORDER BY rel""".stripMargin) { (s, dir) =>
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.join(parent.select(col(pk)), col(ck) === col(pk), "left")
+          .agg(
+            count(lit(1)).as("n_child"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"),
+            expr("n_orphan * 1000000 div n_child").as("orphan_micro"))
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val cu = Tables.load(s, dir, "customer")
+      val na = Tables.load(s, dir, "nation")
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer", o, "o_custkey", cu, "c_custkey"))
+        .unionByName(audit("customer.c_nationkey->nation", cu, "c_nationkey", na,
+          "n_nationkey"))
+        .orderBy("rel")
+    },
+
+    // Source-freshness audit: per event type, latest event time and its
+    // lag behind the fleet max, stale-flagged past 24 h — the ingestion
+    // monitor every streaming warehouse fronts its SLA with.
+    Q(
+      "q244_freshness",
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    max(ts) AS mx FROM events GROUP BY 1),
+        |g AS (SELECT max(mx) AS gmx FROM m)
+        |SELECT event_type, n,
+        |  strftime(date_trunc('second', mx), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+        |  (epoch_us(gmx) - epoch_us(mx)) // 1000000 AS lag_s,
+        |  CAST((epoch_us(gmx) - epoch_us(mx)) // 1000000 > 86400 AS BOOLEAN) AS stale
+        |FROM m, g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("_mx"))
+      val g = m.agg(max(col("_mx")).as("_gmx"))
+      // microsecond-exact lag: per-side unix_timestamp would truncate each
+      // endpoint independently and disagree with the oracle by a second
+      m.crossJoin(broadcast(g))
+        .select(
+          col("event_type"), col("n"),
+          date_format(date_trunc("second", col("_mx")), "yyyy-MM-dd HH:mm:ss")
+            .as("latest_ts"),
+          expr("(unix_micros(_gmx) - unix_micros(_mx)) div 1000000").as("lag_s"),
+          (expr("(unix_micros(_gmx) - unix_micros(_mx)) div 1000000") > 86400L)
+            .as("stale"))
+        .orderBy("event_type")
     })
 }

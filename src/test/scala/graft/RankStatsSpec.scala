@@ -185,6 +185,42 @@ class RankStatsSpec extends SparkSpec {
     assert(got(3L) == 1000000L)
   }
 
+  test("aucByGroup matches the global aucFromScores applied per group") {
+    for (rows <- samples(scoredGen, 3)) {
+      val tagged = rows.zipWithIndex.map { case ((s, l), i) => (s"g${i % 2}", s, l) }
+      val grouped = RankStats.aucByGroup(tagged.toDF("g", "score", "label"),
+        Seq("g"), "score", "label")
+        .collect().map(r => r.getString(0) -> r).toMap
+      for (g <- Seq("g0", "g1")) {
+        val sub = tagged.filter(_._1 == g).map(t => (t._2, t._3))
+        val want = RankStats.aucFromScores(sub.toDF("score", "label"), "score", "label")
+          .head()
+        val got = grouped(g)
+        assert(got.getLong(1) == want.getLong(0) && got.getLong(2) == want.getLong(1))
+        if (!want.isNullAt(2))
+          assert(math.abs(got.getDouble(3) - want.getDouble(2)) < 1e-12)
+      }
+    }
+  }
+
+  test("twoProportionZ: hand-checked arms and symmetry under arm swap") {
+    // control 100 @ 20%, treatment 100 @ 30%
+    val rows = (1 to 100).map(i => ("s", 0, if (i <= 20) 1 else 0)) ++
+      (1 to 100).map(i => ("s", 1, if (i <= 30) 1 else 0))
+    val out = graft.operators.Experiment
+      .twoProportionZ(rows.toDF("k", "v", "c"), Seq("k"), "v", "c").head()
+    assert(out.getLong(1) == 100L && out.getLong(2) == 100L)
+    assert(out.getLong(3) == 20L && out.getLong(4) == 30L)
+    val p = 50.0 / 200.0
+    val zBrute = (0.30 - 0.20) / math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(out.getDouble(7) - zBrute) < 1e-12)
+    // swapping arms flips the sign exactly
+    val sw = rows.map { case (k, v, c) => (k, 1 - v, c) }
+    val out2 = graft.operators.Experiment
+      .twoProportionZ(sw.toDF("k", "v", "c"), Seq("k"), "v", "c").head()
+    assert(math.abs(out.getDouble(7) + out2.getDouble(7)) < 1e-12)
+  }
+
   test("bhFdr: step-up adjusted p is monotone, clamped at 1, and matches brute force") {
     val ps = Seq(("a", 1000L), ("b", 8000L), ("c", 30000L), ("d", 31000L), ("e", 900000L))
     val out = graft.operators.Experiment.bhFdr(ps.toDF("id", "p"), "id", "p")
@@ -254,6 +290,28 @@ class RankStatsSpec extends SparkSpec {
     assert(r("c") == 722500000000L)
     assert(r("d") == 0L)
     assert(r("x") == 0L && r("y") == 0L) // no path from the seed
+  }
+
+  test("kaplanMeier matches the hand-computed product-limit curve with censoring") {
+    // k: durations 1(event) 2(censor) 3(event) 3(event) 5(censor)
+    // t=1: n=5 d=1 → S=4/5;  t=2: censor only → S unchanged
+    // t=3: n=3 d=2 → S=4/5·1/3;  t=5: censor → unchanged
+    val rows = Seq(("k", 1L, 1), ("k", 2L, 0), ("k", 3L, 1), ("k", 3L, 1), ("k", 5L, 0))
+    val out = graft.operators.Survival
+      .kaplanMeier(rows.toDF("k", "d", "e"), Seq("k"), "d", "e")
+      .orderBy("t").collect()
+    assert(out.map(_.getLong(1)) === Array(1L, 2L, 3L, 5L))
+    assert(out.map(_.getLong(2)) === Array(5L, 4L, 3L, 1L)) // at-risk
+    def s(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val got = out.map(_.getLong(5))
+    assert(math.abs(got(0) - s(0.8)) <= 1)
+    assert(got(1) == got(0)) // censoring never moves the curve
+    assert(math.abs(got(2) - s(0.8 * (1.0 / 3))) <= 2)
+    assert(got(3) == got(2))
+    // exhausted risk set → exact 0 from that step on
+    val wipe = Seq(("w", 1L, 1), ("w", 1L, 1)).toDF("k", "d", "e")
+    val w = graft.operators.Survival.kaplanMeier(wipe, Seq("k"), "d", "e").head()
+    assert(w.getLong(5) == 0L)
   }
 
   test("compaction plan: next-fit bins are contiguous, sizes add up, bins start at 0") {
