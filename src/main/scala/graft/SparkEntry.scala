@@ -15,7 +15,7 @@ object SparkEntry {
   def allQs: Seq[Q] =
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
-      StatQueries.all
+      StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

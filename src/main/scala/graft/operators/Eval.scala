@@ -152,4 +152,38 @@ object Eval {
         (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
         expr("_sq div (cast(n as decimal(38,0)) * 1000000)").as("brier_micro"))
   }
+
+  /** Cohen's κ between two categorical raters — chance-corrected
+    * agreement, the statistic that separates "the two labelers agree 90%"
+    * from "they'd agree 85% by luck" (rater audit for labeling pipelines;
+    * also heuristic-vs-model filter comparison). Returns one row:
+    * (n, n_agree, po, pe, kappa) with po = observed agreement and pe =
+    * Σ_c margA(c)·margB(c)/n², both exact-count rationals; κ =
+    * (po − pe)/(1 − pe) is the only compound double, pinned by the caller.
+    *
+    * Determinism: per-class marginals are exact longs, the pe numerator
+    * Σ margA·margB is an exact decimal sum, and po/pe/κ are IEEE
+    * operations on those exact integers — bit-identical across engines.
+    * Scale shape: two map-side-combined aggregates (by rater-A class and
+    * by rater-B class) + one agreement count, joined on the class label —
+    * |classes| intermediate rows, then a single-row reduce.
+    */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val margA = df.groupBy(col(raterA).as("clazz")).agg(count(lit(1)).as("_ma"))
+    val margB = df.groupBy(col(raterB).as("clazz")).agg(count(lit(1)).as("_mb"))
+    val peNum = margA.join(margB, Seq("clazz"))
+      .agg(sum(col("_ma").cast(dec) * col("_mb").cast(dec)).as("_pe_num"))
+    val agree = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(raterA) === col(raterB), 1L).otherwise(0L)).as("n_agree"))
+    agree.crossJoin(peNum)
+      .select(
+        col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("_pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

@@ -21,7 +21,7 @@ object ExperimentQueries {
   /** Bigram co-occurrence edges (the q185 graph): distinct undirected
     * word pairs appearing adjacently ≥ 5 times corpus-wide.
     */
-  private val EdgeCte =
+  private[queries] val EdgeCte =
     """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
       |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
