@@ -317,4 +317,73 @@ object Experiment {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(idCol), col("p_micro"), col("rank"), col("p_adj_micro"))
   }
+
+  /** Sample-ratio-mismatch check — the first health gate of every A/B
+    * readout: with uniform expected allocation over the observed variants,
+    * a significant χ² on the ASSIGNMENT COUNTS means the bucketing itself
+    * is broken (bot filtering, redirect loss, racing writes) and every
+    * downstream metric is garbage. Returns one row per variant
+    * (variant, n) plus the experiment-level (chi2, srm) repeated on each —
+    * χ² = Σ (n_i − n/k)²/(n/k) with exact integer counts, one compound
+    * double the caller pins; `srm` flags χ² above the 0.001 critical value
+    * for k−1 df (k ≤ 4 supported — SRM uses a TIGHT alpha because a true
+    * mismatch produces astronomical χ², Fabijan et al. 2019).
+    */
+  def srmCheck(df: DataFrame, variantCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byV = df.groupBy(col(variantCol).as("variant")).agg(count(lit(1)).as("n"))
+    // χ² against uniform expectation folds to ONE division of exact
+    // integers: Σ (n_i − n/k)²/(n/k) = [Σ (k·n_i − n)²] / (k·n) — no
+    // per-term double, no float summation order to disagree on
+    val tot = byV.agg(sum(col("n")).as("_tn"), count(lit(1)).as("_k"))
+    val joined = byV.crossJoin(tot)
+    val devSq = (col("_k").cast(dec) * col("n").cast(dec) - col("_tn").cast(dec))
+    val chi2 = joined
+      .groupBy("_k", "_tn")
+      .agg(sum(devSq * devSq).as("_num"))
+      .select(col("_k"), col("_tn"),
+        (col("_num").cast("double") /
+          (col("_k").cast("double") * col("_tn").cast("double"))).as("chi2"))
+    // chi-square 0.001 critical values for df = 1..3 (k ≤ 4)
+    byV.crossJoin(chi2).select(
+      col("variant"), col("n"), col("chi2"),
+      (col("chi2") > when(col("_k") <= 2, 10.828)
+        .when(col("_k") === 3, 13.816)
+        .otherwise(16.266)).as("srm"))
+  }
+
+  /** Minimum detectable effect for a binary conversion metric at
+    * α = 0.05 (two-sided), power = 0.80: one row per variant pair is
+    * overkill — returns ONE row (n_a, n_b, conv_a, conv_b, p_pooled,
+    * mde_abs, mde_rel) where mde_abs = (z_{α/2}+z_β)·√(2p(1−p)/n_min),
+    * the planning number read BEFORE the experiment: "with this traffic,
+    * the smallest lift we could even see is X%". Counts are exact longs;
+    * p_pooled is one IEEE division; mde_* are closed-form doubles the
+    * caller pins. One grouped aggregate + single-row reduce.
+    *
+    * `variantCol` must take exactly two values (checked); `convCol` is
+    * 0/1 per unit.
+    */
+  def mdeBinomial(df: DataFrame, variantCol: String, convCol: String): DataFrame = {
+    val zSum = 1.959964 + 0.841621 // z_{0.025} + z_{0.20}, fixed constants
+    val byV = df.groupBy(col(variantCol).as("_v"))
+      .agg(count(lit(1)).as("_n"), sum(col(convCol).cast("long")).as("_c"))
+      .orderBy("_v")
+    val two = byV.agg(
+      count(lit(1)).as("_k"),
+      min(struct(col("_v"), col("_n"), col("_c"))).as("_a"),
+      max(struct(col("_v"), col("_n"), col("_c"))).as("_b"))
+    val p = (col("_a._c") + col("_b._c")).cast("double") /
+      (col("_a._n") + col("_b._n")).cast("double")
+    val nMin = least(col("_a._n"), col("_b._n")).cast("double")
+    val mdeAbs = lit(zSum) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nMin)
+    two.select(
+      when(col("_k") === 2, col("_a._n")).as("n_a"), // null out malformed input loudly
+      col("_b._n").as("n_b"),
+      col("_a._c").as("conv_a"),
+      col("_b._c").as("conv_b"),
+      p.as("p_pooled"),
+      mdeAbs.as("mde_abs"),
+      when(p > 0, mdeAbs / p).as("mde_rel"))
+  }
 }

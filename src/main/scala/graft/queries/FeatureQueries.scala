@@ -107,5 +107,225 @@ object FeatureQueries {
       graft.operators.Bootstrap.meanSe(v, "id", "v", b = 16)
         .select(col("n"), col("mean_micro"), col("n_resamples"),
           pin6(col("se_micro")).as("se_micro"))
+    },
+
+    // Good-Turing frequency-of-frequencies over TRIGRAM types
+    // (Vocab.frequencyOfFrequenciesIn ∘ ngramCounts): n_r = types
+    // occurring exactly r times, with the Turing-adjusted count
+    // (r+1)·n_{r+1}/n_r — the table Katz/KN smoothing starts from and
+    // the unseen-mass (n_1/N) corpus-health signal. Trigrams, because
+    // the generator's unigram vocabulary has no low-frequency tail at
+    // all (every word occurs thousands of times — itself a corpus-health
+    // finding this table makes visible). Exact counts; one IEEE division
+    // per row.
+    Q(
+      "q250_good_turing",
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |             FROM documents),
+        |c AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram,
+        |        CAST(count(*) AS BIGINT) AS tf
+        |      FROM tok, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        |      GROUP BY 1),
+        |ff AS (SELECT tf AS r, CAST(count(*) AS BIGINT) AS n_r FROM c
+        |       WHERE tf <= 11 GROUP BY 1)
+        |SELECT f.r, f.n_r,
+        |  CASE WHEN nx.n_r IS NOT NULL AND f.n_r > 0
+        |    THEN CAST((f.r + 1) * nx.n_r AS DOUBLE) / CAST(f.n_r AS DOUBLE) END AS gt_r
+        |FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1
+        |WHERE f.r <= 10 ORDER BY f.r""".stripMargin) { (s, dir) =>
+      graft.text.Vocab
+        .frequencyOfFrequenciesIn(
+          graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 3),
+          "n", maxR = 10)
+        .orderBy("r")
+    },
+
+    // Heaps'-law vocabulary-growth curve (Vocab.vocabGrowth): cumulative
+    // tokens vs cumulative distinct types across ten doc-id deciles — the
+    // diminishing-returns audit ("is more crawl still buying vocabulary?").
+    // First appearance = min(bucket) per type, so no per-prefix distinct
+    // pass; exact integers end-to-end; the only window is 10 rows wide.
+    Q(
+      "q251_heaps_law",
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |tok AS (SELECT least((doc_id * 10) // n, 9) AS bk,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents, nd),
+        |nt AS (SELECT bk, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+        |fb AS (SELECT bk, CAST(count(*) AS BIGINT) AS nv
+        |  FROM (SELECT token, min(bk) AS bk FROM tok GROUP BY token) GROUP BY 1)
+        |SELECT g.i AS bucket,
+        |  CAST(sum(coalesce(nt.nt, 0)) OVER (ORDER BY g.i) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(fb.nv, 0)) OVER (ORDER BY g.i) AS BIGINT) AS cum_vocab
+        |FROM generate_series(0, 9) AS g(i)
+        |LEFT JOIN nt ON nt.bk = g.i LEFT JOIN fb ON fb.bk = g.i
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      graft.text.Vocab
+        .vocabGrowth(Tables.load(s, dir, "documents"), "doc_id", "text", buckets = 10)
+        .orderBy("bucket")
+    },
+
+    // Zipf-law OLS fit over the top-1000 tokens (Vocab.zipfFit): slope of
+    // ln f on ln rank ≈ −1 for natural text; flat slopes flag templated/
+    // synthetic corpora. Each ln pinned ONCE to micro-units (q182 rule),
+    // normal equations in exact decimals, slope/intercept pinned at 6 dp.
+    Q(
+      "q252_zipf_slope",
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |top AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rk FROM c
+        |        QUALIFY rk <= 1000),
+        |p AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |             CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |      FROM top),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx FROM p)
+        |SELECT n AS n_terms,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor((CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS intercept_unats
+        |FROM g""".stripMargin) { (s, dir) =>
+      graft.text.Vocab.zipfFit(Tables.load(s, dir, "documents"), "text", topK = 1000)
+        .select(col("n_terms"), pin6(col("slope")).as("slope"),
+          pin6(col("intercept_unats")).as("intercept_unats"))
+    },
+
+    // Hashing-trick featurization audit (Vocab.hashedFeatures at 64 dims):
+    // signed md5 feature hashing — the vocabulary-free featurizer — with
+    // per-bucket occupancy stats (docs touching the bucket, signed and
+    // absolute weight mass) as the gate: collisions, sign balance, and
+    // the load factor are exactly reproducible in any engine.
+    Q(
+      "q253_feature_hash",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |             FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(token), 1, 6) AS INT) AS BIGINT) % 64 AS idx,
+        |    CASE WHEN CAST('0x' || substr(md5(token), 7, 1) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM tok),
+        |w AS (SELECT doc_id, idx, CAST(sum(sg) AS BIGINT) AS weight FROM f GROUP BY 1, 2)
+        |SELECT idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(weight) AS BIGINT) AS sum_weight,
+        |  CAST(sum(abs(weight)) AS BIGINT) AS sum_abs_weight
+        |FROM w GROUP BY idx ORDER BY idx""".stripMargin) { (s, dir) =>
+      graft.text.Vocab
+        .hashedFeatures(Tables.load(s, dir, "documents"), "doc_id", "text", dims = 64)
+        .groupBy("idx")
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("sum_weight"),
+          sum(abs(col("weight"))).as("sum_abs_weight"))
+        .orderBy("idx")
+    },
+
+    // Per-dimension embedding feature stats (Similarity.embeddingDimStats):
+    // the normalization table (mean/std/min/max per dim, integer
+    // micro-units) a training pipeline computes before standardizing and
+    // re-computes per drop as a drift probe. Elements pinned once, exact
+    // decimal moments, std is the one closed-form sqrt — pinned at 6 dp.
+    Q(
+      "q254_embed_dim_stats",
+      """WITH e AS (SELECT g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS s2,
+        |    CAST(min(vm) AS BIGINT) AS min_micro,
+        |    CAST(max(vm) AS BIGINT) AS max_micro
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, CAST(s // n AS BIGINT) AS mean_micro,
+        |  CASE WHEN n > 1 THEN
+        |    floor(sqrt(CAST(s2 * n - s * s AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS std_micro,
+        |  min_micro, max_micro
+        |FROM g ORDER BY dim""".stripMargin) { (s, dir) =>
+      graft.sim.Similarity
+        .embeddingDimStats(Tables.load(s, dir, "embeddings"), "embedding")
+        .select(col("dim"), col("n"), col("mean_micro"),
+          pin6(col("std_micro")).as("std_micro"), col("min_micro"), col("max_micro"))
+        .orderBy("dim")
+    },
+
+    // Sample-ratio-mismatch health gate (Experiment.srmCheck): χ² on the
+    // md5-bit assignment counts against uniform expectation — folded to
+    // ONE division of exact integers, Σ(k·n_i − n)²/(k·n), compared at
+    // the SRM-tight 0.001 critical value. The "is the bucketing itself
+    // broken?" check that precedes every A/B readout.
+    Q(
+      "q255_srm",
+      """WITH u AS (SELECT CASE WHEN CAST('0x' || substr(md5(c_custkey::VARCHAR), 1, 4)
+        |      AS INT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM customer),
+        |b AS (SELECT variant, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS k FROM b),
+        |c AS (SELECT k, tn,
+        |    CAST(sum(CAST(k * n - tn AS HUGEINT) * (k * n - tn)) AS HUGEINT) AS num
+        |  FROM b, t GROUP BY 1, 2)
+        |SELECT variant, n,
+        |  CAST(num AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(tn AS DOUBLE)) AS chi2,
+        |  CAST(num AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(tn AS DOUBLE))
+        |    > (CASE WHEN k <= 2 THEN 10.828 WHEN k = 3 THEN 13.816 ELSE 16.266 END) AS srm
+        |FROM b, c ORDER BY variant""".stripMargin) { (s, dir) =>
+      val units = Tables.load(s, dir, "customer").select(
+        when(conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 2 === 0, "control").otherwise("treatment").as("variant"))
+      graft.operators.Experiment.srmCheck(units, "variant").orderBy("variant")
+    },
+
+    // Minimum detectable effect for the conversion metric
+    // (Experiment.mdeBinomial): with the md5-bit split and "placed ≥ 1
+    // order" as conversion, the smallest absolute/relative lift this
+    // traffic could resolve at α=0.05, power 0.8 — the planning number
+    // read BEFORE running the experiment. Counts exact; p one division;
+    // MDE the closed-form double, pinned at 6 dp.
+    Q(
+      "q256_mde",
+      """WITH u AS (SELECT
+        |    CASE WHEN CAST('0x' || substr(md5(c_custkey::VARCHAR), 1, 4) AS INT) % 2 = 0
+        |      THEN 'control' ELSE 'treatment' END AS v,
+        |    CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS cv
+        |  FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON c_custkey = o.o_custkey),
+        |b AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(cv) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |g AS (SELECT
+        |    max(CASE WHEN v = 'control' THEN n END) AS n_a,
+        |    max(CASE WHEN v = 'treatment' THEN n END) AS n_b,
+        |    max(CASE WHEN v = 'control' THEN c END) AS conv_a,
+        |    max(CASE WHEN v = 'treatment' THEN c END) AS conv_b FROM b)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pooled,
+        |  floor((1.959964 + 0.841621) * sqrt(2.0
+        |      * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / CAST(least(n_a, n_b) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+        |  CASE WHEN conv_a + conv_b > 0 THEN
+        |    floor((1.959964 + 0.841621) * sqrt(2.0
+        |        * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        / CAST(least(n_a, n_b) AS DOUBLE))
+        |      / (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mde_rel
+        |FROM g""".stripMargin) { (s, dir) =>
+      val ordered = Tables.load(s, dir, "orders").select(col("o_custkey")).distinct()
+      val units = Tables.load(s, dir, "customer")
+        .join(ordered, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          when(conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 2 === 0, "control").otherwise("treatment").as("v"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("cv"))
+      graft.operators.Experiment.mdeBinomial(units, "v", "cv")
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          col("p_pooled"), pin6(col("mde_abs")).as("mde_abs"),
+          pin6(col("mde_rel")).as("mde_rel"))
     })
 }

@@ -478,4 +478,41 @@ object Similarity {
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
   }
+
+  /** Per-dimension feature statistics of an embedding column — the
+    * normalization table (TFDV-style) a training pipeline computes before
+    * standardizing, and the drift probe it re-computes per corpus drop:
+    * (dim, n, mean_micro, std_micro, min_micro, max_micro), all in
+    * integer micro-units of the raw float value.
+    *
+    * Determinism: each element is pinned ONCE to round-half-up micro
+    * units; sums and squared sums are exact decimals over those integers;
+    * the mean is an integral `div`, and the sample std is the single
+    * closed-form sqrt (exact numerator, CUPED recipe) the caller pins.
+    *
+    * Scale shape: posexplode → ONE map-side-combined aggregate keyed by
+    * dim — `dims` output rows regardless of corpus size. The explode
+    * multiplies the scan stream by `dims`, which is the honest cost of
+    * per-dimension stats; no shuffle carries more than partial-agg rows.
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("_v").cast("double") * 1000000.0 + 0.5).cast("long").as("_vm"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_vm").cast(dec)).as("_s"),
+        sum((col("_vm").cast(dec) * col("_vm").cast(dec))).as("_s2"),
+        min(col("_vm")).as("min_micro"),
+        max(col("_vm")).as("max_micro"))
+      .select(
+        col("dim"), col("n"),
+        expr("_s div n").as("mean_micro"),
+        when(col("n") > 1,
+          sqrt(expr("cast(_s2 * n - _s * _s as double)") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")))).as("std_micro"),
+        col("min_micro"), col("max_micro"))
+  }
 }

@@ -423,4 +423,146 @@ object Vocab {
     }
     (merges, states.toSeq)
   }
+
+  /** Good-Turing frequency-of-frequencies: (r, n_r, gt_r) for 1 ≤ r ≤
+    * `maxR`, where n_r = how many vocabulary types occur exactly r times
+    * and gt_r = (r+1)·n_{r+1}/n_r is the Turing-adjusted count (NULL when
+    * n_r or n_{r+1} is 0). The table every smoothing scheme (Katz,
+    * Simple GT, the q209 KN discounts) starts from, and the corpus-health
+    * signal in its own right: n_1/N is the unseen-mass estimate, and a
+    * non-monotone n_r tail flags duplicated boilerplate.
+    *
+    * Determinism: n_r are exact longs; gt_r is ONE IEEE division of exact
+    * integers. Scale shape: token-count aggregate (map-side combined) →
+    * count-of-counts aggregate (≤ maxR + 1 groups survive the filter) →
+    * self-join on r+1; all keyed shuffles of tiny tables after the first.
+    */
+  def frequencyOfFrequencies(df: DataFrame, textCol: String, maxR: Int = 10): DataFrame =
+    frequencyOfFrequenciesIn(termFrequencies(df, textCol), "tf", maxR)
+
+  /** [[frequencyOfFrequencies]] over an arbitrary type-count table —
+    * pass n-gram counts ([[ngramCounts]]) when the unigram vocabulary is
+    * too small to have a low-frequency tail.
+    */
+  def frequencyOfFrequenciesIn(counts: DataFrame, cntCol: String, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"maxR=$maxR must be >= 1")
+    val ff = counts.groupBy(col(cntCol).as("r")).agg(count(lit(1)).as("n_r"))
+      .filter(col("r") <= maxR + 1)
+    val next = ff.select((col("r") - 1).as("r"), col("n_r").as("_n_next"))
+    ff.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .select(
+        col("r"), col("n_r"),
+        when(col("_n_next").isNotNull && col("n_r") > 0,
+          ((col("r") + 1) * col("_n_next")).cast("double") / col("n_r").cast("double"))
+          .as("gt_r"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: split the corpus into `buckets`
+    * doc-id ranges and report, per bucket, the CUMULATIVE token count and
+    * CUMULATIVE distinct-type count up to that bucket's end — the V(N)
+    * curve whose flattening says "more data is mostly repeating itself"
+    * (the diminishing-returns audit run before paying for another crawl).
+    *
+    * A type's first appearance is min(bucket) over its occurrences — so
+    * cumulative vocabulary needs no per-prefix distinct pass: one
+    * aggregate per type, one count per first-bucket, one 10-row running
+    * sum. Exact integers end-to-end. Scale shape: two map-side-combined
+    * aggregates over the token stream + one `buckets`-row window (bounded
+    * by the constant bucket count, not the corpus).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val nDocs = math.max(df.select(count(lit(1))).head().getLong(0), 1L)
+    // integer `div` (not fp /): the bucket boundary must be the same exact
+    // floor in every engine
+    val bucket = least(expr(s"(cast($idCol as bigint) * $buckets) div ${nDocs}L"),
+      lit(buckets - 1L)).cast("long")
+    val tok = df.select(bucket.as("_bk"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tokensPerBucket = tok.groupBy("_bk").agg(count(lit(1)).as("_nt"))
+    val firstBucket = tok.groupBy("token").agg(min(col("_bk")).as("_fb"))
+      .groupBy(col("_fb").as("_bk")).agg(count(lit(1)).as("_nv"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("_bk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine
+      .join(tokensPerBucket, Seq("_bk"), "left")
+      .join(firstBucket, Seq("_bk"), "left")
+      .select(col("_bk").as("bucket"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"),
+        coalesce(col("_nv"), lit(0L)).as("_nv"))
+      .select(col("bucket"),
+        sum(col("_nt")).over(w).as("cum_tokens"),
+        sum(col("_nv")).over(w).as("cum_vocab"))
+  }
+
+  /** Zipf-law fit over the top-`topK` tokens: ONE row (n_terms, slope,
+    * intercept) from an OLS of ln(frequency) on ln(rank) — slope ≈ −1 is
+    * the natural-language signature; a much flatter slope flags synthetic
+    * or templated text (the corpus-forensics check). Ranks order by
+    * (tf DESC, token) — total, so rank assignment is engine-identical.
+    *
+    * Determinism: ln runs ONCE per term and is pinned to integer
+    * micro-units before any summation (the q182 rule); the OLS normal
+    * equations are exact decimal sums of those integers; slope and
+    * intercept are closed-form doubles the caller pins.
+    *
+    * Scale shape: global term count → top-K (rank by count-of-larger via
+    * window over K rows — K is a constant, so the single-partition window
+    * is bounded) → one K-row aggregate.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK=$topK must be >= 2")
+    val dec = "decimal(38,0)"
+    val top = termFrequencies(df, textCol)
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tf").desc, col("token"))
+    val pinned = top
+      .withColumn("_rk", row_number().over(w))
+      .select(
+        floor(log(col("_rk").cast("double")) * 1000000.0 + 0.5).cast("long").as("_x"),
+        floor(log(col("tf").cast("double")) * 1000000.0 + 0.5).cast("long").as("_y"))
+    pinned
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_x").cast(dec) * col("_y").cast(dec))).as("_sxy"),
+        sum((col("_x").cast(dec) * col("_x").cast(dec))).as("_sxx"))
+      .select(
+        col("n_terms"),
+        (expr("cast(n_terms * _sxy - _sx * _sy as double)") /
+          expr("cast(n_terms * _sxx - _sx * _sx as double)")).as("slope"),
+        ((col("_sy").cast("double") -
+          (expr("cast(n_terms * _sxy - _sx * _sy as double)") /
+            expr("cast(n_terms * _sxx - _sx * _sx as double)")) * col("_sx").cast("double")) /
+          col("n_terms").cast("double") / 1000000.0).as("intercept_unats"))
+  }
+
+  /** Hashing-trick featurization: (id, idx, weight) sparse vectors where
+    * idx = md5(token) mod `dims` and weight sums the ± sign drawn from the
+    * next hash nibble (Weinberger et al.'s signed feature hashing — the
+    * sign makes collisions cancel in expectation instead of biasing up).
+    * The fixed-width, vocabulary-free featurizer: no dictionary to build,
+    * ship, or keep consistent across a 100 TB corpus — the feature space
+    * is the hash range itself.
+    *
+    * md5-derived like every recipe here, so any engine reproduces the
+    * exact features. Scale shape: explode → one map-side-combined
+    * aggregate keyed by (id, idx); ≤ dims rows per doc out.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String, dims: Int = 64): DataFrame = {
+    require(dims >= 2, s"dims=$dims must be >= 2")
+    val h = md5(col("token"))
+    val idx = conv(substring(h, 1, 6), 16, 10).cast("long") % dims
+    val sign = when(conv(substring(h, 7, 1), 16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), idx.as("idx"), sign.as("_sg"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(sum(col("_sg")).as("weight"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Experiment
+import graft.sim.Similarity
+import graft.text.Vocab
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics + feature operators: Good-Turing, Heaps, Zipf,
+  * feature hashing, embedding dim stats, SRM, MDE.
+  */
+class FeatureStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frequencyOfFrequencies counts the count-of-counts and adjusts") {
+    // counts: a:3, b:1, c:1, d:2 → n_1=2, n_2=1, n_3=1
+    val df = Seq("a a a b", "c d d").toDF("text")
+    val ff = Vocab.frequencyOfFrequencies(df, "text", maxR = 3)
+      .orderBy("r").as[(Long, Long, Option[Double])].collect()
+    assert(ff.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(ff(0)._3.contains(1.0)) // gt_1 = 2·n_2/n_1 = 2·1/2
+    assert(ff(1)._3.contains(3.0)) // gt_2 = 3·n_3/n_2
+    assert(ff(2)._3.isEmpty) // no n_4 → NULL
+  }
+
+  test("vocabGrowth is cumulative and ends at corpus totals") {
+    val df = Seq((0L, "a b"), (1L, "a c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val g = Vocab.vocabGrowth(df, "doc_id", "text", buckets = 3)
+      .orderBy("bucket").as[(Long, Long, Long)].collect()
+    assert(g.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(g.last._2 == 8L) // all tokens
+    assert(g.last._3 == 4L) // distinct types a b c d
+    assert(g.map(_._2).sameElements(g.map(_._2).sorted)) // monotone
+    assert(g.head._3 == 2L) // doc 0 introduces a, b
+  }
+
+  test("zipfFit recovers a negative slope on rank-decaying counts") {
+    // frequencies 8,4,2,1 → ln f = ln 8 − rank-ish decay, slope < 0
+    val words = Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++ Seq.fill(2)("w3") ++ Seq("w4")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val row = Vocab.zipfFit(df, "text", topK = 4).head()
+    assert(row.getAs[Long]("n_terms") == 4L)
+    assert(row.getAs[Double]("slope") < -0.9)
+  }
+
+  test("hashedFeatures is deterministic with bounded indices") {
+    val df = Seq((1L, "alpha beta gamma alpha")).toDF("id", "text")
+    val f = Vocab.hashedFeatures(df, "id", "text", dims = 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(f.forall(t => t._2 >= 0 && t._2 < 16))
+    // |weight| of the doubled token is 2 somewhere
+    assert(f.map(t => math.abs(t._3)).max == 2L)
+    val again = Vocab.hashedFeatures(df, "id", "text", dims = 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(f.sameElements(again))
+  }
+
+  test("embeddingDimStats per-dim moments are exact") {
+    val df = Seq(
+      Tuple1(Array(1.0f, -0.5f)),
+      Tuple1(Array(3.0f, 0.5f))).toDF("embedding")
+    val s = Similarity.embeddingDimStats(df, "embedding")
+      .orderBy("dim").collect()
+    assert(s(0).getAs[Long]("mean_micro") == 2000000L)
+    assert(s(0).getAs[Long]("min_micro") == 1000000L)
+    assert(s(0).getAs[Long]("max_micro") == 3000000L)
+    assert(s(1).getAs[Long]("mean_micro") == 0L)
+    // std of {1,3} = sqrt(2) → 1414213.56 micro
+    assert(math.abs(s(0).getAs[Double]("std_micro") - math.sqrt(2) * 1e6) < 1.0)
+  }
+
+  test("srmCheck flags a gross imbalance and passes a fair split") {
+    val fair = (1 to 1000).map(i => if (i % 2 == 0) "a" else "b").toDF("v")
+    assert(Experiment.srmCheck(fair, "v").select("srm").head().getBoolean(0) == false)
+    val broken = (Seq.fill(900)("a") ++ Seq.fill(100)("b")).toDF("v")
+    val r = Experiment.srmCheck(broken, "v").orderBy("variant").collect()
+    assert(r.forall(_.getBoolean(3)))
+    // chi2 = (2·900−1000)² + (2·100−1000)² over 2·1000 = (640000+640000)/2000
+    assert(math.abs(r.head.getAs[Double]("chi2") - 640.0) < 1e-9)
+  }
+
+  test("mdeBinomial computes the planning MDE from exact counts") {
+    val df = (1 to 200).map { i =>
+      (if (i <= 100) "control" else "treatment", if (i % 4 == 0) 1L else 0L)
+    }.toDF("v", "cv")
+    val row = Experiment.mdeBinomial(df, "v", "cv").head()
+    assert(row.getAs[Long]("n_a") == 100L && row.getAs[Long]("n_b") == 100L)
+    assert(math.abs(row.getAs[Double]("p_pooled") - 0.25) < 1e-12)
+    val expected = (1.959964 + 0.841621) * math.sqrt(2 * 0.25 * 0.75 / 100.0)
+    assert(math.abs(row.getAs[Double]("mde_abs") - expected) < 1e-9)
+    assert(math.abs(row.getAs[Double]("mde_rel") - expected / 0.25) < 1e-9)
+  }
+}
