@@ -412,4 +412,41 @@ object TimeSeries {
         min("_n").cast("long").as("n_pairs"),
         avg(col("_slope")).as("slope_micro"))
   }
+
+  /** Date-spine coverage audit — the backfill planner: against the GLOBAL
+    * [min, max] day span of `dateCol`, report per group how many days are
+    * present, how many are missing, and the first gap — the "which
+    * partitions need backfilling before this table is trustworthy" check
+    * run on every ingest-lagged source. Returns (groups…, n_expected_days,
+    * n_present_days, n_missing_days, first_missing) with `first_missing`
+    * NULL when coverage is complete.
+    *
+    * Scale shape: the spine is ONE sequence() row exploded to span-days
+    * rows and cross-joined against the DISTINCT group table (groups ×
+    * days rows — the audit grain itself, tiny next to the fact table);
+    * presence is a left anti-ish aggregate over the distinct
+    * (group, day) projection of the facts, which map-side-combines before
+    * its shuffle. No windows, no collect.
+    */
+  def dateSpineGaps(df: DataFrame, groupCols: Seq[String], dateCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val span = df.agg(
+      min(col(dateCol).cast("date")).as("_d0"),
+      max(col(dateCol).cast("date")).as("_d1"))
+    val spine = span
+      .select(explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("_day"))
+    val groups = df.select(groupCols.map(col): _*).distinct()
+    val present = df
+      .select(groupCols.map(col) :+ col(dateCol).cast("date").as("_day"): _*)
+      .distinct()
+      .withColumn("_here", lit(1L))
+    groups.crossJoin(spine)
+      .join(present, groupCols :+ "_day", "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_expected_days"),
+        sum(coalesce(col("_here"), lit(0L))).as("n_present_days"),
+        (count(lit(1)) - sum(coalesce(col("_here"), lit(0L)))).as("n_missing_days"),
+        min(when(col("_here").isNull, col("_day"))).as("first_missing"))
+  }
 }

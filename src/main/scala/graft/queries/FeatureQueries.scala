@@ -327,5 +327,78 @@ object FeatureQueries {
         .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
           col("p_pooled"), pin6(col("mde_abs")).as("mde_abs"),
           pin6(col("mde_rel")).as("mde_rel"))
+    },
+
+    // Date-spine coverage audit / backfill planner
+    // (TimeSeries.dateSpineGaps): per order priority, how many days of
+    // the global order-date span have at least one order, how many are
+    // missing, and the first gap — the "which partitions need backfilling"
+    // report. Spine = one exploded sequence(); presence = a distinct
+    // (group, day) aggregate; exact integers + a date-as-string.
+    Q(
+      "q259_backfill_gaps",
+      """WITH sp AS (SELECT unnest(generate_series(
+        |    (SELECT min(o_orderdate) FROM orders),
+        |    (SELECT max(o_orderdate) FROM orders), INTERVAL 1 DAY))::DATE AS d),
+        |g AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+        |pr AS (SELECT DISTINCT o_orderpriority AS priority, o_orderdate AS d FROM orders),
+        |j AS (SELECT g.priority, sp.d, CASE WHEN pr.d IS NULL THEN 0 ELSE 1 END AS here
+        |  FROM g CROSS JOIN sp
+        |  LEFT JOIN pr ON pr.priority = g.priority AND pr.d = sp.d)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_expected_days,
+        |  CAST(sum(here) AS BIGINT) AS n_present_days,
+        |  CAST(count(*) - sum(here) AS BIGINT) AS n_missing_days,
+        |  CAST(min(CASE WHEN here = 0 THEN d END) AS VARCHAR) AS first_missing
+        |FROM j GROUP BY priority ORDER BY priority""".stripMargin) { (s, dir) =>
+      graft.operators.TimeSeries
+        .dateSpineGaps(
+          Tables.load(s, dir, "orders")
+            .select(col("o_orderpriority").as("priority"), col("o_orderdate")),
+          Seq("priority"), "o_orderdate")
+        .select(col("priority"), col("n_expected_days"), col("n_present_days"),
+          col("n_missing_days"), col("first_missing").cast("string").as("first_missing"))
+        .orderBy("priority")
+    },
+
+    // KN-LM perplexity-proxy document scores (NgramLm.documentScores over
+    // the shared q209 bigram counts): every doc's mean bigram surprisal in
+    // integer micro-nats — the CCNet-style "score with a corpus LM, filter
+    // the improbable tail" quality operator. Per-TYPE −ln p_kn pinned once
+    // on the LM table (p_kn pinned 6 dp, floored at 1e-9); doc scores are
+    // exact sums + integral division.
+    Q(
+      "q260_lm_score",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |             FROM documents),
+        |bp AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |cb AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM bp GROUP BY 1, 2),
+        |cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cb GROUP BY 1),
+        |fw AS (SELECT v, CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY 1),
+        |bk AS (SELECT w, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb),
+        |lm AS (SELECT cb.v, cb.w,
+        |    CAST(floor(-ln(greatest(
+        |        floor((CASE WHEN 4 * c_vw - 3 > 0
+        |                 THEN CAST(4 * c_vw - 3 AS DOUBLE) / CAST(4 * c_v AS DOUBLE)
+        |                 ELSE 0.0 END
+        |             + CAST(3 * n1f * n1b AS DOUBLE) / CAST(4 * c_v * t AS DOUBLE))
+        |          * 1000000.0 + 0.5) / 1000000.0,
+        |        1e-9)) * 1000000.0 + 0.5) AS BIGINT) AS unats
+        |  FROM cb JOIN cv USING (v) JOIN fw USING (v) JOIN bk USING (w) CROSS JOIN tt),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(unats) AS BIGINT) AS su
+        |  FROM bp JOIN lm USING (v, w) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(ds.n_bigrams, 0) > 0 THEN su // ds.n_bigrams
+        |    ELSE 0 END AS mean_unats
+        |FROM documents d LEFT JOIN ds USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val sp = split(col("gram"), " ")
+      graft.text.NgramLm.documentScores(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        SharedFrames.bigramCounts(s, dir)
+          .select(sp.getItem(0).as("v"), sp.getItem(1).as("w"), col("n").as("c_vw")))
+        .orderBy("doc_id")
     })
 }

@@ -123,5 +123,101 @@ object GovernanceQueries {
         .groupBy("nat", "seg", "bal")
         .agg(count(lit(1)).as("n"))
         .orderBy("nat", "seg", "bal")
+    },
+
+    // Subject-access-request export manifest (GDPR Art. 15 / CCPA): for a
+    // deterministic subject set (one customer per market segment), the
+    // per-table footprint — order count, date range, lineitem count,
+    // lifetime cents — assembled by broadcast semi-joins against the
+    // subject list, so the scan cost is the fact tables once, regardless
+    // of subject count. The "what do we hold on this person" report as a
+    // query, not an export script.
+    Q(
+      "q257_sar_export",
+      """WITH s AS (SELECT min(c_custkey) AS k FROM customer GROUP BY c_mktsegment),
+        |o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(min(o_orderdate) AS VARCHAR) AS first_order,
+        |    CAST(max(o_orderdate) AS VARCHAR) AS last_order,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders WHERE o_custkey IN (SELECT k FROM s) GROUP BY 1),
+        |li AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_lineitems
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IN (SELECT k FROM s) GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |  coalesce(n_orders, 0) AS n_orders, first_order, last_order,
+        |  coalesce(n_lineitems, 0) AS n_lineitems,
+        |  coalesce(total_cents, 0) AS total_cents
+        |FROM customer JOIN s ON c_custkey = s.k
+        |LEFT JOIN o ON o.k = c_custkey LEFT JOIN li ON li.k = c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val subjects = cust.groupBy("c_mktsegment").agg(min("c_custkey").as("k"))
+        .select("k")
+      val orders = Tables.load(s, dir, "orders")
+        .join(broadcast(subjects), col("o_custkey") === col("k"), "left_semi")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).cast("string").as("first_order"),
+          max(col("o_orderdate")).cast("string").as("last_order"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+      val li = Tables.load(s, dir, "lineitem")
+        .join(
+          Tables.load(s, dir, "orders")
+            .join(broadcast(subjects), col("o_custkey") === col("k"), "left_semi")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_lineitems"))
+      cust.join(broadcast(subjects), col("c_custkey") === col("k"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .join(orders, col("c_custkey") === orders("k"), "left")
+        .drop("k")
+        .join(li, col("c_custkey") === li("k"), "left")
+        .drop("k")
+        .select(col("c_custkey"), col("seg"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("first_order"), col("last_order"),
+          coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+          coalesce(col("total_cents"), lit(0L)).as("total_cents"))
+        .orderBy("c_custkey")
+    },
+
+    // Train/val/test leakage audit (Splits.assignSplit +
+    // TextAnalysis.bagFingerprint): content landing in DIFFERENT splits
+    // of the q65 8/1/1 md5 split — the contamination a random split of an
+    // un-deduplicated corpus ALWAYS has, counted per split pair. The
+    // content key is the order/repetition-robust bag fingerprint (q41),
+    // so shuffled near-copies count as leaks, not just byte-identical
+    // text. Distinct (fingerprint, split) projection → self-join on
+    // fingerprint with split_a < split_b → pair counts; document bodies
+    // never shuffle.
+    Q(
+      "q258_split_leakage",
+      """WITH d AS (SELECT md5(array_to_string(list_sort(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS h,
+        |    CASE WHEN CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS INT)
+        |        AS BIGINT) % 10 < 8 THEN 'train'
+        |      WHEN CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS INT)
+        |        AS BIGINT) % 10 < 9 THEN 'val'
+        |      ELSE 'test' END AS s
+        |  FROM documents),
+        |ds AS (SELECT DISTINCT h, s FROM d),
+        |p AS (SELECT a.s AS split_a, b.s AS split_b FROM ds a
+        |      JOIN ds b ON a.h = b.h AND a.s < b.s)
+        |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_shared_contents
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.load.Splits
+      val d = Tables.load(s, dir, "documents").select(
+        graft.text.TextAnalysis.bagFingerprint(col("text")).as("h"),
+        Splits.assignSplit(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("s"))
+        .distinct()
+      val a = d.select(col("h"), col("s").as("split_a"))
+      val b = d.select(col("h"), col("s").as("split_b"))
+      a.join(b, Seq("h"))
+        .filter(col("split_a") < col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_shared_contents"))
+        .orderBy("split_a", "split_b")
     })
 }

@@ -68,4 +68,54 @@ object NgramLm {
             (lit(4L) * col("c_v") * col("_t")).cast("double"))
       .select("v", "w", "c_vw", "c_v", "p_kn")
   }
+
+  /** Per-document KN-LM surprisal scores: (id, n_bigrams, mean_unats) —
+    * the perplexity-proxy quality filter (CCNet's "score every doc with a
+    * corpus LM, drop the weird tail") with the q182 determinism recipe:
+    * each bigram TYPE's −ln p_kn is pinned ONCE to integer micro-nats on
+    * the Heaps'-sized LM table (p_kn itself pinned to 6 dp first, floored
+    * at 1e-9 so a sub-micro probability can't become ln 0), and document
+    * scores are exact long sums + one integral division. High mean_unats
+    * = the LM finds the doc improbable (mojibake, boilerplate soup, wrong
+    * language); the filter is a WHERE on the output.
+    *
+    * Scale shape: LM = two map-side-combined aggregates of the bigram
+    * TYPE table; scoring joins the per-doc bigram stream against that
+    * table (AQE broadcasts it when small) and reduces per doc — no
+    * window, no collect.
+    */
+  def documentScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      counts: DataFrame): DataFrame = {
+    val pinned = floor(col("p_kn") * 1000000.0 + 0.5) / 1000000.0
+    val lm = kneserNeyFromCounts(counts)
+      .select(col("v"), col("w"),
+        floor(-log(greatest(pinned, lit(1e-9))) * 1000000.0 + 0.5)
+          .cast("long").as("_unats"))
+    val t = TextAnalysis.tokens(col(textCol))
+    val len = greatest(size(t) - 1, lit(0))
+    val bp = df
+      .select(col(idCol), explode(arrays_zip(
+        slice(t, lit(1), len).as("a"), slice(t, lit(2), len).as("b"))).as("_p"))
+      .select(col(idCol), col("_p.a").as("v"), col("_p.b").as("w"))
+    val ds = bp.join(lm, Seq("v", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_unats")).as("_su"))
+    df.select(col(idCol))
+      .join(ds, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0, expr("_su div n_bigrams"))
+          .otherwise(0L).as("mean_unats"))
+  }
+
+  /** [[documentScores]] training the LM on the scored corpus itself. */
+  def documentScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    documentScores(df, idCol, textCol,
+      Vocab.ngramCounts(df, textCol, 2)
+        .select(split(col("gram"), " ").getItem(0).as("v"),
+          split(col("gram"), " ").getItem(1).as("w"),
+          col("n").as("c_vw")))
 }

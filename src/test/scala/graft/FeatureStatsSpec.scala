@@ -78,6 +78,32 @@ class FeatureStatsSpec extends SparkSpec {
     assert(math.abs(r.head.getAs[Double]("chi2") - 640.0) < 1e-9)
   }
 
+  test("documentScores scores rare bigrams as more surprising") {
+    val df = Seq(
+      (0L, "a b a b a b a b"), // all common bigrams
+      (1L, "a b a b x y"), // one rare bigram pair
+      (2L, "z") // no bigrams at all
+    ).toDF("doc_id", "text")
+    val s = graft.text.NgramLm.documentScores(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(s(2) == ((2L, 0L, 0L))) // bigram-less doc scores 0, not null
+    assert(s(0)._2 == 7L && s(1)._2 == 5L)
+    assert(s(1)._3 > s(0)._3) // rare x/y bigrams raise mean surprisal
+  }
+
+  test("dateSpineGaps finds the missing days and the first gap") {
+    val df = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-04"),
+      ("b", "2024-01-01")).toDF("g", "d").select(col("g"), col("d").cast("date").as("d"))
+    val r = graft.operators.TimeSeries.dateSpineGaps(df, Seq("g"), "d")
+      .orderBy("g").collect()
+    assert(r(0).getAs[Long]("n_expected_days") == 4L) // global span 01-01..01-04
+    assert(r(0).getAs[Long]("n_missing_days") == 1L)
+    assert(r(0).getAs[java.sql.Date]("first_missing").toString == "2024-01-03")
+    assert(r(1).getAs[Long]("n_present_days") == 1L)
+    assert(r(1).getAs[java.sql.Date]("first_missing").toString == "2024-01-02")
+  }
+
   test("mdeBinomial computes the planning MDE from exact counts") {
     val df = (1 to 200).map { i =>
       (if (i <= 100) "control" else "treatment", if (i % 4 == 0) 1L else 0L)
