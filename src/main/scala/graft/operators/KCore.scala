@@ -37,7 +37,21 @@ object KCore {
       .select(col("a").as("s"), col("b").as("d"))
       .union(half.select(col("b").as("s"), col("a").as("d")))
       .persist()
-    sym.count() // materialize before the mining plan goes out of scope
+    val n = sym.count() // materialize before the mining plan goes out of scope
+    // size the loop's partitioning to the GRAPH, not the session default:
+    // each peel round is degree-agg + two semi-joins, and on a small graph
+    // 32-partition shuffles make every round pure scheduling overhead
+    // (measured 3x the whole-query time on a 435-edge graph). ~100k edges
+    // per partition keeps one round one task per core at any real size;
+    // the session cap still applies on big graphs.
+    val parts = math.max(1L, math.min(n / 100000L,
+      sym.sparkSession.sessionState.conf.numShufflePartitions.toLong)).toInt
+    if (parts < sym.rdd.getNumPartitions) {
+      val re = sym.repartition(parts, col("s")).persist()
+      re.count()
+      sym.unpersist()
+      sym = re
+    }
     for (_ <- 1 to rounds) {
       val alive = sym.groupBy("s").agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k)

@@ -120,8 +120,15 @@ object TextAnalysis {
     * be quadratic per doc); one shuffle keyed by id.
     */
   def repetitionScores(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // pre-project tokens, then zip shifted slices: bigrams-from-a-lambda
+    // re-evaluates the tokenizer per element (the ngramCounts trap)
+    val len = greatest(size(col("_t")) - 1, lit(0))
     val grams = df
-      .select(col(idCol), explode(bigrams(col(textCol))).as("_g"))
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("_t"), lit(1), len).as("a"),
+        slice(col("_t"), lit(2), len).as("b"))).as("_p"))
+      .select(col(idCol), concat_ws(" ", col("_p.a"), col("_p.b")).as("_g"))
     val perGram = grams.groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
     val scored = perGram.groupBy(col(idCol))
       .agg((max(col("_c")).cast("double") / sum(col("_c"))).as("repetition"))
@@ -295,14 +302,6 @@ object TextAnalysis {
           " ").as("kept_text"),
         size(col("_spans")).cast("long").as("n_spans"),
         size(filter(col("_spans"), s => s.getField("hot"))).cast("long").as("n_dropped"))
-  }
-
-  /** Word bigrams of the shared tokenizer's output (empty when < 2 tokens). */
-  private def bigrams(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1), i =>
-        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — robust to

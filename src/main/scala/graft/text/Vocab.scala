@@ -131,11 +131,16 @@ object Vocab {
     * first-occurrence table stays small relative to the corpus.
     */
   def noveltyRatios(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        array_join(slice(t, i, lit(n)), " ")))
-    val dg = df.select(col(idCol).as("_id"), explode(grams).as("gram")).distinct()
+    // zip-of-slices gram generation (see ngramCounts — the lambda form
+    // re-runs the tokenizer per element)
+    val len = greatest(size(col("_t")) - (n - 1), lit(0))
+    val slices = (0 until n).map(j => slice(col("_t"), lit(1 + j), len).as(s"_g$j"))
+    val dg = df
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(arrays_zip(slices: _*)).as("_z"))
+      .select(col("_id"),
+        concat_ws(" ", (0 until n).map(j => col(s"_z._g$j")): _*).as("gram"))
+      .distinct()
     val first = dg.groupBy("gram").agg(min("_id").as("_first"))
     val per = dg.join(first, Seq("gram"))
       .groupBy(col("_id"))
@@ -157,11 +162,18 @@ object Vocab {
     * hashed).
     */
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        array_join(slice(t, i, lit(n)), " ")))
-    df.select(explode(grams).as("gram"))
+    require(n >= 1, s"n=$n must be >= 1")
+    // zip of n shifted slices, NOT transform(sequence)(…slice…): a lambda
+    // body is interpreted (CodegenFallback) and re-evaluates the token
+    // extraction per ELEMENT — measured ~50x the whole-query time on the
+    // trigram gate; the skipgramPairs scaladoc documents the same trap.
+    // Tokens project once per row, slices shift, arrays_zip aligns.
+    val withT = df.select(TextAnalysis.tokens(col(textCol)).as("_t"))
+    val len = greatest(size(col("_t")) - (n - 1), lit(0))
+    val slices = (0 until n).map(j => slice(col("_t"), lit(1 + j), len).as(s"_g$j"))
+    withT
+      .select(explode(arrays_zip(slices: _*)).as("_z"))
+      .select(concat_ws(" ", (0 until n).map(j => col(s"_z._g$j")): _*).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"))
   }
