@@ -15,7 +15,8 @@ object SparkEntry {
   def allQs: Seq[Q] =
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
-      StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all
+      StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
+      CorpusRuleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

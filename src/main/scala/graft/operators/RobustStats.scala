@@ -221,4 +221,70 @@ object RobustStats {
       .filter(col("_cum") + col("_w") >= target && col("_w") > 0)
       .agg(min(col("_v")).as("weighted_quantile"))
   }
+
+  /** One-way ANOVA across ALL groups of `groupCol` plus the effect size
+    * η² = SSB/SST — the "does the group matter at all" omnibus test that
+    * precedes [[welchT]]'s pairwise drill-down.
+    *
+    * Determinism discipline (the welchT/q201 recipe): values → integer
+    * units via `round(value·scale)`, per-group (n, Σx, Σx²) as exact
+    * decimals, and the between/within sums of squares reduced to exact
+    * integer unit² terms before any floating point:
+    * `ssb_u = Σ_g ⌊sx_g²/n_g⌋ − ⌊SX²/N⌋` — the floor per group (at one
+    * scaled-unit² granularity, relative error ~1e−13 here) is part of the
+    * pinned definition, so the cross-group sum is an exact integer in both
+    * engines regardless of accumulation order, and stays in int64 range
+    * where a micro-unit² scaling would overflow. F and η² are then single
+    * closed-form double divisions.
+    *
+    * Output (one row): `k`, `n`, `df_between` (k−1), `df_within` (n−k),
+    * `ssb_u`, `ssw_u` (exact unit²), `f_stat`, `eta_sq` (doubles —
+    * callers pin to 6 dp).
+    *
+    * Scale: one map-side-combined grouped aggregate over the fact table;
+    * the k-row group table reduces on the driver side of a 1-row agg. No
+    * second scan, no window.
+    */
+  def anovaF(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    val dec = "decimal(38,0)"
+    val v = round(col(valueCol) * scale, 0).cast("long")
+    val g = df.groupBy(col(groupCol).as("_g"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(v.cast(dec)).as("_sx"),
+        sum((v * v).cast(dec)).as("_sxx"))
+    g.agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("_n")).cast("long").as("n"),
+      sum(col("_sx")).cast(dec).as("_SX"),
+      sum(col("_sxx")).cast(dec).as("_SXX"),
+      // Σ_g ⌊sx_g²/n_g⌋: decimal mult is exact and `div` yields the exact
+      // integral quotient as bigint (NOT `/`+floor — decimal `/` rounds to
+      // the result type's 6-digit scale first, which can cross an integer
+      // boundary). All quotients fit int64 up to ~1e6-row groups at cent
+      // precision; beyond that, raise `scale` down, not the unit up.
+      sum(expr("(_sx * _sx) div _n")).cast(dec).as("_SB"))
+      .select(
+        col("k"), col("n"),
+        (col("k") - 1L).as("df_between"),
+        (col("n") - col("k")).as("df_within"),
+        (col("_SB") - expr("(_SX * _SX) div n").cast(dec)).cast(dec).as("_ssb"),
+        (col("_SXX") - col("_SB")).cast(dec).as("_ssw"))
+      .select(
+        col("k"), col("n"), col("df_between"), col("df_within"),
+        col("_ssb").cast("long").as("ssb_u"),
+        col("_ssw").cast("long").as("ssw_u"),
+        when(col("df_between") > 0 && col("df_within") > 0 && col("_ssw") > 0,
+          (col("_ssb").cast("double") / col("df_between").cast("double")) /
+            (col("_ssw").cast("double") / col("df_within").cast("double")))
+          .as("f_stat"),
+        when(col("_ssb") + col("_ssw") > 0,
+          col("_ssb").cast("double") / (col("_ssb") + col("_ssw")).cast("double"))
+          .as("eta_sq"))
+  }
 }

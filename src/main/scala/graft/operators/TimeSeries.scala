@@ -449,4 +449,57 @@ object TimeSeries {
         (count(lit(1)) - sum(coalesce(col("_here"), lit(0L)))).as("n_missing_days"),
         min(when(col("_here").isNull, col("_day"))).as("first_missing"))
   }
+
+  /** Brown's double exponential smoothing (level + trend + h-step forecast)
+    * in the bounded dyadic form of [[dyadicEwma]]: α = 1/2 truncated at 4
+    * lags, applied twice. With s1 = EWMA(y) and s2 = EWMA(s1), Brown's
+    * closed forms are level = 2·s1 − s2, trend = s1 − s2 (α/(1−α) = 1 at
+    * α = 1/2), forecast(h) = level + h·trend — the trend-aware successor to
+    * a plain moving average for capacity planning and ingest-rate
+    * projection.
+    *
+    * Exactness: 15·s1 = 8y₀+4y₁+2y₂+y₃ and 225·s2 = 8·(15s1)₀+…+（15s1)₃
+    * are exact int64 sums of scaled-integer values, so level/trend/forecast
+    * are single double divisions of exact integers by 225·scale —
+    * bit-identical across engines, no recursion, no accumulation order.
+    * Rows without the full 7-lag history (the first 7 per key) emit NULLs:
+    * a partial-window Brown estimate would silently be a different
+    * statistic.
+    *
+    * Scale shape: two window stages over the SAME (keys, order) spec — one
+    * shuffle, the second stage reuses the first's sort; all arithmetic in
+    * whole-stage codegen.
+    */
+  def brownDouble(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      horizon: Int = 1,
+      scale: Int = 100): DataFrame = {
+    require(horizon >= 0, s"horizon=$horizon must be >= 0")
+    require(scale > 0, s"scale=$scale must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val cents = round(col(valueCol) * scale, 0).cast("long")
+    def filt(c: Int => Column): Column = {
+      val t0 = c(0); val t1 = c(1); val t2 = c(2); val t3 = c(3)
+      when(t0.isNotNull && t1.isNotNull && t2.isNotNull && t3.isNotNull,
+        t0 * 8L + t1 * 4L + t2 * 2L + t3)
+    }
+    val withS1 = df.withColumn(
+      "_s1_15", filt(k => if (k == 0) cents else lag(cents, k).over(w)))
+    val withS2 = withS1.withColumn(
+      "_s2_225",
+      filt(k => if (k == 0) col("_s1_15") else lag(col("_s1_15"), k).over(w)))
+    val den = 225.0 * scale
+    withS2
+      .withColumn("level",
+        (col("_s1_15") * 30L - col("_s2_225")).cast("double") / den)
+      .withColumn("trend",
+        (col("_s1_15") * 15L - col("_s2_225")).cast("double") / den)
+      .withColumn("forecast",
+        (col("_s1_15") * (30L + 15L * horizon) -
+          col("_s2_225") * (1L + horizon)).cast("double") / den)
+      .drop("_s1_15", "_s2_225")
+  }
 }

@@ -68,4 +68,37 @@ object Triangles {
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node: `2·tri(v) / (deg(v)·(deg(v)−1))`
+    * — what fraction of a node's neighbor pairs are themselves connected,
+    * the per-node "community tightness" probe (global transitivity is its
+    * degree-weighted mean). Exact integer micro-units
+    * (`2·tri·1e6 div deg·(deg−1)`); degree-1 nodes get 0 by convention.
+    *
+    * Output: `node`, `degree`, `n_triangles`, `coef_micro` — one row per
+    * node of the deduped undirected graph (nodes in no triangle included,
+    * with 0).
+    *
+    * Cost is [[perVertexCounts]] (the oriented wedge join — the minimum any
+    * exact triangle count pays) plus one degree aggregate and a key join.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("degree"))
+    deg.join(perVertexCounts(und), Seq("node"), "left")
+      .select(
+        col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn(
+        "coef_micro",
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("(n_triangles * 2000000L) div (degree * (degree - 1L))")))
+  }
 }

@@ -28,4 +28,46 @@ object ZOrder {
       shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+
+  /** Zone-map effectiveness audit: how well would file-level min/max
+    * statistics on `keyCol` prune a table laid out in `orderCols` order?
+    *
+    * The table is cut into `chunks` equal files-in-spirit (SQL-standard
+    * ntile over the physical order — [[GlobalRank.ntile]], so no
+    * single-partition window), each chunk records its key min/max "zone
+    * map", and each chunk's DEPTH is the number of chunks (itself included)
+    * whose key range overlaps its own — exactly the "average depth of
+    * overlapping files" metric clustering services (e.g. the OPTIMIZE
+    * ZORDER literature) report. Depth 1 everywhere = perfectly clustered
+    * (a point lookup on `keyCol` reads one file); depth ≈ `chunks` = the
+    * layout is useless for skipping on this key.
+    *
+    * Output: one row per chunk — `chunk`, `n_rows`, `min_key`, `max_key`,
+    * `depth`. Callers aggregate avg/max depth as needed.
+    *
+    * Scale shape: the ntile is one range exchange (GlobalRank); the audit
+    * itself aggregates to `chunks` rows and the overlap join is
+    * chunks×chunks driver-trivial work — at a real 100 TB layout audit,
+    * `chunks` is the FILE count (10⁴–10⁵), still a broadcast-sized
+    * self-join.
+    */
+  def skippingDepth(
+      df: org.apache.spark.sql.DataFrame,
+      orderCols: Seq[String],
+      keyCol: String,
+      chunks: Int): org.apache.spark.sql.DataFrame = {
+    require(chunks >= 1, s"chunks=$chunks must be >= 1")
+    val zones = GlobalRank.ntile(df, orderCols, chunks, "_chunk")
+      .groupBy(col("_chunk"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+    val other = zones.select(
+      col("_chunk").as("_c2"), col("min_key").as("_mn2"), col("max_key").as("_mx2"))
+    zones.join(broadcast(other),
+        col("min_key") <= col("_mx2") && col("_mn2") <= col("max_key"))
+      .groupBy(col("_chunk").as("chunk"), col("n_rows"), col("min_key"), col("max_key"))
+      .agg(count(lit(1)).cast("long").as("depth"))
+  }
 }

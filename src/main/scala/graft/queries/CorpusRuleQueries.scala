@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch: rule-based corpus quality (Gopher-style thresholds and
+  * repetition mass), DSIR importance weighting, the one-way ANOVA omnibus,
+  * local clustering coefficients, Brown double exponential smoothing, and
+  * the zone-map skipping-depth layout audit. Determinism rules as
+  * elsewhere: exact integer/decimal reductions, a single pinned double (or
+  * one `ln`/division floored to integer units) at the end.
+  */
+object CorpusRuleQueries {
+
+  private val pin6 = (c: org.apache.spark.sql.Column) =>
+    (floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
+
+  def all: Seq[Q] = Seq(
+
+    // Gopher-style hard quality rules (QualityRules.gopherStats): word
+    // count, mean word length, alphabetic-word fraction, stop-word
+    // presence — all exact integer micro-unit ratios (no doubles), so the
+    // keep decision is bit-identical across engines. One codegen'd
+    // projection per doc, no shuffle.
+    Q(
+      "q261_gopher_rules",
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '') AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS stop_hits
+        |  FROM tok),
+        |m AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE (chars * 1000000) // n_words END
+        |      AS mean_word_len_micro,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE (alpha * 1000000) // n_words END
+        |      AS alpha_frac_micro,
+        |    stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len_micro, alpha_frac_micro, stop_hits,
+        |  (n_words BETWEEN 10 AND 100000)
+        |    AND (mean_word_len_micro BETWEEN 2000000 AND 12000000)
+        |    AND alpha_frac_micro >= 700000 AND stop_hits >= 2 AS kept
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.QualityRules
+        .gopherStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Gopher repetition statistics (QualityRules.repetitionStats): per
+    // (doc, n-gram order) the fraction of gram character mass in the
+    // single heaviest gram and in all repeated grams — the "is this doc a
+    // copy-paste loop" signal. max(count·len), not argmax(count), so count
+    // ties can't make the answer engine-dependent; exact micro-units.
+    Q(
+      "q262_gopher_repetition",
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '') AS t
+        |  FROM documents),
+        |ord AS (SELECT unnest([2, 3, 5]) AS n),
+        |bg AS (SELECT tok.doc_id, o.n,
+        |    array_to_string(list_slice(t, g.i, g.i + o.n - 1), ' ') AS gram
+        |  FROM tok CROSS JOIN ord o,
+        |    unnest(generate_series(1, len(t) - o.n + 1)) AS g(i)),
+        |pc AS (SELECT doc_id, n, gram,
+        |    CAST(length(gram) - (n - 1) AS BIGINT) AS len, count(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3, 4),
+        |pd AS (SELECT doc_id, n,
+        |    CAST(sum(c * len) AS BIGINT) AS total_mass,
+        |    CAST(max(c * len) AS BIGINT) AS top,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS dup
+        |  FROM pc GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(o.n AS INT) AS n,
+        |  coalesce(total_mass, 0) AS total_mass,
+        |  coalesce((top * 1000000) // total_mass, 0) AS top_frac_micro,
+        |  coalesce((dup * 1000000) // total_mass, 0) AS dup_frac_micro
+        |FROM documents d CROSS JOIN ord o
+        |LEFT JOIN pd ON pd.doc_id = d.doc_id AND pd.n = o.n
+        |ORDER BY d.doc_id, n""".stripMargin) { (s, dir) =>
+      graft.text.QualityRules
+        .repetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text", Seq(2, 3, 5))
+        .orderBy("doc_id", "n")
+    },
+
+    // DSIR hashed importance weights (Dsir.hashedImportanceWeights):
+    // target = English docs, source = whole corpus, 64 hashed unigram
+    // buckets. The bucket tables are broadcast-sized BY CONSTRUCTION
+    // (dims rows regardless of corpus size); the only transcendental is
+    // one ln of an exact rational per bucket, floored to micro-nats
+    // before the exact per-doc integer sum.
+    Q(
+      "q263_dsir_weights",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(token), 1, 6) AS INT) AS BIGINT) % 64 AS b
+        |  FROM tok),
+        |c AS (SELECT b,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(count(*) AS BIGINT) AS cs
+        |  FROM bk GROUP BY 1),
+        |t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cs) AS BIGINT) AS st FROM c),
+        |r AS (SELECT b, CAST(floor(ln(
+        |      CAST((ct + 1) * (st + 64) AS DOUBLE) / CAST((cs + 1) * (tt + 64) AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS rm
+        |  FROM c, t),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(rm) AS BIGINT) AS w
+        |  FROM bk JOIN r USING (b) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(w, 0) AS w_micronats,
+        |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |       ELSE CAST(floor(CAST(w AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 0.5) AS BIGINT)
+        |  END AS mean_micronats
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Dsir
+        .hashedImportanceWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", dims = 64)
+        .orderBy("doc_id")
+    },
+
+    // One-way ANOVA omnibus + η² effect size (RobustStats.anovaF) over
+    // event values by type — "does the group matter at all" before q186's
+    // pairwise Welch drill-down. One map-side-combined aggregate; the
+    // between/within sums of squares are exact integer unit² in both
+    // engines (floor per group is part of the pinned definition).
+    Q(
+      "q264_anova",
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |           * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxx
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sx) AS HUGEINT) AS gx, CAST(sum(sxx) AS HUGEINT) AS gxx,
+        |    CAST(sum((sx * sx) // n) AS HUGEINT) AS sb
+        |  FROM g)
+        |SELECT k, n, k - 1 AS df_between, n - k AS df_within,
+        |  CAST(sb - (gx * gx) // n AS BIGINT) AS ssb_u,
+        |  CAST(gxx - sb AS BIGINT) AS ssw_u,
+        |  CASE WHEN k > 1 AND n > k AND gxx - sb > 0 THEN
+        |    floor((CAST(sb - (gx * gx) // n AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |        / (CAST(gxx - sb AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS f_stat,
+        |  CASE WHEN gxx - (gx * gx) // n > 0 THEN
+        |    floor(CAST(sb - (gx * gx) // n AS DOUBLE)
+        |        / CAST(gxx - (gx * gx) // n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS eta_sq
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.operators.RobustStats
+        .anovaF(Tables.events(s, dir), "event_type", "value", scale = 100)
+        .select(
+          col("k"), col("n"), col("df_between"), col("df_within"),
+          col("ssb_u"), col("ssw_u"),
+          pin6(col("f_stat")).as("f_stat"),
+          pin6(col("eta_sq")).as("eta_sq"))
+    },
+
+    // Local clustering coefficient (Triangles.localClustering) on the
+    // q149 bigram co-occurrence graph: per-node 2·tri/(deg·(deg−1)) in
+    // exact integer micro-units — the per-node community-tightness probe
+    // on top of the oriented-wedge triangle count.
+    Q(
+      "q265_local_clustering",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS gram
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |pc AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+        |ed AS (SELECT DISTINCT
+        |         least(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS a,
+        |         greatest(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS b
+        |       FROM pc
+        |       WHERE n >= 5 AND split_part(gram, ' ', 1) != split_part(gram, ' ', 2)),
+        |sym AS (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+        |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM (SELECT v1 AS node FROM tri
+        |             UNION ALL SELECT v2 FROM tri
+        |             UNION ALL SELECT v3 FROM tri)
+        |       GROUP BY node)
+        |SELECT deg.node, degree,
+        |  coalesce(n_triangles, 0) AS n_triangles,
+        |  CASE WHEN degree < 2 THEN 0
+        |       ELSE (coalesce(n_triangles, 0) * 2000000) // (degree * (degree - 1))
+        |  END AS coef_micro
+        |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin) { (s, dir) =>
+      val bg = graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
+        .filter(col("n") >= 5)
+      val edges = bg.select(
+        split(col("gram"), " ").getItem(0).as("a"),
+        split(col("gram"), " ").getItem(1).as("b"))
+      graft.operators.Triangles.localClustering(edges)
+        .orderBy("node")
+    },
+
+    // Brown double exponential smoothing (TimeSeries.brownDouble) of the
+    // daily event count per type: dyadic α=1/2 EWMA applied twice, level
+    // 2s₁−s₂ / trend s₁−s₂ / 7-day forecast — exact integer numerators
+    // over 225, one double division each, pinned 6 dp. Two window stages,
+    // one shuffle.
+    Q(
+      "q266_brown_smoothing",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, cnt,
+        |    lag(cnt, 1) OVER w AS c1, lag(cnt, 2) OVER w AS c2, lag(cnt, 3) OVER w AS c3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s1 AS (SELECT event_type, d, cnt,
+        |    CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL AND c3 IS NOT NULL
+        |         THEN 8 * cnt + 4 * c1 + 2 * c2 + c3 END AS s1_15
+        |  FROM l),
+        |l2 AS (SELECT event_type, d, cnt, s1_15,
+        |    lag(s1_15, 1) OVER w AS p1, lag(s1_15, 2) OVER w AS p2, lag(s1_15, 3) OVER w AS p3
+        |  FROM s1 WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s2 AS (SELECT event_type, d, cnt, s1_15,
+        |    CASE WHEN s1_15 IS NOT NULL AND p1 IS NOT NULL AND p2 IS NOT NULL AND p3 IS NOT NULL
+        |         THEN 8 * s1_15 + 4 * p1 + 2 * p2 + p3 END AS s2_225
+        |  FROM l2)
+        |SELECT event_type, d, cnt,
+        |  floor(CAST(s1_15 * 30 - s2_225 AS DOUBLE) / 225.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS level,
+        |  floor(CAST(s1_15 * 15 - s2_225 AS DOUBLE) / 225.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS trend,
+        |  floor(CAST(s1_15 * 135 - s2_225 * 8 AS DOUBLE) / 225.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS forecast
+        |FROM s2 ORDER BY event_type, d""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      graft.operators.TimeSeries
+        .brownDouble(daily, Seq("event_type"), Seq(col("d")), "cnt",
+          horizon = 7, scale = 1)
+        .select(
+          col("event_type"), col("d"), col("cnt"),
+          pin6(col("level")).as("level"),
+          pin6(col("trend")).as("trend"),
+          pin6(col("forecast")).as("forecast"))
+        .orderBy("event_type", "d")
+    },
+
+    // Zone-map skipping-depth audit (ZOrder.skippingDepth): cut lineitem
+    // into 32 files-in-spirit along its physical (orderkey, linenumber)
+    // order, record each chunk's partkey min/max "zone map", and count
+    // how many chunks overlap each chunk's range — the data-skipping
+    // effectiveness metric for a layout (depth 1 = perfectly clustered;
+    // depth ≈ 32 = min/max stats useless for partkey pruning). The ntile
+    // is GlobalRank's range-partition form, not a single-partition window.
+    Q(
+      "q267_skipping_depth",
+      """WITH r AS (SELECT l_partkey,
+        |    ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk
+        |  FROM lineitem),
+        |z AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(l_partkey) AS min_key, max(l_partkey) AS max_key
+        |  FROM r GROUP BY 1)
+        |SELECT a.chunk, a.n_rows, a.min_key, a.max_key,
+        |  CAST(count(*) AS BIGINT) AS depth
+        |FROM z a JOIN z b ON a.min_key <= b.max_key AND b.min_key <= a.max_key
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.chunk""".stripMargin) { (s, dir) =>
+      graft.operators.ZOrder
+        .skippingDepth(
+          Tables.load(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"),
+          Seq("l_orderkey", "l_linenumber"), "l_partkey", chunks = 32)
+        .orderBy("chunk")
+    })
+}
