@@ -247,4 +247,49 @@ object RankStats {
               sqrt((col("_pairs") - col("_tx")).cast("double") *
                 (col("_pairs") - col("_ty")).cast("double"))).as("tau_b")): _*)
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-`depth`
+    * rankings, in the exact dyadic form: with persistence p = 1/2 the
+    * weight of depth d is (1−p)·p^(d−1) = 1/2^d, so
+    * `RBO@D = Σ_{d=1..D} overlap(d) / (d·2^d)` — every term is a ratio of
+    * small exact integers, floored to micro-units BEFORE the sum, making
+    * the score engine-identical (no geometric-series fp accumulation).
+    * Truncated form (no residual extrapolation): the published min-RBO.
+    *
+    * Inputs are rank tables (`itemCol`, `rankCol` with ranks 1..depth —
+    * produce them with a deterministic total order, e.g. (count DESC,
+    * item ASC)). The key identity: overlap(d) = #items with
+    * max(rank_a, rank_b) ≤ d, so one inner join + a `depth`-row histogram
+    * prefix sum replaces the per-depth set intersections.
+    *
+    * Output (one row): `depth`, `rbo_micro` (exact integer micro-units).
+    *
+    * Scale: rankings are top-k by construction — everything after the
+    * caller's ranking aggregate is k-row work.
+    */
+  def rboDyadic(
+      ranksA: DataFrame,
+      ranksB: DataFrame,
+      itemCol: String,
+      rankCol: String,
+      depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 20,
+      s"depth=$depth must be in [1,20] (d·2^d must stay in micro-precision range)")
+    val a = ranksA.filter(col(rankCol) <= depth)
+      .select(col(itemCol).as("_it"), col(rankCol).cast("long").as("_ra"))
+    val b = ranksB.filter(col(rankCol) <= depth)
+      .select(col(itemCol).as("_it"), col(rankCol).cast("long").as("_rb"))
+    val m = a.join(b, "_it")
+      .select(greatest(col("_ra"), col("_rb")).as("_m"))
+    // overlap(d) = #rows with _m <= d; term_micro(d) = overlap·1e6 div (d·2^d)
+    val spark = ranksA.sparkSession
+    import spark.implicits._
+    val depths = (1 to depth).map(_.toLong).toDF("_d")
+    m.join(broadcast(depths), col("_m") <= col("_d"), "right")
+      .groupBy(col("_d"))
+      .agg(sum(when(col("_m").isNotNull, 1L).otherwise(0L)).as("_ov"))
+      .select(expr("(_ov * 1000000L) div (_d * shiftleft(1L, CAST(_d AS INT)))").as("_term"))
+      .agg(lit(depth).cast("int").as("depth"),
+        sum(col("_term")).cast("long").as("rbo_micro"))
+  }
 }

@@ -70,4 +70,42 @@ object ZOrder {
       .groupBy(col("_chunk").as("chunk"), col("n_rows"), col("min_key"), col("max_key"))
       .agg(count(lit(1)).cast("long").as("depth"))
   }
+
+  /** Workload-aware data-skipping score: for each predicate range
+    * `[lo, hi]` (inclusive, on `keyCol`), how many of the layout's chunk
+    * zone maps must be SCANNED (range intersects the predicate) vs
+    * skipped? The [[skippingDepth]] audit scores the layout in the
+    * abstract; this scores it against the query ranges you actually run —
+    * the number a table-layout service optimizes before rewriting
+    * 100 TB.
+    *
+    * Output: one row per predicate — `pred_id` (input order), `lo`, `hi`,
+    * `n_scanned`, `scan_frac_micro` (`n_scanned·1e6 div chunks`, exact).
+    *
+    * Predicates ship as a literal inline table (workloads are small); the
+    * chunk zone maps come from the same GlobalRank ntile pass, so the
+    * fact table is scanned once.
+    */
+  def workloadSkipScore(
+      df: org.apache.spark.sql.DataFrame,
+      orderCols: Seq[String],
+      keyCol: String,
+      chunks: Int,
+      predicates: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame = {
+    require(chunks >= 1, s"chunks=$chunks must be >= 1")
+    require(predicates.nonEmpty, "workloadSkipScore needs at least one predicate")
+    val zones = GlobalRank.ntile(df, orderCols, chunks, "_chunk")
+      .groupBy(col("_chunk"))
+      .agg(min(col(keyCol)).as("_mn"), max(col(keyCol)).as("_mx"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val preds = predicates.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("pred_id", "lo", "hi")
+    preds.join(broadcast(zones),
+        col("lo") <= col("_mx") && col("_mn") <= col("hi"), "left")
+      .groupBy(col("pred_id"), col("lo"), col("hi"))
+      .agg(sum(when(col("_chunk").isNotNull, 1L).otherwise(0L)).as("n_scanned"))
+      .withColumn("scan_frac_micro", expr(s"(n_scanned * 1000000L) div ${chunks}L"))
+  }
 }

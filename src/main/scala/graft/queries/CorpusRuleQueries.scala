@@ -274,5 +274,169 @@ object CorpusRuleQueries {
           Tables.load(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"),
           Seq("l_orderkey", "l_linenumber"), "l_partkey", chunks = 32)
         .orderBy("chunk")
+    },
+
+    // Workload-aware skip score (ZOrder.workloadSkipScore): q267's zone
+    // maps evaluated against ten equal-width partkey range predicates —
+    // what fraction of the 32 chunks each query range forces you to scan.
+    // Predicate bounds derive from the key's min/max by exact integer
+    // arithmetic (SF-portable); the O(1) min/max collect is the sanctioned
+    // driver probe a real layout service runs before rewriting anything.
+    Q(
+      "q268_skip_workload",
+      """WITH mm AS (SELECT min(l_partkey) AS kmin, max(l_partkey) AS kmax FROM lineitem),
+        |p AS (SELECT CAST(g.i AS BIGINT) AS pred_id,
+        |    kmin + (g.i * (kmax - kmin + 1)) // 10 AS lo,
+        |    kmin + ((g.i + 1) * (kmax - kmin + 1)) // 10 - 1 AS hi
+        |  FROM mm, unnest(generate_series(0, 9)) AS g(i)),
+        |r AS (SELECT l_partkey,
+        |    ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk
+        |  FROM lineitem),
+        |z AS (SELECT chunk, min(l_partkey) AS mn, max(l_partkey) AS mx
+        |  FROM r GROUP BY 1)
+        |SELECT pred_id, lo, hi,
+        |  CAST(sum(CASE WHEN z.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  (CAST(sum(CASE WHEN z.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // 32 AS scan_frac_micro
+        |FROM p LEFT JOIN z ON p.lo <= z.mx AND z.mn <= p.hi
+        |GROUP BY 1, 2, 3 ORDER BY pred_id""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val mm = li.agg(min("l_partkey"), max("l_partkey")).head()
+      val (kmin, kmax) = (mm.getLong(0), mm.getLong(1))
+      val w = kmax - kmin + 1
+      val preds = (0L until 10L).map(i =>
+        (kmin + i * w / 10, kmin + (i + 1) * w / 10 - 1))
+      graft.operators.ZOrder
+        .workloadSkipScore(li, Seq("l_orderkey", "l_linenumber"), "l_partkey",
+          chunks = 32, predicates = preds)
+        .orderBy("pred_id")
+    },
+
+    // Closed-form two-regressor OLS per group (Regression.ols2): event
+    // value ≈ β₀ + β₁·hour + β₂·dow, per type. One map-combined moment
+    // aggregate; Cramer's rule on exact decimal moments; each β is one
+    // double division, pinned. (DuckDB dayofweek is 0-based → +1 aligns
+    // with Spark's 1-based convention, the q218 recipe.)
+    Q(
+      "q269_ols2",
+      """WITH f AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS y,
+        |    CAST(hour(ts) AS BIGINT) AS x1,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS x2
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(x1 * x1) AS HUGEINT) AS s11, CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        |    CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x1 * y) AS HUGEINT) AS s1y, CAST(sum(x2 * y) AS HUGEINT) AS s2y
+        |  FROM f GROUP BY 1),
+        |d AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN det != 0 THEN
+        |    floor(CAST(d0 AS DOUBLE) / (CAST(det AS DOUBLE) * 100.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS beta0,
+        |  CASE WHEN det != 0 THEN
+        |    floor(CAST(d1 AS DOUBLE) / (CAST(det AS DOUBLE) * 100.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS beta1,
+        |  CASE WHEN det != 0 THEN
+        |    floor(CAST(d2 AS DOUBLE) / (CAST(det AS DOUBLE) * 100.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS beta2
+        |FROM d ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val f = Tables.events(s, dir).select(
+        col("event_type"), col("value"),
+        hour(col("ts")).as("x1"), dayofweek(to_date(col("ts"))).as("x2"))
+      graft.operators.Regression
+        .ols2(f, Seq("event_type"), "value", "x1", "x2", yScale = 100)
+        .select(
+          col("event_type"), col("n"),
+          pin6(col("beta0")).as("beta0"),
+          pin6(col("beta1")).as("beta1"),
+          pin6(col("beta2")).as("beta2"))
+        .orderBy("event_type")
+    },
+
+    // Tokenizer fertility by language: subword-estimate-per-word ratio —
+    // the "how many BPE pieces does a word of this language cost" table a
+    // multilingual pipeline uses to budget per-language token quotas.
+    // Pure composition of the shared q38 counters at language grain;
+    // exact micro-unit ratio.
+    Q(
+      "q270_fertility",
+      """WITH f AS (SELECT lang,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != ''))
+        |      AS w,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'),
+        |      x -> x != '')) AS sw
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  CASE WHEN sum(w) = 0 THEN 0
+        |       ELSE (CAST(sum(sw) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
+        |  END AS fertility_micro
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_w"),
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("_sw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("_w")).cast("long").as("n_words"),
+          sum(col("_sw")).cast("long").as("n_subwords"))
+        .withColumn("fertility_micro",
+          when(col("n_words") === 0, lit(0L))
+            .otherwise(expr("(n_subwords * 1000000L) div n_words")))
+        .orderBy("lang")
+    },
+
+    // Rank-biased overlap (RankStats.rboDyadic) between the English and
+    // German top-16 token rankings — "how similar are two top-k lists,
+    // weighted toward the top" (search/recommendation ranking drift). The
+    // dyadic p = 1/2 form makes every depth's term an exact integer
+    // micro-ratio; the per-lang window is over a LIMITed 16-row frame, so
+    // no unbounded single-partition sort.
+    Q(
+      "q271_rbo",
+      """WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, token,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+        |  FROM c),
+        |a AS (SELECT token, rk FROM r WHERE lang = 'en' AND rk <= 16),
+        |b AS (SELECT token, rk FROM r WHERE lang = 'de' AND rk <= 16),
+        |mx AS (SELECT greatest(a.rk, b.rk) AS m FROM a JOIN b USING (token)),
+        |dd AS (SELECT CAST(g.i AS BIGINT) AS d FROM unnest(generate_series(1, 16)) AS g(i)),
+        |t AS (SELECT d, CAST(count(m) AS BIGINT) AS ov
+        |      FROM dd LEFT JOIN mx ON mx.m <= dd.d GROUP BY 1)
+        |SELECT CAST(16 AS INT) AS depth,
+        |  CAST(sum((ov * 1000000) // (d * (1 << d))) AS BIGINT) AS rbo_micro
+        |FROM t""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      val tok = Tables.load(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      def ranking(l: String) = {
+        val top = tok.filter(col("lang") === l)
+          .groupBy("token").agg(count(lit(1)).as("_n"))
+          .orderBy(col("_n").desc, col("token")).limit(16)
+        // window over the LIMITed 16-row frame — bounded by construction
+        top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("_n").desc, col("token"))))
+      }
+      graft.operators.RankStats
+        .rboDyadic(ranking("en"), ranking("de"), "token", "rank", depth = 16)
     })
 }

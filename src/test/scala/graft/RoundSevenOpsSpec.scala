@@ -89,4 +89,55 @@ class RoundSevenOpsSpec extends SparkSpec {
     val d4 = ZOrder.skippingDepth(striped, Seq("ord"), "key", 4).collect()
     assert(d4.forall(_.getAs[Long]("depth") == 4L))
   }
+
+  test("workloadSkipScore: sorted layout scans ~1 chunk per narrow range") {
+    val sorted = (1L to 400L).map(i => (i, i)).toDF("ord", "key")
+    // keys 1..400 in 4 chunks of 100; predicate [150,160] touches chunk 2 only
+    val out = ZOrder.workloadSkipScore(sorted, Seq("ord"), "key", 4,
+      Seq((150L, 160L), (1L, 400L), (95L, 105L), (1000L, 2000L))).orderBy("pred_id").collect()
+    assert(out(0).getAs[Long]("n_scanned") == 1L)
+    assert(out(0).getAs[Long]("scan_frac_micro") == 250000L)
+    assert(out(1).getAs[Long]("n_scanned") == 4L) // full-range scan
+    assert(out(2).getAs[Long]("n_scanned") == 2L) // straddles a boundary
+    assert(out(3).getAs[Long]("n_scanned") == 0L) // out-of-domain predicate
+  }
+
+  test("ols2: recovers an exact planted linear model") {
+    // y = 3 + 2·x1 − 1·x2 on a non-degenerate grid → residual-free fit
+    val rows = for (x1 <- 0 to 9; x2 <- 0 to 4)
+      yield ("g", x1, x2, 3.0 + 2.0 * x1 - 1.0 * x2)
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val r = graft.operators.Regression
+      .ols2(df, Seq("g"), "y", "x1", "x2", yScale = 100).collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(math.abs(r.getAs[Double]("beta0") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta1") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta2") + 1.0) < 1e-9)
+  }
+
+  test("ols2: collinear regressors yield null betas, not garbage") {
+    val df = (1 to 20).map(i => ("g", i, 2 * i, i.toDouble)).toDF("g", "x1", "x2", "y")
+    val r = graft.operators.Regression
+      .ols2(df, Seq("g"), "y", "x1", "x2", yScale = 100).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("beta1")))
+  }
+
+  test("rboDyadic: identical rankings hit the truncated-dyadic maximum") {
+    import graft.operators.RankStats
+    val a = (1 to 8).map(i => (s"t$i", i)).toDF("item", "rank")
+    // identical lists: overlap(d) = d → term = 1e6 div 2^d; Σ_{1..8}
+    val expect = (1 to 8).map(d => 1000000L >> d).sum
+    val r = RankStats.rboDyadic(a, a, "item", "rank", depth = 8).collect()(0)
+    assert(r.getAs[Long]("rbo_micro") == expect)
+    // disjoint lists → 0
+    val b = (1 to 8).map(i => (s"u$i", i)).toDF("item", "rank")
+    assert(RankStats.rboDyadic(a, b, "item", "rank", 8)
+      .collect()(0).getAs[Long]("rbo_micro") == 0L)
+    // reversed top-2 of a 2-deep list: overlap(1)=0, overlap(2)=2 →
+    // 0 + (2·1e6) div (2·4) = 250000
+    val x = Seq(("p", 1), ("q", 2)).toDF("item", "rank")
+    val y = Seq(("q", 1), ("p", 2)).toDF("item", "rank")
+    assert(RankStats.rboDyadic(x, y, "item", "rank", 2)
+      .collect()(0).getAs[Long]("rbo_micro") == 250000L)
+  }
 }
