@@ -74,18 +74,23 @@ object NGramJaccard {
       textCol: String,
       n: Int = 3): DataFrame = {
     // both candidate-side joins read the shingle sets — cache them or the
-    // tokenize+shingle projection runs twice over the corpus
+    // tokenize+shingle projection runs twice over the corpus. Sets are
+    // value-sorted so the per-pair intersect is a codegen'd merge scan
+    // (ArrayFunctions.sortedIntersectSize), not a hash-set + materialized
+    // intersection array; |A∪B| = na + nb − o, no second pass.
     val sets = docs
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), shingleSetOfTokens(col("_t"), n).as("_set"))
+      .select(col("_id"), sort_array(shingleSetOfTokens(col("_t"), n)).as("_set"))
       .persist()
     candidates
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
+      .withColumn("_o",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("_sa"), col("_sb")))
       .select(
         col("id_a"),
         col("id_b"),
-        (size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-          size(array_union(col("_sa"), col("_sb"))).cast("double")).as("jaccard"))
+        (col("_o").cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - col("_o")).cast("double")).as("jaccard"))
   }
 }

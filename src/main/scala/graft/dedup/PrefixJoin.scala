@@ -67,10 +67,14 @@ object PrefixJoin {
     // TOP of the cache, not under it: pushed below the projection, Catalyst
     // substitutes the alias and evaluates the whole tokenize+shingle
     // expression twice per row during the cache build.
+    // _set is VALUE-SORTED at the source: the gid key needs the sorted
+    // form anyway, and the verify stage's merge-scan intersect
+    // (ArrayFunctions.sortedIntersectSize) requires it
     val keyed = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col(idCol), NGramJaccard.shingleSetOfTokens(col("_t"), shingleSize).as("_set"))
-      .withColumn("_gid", md5(concat_ws("|", sort_array(col("_set")))))
+      .select(col(idCol),
+        sort_array(NGramJaccard.shingleSetOfTokens(col("_t"), shingleSize)).as("_set"))
+      .withColumn("_gid", md5(concat_ws("|", col("_set"))))
       .persist()
       .filter(size(col("_set")) > 0)
     val members = keyed.select(col("_gid"), col(idCol))
@@ -107,19 +111,38 @@ object PrefixJoin {
     val n = size(col("_lst"))
     // prefix length p = n - ceil(t*n) + 1, integer-exact
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
+    // prefix tokens carry set size AND 1-based list position: both are
+    // candidate-stage pruning levers (below) that no-false-negative bounds
+    // justify — at the measured sf0.1 shape they cut the verify load ~2×
+    // BEFORE the expensive stage, and the cut deepens with size variance
     val pre = arr
-      .select(col("_gid"), explode(slice(col("_lst"), lit(1), p)).as("_s"))
-      .select(col("_gid"), col("_s._sh").as("_sh"))
-    val cand = pre.select(col("_sh"), col("_gid").as("_ga"))
-      .join(pre.select(col("_sh"), col("_gid").as("_gb")), Seq("_sh"))
+      .select(col("_gid"), n.as("_n"),
+        posexplode(slice(col("_lst"), lit(1), p)).as(Seq("_p0", "_s")))
+      .select(col("_gid"), col("_n"), (col("_p0") + 1).as("_pos"), col("_s._sh").as("_sh"))
+    val cand = pre.select(col("_sh"), col("_gid").as("_ga"), col("_n").as("_na"), col("_pos").as("_pa"))
+      .join(pre.select(col("_sh"), col("_gid").as("_gb"), col("_n").as("_nb"), col("_pos").as("_pb")),
+        Seq("_sh"))
       .filter(col("_ga") < col("_gb"))
+      // size-ratio bound: J ≥ t forces min(na,nb) ≥ t·max(na,nb)
+      .filter(col("_na") * tDen >= col("_nb") * tNum &&
+        col("_nb") * tDen >= col("_na") * tNum)
+      // PPJoin positional bound: a match at (1-based) positions (i, j)
+      // caps the overlap at 1 + min(na−i, nb−j); J ≥ t needs
+      // o·(tNum+tDen) ≥ tNum·(na+nb). A pair survives if ANY shared
+      // prefix token passes — per-row filter before the distinct, so
+      // late-prefix-only collisions never reach verification
+      .filter((lit(1) + least(col("_na") - col("_pa"), col("_nb") - col("_pb"))) *
+        (tNum + tDen) >= (col("_na") + col("_nb")) * tNum)
       .select("_ga", "_gb")
       .distinct()
     val szs = reps.select(col("_gid"), col("_set"), size(col("_set")).as("_n"))
     val corePairs = cand
       .join(szs.select(col("_gid").as("_ga"), col("_set").as("_sa"), col("_n").as("_na")), "_ga")
       .join(szs.select(col("_gid").as("_gb"), col("_set").as("_sb"), col("_n").as("_nb")), "_gb")
-      .withColumn("_o", size(array_intersect(col("_sa"), col("_sb"))))
+      // merge-scan intersect size on the value-sorted sets — codegen'd,
+      // no per-pair hash set or intersection array allocation
+      .withColumn("_o",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("_sa"), col("_sb")))
       // integer-exact threshold: o/(na+nb-o) >= tNum/tDen
       .filter(col("_o") * tDen >= (col("_na") + col("_nb") - col("_o")) * tNum)
       .select(col("_ga"), col("_gb"),
@@ -174,23 +197,30 @@ object PrefixJoin {
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
     val pre = arr
       .select(col("_gid"), size(col("_lst")).as("_na"),
-        explode(slice(col("_lst"), lit(1), p)).as("_s"))
-      .select(col("_gid").as("_ga"), col("_na"), col("_s._sh").as("_sh"))
+        posexplode(slice(col("_lst"), lit(1), p)).as(Seq("_p0", "_s")))
+      .select(col("_gid").as("_ga"), col("_na"), (col("_p0") + 1).as("_pa"),
+        col("_s._sh").as("_sh"))
     // probe side: EVERY token of every set (no prefix prune on the super)
     val allTok = reps
       .select(col("_gid").as("_gb"), size(col("_set")).as("_nb"),
         explode(col("_set")).as("_sh"))
     // size prune, no false negatives: o ≤ |B| and o ≥ ⌈t·n_a⌉ force
-    // |B|·tDen ≥ n_a·tNum — supers too small to cover the sub never verify
+    // |B|·tDen ≥ n_a·tNum — supers too small to cover the sub never
+    // verify. Sub-side positional bound: a match at 1-based prefix
+    // position i caps o at na − i + 1, so (na−i+1)·tDen ≥ na·tNum must
+    // hold for the pair to survive via this token (the probe side is
+    // unordered, so only the sub contributes a positional bound).
     val cand = pre.join(allTok, Seq("_sh"))
       .filter(col("_ga") =!= col("_gb") && col("_nb") * tDen >= col("_na") * tNum)
+      .filter((col("_na") - col("_pa") + 1) * tDen >= col("_na") * tNum)
       .select("_ga", "_gb")
       .distinct()
     val szs = reps.select(col("_gid"), col("_set"), size(col("_set")).as("_n"))
     val corePairs = cand
       .join(szs.select(col("_gid").as("_ga"), col("_set").as("_sa"), col("_n").as("_na")), "_ga")
       .join(szs.select(col("_gid").as("_gb"), col("_set").as("_sb")), "_gb")
-      .withColumn("_o", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("_o",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("_sa"), col("_sb")))
       // integer-exact threshold: o / na >= tNum/tDen
       .filter(col("_o") * tDen >= col("_na") * tNum)
       .select(col("_ga"), col("_gb"),

@@ -140,4 +140,26 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(RankStats.rboDyadic(x, y, "item", "rank", 2)
       .collect()(0).getAs[Long]("rbo_micro") == 250000L)
   }
+
+  test("sortedIntersectSize == size(array_intersect) on random sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      def set() = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(25) + 1)
+        .map(j => s"s$j").distinct.sorted
+      (i, set(), set())
+    }
+    val df = rows.toDF("i", "a", "b")
+    val bad = df.select(
+      graft.functions.ArrayFunctions.sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0L)
+    // empty + disjoint edges
+    val edge = Seq((Seq[String](), Seq("x")), (Seq("a", "b"), Seq("c", "d")))
+      .toDF("a", "b")
+    val vals = edge.select(
+      graft.functions.ArrayFunctions.sortedIntersectSize(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(0L, 0L))
+  }
 }
