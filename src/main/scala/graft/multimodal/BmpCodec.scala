@@ -189,4 +189,33 @@ object BmpCodec {
     }
     (new String(bits), ones)
   }
+
+  /** Difference-hash perceptual fingerprint: over a (w+1)×h image, one bit
+    * per (x, y) with x < w−1… precisely, bit(y, x) = luma(x+1, y) >
+    * luma(x, y) — the horizontal GRADIENT sign, row-major. Gradient hashes
+    * survive global brightness/contrast shifts that move [[aHash]]'s mean
+    * cut, which is why dHash is the second standard member of the
+    * perceptual family. Pure integer compares — engine-reproducible.
+    * Returns (bitstring of (width−1)·height bits, popcount).
+    */
+  def dHash(img: Bmp): (String, Long) = {
+    val w = img.width; val h = img.height
+    require(w >= 2, s"dHash needs width >= 2, got $w")
+    val bits = new Array[Char]((w - 1) * h)
+    var ones = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        val i = y * w + x
+        val a = luma1000(img.r(i), img.g(i), img.b(i))
+        val b = luma1000(img.r(i + 1), img.g(i + 1), img.b(i + 1))
+        val k = y * (w - 1) + x
+        if (b > a) { bits(k) = '1'; ones += 1 } else bits(k) = '0'
+        x += 1
+      }
+      y += 1
+    }
+    (new String(bits), ones)
+  }
 }

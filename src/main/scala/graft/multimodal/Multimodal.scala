@@ -244,6 +244,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Difference-hash fingerprints: REAL decode → nearest-neighbor resize to
+    * (side+1)×side → [[BmpCodec.dHash]] horizontal-gradient bits — the
+    * brightness-shift-robust sibling of [[extractBmpAHash]], same
+    * one-decoder-per-partition batch shape.
+    */
+  def extractBmpDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-grain audio features: REAL decode → [[WavCodec.frameFeatures]]
+    * (per-frame zero crossings + Σv², exact integers) — one output row per
+    * FULL frame, the voice-activity/energy table a curation pipeline
+    * windows over. Same batch shape; the per-row explode happens after the
+    * decode, so the codec still runs once per payload.
+    */
+  def extractWavFrameFeatures(media: DataFrame, frameLen: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("sum_squares", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val w = WavCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        WavCodec.frameFeatures(w, frameLen).iterator.map { case (f, zc, ssq) =>
+          Row(r.getLong(idIdx), f, zc, ssq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Acoustic fingerprints: REAL decode → [[WavCodec.energyFingerprint]]
     * (frame-energy delta signs, exact integer arithmetic) — the audio twin
     * of [[extractBmpAHash]], same batch shape.

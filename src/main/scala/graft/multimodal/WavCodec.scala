@@ -168,4 +168,35 @@ object WavCodec {
     while (j < nFrames) { total += energies(j); j += 1 }
     (nFrames.toLong, new String(bits), total)
   }
+
+  /** Per-frame (zero-crossing count, Σv²) over FULL `frameLen`-sample
+    * frames (the tail remainder is dropped — a partial frame's features
+    * are a different statistic). Zero crossings count sign flips between
+    * CONSECUTIVE samples WITHIN the frame (the first sample of each frame
+    * has no predecessor), matching the whole-stream convention of
+    * [[features]] restricted to frame boundaries. Exact integers — the
+    * frame-grain voice-activity/energy table a curation pipeline windows
+    * over.
+    */
+  def frameFeatures(w: Wav, frameLen: Int): Array[(Long, Long, Long)] = {
+    require(frameLen > 0, s"frameLen=$frameLen must be positive")
+    val nFrames = w.samples.length / frameLen
+    Array.tabulate(nFrames) { f =>
+      var zc = 0L
+      var ssq = 0L
+      var i = f * frameLen
+      val end = i + frameLen
+      var prev = 0L
+      var first = true
+      while (i < end) {
+        val v = w.samples(i).toLong
+        ssq += v * v
+        if (!first && ((prev < 0) != (v < 0))) zc += 1
+        prev = v
+        first = false
+        i += 1
+      }
+      (f.toLong, zc, ssq)
+    }
+  }
 }

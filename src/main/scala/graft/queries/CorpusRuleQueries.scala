@@ -438,5 +438,284 @@ object CorpusRuleQueries {
       }
       graft.operators.RankStats
         .rboDyadic(ranking("en"), ranking("de"), "token", "rank", depth = 16)
+    },
+
+    // Sort-order advisor: q267's depth metric computed for three CANDIDATE
+    // layouts (physical sort by orderkey / partkey / suppkey, each made a
+    // total order with the PK as tie-break), always scoring partkey
+    // pruning — the "which sort order should the 100 TB rewrite use"
+    // comparison table. Sorting by the query key itself lands avg depth
+    // ~1; unrelated orders land ~chunks.
+    Q(
+      "q272_layout_advisor",
+      """WITH l1 AS (SELECT 'orderkey' AS layout, l_partkey,
+        |    ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk FROM lineitem),
+        |l2 AS (SELECT 'partkey' AS layout, l_partkey,
+        |    ntile(32) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS chunk FROM lineitem),
+        |l3 AS (SELECT 'suppkey' AS layout, l_partkey,
+        |    ntile(32) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) AS chunk FROM lineitem),
+        |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+        |z AS (SELECT layout, chunk, min(l_partkey) AS mn, max(l_partkey) AS mx
+        |      FROM u GROUP BY 1, 2),
+        |d AS (SELECT a.layout, a.chunk, CAST(count(*) AS BIGINT) AS depth
+        |      FROM z a JOIN z b ON a.layout = b.layout
+        |        AND a.mn <= b.mx AND b.mn <= a.mx
+        |      GROUP BY 1, 2)
+        |SELECT layout, (CAST(sum(depth) AS BIGINT) * 1000000) // 32 AS avg_depth_micro,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM d GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      def score(label: String, order: Seq[String]) =
+        graft.operators.ZOrder.skippingDepth(li, order, "l_partkey", chunks = 32)
+          .agg(
+            expr("(sum(depth) * 1000000L) div 32").as("avg_depth_micro"),
+            max(col("depth")).as("max_depth"))
+          .select(lit(label).as("layout"), col("avg_depth_micro"), col("max_depth"))
+      score("orderkey", Seq("l_orderkey", "l_linenumber"))
+        .unionByName(score("partkey", Seq("l_partkey", "l_orderkey", "l_linenumber")))
+        .unionByName(score("suppkey", Seq("l_suppkey", "l_orderkey", "l_linenumber")))
+        .orderBy("layout")
+    },
+
+    // Frame-grain audio features (Multimodal.extractWavFrameFeatures):
+    // REAL RIFF decode → per-64-sample-frame zero crossings + Σv² — the
+    // voice-activity/energy table. The oracle regenerates the q29 sample
+    // recipe arithmetically and recomputes frames directly, so header or
+    // frame-boundary bugs on the Spark side break the hash.
+    Q(
+      "q273_audio_frames",
+      """WITH s AS (
+        |  SELECT doc_id, i, i // 64 AS frame,
+        |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |  FROM documents, unnest(generate_series(0, 383)) AS u(i)),
+        |l AS (SELECT doc_id, frame, v,
+        |    lag(v) OVER (PARTITION BY doc_id, frame ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(frame AS BIGINT) AS frame,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64.0), 6) AS rms
+        |FROM l GROUP BY doc_id, frame ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal
+        .synthesizeWav(Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractWavFrameFeatures(media, frameLen = 64)
+        .withColumn("rms",
+          round(sqrt(col("sum_squares").cast("double") / 64.0), 6))
+        .orderBy("media_id", "frame")
+    },
+
+    // Difference-hash image fingerprint (Multimodal.extractBmpDHash):
+    // REAL BMP decode → 9×8 nearest-neighbor resize → horizontal gradient
+    // sign bits — the brightness-shift-robust sibling of q122's aHash.
+    // The oracle regenerates resized pixels via the same floor mapping
+    // (sx = x·16//9, sy = y·12//8) and compares adjacent lumas.
+    Q(
+      "q274_image_dhash",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    299 * ((doc_id * 31 + ((y.y * 12) // 8) * 7 + ((x.x * 16) // 9) * 13) % 256)
+        |    + 587 * ((doc_id * 17 + ((y.y * 12) // 8) * 11 + ((x.x * 16) // 9) * 5) % 256)
+        |    + 114 * ((doc_id * 23 + ((y.y * 12) // 8) * 3 + ((x.x * 16) // 9) * 19) % 256)
+        |      AS l
+        |  FROM documents,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)),
+        |g AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT doc_id AS media_id,
+        |  array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash,
+        |  CAST(sum(bit) AS BIGINT) AS n_ones
+        |FROM g GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal
+        .synthesizeBmp(Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractBmpDHash(media, side = 8)
+        .orderBy("media_id")
+    },
+
+    // Brown–Forsythe robust variance-equality test: q264's ANOVA machinery
+    // applied to |value − group median| — the heteroscedasticity check
+    // that survives heavy tails (Levene with the median center). Median
+    // via the exact interpolated percentile (the q109 recipe), deviations
+    // integerized at cents, then the same exact-integer SSB/SSW path.
+    Q(
+      "q275_brown_forsythe",
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |f AS (SELECT e.event_type,
+        |    CAST(round(abs(e.value - m.med) * 100) AS BIGINT) AS z
+        |  FROM events e JOIN m ON e.event_type = m.event_type),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS HUGEINT) AS sx, CAST(sum(z * z) AS HUGEINT) AS sxx
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sx) AS HUGEINT) AS gx, CAST(sum(sxx) AS HUGEINT) AS gxx,
+        |    CAST(sum((sx * sx) // n) AS HUGEINT) AS sb
+        |  FROM g)
+        |SELECT k, n, k - 1 AS df_between, n - k AS df_within,
+        |  CAST(sb - (gx * gx) // n AS BIGINT) AS ssb_u,
+        |  CAST(gxx - sb AS BIGINT) AS ssw_u,
+        |  CASE WHEN k > 1 AND n > k AND gxx - sb > 0 THEN
+        |    floor((CAST(sb - (gx * gx) // n AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |        / (CAST(gxx - sb AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS f_stat
+        |FROM a""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("_med"))
+      val z = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("_med")).as("z"))
+      graft.operators.RobustStats
+        .anovaF(z, "event_type", "z", scale = 100)
+        .select(
+          col("k"), col("n"), col("df_between"), col("df_within"),
+          col("ssb_u"), col("ssw_u"),
+          pin6(col("f_stat")).as("f_stat"))
+    },
+
+    // Connected-component census of the bigram graph
+    // (DupClusters.components — the pointer-doubled min-label fixpoint):
+    // component count, node count, largest/smallest size — the "is this
+    // graph one blob or many islands" health readout. The oracle computes
+    // the same partition by recursive reachability closure + min-root.
+    Q(
+      "q276_component_stats",
+      s"""WITH RECURSIVE ${ExperimentQueries.EdgeCte},
+         |r(node, root) AS (
+         |  SELECT DISTINCT s, s FROM s0
+         |  UNION
+         |  SELECT s0.d, r.root FROM r JOIN s0 ON s0.s = r.node),
+         |c AS (SELECT node, min(root) AS component FROM r GROUP BY 1),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(sum(n) AS BIGINT) AS n_nodes,
+         |  CAST(max(n) AS BIGINT) AS max_size,
+         |  CAST(min(n) AS BIGINT) AS min_size
+         |FROM sz""".stripMargin) { (s, dir) =>
+      val comp = graft.dedup.DupClusters
+        .components(SharedFrames.bigramEdges(s, dir), "a", "b")
+      comp.groupBy(col("component")).agg(count(lit(1)).as("_n"))
+        .agg(
+          count(lit(1)).cast("long").as("n_components"),
+          sum(col("_n")).cast("long").as("n_nodes"),
+          max(col("_n")).cast("long").as("max_size"),
+          min(col("_n")).cast("long").as("min_size"))
+    },
+
+    // Newman modularity of the 2-round label-propagation partition:
+    // Q = Σ_c (4·m·m_c − d_c²) / (4m²) with intra-edge counts m_c and
+    // community degree sums d_c as exact integers — one pinned double
+    // division at the end. The "did the community detection find real
+    // structure" score (Q ≈ 0 ⇒ no better than random).
+    Q(
+      "q277_modularity",
+      s"""WITH ${ExperimentQueries.EdgeCte},
+         |l0 AS (SELECT DISTINCT s AS node, s AS label FROM s0),
+         |v1 AS (SELECT s0.s AS node, l0.label, count(*) AS c
+         |       FROM s0 JOIN l0 ON s0.d = l0.node GROUP BY 1, 2),
+         |l1 AS (SELECT node, label FROM (
+         |         SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT s0.s AS node, l1.label, count(*) AS c
+         |       FROM s0 JOIN l1 ON s0.d = l1.node GROUP BY 1, 2),
+         |l2 AS (SELECT node, label FROM (
+         |         SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |dg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg FROM s0 GROUP BY 1),
+         |dc AS (SELECT l2.label, CAST(sum(dg.dg) AS BIGINT) AS d_c
+         |       FROM dg JOIN l2 ON dg.node = l2.node GROUP BY 1),
+         |mc AS (SELECT la.label, CAST(count(*) AS BIGINT) AS m_c
+         |       FROM ed JOIN l2 la ON ed.a = la.node
+         |               JOIN l2 lb ON ed.b = lb.node
+         |       WHERE la.label = lb.label GROUP BY 1),
+         |t AS (SELECT CAST(sum(4 * mm.m * coalesce(mc.m_c, 0) - dc.d_c * dc.d_c)
+         |        AS BIGINT) AS num,
+         |        CAST(count(*) AS BIGINT) AS n_communities
+         |      FROM dc LEFT JOIN mc ON dc.label = mc.label CROSS JOIN mm)
+         |SELECT mm.m, n_communities,
+         |  floor(CAST(num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS modularity
+         |FROM t CROSS JOIN mm""".stripMargin) { (s, dir) =>
+      val edges = SharedFrames.bigramEdges(s, dir).persist()
+      val labels = graft.operators.Communities
+        .labelPropagate(edges, "a", "b", rounds = 2)
+      val sym = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+      val deg = sym.groupBy("node").agg(count(lit(1)).cast("long").as("_dg"))
+      val m = edges.agg(count(lit(1)).cast("long").as("m"))
+      val dc = deg.join(labels, "node")
+        .groupBy("label").agg(sum(col("_dg")).cast("long").as("_d_c"))
+      val mc = edges
+        .join(labels.select(col("node").as("a"), col("label").as("_la")), "a")
+        .join(labels.select(col("node").as("b"), col("label").as("_lb")), "b")
+        .filter(col("_la") === col("_lb"))
+        .groupBy(col("_la").as("label")).agg(count(lit(1)).cast("long").as("_m_c"))
+      dc.join(mc, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .agg(
+          first(col("m")).as("m"),
+          count(lit(1)).cast("long").as("n_communities"),
+          sum(lit(4L) * col("m") * coalesce(col("_m_c"), lit(0L)) -
+            col("_d_c") * col("_d_c")).cast("long").as("_num"))
+        .select(
+          col("m"), col("n_communities"),
+          pin6(col("_num").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+            .as("modularity"))
+    },
+
+    // Harmonic centrality of the five highest-degree nodes, 4-hop bounded
+    // (ShortestPath.bfsLevels per seed): Σ over reached nodes of
+    // 1e6 div dist — exact integers, the "which hubs actually reach the
+    // graph" readout that closeness can't give on disconnected graphs.
+    // Bounded rounds keep the plan static (the q207 discipline).
+    Q(
+      "q278_harmonic",
+      s"""WITH ${ExperimentQueries.EdgeCte},
+         |dg AS (SELECT s AS node, count(*) AS dg FROM s0 GROUP BY 1),
+         |seeds AS (SELECT node FROM dg ORDER BY dg DESC, node LIMIT 5),
+         |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |r1 AS (SELECT d0.seed, s0.d AS node, CAST(1 AS BIGINT) AS dist
+         |       FROM d0 JOIN s0 ON s0.s = d0.node),
+         |d1 AS (SELECT seed, node, min(dist) AS dist FROM
+         |        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1, 2),
+         |r2 AS (SELECT d1.seed, s0.d AS node, dist + 1 AS dist
+         |       FROM d1 JOIN s0 ON s0.s = d1.node),
+         |d2 AS (SELECT seed, node, min(dist) AS dist FROM
+         |        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1, 2),
+         |r3 AS (SELECT d2.seed, s0.d AS node, dist + 1 AS dist
+         |       FROM d2 JOIN s0 ON s0.s = d2.node),
+         |d3 AS (SELECT seed, node, min(dist) AS dist FROM
+         |        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1, 2),
+         |r4 AS (SELECT d3.seed, s0.d AS node, dist + 1 AS dist
+         |       FROM d3 JOIN s0 ON s0.s = d3.node),
+         |d4 AS (SELECT seed, node, min(dist) AS dist FROM
+         |        (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY 1, 2)
+         |SELECT seed, CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+         |  CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END) AS BIGINT)
+         |    AS harmonic_micro
+         |FROM d4 GROUP BY seed ORDER BY seed""".stripMargin) { (s, dir) =>
+      val edges = SharedFrames.bigramEdges(s, dir).persist()
+      val sym = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+      val seeds = sym.groupBy("node").agg(count(lit(1)).as("_dg"))
+        .orderBy(col("_dg").desc, col("node")).limit(5)
+        .select("node").collect().map(_.getString(0))
+      val spark = s
+      import spark.implicits._
+      seeds.toSeq.map { seed =>
+        graft.operators.ShortestPath
+          .bfsLevels(edges, "a", "b", Seq(seed).toDF("node"), rounds = 4)
+          .agg(
+            sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"),
+            sum(when(col("dist") > 0, expr("1000000L div dist")).otherwise(0L))
+              .cast("long").as("harmonic_micro"))
+          .select(lit(seed).as("seed"), col("n_reached"), col("harmonic_micro"))
+      }.reduce(_ unionByName _).orderBy("seed")
     })
 }

@@ -204,4 +204,31 @@ class MultimodalSpec extends SparkSpec {
     val decoded = WavCodec.decode(WavCodec.encode(8000, 1, Array[Short](1, 1, 2, 2, 0, 0, 9999)))
     assert(WavCodec.energyFingerprint(decoded, 2) == ((3L, "10", 10L)))
   }
+
+  test("frameFeatures: per-frame zcr + energy, no cross-frame crossings, tail dropped") {
+    import graft.multimodal.WavCodec
+    // frames of 3: [1,-1,2] zcr 2 ssq 6; [-5,0,1] zcr 1 (-5→0 flips; 0→1 no) ssq 26;
+    // trailing [7] dropped
+    val w = WavCodec.Wav(8000, 1, 16, Array[Short](1, -1, 2, -5, 0, 1, 7))
+    val fs = WavCodec.frameFeatures(w, 3).toSeq
+    assert(fs == Seq((0L, 2L, 6L), (1L, 1L, 26L)))
+    // the frame boundary -1|2... 2→-5 sign flip crosses frames and must NOT count
+    val w2 = WavCodec.Wav(8000, 1, 16, Array[Short](1, 1, -1, -1))
+    assert(WavCodec.frameFeatures(w2, 2).toSeq == Seq((0L, 0L, 2L), (1L, 0L, 2L)))
+  }
+
+  test("dHash: horizontal gradient bits, brightness-shift invariant") {
+    import graft.multimodal.BmpCodec
+    // 3x2 ramp rising rightward: every adjacent pair increases → all bits 1
+    val ramp = BmpCodec.Bmp(3, 2, Array(0x101010, 0x202020, 0x303030,
+      0x101010, 0x202020, 0x303030))
+    val (rb, ro) = BmpCodec.dHash(ramp)
+    assert(rb == "1111" && ro == 4L)
+    // add a constant brightness offset: aHash's mean cut may move, dHash must not
+    val brighter = BmpCodec.Bmp(3, 2, ramp.pixels.map(_ + 0x404040))
+    assert(BmpCodec.dHash(brighter) == ((rb, ro)))
+    // falling ramp → all zeros
+    val fall = BmpCodec.Bmp(3, 1, Array(0x303030, 0x202020, 0x101010))
+    assert(BmpCodec.dHash(fall) == (("00", 0L)))
+  }
 }
