@@ -327,4 +327,26 @@ class StreamingSpec extends SparkSpec {
     val est = HyperLogLog.estimate(spark.read.parquet(reg)).as[Double].head()
     assert(math.abs(est - 1000.0) <= 250.0, s"streamed HLL estimate $est")
   }
+
+  test("quality rules stream: gopherStats is a stateless projection over readStream") {
+    // the corpus-quality first cut runs unchanged in a micro-batch stream —
+    // no state, no watermark, the rule columns are per-row projections
+    val root = tmpDir("streamquality")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    docs.write.parquet(s"$in/chunk")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$in/chunk")
+    val q = graft.text.QualityRules.gopherStats(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quality_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quality_out")
+    val batch = graft.text.QualityRules.gopherStats(docs, "doc_id", "text")
+    assert(streamed.count() == 100L)
+    // row-identical to the batch projection
+    assert(streamed.exceptAll(batch).count() == 0L &&
+      batch.exceptAll(streamed).count() == 0L)
+  }
 }
