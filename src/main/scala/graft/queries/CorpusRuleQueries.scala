@@ -642,8 +642,10 @@ object CorpusRuleQueries {
          |    * 1000000.0 + 0.5) / 1000000.0 AS modularity
          |FROM t CROSS JOIN mm""".stripMargin) { (s, dir) =>
       val edges = SharedFrames.bigramEdges(s, dir).persist()
+      // labels feed three plan branches (degree join + both endpoint
+      // joins) — persist or the 2-round LPA re-executes per branch
       val labels = graft.operators.Communities
-        .labelPropagate(edges, "a", "b", rounds = 2)
+        .labelPropagate(edges, "a", "b", rounds = 2).persist()
       val sym = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
       val deg = sym.groupBy("node").agg(count(lit(1)).cast("long").as("_dg"))
@@ -703,19 +705,132 @@ object CorpusRuleQueries {
       val edges = SharedFrames.bigramEdges(s, dir).persist()
       val sym = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
+      // collect the 5 seed ids (sanctioned O(k) driver probe): the BFS
+      // union chain embeds its base plan 2^rounds times, so the seed set
+      // must be a literal relation, not a live groupBy+limit subplan
       val seeds = sym.groupBy("node").agg(count(lit(1)).as("_dg"))
         .orderBy(col("_dg").desc, col("node")).limit(5)
         .select("node").collect().map(_.getString(0))
       val spark = s
       import spark.implicits._
-      seeds.toSeq.map { seed =>
-        graft.operators.ShortestPath
-          .bfsLevels(edges, "a", "b", Seq(seed).toDF("node"), rounds = 4)
-          .agg(
-            sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"),
-            sum(when(col("dist") > 0, expr("1000000L div dist")).otherwise(0L))
-              .cast("long").as("harmonic_micro"))
-          .select(lit(seed).as("seed"), col("n_reached"), col("harmonic_micro"))
-      }.reduce(_ unionByName _).orderBy("seed")
+      // one multi-source traversal: k seeds, the stage count of one BFS
+      graft.operators.ShortestPath
+        .bfsLevelsFrom(edges, "a", "b", seeds.toSeq.toDF("seed"), rounds = 4)
+        .groupBy("seed")
+        .agg(
+          sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"),
+          sum(when(col("dist") > 0, expr("1000000L div dist")).otherwise(0L))
+            .cast("long").as("harmonic_micro"))
+        .orderBy("seed")
+    },
+
+    // Burstiness / index of dispersion of the daily event arrival per
+    // type: variance-to-mean ratio of daily counts (1 = Poisson-like,
+    // ≫1 = bursty traffic). The q264 moment discipline — exact counts,
+    // variance numerator as one exact decimal, a single pinned division.
+    Q(
+      "q279_burstiness",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS HUGEINT) AS sx,
+        |    CAST(sum(c * c) AS HUGEINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, CAST(sx AS BIGINT) AS n_events,
+        |  CASE WHEN n_days > 1 AND sx > 0 THEN
+        |    floor(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |        / CAST((n_days - 1) * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS dispersion
+        |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(col("c").cast(dec)).cast(dec).as("_sx"),
+          sum((col("c") * col("c")).cast(dec)).cast(dec).as("_sxx"))
+        .select(
+          col("event_type"), col("n_days"),
+          col("_sx").cast("long").as("n_events"),
+          when(col("n_days") > 1 && col("_sx") > 0,
+            pin6((col("n_days").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double") /
+              ((col("n_days") - 1).cast("double") * col("_sx").cast("double"))))
+            .as("dispersion"))
+        .orderBy("event_type")
+    },
+
+    // The FULL Gopher-style filter: hard rules (q261) AND repetition
+    // thresholds (q262's top-bigram / duplicate-5-gram mass), rolled up
+    // to a per-language keep table — the one-line corpus-cut readout a
+    // curation run reports. Pure composition of the two spec'd parts;
+    // the exact integer micro thresholds make the cut engine-identical.
+    Q(
+      "q280_gopher_full",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x != '') AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS stop_hits
+        |  FROM tok),
+        |rules AS (SELECT doc_id, lang,
+        |    (n_words BETWEEN 10 AND 100000)
+        |      AND (CASE WHEN n_words = 0 THEN 0 ELSE (chars * 1000000) // n_words END
+        |           BETWEEN 2000000 AND 12000000)
+        |      AND (CASE WHEN n_words = 0 THEN 0 ELSE (alpha * 1000000) // n_words END)
+        |          >= 700000
+        |      AND stop_hits >= 2 AS rules_ok
+        |  FROM f),
+        |bg AS (SELECT tok.doc_id, o.n,
+        |    array_to_string(list_slice(t, g.i, g.i + o.n - 1), ' ') AS gram
+        |  FROM tok CROSS JOIN (SELECT unnest([2, 5]) AS n) o,
+        |    unnest(generate_series(1, len(t) - o.n + 1)) AS g(i)),
+        |pc AS (SELECT doc_id, n, gram,
+        |    CAST(length(gram) - (n - 1) AS BIGINT) AS len, count(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3, 4),
+        |pd AS (SELECT doc_id, n,
+        |    (CAST(max(c * len) AS BIGINT) * 1000000) // CAST(sum(c * len) AS BIGINT)
+        |      AS top_micro,
+        |    (CAST(sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT) * 1000000)
+        |      // CAST(sum(c * len) AS BIGINT) AS dup_micro
+        |  FROM pc GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |    bool_and(CASE WHEN n = 2 THEN top_micro < 200000 ELSE TRUE END)
+        |      AND bool_and(CASE WHEN n = 5 THEN dup_micro < 300000 ELSE TRUE END)
+        |      AS rep_ok
+        |  FROM pd GROUP BY 1)
+        |SELECT r.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r.rules_ok AND coalesce(rep.rep_ok, TRUE) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM rules r LEFT JOIN rep ON r.doc_id = rep.doc_id
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val rules = graft.text.QualityRules.gopherStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("kept").as("_rules_ok"))
+      val rep = graft.text.QualityRules
+        .repetitionStats(docs, "doc_id", "text", Seq(2, 5))
+        .groupBy("doc_id")
+        .agg((
+          min(when(col("n") === 2, col("top_frac_micro") < 200000L).otherwise(lit(true))
+            .cast("int")) === 1 &&
+          min(when(col("n") === 5, col("dup_frac_micro") < 300000L).otherwise(lit(true))
+            .cast("int")) === 1).as("_rep_ok"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(rules, "doc_id")
+        .join(rep, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("_rules_ok") && coalesce(col("_rep_ok"), lit(true)), 1L)
+            .otherwise(0L)).cast("long").as("n_kept"))
+        .orderBy("lang")
     })
 }

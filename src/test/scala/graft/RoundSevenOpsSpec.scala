@@ -141,6 +141,62 @@ class RoundSevenOpsSpec extends SparkSpec {
       .collect()(0).getAs[Long]("rbo_micro") == 250000L)
   }
 
+  test("anovaF matches the naive two-pass ANOVA on random grouped data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      val g = "g" + rnd.nextInt(4)
+      (g, math.floor(rnd.nextDouble() * 2000) / 100.0 + rnd.nextInt(3) * 5.0)
+    }
+    val df = rows.toDF("g", "v")
+    val r = RobustStats.anovaF(df, "g", "v", scale = 100).collect()(0)
+    // naive reference in cents (matching the operator's integerization)
+    val cents = rows.map { case (g, v) => (g, math.round(v * 100)) }
+    val byG = cents.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val all = cents.map(_._2.toDouble)
+    val gm = all.sum / all.size
+    val ssb = byG.values.map(vs => vs.size * math.pow(vs.sum / vs.size - gm, 2)).sum
+    val ssw = byG.values.map(vs => { val m = vs.sum / vs.size; vs.map(x => math.pow(x - m, 2)).sum }).sum
+    val fRef = (ssb / (byG.size - 1)) / (ssw / (all.size - byG.size))
+    assert(math.abs(r.getAs[Double]("f_stat") - fRef) / fRef < 1e-6,
+      s"F ${r.getAs[Double]("f_stat")} vs naive $fRef")
+    assert(math.abs(r.getAs[Long]("ssb_u") - ssb) <= byG.size + 1) // per-group floor slack
+  }
+
+  test("ols2 residuals are orthogonal to the design on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { _ =>
+      val x1 = rnd.nextInt(20); val x2 = rnd.nextInt(10)
+      ("g", x1, x2, math.floor((1.5 + 0.7 * x1 - 0.3 * x2 + rnd.nextGaussian()) * 100) / 100.0)
+    }
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val r = graft.operators.Regression.ols2(df, Seq("g"), "y", "x1", "x2").collect()(0)
+    val (b0, b1, b2) =
+      (r.getAs[Double]("beta0"), r.getAs[Double]("beta1"), r.getAs[Double]("beta2"))
+    // normal equations: residuals sum ~0 and are uncorrelated with x1, x2
+    val res = rows.map { case (_, x1, x2, y) => (x1, x2, y - b0 - b1 * x1 - b2 * x2) }
+    val scale = rows.map(_._4).map(math.abs).max * rows.size
+    assert(math.abs(res.map(_._3).sum) / scale < 1e-6)
+    assert(math.abs(res.map(t => t._1 * t._3).sum) / (scale * 20) < 1e-6)
+    assert(math.abs(res.map(t => t._2 * t._3).sum) / (scale * 10) < 1e-6)
+  }
+
+  test("bfsLevelsFrom == one bfsLevels per seed, on a branchy graph") {
+    import graft.operators.ShortestPath
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"),
+      ("x", "y")).toDF("a", "b")
+    val seeds = Seq("a", "x", "d").toDF("seed")
+    val multi = ShortestPath.bfsLevelsFrom(edges, "a", "b", seeds, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val single = Seq("a", "x", "d").flatMap { s =>
+      ShortestPath.bfsLevels(edges, "a", "b", Seq(s).toDF("node"), rounds = 3)
+        .collect().map(r => (s, r.getString(0), r.getLong(1)))
+    }.toSet
+    assert(multi == single)
+    // spot-check: from "a", d is 2 hops (a-e-d); y unreachable from a
+    assert(multi.contains(("a", "d", 2L)))
+    assert(!multi.exists(t => t._1 == "a" && t._2 == "y"))
+  }
+
   test("sortedIntersectSize == size(array_intersect) on random sorted sets") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 200).map { i =>
