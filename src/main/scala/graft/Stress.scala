@@ -227,6 +227,27 @@ object Stress {
     }
     // HyperLogLog (q136 shape) over 7.5M distinct keys: the sketch is 256
     // rows no matter the stream, and the raw estimator's error must sit
+    // round-7 batch at 50×: quality rules / repetition mass / DSIR over
+    // 250k docs, and the zone-map audit at file-count-scale chunking
+    time("gopher_rules_250k_docs") {
+      graft.text.QualityRules.gopherStats(docs, "doc_id", "text")
+        .filter(col("kept")).count()
+    }
+    time("repetition_250k_docs") {
+      graft.text.QualityRules
+        .repetitionStats(docs, "doc_id", "text", Seq(2, 3, 5)).count()
+    }
+    time("dsir_250k_docs") {
+      graft.text.Dsir.hashedImportanceWeights(
+        docs, "doc_id", "text", col("lang") === "en", dims = 64).count()
+    }
+    time("skipdepth_7M5_1024chunks") {
+      graft.operators.ZOrder.skippingDepth(
+        orders.select("o_orderkey", "o_custkey"),
+        Seq("o_orderkey"), "o_custkey", 1024)
+        .agg(sum(col("depth"))).count()
+    }
+
     // inside the 1.04/sqrt(256) = 6.5% standard-error band.
     time("hll_7M5_distinct") {
       graft.operators.HyperLogLog.estimate(
