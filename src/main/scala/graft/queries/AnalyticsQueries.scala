@@ -913,13 +913,8 @@ object AnalyticsQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY part_a, part_b
         |ORDER BY n DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
-      val op = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n"))
+      SharedFrames.basketPairCounts(s, dir)
+        .select(col("part_a"), col("part_b"), col("n_ab").as("n"))
         .orderBy(col("n").desc, col("part_a"), col("part_b"))
         .limit(100)
     },

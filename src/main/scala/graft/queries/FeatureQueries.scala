@@ -31,9 +31,9 @@ object FeatureQueries {
     // it complete, and a complete graph has no links to predict.)
     Q(
       "q248_link_predict",
-      """WITH pp AS (SELECT least(a.l_partkey, b.l_partkey) AS a,
-        |    greatest(a.l_partkey, b.l_partkey) AS b
-        |  FROM lineitem a JOIN lineitem b
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |ed AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
         |       WHERE n >= 2),
@@ -50,15 +50,9 @@ object FeatureQueries {
         |WHERE ed.a IS NULL
         |ORDER BY ra_micro DESC, common_neighbors DESC, sc.a, sc.b LIMIT 100""".stripMargin) {
       (s, dir) =>
-        val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("_pa"))
-        val b = li.select(col("l_orderkey"), col("l_partkey").as("_pb"))
-        val edges = a.join(b, Seq("l_orderkey"))
-          .filter(col("_pa") < col("_pb"))
-          .groupBy(col("_pa").as("a"), col("_pb").as("b"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .select("a", "b")
+        val edges = SharedFrames.basketPairCounts(s, dir)
+          .filter(col("n_ab") >= 2)
+          .select(col("part_a").as("a"), col("part_b").as("b"))
         graft.operators.LinkPredict
           .neighborOverlap(edges, "a", "b")
           .orderBy(col("ra_micro").desc, col("common_neighbors").desc, col("a"), col("b"))

@@ -27,6 +27,29 @@ private[queries] object SharedFrames {
         .localCheckpoint()
     }
 
+  private val basketPairMemo = Memo.slot[DataFrame]()
+
+  /** (part_a < part_b, n_ab) co-purchase pair counts over distinct
+    * (order, part) baskets — the lineitem self-join that q153
+    * (co-purchase top-k), q187 (item Jaccard), q205 (association rules)
+    * and q248 (link prediction) all start from; by far the most expensive
+    * shared mining step (~2 s at sf0.1), so it runs once per (session,
+    * dir) and the gates measure their own operator on top of it.
+    * Directional consumers mirror the canonical orientation (n_ab is
+    * symmetric).
+    */
+  def basketPairCounts(s: SparkSession, dir: String): DataFrame =
+    basketPairMemo(s, dir) {
+      val op = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint()
+    }
+
   /** Distinct undirected co-occurrence edges (a < b) between words
     * adjacent ≥ 5 times — the q185 graph.
     */

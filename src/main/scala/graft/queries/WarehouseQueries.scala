@@ -322,11 +322,7 @@ object WarehouseQueries {
       val op = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
       val pc = op.groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
-      val pr = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_ab"))
+      val pr = SharedFrames.basketPairCounts(s, dir)
       pr
         .join(pc.select(col("l_partkey").as("part_a"), col("n_orders").as("_na")), "part_a")
         .join(pc.select(col("l_partkey").as("part_b"), col("n_orders").as("_nb")), "part_b")
