@@ -326,8 +326,10 @@ object Experiment {
     * (variant, n) plus the experiment-level (chi2, srm) repeated on each —
     * χ² = Σ (n_i − n/k)²/(n/k) with exact integer counts, one compound
     * double the caller pins; `srm` flags χ² above the 0.001 critical value
-    * for k−1 df (k ≤ 4 supported — SRM uses a TIGHT alpha because a true
-    * mismatch produces astronomical χ², Fabijan et al. 2019).
+    * for k−1 df (k ≤ 11 tabulated; beyond that `srm` is NULL — an
+    * undefined flag, never a silently-wrong cutoff — SRM uses a TIGHT
+    * alpha because a true mismatch produces astronomical χ², Fabijan et
+    * al. 2019).
     */
   def srmCheck(df: DataFrame, variantCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -344,12 +346,22 @@ object Experiment {
       .select(col("_k"), col("_tn"),
         (col("_num").cast("double") /
           (col("_k").cast("double") * col("_tn").cast("double"))).as("chi2"))
-    // chi-square 0.001 critical values for df = 1..3 (k ≤ 4)
+    // chi-square 0.001 critical values for df = k−1, tabulated to df = 10
+    // (k = 11); a k outside the table leaves `crit` NULL so `srm` is NULL
+    // rather than over-firing on a too-small threshold
+    val crit = when(col("_k") <= 2, 10.828)
+      .when(col("_k") === 3, 13.816)
+      .when(col("_k") === 4, 16.266)
+      .when(col("_k") === 5, 18.467)
+      .when(col("_k") === 6, 20.515)
+      .when(col("_k") === 7, 22.458)
+      .when(col("_k") === 8, 24.322)
+      .when(col("_k") === 9, 26.124)
+      .when(col("_k") === 10, 27.877)
+      .when(col("_k") === 11, 29.588)
     byV.crossJoin(chi2).select(
       col("variant"), col("n"), col("chi2"),
-      (col("chi2") > when(col("_k") <= 2, 10.828)
-        .when(col("_k") === 3, 13.816)
-        .otherwise(16.266)).as("srm"))
+      (col("chi2") > crit).as("srm"))
   }
 
   /** Minimum detectable effect for a binary conversion metric at
@@ -361,8 +373,10 @@ object Experiment {
     * p_pooled is one IEEE division; mde_* are closed-form doubles the
     * caller pins. One grouped aggregate + single-row reduce.
     *
-    * `variantCol` must take exactly two values (checked); `convCol` is
-    * 0/1 per unit.
+    * `variantCol` must take exactly two values — any other arity yields a
+    * single ALL-NULL row (every derived column is gated on k = 2, so
+    * malformed input can never masquerade as a plan); `convCol` is 0/1
+    * per unit.
     */
   def mdeBinomial(df: DataFrame, variantCol: String, convCol: String): DataFrame = {
     val zSum = 1.959964 + 0.841621 // z_{0.025} + z_{0.20}, fixed constants
@@ -377,13 +391,16 @@ object Experiment {
       (col("_a._n") + col("_b._n")).cast("double")
     val nMin = least(col("_a._n"), col("_b._n")).cast("double")
     val mdeAbs = lit(zSum) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nMin)
+    val ok = col("_k") === 2 // gate EVERY output on arity: k=1 would
+    // double-count the lone variant via min=max, k>2 would silently use
+    // only the min/max variants
     two.select(
-      when(col("_k") === 2, col("_a._n")).as("n_a"), // null out malformed input loudly
-      col("_b._n").as("n_b"),
-      col("_a._c").as("conv_a"),
-      col("_b._c").as("conv_b"),
-      p.as("p_pooled"),
-      mdeAbs.as("mde_abs"),
-      when(p > 0, mdeAbs / p).as("mde_rel"))
+      when(ok, col("_a._n")).as("n_a"),
+      when(ok, col("_b._n")).as("n_b"),
+      when(ok, col("_a._c")).as("conv_a"),
+      when(ok, col("_b._c")).as("conv_b"),
+      when(ok, p).as("p_pooled"),
+      when(ok, mdeAbs).as("mde_abs"),
+      when(ok && p > 0, mdeAbs / p).as("mde_rel"))
   }
 }

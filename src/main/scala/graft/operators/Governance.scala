@@ -37,14 +37,23 @@ object Governance {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k=$k must be >= 1")
     require(!df.columns.contains("_qn"), "df must not contain reserved column '_qn'")
+    require(!df.columns.exists(_.startsWith("_qi_")),
+      "df must not contain reserved '_qi_*' columns")
     val qi = qiCols.map(col)
     val sizes = df.groupBy(qi: _*).agg(count(lit(1)).as("_qn"))
+      .select(qiCols.map(c => col(c).as("_qi_" + c)) :+ col("_qn"): _*)
+    // null-safe (<=>) join keys: groupBy already treats NULL as a regular
+    // key value, so rows with a NULL QI must find their group size too —
+    // plain equality would silently drop them from the masked extract,
+    // breaking the operator's row-count-preservation contract
+    val cond = qiCols.map(c => col(c) <=> col("_qi_" + c)).reduce(_ && _)
     val keep = col("_qn") >= k
-    val masked = df.join(sizes, qiCols)
+    val masked = df.join(sizes, cond)
     qiCols
       .foldLeft(masked) { (d, c) =>
         d.withColumn(c, when(keep, col(c).cast("string")).otherwise(lit("*")))
       }
       .drop("_qn")
+      .drop(qiCols.map("_qi_" + _): _*)
   }
 }

@@ -462,9 +462,10 @@ object TimeSeries {
     * are exact int64 sums of scaled-integer values, so level/trend/forecast
     * are single double divisions of exact integers by 225·scale —
     * bit-identical across engines, no recursion, no accumulation order.
-    * Rows without the full 7-lag history (the first 7 per key) emit NULLs:
-    * a partial-window Brown estimate would silently be a different
-    * statistic.
+    * Rows without 6 prior lags (the first 6 per key — s1 needs 3, s2
+    * needs 3 more on top) emit NULLs: a partial-window Brown estimate
+    * would silently be a different statistic. Row 7 (1-based) is the
+    * first complete estimate.
     *
     * Scale shape: two window stages over the SAME (keys, order) spec — one
     * shuffle, the second stage reuses the first's sort; all arithmetic in

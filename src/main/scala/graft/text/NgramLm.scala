@@ -77,7 +77,12 @@ object NgramLm {
     * at 1e-9 so a sub-micro probability can't become ln 0), and document
     * scores are exact long sums + one integral division. High mean_unats
     * = the LM finds the doc improbable (mojibake, boilerplate soup, wrong
-    * language); the filter is a WHERE on the output.
+    * language); the filter is a WHERE on the output. Bigrams ABSENT from
+    * `counts` (an external LM with partial coverage) are charged the
+    * pinned floor surprisal −ln 1e-9 = 20 723 266 micro-nats — an unseen
+    * bigram is maximally surprising, never free; an inner join here would
+    * score an all-unseen document 0, inverting the filter for exactly the
+    * weird tail it targets.
     *
     * Scale shape: LM = two map-side-combined aggregates of the bigram
     * TYPE table; scoring joins the per-doc bigram stream against that
@@ -100,9 +105,13 @@ object NgramLm {
       .select(col(idCol), explode(arrays_zip(
         slice(t, lit(1), len).as("a"), slice(t, lit(2), len).as("b"))).as("_p"))
       .select(col(idCol), col("_p.a").as("v"), col("_p.b").as("w"))
-    val ds = bp.join(lm, Seq("v", "w"))
+    // floor(−ln(1e-9)·1e6 + 0.5): the same pin recipe the LM side applies
+    // at its probability floor, precomputed so unmatched rows need no log
+    val floorUnats = lit(20723266L)
+    val ds = bp.join(lm, Seq("v", "w"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("_unats")).as("_su"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("_unats"), floorUnats)).as("_su"))
     df.select(col(idCol))
       .join(ds, Seq(idCol), "left")
       .select(col(idCol),

@@ -78,6 +78,31 @@ class FeatureStatsSpec extends SparkSpec {
     assert(math.abs(r.head.getAs[Double]("chi2") - 640.0) < 1e-9)
   }
 
+  test("srmCheck uses the df=k−1 critical value beyond 4 variants") {
+    // fair 5-way split: chi2 = 0 must NOT flag under the df=4 cutoff
+    val fair5 = (1 to 1000).map(i => s"v${i % 5}").toDF("v")
+    val r5 = Experiment.srmCheck(fair5, "v").collect()
+    assert(r5.forall(!_.getBoolean(3)))
+    // 5 variants with one starved arm — far above the df=4 cutoff of 18.467
+    val broken5 = (Seq.fill(300)("a") ++ Seq.fill(300)("b") ++ Seq.fill(300)("c") ++
+      Seq.fill(99)("d") ++ Seq.fill(1)("e")).toDF("v")
+    val rb = Experiment.srmCheck(broken5, "v").collect()
+    assert(rb.forall(_.getBoolean(3))) // gross starvation flags at df=4 too
+    // 12 variants: outside the tabulated range → srm is NULL, not a guess
+    val many = (1 to 1200).map(i => s"v${i % 12}").toDF("v")
+    val rm = Experiment.srmCheck(many, "v").collect()
+    assert(rm.forall(_.isNullAt(3)))
+  }
+
+  test("mdeBinomial yields an all-null row for arity != 2") {
+    val three = Seq(("a", 1L), ("b", 0L), ("c", 1L)).toDF("v", "cv")
+    val r3 = Experiment.mdeBinomial(three, "v", "cv").head()
+    assert((0 until r3.length).forall(r3.isNullAt)) // no silent min/max pick
+    val one = Seq(("a", 1L), ("a", 0L)).toDF("v", "cv")
+    val r1 = Experiment.mdeBinomial(one, "v", "cv").head()
+    assert((0 until r1.length).forall(r1.isNullAt)) // no double-counted lone variant
+  }
+
   test("documentScores scores rare bigrams as more surprising") {
     val df = Seq(
       (0L, "a b a b a b a b"), // all common bigrams
@@ -89,6 +114,19 @@ class FeatureStatsSpec extends SparkSpec {
     assert(s(2) == ((2L, 0L, 0L))) // bigram-less doc scores 0, not null
     assert(s(0)._2 == 7L && s(1)._2 == 5L)
     assert(s(1)._3 > s(0)._3) // rare x/y bigrams raise mean surprisal
+  }
+
+  test("documentScores charges unseen bigrams the floor surprisal (external LM)") {
+    // external LM covering only a→b: a document of entirely-unseen bigrams
+    // must score the PINNED FLOOR −ln 1e-9 = 20723266 micro-nats, the
+    // most-IMPROBABLE score — not 0, which would invert the quality filter
+    val lmCounts = Seq(("a", "b", 10L)).toDF("v", "w", "c_vw")
+    val docs = Seq((0L, "x y z"), (1L, "a b")).toDF("doc_id", "text")
+    val s = graft.text.NgramLm.documentScores(docs, "doc_id", "text", lmCounts)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(s(0)._2 == 2L) // both x→y, y→z counted, not dropped
+    assert(s(0)._3 == 20723266L) // exactly the floor surprisal
+    assert(s(1)._3 < s(0)._3) // the covered doc scores more probable
   }
 
   test("dateSpineGaps finds the missing days and the first gap") {

@@ -37,6 +37,22 @@ class GovernanceSpec extends SparkSpec {
       Governance.kAnonymize(df.withColumn("_qn", lit(1)), Seq("qi1"), 3L))
   }
 
+  test("kAnonymize keeps rows with NULL quasi-identifiers (null-safe join)") {
+    // NULL is a QI value like any other: three rows sharing (null, "x")
+    // form a group of 3 and SURVIVE at k=3; the lone (null, null) row is
+    // suppressed to '*' — but every row must still be present
+    val df = Seq(
+      (Some("a"), Some("x")), (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (None, Some("x")), (None, Some("x")), (None, Some("x")),
+      (None, None)
+    ).toDF("qi1", "qi2")
+    val out = Governance.kAnonymize(df, Seq("qi1", "qi2"), 3L)
+    assert(out.count() == 7) // row-count preservation incl. NULL-QI rows
+    val nullGroup = out.filter(col("qi1").isNull && col("qi2") === "x").count()
+    assert(nullGroup == 3) // the NULL-keyed group of 3 keeps its values
+    assert(out.filter(col("qi1") === "*" && col("qi2") === "*").count() == 1)
+  }
+
   test("cohenKappa: perfect agreement is 1, disjoint raters are <= 0") {
     val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
     val k1 = Eval.cohenKappa(perfect, "r1", "r2").select("kappa").head().getDouble(0)

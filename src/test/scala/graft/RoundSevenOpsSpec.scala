@@ -53,9 +53,11 @@ class RoundSevenOpsSpec extends SparkSpec {
     val out = TimeSeries.brownDouble(df, Seq("k"), Seq(col("t")), "y",
         horizon = 2, scale = 1)
       .orderBy("t").collect()
-    // first 7 rows have incomplete history → null level
+    // first 6 rows lack the 6 prior lags → null level; row index 6
+    // (t = 7) is the FIRST complete estimate
     assert((0 until 6).forall(i => out(i).isNullAt(out(i).fieldIndex("level"))))
-    (7 until 12).foreach { i =>
+    assert(!out(6).isNullAt(out(6).fieldIndex("level")))
+    (6 until 12).foreach { i =>
       val t = out(i).getAs[Int]("t").toDouble
       assert(math.abs(out(i).getAs[Double]("level") - t) < 1e-9)
       assert(math.abs(out(i).getAs[Double]("trend") - 11.0 / 15.0) < 1e-9)
