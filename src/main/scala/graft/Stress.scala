@@ -270,6 +270,7 @@ object Stress {
     spark.sparkContext.addSparkListener(meter)
     def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
     if (args.contains("scale50")) { scale50(spark, dir, meter); spark.stop(); return }
+    if (args.contains("hotbasket")) { hotBasket(spark, dir, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")
@@ -502,6 +503,32 @@ object Stress {
     time("compaction_50k_files")(graft.load.Compaction
       .plan(docs.withColumn("_p", concat_ws(":", col("lang"), col("_rep"))),
         Seq("_p"), "doc_id", "n_chars", 65536L).count())
+    hotBasket(spark, dir, meter)
     spark.stop()
+  }
+
+  /** Hot-basket guard (round-8 verdict item 1): lineitem plus ONE planted
+    * 10⁴-item basket — the crawler-session/catch-all-account shape.
+    * Uncapped, that key alone explodes to C(10⁴,2) ≈ 5·10⁷ pairs on a
+    * single shuffle key (and 10⁵ items → 5·10⁹, a dead executor);
+    * capBaskets(1024) bounds it at C(1024,2) ≈ 5.2·10⁵ — the capped block
+    * must come in near the no-mega-basket mining cost.
+    */
+  private def hotBasket(
+      spark: org.apache.spark.sql.SparkSession, dir: String, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val li1 = Tables.load(spark, dir, "lineitem")
+    val mega = spark.range(10000L)
+      .select(lit(-1L).as("l_orderkey"), (col("id") + 10000000L).as("l_partkey"))
+    val opHot = li1.select("l_orderkey", "l_partkey").unionByName(mega)
+    def pairCount(src: org.apache.spark.sql.DataFrame): Long = src
+      .select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(src.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1))).count()
+    time("basket_pairs_no_mega")(pairCount(li1.select("l_orderkey", "l_partkey").distinct()))
+    time("basket_pairs_hot_uncapped")(pairCount(opHot.distinct()))
+    time("basket_pairs_hot_capped")(pairCount(
+      graft.operators.MarketBasket.capBaskets(opHot, "l_orderkey", "l_partkey", 1024)))
   }
 }

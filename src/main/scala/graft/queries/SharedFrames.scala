@@ -29,6 +29,12 @@ private[queries] object SharedFrames {
 
   private val basketPairMemo = Memo.slot[DataFrame]()
 
+  /** Per-basket item cap for the co-purchase mining family — ~150× TPC-H's
+    * ≤7-part orders (exactness headroom), yet bounding a hot basket key at
+    * ~0.5M pairs instead of unbounded quadratic.
+    */
+  val MaxBasket = 1024
+
   /** (part_a < part_b, n_ab) co-purchase pair counts over distinct
     * (order, part) baskets — the lineitem self-join that q153
     * (co-purchase top-k), q187 (item Jaccard), q205 (association rules)
@@ -37,11 +43,20 @@ private[queries] object SharedFrames {
     * dir) and the gates measure their own operator on top of it.
     * Directional consumers mirror the canonical orientation (n_ab is
     * symmetric).
+    *
+    * Baskets are capped at [[MaxBasket]] items (rarest-kept,
+    * [[graft.operators.MarketBasket.capBaskets]]) before the self-join:
+    * the pair explosion is Σ|b|² per basket KEY, so one pathological
+    * 10⁵-item basket would otherwise put 10¹⁰ pairs on a single shuffle
+    * key. TPC-H orders hold ≤ 7 distinct parts, so at gate scale the cap
+    * provably changes nothing (oracle parity holds); at 100× on real
+    * retail/web data it bounds the worst key at MaxBasket²/2 pairs.
     */
   def basketPairCounts(s: SparkSession, dir: String): DataFrame =
     basketPairMemo(s, dir) {
-      val op = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+      val op = graft.operators.MarketBasket.capBaskets(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", MaxBasket)
       op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
         .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
         .filter(col("part_a") < col("part_b"))

@@ -296,4 +296,34 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_ab") == 2L)
     assert(r.getAs[Long]("confidence_micro") == 1000000L)
   }
+
+  test("capBaskets: trims a mega-basket to its rarest items, leaves small baskets") {
+    // basket 1 holds 10 items; items i1..i3 also appear in many other
+    // baskets (frequent), i4..i10 are basket-1-only (rare). Cap at 4 must
+    // keep the 4 RAREST (i10..i4 by freq-asc then id-asc → i4,i5,i6,i7)
+    // and leave the 2-item basket 99 untouched.
+    val mega = (1 to 10).map(i => (1L, f"i$i%02d"))
+    val common = (2L to 21L).flatMap(b => Seq((b, "i01"), (b, "i02"), (b, "i03")))
+    val small = Seq((99L, "i01"), (99L, "x"))
+    val df = (mega ++ common ++ small).toDF("bk", "it")
+    val out = MarketBasket.capBaskets(df, "bk", "it", maxBasket = 4)
+    val b1 = out.filter(col("bk") === 1L).select("it").as[String].collect().sorted
+    assert(b1.toSeq == Seq("i04", "i05", "i06", "i07")) // rarest 4, id-tiebreak
+    assert(out.filter(col("bk") === 99L).count() == 2L) // under-cap basket intact
+    // a cap above every basket size is the identity on distinct pairs
+    val id = MarketBasket.capBaskets(df, "bk", "it", maxBasket = 100)
+    assert(id.count() == df.distinct().count())
+  }
+
+  test("capBaskets bounds the downstream pair explosion") {
+    // one 40-item basket: uncapped self-join yields C(40,2)=780 pairs;
+    // capped at 8 it contributes C(8,2)=28 — the hot-key guard
+    val df = (1 to 40).map(i => (7L, i.toLong)).toDF("bk", "it")
+    def pairs(src: org.apache.spark.sql.DataFrame): Long = src
+      .select(col("bk"), col("it").as("a"))
+      .join(src.select(col("bk"), col("it").as("b")), "bk")
+      .filter(col("a") < col("b")).count()
+    assert(pairs(df) == 780L)
+    assert(pairs(MarketBasket.capBaskets(df, "bk", "it", maxBasket = 8)) == 28L)
+  }
 }
