@@ -22,7 +22,21 @@ import org.apache.spark.sql.SparkSession
   * references its SparkSession (value→key), so WeakHashMap entries would
   * never collect.
   */
-private[queries] object Memo {
+private[graft] object Memo {
+
+  /** Lineage-truncate a frame for memoization. With a checkpoint dir
+    * configured on the context (`sc.setCheckpointDir` — the opt-in), this
+    * is a RELIABLE checkpoint: blocks live in fault-tolerant storage and
+    * survive executor loss, the deployable mode for a long-lived service
+    * on a real cluster. Without one it falls back to `localCheckpoint`,
+    * whose blocks die with their executor — exactly right for single-JVM
+    * bench/test runs (executor loss there IS process death) and the
+    * reason the bench harness needs no checkpoint dir. Same slot API
+    * either way; callers never branch.
+    */
+  def truncate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
   private val slots = new java.util.concurrent.CopyOnWriteArrayList[Slot[_]]
   private val cleanupRegistered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])

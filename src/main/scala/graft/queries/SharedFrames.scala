@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * not the common base's re-derivation (the q81/q82 precedent).
   *
   * `bigramCounts` is the corpus bigram-type table (gram, n) — one
-  * token-explode pass over `documents`, localCheckpoint'ed: ~Heaps'-law
+  * token-explode pass over `documents`, truncated via [[Memo.truncate]]
+  * (reliable checkpoint when a checkpoint dir is set): ~Heaps'-law
   * rows, block-manager cached. The co-occurrence EDGE list (q185 k-core,
   * q204 label propagation, q207 BFS, q208 assortativity) and the raw
   * bigram LM counts (q209) are both cheap projections of it.
@@ -23,8 +24,8 @@ private[queries] object SharedFrames {
     */
   def bigramCounts(s: SparkSession, dir: String): DataFrame =
     bigramMemo(s, dir) {
-      graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
-        .localCheckpoint()
+      Memo.truncate(
+        graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 2))
     }
 
   private val basketPairMemo = Memo.slot[DataFrame]()
@@ -54,15 +55,16 @@ private[queries] object SharedFrames {
     */
   def basketPairCounts(s: SparkSession, dir: String): DataFrame =
     basketPairMemo(s, dir) {
-      val op = graft.operators.MarketBasket.capBaskets(
-        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", MaxBasket)
-      op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_ab"))
-        .localCheckpoint()
+      Memo.truncate {
+        val op = graft.operators.MarketBasket.capBaskets(
+          Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", MaxBasket)
+        op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("n_ab"))
+      }
     }
 
   /** Distinct undirected co-occurrence edges (a < b) between words

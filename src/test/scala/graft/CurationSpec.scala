@@ -506,6 +506,28 @@ class CurationSpec extends SparkSpec {
     CurationQueries.evictMemos(spark)
   }
 
+  test("Memo.truncate upgrades to a reliable checkpoint when a dir is configured") {
+    import graft.queries.Memo
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // default mode: local fallback still round-trips the values
+      val local = Memo.truncate(df)
+      assert(local.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val rel = Memo.truncate(df)
+    // values survive the round-trip AND the blocks are in fault-tolerant
+    // storage (rdd-* files under the checkpoint dir), not the block manager
+    assert(rel.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val ckptFiles = walk(dir).filter(_.getPath.contains("rdd-"))
+    assert(ckptFiles.nonEmpty, "reliable checkpoint must write rdd-* files")
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   test("decontaminate flags shingle overlap and removeContaminated drops it") {
