@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import graft.catalog.{Catalog, Status}
 import graft.pipeline.Pipeline
 import graft.schema.TableSchema
+import org.apache.spark.sql.functions.col
 
 /** End-to-end per-file ingest over FIXTURES.md-style miniature CSVs:
   * rename → conform → hash → J1 → J2 → casts → ids → J3 → snapshot append,
@@ -108,6 +109,94 @@ class PipelineSpec extends SparkSpec {
     val res = pipe.processFile(zipPath)
     assert(res.table.contains("mini_campaign_events"))
     assert(res.inserted == 1)
+  }
+
+  test("full-width 96-column pipeline: end-to-end + codegen holds at width") {
+    // The reference's real tables are 96 columns wide (table_schema.json:
+    // id + 94 data columns + row_hash) with roles distributed 19 date
+    // (7 of them dob), 6 int, 3 float, rest string. Spark's whole-stage
+    // codegen limits (spark.sql.codegen.maxFields = 100) sit exactly in
+    // this range, so width is a first-class correctness risk, not a
+    // cosmetic one — this fixture mirrors the real role distribution and
+    // asserts the cast stage stays inside one codegen'd Project.
+    val dates = (1 to 12).map(i => f"dt$i%02d")
+    val dobs = (1 to 7).map(i => f"dob$i%02d")
+    val ints = (1 to 6).map(i => f"int$i%02d")
+    val flts = (1 to 3).map(i => f"flt$i%02d")
+    val strs = (1 to 66).map(i => f"str$i%02d")
+    val dataCols = dates ++ dobs ++ ints ++ flts ++ strs
+    assert(dataCols.length == 94)
+    val wideSchema = TableSchema(
+      tableName = "wide_events",
+      columnNames = "id" +: dataCols :+ "row_hash",
+      columnTypes = "UInt64" +:
+        (dates ++ dobs).map(_ => "Nullable(DateTime)") ++:
+        ints.map(_ => "Nullable(Int64)") ++:
+        flts.map(_ => "Nullable(Float64)") ++:
+        strs.map(_ => "Nullable(String)") :+ "String",
+      dateColumns = dates ++ dobs, // dob columns are date-parsed too
+      dobColumns = dobs,
+      intColumns = ints,
+      floatColumns = flts,
+      stringColumns = strs)
+    val wideMapping = dataCols.map(c => s"Raw ${c.toUpperCase}" -> c).toMap
+    val root = tmpDir("wide")
+    val cat = new Catalog(spark, s"$root/catalog")
+    val pipe = new Pipeline(spark, cat, Seq(wideSchema),
+      Map("wide_events" -> wideMapping), s"$root/warehouse", Map.empty)
+
+    // 40 rows, 5 exact duplicates; every role exercises its coerce cases
+    def row(i: Int): String = {
+      val d = dates.map(_ => if (i % 7 == 0) "junk-date" else f"2024-01-${i % 28 + 1}%02d 10:00:00")
+      val b = dobs.map(_ => f"19${60 + i % 40}%02d-06-15 00:00:00")
+      val n = ints.map(_ => if (i % 5 == 0) s"$i.0" else if (i % 11 == 0) "" else s"$i")
+      val f = flts.map(_ => if (i % 9 == 0) "nan" else s"$i.25")
+      val s = strs.map(j => if (i % 13 == 0) "<NA>" else s"v$i$j")
+      (d ++ b ++ n ++ f ++ s).mkString(",")
+    }
+    val baseRows = (1 to 35).map(row)
+    val body = (dataCols.map(c => s"Raw ${c.toUpperCase}").mkString(",") +: (
+      baseRows ++ baseRows.take(5))).mkString("\n") + "\n"
+    val csv = write(root, "wide_events_b1.csv", body)
+    val res = pipe.processFile(csv)
+    assert(res.status == Status.Uploaded)
+    assert(res.inserted == 35) // 40 rows, 5 intra-file dups
+
+    val table = spark.read.parquet(s"$root/warehouse/wide_events")
+    assert(table.columns.toSeq == wideSchema.columnNames) // all 96, declared order
+    assert(table.columns.length == 96)
+    val types = table.dtypes.toMap
+    assert(dates.forall(types(_) == "TimestampType"))
+    assert(dobs.forall(types(_) == "StringType")) // dob: parsed then yyyy-MM-dd string
+    assert(ints.forall(types(_) == "LongType"))
+    assert(flts.forall(types(_) == "DoubleType"))
+    assert(types("id") == "LongType" && types("row_hash") == "StringType")
+    // coerce semantics hold at width: junk dates null, "5.0" → 5, nan → null
+    assert(table.filter(col("dt01").isNull).count() == 5L) // i ∈ {7,14,21,28,35}
+    assert(table.filter(col("int01") === 5L).count() == 1L)
+    assert(table.filter(col("flt01").isNull).count() == 3L) // i ∈ {9,18,27}
+    assert(table.filter(col("dob01") === "1961-06-15").count() == 1L)
+
+    // codegen status of the 96-column cast stage: the rename→conform→hash→
+    // cast projection must sit inside whole-stage codegen (a '*'-prefixed
+    // Project), and no generated method may cross the JIT-refusal
+    // threshold (spark.sql.codegen.hugeMethodLimit = 65535 bytecode)
+    val raw = graft.ingest.CsvSource.readSniffed(spark, csv)
+    val renamed = graft.clean.Clean.renameColumns(raw, wideMapping).toOption.get
+    val conformed = graft.clean.Clean.conform(renamed, dataCols)
+    val hashed = graft.clean.Clean.withRowHash(conformed, dataCols)
+    val typed = graft.load.Casts.applyRoles(hashed, wideSchema)
+    val planStr = typed.queryExecution.executedPlan.toString
+    assert(planStr.contains("*("), s"no codegen span at 96 columns:\n$planStr")
+    import org.apache.spark.sql.execution.debug._
+    val subtrees = codegenStringSeq(typed.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "expected at least one WholeStageCodegen subtree")
+    subtrees.foreach { case (_, _, stats) =>
+      assert(stats.maxMethodCodeSize < 65535,
+        s"generated method ${stats.maxMethodCodeSize} bytecode exceeds the JIT limit")
+    }
+    info(s"cast stage: ${subtrees.size} codegen subtree(s), max method " +
+      s"${subtrees.map(_._3.maxMethodCodeSize).max} bytecode")
   }
 
   test("unroutable and non-CSV files get error statuses") {
