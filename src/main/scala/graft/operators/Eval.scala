@@ -52,9 +52,10 @@ object Eval {
 
   /** Ranked-retrieval quality per query: hits, first relevant rank, MRR,
     * precision@k, and AP@k (MAP's per-query term) — the evaluation loop
-    * that closes the index → rank → fuse retrieval family. NDCG is
-    * deliberately absent: its log2 discount drags libm into the gate;
-    * MRR/AP carry the same ordering signal as exact rationals.
+    * that closes the index → rank → fuse retrieval family. NDCG lives in
+    * [[ndcgAtK]] — its log2 discount needs the pinned-micro-nat ln
+    * recipe, so it is a separate pinned-term aggregate rather than a
+    * column here.
     *
     * Determinism: the reciprocal rank is the INTEGER quotient
     * 1000000 div rank; each AP term is (hits_at_i · 1000000) div i — all
@@ -113,6 +114,56 @@ object Eval {
             (least(col("n_rel"), lit(apAtK.toLong)) * 1000000L).cast("double")))
       .select(col(queryCol), col("n_rel"), col("hits"), col("first_rel_rank"),
         col("mrr"), col("p_at_k"), col("ap"))
+  }
+
+  /** NDCG@k per query (binary relevance) via the pinned-micro-nat ln
+    * recipe (the q182/q226/q228 discipline): the rank discount
+    * 1/log2(i+1) is derived from ONE natural log per list row, pinned
+    * BEFORE any sum — u = floor(ln(rank+1)·10⁶ + 0.5) micro-nats, then
+    * rmicro = (693147·10⁶) div u, with ln 2 itself pinned to the literal
+    * 693147 micro-nats (so rank 1 is exactly 10⁶). DCG and IDCG are exact
+    * long sums of rmicro terms; `ndcg` is their single final division.
+    * IDCG@k sums the first min(k, n_rel) discounts off the SAME pinned
+    * table, so numerator and denominator can never disagree on a ulp.
+    * Queries with no relevant document (idcg 0) emit NULL ndcg —
+    * undefined, not zero.
+    *
+    * Scale shape: identical to [[rankingMetrics]] — the relevance flag
+    * joins on (query, doc) over the k-row-per-query list, one grouped
+    * aggregate keyed by query, per-query totals broadcast. The discount
+    * ln runs once per OUTPUT list row (≤ k per query), never per corpus
+    * row.
+    *
+    * The ranked list must hold at least min(k, n_rel) rows per query
+    * (true for any top-k retrieval over a corpus containing the relevant
+    * docs) — IDCG is summed from list positions.
+    */
+  def ndcgAtK(
+      ranked: DataFrame,
+      relevant: DataFrame,
+      relTotals: DataFrame,
+      queryCol: String,
+      idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val flagged = ranked
+      .filter(col("rank") <= k)
+      .join(relevant.select(col(queryCol), col(idCol), lit(true).as("_rel")),
+        Seq(queryCol, idCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(false)))
+      .withColumn("_u", floor(log(col("rank").cast("double") + 1.0) * 1000000.0 + 0.5)
+        .cast("long"))
+      .withColumn("_rm", expr("693147000000 div _u"))
+    flagged
+      .join(broadcast(relTotals.select(col(queryCol), col("n_rel"))), Seq(queryCol))
+      .groupBy(col(queryCol), col("n_rel"))
+      .agg(
+        sum(when(col("_rel"), col("_rm")).otherwise(0L)).as("dcg_micro"),
+        sum(when(col("rank") <= least(lit(k.toLong), col("n_rel")), col("_rm"))
+          .otherwise(0L)).as("idcg_micro"))
+      .select(col(queryCol), col("n_rel"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")).as("ndcg"))
   }
 
   /** Probability-calibration bins + per-bin Brier contribution: given a

@@ -632,6 +632,75 @@ object WarehouseQueries {
         .orderBy("anchor_id")
     },
 
+    // NDCG@20 over the SAME lexical ranking + embedding-label relevance as
+    // q194 (Eval.ndcgAtK) — the graded-discount readout rankingMetrics
+    // deliberately externalizes. The log2 discount rides the q182
+    // pinned-micro-nat recipe: u = floor(ln(rank+1)·1e6 + 0.5) once per
+    // LIST row, rmicro = (693147·1e6) div u (ln 2 pinned as the literal
+    // 693147), DCG/IDCG exact long sums of rmicro, ndcg one final
+    // division. IDCG reads the same pinned table at ranks 1..min(k,n_rel),
+    // so the oracle replays every term bit-identically.
+    Q(
+      "q281_ndcg",
+      """WITH tt AS (SELECT doc_id, u.tok AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |aterms AS (SELECT DISTINCT doc_id AS anchor_id, term FROM tt WHERE doc_id IN (0, 1, 2)),
+        |qterms AS (SELECT DISTINCT term FROM aterms),
+        |hits0 AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM hits0 GROUP BY term),
+        |sc0 AS (SELECT h.term, h.doc_id,
+        |    CAST(floor(round(CAST(22 * h.tf * s AS DOUBLE) /
+        |        CAST(10 * h.tf * s + 3 * s + 9 * d.dl * n AS DOUBLE) *
+        |        (CAST(2 * n - 2 * dfr + 1 AS DOUBLE) / CAST(2 * dfr + 1 AS DOUBLE)), 4)
+        |      * 10000.0 + 0.5) AS BIGINT) AS s4
+        |  FROM hits0 h JOIN dl d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |lexsum AS (SELECT a.anchor_id, sc0.doc_id, CAST(sum(sc0.s4) AS BIGINT) AS lex_i4
+        |  FROM sc0 JOIN aterms a USING (term) WHERE sc0.doc_id != a.anchor_id
+        |  GROUP BY a.anchor_id, sc0.doc_id),
+        |lex AS (SELECT * FROM (SELECT anchor_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY lex_i4 DESC, doc_id)
+        |      AS BIGINT) AS rank FROM lexsum) WHERE rank <= 20),
+        |rel AS (SELECT a.vec_id AS anchor_id, b.vec_id AS doc_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id != a.vec_id WHERE a.vec_id IN (0, 1, 2)),
+        |rt AS (SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY anchor_id),
+        |fl AS (SELECT l.anchor_id, l.rank, r.doc_id IS NOT NULL AS rel
+        |  FROM lex l LEFT JOIN rel r ON l.anchor_id = r.anchor_id AND l.doc_id = r.doc_id),
+        |disc AS (SELECT CAST(g.i AS BIGINT) AS rank,
+        |    (CAST(693147 AS BIGINT) * 1000000)
+        |      // CAST(floor(ln(CAST(g.i + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |        AS BIGINT) AS rmicro
+        |  FROM generate_series(1, 20) AS g(i)),
+        |ag AS (SELECT fl.anchor_id,
+        |    CAST(sum(CASE WHEN fl.rel THEN d.rmicro ELSE 0 END) AS BIGINT) AS dcg_micro,
+        |    CAST(sum(CASE WHEN fl.rank <= least(20, rt.n_rel) THEN d.rmicro ELSE 0 END)
+        |      AS BIGINT) AS idcg_micro
+        |  FROM fl JOIN disc d USING (rank) JOIN rt USING (anchor_id)
+        |  GROUP BY fl.anchor_id)
+        |SELECT ag.anchor_id, rt.n_rel, ag.dcg_micro, ag.idcg_micro,
+        |  CASE WHEN idcg_micro > 0
+        |    THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END AS ndcg
+        |FROM ag JOIN rt USING (anchor_id) ORDER BY ag.anchor_id""".stripMargin) { (s, dir) =>
+      import graft.text.Retrieval
+      val docs = Tables.load(s, dir, "documents")
+      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+        .select("anchor_id", "doc_id", "rank")
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("anchor_id"), col("label").as("_al"))
+      val rel = broadcast(anchors)
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("_al") && col("doc_id") =!= col("anchor_id"))
+        .select("anchor_id", "doc_id")
+      val rt = rel.groupBy("anchor_id").agg(count(lit(1)).as("n_rel"))
+      graft.operators.Eval.ndcgAtK(ranked, rel, rt, "anchor_id", "doc_id", k = 20)
+        .orderBy("anchor_id")
+    },
+
     // MinHash sketch calibration audit (the DQ-of-sketches loop): on every
     // LSH candidate pair, the 12-hash signature-agreement ESTIMATE of
     // Jaccard next to the exact shingle-set value and the absolute error —

@@ -230,6 +230,27 @@ class SplitsEvalSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("first_rel_rank")))
   }
 
+  test("ndcgAtK: pinned-discount DCG/IDCG, perfect ranking is exactly 1") {
+    // pinned discounts rmicro(i) = (693147·1e6) div floor(ln(i+1)·1e6+0.5):
+    // 1000000, 630929, 500000, 430676, 386852 for ranks 1..5
+    val ranked = Seq(
+      ("p", 1L, 1L), ("p", 2L, 2L), ("p", 3L, 3L), ("p", 4L, 4L), ("p", 5L, 5L),
+      ("w", 1L, 1L), ("w", 2L, 2L), ("w", 3L, 3L), ("w", 4L, 4L), ("w", 5L, 5L),
+      ("z", 1L, 1L)).toDF("q", "id", "rank")
+    val rel = Seq( // p: relevant at ranks 1,2,3 (perfect); w: at ranks 4,5 (worst)
+      ("p", 1L), ("p", 2L), ("p", 3L), ("w", 4L), ("w", 5L)).toDF("q", "id")
+    val rt = Seq(("p", 3L), ("w", 2L), ("z", 0L)).toDF("q", "n_rel")
+    val out = Eval.ndcgAtK(ranked, rel, rt, "q", "id", k = 5).orderBy("q").collect()
+    val p = out(0); val w = out(1); val z = out(2)
+    assert(p.getLong(p.fieldIndex("dcg_micro")) == 1000000L + 630929L + 500000L)
+    assert(p.getLong(p.fieldIndex("idcg_micro")) == p.getLong(p.fieldIndex("dcg_micro")))
+    assert(p.getDouble(p.fieldIndex("ndcg")) == 1.0) // EXACT: same pinned terms
+    assert(w.getLong(w.fieldIndex("dcg_micro")) == 430676L + 386852L)
+    assert(w.getLong(w.fieldIndex("idcg_micro")) == 1000000L + 630929L)
+    assert(math.abs(w.getDouble(w.fieldIndex("ndcg")) - 817528.0 / 1630929.0) < 1e-15)
+    assert(z.isNullAt(z.fieldIndex("ndcg"))) // no relevant docs → undefined, not 0
+  }
+
   test("perClassPrf: a class only ever predicted gets null recall") {
     val pairs = Seq(("a", "und"), ("a", "a")).toDF("truth", "pred")
     val und = Eval.perClassPrf(pairs, "truth", "pred")
