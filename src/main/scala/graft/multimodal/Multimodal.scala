@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * `binary` columns beside a typed metadata struct; decode / feature-extract
   * / frame-sample run batch-parallel over partitions.
   *
-  * The image/video codec libraries are NOT in this environment, so
-  * [[StubDecoder]] is a clearly-marked deterministic fake for those
-  * modalities; RIFF/WAVE 16-bit PCM needs no library, so audio decodes for
-  * REAL via [[WavCodec]] ([[extractWavFeatures]]). Everything Spark-side is
+  * The COMPRESSED-format codec libraries (JPEG/PNG/MP3) are NOT in this
+  * environment, so [[StubDecoder]] is a clearly-marked deterministic fake
+  * for those; three containers decode for REAL with pure-JVM codecs —
+  * RIFF/WAVE 16-bit PCM ([[WavCodec]]), uncompressed 24-bit BMP
+  * ([[BmpCodec]]), and LZW-compressed GIF ([[GifCodec]], a real
+  * variable-width LZW decompressor). Everything Spark-side is
   * real and tested either way: the schema contract, the binary column handling, the
   * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
   * decoder instantiation per partition, amortized over its rows), and the
@@ -312,6 +314,101 @@ object Multimodal {
         val w = WavCodec.decode(r.getAs[Array[Byte]](payloadIdx))
         val (nf, bits, tot) = WavCodec.energyFingerprint(w, frameLen)
         Row(r.getLong(idIdx), nf, bits, tot)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic GIF payloads (16×12, 256-entry palette by
+    * default): palette index of pixel (x,y) = (id·13 + y·31 + x·7) mod 256
+    * and palette entry j = ((j·31+7)%256, (j·17+3)%256, (j·23+11)%256) —
+    * the GIF member of the [[synthesizeWav]]/[[synthesizeBmp]] family: an
+    * oracle composes the two integer recipes to regenerate every RGB value
+    * arithmetically, while the Spark side round-trips them through REAL
+    * LZW compression → GIF encode → decode ([[GifCodec]]).
+    */
+  def synthesizeGif(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      val palette = Array.tabulate(256) { j =>
+        (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        val indices = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          ((id * 13L + y * 31L + x * 7L) % 256L).toByte
+        }
+        val payload = GifCodec.encode(width, height, 8, palette, indices)
+        Row(id, payload, Row("image", "gif", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL GIF decode+featurize — LZW decompression + palette lookup per
+    * row ([[GifCodec.decode]]) into the SHARED pixel frame, then the exact
+    * same feature/resize verbs as the BMP path ([[BmpCodec.features]],
+    * [[BmpCodec.resizeNearest]]): one pixel contract, N containers. Same
+    * one-decoder-per-partition batch shape as [[extractBmpFeatures]].
+    */
+  def extractGifFeatures(
+      media: DataFrame,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("luma_min", LongType, nullable = false),
+      StructField("luma_max", LongType, nullable = false),
+      StructField("edge_count", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = GifCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val img = resizeTo match {
+          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
+          case None => decoded
+        }
+        val f = BmpCodec.features(img)
+        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
+          f.lumaMin, f.lumaMax, f.edgeCount)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Difference-hash fingerprints for GIF payloads: REAL LZW decode →
+    * nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]] — the
+    * near-dup machinery of [[extractBmpDHash]] reused verbatim on the
+    * third container; equal hashes are candidate duplicate images across
+    * FORMATS too (a GIF and a BMP of the same pixels hash identically).
+    */
+  def extractGifDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          GifCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), bits, ones)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -536,6 +536,78 @@ object CorpusRuleQueries {
         .orderBy("media_id")
     },
 
+    // REAL GIF decode (GifCodec): palette-indexed synthetic pixels
+    // round-trip through an actual LZW compress → GIF87a encode → parse →
+    // LZW decompress → palette lookup, while the oracle COMPOSES the two
+    // integer recipes (index(x,y) = (id·13+y·31+x·7)%256, palette entry
+    // j → ((j·31+7)%256, (j·17+3)%256, (j·23+11)%256)) and recomputes the
+    // same channel sums / luma extrema / edge counts as q100 — the third
+    // pure-JVM container on the shared pixel contract.
+    Q(
+      "q282_gif_features",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 31 + 7) % 256 AS r,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 17 + 3) % 256 AS g,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 23 + 11) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal
+        .synthesizeGif(Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractGifFeatures(media).orderBy("media_id")
+    },
+
+    // GIF difference-hash: REAL LZW decode → 9×8 nearest-neighbor resize →
+    // BmpCodec.dHash — q274's near-dup fingerprint machinery reused
+    // verbatim on the third container (equal hashes across FORMATS mark
+    // candidate duplicates: a GIF and a BMP of the same pixels collide).
+    // Oracle: same floor resize mapping over the composed palette recipe.
+    Q(
+      "q283_gif_dhash",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    299 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 31 + 7) % 256)
+        |    + 587 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 17 + 3) % 256)
+        |    + 114 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 23 + 11) % 256)
+        |      AS l
+        |  FROM documents,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)),
+        |g AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT doc_id AS media_id,
+        |  array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash,
+        |  CAST(sum(bit) AS BIGINT) AS n_ones
+        |FROM g GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal
+        .synthesizeGif(Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractGifDHash(media, side = 8)
+        .orderBy("media_id")
+    },
+
     // Brown–Forsythe robust variance-equality test: q264's ANOVA machinery
     // applied to |value − group median| — the heteroscedasticity check
     // that survives heavy tails (Levene with the median center). Median

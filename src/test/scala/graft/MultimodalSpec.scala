@@ -231,4 +231,88 @@ class MultimodalSpec extends SparkSpec {
     val fall = BmpCodec.Bmp(3, 1, Array(0x303030, 0x202020, 0x101010))
     assert(BmpCodec.dHash(fall) == (("00", 0L)))
   }
+
+  test("GifCodec: encode -> decode round-trips pixels through real LZW") {
+    import graft.multimodal.GifCodec
+    val palette = Array.tabulate(256) { j =>
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+    }
+    val w = 16; val h = 12
+    val indices = Array.tabulate(w * h)(i => ((i * 13 + (i / w) * 31) % 256).toByte)
+    val gif = GifCodec.encode(w, h, 8, palette, indices)
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF87a")
+    val img = GifCodec.decode(gif)
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.toSeq == indices.map(i => palette(i & 0xFF)).toSeq)
+  }
+
+  test("GifCodec: solid-color runs exercise the KwKwK self-reference case") {
+    import graft.multimodal.GifCodec
+    // a long single-index run compresses to KwKwK chains (code == nextFree
+    // on the decoder side) — the classic LZW edge every decoder must handle
+    val palette = Array.tabulate(4)(j => j * 0x111111)
+    val indices = Array.fill(400)(2.toByte)
+    val img = GifCodec.decode(GifCodec.encode(20, 20, 2, palette, indices))
+    assert(img.pixels.forall(_ == 0x222222))
+    // 2-entry palette with alternating + run mix, small code widths
+    val pal2 = Array(0x000000, 0xFFFFFF)
+    val alt = Array.tabulate(64)(i => (if (i % 3 == 0) 1 else 0).toByte)
+    val img2 = GifCodec.decode(GifCodec.encode(8, 8, 1, pal2, alt))
+    assert(img2.pixels.toSeq == alt.map(i => pal2(i)).toSeq)
+  }
+
+  test("GifCodec: table-full clear/reset round-trips high-entropy images") {
+    import graft.multimodal.GifCodec
+    // 128x128 pseudo-random indices: ~16k codes force the dictionary past
+    // 4096 entries → the encoder must emit a mid-stream clear and both
+    // sides must resynchronize at reset width
+    val palette = Array.tabulate(256) { j =>
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+    }
+    val n = 128 * 128
+    val indices = Array.tabulate(n)(i => (((i * 2654435761L) >> 8) % 256).toByte)
+    val img = GifCodec.decode(GifCodec.encode(128, 128, 8, palette, indices))
+    assert(img.pixels.toSeq == indices.map(i => palette(i & 0xFF)).toSeq)
+  }
+
+  test("GifCodec: 89a extensions are skipped, junk fails loudly") {
+    import graft.multimodal.GifCodec
+    val palette = Array.tabulate(4)(j => j * 0x050505)
+    val indices = Array.tabulate(6)(i => (i % 4).toByte)
+    val gif = GifCodec.encode(3, 2, 2, palette, indices)
+    // splice a GIF89a graphic-control extension right after the global
+    // color table (offset 6 + 7 + 3*4 = 25) and relabel as 89a
+    val ext = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = gif.take(25) ++ ext ++ gif.drop(25)
+    spliced(4) = '9'.toByte // GIF87a -> GIF89a
+    val img = GifCodec.decode(spliced)
+    assert(img.pixels.toSeq == indices.map(i => palette(i & 0xFF)).toSeq)
+    intercept[IllegalArgumentException](GifCodec.decode("nope".getBytes))
+    intercept[IllegalArgumentException](GifCodec.decode(gif.take(20))) // truncated
+  }
+
+  test("synthesizeGif -> extractGifFeatures/DHash: cross-format near-dup reuse") {
+    import graft.multimodal.{BmpCodec, GifCodec, Multimodal}
+    val ids = Seq(1L, 5L, 257L).toDF("doc_id") // 257 ≡ 1 (mod 256): same pixels as id 1
+    val media = Multimodal.synthesizeGif(ids, "doc_id")
+    val feats = Multimodal.extractGifFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 3)
+    // oracle-style recompute for id 1 from the composed integer recipes
+    val expSumR = (for (y <- 0 until 12; x <- 0 until 16)
+      yield ((1 * 13 + y * 31 + x * 7) % 256 * 31 + 7) % 256).sum.toLong
+    assert(feats(0).getAs[Long]("sum_r") == expSumR)
+    val hashes = Multimodal.extractGifDHash(media, side = 8).orderBy("media_id").collect()
+    // id 257 decodes to id 1's pixels → identical dHash: the near-dup
+    // machinery (hash equality join) works on GIF payloads unchanged
+    assert(hashes(0).getAs[String]("dhash") == hashes(2).getAs[String]("dhash"))
+    assert(hashes(0).getAs[String]("dhash") != hashes(1).getAs[String]("dhash"))
+    // and ACROSS formats: a BMP of the same pixels hashes identically
+    val px = Array.tabulate(16 * 12) { i =>
+      val y = i / 16; val x = i % 16
+      val j = (1 * 13 + y * 31 + x * 7) % 256
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+    }
+    val bmpImg = BmpCodec.resizeNearest(BmpCodec.decode(BmpCodec.encode(16, 12, px)), 9, 8)
+    assert(BmpCodec.dHash(bmpImg)._1 == hashes(0).getAs[String]("dhash"))
+  }
 }
