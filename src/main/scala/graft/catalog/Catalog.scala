@@ -48,18 +48,46 @@ final class Catalog(spark: SparkSession, dir: String) {
   private val statusDir = s"$dir/processed_files"
   private val watermarkDir = s"$dir/watermarks"
 
+  /** Per-run cache of the processed-file NAME SET for the driver-side
+    * [[isProcessed]] probe: the per-file orchestration path probes once per
+    * input file, and without a cache each probe re-scans the whole status
+    * log — O(N files) scans per batch run. The set is metadata-sized (one
+    * name per file ever processed, not per row), loaded once per run and
+    * kept in sync by [[recordStatus]]. Single-writer assumption (true of
+    * the reference's poll loop — one daemon owns the catalog); an external
+    * writer appearing mid-run requires [[refreshProcessedNames]]. The
+    * SET-BASED path ([[filterUnprocessed]]) stays the scale answer and
+    * never touches this cache.
+    */
+  @volatile private var nameCache: Set[String] = null
+
+  /** Drop the cached name set (next probe reloads from the status log). */
+  def refreshProcessedNames(): Unit = nameCache = null
+
+  private def cachedNames(): Set[String] = {
+    var c = nameCache
+    if (c == null) {
+      c = statusLog.select("file_name").distinct().as[String].collect().toSet
+      nameCache = c
+    }
+    c
+  }
+
   private def existsAny(d: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(d)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** K3 — append one status row. */
-  def recordStatus(fileName: String, status: String): Unit =
+  /** K3 — append one status row (and keep the probe cache in sync). */
+  def recordStatus(fileName: String, status: String): Unit = {
     Seq((fileName, status, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("file_name", "status", "created_at")
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(statusDir)
+    val c = nameCache
+    if (c != null) nameCache = c + fileName
+  }
 
   /** S9/S10 — the full status log. */
   def statusLog: DataFrame =
@@ -76,8 +104,10 @@ final class Catalog(spark: SparkSession, dir: String) {
     files.join(processedFileNames.withColumnRenamed("file_name", fileNameCol),
       Seq(fileNameCol), "left_anti")
 
-  def isProcessed(fileName: String): Boolean =
-    statusLog.filter($"file_name" === fileName).limit(1).count() > 0
+  /** Driver-side idempotency probe — one status-log scan per RUN (the
+    * cached name set), not per file.
+    */
+  def isProcessed(fileName: String): Boolean = cachedNames().contains(fileName)
 
   /** K4 — watermark commit (append-only; latest row wins). */
   def setWatermark(table: String, lastId: Long): Unit =

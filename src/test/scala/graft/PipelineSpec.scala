@@ -199,6 +199,38 @@ class PipelineSpec extends SparkSpec {
       s"${subtrees.map(_._3.maxMethodCodeSize).max} bytecode")
   }
 
+  test("isProcessed probes hit the cached name set: zero jobs after one scan") {
+    val root = tmpDir("catcache")
+    val cat = new Catalog(spark, s"$root/catalog")
+    cat.recordStatus("f1.csv", Status.Uploaded)
+    cat.recordStatus("f2.csv", Status.NoSchema)
+    assert(cat.isProcessed("f1.csv")) // warms the per-run cache (one scan)
+    // count Spark jobs across repeated probes: the per-file orchestration
+    // path probes once per input file, and each probe must NOT rescan the
+    // status log — the round-7 O(N files)-scans-per-run regression
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      (1 to 50).foreach { i =>
+        assert(cat.isProcessed("f1.csv"))
+        assert(cat.isProcessed("f2.csv"))
+        assert(!cat.isProcessed(s"missing_$i.csv"))
+      }
+      Thread.sleep(300) // let any stray job-start events drain to listeners
+      assert(jobs.get() == 0, s"${jobs.get()} jobs ran for cached probes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // recordStatus keeps the cache coherent without a rescan on next probe
+    cat.recordStatus("f3.csv", Status.Processed)
+    assert(cat.isProcessed("f3.csv"))
+    // and an explicit refresh reloads from the log
+    cat.refreshProcessedNames()
+    assert(cat.isProcessed("f1.csv") && cat.isProcessed("f3.csv"))
+  }
+
   test("unroutable and non-CSV files get error statuses") {
     val (root, cat, pipe) = mkPipeline()
     val bad = write(root, "unknown_table.csv", "a,b\n1,2\n")
