@@ -126,5 +126,13 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // print the line AGAIN after Spark shutdown (and flush): the driver's
+    // log-tail capture has truncated mid-line for three rounds running
+    // (BENCH_r05/r06/r07 all `parsed: null`) — with the repeat, shutdown
+    // chatter lands BETWEEN the two copies, so whichever end of the tail
+    // survives carries a complete line (plus target/bench_out.json above
+    // as the canonical artifact).
+    println(line)
+    Console.out.flush()
   }
 }

@@ -27,10 +27,12 @@ object RobustStats {
       k: Double = 3.0): DataFrame = {
     val med = df.groupBy(keyCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
-    val withMed = df.join(broadcast(med), keyCols)
+    // null-safe join-backs: a NULL group key is a group like any other —
+    // plain equality would silently drop its rows from the stats
+    val withMed = JoinBack.nullSafe(df, med, keyCols)
     val mad = withMed.groupBy(keyCols.map(col): _*)
       .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
-    withMed.join(broadcast(mad), keyCols)
+    JoinBack.nullSafe(withMed, mad, keyCols)
       .groupBy((keyCols.map(col) :+ col("_med").as("median") :+ col("_mad").as("mad")): _*)
       .agg(sum(when(abs(col(valueCol) - col("_med")) > lit(k) * col("_mad"), 1L)
         .otherwise(0L)).as("n_outliers"))

@@ -51,6 +51,8 @@ object Splits {
     Seq("_h", "_rn", "_n", "_minrn", "_r", "_stot", "_sw", "_ord", "_sp", "_lo", "_hi", "split")
       .foreach(c => require(!df.columns.contains(c),
         s"input column '$c' collides with an internal name (Splits.exactStratifiedSplit)"))
+    require(!df.columns.exists(c => c.startsWith("_mk_") || c.startsWith("_ck_")),
+      "input must not contain reserved '_mk_*'/'_ck_*' columns")
     val sk = stratumCols.map(col)
     val counts = df.groupBy(sk: _*).agg(count(lit(1)).as("_stot"))
     val splitArr = array(weights.zipWithIndex.map { case ((name, wgt), i) =>
@@ -75,14 +77,27 @@ object Splits {
       md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))))
     val stamped = GlobalRank.withRowNumber(
       hashed, stratumCols ++ Seq("_h", idCol), failOnTies = true)
+    // join back with null-safe (<=>) keys: groupBy treats a NULL stratum
+    // as a regular key value, so NULL-stratum rows form their own stratum
+    // and must be SPLIT like any other — plain equality would silently
+    // drop them from the output, breaking the every-row-lands-in-exactly-
+    // one-split contract (the kAnonymize null-QI fix, same class)
     val minRn = stamped.groupBy(sk: _*).agg(min(col("_rn")).as("_minrn"))
+      .select(stratumCols.map(c => col(c).as("_mk_" + c)) :+ col("_minrn"): _*)
     val ranked = stamped
-      .join(broadcast(minRn), stratumCols)
+      .join(broadcast(minRn),
+        stratumCols.map(c => col(c) <=> col("_mk_" + c)).reduce(_ && _))
       .withColumn("_r", col("_rn") - col("_minrn") + 1L)
+    val cutsK = cuts.select(
+      stratumCols.map(c => col(c).as("_ck_" + c)) ++
+        Seq(col("split"), col("_lo"), col("_hi")): _*)
     ranked
-      .join(broadcast(cuts), stratumCols)
+      .join(broadcast(cutsK),
+        stratumCols.map(c => col(c) <=> col("_ck_" + c)).reduce(_ && _))
       .filter(col("_r") > col("_lo") && col("_r") <= col("_hi"))
       .drop("_h", "_rn", "_n", "_minrn", "_r", "_lo", "_hi")
+      .drop(stratumCols.map("_mk_" + _): _*)
+      .drop(stratumCols.map("_ck_" + _): _*)
   }
 
   /** Deterministic epoch shuffle + sharding for a multi-worker data loader:

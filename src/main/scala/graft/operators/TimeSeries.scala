@@ -310,16 +310,18 @@ object TimeSeries {
       .withColumn("_c", sum(v).over(w))
     val per = stamped.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"), sum(v).as("_s"))
-    val d = stamped.join(per, keyCols)
+    // null-safe join-backs (JoinBack.nullSafe): a NULL series key must not
+    // silently drop its whole series from the changepoint output
+    val d = JoinBack.nullSafe(stamped, per, keyCols, bcast = false)
       .withColumn("_d", abs(col("_n") * col("_c") - col("_t") * col("_s")))
     // deterministic argmax: per-key max |D|, then smallest t at it, then
     // that row's order value — three reductions over the series grain
     val best = d.groupBy(keyCols.map(col): _*).agg(max("_d").as("_dmax"))
-    val at = d.join(best, keyCols)
+    val at = JoinBack.nullSafe(d, best, keyCols, bcast = false)
       .filter(col("_d") === col("_dmax"))
       .groupBy(keyCols.map(col): _*)
       .agg(min("_t").as("t_star"))
-    d.join(at, keyCols)
+    JoinBack.nullSafe(d, at, keyCols, bcast = false)
       .filter(col("_t") === col("t_star"))
       .select(
         keyCols.map(col) ++ Seq(
@@ -352,7 +354,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"), sum(v).as("s"))
     val byKey = bySeason.groupBy(keyCols.map(col): _*)
       .agg(sum("n").as("_na"), sum("s").as("_sa"))
-    bySeason.join(broadcast(byKey), keyCols)
+    JoinBack.nullSafe(bySeason, byKey, keyCols)
       .select(
         keyCols.map(col) ++ Seq(
           col("season"), col("n"), col("s"),

@@ -99,6 +99,15 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("d_abs") == 0L && r.getAs[Long]("t_star") == 1L)
   }
 
+  test("cusumChangePoint: a NULL series key still yields its changepoint") {
+    val df = Seq((null: String, 1L, 0L), (null, 2L, 0L), (null, 3L, 10L),
+      ("k", 1L, 5L), ("k", 2L, 5L)).toDF("k", "o", "v")
+    val out = TimeSeries.cusumChangePoint(df, Seq("k"), "o", "v").collect()
+    assert(out.length == 2, "NULL-keyed series must not vanish (null-safe join-back)")
+    val n = out.find(_.isNullAt(0)).get
+    assert(n.getAs[Long]("n") == 3L && n.getAs[Long]("t_star") == 2L)
+  }
+
   // ---- LOO target encoding ----
 
   test("looTargetEncode: excludes own row; singleton falls back to global mean") {

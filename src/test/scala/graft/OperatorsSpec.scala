@@ -158,6 +158,16 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("madOutlierStats: a NULL group key is a group, not dropped rows") {
+    import graft.operators.RobustStats
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
+      Seq((null: String, 10.0), (null, 20.0), (null, 30.0))).toDF("g", "v")
+    val out = RobustStats.madOutlierStats(df, Seq("g"), "v").collect()
+    assert(out.length == 2, "NULL-keyed group must appear in the stats")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Double]("median") == 20.0)
+  }
+
   // ---- bloom-reduced joins ------------------------------------------------
 
   test("BloomPrune semi/anti == plain semi/anti joins on random data with nulls") {

@@ -140,6 +140,15 @@ class RankStatsSpec extends SparkSpec {
     assert(got(3L) == 1250000L)
   }
 
+  test("seasonalIndex: a NULL key is a key, not dropped rows") {
+    val rows = Seq((null: String, 1L, 10L), (null, 2L, 30L), ("k", 1L, 5L))
+      .toDF("k", "season", "v")
+    val out = TimeSeries.seasonalIndex(rows, Seq("k"), "season", "v").collect()
+    assert(out.length == 3, "NULL-keyed seasons must appear (null-safe join-back)")
+    val n1 = out.find(r => r.isNullAt(0) && r.getLong(1) == 1L).get
+    assert(n1.getLong(4) == 500000L) // 10 vs overall mean 20
+  }
+
   test("theilSenSlope: median pairwise slope, negative slopes floor consistently") {
     // series: (1,100),(2,90),(3,60) → slopes -10, -20, -30 → median -20
     val rows = Seq(("k", 1L, 100L), ("k", 2L, 90L), ("k", 3L, 60L)).toDF("k", "t", "v")

@@ -85,6 +85,22 @@ class SplitsEvalSpec extends SparkSpec {
       && sizes(("b", "test")) == 3L)
   }
 
+  test("exact split: NULL-stratum rows form their own stratum and are kept") {
+    // rows with a NULL group must land in a split like any other stratum —
+    // the null-safe join-back contract (same class as the kAnonymize fix)
+    val rows = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) None else Some("a"))).toDF("id", "grp")
+    val out = Splits.exactStratifiedSplit(
+      rows, "id", Seq("grp"), Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), "s1")
+    assert(out.count() == 30L, "every row must land in exactly one split")
+    val nullRows = out.filter(col("grp").isNull)
+    assert(nullRows.count() == 10L)
+    // the 10-row NULL stratum splits 8/1/1 by largest remainder
+    val sizes = nullRows.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("train" -> 8L, "val" -> 1L, "test" -> 1L))
+  }
+
   test("exact split: assignment is a pure function of (seed, id)") {
     val rows = (0L until 50L).map(i => (i, "x")).toDF("id", "grp")
     def run(seed: String) = Splits.exactStratifiedSplit(
