@@ -351,6 +351,34 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeBmp]] generating the SAME pixels as [[synthesizeGif]]
+    * (the palette-composed recipe) — the cross-container twin: for each
+    * id, this BMP and [[synthesizeGif]]'s GIF decode to identical pixel
+    * frames, so every downstream fingerprint must collide across FORMATS.
+    * The mixed-container dedup gate (q284) is built on exactly this pair.
+    */
+  def synthesizeBmpGifTwin(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val j = ((id * 13L + y * 31L + x * 7L) % 256L).toInt
+          (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+        }
+        val payload = BmpCodec.encode(width, height, pixels)
+        Row(id, payload, Row("image", "bmp", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** REAL GIF decode+featurize — LZW decompression + palette lookup per
     * row ([[GifCodec.decode]]) into the SHARED pixel frame, then the exact
     * same feature/resize verbs as the BMP path ([[BmpCodec.features]],

@@ -608,6 +608,57 @@ object CorpusRuleQueries {
         .orderBy("media_id")
     },
 
+    // Mixed-container near-dup audit: a corpus holding the SAME image as
+    // a GIF and as a BMP (synthesizeGif + its pixel twin
+    // synthesizeBmpGifTwin) fingerprints both through their REAL decoders
+    // and groups by dHash — the format-blind dedup shape (decode → shared
+    // pixel contract → one fingerprint space). Every cluster must hold
+    // equal GIF and BMP counts (twins collide by construction) and
+    // mod-256 id aliases merge clusters across ids too. Oracle replays the
+    // q283 dhash recipe once per doc and doubles the membership.
+    Q(
+      "q284_crossformat_dedup",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    299 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 31 + 7) % 256)
+        |    + 587 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 17 + 3) % 256)
+        |    + 114 * (((doc_id * 13 + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256
+        |            * 23 + 11) % 256)
+        |      AS l
+        |  FROM documents,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)),
+        |g AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |per AS (SELECT doc_id,
+        |    array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash
+        |  FROM g GROUP BY doc_id)
+        |SELECT dhash,
+        |  CAST(2 * count(*) AS BIGINT) AS n_media,
+        |  CAST(count(*) AS BIGINT) AS n_gif,
+        |  CAST(count(*) AS BIGINT) AS n_bmp
+        |FROM per GROUP BY dhash ORDER BY dhash""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val docs = Tables.load(s, dir, "documents")
+      val gif = Multimodal
+        .extractGifDHash(Multimodal.synthesizeGif(docs, "doc_id"), side = 8)
+        .select(col("dhash"), lit("gif").as("_fmt"))
+      val bmp = Multimodal
+        .extractBmpDHash(Multimodal.synthesizeBmpGifTwin(docs, "doc_id"), side = 8)
+        .select(col("dhash"), lit("bmp").as("_fmt"))
+      gif.unionByName(bmp)
+        .groupBy("dhash")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("_fmt") === "gif", 1L).otherwise(0L)).as("n_gif"),
+          sum(when(col("_fmt") === "bmp", 1L).otherwise(0L)).as("n_bmp"))
+        .orderBy("dhash")
+    },
+
     // Brown–Forsythe robust variance-equality test: q264's ANOVA machinery
     // applied to |value − group median| — the heteroscedasticity check
     // that survives heavy tails (Levene with the median center). Median
