@@ -166,6 +166,55 @@ object Eval {
           col("dcg_micro").cast("double") / col("idcg_micro").cast("double")).as("ndcg"))
   }
 
+  /** Graded-relevance NDCG@k — the reranker-eval variant of [[ndcgAtK]]:
+    * qrels carry an integer grade (0 = irrelevant … up to 30), gain =
+    * 2^grade − 1 (exact long), and both DCG and IDCG are exact long sums
+    * of gain·rmicro over the SAME pinned discount table ([[ndcgAtK]]'s
+    * recipe). IDCG ranks each query's qrels by (grade desc, id asc) —
+    * a window over the QRELS table, qrels-grain, never corpus-grain —
+    * and charges the top min(k, |qrels|) grades the best discounts
+    * (`n_ideal` = how many were charged). List documents absent from
+    * qrels carry grade 0 (gain 0); a query needs at least one qrel ROW to
+    * appear (the rankingMetrics inner-join contract). `ndcg` is one final
+    * division; NULL when the query has no positive-grade qrel.
+    */
+  def ndcgGradedAtK(
+      ranked: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      idCol: String,
+      gradeCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    // pinned discount of _pos: u micro-nats once per row, integer quotient
+    def withTerm(df: DataFrame): DataFrame = df
+      .withColumn("_u", floor(log(col("_pos").cast("double") + 1.0) * 1000000.0 + 0.5)
+        .cast("long"))
+      .withColumn("_term",
+        expr("(shiftleft(1L, cast(_g as int)) - 1L) * (693147000000 div _u)"))
+    val rel = qrels.select(
+      col(queryCol), col(idCol),
+      col(gradeCol).cast("long").as("_g"))
+    val dcg = withTerm(ranked
+      .filter(col("rank") <= k)
+      .join(rel, Seq(queryCol, idCol), "left")
+      .withColumn("_g", coalesce(col("_g"), lit(0L)))
+      .withColumn("_pos", col("rank")))
+      .groupBy(col(queryCol))
+      .agg(sum(col("_term")).as("dcg_micro"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col("_g").desc, col(idCol).asc)
+    val idcg = withTerm(rel
+      .withColumn("_pos", row_number().over(wIdeal).cast("long"))
+      .filter(col("_pos") <= k))
+      .groupBy(col(queryCol))
+      .agg(sum(col("_term")).as("idcg_micro"), count(lit(1)).as("n_ideal"))
+    dcg.join(idcg, Seq(queryCol))
+      .select(col(queryCol), col("n_ideal"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")).as("ndcg"))
+  }
+
   /** Probability-calibration bins + per-bin Brier contribution: given a
     * bucketed score (`bucketCol` — any deterministic bucketing; deciles
     * via [[graft.operators.GlobalRank.ntile]] at scale), a predicted

@@ -701,6 +701,76 @@ object WarehouseQueries {
         .orderBy("anchor_id")
     },
 
+    // Graded-relevance NDCG@20 (Eval.ndcgGradedAtK) — the reranker-eval
+    // variant: qrels grade = 1 + vec_id % 3 (a deterministic 1..3 ladder),
+    // gain = 2^grade − 1 exact longs, DCG/IDCG both exact sums of
+    // gain·rmicro over q281's pinned discount table; IDCG ranks the qrels
+    // by (grade desc, id) in a qrels-grain window. Same lexical ranking.
+    Q(
+      "q285_ndcg_graded",
+      """WITH tt AS (SELECT doc_id, u.tok AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |    unnest(t) AS u(tok)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |aterms AS (SELECT DISTINCT doc_id AS anchor_id, term FROM tt WHERE doc_id IN (0, 1, 2)),
+        |qterms AS (SELECT DISTINCT term FROM aterms),
+        |hits0 AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM hits0 GROUP BY term),
+        |sc0 AS (SELECT h.term, h.doc_id,
+        |    CAST(floor(round(CAST(22 * h.tf * s AS DOUBLE) /
+        |        CAST(10 * h.tf * s + 3 * s + 9 * d.dl * n AS DOUBLE) *
+        |        (CAST(2 * n - 2 * dfr + 1 AS DOUBLE) / CAST(2 * dfr + 1 AS DOUBLE)), 4)
+        |      * 10000.0 + 0.5) AS BIGINT) AS s4
+        |  FROM hits0 h JOIN dl d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |lexsum AS (SELECT a.anchor_id, sc0.doc_id, CAST(sum(sc0.s4) AS BIGINT) AS lex_i4
+        |  FROM sc0 JOIN aterms a USING (term) WHERE sc0.doc_id != a.anchor_id
+        |  GROUP BY a.anchor_id, sc0.doc_id),
+        |lex AS (SELECT * FROM (SELECT anchor_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY lex_i4 DESC, doc_id)
+        |      AS BIGINT) AS rank FROM lexsum) WHERE rank <= 20),
+        |relg AS (SELECT a.vec_id AS anchor_id, b.vec_id AS doc_id,
+        |    CAST(1 + b.vec_id % 3 AS BIGINT) AS g
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id != a.vec_id WHERE a.vec_id IN (0, 1, 2)),
+        |disc AS (SELECT CAST(g.i AS BIGINT) AS pos,
+        |    (CAST(693147 AS BIGINT) * 1000000)
+        |      // CAST(floor(ln(CAST(g.i + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |        AS BIGINT) AS rmicro
+        |  FROM generate_series(1, 20) AS g(i)),
+        |fl AS (SELECT l.anchor_id, l.rank AS pos, coalesce(r.g, 0) AS g
+        |  FROM lex l LEFT JOIN relg r ON l.anchor_id = r.anchor_id AND l.doc_id = r.doc_id),
+        |dcg AS (SELECT anchor_id,
+        |    CAST(sum(((1 << g) - 1) * d.rmicro) AS BIGINT) AS dcg_micro
+        |  FROM fl JOIN disc d USING (pos) GROUP BY anchor_id),
+        |ideal AS (SELECT * FROM (SELECT anchor_id, g,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY g DESC, doc_id)
+        |      AS BIGINT) AS pos FROM relg) WHERE pos <= 20),
+        |idcg AS (SELECT anchor_id,
+        |    CAST(sum(((1 << g) - 1) * d.rmicro) AS BIGINT) AS idcg_micro,
+        |    CAST(count(*) AS BIGINT) AS n_ideal
+        |  FROM ideal JOIN disc d USING (pos) GROUP BY anchor_id)
+        |SELECT dcg.anchor_id, idcg.n_ideal, dcg.dcg_micro, idcg.idcg_micro,
+        |  CASE WHEN idcg_micro > 0
+        |    THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END AS ndcg
+        |FROM dcg JOIN idcg USING (anchor_id) ORDER BY dcg.anchor_id""".stripMargin) { (s, dir) =>
+      import graft.text.Retrieval
+      val docs = Tables.load(s, dir, "documents")
+      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+        .select("anchor_id", "doc_id", "rank")
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("anchor_id"), col("label").as("_al"))
+      val qrels = broadcast(anchors)
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("_al") && col("doc_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(3L))).as("g"))
+      graft.operators.Eval.ndcgGradedAtK(ranked, qrels, "anchor_id", "doc_id", "g", k = 20)
+        .orderBy("anchor_id")
+    },
+
     // MinHash sketch calibration audit (the DQ-of-sketches loop): on every
     // LSH candidate pair, the 12-hash signature-agreement ESTIMATE of
     // Jaccard next to the exact shingle-set value and the absolute error —

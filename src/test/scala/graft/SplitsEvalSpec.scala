@@ -267,6 +267,29 @@ class SplitsEvalSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("ndcg"))) // no relevant docs → undefined, not 0
   }
 
+  test("ndcgGradedAtK: exponential gains, ideal ordering from the qrels window") {
+    // query p: list docs 1,2,3 with grades 3,0(absent),1 → gains 7,0,1
+    // dcg = 7·1000000 + 1·500000; ideal order (3 then 1) → 7·1000000 + 1·630929
+    val ranked = Seq(("p", 1L, 1L), ("p", 2L, 2L), ("p", 3L, 3L),
+      ("w", 1L, 1L), ("w", 2L, 2L)).toDF("q", "id", "rank")
+    val qrels = Seq(("p", 1L, 3L), ("p", 3L, 1L), ("w", 9L, 0L)).toDF("q", "id", "g")
+    val out = Eval.ndcgGradedAtK(ranked, qrels, "q", "id", "g", k = 5)
+      .orderBy("q").collect()
+    val p = out(0); val w = out(1)
+    assert(p.getLong(p.fieldIndex("dcg_micro")) == 7L * 1000000L + 500000L)
+    assert(p.getLong(p.fieldIndex("idcg_micro")) == 7L * 1000000L + 630929L)
+    assert(math.abs(p.getDouble(p.fieldIndex("ndcg")) - 7500000.0 / 7630929.0) < 1e-15)
+    assert(p.getLong(p.fieldIndex("n_ideal")) == 2L)
+    // w's only qrel is grade 0 → gain 0 → idcg 0 → NULL ndcg, not 0
+    assert(w.getLong(w.fieldIndex("idcg_micro")) == 0L)
+    assert(w.isNullAt(w.fieldIndex("ndcg")))
+    // a perfect graded ranking is exactly 1.0: same pinned terms both sides
+    val perfect = Seq(("x", 1L, 1L), ("x", 2L, 2L)).toDF("q", "id", "rank")
+    val qx = Seq(("x", 1L, 2L), ("x", 2L, 1L)).toDF("q", "id", "g")
+    val rx = Eval.ndcgGradedAtK(perfect, qx, "q", "id", "g", k = 5).head()
+    assert(rx.getDouble(rx.fieldIndex("ndcg")) == 1.0)
+  }
+
   test("perClassPrf: a class only ever predicted gets null recall") {
     val pairs = Seq(("a", "und"), ("a", "a")).toDF("truth", "pred")
     val und = Eval.perClassPrf(pairs, "truth", "pred")
