@@ -328,4 +328,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-user lead window in:\n$p")
     assert(p.contains("partial_count"), s"pair counts must map-side combine:\n$p")
   }
+
+  test("q281/q285: NDCG windows stay query/qrels-grain — no global window stage") {
+    for (q <- Seq("q281_ndcg", "q285_ndcg_graded")) {
+      val p = plan(q)
+      // the only windows allowed are partitioned by anchor (the top-k list
+      // rank in q281's input, the qrels ideal ordering in q285) — a global
+      // window here would serialize the corpus through one task. q281's BM25
+      // branch carries the sanctioned scalar-agg merge (avgdl: partial
+      // sum/count → one-row SinglePartition final → broadcast), so each
+      // SinglePartition exchange must be exactly that shape — its child line
+      // a partial HashAggregate — never a Sort or Window feed.
+      val lines = p.linesIterator.toVector
+      for ((line, i) <- lines.zipWithIndex if line.contains("Exchange SinglePartition")) {
+        val child = lines.drop(i + 1).find(_.exists(c => c.isLetter)).getOrElse("")
+        assert(child.contains("HashAggregate") && child.contains("partial_"),
+          s"$q: SinglePartition exchange not a scalar-agg merge (child: $child):\n$p")
+      }
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: small sides (rel totals / qrels) must broadcast:\n$p")
+    }
+  }
 }
