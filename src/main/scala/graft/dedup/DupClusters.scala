@@ -68,9 +68,15 @@ object DupClusters {
       aCol: String,
       bCol: String,
       maxIter: Int): (DataFrame, Int, Boolean) = {
+    // pre-partitioned on dst, the propagate join's key: the |E|-sized side
+    // then stays STATIONARY across all ~log(diameter) rounds (cached
+    // partitioning satisfies the join's clustering requirement) and only
+    // the node-sized label table moves per round. No broadcast — the label
+    // table is |V| rows, which for a dedup-pair graph can be corpus-sized.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))

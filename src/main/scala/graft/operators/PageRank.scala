@@ -34,15 +34,25 @@ object PageRank {
     * (node, rank) with rank in `scale⁻¹` units after `iters` updates from
     * the uniform start r₀ = scale.
     *
-    * Join strategy: the rank and degree tables are NODE-sized while the
-    * edge list is EDGE-sized — on power-law graphs orders of magnitude
-    * apart — so with `broadcastRanks` (default) each iteration
-    * broadcast-joins rank+degree into a single edge scan and the only
-    * shuffle is the map-side-combined contribution sum (≤ |nodes| rows per
-    * partition). The edge list itself never moves. Set it false past
+    * Join strategy: the rank table is NODE-sized while the edge list is
+    * EDGE-sized — on power-law graphs orders of magnitude apart — so with
+    * `broadcastRanks` (default) each iteration broadcast-joins the rank
+    * table into one edge scan and the only shuffle is the map-side-combined
+    * contribution sum (≤ |nodes| rows per partition). Two stage-count
+    * economies keep an iteration at exactly ONE broadcast + ONE shuffle
+    * (iterative jobs pay per-stage scheduler latency `iters` times, and on
+    * a real cluster every extra exchange is a barrier):
+    *   - out-degree folds into the edge list ONCE before the loop
+    *     (`(src, dst, _deg)`), instead of a second per-iteration join;
+    *   - zero-in-degree nodes are kept by UNIONING a node-sized zero-
+    *     contribution row set into the same aggregation, instead of a
+    *     per-iteration left join back onto the node table (a union is a
+    *     free concatenation, not a stage).
+    * The edge list itself never moves. Set `broadcastRanks` false past
     * broadcast size (~billions of nodes) to fall back to src-keyed shuffle
-    * joins — then pre-partition `edges` by src so the cached edge side
-    * keeps its partitioning across iterations.
+    * joins — the degree-folded edge list is persisted ALREADY PARTITIONED
+    * on src (from its one-time degree join), so across iterations only the
+    * node-sized rank table shuffles.
     */
   def ranks(
       edges: DataFrame,
@@ -51,30 +61,29 @@ object PageRank {
       broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
-    // every iteration re-reads all three; without the persist the edge
-    // list's upstream plan (often a distinct over a fact-table scan) would
-    // execute 3× per iteration
+    // every iteration re-reads both; without the persist the edge list's
+    // upstream plan (often a distinct over a fact-table scan) would
+    // execute per iteration
     val e = edges.select(col("src"), col("dst")).persist()
     val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
-    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val ed = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
+    val zero = nodes.select(col("node"), lit(0L).as("_c"))
     var r = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      r = ed
         .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
-        .join(small(deg), "src")
         .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
+        .unionByName(zero)
         .groupBy("node")
         .agg(sum("_c").as("_in"))
-      r = nodes
-        .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(3L * (scale / 20)) +
-            expr(s"(17 * coalesce(_in, 0L)) div 20")).as("rank"))
+          (lit(3L * (scale / 20)) + expr(s"(17 * _in) div 20")).as("rank"))
     }
     r
   }
@@ -103,7 +112,8 @@ object PageRank {
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
     val e = edges.select(col("src"), col("dst")).persist()
     val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
-    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val ed = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -113,20 +123,24 @@ object PageRank {
     val seeded = nodes.join(small(src), Seq("node"), "left")
       .withColumn("_is_src", coalesce(col("_is_src"), lit(0L)))
       .persist()
+    // same stage economy as [[ranks]]: degree folded into the edge list,
+    // zero-contribution rows unioned in instead of a join back onto the
+    // seeded node table. Every node gets EXACTLY ONE zero row, which also
+    // carries its restart flag — max(_f) over {flag, 0, 0, …} recovers it
+    // after the aggregation without a second join.
+    val zero = seeded.select(col("node"), col("_is_src").as("_f"), lit(0L).as("_c"))
     var r = seeded.select(col("node"), (col("_is_src") * scale).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      r = ed
         .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
-        .join(small(deg), "src")
-        .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
+        .select(col("dst").as("node"), lit(0L).as("_f"), expr("_r div _deg").as("_c"))
+        .unionByName(zero)
         .groupBy("node")
-        .agg(sum("_c").as("_in"))
-      r = seeded
-        .join(contrib, Seq("node"), "left")
+        .agg(max(col("_f")).as("_is_src"), sum(col("_c")).as("_in"))
         .select(
           col("node"),
           (col("_is_src") * lit(3L * (scale / 20)) +
-            expr(s"(17 * coalesce(_in, 0L)) div 20")).as("rank"))
+            expr(s"(17 * _in) div 20")).as("rank"))
     }
     r
   }

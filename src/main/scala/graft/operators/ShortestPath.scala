@@ -40,7 +40,12 @@ object ShortestPath {
     val und = edges
       .select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .filter(col("_a") =!= col("_b"))
+    // partitioned ONCE on the relaxation key and cached: the |E|-sized
+    // adjacency then never re-shuffles — each round moves only the
+    // frontier (≤ |V| rows). The [[graft.dedup.DupClusters]] discipline.
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+      .repartition(col("_a"))
+      .persist()
     var dist = sources.toDF("node").distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
       val relaxed = dist
@@ -72,7 +77,10 @@ object ShortestPath {
     val und = edges
       .select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .filter(col("_a") =!= col("_b"))
+    // same stationary-adjacency economy as [[bfsLevels]]
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+      .repartition(col("_a"))
+      .persist()
     var dist = seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {

@@ -17,35 +17,50 @@ import org.apache.spark.sql.functions._
   *
   * Every triangle {a,b,c} is produced exactly once (its vertices are
   * totally ordered by (degree, id), and only the orientation-ascending
-  * wedge closes). Three equi-join shuffles, no windows, no driver state —
-  * the plan a 1000-executor cluster runs unchanged.
+  * wedge closes). The degree table is NODE-sized, so the two orientation
+  * joins BROADCAST it into one pass over the cached symmetric view — the
+  * only |E|-sized shuffles left are the wedge join and its closing join,
+  * the minimum any exact distributed triangle count pays. No windows, no
+  * driver state — the plan a 1000-executor cluster runs unchanged. (Past
+  * broadcast size — multi-billion-node graphs — Catalyst falls back to a
+  * keyed shuffle join on the same plan; correctness is unaffected.)
   *
   * Input `edges`: (a, b) string columns, one row per undirected edge in
   * either order; self-loops and duplicates are dropped internally.
   */
 object Triangles {
 
-  /** The closed triangles, one row each: (v1, v2, v3) with
-    * (deg, id)-ascending vertex order. */
-  def triangles(edges: DataFrame): DataFrame = {
-    // persist both reused frames: und feeds the symmetric view twice and
-    // oriented feeds three join sides — uncached, each reference re-runs
-    // the caller's whole edge-derivation pipeline (measured 7.5 s → sub-
-    // second on the q149 token graph)
-    val und = edges
+  /** Canonical deduped undirected edge set: a < b, no self-loops. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges
       .filter(col("a") =!= col("b"))
       .select(
         least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .persist()
-    // symmetric view for degree counting
+
+  /** (node, degree) over a canonical edge set. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("degree"))
+
+  /** Triangle closure over an ALREADY-canonical (and ideally persisted)
+    * edge set with its degree table — the shared core, so callers that
+    * need degrees too ([[localClustering]]) pay the canonicalization and
+    * degree aggregate exactly once.
+    */
+  private def trianglesOf(und: DataFrame, deg: DataFrame): DataFrame = {
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): lower endpoint -> higher endpoint
+    // orient by (degree, id): lower endpoint -> higher endpoint. The
+    // degree side broadcasts (node-sized); persisted because it feeds
+    // three join sides — uncached, each reference re-runs the caller's
+    // whole edge-derivation pipeline (measured 7.5 s → sub-second on the
+    // q149 token graph)
     val oriented = sym
-      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .join(broadcast(deg.select(col("node").as("a"), col("degree").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("degree").as("db"))), "b")
       .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
       .select(col("a").as("src"), col("b").as("dst"))
       .persist()
@@ -57,11 +72,22 @@ object Triangles {
       Seq("v1", "v3"))
   }
 
+  /** The closed triangles, one row each: (v1, v2, v3) with
+    * (deg, id)-ascending vertex order. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = canonical(edges).persist()
+    trianglesOf(und, degrees(und))
+  }
+
   /** (node, n_triangles) per-vertex triangle participation — the local
     * clustering-coefficient numerator. Nodes in no triangle are absent. */
-  def perVertexCounts(edges: DataFrame): DataFrame = {
+  def perVertexCounts(edges: DataFrame): DataFrame =
+    perVertexOf(triangles(edges))
+
+  /** Per-vertex counts from an already-closed triangle set. */
+  private def perVertexOf(tri: DataFrame): DataFrame = {
     // three projections below re-read the triangle set — close it once
-    val t = triangles(edges).persist()
+    val t = tri.persist()
     t.select(col("v1").as("node"))
       .union(t.select(col("v2").as("node")))
       .union(t.select(col("v3").as("node")))
@@ -79,20 +105,15 @@ object Triangles {
     * node of the deduped undirected graph (nodes in no triangle included,
     * with 0).
     *
-    * Cost is [[perVertexCounts]] (the oriented wedge join — the minimum any
-    * exact triangle count pays) plus one degree aggregate and a key join.
+    * Cost is the shared triangle closure (the oriented wedge join — the
+    * minimum any exact triangle count pays) plus one key join: the edge
+    * canonicalization and the degree aggregate are computed ONCE and
+    * reused for both the orientation and the final per-node output.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    val und = edges
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .persist()
-    val deg = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
-      .groupBy("node")
-      .agg(count(lit(1)).cast("long").as("degree"))
-    deg.join(perVertexCounts(und), Seq("node"), "left")
+    val und = canonical(edges).persist()
+    val deg = degrees(und).persist()
+    deg.join(perVertexOf(trianglesOf(und, deg)), Seq("node"), "left")
       .select(
         col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
