@@ -174,4 +174,20 @@ object Splits {
       .filter(col("_rk") <= n)
       .drop("_rk")
   }
+
+  /** GROUP k-fold assignment: every row of a group lands in the SAME fold
+    * (fold = the group key's 24-bit md5 hash mod k), so cross-validation
+    * folds can't leak near-duplicate rows of one entity across the
+    * train/test boundary — the grouped analogue of [[assignSplit]], and
+    * the standard defense when rows cluster (all docs of a domain, all
+    * lineitems of a supplier, all turns of a conversation).
+    *
+    * A pure projection — no shuffle, no state, stable under re-partition
+    * and re-run on any engine with md5. Returns `df` plus a `fold` column
+    * in [0, k).
+    */
+  def groupKFold(df: DataFrame, groupKey: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    df.withColumn("fold", hashBucket(groupKey, k))
+  }
 }

@@ -116,6 +116,46 @@ object Eval {
         col("mrr"), col("p_at_k"), col("ap"))
   }
 
+  /** Recall@k per query at several cutoffs in ONE pass — the coverage twin
+    * of [[rankingMetrics]]' precision@k: of the `n_rel` relevant docs in
+    * the corpus, how many made the top-k list. The retrieval-side number a
+    * RAG pipeline actually gates on (a reranker can fix order, not
+    * absence). Output: (queryCol, n_rel, then per cutoff `hits_at_<k>` and
+    * `recall_at_<k>`), with recall = hits·1.0/n_rel as one final division;
+    * queries with n_rel = 0 emit NULL recalls (undefined, not zero).
+    *
+    * Scale shape: one (query, doc) relevance join, one aggregate keyed by
+    * query with a conditional sum per cutoff (no window at all — recall
+    * needs no running count), then the broadcast n_rel join. Inputs as in
+    * [[rankingMetrics]].
+    */
+  def recallAtK(
+      ranked: DataFrame,
+      relevant: DataFrame,
+      relTotals: DataFrame,
+      queryCol: String,
+      idCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks=$ks must be non-empty positive cutoffs")
+    val flagged = ranked
+      .join(relevant.select(col(queryCol), col(idCol), lit(true).as("_rel")),
+        Seq(queryCol, idCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(false)))
+    val hitCols = ks.map(k =>
+      sum(when(col("_rel") && col("rank") <= k, 1L).otherwise(0L)).as(s"hits_at_$k"))
+    val agg = flagged.groupBy(col(queryCol))
+      .agg(hitCols.head, hitCols.tail: _*)
+      .join(broadcast(relTotals.select(col(queryCol), col("n_rel"))), Seq(queryCol))
+    ks.foldLeft(agg) { (df, k) =>
+      df.withColumn(
+        s"recall_at_$k",
+        when(col("n_rel") > 0,
+          col(s"hits_at_$k").cast("double") / col("n_rel").cast("double")))
+    }.select(
+      col(queryCol) +: col("n_rel") +:
+        ks.flatMap(k => Seq(col(s"hits_at_$k"), col(s"recall_at_$k"))): _*)
+  }
+
   /** NDCG@k per query (binary relevance) via the pinned-micro-nat ln
     * recipe (the q182/q226/q228 discipline): the rank discount
     * 1/log2(i+1) is derived from ONE natural log per list row, pinned

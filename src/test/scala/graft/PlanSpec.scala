@@ -349,4 +349,22 @@ class PlanSpec extends SparkSpec {
         s"$q: small sides (rel totals / qrels) must broadcast:\n$p")
     }
   }
+
+  test("q287: interval-overlap join is a bucketed equi-join, never a cartesian") {
+    // the naive range predicate has no equi-key — Catalyst would plan
+    // BroadcastNestedLoop/CartesianProduct, |L|·|R| at any scale. The
+    // bucket id must give it a hashable key.
+    val p = plan("q287_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval join degraded to an all-pairs plan:\n$p")
+    assert(p.contains("Generate"), s"missing bucket explode in:\n$p")
+  }
+
+  test("q286: substring-dup interval merge windows stay per-document") {
+    // the merged-interval window is PARTITIONED BY doc id; a global window
+    // would serialize every shingle hit through one task
+    val p = plan("q286_dup_ngram_cov")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q286 must not collapse to one partition:\n$p")
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import graft.dedup.SubstringDup
+import graft.load.Splits
+import graft.operators.{Eval, HistogramSketch, IntervalJoin}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- SubstringDup ----------
+
+  test("dupNgramCoverage: shared 8-gram across docs marks both spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // 10 tokens, gram at pos 1 shared
+      (2L, "x a b c d e f g h k"),          // 10 tokens, gram at pos 2 shared
+      (3L, "totally unrelated words here")) // 4 tokens, < n
+      .toDF("doc_id", "text")
+    val r = SubstringDup.dupNgramCoverage(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(r.length == 3)
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_tokens") == 10L)
+    assert(d1.getAs[Long]("n_dup_grams") == 1L)
+    assert(d1.getAs[Long]("dup_tokens") == 8L)
+    assert(d1.getAs[Long]("cov_micro") == 800000L) // 8e6 div 10
+    val d2 = r(1)
+    assert(d2.getAs[Long]("dup_tokens") == 8L && d2.getAs[Long]("cov_micro") == 800000L)
+    val d3 = r(2)
+    assert(d3.getAs[Long]("n_tokens") == 4L && d3.getAs[Long]("n_dup_grams") == 0L &&
+      d3.getAs[Long]("dup_tokens") == 0L && d3.getAs[Long]("cov_micro") == 0L)
+  }
+
+  test("dupNgramCoverage: overlapping intervals merge, never double-count") {
+    // 9 identical tokens: grams at pos 1 and 2 are both "t ×8" (corpus
+    // count 2 ≥ minCount) — intervals [1,8] and [2,9] must union to 9
+    val docs = Seq((1L, Seq.fill(9)("t").mkString(" "))).toDF("doc_id", "text")
+    val r = SubstringDup.dupNgramCoverage(docs, "doc_id", "text", n = 8).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    assert(r.getAs[Long]("n_dup_grams") == 2L)
+    assert(r.getAs[Long]("dup_tokens") == 9L) // merged, not 16
+    assert(r.getAs[Long]("cov_micro") == 1000000L)
+  }
+
+  test("dupNgramCoverage: unique text has zero coverage; empty text is 0/0") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "")).toDF("doc_id", "text")
+    val r = SubstringDup.dupNgramCoverage(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 20L && r(0).getAs[Long]("dup_tokens") == 0L)
+    assert(r(1).getAs[Long]("n_tokens") == 0L && r(1).getAs[Long]("cov_micro") == 0L)
+  }
+
+  // ---------- IntervalJoin ----------
+
+  test("overlapJoin matches the brute-force non-equi join, once per pair") {
+    // deterministic pseudo-random intervals spanning many 10-unit buckets
+    val left = (0 until 60).map { i =>
+      val s = (i * 37) % 400; (s"L$i", s.toLong, (s + (i * 13) % 45).toLong)
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 25).map { j =>
+      val s = (j * 91) % 380; (s"R$j", s.toLong, (s + (j * 7) % 60).toLong)
+    }.toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, "ls", "le", right, "rs", "re", grain = 10L)
+      .select("lid", "rid").as[(String, String)].collect().sorted
+    val want = left.crossJoin(right)
+      .filter(greatest($"ls", $"rs") <= least($"le", $"re"))
+      .select("lid", "rid").as[(String, String)].collect().sorted
+    assert(want.nonEmpty, "fixture must produce overlaps")
+    assert(got.toSeq == want.toSeq) // exact pairs, no dupes from shared buckets
+  }
+
+  test("overlapJoin: degenerate intervals never match; touching endpoints do") {
+    val left = Seq(("a", 5L, 10L), ("bad", 9L, 3L)).toDF("lid", "ls", "le")
+    val right = Seq(("t", 10L, 20L), ("apart", 11L, 12L)).toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, "ls", "le", right, "rs", "re", grain = 4L)
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "t"))) // inclusive ends touch at 10; [9,3] dropped
+  }
+
+  // ---------- Eval.recallAtK ----------
+
+  test("recallAtK: hand case with two cutoffs and an n_rel=0 query") {
+    val ranked = Seq(
+      ("q1", "d1", 1L), ("q1", "d2", 2L), ("q1", "d3", 6L),
+      ("q2", "d9", 1L), ("q2", "d8", 2L)).toDF("query", "doc", "rank")
+    val rel = Seq(("q1", "d2"), ("q1", "d3"), ("q1", "dX")).toDF("query", "doc")
+    val rt = Seq(("q1", 3L), ("q2", 0L)).toDF("query", "n_rel")
+    val r = Eval.recallAtK(ranked, rel, rt, "query", "doc", ks = Seq(2, 10))
+      .orderBy("query").collect()
+    val q1 = r(0)
+    assert(q1.getAs[Long]("hits_at_2") == 1L)  // only d2 within rank 2
+    assert(q1.getAs[Long]("hits_at_10") == 2L) // d2 + d3 (rank 6)
+    assert(math.abs(q1.getAs[Double]("recall_at_2") - 1.0 / 3) < 1e-12)
+    assert(math.abs(q1.getAs[Double]("recall_at_10") - 2.0 / 3) < 1e-12)
+    val q2 = r(1)
+    assert(q2.getAs[Long]("hits_at_2") == 0L)
+    assert(q2.isNullAt(q2.fieldIndex("recall_at_2"))) // undefined, not 0
+  }
+
+  // ---------- Splits.groupKFold ----------
+
+  test("groupKFold: same group always lands in the same fold, folds in [0,k)") {
+    val df = (1 to 300).map(i => (i.toLong % 17, i)).toDF("g", "v")
+    val folded = Splits.groupKFold(df, $"g", k = 5)
+    val perGroup = folded.groupBy("g").agg(countDistinct("fold").as("nf"))
+      .agg(max("nf")).as[Long].collect()(0)
+    assert(perGroup == 1L)
+    val range = folded.agg(min("fold"), max("fold")).as[(Long, Long)].collect()(0)
+    assert(range._1 >= 0L && range._2 <= 4L)
+    // md5-pinned: fold of group 0 is reproducible across engines/runs
+    val f0 = folded.filter($"g" === 0L).select("fold").distinct().as[Long].collect()(0)
+    val f0again = Splits.groupKFold(df, $"g", k = 5)
+      .filter($"g" === 0L).select("fold").distinct().as[Long].collect()(0)
+    assert(f0 == f0again)
+  }
+
+  // ---------- HistogramSketch ----------
+
+  test("quantileEdges: known distribution reads exact bin edges") {
+    // 100 values 0..99, width 10 → bins 0..9 of 10 each; p50 target
+    // ceil(0.5·100)=50 → first bin with cum ≥ 50 is bin 4 (cum 50)
+    val df = (0L until 100L).toDF("v")
+    val r = HistogramSketch.quantileEdges(df, "v", width = 10L,
+      quantilesPermille = Seq(500, 950, 990)).orderBy("q_permille").collect()
+    assert(r.map(_.getAs[Int]("q_permille")).toSeq == Seq(500, 950, 990))
+    val p50 = r(0)
+    assert(p50.getAs[Long]("bin") == 4L && p50.getAs[Long]("lo") == 40L &&
+      p50.getAs[Long]("hi") == 49L && p50.getAs[Long]("cum_le") == 50L &&
+      p50.getAs[Long]("n") == 100L)
+    assert(r(1).getAs[Long]("bin") == 9L) // p95 → cum 95 ≥ 95 first at bin 9
+    assert(r(2).getAs[Long]("bin") == 9L)
+  }
+
+  test("quantileEdges: bin counts merge by addition (sketch mergeability)") {
+    val a = (0L until 50L).toDF("v")
+    val b = (50L until 100L).toDF("v")
+    val merged = HistogramSketch.quantileEdges(a.union(b), "v", 10L, Seq(500))
+      .collect()(0)
+    val direct = HistogramSketch.quantileEdges((0L until 100L).toDF("v"), "v", 10L, Seq(500))
+      .collect()(0)
+    assert(merged.getAs[Long]("bin") == direct.getAs[Long]("bin") &&
+      merged.getAs[Long]("cum_le") == direct.getAs[Long]("cum_le"))
+  }
+}
