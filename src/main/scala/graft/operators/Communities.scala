@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   * contract as [[PageRank]] — sidesteps non-termination and keeps the
   * oracle unrollable.)
   *
-  * Scale shape per round: edges ⋈ labels — the label side is NODE-sized
-  * (|V| rows) against an EDGE-sized adjacency, so by default it BROADCASTS
-  * into one scan of the cached adjacency (the [[PageRank]] economy: the
-  * edge list never moves after its one materialization) — then one
-  * (node, neighbor-label) count aggregate with map-side combine and one
-  * deterministic argmax reduce via max-of-struct. One combined shuffle of
-  * at most |E| vote rows plus one node-sized reduce per round, no windows,
-  * no driver data paths. Set `broadcastLabels` false past broadcast size
-  * (~billions of nodes) to fall back to keyed shuffle joins. Rounds are a
+  * Scale shape per round: the adjacency is partitioned ONCE on the vote
+  * key and cached (the [[graft.dedup.DupClusters]] stationary-adjacency
+  * discipline), so each round moves only the NODE-sized label table into
+  * the |E|-sized cached side — then one (node, neighbor-label) count
+  * aggregate with map-side combine and one deterministic argmax reduce
+  * via max-of-struct. No per-round broadcast (the label table is |V|
+  * rows — corpus-sized on a dedup graph, and a broadcast is a blocking
+  * driver job per round), no windows, no driver data paths. Rounds are a
   * fixed small constant; each round's plan chains off a bounded-depth
   * lineage (labels table is |V| rows, re-derived per round).
   */
@@ -45,22 +44,21 @@ object Communities {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int,
-      broadcastLabels: Boolean = true): DataFrame = {
+      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val und = edges
       .select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .filter(col("_a") =!= col("_b"))
-    // both orientations: each node sees its full neighbor multiset.
-    // Persisted: every round (and every consumer branch) re-reads it.
+    // both orientations (each node sees its full neighbor multiset),
+    // partitioned once on the vote key so rounds never re-shuffle it
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+      .repartition(col("_b"))
       .persist()
-    val small = (df: DataFrame) => if (broadcastLabels) broadcast(df) else df
     var labels = adj.select(col("_a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       val votes = adj
-        .join(small(labels.withColumnRenamed("node", "_b")), "_b")
+        .join(labels.withColumnRenamed("node", "_b"), "_b")
         .groupBy(col("_a").as("node"), col("label"))
         .agg(count(lit(1)).as("_cnt"))
       // deterministic argmax: max count, tie -> SMALLEST label, via a

@@ -67,7 +67,11 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).persist()
     val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
     val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
-    val ed = e.join(deg, "src").persist()
+    // deg is node-sized: under broadcastRanks the one-time fold is also a
+    // broadcast join, so the edge list is cached UNSHUFFLED; on the
+    // shuffle fallback the join partitions ed by src — exactly what the
+    // per-iteration rank join then reuses
+    val ed = e.join(small(deg), "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -113,7 +117,11 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).persist()
     val small = (df: DataFrame) => if (broadcastRanks) broadcast(df) else df
     val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
-    val ed = e.join(deg, "src").persist()
+    // deg is node-sized: under broadcastRanks the one-time fold is also a
+    // broadcast join, so the edge list is cached UNSHUFFLED; on the
+    // shuffle fallback the join partitions ed by src — exactly what the
+    // per-iteration rank join then reuses
+    val ed = e.join(small(deg), "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
