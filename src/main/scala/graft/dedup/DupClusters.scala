@@ -129,4 +129,34 @@ object DupClusters {
       .select(col("node").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** The corpus with the BEST doc per duplicate cluster: within each
+    * component the member with the highest `qualityCol` survives (tie →
+    * smallest id — deterministic), everything else drops; docs in no
+    * cluster pass through. The curation-grade survivor policy
+    * [[keepCanonical]]'s min-id rule can't express: when near-dups differ
+    * (truncation, boilerplate wrappers, OCR noise), keep the longest/
+    * cleanest copy, not the one that happens to carry the smallest id.
+    *
+    * Scale shape: one id-keyed join of the cluster membership onto the
+    * corpus quality column, one component-keyed max-of-struct argmax
+    * (map-side combined), one anti-join — all membership-sized, never
+    * corpus² . `qualityCol` must be integral (cast upstream; exact
+    * comparisons, no float ties).
+    */
+  def keepBest(
+      corpus: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      pairsComponents: DataFrame): DataFrame = {
+    val members = pairsComponents.select(col("node").as(idCol), col("component"))
+    val winners = members
+      .join(corpus.select(col(idCol), col(qualityCol).cast("long").as("_q")), idCol)
+      .groupBy("component")
+      // min over (−quality, id): max quality, tie → smallest id
+      .agg(min(struct((-col("_q")).as("_nq"), col(idCol).as("_id"))).as("_best"))
+      .select(col("_best._id").as(idCol))
+    val losers = members.select(col(idCol)).join(winners, Seq(idCol), "left_anti")
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

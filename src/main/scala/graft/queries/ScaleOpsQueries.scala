@@ -204,6 +204,66 @@ object ScaleOpsQueries {
         .quantileEdges(cents, "c", width = 100000L, quantilesPermille = Seq(500, 950, 990))
         .withColumn("q_permille", col("q_permille").cast("long"))
         .orderBy("q_permille")
+    },
+
+    // Keep-BEST-per-cluster (DupClusters.keepBest) over the q81 MinHash
+    // component graph: within each near-dup cluster the longest doc
+    // (n_chars, tie → smallest id) survives — the curation survivor
+    // policy, vs q82's min-id canonical. Rolled up by language with the
+    // kept character mass.
+    Q(
+      "q291_dedup_keep_best",
+      s"""WITH RECURSIVE ${CurationQueries.MinhashComponentCtes},
+         |mq AS (SELECT comp.node, comp.component, d.n_chars
+         |       FROM comp JOIN documents d ON d.doc_id = comp.node),
+         |win AS (SELECT node FROM (
+         |         SELECT node, row_number() OVER (
+         |             PARTITION BY component ORDER BY n_chars DESC, node ASC) AS rn
+         |         FROM mq) WHERE rn = 1),
+         |losers AS (SELECT node FROM mq WHERE node NOT IN (SELECT node FROM win))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val comp = CurationQueries.minhashComponents(s, dir)
+      graft.dedup.DupClusters.keepBest(docs, "doc_id", "n_chars", comp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // Token-distribution Shannon entropy per doc
+    // (TextAnalysis.tokenEntropy, pinned micro-nats): the information-
+    // density quality signal — h_micro = lnµ(n) − (Σ c·lnµ(c)) div n with
+    // one pinned ln per (doc, type) row; h_norm the single final
+    // division.
+    Q(
+      "q292_token_entropy",
+      """WITH tok AS (SELECT doc_id, u.tok AS t
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |    unnest(ts) AS u(tok)),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |tf2 AS (SELECT doc_id, c,
+        |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnc
+        |       FROM tf),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(c * lnc) AS BIGINT) AS s
+        |       FROM tf2 GROUP BY 1),
+        |ag2 AS (SELECT doc_id, n_tokens, n_types, s,
+        |         CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnn
+        |       FROM ag)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+        |  CAST(coalesce(lnn - (s // n_tokens), 0) AS BIGINT) AS h_micro,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    CAST(lnn - (s // n_tokens) AS DOUBLE) / CAST(lnn AS DOUBLE) END AS h_norm
+        |FROM documents d LEFT JOIN ag2 USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.text.TextAnalysis
+        .tokenEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

@@ -136,6 +136,54 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("repetition"), lit(0.0)).as("repetition"))
   }
 
+  /** Per-document token-distribution Shannon entropy — the information-
+    * density quality signal the ratio features (distinct-token ratio,
+    * Gini) approximate: near-zero entropy flags the pathological repeats
+    * (keyword stuffing, template loops) and entropy far above the corpus
+    * norm flags token soup (hash dumps, minified junk). Computed in
+    * PINNED MICRO-NATS (the q182 ln discipline) so the result is
+    * engine-exact: with per-doc token frequencies c over n tokens,
+    *
+    *   h_micro = lnµ(n) − (Σ c·lnµ(c)) div n,   lnµ(x) = ⌊ln(x)·10⁶ + ½⌋
+    *
+    * — one pinned ln per (doc, type) grain row plus one per doc, exact
+    * long sums in between. `h_norm` = h_micro / lnµ(n) (the efficiency
+    * normalization, in [0,1]) is the single final double division; NULL
+    * for docs with n ≤ 1 (undefined), 0-token docs report h_micro 0.
+    *
+    * Scale shape: one (doc, token) count aggregate with map-side combine,
+    * one doc-keyed reduce, one join back — no windows, no driver paths.
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_lnc",
+        floor(log(col("_c").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val agg = tf.groupBy(col(idCol))
+      .agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("_c * _lnc")).as("_s"))
+      .withColumn("_lnn",
+        floor(log(col("n_tokens").cast("double")) * 1000000.0 + 0.5).cast("long"))
+      .withColumn("h_micro", expr("_lnn - (_s div n_tokens)"))
+      .withColumn("h_norm",
+        when(col("n_tokens") > 1L,
+          col("h_micro").cast("double") / col("_lnn").cast("double")))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("h_micro"), lit(0L)).as("h_micro"),
+        col("h_norm"))
+  }
+
   /** Sliding token-window chunking — the context-window preprocessing step
     * of a pretraining/RAG pipeline: each document becomes overlapping chunks
     * of `window` tokens advancing by `stride` (stride < window ⇒ overlap of

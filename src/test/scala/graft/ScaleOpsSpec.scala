@@ -133,6 +133,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r(2).getAs[Long]("bin") == 9L)
   }
 
+  // ---------- DupClusters.keepBest ----------
+
+  test("keepBest: highest quality survives, ties break to smallest id, outsiders pass") {
+    val corpus = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "quality")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "component")
+    val kept = graft.dedup.DupClusters.keepBest(corpus, "doc_id", "quality", comp)
+      .select("doc_id").as[Long].collect().sorted
+    // cluster {1,2,3}: max quality 9 held by 2 and 3 → smallest id 2; 4 untouched
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  // ---------- TextAnalysis.tokenEntropy ----------
+
+  test("tokenEntropy: uniform distribution hits ln(n), constant hits zero") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val uni = r(0) // 4 singleton types: Σ c·lnµ(c) = 0 → H = lnµ(4)
+    assert(uni.getAs[Long]("n_tokens") == 4L && uni.getAs[Long]("n_types") == 4L)
+    assert(uni.getAs[Long]("h_micro") == math.floor(math.log(4.0) * 1e6 + 0.5).toLong)
+    assert(math.abs(uni.getAs[Double]("h_norm") - 1.0) < 1e-12)
+    val const = r(1) // one type: H = lnµ(4) − (4·lnµ(4)) div 4 = 0
+    assert(const.getAs[Long]("n_types") == 1L && const.getAs[Long]("h_micro") == 0L)
+    assert(const.getAs[Double]("h_norm") == 0.0)
+    val empty = r(2)
+    assert(empty.getAs[Long]("n_tokens") == 0L && empty.getAs[Long]("h_micro") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("h_norm")))
+  }
+
   test("quantileEdges: bin counts merge by addition (sketch mergeability)") {
     val a = (0L until 50L).toDF("v")
     val b = (50L until 100L).toDF("v")
