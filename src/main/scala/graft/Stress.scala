@@ -260,6 +260,59 @@ object Stress {
       f"err=${(hllEst / 7500000.0 - 1) * 100}%+.1f%%")
   }
 
+  /** Round-8 operator probes at replication scale: substring-dup coverage
+    * on a 50×-replicated corpus (EVERY shingle duplicated — the worst case
+    * for the join-back and interval merge), the bucketed interval join at
+    * 7.5M × 10k (where the naive non-equi plan is 75G comparisons), its
+    * brute-force twin on the same data for the wall-clock contrast, and
+    * the one-pass histogram sketch over 7.5M values.
+    */
+  private def scaleOps(
+      spark: org.apache.spark.sql.SparkSession, dir: String, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val docs50 = (1 to 50).map(i =>
+      Tables.load(spark, dir, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong) * 10000000L))
+      .reduce(_ unionByName _).persist()
+    time("warmup")(docs50.limit(1).count())
+    // 25k docs, all 50-way duplicated: every position survives the
+    // frequency filter, so the merge windows see maximal hit density
+    time("substringdup_25k_alldup") {
+      graft.dedup.SubstringDup.dupNgramCoverage(docs50, "doc_id", "text", n = 8)
+        .agg(sum("dup_tokens")).count()
+    }
+    docs50.unpersist()
+    val orders50 = (1 to 50).map(i =>
+      Tables.load(spark, dir, "orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong) * 100000000L))
+      .reduce(_ unionByName _)
+    val iv = orders50.select(
+      col("o_orderkey").as("oid"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("ls"))
+      .withColumn("le", col("ls") + col("oid") % 14)
+      .persist()
+    time("interval_base_7M5")(iv.count())
+    val win = spark.range(10000).select(
+      col("id").as("w"), (col("id") % 3600).as("ws"))
+      .select(col("w"), col("ws"), (col("ws") + 9).as("we"))
+    time("interval_join_7M5_x10k_bucketed") {
+      graft.operators.IntervalJoin.overlapJoin(iv, "ls", "le", win, "ws", "we", grain = 16L)
+        .groupBy("w").count().count()
+    }
+    time("interval_join_7M5_x10k_brute") {
+      iv.join(win, greatest(col("ls"), col("ws")) <= least(col("le"), col("we")))
+        .groupBy("w").count().count()
+    }
+    iv.unpersist()
+    val cents = orders50.select(
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS LONG)").as("c"))
+    time("hist_quantiles_7M5") {
+      graft.operators.HistogramSketch
+        .quantileEdges(cents, "c", width = 1000000L, quantilesPermille = Seq(500, 950, 990))
+        .count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -271,6 +324,7 @@ object Stress {
     def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
     if (args.contains("scale50")) { scale50(spark, dir, meter); spark.stop(); return }
     if (args.contains("hotbasket")) { hotBasket(spark, dir, meter); spark.stop(); return }
+    if (args.contains("scaleops")) { scaleOps(spark, dir, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")
