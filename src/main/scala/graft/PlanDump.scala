@@ -42,7 +42,10 @@ object PlanDump {
     "q223_hits" -> "HITS rounds as |E|-bounded keyed aggregates (the PageRank shuffle shape), exact-integer scores",
     "q226_psi" -> "PSI: two map-combined bucket counts + broadcast totals — drift readout in one fact pass",
     "q263_dsir_weights" -> "DSIR: dims-row bucket ratio table broadcast into the token stream — corpus never shuffles for the model, only the per-doc sum",
-    "q267_skipping_depth" -> "zone-map audit: GlobalRank range-exchange ntile (no SinglePartition window), chunk-grain zone maps, broadcast overlap self-join")
+    "q267_skipping_depth" -> "zone-map audit: GlobalRank range-exchange ntile (no SinglePartition window), chunk-grain zone maps, broadcast overlap self-join",
+    "q286_dup_ngram_cov" -> "substring dup coverage: zip-of-slices shingles (no join), map-combined frequency filter, doc-PARTITIONED interval-merge window",
+    "q287_interval_join" -> "interval overlap as a bucketed equi-join: bucket explode → hash join → exact predicate re-check — no CartesianProduct/BroadcastNestedLoop",
+    "q290_hist_quantiles" -> "histogram sketch: map-combined bin counts (one fact pass), cumulative window over the BOUNDED bin table only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
