@@ -27,32 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object HistogramSketch {
 
-  /** Per-requested-quantile bin edges over `df(valueCol)`:
-    * (q_permille, bin, lo, hi, cum_le, n) where bin is the FIRST bin whose
-    * cumulative count reaches ⌈q·n/1000⌉, [lo, hi] its inclusive value
-    * range, cum_le its cumulative count, n the total. NULL values are
-    * ignored; an empty input yields no rows.
+  /** The sketch itself: (bin, cnt) counts over `df(valueCol)` — the state
+    * a stream/batch-incremental pipeline STORES. NULL values are ignored.
     */
-  def quantileEdges(
-      df: DataFrame,
-      valueCol: String,
+  def binCounts(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width >= 1, s"width=$width must be >= 1")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(expr(s"$valueCol div ${width}L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge law: bin counts ADD. Merging a day's partial into the stored
+    * table is one bounded aggregate over (≤ 2·#bins) rows.
+    */
+  def mergeBins(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bin").agg(sum("cnt").as("cnt"))
+
+  /** Quantile readout from a stored (bin, cnt) table — see
+    * [[quantileEdges]] for the output contract.
+    */
+  def quantilesFromBins(
+      bins: DataFrame,
       width: Long,
       quantilesPermille: Seq[Int]): DataFrame = {
     require(width >= 1, s"width=$width must be >= 1")
     require(
       quantilesPermille.nonEmpty && quantilesPermille.forall(q => q >= 1 && q <= 1000),
       s"quantiles=$quantilesPermille must be in [1, 1000] per-mille")
-    val spark = df.sparkSession
+    val spark = bins.sparkSession
     import spark.implicits._
-    val bins = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(expr(s"$valueCol div ${width}L").as("bin"))
-      .agg(count(lit(1)).as("_cnt"))
     // both windows run over the BOUNDED bin table (≤ range/width rows)
     val cum = bins
       .withColumn("cum_le",
-        sum("_cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("_cnt").over())
+        sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over())
     val qs = quantilesPermille.distinct.sorted.toDF("q_permille")
     cum
       .join(broadcast(qs), lit(1000L) * col("cum_le") >= col("q_permille") * col("n"))
@@ -66,4 +74,17 @@ object HistogramSketch {
         col("_first.cum_le").as("cum_le"),
         col("_first.n").as("n"))
   }
+
+  /** Per-requested-quantile bin edges over `df(valueCol)`:
+    * (q_permille, bin, lo, hi, cum_le, n) where bin is the FIRST bin whose
+    * cumulative count reaches ⌈q·n/1000⌉, [lo, hi] its inclusive value
+    * range, cum_le its cumulative count, n the total. NULL values are
+    * ignored; an empty input yields no rows.
+    */
+  def quantileEdges(
+      df: DataFrame,
+      valueCol: String,
+      width: Long,
+      quantilesPermille: Seq[Int]): DataFrame =
+    quantilesFromBins(binCounts(df, valueCol, width), width, quantilesPermille)
 }

@@ -328,6 +328,54 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) <= 250.0, s"streamed HLL estimate $est")
   }
 
+  test("streaming histogram sketch: foreachBatch-merged bins equal the whole-build") {
+    import graft.operators.HistogramSketch
+    val root = tmpDir("shist")
+    val in = s"$root/in"; val reg = s"$root/bins"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    // two arriving value files; bins must ADD across micro-batches
+    spark.range(0L, 700L).select($"id".as("v")).repartition(1).write.parquet(s"$in/c1")
+    spark.range(300L, 1000L).select($"id".as("v")).repartition(1).write.parquet(s"$in/c2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = HistogramSketch.binCounts(batch, "v", width = 100L)
+        val merged =
+          if (Files.exists(Paths.get(reg)))
+            HistogramSketch.mergeBins(spark.read.parquet(reg), partial)
+          else partial
+        // pin before overwriting the file the lazy plan reads (HLL twin)
+        val pinned = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(pinned.toIndexedSeq, 1), merged.schema)
+          .write.mode("overwrite").parquet(reg)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // values 300-699 arrive TWICE — the sketch counts occurrences, so the
+    // stored bins must equal the batch build over the concatenated stream
+    val whole = spark.range(0L, 1000L).select($"id".as("v"))
+      .union(spark.range(300L, 700L).select($"id".as("v")))
+    val streamedBins = spark.read.parquet(reg)
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    val wholeBins = HistogramSketch.binCounts(whole, "v", 100L)
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    assert(streamedBins == wholeBins)
+    val qr = HistogramSketch.quantilesFromBins(spark.read.parquet(reg), 100L, Seq(500))
+      .collect()(0)
+    // n = 1400, target 700: bins 0-2 hold 100 each, 3-6 hold 200 → cum at
+    // bin 4 is 100·3 + 200·2 = 700 → p50 lands in bin 4
+    assert(qr.getAs[Long]("n") == 1400L && qr.getAs[Long]("bin") == 4L)
+  }
+
   test("quality rules stream: gopherStats is a stateless projection over readStream") {
     // the corpus-quality first cut runs unchanged in a micro-batch stream —
     // no state, no watermark, the rule columns are per-row projections
