@@ -150,8 +150,12 @@ object DupClusters {
       qualityCol: String,
       pairsComponents: DataFrame): DataFrame = {
     val members = pairsComponents.select(col("node").as(idCol), col("component"))
+    // NULL quality must LOSE, not win: a null struct FIELD sorts first
+    // under min(), so an uncoalesced null would beat every real score.
+    // MinValue+1 (not MinValue — its negation overflows) ranks nulls last.
     val winners = members
-      .join(corpus.select(col(idCol), col(qualityCol).cast("long").as("_q")), idCol)
+      .join(corpus.select(col(idCol),
+        coalesce(col(qualityCol).cast("long"), lit(Long.MinValue + 1)).as("_q")), idCol)
       .groupBy("component")
       // min over (−quality, id): max quality, tie → smallest id
       .agg(min(struct((-col("_q")).as("_nq"), col(idCol).as("_id"))).as("_best"))

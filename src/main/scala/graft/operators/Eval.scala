@@ -137,6 +137,7 @@ object Eval {
       idCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks=$ks must be non-empty positive cutoffs")
+    require(ks.distinct == ks, s"ks=$ks must be distinct (duplicate output columns otherwise)")
     val flagged = ranked
       .join(relevant.select(col(queryCol), col(idCol), lit(true).as("_rel")),
         Seq(queryCol, idCol), "left")

@@ -145,6 +145,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L))
   }
 
+  test("keepBest: NULL quality loses to any real score; all-null falls back to min id") {
+    val corpus = Seq(
+      (1L, Some(3L)), (2L, None),           // cluster A: real 3 beats null
+      (5L, Option.empty[Long]), (6L, None)) // cluster B: all null → min id 5
+      .toDF("doc_id", "quality")
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("node", "component")
+    val kept = graft.dedup.DupClusters.keepBest(corpus, "doc_id", "quality", comp)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 5L))
+  }
+
   // ---------- TextAnalysis.tokenEntropy ----------
 
   test("tokenEntropy: uniform distribution hits ln(n), constant hits zero") {
