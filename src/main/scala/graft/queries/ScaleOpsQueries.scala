@@ -138,7 +138,7 @@ object ScaleOpsQueries {
         |FROM ag JOIN rt USING (anchor_id) ORDER BY anchor_id""".stripMargin) { (s, dir) =>
       import graft.text.Retrieval
       val docs = Tables.load(s, dir, "documents")
-      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val ranked = SharedFrames.lexRanked(s, dir)
         .select("anchor_id", "doc_id", "rank")
       val emb = Tables.load(s, dir, "embeddings")
       val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))

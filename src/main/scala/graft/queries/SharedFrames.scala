@@ -67,6 +67,21 @@ private[queries] object SharedFrames {
       }
     }
 
+  private val lexRankedMemo = Memo.slot[DataFrame]()
+
+  /** Top-20 lexical more-like-this ranking for anchor docs 0–2
+    * ([[graft.text.Retrieval.moreLikeThis]]) — the shared mining step of
+    * the retrieval-eval family (q189 fusion, q194 MRR/P@k/AP, q281/q285
+    * NDCG, q288 recall@k): each gate measures ITS metric operator on this
+    * ranking, not the BM25 re-mine (the basketPairCounts precedent).
+    */
+  def lexRanked(s: SparkSession, dir: String): DataFrame =
+    lexRankedMemo(s, dir) {
+      Memo.truncate(
+        graft.text.Retrieval.moreLikeThis(
+          Tables.load(s, dir, "documents"), "doc_id", "text", Seq(0L, 1L, 2L), k = 20))
+    }
+
   /** Distinct undirected co-occurrence edges (a < b) between words
     * adjacent ≥ 5 times — the q185 graph.
     */

@@ -409,7 +409,7 @@ object WarehouseQueries {
       import graft.text.Retrieval
       import graft.sim.Similarity
       val docs = Tables.load(s, dir, "documents")
-      val lex = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val lex = SharedFrames.lexRanked(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       val nv = emb.select(col("vec_id"), Similarity.normalized(col("embedding")).as("_nv"))
       val anchors = nv.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -617,7 +617,7 @@ object WarehouseQueries {
         |FROM ag JOIN rt USING (anchor_id) ORDER BY anchor_id""".stripMargin) { (s, dir) =>
       import graft.text.Retrieval
       val docs = Tables.load(s, dir, "documents")
-      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val ranked = SharedFrames.lexRanked(s, dir)
         .select("anchor_id", "doc_id", "rank")
       val emb = Tables.load(s, dir, "embeddings")
       val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -687,7 +687,7 @@ object WarehouseQueries {
         |FROM ag JOIN rt USING (anchor_id) ORDER BY ag.anchor_id""".stripMargin) { (s, dir) =>
       import graft.text.Retrieval
       val docs = Tables.load(s, dir, "documents")
-      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val ranked = SharedFrames.lexRanked(s, dir)
         .select("anchor_id", "doc_id", "rank")
       val emb = Tables.load(s, dir, "embeddings")
       val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -757,7 +757,7 @@ object WarehouseQueries {
         |FROM dcg JOIN idcg USING (anchor_id) ORDER BY dcg.anchor_id""".stripMargin) { (s, dir) =>
       import graft.text.Retrieval
       val docs = Tables.load(s, dir, "documents")
-      val ranked = Retrieval.moreLikeThis(docs, "doc_id", "text", Seq(0L, 1L, 2L), k = 20)
+      val ranked = SharedFrames.lexRanked(s, dir)
         .select("anchor_id", "doc_id", "rank")
       val emb = Tables.load(s, dir, "embeddings")
       val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
