@@ -313,6 +313,67 @@ object Stress {
     }
   }
 
+  /** Iterative graph operators on a 2M-edge synthetic graph (200k-node
+    * scale-free-ish hub structure + a 100k-node chain so components need
+    * real pointer-doubling depth): absolute wall plus shuffle volumes —
+    * the evidence for the round-8 stationary-adjacency / broadcast-rank
+    * iteration shapes, and the broadcastRanks A/B at a node count where
+    * the choice matters.
+    */
+  private def graphScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    // 2M edges over 200k nodes, ~10 out-edges each: the dst mixes in the
+    // replica index (id div 200k) so pairs do NOT repeat per period
+    val hub = spark.range(2000000L).select(
+      concat(lit("n"), pmod(col("id"), lit(200000L))).as("src"),
+      concat(lit("n"),
+        expr("pmod(id * 31 + id div 200000 + 7, 200000)")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    // plus a 100k chain on separate ids (diameter driver for components).
+    // ZERO-PADDED so lexicographic id order is monotone along the chain:
+    // pointer doubling's O(log diameter) bound needs the min-id node of a
+    // label window to sit at the window's edge; unpadded strings ("c1" <
+    // "c10" < "c100" < … < "c2") scramble that and degrade the round
+    // count toward linear (measured: the unpadded 100k chain was still
+    // unconverged after 20 minutes; the padded one takes ~17 rounds)
+    val chain = spark.range(100000L).select(
+      format_string("c%06d", col("id")).as("src"),
+      format_string("c%06d", col("id") + 1L).as("dst"))
+    val edges = hub.union(chain).persist()
+    time("warmup_edges_2M1")(edges.count())
+    time("pagerank_2M_bcast") {
+      graft.operators.PageRank.ranks(edges, iters = 3, scale = 1000000000000L)
+        .agg(sum("rank")).count()
+    }
+    time("pagerank_2M_shuffle") {
+      graft.operators.PageRank.ranks(edges, iters = 3, scale = 1000000000000L,
+        broadcastRanks = false).agg(sum("rank")).count()
+    }
+    // components on the HUB graph (2M edges, low diameter — the near-dup
+    // cluster shape): few pointer-doubling rounds over the full edge set
+    time("components_hub_2M") {
+      graft.dedup.DupClusters.components(hub, "src", "dst").count()
+    }
+    // the round-count law in isolation: a bare 100k chain (diameter 100k)
+    // must converge in ~log2 rounds, each round cheap (100k-row joins) —
+    // the O(log diameter) claim without paying 2M-row rounds for it
+    time("components_rounds_100k_chain") {
+      graft.dedup.DupClusters.convergenceRounds(chain, "src", "dst").toLong
+    }
+    time("bfs_5seed_4hop_2M") {
+      import spark.implicits._
+      graft.operators.ShortestPath.bfsLevelsFrom(
+        edges.toDF("a", "b"), "a", "b",
+        Seq("n0", "n1", "n2", "n3", "n4").toDF("seed"), rounds = 4).count()
+    }
+    time("label_prop_2rounds_2M") {
+      graft.operators.Communities.labelPropagate(
+        edges.toDF("a", "b"), "a", "b", rounds = 2).count()
+    }
+    edges.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -325,6 +386,7 @@ object Stress {
     if (args.contains("scale50")) { scale50(spark, dir, meter); spark.stop(); return }
     if (args.contains("hotbasket")) { hotBasket(spark, dir, meter); spark.stop(); return }
     if (args.contains("scaleops")) { scaleOps(spark, dir, meter); spark.stop(); return }
+    if (args.contains("graphscale")) { graphScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

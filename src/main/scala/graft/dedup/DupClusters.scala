@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Partitions.numShufflePartitions
 
 /** Duplicate clustering: near-dup candidate PAIRS (MinHash/SimHash/embedding
   * output) only say "a ~ b"; deduplicating a corpus needs the transitive
@@ -20,6 +21,15 @@ import org.apache.spark.sql.functions._
   * chain-shaped components converge in ~log₂(n) rounds, while near-dup
   * components (near-cliques — LSH connects most members pairwise) still
   * converge in 2–3. DupClustersSpec pins the chain datapoint.
+  *
+  * Round-count caveat: the doubling argument needs the min-id node of a
+  * window to sit toward the window's boundary, which holds when id ORDER
+  * is roughly monotone along long paths (numeric ids, ingestion-ordered
+  * ids). An adversarial ordering on a long chain (e.g. unpadded string
+  * ids, where "c1" < "c10" < … < "c2") can degrade rounds toward linear —
+  * the `maxIter` guard turns that into a loud failure instead of a silent
+  * grind. Real dedup graphs are near-cliques and unaffected; synthetic
+  * chain fixtures should zero-pad.
   *
   * One ACTION per round: the round's labels are localCheckpoint'ed LAZILY
   * and the convergence count runs over that checkpoint — the single count
@@ -76,7 +86,11 @@ object DupClusters {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .repartition(col("dst"))
+      // EXPLICIT partition count: a bare repartition(col) is advisory under
+      // AQE, which would coalesce a small cached adjacency to ONE partition
+      // and serialize every round through a single task (measured: a 2M-edge
+      // graph ground one core for the whole label loop)
+      .repartition(numShufflePartitions(pairs), col("dst"))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))

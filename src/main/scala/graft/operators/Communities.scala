@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Partitions.numShufflePartitions
 
 /** Label-propagation community detection (Raghavan et al. 2007) over an
   * undirected edge list — the cheap "which dense neighborhoods exist?"
@@ -52,7 +53,7 @@ object Communities {
     // both orientations (each node sees its full neighbor multiset),
     // partitioned once on the vote key so rounds never re-shuffle it
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
-      .repartition(col("_b"))
+      .repartition(numShufflePartitions(edges), col("_b"))
       .persist()
     var labels = adj.select(col("_a").as("node")).distinct()
       .withColumn("label", col("node"))

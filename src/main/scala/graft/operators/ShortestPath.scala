@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Partitions.numShufflePartitions
 
 /** Bounded-round single/multi-source BFS over an undirected edge list —
   * unweighted shortest-path levels ("how far is every node from the
@@ -44,7 +45,7 @@ object ShortestPath {
     // adjacency then never re-shuffles — each round moves only the
     // frontier (≤ |V| rows). The [[graft.dedup.DupClusters]] discipline.
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
-      .repartition(col("_a"))
+      .repartition(numShufflePartitions(edges), col("_a"))
       .persist()
     var dist = sources.toDF("node").distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
@@ -79,7 +80,7 @@ object ShortestPath {
       .filter(col("_a") =!= col("_b"))
     // same stationary-adjacency economy as [[bfsLevels]]
     val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
-      .repartition(col("_a"))
+      .repartition(numShufflePartitions(edges), col("_a"))
       .persist()
     var dist = seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
