@@ -19,16 +19,19 @@ import Partitions.numShufflePartitions
   * contract as [[PageRank]] — sidesteps non-termination and keeps the
   * oracle unrollable.)
   *
-  * Scale shape per round: the adjacency is partitioned ONCE on the vote
-  * key and cached (the [[graft.dedup.DupClusters]] stationary-adjacency
-  * discipline), so each round moves only the NODE-sized label table into
-  * the |E|-sized cached side — then one (node, neighbor-label) count
-  * aggregate with map-side combine and one deterministic argmax reduce
-  * via max-of-struct. No per-round broadcast (the label table is |V|
-  * rows — corpus-sized on a dedup graph, and a broadcast is a blocking
-  * driver job per round), no windows, no driver data paths. Rounds are a
-  * fixed small constant; each round's plan chains off a bounded-depth
-  * lineage (labels table is |V| rows, re-derived per round).
+  * Scale shape per round: at depth ≥ 3 the adjacency is partitioned ONCE
+  * on the vote key and cached (the [[graft.dedup.DupClusters]]
+  * stationary-adjacency discipline), so each round moves only the
+  * NODE-sized label table into the |E|-sized cached side; at the shallow
+  * audit depths (1–2 rounds) the cache's materialization pass costs more
+  * than it saves and the plain keyed join runs instead. Then one
+  * (node, neighbor-label) count aggregate with map-side combine and one
+  * deterministic argmax reduce via max-of-struct. No per-round broadcast
+  * (the label table is |V| rows — corpus-sized on a dedup graph, and a
+  * broadcast is a blocking driver job per round), no windows, no driver
+  * data paths. Rounds are a fixed small constant; each round's plan
+  * chains off a bounded-depth lineage (labels table is |V| rows,
+  * re-derived per round).
   */
 object Communities {
 
@@ -50,11 +53,17 @@ object Communities {
     val und = edges
       .select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .filter(col("_a") =!= col("_b"))
-    // both orientations (each node sees its full neighbor multiset),
-    // partitioned once on the vote key so rounds never re-shuffle it
-    val adj = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
-      .repartition(numShufflePartitions(edges), col("_b"))
-      .persist()
+    // both orientations: each node sees its full neighbor multiset. The
+    // stationary-adjacency cache (repartition on the vote key + persist)
+    // costs one materialization pass up front and saves one |E| shuffle
+    // per round — it amortizes from round 3 on; at the 2-round audit
+    // depth the plain per-round join is cheaper, so the cache is gated
+    // on depth rather than hardcoded either way.
+    val sym = und.union(und.select(col("_b").as("_a"), col("_a").as("_b")))
+    val adj =
+      if (rounds >= 3)
+        sym.repartition(numShufflePartitions(edges), col("_b")).persist()
+      else sym
     var labels = adj.select(col("_a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
