@@ -22,7 +22,8 @@ private[graft] object JoinBack {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      bcast: Boolean = true): DataFrame = {
+      bcast: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "nullSafe join-back needs at least one key")
     require(!left.columns.exists(_.startsWith("_nsj_")) &&
       !right.columns.exists(_.startsWith("_nsj_")),
@@ -31,7 +32,7 @@ private[graft] object JoinBack {
       keys.map(c => col(c).as("_nsj_" + c)) ++
         right.columns.filterNot(keys.contains).map(col): _*)
     val r = if (bcast) broadcast(renamed) else renamed
-    left.join(r, keys.map(c => col(c) <=> col("_nsj_" + c)).reduce(_ && _))
+    left.join(r, keys.map(c => col(c) <=> col("_nsj_" + c)).reduce(_ && _), joinType)
       .drop(keys.map("_nsj_" + _): _*)
   }
 }

@@ -140,4 +140,75 @@ object Splits {
       .withColumn("global_pos", col("pos") * numShards + col("shard"))
       .drop("_h", "_rn", "_n", "_minrn")
   }
+
+  /** Expanding-window time-series cross-validation folds — the temporal
+    * split a forecasting / drift-sensitive model needs where the hash
+    * splits above would leak the future into training: the table is cut
+    * into `k + 1` equal-count temporal chunks ([[GlobalRank.ntile]] —
+    * range repartition, never a single-partition window), and fold `f`
+    * trains on chunks `1..f` and tests on chunk `f + 1` ("rolling-origin
+    * evaluation"). Returns the k-row fold summary:
+    *
+    *   (fold, n_train, train_end, n_test, test_start, test_end,
+    *    n_boundary_ties)
+    *
+    * where `train_end`/`test_start` are the first order column's bounds on
+    * either side of the cut and `n_boundary_ties` counts test rows whose
+    * time equals `train_end` — rows the equal-count cut placed in test but
+    * that are temporally INDISTINGUISHABLE from the last training instant
+    * (the leakage a caller must drop or re-fence; with a total order and
+    * distinct timestamps it is 0). Fold membership for the actual training
+    * run is the chunk stamp itself: train(f) = `chunk <= f`, test(f) =
+    * `chunk == f + 1` on [[GlobalRank.ntile]]'s output with the same
+    * arguments.
+    *
+    * `orderCols.head` is the event-time axis; append tie-break columns to
+    * make the order total (ntile splits equal keys deterministically only
+    * under a total order — same contract as [[exactStratifiedSplit]]).
+    *
+    * Scale shape: one range-exchange ntile pass; the per-chunk rollup is
+    * k+1 rows; folds expand against that rollup, never against the data;
+    * the tie count is one broadcast-join pass over the stamped rows.
+    */
+  def timeSeriesFolds(
+      df: DataFrame,
+      orderCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k folds must be >= 1")
+    require(orderCols.nonEmpty, "timeSeriesFolds needs an order column")
+    val t = col(orderCols.head)
+    val chunked = GlobalRank.ntile(df, orderCols, k + 1, outCol = "_chunk")
+    val perChunk = chunked.groupBy(col("_chunk"))
+      .agg(
+        count(lit(1)).as("_cn"),
+        min(t).as("_cmin"),
+        max(t).as("_cmax"))
+    // k+1-row rollup: fold expansion is arithmetic over it, not over rows
+    val spark = df.sparkSession
+    val folds = spark.range(1, k + 1L).select(col("id").as("fold"))
+    val train = folds
+      .join(broadcast(perChunk), col("_chunk") <= col("fold"))
+      .groupBy("fold")
+      .agg(sum("_cn").as("n_train"), max("_cmax").as("train_end"))
+    val test = folds
+      .join(broadcast(perChunk), col("_chunk") === col("fold") + 1)
+      .select(
+        col("fold"), col("_cn").as("n_test"),
+        col("_cmin").as("test_start"), col("_cmax").as("test_end"))
+    // one pass over the stamped rows against the k-row boundary table: a
+    // test row tied to train_end is a leak candidate the cut can't see
+    val ties = chunked
+      .join(
+        broadcast(train.select(col("fold"), col("train_end"))),
+        col("_chunk") === col("fold") + 1 && t === col("train_end"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("_nt"))
+    train
+      .join(test, Seq("fold"))
+      .join(ties, Seq("fold"), "left")
+      .select(
+        col("fold"), col("n_train"), col("train_end"),
+        col("n_test"), col("test_start"), col("test_end"),
+        coalesce(col("_nt"), lit(0L)).as("n_boundary_ties"))
+  }
 }

@@ -332,6 +332,72 @@ object TimeSeries {
             .cast("long").as("shift_norm_micro")): _*)
   }
 
+  /** Single-changepoint detection by BINARY SEGMENTATION — the
+    * between-segment sum-of-squares argmax (the textbook first step of
+    * binary segmentation / PELT): for every interior split t of the
+    * per-key series, the variance explained by a mean shift at t is
+    *
+    *   BSS(t) = (S₁·n − S·t)² / (t·(n − t) · n)
+    *
+    * and the changepoint is the t maximizing it. This is the NORMALIZED
+    * twin of [[cusumChangePoint]]: the numerator |S₁·n − S·t| is exactly
+    * the CUSUM statistic, but the t·(n−t) weighting removes CUSUM's bias
+    * toward mid-series splits — a shift near either end scores the same
+    * as an equal shift in the middle. Emitted `bss = (S₁·n − S·t)² div
+    * (t·(n−t))` (the constant /n dropped — argmax-invariant), computed in
+    * decimal(38,0) so the squared numerator is exact for any series whose
+    * MASS×LENGTH product `Σy·n` stays under ~10¹⁸ (counts-scale series;
+    * pre-aggregate heavier units to thousands first), then the argmax is
+    * over exact integers — no fp anywhere, ties break to the EARLIEST t.
+    *
+    * Output per key: (keyCols..., n, t_star, at_order — the `orderCol`
+    * value of the LAST left-segment row, bss, mean_left_micro,
+    * mean_right_micro — truncating `(10⁶·S) div n` quotients). A series
+    * with n = 1 has no interior split: its row carries NULLs.
+    *
+    * Scale shape: same as [[cusumChangePoint]] — one per-key window stamp
+    * (series-per-key partitioning, the TimeSeries contract), a per-key
+    * aggregate joined back null-safely, and a max-of-struct argmax that
+    * combines map-side.
+    */
+  def changepointBss(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "changepointBss needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val v = col(valueCol).cast("long")
+    val stamped = df
+      .withColumn("_t", row_number().over(w).cast("long"))
+      .withColumn("_c", sum(v).over(w))
+    val per = stamped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"))
+    val scored = JoinBack.nullSafe(stamped, per, keyCols, bcast = false)
+      .filter(col("_t") < col("_n"))
+      .withColumn("_d", (col("_n") * col("_c") - col("_t") * col("_s"))
+        .cast("decimal(38,0)"))
+      .withColumn("_g", expr("cast((_d * _d) div (_t * (_n - _t)) as long)"))
+    // argmax as ONE map-combined max-of-struct: (bss desc, t asc) is a
+    // total order per key (t is unique), so the carried fields are the
+    // argmax row's, not a mix
+    val best = scored.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(
+        col("_g"), (-col("_t")).as("_mt"), col(orderCol).as("_o"),
+        col("_c").as("_c1"))).as("_b"))
+    JoinBack.nullSafe(per, best, keyCols, bcast = false, joinType = "left")
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("_n").as("n"),
+          (-col("_b._mt")).as("t_star"),
+          col("_b._o").as("at_order"),
+          col("_b._g").as("bss"),
+          expr("cast((_b._c1 * 1000000) div (-_b._mt) as long)")
+            .as("mean_left_micro"),
+          expr("cast(((_s - _b._c1) * 1000000) div (_n + _b._mt) as long)")
+            .as("mean_right_micro")): _*)
+  }
+
   /** Multiplicative seasonal index per (key, season): the season's mean
     * value relative to the key's overall mean —
     * `idx = mean(season) / mean(all)` — the day-of-week / month-of-year

@@ -94,6 +94,39 @@ object CurationQueries {
          |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cluster, (d.idb IS NULL) AS kept
          |FROM n LEFT JOIN d ON n.vec_id = d.idb ORDER BY vec_id""".stripMargin
 
+  /** Simplified-silhouette oracle: replay the k-means fit, then per vector
+    * the full `x·x − 2·x·c + c·c` distance to every FINAL centroid (all
+    * three index-order double folds, fp-cancellation clamped at 0 — the
+    * [[graft.sim.KMeans.simplifiedSilhouette]] recipe), nearest/second-
+    * nearest by (d², cid), and `sil = (b − a)/max(a, b)` rounded 6 dp.
+    */
+  private def silhouetteOracle(k: Int, iters: Int, dims: Int): String =
+    s"WITH ${kmeansCtes(k, iters, dims)},\n" +
+      s"""x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xv
+         |      FROM embeddings),
+         |xs AS (SELECT vec_id, xv,
+         |    list_aggregate(list_transform(generate_series(1, $dims),
+         |      i -> xv[i] * xv[i]), 'sum') AS xx
+         |  FROM x),
+         |dd AS (SELECT xs.vec_id, c.cid,
+         |    greatest(xs.xx
+         |      - 2 * list_aggregate(list_transform(generate_series(1, $dims),
+         |          i -> xs.xv[i] * c.c[i]), 'sum')
+         |      + list_aggregate(list_transform(generate_series(1, $dims),
+         |          i -> c.c[i] * c.c[i]), 'sum'), 0) AS d2
+         |  FROM xs CROSS JOIN cents$iters c),
+         |r AS (SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM dd),
+         |ab AS (SELECT a.vec_id, a.cid AS cluster, a.d2 AS a2, b.d2 AS b2
+         |       FROM r a JOIN r b
+         |         ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |  CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+         |    ELSE round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6)
+         |  END AS sil
+         |FROM ab ORDER BY vec_id""".stripMargin
+
   /** q81 and q82 mine the SAME MinHash-LSH pair graph and cluster it the
     * same way; computing it inside each gate measured re-mining, not
     * clustering. Shared per (session, dir) via [[Memo]] (see its scaladoc
@@ -794,6 +827,18 @@ object CurationQueries {
       KMeans.assign(emb, "embedding", centroids)
         .select(col("vec_id"), col("_cluster").cast("long").as("cluster"))
         .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy("cluster")))
+        .orderBy("vec_id")
+    },
+
+    // Simplified silhouette per vector (KMeans.simplifiedSilhouette) over
+    // the q86 fit: the linear-time cluster-quality readout — nearest vs
+    // second-nearest centroid distance, `(b − a)/max(a, b)` at 6 dp. The
+    // oracle replays the fit AND the full x·x − 2·x·c + c·c folds.
+    Q("q296_silhouette", silhouetteOracle(k = 5, iters = 3, dims = 64)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = KMeans.fit(emb, "vec_id", "embedding", k = 5, iters = 3)
+      KMeans.simplifiedSilhouette(emb, "embedding", centroids)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("sil"))
         .orderBy("vec_id")
     },
 

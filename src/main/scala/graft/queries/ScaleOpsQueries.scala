@@ -264,6 +264,149 @@ object ScaleOpsQueries {
       graft.text.TextAnalysis
         .tokenEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Expanding-window time-series CV folds (Splits.timeSeriesFolds):
+    // orders cut into 6 equal-count temporal chunks; fold f trains on
+    // chunks 1..f, tests on chunk f+1. The fold summary carries the
+    // rolling-origin boundaries plus the boundary-tie leak count; the
+    // ntile is GlobalRank's range-exchange (no single-partition window —
+    // PlanSpec-gated).
+    Q(
+      "q293_ts_cv_folds",
+      """WITH r AS (SELECT CAST(o_orderdate AS DATE) AS t, o_orderkey,
+        |    ntile(6) OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS chunk
+        |  FROM orders),
+        |c AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n, min(t) AS mn, max(t) AS mx
+        |      FROM r GROUP BY 1),
+        |f AS (SELECT CAST(i AS BIGINT) AS fold FROM generate_series(1, 5) AS g(i)),
+        |tr AS (SELECT fold, CAST(sum(n) AS BIGINT) AS n_train, max(mx) AS train_end
+        |       FROM f JOIN c ON c.chunk <= f.fold GROUP BY 1),
+        |te AS (SELECT fold, n AS n_test, mn AS test_start, mx AS test_end
+        |       FROM f JOIN c ON c.chunk = f.fold + 1),
+        |ti AS (SELECT tr.fold, CAST(count(*) AS BIGINT) AS n_boundary_ties
+        |       FROM tr JOIN r ON r.chunk = tr.fold + 1 AND r.t = tr.train_end
+        |       GROUP BY 1)
+        |SELECT tr.fold, tr.n_train, tr.train_end, te.n_test, te.test_start,
+        |  te.test_end, CAST(coalesce(ti.n_boundary_ties, 0) AS BIGINT) AS n_boundary_ties
+        |FROM tr JOIN te USING (fold) LEFT JOIN ti USING (fold)
+        |ORDER BY fold""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("t"), col("o_orderkey"))
+      graft.operators.Splits
+        .timeSeriesFolds(orders, Seq("t", "o_orderkey"), k = 5)
+        .orderBy("fold")
+    },
+
+    // Corpus-centroid embedding outliers (Similarity.centroidOutliers):
+    // the 20 vectors farthest (exact integer micro-d²) from the corpus
+    // mean — the off-distribution curation filter. Centroid = per-dim
+    // truncating quotient of a decimal-safe sum; top-k is a TakeOrdered,
+    // not a global sort.
+    Q(
+      "q294_embed_outliers",
+      """WITH vm AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, i, m[i] AS v
+        |      FROM vm, unnest(generate_series(1, len(m))) AS s(i)),
+        |c AS (SELECT i, CAST(CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |        AS BIGINT) AS c
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.vec_id, CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+        |      FROM e JOIN c USING (i) GROUP BY 1)
+        |SELECT vm.vec_id, vm.label, d.d2
+        |FROM d JOIN vm USING (vec_id)
+        |ORDER BY d2 DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.sim.Similarity
+        .centroidOutliers(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", topK = 20)
+        .select("vec_id", "label", "d2")
+        .orderBy(col("d2").desc, col("vec_id"))
+    },
+
+    // Split-conformal prediction intervals (Conformal.splitConformal,
+    // alpha = 10%): md5 2/1/1 train/cal/test split of lineitem by row id,
+    // per-returnflag train-mean predictor, qhat = exact
+    // ceil((n_cal+1)·0.9)-th smallest calibration residual (GlobalRank
+    // order statistic — no per-group window), and the held-out coverage
+    // readout.
+    Q(
+      "q295_conformal",
+      """WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS y,
+        |    l_orderkey * 8 + l_linenumber AS id,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 4 AS h
+        |  FROM lineitem),
+        |mu AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS mu_micro
+        |  FROM b WHERE h < 2 GROUP BY 1),
+        |cal AS (SELECT b.g, abs(b.y * 1000000 - mu.mu_micro) AS r, b.id
+        |        FROM b JOIN mu ON b.g = mu.g WHERE b.h = 2),
+        |cr AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r, id) AS rk
+        |       FROM cal),
+        |cn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+        |         CAST(((count(*) + 1) * 900 + 999) // 1000 AS BIGINT) AS k_idx
+        |       FROM cal GROUP BY 1),
+        |q AS (SELECT cn.g, cn.n_cal, cn.k_idx, cr.r AS qhat
+        |      FROM cn LEFT JOIN cr ON cr.g = cn.g AND cr.rk = cn.k_idx),
+        |te AS (SELECT b.g, CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(CASE WHEN max(q.qhat) IS NOT NULL THEN
+        |             sum(CASE WHEN abs(b.y * 1000000 - mu.mu_micro) <= q.qhat
+        |                 THEN 1 ELSE 0 END) END AS BIGINT) AS n_covered
+        |       FROM b JOIN mu ON b.g = mu.g JOIN q ON b.g = q.g
+        |       WHERE b.h = 3 GROUP BY b.g)
+        |SELECT mu.g AS l_returnflag, mu.n_train, mu.mu_micro, q.n_cal, q.k_idx,
+        |  q.qhat, te.n_test, te.n_covered,
+        |  CAST(te.n_covered AS DOUBLE) / CAST(te.n_test AS DOUBLE) AS coverage
+        |FROM mu JOIN q ON mu.g = q.g JOIN te ON mu.g = te.g
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_quantity"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("_id"))
+      graft.operators.Conformal
+        .splitConformal(li, Seq("l_returnflag"), "l_quantity", "_id",
+          alphaPermille = 100)
+        .orderBy("l_returnflag")
+    },
+
+    // Binary-segmentation changepoint (TimeSeries.changepointBss) on the
+    // per-priority daily order-count series: the exact-integer BSS argmax
+    // — q200's CUSUM numerator with the t·(n−t) normalization that
+    // removes the mid-series bias. Ties break to the earliest split.
+    Q(
+      "q297_changepoint_bss",
+      """WITH s AS (SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT grp, day, y,
+        |    CAST(row_number() OVER pw AS BIGINT) AS t,
+        |    CAST(sum(y) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY grp) AS BIGINT) AS s
+        |  FROM s WINDOW pw AS (PARTITION BY grp ORDER BY day)),
+        |g AS (SELECT grp, day, t, n, c, s,
+        |    CAST((CAST(n * c - t * s AS HUGEINT) * CAST(n * c - t * s AS HUGEINT))
+        |      // CAST(t * (n - t) AS HUGEINT) AS BIGINT) AS bss
+        |  FROM w WHERE t < n),
+        |b AS (SELECT grp, t, day, bss, c, n, s,
+        |    row_number() OVER (PARTITION BY grp ORDER BY bss DESC, t) AS rn
+        |  FROM g)
+        |SELECT grp AS o_orderpriority, n, t AS t_star, day AS at_order, bss,
+        |  CAST((c * 1000000) // t AS BIGINT) AS mean_left_micro,
+        |  CAST(((s - c) * 1000000) // (n - t) AS BIGINT) AS mean_right_micro
+        |FROM b WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(
+          col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.TimeSeries
+        .changepointBss(daily, Seq("o_orderpriority"), "day", "y")
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -42,6 +42,54 @@ object KMeans {
   def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("_cluster", assignExpr(col(vecCol), centroids))
 
+  /** Simplified silhouette per point — the linear-time cluster-quality
+    * readout (Hruschka et al.'s "simplified silhouette"): with `a` the
+    * distance to the point's OWN (nearest) centroid and `b` the distance
+    * to the second-nearest, `sil = (b − a) / max(a, b)` ∈ [0, 1] here
+    * (own centroid is the argmin, so b ≥ a); ≈0 means the point sits on a
+    * cluster boundary. The full silhouette's pairwise within-cluster
+    * means are O(n²/k) — this centroid form is the one that survives a
+    * 100 TB corpus: one scan, centroids as literal arrays, everything
+    * codegen'd.
+    *
+    * Determinism: distances are the full `x·x − 2·x·c + c·c` (all three
+    * index-order double folds — engine-replayable, the q86 oracle
+    * convention), fp-cancellation guarded by a max(·, 0) both engines
+    * apply identically, argmin/2nd-min via one array_sort on (d², j)
+    * structs (ties to the lower centroid index), and `sil` is rounded to
+    * 6 dp (the q34 cosine convention). Both-zero distances (a point ON
+    * two coincident centroids) emit 0, not NaN.
+    *
+    * @return input columns + (`cluster` int, `sil` double)
+    */
+  def simplifiedSilhouette(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2,
+      s"silhouette needs >= 2 centroids, got ${centroids.length}")
+    val x = col(vecCol)
+    val xx = graft.functions.VectorFunctions.dot(x, x)
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.map(lit).toSeq: _*)
+      val cc = c.map(v => v * v).sum
+      struct(
+        greatest(
+          xx - lit(2.0) * graft.functions.VectorFunctions.dot(x, cLit) + lit(cc),
+          lit(0.0)).as("d"),
+        lit(j).as("j"))
+    }
+    val sorted = array_sort(array(scored.toSeq: _*))
+    val a2 = sorted.getItem(0).getField("d")
+    val b2 = sorted.getItem(1).getField("d")
+    df.withColumn("cluster", sorted.getItem(0).getField("j"))
+      .withColumn(
+        "sil",
+        when(greatest(sqrt(a2), sqrt(b2)) === 0.0, lit(0.0))
+          .otherwise(
+            round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6)))
+  }
+
   /** Lloyd iterations; returns the final centroid matrix. Clusters that end
     * an iteration empty keep their previous centroid.
     */

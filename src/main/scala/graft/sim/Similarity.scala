@@ -495,6 +495,56 @@ object Similarity {
     * multiplies the scan stream by `dims`, which is the honest cost of
     * per-dimension stats; no shuffle carries more than partial-agg rows.
     */
+  /** Corpus-centroid outlier mining: each vector's exact squared distance
+    * (in micro-units²) to the corpus mean — the off-distribution filter a
+    * curation pipeline runs BEFORE pairwise near-dup work (a doc far from
+    * everything has no near-dups to find; it has a distribution problem).
+    * Returns the `topK` farthest rows as (input columns..., `d2`), ordered
+    * farthest-first with `idCol` as the tie-break.
+    *
+    * Exactness: vectors quantize once to micro-ints (`floor(v·10⁶ + 0.5)`
+    * — floats are exact in the double product, [[embeddingDimStats]]'s
+    * recipe), the centroid is the truncating integer quotient `Σv div n`
+    * per dimension, and `d2 = Σ(v − c)²` is an exact long fold — every
+    * engine lands on the same integer, so the top-k set is unambiguous.
+    *
+    * Scale shape: one posexplode→map-combined aggregate builds the
+    * dims-row centroid (the only shuffle, dims·partitions combiner rows);
+    * the centroid packs into ONE array row crossed-broadcast onto the
+    * corpus; `d2` is a fused codegen zip_with fold; the top-k is a
+    * TakeOrdered (no global sort exchange — PlanSpec-gated).
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    val micro = transform(
+      col(vecCol),
+      v => floor(v.cast("double") * 1000000.0 + 0.5).cast("long"))
+    val vm = df.withColumn("_vm", micro)
+    val centroid = vm
+      .select(posexplode(col("_vm")).as(Seq("_dim", "_v")))
+      .groupBy("_dim")
+      // decimal(38,0) sum: immune to Σv overflowing a long at extreme n
+      // (the quotient is back in micro-int range by construction)
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast("decimal(38,0)")).as("_s"))
+      .select(col("_dim"), expr("cast(_s div _n as long)").as("_c"))
+      .agg(collect_list(struct(col("_dim"), col("_c"))).as("_cl"))
+      .select(transform(array_sort(col("_cl")), s => s("_c")).as("_cent"))
+    vm.crossJoin(broadcast(centroid))
+      .withColumn(
+        "d2",
+        aggregate(
+          zip_with(col("_vm"), col("_cent"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x))
+      .drop("_vm", "_cent")
+      .orderBy(col("d2").desc, col(idCol))
+      .limit(topK)
+  }
+
   def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     df.select(posexplode(col(vecCol)).as(Seq("dim", "_v")))

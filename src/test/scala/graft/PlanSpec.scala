@@ -367,4 +367,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"q286 must not collapse to one partition:\n$p")
   }
+
+  test("q293: temporal CV chunking is GlobalRank's range exchange, no global window") {
+    // an `ntile OVER (ORDER BY t)` would serialize the table through one
+    // window task; the fold summary must plan off the range-exchange ntile
+    val p = plan("q293_ts_cv_folds")
+    assert(!p.contains("Window"), s"q293 regressed to a window plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q293 has a single-partition exchange:\n$p")
+  }
+
+  test("q294: centroid outliers end in a TakeOrdered, centroid broadcast, no global sort") {
+    val p = plan("q294_embed_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row centroid must broadcast:\n$p")
+  }
+
+  test("q295: conformal order statistic plans without a per-group window") {
+    // the k-th-smallest residual must come from the range-exchange rank,
+    // not a Window.partitionBy(group) that pins each group to one task
+    val p = plan("q295_conformal")
+    assert(!p.contains("Window"), s"q295 regressed to a window plan:\n$p")
+  }
 }

@@ -184,4 +184,118 @@ class ScaleOpsSpec extends SparkSpec {
     assert(merged.getAs[Long]("bin") == direct.getAs[Long]("bin") &&
       merged.getAs[Long]("cum_le") == direct.getAs[Long]("cum_le"))
   }
+
+  // ---------- Splits.timeSeriesFolds ----------
+
+  test("timeSeriesFolds: rolling-origin boundaries over equal-count chunks") {
+    val df = (1L to 12L).map(t => (t, t * 10)).toDF("t", "id")
+    val r = graft.operators.Splits.timeSeriesFolds(df, Seq("t", "id"), k = 2)
+      .orderBy("fold").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_train") == 4L && r(0).getAs[Long]("train_end") == 4L)
+    assert(r(0).getAs[Long]("n_test") == 4L && r(0).getAs[Long]("test_start") == 5L)
+    assert(r(0).getAs[Long]("test_end") == 8L)
+    assert(r(0).getAs[Long]("n_boundary_ties") == 0L)
+    assert(r(1).getAs[Long]("n_train") == 8L && r(1).getAs[Long]("train_end") == 8L)
+    assert(r(1).getAs[Long]("n_test") == 4L && r(1).getAs[Long]("test_end") == 12L)
+  }
+
+  test("timeSeriesFolds: a test row tied to train_end is counted as a leak") {
+    // order (t, id): chunk 1 = (1,1)..(1,4), chunk 2 = (1,5),(2,6),(2,7),(2,8)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (2L, 8L)).toDF("t", "id")
+    val r = graft.operators.Splits.timeSeriesFolds(df, Seq("t", "id"), k = 1)
+      .collect()(0)
+    assert(r.getAs[Long]("train_end") == 1L && r.getAs[Long]("test_start") == 1L)
+    assert(r.getAs[Long]("n_boundary_ties") == 1L)
+  }
+
+  // ---------- Conformal.splitConformal ----------
+
+  test("splitConformal: constant series gives qhat 0 and full coverage") {
+    val df = (1L to 400L).map(i => ("g", 7L, i)).toDF("grp", "y", "id")
+    val r = graft.operators.Conformal
+      .splitConformal(df, Seq("grp"), "y", "id", alphaPermille = 100)
+      .collect()(0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") == 400L)
+    assert(r.getAs[Long]("mu_micro") == 7000000L)
+    val nCal = r.getAs[Long]("n_cal")
+    assert(r.getAs[Long]("k_idx") == ((nCal + 1) * 900 + 999) / 1000)
+    assert(r.getAs[Long]("qhat") == 0L)
+    assert(r.getAs[Long]("n_covered") == r.getAs[Long]("n_test"))
+    assert(r.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("splitConformal: qhat is the exact k-th smallest calibration residual") {
+    import graft.load.{Splits => LSplits}
+    val df = (1L to 600L).map(i => ("g", i % 13, i)).toDF("grp", "y", "id")
+    val r = graft.operators.Conformal
+      .splitConformal(df, Seq("grp"), "y", "id", alphaPermille = 200)
+      .collect()(0)
+    // recompute from the public split + emitted mu: the op's qhat must be
+    // the k_idx-th smallest |10⁶·y − mu| among the calibration rows
+    val mu = r.getAs[Long]("mu_micro")
+    val res = df
+      .withColumn("_s", LSplits.assignSplit(col("id"),
+        Seq("train" -> 2, "cal" -> 1, "test" -> 1)))
+      .filter(col("_s") === "cal")
+      .select(abs(col("y") * 1000000L - lit(mu)).as("r"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getAs[Long]("n_cal") == res.length.toLong)
+    val k = r.getAs[Long]("k_idx").toInt
+    assert(r.getAs[Long]("qhat") == res(k - 1))
+  }
+
+  test("splitConformal: tiny calibration set leaves the interval unbounded (NULLs)") {
+    val df = (1L to 20L).map(i => ("g", i, i)).toDF("grp", "y", "id")
+    val r = graft.operators.Conformal
+      .splitConformal(df, Seq("grp"), "y", "id", alphaPermille = 100)
+      .collect()(0)
+    assert(r.getAs[Long]("k_idx") > r.getAs[Long]("n_cal"))
+    assert(r.isNullAt(r.fieldIndex("qhat")))
+    assert(r.isNullAt(r.fieldIndex("n_covered")))
+    assert(r.isNullAt(r.fieldIndex("coverage")))
+  }
+
+  test("splitConformal: a NULL group key keeps its own row (null-safe join-backs)") {
+    val df = (1L to 300L).map(i => (if (i % 2 == 0) "g" else null, 5L, i))
+      .toDF("grp", "y", "id")
+    val r = graft.operators.Conformal
+      .splitConformal(df, Seq("grp"), "y", "id")
+      .collect()
+    assert(r.length == 2)
+    assert(r.exists(_.isNullAt(0)) && r.exists(row => row.getString(0) == "g"))
+  }
+
+  // ---------- TimeSeries.changepointBss ----------
+
+  test("changepointBss: planted mean shift found with exact BSS") {
+    val df = (1L to 8L).map(t => ("a", t, if (t <= 4) 0L else 10L))
+      .toDF("grp", "t", "y")
+    val r = graft.operators.TimeSeries
+      .changepointBss(df, Seq("grp"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("t_star") == 4L && r.getAs[Long]("at_order") == 4L)
+    // d = 8·0 − 4·40 = −160; bss = 160² div (4·4) = 1600
+    assert(r.getAs[Long]("bss") == 1600L)
+    assert(r.getAs[Long]("mean_left_micro") == 0L)
+    assert(r.getAs[Long]("mean_right_micro") == 10000000L)
+  }
+
+  test("changepointBss: tied splits break to the earliest t") {
+    // y = (0, 10, 0): t=1 and t=2 both score d²/den = 100/2 = 50
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 0L)).toDF("grp", "t", "y")
+    val r = graft.operators.TimeSeries
+      .changepointBss(df, Seq("grp"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("bss") == 50L && r.getAs[Long]("t_star") == 1L)
+  }
+
+  test("changepointBss: a 1-point series has no split — NULL payload, row kept") {
+    val df = Seq(("a", 1L, 5L)).toDF("grp", "t", "y")
+    val r = graft.operators.TimeSeries
+      .changepointBss(df, Seq("grp"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 1L)
+    assert(r.isNullAt(r.fieldIndex("t_star")) && r.isNullAt(r.fieldIndex("bss")))
+  }
 }

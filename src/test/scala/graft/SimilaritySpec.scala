@@ -1,6 +1,6 @@
 package graft
 
-import graft.sim.Similarity
+import graft.sim.{KMeans, Similarity}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -214,6 +214,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(0.5 * 1 + 0.25 * 4, -1.0 + 2.0)) // (1.5, 1.0) exactly
     intercept[IllegalArgumentException] {
       Similarity.projectExpr($"embedding", Array(Array(1.0), Array(1.0, 2.0)))
+    }
+  }
+
+  test("centroidOutliers: exact integer distances, farthest-first, id tie-break") {
+    // 4 at origin + 1 at (1,1): centroid_micro = (0·4 + 10⁶) div 5 = 200000
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(0f, 0f)),
+      (4L, Array(0f, 0f)), (5L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val r = Similarity.centroidOutliers(df, "vec_id", "embedding", topK = 3)
+      .select("vec_id", "d2").as[(Long, Long)].collect()
+    assert(r(0) == (5L, 2L * 800000L * 800000L))
+    // the four origin points tie at 2·200000² — ids ascend
+    assert(r(1) == (1L, 2L * 200000L * 200000L))
+    assert(r(2) == (2L, 2L * 200000L * 200000L))
+  }
+
+  test("simplifiedSilhouette: boundary point 0, on-centroid 1, interior exact") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val df = Seq(
+      (1L, Array(1f, 0f)),   // a=1, b=9 → (9−1)/9
+      (2L, Array(5f, 0f)),   // equidistant → 0
+      (3L, Array(0f, 0f)),   // on centroid → 1
+      (4L, Array(6f, 0f)))   // cluster 1: a=4, b=6 → 2/6
+      .toDF("vec_id", "embedding")
+    val r = KMeans.simplifiedSilhouette(df, "embedding", cents)
+      .select("vec_id", "cluster", "sil").as[(Long, Int, Double)]
+      .collect().sortBy(_._1)
+    assert(r(0) == ((1L, 0, 0.888889)))
+    assert(r(1)._2 == 0 && r(1)._3 == 0.0) // tie → lower centroid index
+    assert(r(2) == ((3L, 0, 1.0)))
+    assert(r(3) == ((4L, 1, 0.333333)))
+    intercept[IllegalArgumentException] {
+      KMeans.simplifiedSilhouette(df, "embedding", Array(Array(0.0, 0.0)))
     }
   }
 }
