@@ -16,7 +16,7 @@ object SparkEntry {
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
       StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
-      CorpusRuleQueries.all ++ ScaleOpsQueries.all
+      CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -331,15 +331,17 @@ object Stress {
         expr("pmod(id * 31 + id div 200000 + 7, 200000)")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     // plus a 100k chain on separate ids (diameter driver for components).
-    // ZERO-PADDED so lexicographic id order is monotone along the chain:
-    // pointer doubling's O(log diameter) bound needs the min-id node of a
-    // label window to sit at the window's edge; unpadded strings ("c1" <
-    // "c10" < "c100" < … < "c2") scramble that and degrade the round
-    // count toward linear (measured: the unpadded 100k chain was still
-    // unconverged after 20 minutes; the padded one takes ~17 rounds)
+    // Zero-padded (monotone lexicographic order) AND unpadded ("c1" <
+    // "c10" < "c100" < … < "c2" — the adversarial alphabet that ground
+    // the round-7/8 pointer-doubling loop unconverged for 20 minutes):
+    // the round-9 star alternation over hash-remapped ids must converge
+    // in O(log n) rounds on BOTH — id order is irrelevant post-remap.
     val chain = spark.range(100000L).select(
       format_string("c%06d", col("id")).as("src"),
       format_string("c%06d", col("id") + 1L).as("dst"))
+    val chainUnpadded = spark.range(100000L).select(
+      concat(lit("c"), col("id").cast("string")).as("src"),
+      concat(lit("c"), (col("id") + 1L).cast("string")).as("dst"))
     val edges = hub.union(chain).persist()
     time("warmup_edges_2M1")(edges.count())
     time("pagerank_2M_bcast") {
@@ -356,10 +358,15 @@ object Stress {
       graft.dedup.DupClusters.components(hub, "src", "dst").count()
     }
     // the round-count law in isolation: a bare 100k chain (diameter 100k)
-    // must converge in ~log2 rounds, each round cheap (100k-row joins) —
+    // must converge in ~log rounds, each round cheap (100k-row joins) —
     // the O(log diameter) claim without paying 2M-row rounds for it
     time("components_rounds_100k_chain") {
       graft.dedup.DupClusters.convergenceRounds(chain, "src", "dst").toLong
+    }
+    // id-order independence (the round-9 fix): the UNPADDED chain — the
+    // alphabet that defeated pointer doubling — at the same round law
+    time("components_rounds_100k_chain_unpadded") {
+      graft.dedup.DupClusters.convergenceRounds(chainUnpadded, "src", "dst").toLong
     }
     time("bfs_5seed_4hop_2M") {
       import spark.implicits._
@@ -372,6 +379,116 @@ object Stress {
         edges.toDF("a", "b"), "a", "b", rounds = 2).count()
     }
     edges.unpersist()
+  }
+
+  /** Year-scale operational probe (round-9): ~365 daily single-file
+    * appends to ONE snapshot table — the small-file litter a daily-ingest
+    * table accumulates in a year — then the maintenance pair the pipeline
+    * ships: [[graft.load.Compaction.plan]] over the file inventory and
+    * [[graft.load.Snapshot.compact]] (rename-aside rewrite to 8 parts),
+    * with read amplification measured before/after (parquet file count as
+    * rows=, full-scan and one-day-filter scan wall). Retention closes the
+    * long-horizon loop on a 365-file archive with mtimes staggered across
+    * the year (FileSystem.setTimes): age-based cleanup at 180 days, then
+    * the 90% size-cap eviction — the reference's 20 GB loop at one-year
+    * horizon, measured instead of gestured at.
+    */
+  private def yearScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val root = "target/yearscale"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    fs.delete(rootPath, true) // fresh run
+    val table = s"$root/daily_table"
+
+    def parquetFiles(dir: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+
+    // 365 daily batches, one ~2k-row file each (the coalesce(1) is the
+    // point: each day lands as ONE tiny file, as streaming sinks do)
+    time("append_365_daily_files") {
+      val day0 = java.time.LocalDate.of(2025, 1, 1)
+      var d = 0
+      while (d < 365) {
+        val day = java.sql.Date.valueOf(day0.plusDays(d.toLong))
+        spark.range(2000L).select(
+            (col("id") + d * 2000L).as("event_id"),
+            lit(day).as("day"),
+            pmod(col("id") * 31L + lit(d.toLong), lit(1000L)).as("user_id"),
+            (col("id") % 97L).cast("double").as("value"))
+          .coalesce(1)
+          .write.mode("append").parquet(table)
+        d += 1
+      }
+      parquetFiles(table)
+    }
+    time("scan_full_365files") {
+      spark.read.parquet(table).groupBy("day").count().count()
+    }
+    time("scan_oneday_365files") {
+      spark.read.parquet(table)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2025-06-15")))
+        .agg(sum(col("value"))).count()
+    }
+    // the declarative plan over the real file inventory (one synthetic
+    // partition: the table dir is flat — a hive-partitioned table would
+    // pass its partition keys)
+    time("compaction_plan") {
+      import spark.implicits._
+      val inv = fs.listStatus(new org.apache.hadoop.fs.Path(table)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => ("daily_table", s.getPath.getName, s.getLen))
+        .toDF("tbl", "file_id", "bytes")
+      graft.load.Compaction
+        .plan(inv, Seq("tbl"), "file_id", "bytes", targetBytes = 4L * 1024 * 1024)
+        .count()
+    }
+    time("compact_365_to_8") {
+      graft.load.Snapshot.compact(spark, table, targetFiles = 8)
+      parquetFiles(table)
+    }
+    time("scan_full_compacted") {
+      spark.read.parquet(table).groupBy("day").count().count()
+    }
+    time("scan_oneday_compacted") {
+      spark.read.parquet(table)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2025-06-15")))
+        .agg(sum(col("value"))).count()
+    }
+    // row-count integrity across the rewrite
+    time("post_compact_rowcount") {
+      spark.read.parquet(table).count()
+    }
+    // retention at the year horizon: 365 archive files with mtimes spread
+    // across the past year, age-evict at 180 days, then cap-evict to 90%
+    val archive = s"$root/archive"
+    time("retention_stage_365") {
+      val dir = new org.apache.hadoop.fs.Path(archive)
+      fs.mkdirs(dir)
+      val now = System.currentTimeMillis()
+      var d = 0
+      while (d < 365) {
+        val p = new org.apache.hadoop.fs.Path(archive, f"batch_$d%03d.parquet")
+        val out = fs.create(p)
+        out.write(new Array[Byte](64 * 1024))
+        out.close()
+        fs.setTimes(p, now - d.toLong * 86400000L, -1)
+        d += 1
+      }
+      parquetFiles(archive)
+    }
+    time("retention_age_180d") {
+      graft.pipeline.Retention.cleanupOldFiles(spark, archive, maxAgeDays = 180).size.toLong
+    }
+    time("retention_cap_to_90pct") {
+      // remaining ~185 files x 64 KiB ≈ 11.6 MiB; cap at 6 MiB evicts
+      // oldest-first down to 5.4 MiB
+      graft.pipeline.Retention
+        .enforceSizeCap(spark, archive, capBytes = 6L * 1024 * 1024).size.toLong
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -387,6 +504,7 @@ object Stress {
     if (args.contains("hotbasket")) { hotBasket(spark, dir, meter); spark.stop(); return }
     if (args.contains("scaleops")) { scaleOps(spark, dir, meter); spark.stop(); return }
     if (args.contains("graphscale")) { graphScale(spark, meter); spark.stop(); return }
+    if (args.contains("yearscale")) { yearScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

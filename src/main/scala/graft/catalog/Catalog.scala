@@ -54,23 +54,38 @@ final class Catalog(spark: SparkSession, dir: String) {
     * log — O(N files) scans per batch run. The set is metadata-sized (one
     * name per file ever processed, not per row), loaded once per run and
     * kept in sync by [[recordStatus]]. Single-writer assumption (true of
-    * the reference's poll loop — one daemon owns the catalog); an external
-    * writer appearing mid-run requires [[refreshProcessedNames]]. The
-    * SET-BASED path ([[filterUnprocessed]]) stays the scale answer and
-    * never touches this cache.
+    * the reference's poll loop — one daemon owns the catalog), but
+    * staleness is BOUNDED: each probe stats the status directory (one
+    * cheap FS metadata call, not a listing or scan) and reloads when its
+    * modification time moved — an external writer's append changes the
+    * dir mtime, so it is visible from the next probe onward. The residual
+    * race is an external append landing within the same mtime tick as our
+    * own (ms granularity on most filesystems); [[refreshProcessedNames]]
+    * remains the explicit override. The SET-BASED path
+    * ([[filterUnprocessed]]) stays the scale answer and never touches
+    * this cache.
     */
-  @volatile private var nameCache: Set[String] = null
+  @volatile private var nameCache: (Long, Set[String]) = null
 
   /** Drop the cached name set (next probe reloads from the status log). */
   def refreshProcessedNames(): Unit = nameCache = null
 
+  /** The status dir's mtime (-1 when absent) — the cache staleness key. */
+  private def statusStamp(): Long = {
+    val p = new org.apache.hadoop.fs.Path(statusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+  }
+
   private def cachedNames(): Set[String] = {
+    val stamp = statusStamp()
     var c = nameCache
-    if (c == null) {
-      c = statusLog.select("file_name").distinct().as[String].collect().toSet
+    if (c == null || c._1 != stamp) {
+      c = (stamp,
+        statusLog.select("file_name").distinct().as[String].collect().toSet)
       nameCache = c
     }
-    c
+    c._2
   }
 
   private def existsAny(d: String): Boolean = {
@@ -86,7 +101,8 @@ final class Catalog(spark: SparkSession, dir: String) {
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(statusDir)
     val c = nameCache
-    if (c != null) nameCache = c + fileName
+    // re-stamp AFTER our append so the probe cache stays warm across it
+    if (c != null) nameCache = (statusStamp(), c._2 + fileName)
   }
 
   /** S9/S10 — the full status log. */

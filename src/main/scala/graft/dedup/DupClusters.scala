@@ -2,43 +2,59 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.Partitions.numShufflePartitions
 
 /** Duplicate clustering: near-dup candidate PAIRS (MinHash/SimHash/embedding
   * output) only say "a ~ b"; deduplicating a corpus needs the transitive
   * closure — connected components — so each duplicate GROUP keeps exactly
   * one canonical document.
   *
-  * Components are computed by min-label propagation WITH pointer doubling
-  * (the PRAM shortcutting step, the same O(log) device as the
-  * large-star/small-star alternation of Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"): every node starts labeled with
-  * itself; each round a node takes (1) the min of its own and its
-  * neighbors' labels, then (2) jumps through its label's label
-  * (`l(u) ← l(l(u))`). Step 2 turns the O(diameter) walk of plain
-  * propagation into O(log diameter): on a length-n chain the label's reach
-  * doubles every round (1, 3, 7, … 2^t−1), so even pathological
-  * chain-shaped components converge in ~log₂(n) rounds, while near-dup
-  * components (near-cliques — LSH connects most members pairwise) still
-  * converge in 2–3. DupClustersSpec pins the chain datapoint.
+  * Components are computed by the two-phase STAR ALTERNATION of Kiveris
+  * et al., "Connected Components in MapReduce and Beyond" (public
+  * algorithm): each round runs
   *
-  * Round-count caveat: the doubling argument needs the min-id node of a
-  * window to sit toward the window's boundary, which holds when id ORDER
-  * is roughly monotone along long paths (numeric ids, ingestion-ordered
-  * ids). An adversarial ordering on a long chain (e.g. unpadded string
-  * ids, where "c1" < "c10" < … < "c2") can degrade rounds toward linear —
-  * the `maxIter` guard turns that into a loud failure instead of a silent
-  * grind. Real dedup graphs are near-cliques and unaffected; synthetic
-  * chain fixtures should zero-pad.
+  *  - LARGE-STAR — every node u computes m = min({u} ∪ N(u)) and
+  *    reconnects each strictly-LARGER neighbor to m;
+  *  - SMALL-STAR — on the resulting (big → small)-oriented edges, every
+  *    node u reconnects itself and ALL its smaller neighbors to its
+  *    minimum neighbor.
   *
-  * One ACTION per round: the round's labels are localCheckpoint'ed LAZILY
-  * and the convergence count runs over that checkpoint — the single count
-  * job materializes the checkpoint (truncating lineage) AND returns the
-  * number of changed labels, instead of the checkpoint-job-plus-count-job
-  * pair a naive loop pays. Per-round work is three equi-joins keyed by node
-  * id (edges⋈labels, labels⋈min, labels-jump), all over tables no larger
-  * than the pair graph — never an edge-set rewrite, so a high-degree node
-  * cannot blow up intermediate cardinality.
+  * Both steps preserve connectivity, keep the edge set ≤ |E| + |V| rows
+  * (large-star emits exactly one edge per undirected edge; small-star
+  * adds at most one per source node — a high-degree node can never blow
+  * up intermediate cardinality), and the alternation provably converges
+  * to one star per component — every node pointing directly at its
+  * component's minimum — in O(log²) rounds deterministically and
+  * O(log n) in expectation under RANDOM id order.
+  *
+  * ID-ORDER INDEPENDENCE: that expectation is the reason the loop never
+  * iterates on caller ids. Min-based component algorithms degrade under
+  * adversarial id ORDER (the round-7/8 pointer-doubling loop ground
+  * unconverged for 20 minutes on a 100k chain with unpadded string ids,
+  * where "c1" < "c10" < … < "c2"; even hash-ORDERED labels still took
+  * ~n/3 rounds on a chain, measured 41 rounds at diameter 128, because
+  * inter-tree merging is boundary-local). Nodes are therefore first
+  * HASH-REMAPPED to dense longs ordered by xxhash64 (a fixed pseudo-random
+  * permutation — GlobalRank over (hash, id) makes the longs unique and
+  * dense, no birthday-collision component merges); the star alternation
+  * runs entirely in long space, where the random order delivers its
+  * O(log n) expected bound for ANY caller id alphabet (DupClustersSpec
+  * and the graphscale probe pin chain datapoints); and the result is
+  * mapped back with component = min ORIGINAL id, so the public contract
+  * is unchanged. Per-round shuffles carry 16-byte long rows instead of
+  * caller-width ids — for URL-keyed corpora that alone shrinks every
+  * round's tables several-fold.
+  *
+  * One extra ACTION per round: the round's edge set is pinned LAZILY
+  * ([[graft.operators.Lineage.pin]] — a localCheckpoint'ed RDD behind a
+  * stats-free leaf, because `Dataset.localCheckpoint` itself carries the
+  * origin's size stats, which compound k^n across rounds until planning
+  * grinds and BigInteger overflows) and the convergence probe both
+  * materializes it and answers "is this a star forest yet?" — EXACT test:
+  * converged iff no destination is also a source (small-star output is
+  * always (big → small)-oriented, and a depth-1 forest whose components
+  * equal the preserved input components IS the answer). Near-clique
+  * near-dup graphs (LSH connects most members pairwise) converge in 1–2
+  * rounds; chains in ~log rounds.
   */
 object DupClusters {
 
@@ -53,8 +69,9 @@ object DupClusters {
       bCol: String,
       maxIter: Int = 50): DataFrame = {
     val (labels, _, converged) = run(pairs, aCol, bCol, maxIter)
-    // an unconverged result is WRONG (chains still split) — fail loudly; with
-    // pointer doubling maxIter=50 covers diameters past 2^49
+    // an unconverged result is WRONG (chains still split) — fail loudly;
+    // with the star alternation's O(log n) expected rounds under the hash
+    // remap, maxIter=50 covers graphs far beyond any real corpus
     if (!converged)
       throw new IllegalStateException(
         s"components did not converge in $maxIter rounds — component diameter exceeds " +
@@ -62,9 +79,11 @@ object DupClusters {
     labels
   }
 
-  /** Rounds the label loop took to converge on `pairs` — the observability
-    * twin of [[components]] for Stress/spec datapoints (chain of length n
-    * must come in at ~log₂(n) rounds, near-cliques at 2–3).
+  /** Star-alternation rounds (one large-star + one small-star each) the
+    * loop took to converge on `pairs` — the observability twin of
+    * [[components]] for Stress/spec datapoints (a chain of length n must
+    * come in at O(log n) rounds under the hash remap, near-cliques at
+    * 1–2).
     */
   def convergenceRounds(
       pairs: DataFrame,
@@ -78,59 +97,84 @@ object DupClusters {
       aCol: String,
       bCol: String,
       maxIter: Int): (DataFrame, Int, Boolean) = {
-    // pre-partitioned on dst, the propagate join's key: the |E|-sized side
-    // then stays STATIONARY across all ~log(diameter) rounds (cached
-    // partitioning satisfies the join's clustering requirement) and only
-    // the node-sized label table moves per round. No broadcast — the label
-    // table is |V| rows, which for a dedup-pair graph can be corpus-sized.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val rawEdges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      // EXPLICIT partition count: a bare repartition(col) is advisory under
-      // AQE, which would coalesce a small cached adjacency to ONE partition
-      // and serialize every round through a single task (measured: a 2M-edge
-      // graph ground one core for the whole label loop)
-      .repartition(numShufflePartitions(pairs), col("dst"))
+    // hash-remap caller ids to dense longs in xxhash64 order (see the
+    // object doc): kills adversarial id orderings AND shrinks every
+    // round's label rows to pure longs. One |V|-sized range exchange +
+    // two |E|-sized translation joins, paid ONCE before the loop.
+    val mapping = graft.operators.GlobalRank
+      .withRowNumber(
+        rawEdges.select(col("src").as("_onode")).distinct()
+          .withColumn("_h", xxhash64(col("_onode").cast("string"))),
+        Seq("_h", "_onode"))
+      .select(col("_onode"), col("_rn").as("_nid"))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    // one row per UNDIRECTED edge, (big → small)-oriented — small-star's
+    // input contract, and half the rows of a symmetric adjacency
+    var edges = graft.operators.Lineage.pin(
+      rawEdges
+        .join(mapping.select(col("_onode").as("src"), col("_nid").as("_sid")), "src")
+        .join(mapping.select(col("_onode").as("dst"), col("_nid").as("_did")), "dst")
+        .select(greatest(col("_sid"), col("_did")).as("u"),
+          least(col("_sid"), col("_did")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (1) propagate: l'(u) = min(l(u), min over neighbors v of l(v))
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src"))
-        .agg(min(col("component")).as("_nmin"))
-      val prop = labels
-        .join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(
-          col("node"),
-          col("component").as("_old"),
-          least(col("component"), coalesce(col("_nmin"), col("component"))).as("_prop"))
-      // (2) pointer-double through the ROUND-START labels (already
-      // materialized, so this reads the checkpoint, not a recomputed plan):
-      // l''(u) = min(l'(u), l(l'(u))). Labels only shrink and every label
-      // value is itself a node, so the jump stays inside u's component.
-      val jump = labels.select(col("node").as("_jnode"), col("component").as("_jcomp"))
-      val doubled = least(col("_prop"), coalesce(col("_jcomp"), col("_prop")))
-      val next = prop
-        .join(jump, prop("_prop") === jump("_jnode"), "left")
-        .select(
-          col("node"),
-          doubled.as("component"),
-          (doubled < col("_old")).as("_changed"))
-        .localCheckpoint(false) // lazy: the count below materializes it
-      // ONE job: materializes the checkpoint (cutting lineage) and counts
-      // changed labels for the convergence test
-      val changed = next.filter(col("_changed")).count()
-      labels = next.drop("_changed")
-      converged = changed == 0
+      // LARGE-STAR: m(u) = min({u} ∪ N(u)); every neighbor v > u
+      // reconnects to m(u). Output stays (big → small)-oriented because
+      // v > u ≥ m(u). groupBy-min map-combines; the join back is keyed on
+      // the same column, so a hot node is one combiner + one hash bucket.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("_mv"))
+        .select(col("u").as("_lu"), least(col("u"), col("_mv")).as("_m"))
+      val ls = sym.join(lsMin, sym("u") === col("_lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+      // SMALL-STAR: u and all its (smaller) neighbors reconnect to u's
+      // minimum neighbor
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("_m2"))
+      val next = graft.operators.Lineage.pin(
+        ls.join(ssMin, Seq("u"))
+          .filter(col("v") =!= col("_m2"))
+          .select(col("v").as("u"), col("_m2").as("v"))
+          .union(ssMin.select(col("u"), col("_m2").as("v"))))
+      // ONE probe job: materializes the pin AND answers the EXACT star
+      // test — a depth-1 forest has no node that is both a destination
+      // and a source, and since both stars preserve components, a star
+      // forest IS the final answer
+      val bad = next.join(
+        next.select(col("u").as("_s")).distinct(),
+        next("v") === col("_s"), "left_semi").count()
+      edges = next
+      converged = bad == 0
       iter += 1
     }
-    edges.unpersist()
-    (labels, iter, converged)
+    // back to caller ids: star edges read directly as (member → root), the
+    // root itself added; the long-space root is the min HASH — an internal
+    // artifact — so re-key each component to the min ORIGINAL id over its
+    // members (the public contract). Two node-sized joins.
+    val labels = edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+    val members = labels
+      .join(mapping, labels("node") === mapping("_nid"))
+      .select(col("_onode").as("_member"), col("component"))
+    val compMin = members.groupBy(col("component"))
+      .agg(min(col("_member")).as("_cmin"))
+    // eager: materialize before releasing the caches it reads
+    val out = graft.operators.Lineage.pin(
+      members.join(compMin, Seq("component"))
+        .select(col("_member").as("node"), col("_cmin").as("component")),
+      eager = true)
+    mapping.unpersist()
+    (out, iter, converged)
   }
 
   /** The corpus with one canonical doc per duplicate cluster: members whose

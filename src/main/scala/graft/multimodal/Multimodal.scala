@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns beside a typed metadata struct; decode / feature-extract
   * / frame-sample run batch-parallel over partitions.
   *
-  * The COMPRESSED-format codec libraries (JPEG/PNG/MP3) are NOT in this
+  * The perceptual-codec libraries (JPEG/MP3/H.264) are NOT in this
   * environment, so [[StubDecoder]] is a clearly-marked deterministic fake
-  * for those; three containers decode for REAL with pure-JVM codecs —
+  * for those; FOUR containers decode for REAL with pure-JVM codecs —
   * RIFF/WAVE 16-bit PCM ([[WavCodec]]), uncompressed 24-bit BMP
-  * ([[BmpCodec]]), and LZW-compressed GIF ([[GifCodec]], a real
-  * variable-width LZW decompressor). Everything Spark-side is
+  * ([[BmpCodec]]), LZW-compressed GIF ([[GifCodec]], a real
+  * variable-width LZW decompressor), and DEFLATE-compressed PNG
+  * ([[PngCodec]], zlib via the JDK's Inflater + all five scanline
+  * filters — the raster format real crawled corpora actually carry).
+  * Everything Spark-side is
   * real and tested either way: the schema contract, the binary column handling, the
   * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
   * decoder instantiation per partition, amortized over its rows), and the
@@ -435,6 +438,128 @@ object Multimodal {
       rows.map { r =>
         val img = BmpCodec.resizeNearest(
           GifCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic PNG payloads (16×12 8-bit truecolor by
+    * default): channel recipe pr = (id·37+y·5+x·11) mod 256,
+    * pg = (id·41+y·13+x·3) mod 256, pb = (id·43+y·7+x·17) mod 256 — the
+    * PNG member of the synthesize family: an oracle regenerates every RGB
+    * value arithmetically while the Spark side round-trips them through
+    * REAL zlib DEFLATE → PNG encode → inflate + unfilter ([[PngCodec]];
+    * the encoder cycles all five scanline filters, so every payload
+    * exercises every unfilter path).
+    */
+  def synthesizePng(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val pr = ((id * 37L + y * 5L + x * 11L) % 256L).toInt
+          val pg = ((id * 41L + y * 13L + x * 3L) % 256L).toInt
+          val pb = ((id * 43L + y * 7L + x * 17L) % 256L).toInt
+          (pr << 16) | (pg << 8) | pb
+        }
+        val payload = PngCodec.encode(width, height, pixels)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[synthesizePng]] generating the SAME pixels as [[synthesizeGif]]
+    * (the palette-composed recipe) — the third corner of the cross-format
+    * twin set ([[synthesizeBmpGifTwin]] is the BMP corner): for each id
+    * the PNG, GIF, and BMP decode to identical pixel frames, so every
+    * downstream fingerprint must collide across all three containers.
+    */
+  def synthesizePngGifTwin(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val j = ((id * 13L + y * 31L + x * 7L) % 256L).toInt
+          (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+        }
+        val payload = PngCodec.encode(width, height, pixels)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL PNG decode+featurize — zlib inflate + per-scanline unfilter per
+    * row ([[PngCodec.decode]]) into the SHARED pixel frame, then the same
+    * feature/resize verbs as the BMP/GIF paths: one pixel contract, N
+    * containers. Same one-decoder-per-partition batch shape.
+    */
+  def extractPngFeatures(
+      media: DataFrame,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("luma_min", LongType, nullable = false),
+      StructField("luma_max", LongType, nullable = false),
+      StructField("edge_count", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = PngCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val img = resizeTo match {
+          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
+          case None => decoded
+        }
+        val f = BmpCodec.features(img)
+        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
+          f.lumaMin, f.lumaMax, f.edgeCount)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Difference-hash fingerprints for PNG payloads: REAL inflate+unfilter
+    * decode → nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]]
+    * — [[extractBmpDHash]]/[[extractGifDHash]]'s machinery on the fourth
+    * container; equal hashes mark candidate duplicates across FORMATS.
+    */
+  def extractPngDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          PngCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
         val (bits, ones) = BmpCodec.dHash(img)
         Row(r.getLong(idIdx), bits, ones)
       }

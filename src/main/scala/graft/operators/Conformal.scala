@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * This implementation is fully deterministic and engine-replayable:
   *  - the train/cal/test split is the md5 hash split ([[graft.load.Splits
   *    .assignSplit]], weights 2/1/1) — a pure function of the row id;
-  *  - the predictor is the per-group TRAIN mean in micro-units, as the
-  *    truncating integer quotient `(10⁶·Σy) div n` over an exact
+  *  - y is quantized ONCE per row to micro-units with the repo's pin
+  *    recipe `y6 = floor(10⁶·y + 0.5)` (exact for doubles up to ~2⁵²/10⁶;
+  *    a plain cast-then-scale would silently floor fractional y to whole
+  *    units and compute the guarantee on a different statistic);
+  *  - the predictor is the per-group TRAIN mean of the quantized values,
+  *    as the truncating integer quotient `Σy6 div n` over an exact
   *    decimal(38,0) sum;
-  *  - residuals are exact longs `|10⁶·y − mu|`, and `qhat` is an exact
+  *  - residuals are exact longs `|y6 − mu|`, and `qhat` is an exact
   *    ORDER STATISTIC — the k-th smallest — found without any
   *    per-group-partition window: [[GlobalRank.withRowNumber]] range-
   *    exchanges on (group, residual, id) and the per-group rank is
@@ -49,7 +53,7 @@ object Conformal {
     require(alphaPermille > 0 && alphaPermille < 1000,
       s"alphaPermille=$alphaPermille must be in (0, 1000)")
     val gcols = groupCols.map(col)
-    val y6 = col(yCol).cast("long") * 1000000L
+    val y6 = floor(col(yCol).cast("double") * 1000000.0 + 0.5).cast("long")
     val split = df.withColumn(
       "_split",
       Splits.assignSplit(col(idCol), Seq("train" -> 2, "cal" -> 1, "test" -> 1)))
@@ -58,10 +62,10 @@ object Conformal {
       .groupBy(gcols: _*)
       .agg(
         count(lit(1)).as("n_train"),
-        sum(col(yCol).cast("long").cast("decimal(38,0)")).as("_s"))
+        sum(y6.cast("decimal(38,0)")).as("_s"))
       .select(
         gcols :+ col("n_train") :+
-          expr("cast((_s * 1000000) div n_train as long)").as("mu_micro"): _*)
+          expr("cast(_s div n_train as long)").as("mu_micro"): _*)
 
     // groups are an aggregate grain (small); the row tables are not
     val cal = JoinBack.nullSafe(

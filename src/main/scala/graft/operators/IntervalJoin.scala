@@ -54,6 +54,10 @@ object IntervalJoin {
     require(
       left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint")
+    val reserved = Set("_bkt", "_bkt2")
+    require(
+      !(left.columns ++ right.columns).exists(reserved),
+      s"column names ${reserved.mkString(", ")} are reserved by overlapJoin")
     def buckets(df: DataFrame, s: String, e: String): DataFrame = df
       .filter(col(s) <= col(e))
       .withColumn(

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for ITERATIVE loops — the replacement for
+  * `Dataset.localCheckpoint` inside a loop whose next round's plan
+  * references the previous round's frame more than once.
+  *
+  * Why not `localCheckpoint` itself: Spark 4's `LogicalRDD.fromDataset`
+  * copies the ORIGIN plan's `Statistics` onto the truncated leaf. In a
+  * label-propagation-shaped loop the round-n plan references the round-
+  * (n−1) leaf k ≥ 2 times under joins, and the size-only stats visitor
+  * MULTIPLIES child sizes — so the carried `sizeInBytes` (a BigInt) gains
+  * a factor of the previous round's value each round: bit length grows
+  * like k^n. By round ~15 planning itself takes minutes and
+  * `BigInteger.multiply` aborts with "would overflow supported range"
+  * (measured: the 129-node chain fixture ground 986 s then threw).
+  * Wrapping the SAME checkpointed RDD with `createDataFrame` instead
+  * yields a leaf with default stats — constant-size planning forever.
+  *
+  * The RDD is `localCheckpoint`ed (block-manager, replay-on-loss — the
+  * loop's standard durability trade) and materialized by the caller's
+  * next action (`eager = false`), or here and now (`eager = true`, for
+  * handles that outlive the caches they read).
+  */
+object Lineage {
+
+  /** `df` as a lineage-free, stats-free leaf over a localCheckpoint'ed
+    * RDD. Lazy by default: the caller's next action materializes the
+    * checkpoint (one job, the DupClusters count-materializes pattern).
+    */
+  def pin(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    if (eager) rdd.count()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+}

@@ -88,11 +88,12 @@ object ShortestPath {
       val relaxed = dist
         .join(adj, dist("node") === adj("_a"))
         .select(col("seed"), col("_b").as("node"), (col("dist") + 1L).as("dist"))
-      // lazy localCheckpoint per round (the DupClusters discipline): the
-      // union chain otherwise embeds the previous round TWICE per level —
+      // lazy pin per round (the DupClusters discipline — [[Lineage.pin]],
+      // not localCheckpoint, so carried stats can't compound): the union
+      // chain otherwise embeds the previous round TWICE per level —
       // 2^rounds plan copies that exchange reuse only partially dedupes
-      dist = dist.union(relaxed).groupBy("seed", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
+      dist = Lineage.pin(
+        dist.union(relaxed).groupBy("seed", "node").agg(min("dist").as("dist")))
     }
     dist
   }

@@ -344,11 +344,22 @@ object TimeSeries {
     * the CUSUM statistic, but the t·(n−t) weighting removes CUSUM's bias
     * toward mid-series splits — a shift near either end scores the same
     * as an equal shift in the middle. Emitted `bss = (S₁·n − S·t)² div
-    * (t·(n−t))` (the constant /n dropped — argmax-invariant), computed in
-    * decimal(38,0) so the squared numerator is exact for any series whose
-    * MASS×LENGTH product `Σy·n` stays under ~10¹⁸ (counts-scale series;
-    * pre-aggregate heavier units to thousands first), then the argmax is
-    * over exact integers — no fp anywhere, ties break to the EARLIEST t.
+    * (t·(n−t))` (the constant /n dropped — argmax-invariant), exact for
+    * any series whose MASS×LENGTH product `Σy·n` stays under ~10¹⁸
+    * (counts-scale series; pre-aggregate heavier units to thousands first)
+    * and whose per-key length n stays under ~6·10⁹ (so t·(n−t) fits a
+    * long). The score is computed and ARGMAXED in decimal(38,0) — the
+    * quotient can reach ~10³⁶ (d ≤ 10¹⁸ squared over a denominator as
+    * small as n−1), far past Long.MaxValue, and a long-valued score would
+    * overflow to NULL under non-ANSI semantics and silently LOSE the
+    * max-of-struct argmax. Spark's `div` always returns long, so the
+    * decimal quotient is built by split division: with q = d div den,
+    * `d² div den = q·d + ((d − q·den)·d) div den` — each `div` result is
+    * ≤ d ≤ 10¹⁸ (fits long), each product ≤ 10³⁶ (fits decimal(38,0)),
+    * and the identity is exact because the q·den·d term divides evenly.
+    * Only the EMITTED bss is cast to long — NULL when the winning score
+    * itself exceeds Long.MaxValue, never a shifted argmax. No fp
+    * anywhere; ties break to the EARLIEST t.
     *
     * Output per key: (keyCols..., n, t_star, at_order — the `orderCol`
     * value of the LAST left-segment row, bss, mean_left_micro,
@@ -375,9 +386,15 @@ object TimeSeries {
       .agg(count(lit(1)).as("_n"), sum(v).as("_s"))
     val scored = JoinBack.nullSafe(stamped, per, keyCols, bcast = false)
       .filter(col("_t") < col("_n"))
-      .withColumn("_d", (col("_n") * col("_c") - col("_t") * col("_s"))
+      .withColumn("_d", abs(col("_n") * col("_c") - col("_t") * col("_s"))
         .cast("decimal(38,0)"))
-      .withColumn("_g", expr("cast((_d * _d) div (_t * (_n - _t)) as long)"))
+      .withColumn("_den", col("_t") * (col("_n") - col("_t")))
+      // exact d² div den in decimal(38,0) — see the scaladoc's split
+      // division; a single long-valued quotient would NULL past 2⁶³
+      .withColumn("_q", expr("_d div _den"))
+      .withColumn("_g",
+        expr("_q * _d + ((_d - _q * _den) * _d) div _den")
+          .cast("decimal(38,0)"))
     // argmax as ONE map-combined max-of-struct: (bss desc, t asc) is a
     // total order per key (t is unique), so the carried fields are the
     // argmax row's, not a mix
@@ -391,7 +408,7 @@ object TimeSeries {
           col("_n").as("n"),
           (-col("_b._mt")).as("t_star"),
           col("_b._o").as("at_order"),
-          col("_b._g").as("bss"),
+          col("_b._g").cast("long").as("bss"),
           expr("cast((_b._c1 * 1000000) div (-_b._mt) as long)")
             .as("mean_left_micro"),
           expr("cast(((_s - _b._c1) * 1000000) div (_n + _b._mt) as long)")
@@ -495,12 +512,33 @@ object TimeSeries {
     * presence is a left anti-ish aggregate over the distinct
     * (group, day) projection of the facts, which map-side-combines before
     * its shuffle. No windows, no collect.
+    *
+    * The grid is answer-sized ONLY while the span is sane: a single
+    * corrupt date (epoch 0, year 9999) would stretch the spine to tens of
+    * thousands of days and multiply EVERY group by it, so the span is
+    * guarded — `maxSpanDays` (default 3700, ~10 years of dailies) fails
+    * the job loudly via an in-plan `raise_error` (no extra driver job)
+    * instead of silently exploding the grid. Widen it deliberately for
+    * genuinely longer horizons.
     */
-  def dateSpineGaps(df: DataFrame, groupCols: Seq[String], dateCol: String): DataFrame = {
+  def dateSpineGaps(
+      df: DataFrame,
+      groupCols: Seq[String],
+      dateCol: String,
+      maxSpanDays: Int = 3700): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    require(maxSpanDays >= 1, s"maxSpanDays=$maxSpanDays must be >= 1")
     val span = df.agg(
-      min(col(dateCol).cast("date")).as("_d0"),
-      max(col(dateCol).cast("date")).as("_d1"))
+        min(col(dateCol).cast("date")).as("_d0"),
+        max(col(dateCol).cast("date")).as("_d1"))
+      .withColumn("_span", datediff(col("_d1"), col("_d0")) + 1)
+      .withColumn("_d0",
+        when(col("_span") > maxSpanDays, raise_error(concat(
+          lit("dateSpineGaps: span of "), col("_span"),
+          lit(s" days exceeds maxSpanDays=$maxSpanDays — corrupt date? "),
+          lit("(min="), col("_d0").cast("string"),
+          lit(", max="), col("_d1").cast("string"), lit(")"))))
+          .otherwise(col("_d0")))
     val spine = span
       .select(explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("_day"))
     val groups = df.select(groupCols.map(col): _*).distinct()

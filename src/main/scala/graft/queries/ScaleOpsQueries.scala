@@ -334,15 +334,16 @@ object ScaleOpsQueries {
     // readout.
     Q(
       "q295_conformal",
-      """WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS y,
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS y6,
         |    l_orderkey * 8 + l_linenumber AS id,
         |    CAST('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 6)
         |      AS BIGINT) % 4 AS h
         |  FROM lineitem),
         |mu AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train,
-        |    CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS mu_micro
+        |    CAST(CAST(sum(y6) AS HUGEINT) // count(*) AS BIGINT) AS mu_micro
         |  FROM b WHERE h < 2 GROUP BY 1),
-        |cal AS (SELECT b.g, abs(b.y * 1000000 - mu.mu_micro) AS r, b.id
+        |cal AS (SELECT b.g, abs(b.y6 - mu.mu_micro) AS r, b.id
         |        FROM b JOIN mu ON b.g = mu.g WHERE b.h = 2),
         |cr AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r, id) AS rk
         |       FROM cal),
@@ -353,7 +354,7 @@ object ScaleOpsQueries {
         |      FROM cn LEFT JOIN cr ON cr.g = cn.g AND cr.rk = cn.k_idx),
         |te AS (SELECT b.g, CAST(count(*) AS BIGINT) AS n_test,
         |         CAST(CASE WHEN max(q.qhat) IS NOT NULL THEN
-        |             sum(CASE WHEN abs(b.y * 1000000 - mu.mu_micro) <= q.qhat
+        |             sum(CASE WHEN abs(b.y6 - mu.mu_micro) <= q.qhat
         |                 THEN 1 ELSE 0 END) END AS BIGINT) AS n_covered
         |       FROM b JOIN mu ON b.g = mu.g JOIN q ON b.g = q.g
         |       WHERE b.h = 3 GROUP BY b.g)

@@ -477,11 +477,13 @@ class CurationSpec extends SparkSpec {
     assert(DupClusters.components(pairs, "id_a", "id_b").count() == 0)
   }
 
-  test("components: pointer doubling converges in O(log diameter) rounds on a chain") {
+  test("components: star alternation converges in O(log diameter) rounds on a chain") {
     import graft.dedup.DupClusters
     // worst-case shape: a path of 129 nodes (diameter 128). Plain min-label
-    // propagation needs ~128 rounds; the label's reach doubles per round
-    // (2^t - 1), so 8 rounds suffice — pin a small cushion over log2(128)=7
+    // propagation needs ~128 rounds; the large-star/small-star alternation
+    // over hash-remapped ids is O(log n) expected — pin a cushion over
+    // log2(128)=7. (The id order is IRRELEVANT post-remap: the round-8
+    // pointer-doubling loop measured 41 rounds here under hash order.)
     val pairs = (0L to 127L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val rounds = DupClusters.convergenceRounds(pairs, "id_a", "id_b")
     assert(rounds <= 9, s"expected <= 9 rounds (log2 + cushion) on a 128-diameter chain, got $rounds")

@@ -315,4 +315,91 @@ class MultimodalSpec extends SparkSpec {
     val bmpImg = BmpCodec.resizeNearest(BmpCodec.decode(BmpCodec.encode(16, 12, px)), 9, 8)
     assert(BmpCodec.dHash(bmpImg)._1 == hashes(0).getAs[String]("dhash"))
   }
+
+  test("PngCodec: encode -> decode round-trips through real DEFLATE + all filters") {
+    import graft.multimodal.PngCodec
+    // height 12 > 2*5: every filter type (y mod 5) appears at least twice,
+    // including rows where the row ABOVE used a different filter
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      (((y * 37 + x * 11) % 256) << 16) | (((y * 5 + x * 29) % 256) << 8) | ((y * 13 + x * 3) % 256)
+    }
+    val png = PngCodec.encode(w, h, px)
+    // PNG signature + IHDR tag present
+    assert((png(0) & 0xFF) == 0x89 && new String(png, 1, 3, "US-ASCII") == "PNG")
+    val img = PngCodec.decode(png)
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("PngCodec: high-entropy and solid images round-trip (deflate stored/rle paths)") {
+    import graft.multimodal.PngCodec
+    // pseudo-random pixels (poorly compressible) and a solid block (maximally
+    // compressible) stress both ends of DEFLATE, plus multi-IDAT reassembly
+    // (encoder splits at 2048 bytes; 64x48x3 filtered ≈ 9.4 kB → ≥2 chunks
+    // even after compression on the random image)
+    val n = 64 * 48
+    val rnd = Array.tabulate(n)(i => (((i * 2654435761L) >>> 7) & 0xFFFFFF).toInt)
+    assert(PngCodec.decode(PngCodec.encode(64, 48, rnd)).pixels.toSeq == rnd.toSeq)
+    val solid = Array.fill(n)(0xABCDEF)
+    assert(PngCodec.decode(PngCodec.encode(64, 48, solid)).pixels.toSeq == solid.toSeq)
+  }
+
+  test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
+    import graft.multimodal.PngCodec
+    val png = PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 0x010203))
+    // flip a byte inside the first IDAT payload: CRC must catch it
+    val idatPos = {
+      var p = 8; var found = -1
+      while (found < 0) {
+        val len = ((png(p) & 0xFF) << 24) | ((png(p + 1) & 0xFF) << 16) |
+          ((png(p + 2) & 0xFF) << 8) | (png(p + 3) & 0xFF)
+        if (new String(png, p + 4, 4, "US-ASCII") == "IDAT") found = p + 8
+        else p += 12 + len
+      }
+      found
+    }
+    val corrupt = png.clone()
+    corrupt(idatPos) = (corrupt(idatPos) ^ 0x5A).toByte
+    val e1 = intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    assert(e1.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException](PngCodec.decode("notapng!".getBytes ++ png.drop(8)))
+    intercept[IllegalArgumentException](PngCodec.decode(png.take(40))) // truncated
+    // interlace flag: byte 20 of IHDR data (sig 8 + len 4 + tag 4 + 12) = 28
+    val inter = png.clone(); inter(8 + 8 + 12) = 1
+    // CRC now wrong too, but the loud path must reject either way
+    intercept[IllegalArgumentException](PngCodec.decode(inter))
+  }
+
+  test("synthesizePng -> extractPngFeatures/DHash + three-format twin collision") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(2L, 7L, 258L).toDF("doc_id") // 258 ≡ 2 (mod 256): same pixels as id 2
+    val media = Multimodal.synthesizePng(ids, "doc_id")
+    val feats = Multimodal.extractPngFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 3)
+    // oracle-style recompute for id 2 from the integer channel recipe
+    val expSumG = (for (y <- 0 until 12; x <- 0 until 16)
+      yield (2 * 41 + y * 13 + x * 3) % 256).sum.toLong
+    assert(feats(0).getAs[Long]("sum_g") == expSumG)
+    assert(feats(0).getAs[Long]("n_pixels") == 192L)
+    // the GIF-pixel twin must dHash-collide with BOTH other containers
+    val pngTwin = Multimodal
+      .extractPngDHash(Multimodal.synthesizePngGifTwin(ids, "doc_id"), side = 8)
+      .orderBy("media_id").collect()
+    val bmpTwin = Multimodal
+      .extractBmpDHash(Multimodal.synthesizeBmpGifTwin(ids, "doc_id"), side = 8)
+      .orderBy("media_id").collect()
+    val gifTwin = Multimodal
+      .extractGifDHash(Multimodal.synthesizeGif(ids, "doc_id"), side = 8)
+      .orderBy("media_id").collect()
+    for (i <- 0 until 3) {
+      assert(pngTwin(i).getAs[String]("dhash") == bmpTwin(i).getAs[String]("dhash"))
+      assert(pngTwin(i).getAs[String]("dhash") == gifTwin(i).getAs[String]("dhash"))
+    }
+    // resize + feature verbs compose on the PNG path like every container
+    val small = Multimodal.extractPngFeatures(media, resizeTo = Some((4, 3)))
+      .orderBy("media_id").collect()
+    assert(small(0).getAs[Long]("n_pixels") == 12L)
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crash-recovery gates — the fault-tolerance story a 100 TB pipeline
+  * actually depends on: a streaming query is KILLED (q.stop with no
+  * graceful drain beyond committed batches), data keeps arriving while it
+  * is down, and a NEW query starting from the same checkpoint must (a)
+  * never re-ingest committed input (exactly-once offsets), (b) resume
+  * custom flatMapGroupsWithState state (an open session spanning the
+  * crash closes with ALL its events counted once), and (c) leave
+  * externally-maintained sketch state correct — including under the
+  * at-least-once REPLAY a mid-sink crash produces, which the bucket-max
+  * HLL merge absorbs idempotently.
+  */
+class StreamRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("statefulSessions: kill/restart resumes state store and offsets from checkpoint") {
+    val root = tmpDir("screcov")
+    val evDir = s"$root/ev"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    Files.createDirectories(Paths.get(evDir))
+    def stream() = spark.readStream
+      .schema("userId LONG, ts TIMESTAMP").parquet(s"$evDir/*")
+      .as[(Long, java.sql.Timestamp)]
+    // idempotent sink: overwrite-by-batch-id, so a replayed batch lands on
+    // the same path instead of appending twice
+    def runLeg(): Unit = {
+      val q = StreamingIngest.statefulSessions(stream(), gapMinutes = 30)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/b$id"))
+        .start()
+      q.processAllAvailable()
+      q.stop() // the crash: no flush beyond the last committed batch
+    }
+    // leg 1: user 7's open session (10:00, 10:05) + user 9's (10:07)
+    Seq((7L, ts(10, 0)), (7L, ts(10, 5)), (9L, ts(10, 7)))
+      .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f1")
+    runLeg()
+    // leg 2 (down-time arrival, then restart): 7 EXTENDS the open session
+    // carried in the state store; 8 opens a new one. If f1 were re-read,
+    // user 7's event count would inflate past 3 — caught below.
+    Seq((7L, ts(10, 20)), (8L, ts(10, 30)))
+      .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f2")
+    runLeg()
+    // leg 3: a watermark-pushing event closes everything older
+    Seq((99L, ts(12, 0)))
+      .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f3")
+    runLeg()
+    val got = spark.read.parquet(s"$out/b*")
+      .as[StreamingIngest.ClosedSession].collect()
+    assert(got.length == 3, s"each session closes exactly once: ${got.toSeq}")
+    assert(got.toSet == Set(
+      StreamingIngest.ClosedSession(7L, ts(10, 0), ts(10, 20), 3L), // spans the crash
+      StreamingIngest.ClosedSession(8L, ts(10, 30), ts(10, 30), 1L),
+      StreamingIngest.ClosedSession(9L, ts(10, 7), ts(10, 7), 1L)),
+      s"resumed state must carry pre-crash events: ${got.toSeq}")
+  }
+
+  test("HLL register maintenance: restart resumes, and batch REPLAY is a no-op") {
+    import graft.operators.HyperLogLog
+    val root = tmpDir("shllrecov")
+    val in = s"$root/in"; val reg = s"$root/registers"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def mergeInto(batch: DataFrame): Unit = {
+      val partial = HyperLogLog.registers(batch, col("k"))
+      val merged =
+        if (Files.exists(Paths.get(reg)))
+          HyperLogLog.merge(spark.read.parquet(reg), partial)
+        else partial
+      val pinned = merged.collect() // pin before overwriting the source file
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(pinned.toIndexedSeq, 1), merged.schema)
+        .write.mode("overwrite").parquet(reg)
+    }
+    def runLeg(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((batch: DataFrame, _: Long) => mergeInto(batch))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.range(0L, 600L).select($"id".as("k")).repartition(1).write.parquet(s"$in/c1")
+    runLeg() // leg 1 commits c1, then the process dies
+    spark.range(400L, 1000L).select($"id".as("k")).repartition(1).write.parquet(s"$in/c2")
+    runLeg() // restart: drains ONLY c2 (c1's offset is committed)
+    val streamed = spark.read.parquet(reg)
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    val whole = HyperLogLog
+      .registers(spark.range(0L, 1000L).select($"id".as("k")), $"k")
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    assert(streamed == whole,
+      "registers after kill/restart must equal the whole-stream build")
+    // at-least-once replay: a crash between the register write and the
+    // checkpoint commit re-runs the batch — bucket-wise max is idempotent,
+    // so re-merging c2 must leave the registers bit-identical
+    mergeInto(spark.read.parquet(s"$in/c2"))
+    val replayed = spark.read.parquet(reg)
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    assert(replayed == streamed, "max-merge must absorb a replayed batch")
+  }
+}

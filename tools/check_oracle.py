@@ -7,9 +7,16 @@ schema + values. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_out"
     python3 tools/check_oracle.py /root/testdata/sf0.01 target/verify_out
+
+With --subset, queries whose Spark result dir is absent are skipped
+instead of FAILed — for subset Verify runs (third Verify arg), e.g.:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_out q286,q287"
+    python3 tools/check_oracle.py /root/testdata/sf0.01 target/verify_out --subset
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -26,15 +33,18 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, subset=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        if subset and not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -76,9 +86,11 @@ def main(sf_dir, out_dir):
             continue
         print(f"ok   {name} ({len(wrows)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    skipped = f" / {n_skip} skipped (absent, --subset)" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skipped} ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--subset"]
+    sys.exit(main(args[0], args[1], subset="--subset" in sys.argv))
