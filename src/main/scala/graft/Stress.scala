@@ -303,6 +303,63 @@ object Stress {
       iv.join(win, greatest(col("ls"), col("ws")) <= least(col("le"), col("we")))
         .groupBy("w").count().count()
     }
+    // HOT-BUCKET skew probe (round-9): 2M extra left intervals pinned
+    // inside ONE grain-16 bucket × 200 windows in that bucket = 400M real
+    // overlap pairs through a single join key (~30000× the average
+    // bucket's pair density). Three mitigations measured:
+    //  - default plan: the window side is small → BROADCAST hash join; the
+    //    hot rows never shuffle, skew is structurally immune;
+    //  - both-sides-large path (broadcast disabled): AQE skew-split on the
+    //    bucket key caps the straggler. FINDING: detection keys on
+    //    COMPRESSED shuffle bytes, and a constant-key hot bucket
+    //    compresses ~100× (2M rows → ~200 KB) while its JOIN OUTPUT is
+    //    400M rows — so the threshold must be set against post-compression
+    //    bytes (here 100 KB; production default 256 MB assumes
+    //    incompressible data) or explosion skew sails under it;
+    //  - same shuffle join with skew handling OFF: the single-task grind
+    //    this probe exists to show.
+    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+      val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
+      pairs.foreach(p => spark.conf.set(p._1, p._2))
+      try f finally old.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val hotLeft = spark.range(2000000L).select(
+      (col("id") + 900000000L).as("oid"), lit(50000L).as("ls"))
+      .withColumn("le", lit(50008L))
+    val left = iv.unionByName(hotLeft)
+    val hotWin = spark.range(200L).select(
+      (col("id") + 20000L).as("w"), lit(50001L).as("ws"))
+      .select(col("w"), col("ws"), (col("ws") + 5L).as("we"))
+    val win2 = win.unionByName(hotWin)
+    def hotJoin(): Long =
+      graft.operators.IntervalJoin.overlapJoin(left, "ls", "le", win2, "ws", "we", grain = 16L)
+        .groupBy("w").count().count()
+    time("interval_hot_broadcast")(hotJoin())
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k") {
+      time("interval_hot_smj_skew_on")(hotJoin())
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      time("interval_hot_smj_skew_off")(hotJoin())
+    }
+    // the guard that works by construction: (bucket, content-salt) key —
+    // hot-bucket pair work fans out over 32 tasks regardless of how its
+    // shuffle bytes compress
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      time("interval_hot_salted_32") {
+        graft.operators.IntervalJoin
+          .overlapJoin(left, "ls", "le", win2, "ws", "we", grain = 16L, saltBuckets = 32)
+          .groupBy("w").count().count()
+      }
+    }
     iv.unpersist()
     val cents = orders50.select(
       expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS LONG)").as("c"))

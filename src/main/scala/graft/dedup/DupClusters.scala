@@ -61,7 +61,8 @@ object DupClusters {
   /** (node, component) for every node appearing in `pairs`; component = min
     * node id reachable. Nodes absent from `pairs` are their own singleton
     * components and are NOT emitted (join back with a left join + coalesce
-    * if you need them).
+    * if you need them); degenerate self-pairs (a, a) carry no connectivity
+    * and are likewise ignored.
     */
   def components(
       pairs: DataFrame,

@@ -71,6 +71,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq) // exact pairs, no dupes from shared buckets
   }
 
+  test("overlapJoin: salted hot-bucket guard emits identical pairs") {
+    // same fixture as the brute-force test; saltBuckets only widens the
+    // join key (bucket, content salt) — the output set must not change
+    val left = (0 until 60).map { i =>
+      val s = (i * 37) % 400; (s"L$i", s.toLong, (s + (i * 13) % 45).toLong)
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 25).map { j =>
+      val s = (j * 91) % 380; (s"R$j", s.toLong, (s + (j * 7) % 60).toLong)
+    }.toDF("rid", "rs", "re")
+    val plain = IntervalJoin.overlapJoin(left, "ls", "le", right, "rs", "re", grain = 10L)
+      .select("lid", "rid").as[(String, String)].collect().sorted
+    val salted = IntervalJoin
+      .overlapJoin(left, "ls", "le", right, "rs", "re", grain = 10L, saltBuckets = 7)
+      .select("lid", "rid").as[(String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    // reserved-name guard covers the salt columns too
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(
+        left.withColumnRenamed("lid", "_salt"), "ls", "le", right, "rs", "re", 10L)
+    }
+  }
+
   test("overlapJoin: degenerate intervals never match; touching endpoints do") {
     val left = Seq(("a", 5L, 10L), ("bad", 9L, 3L)).toDF("lid", "ls", "le")
     val right = Seq(("t", 10L, 20L), ("apart", 11L, 12L)).toDF("rid", "rs", "re")
