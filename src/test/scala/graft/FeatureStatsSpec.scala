@@ -142,6 +142,30 @@ class FeatureStatsSpec extends SparkSpec {
     assert(r(1).getAs[java.sql.Date]("first_missing").toString == "2024-01-02")
   }
 
+  test("dateSpineGaps: a corrupt epoch date fails the span guard loudly") {
+    // one epoch-0 row would stretch the spine to ~20k days and multiply
+    // EVERY group by it — the guard must throw, not explode the grid
+    val df = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"),
+      ("b", "1970-01-01")) // the corrupt date
+      .toDF("g", "d").select(col("g"), col("d").cast("date").as("d"))
+    val e = intercept[Exception] {
+      graft.operators.TimeSeries.dateSpineGaps(df, Seq("g"), "d").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxSpanDays")), s"wrong failure: $e")
+    // a deliberately widened horizon still works
+    val ok = graft.operators.TimeSeries
+      .dateSpineGaps(df, Seq("g"), "d", maxSpanDays = 30000)
+      .orderBy("g").collect()
+    assert(ok(0).getAs[Long]("n_expected_days") > 19000L)
+    // and the guard itself rejects nonsense
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.dateSpineGaps(df, Seq("g"), "d", maxSpanDays = 0)
+    }
+  }
+
   test("mdeBinomial computes the planning MDE from exact counts") {
     val df = (1 to 200).map { i =>
       (if (i <= 100) "control" else "treatment", if (i % 4 == 0) 1L else 0L)

@@ -487,6 +487,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components == driver union-find on random graphs, any id alphabet") {
+    // the star alternation must produce EXACTLY the transitive closure's
+    // min-id labeling for arbitrary edge sets — including the adversarial
+    // unpadded-string alphabet ("n1" < "n10" < "n2") the hash remap is
+    // there to neutralize
+    val edgesGen: Gen[List[(Int, Int)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 24), Gen.choose(0, 24)))
+    for (raw <- samples(edgesGen, 6)) {
+      val edges = raw.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver union-find ground truth over string ids
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: String, b: String): Unit = {
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val named = edges.map { case (a, b) => (s"n$a", s"n$b") }
+        named.foreach { case (a, b) => union(a, b) }
+        val nodes = named.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = nodes
+          .groupBy(find)
+          .flatMap { case (_, members) =>
+            val m = members.min // min ORIGINAL (string-ordered) id
+            members.map(_ -> m)
+          }
+        val got = graft.dedup.DupClusters
+          .components(named.toDF("a", "b"), "a", "b")
+          .as[(String, String)].collect().toMap
+        assert(got == want, s"edges=$named")
+      }
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
