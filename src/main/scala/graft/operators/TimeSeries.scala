@@ -357,9 +357,11 @@ object TimeSeries {
     * `d² div den = q·d + ((d − q·den)·d) div den` — each `div` result is
     * ≤ d ≤ 10¹⁸ (fits long), each product ≤ 10³⁶ (fits decimal(38,0)),
     * and the identity is exact because the q·den·d term divides evenly.
-    * Only the EMITTED bss is cast to long — NULL when the winning score
-    * itself exceeds Long.MaxValue, never a shifted argmax. No fp
-    * anywhere; ties break to the EARLIEST t.
+    * Only the EMITTED bss is cast to long, behind an explicit range
+    * guard (a bare decimal→long cast WRAPS on overflow under non-ANSI
+    * semantics): NULL when the winning score itself exceeds
+    * Long.MaxValue, never a shifted argmax and never a wrapped score. No
+    * fp anywhere; ties break to the EARLIEST t.
     *
     * Output per key: (keyCols..., n, t_star, at_order — the `orderCol`
     * value of the LAST left-segment row, bss, mean_left_micro,
@@ -408,7 +410,12 @@ object TimeSeries {
           col("_n").as("n"),
           (-col("_b._mt")).as("t_star"),
           col("_b._o").as("at_order"),
-          col("_b._g").cast("long").as("bss"),
+          // explicit range guard: a bare decimal→long cast WRAPS on
+          // overflow under non-ANSI semantics (Decimal.toLong), which
+          // would emit a garbage score — NULL is the honest answer
+          when(col("_b._g") > lit(Long.MaxValue).cast("decimal(38,0)"),
+            lit(null).cast("long"))
+            .otherwise(col("_b._g").cast("long")).as("bss"),
           expr("cast((_b._c1 * 1000000) div (-_b._mt) as long)")
             .as("mean_left_micro"),
           expr("cast(((_s - _b._c1) * 1000000) div (_n + _b._mt) as long)")

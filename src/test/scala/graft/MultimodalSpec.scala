@@ -346,6 +346,18 @@ class MultimodalSpec extends SparkSpec {
     assert(PngCodec.decode(PngCodec.encode(64, 48, solid)).pixels.toSeq == solid.toSeq)
   }
 
+  test("PngCodec: degenerate dimensions round-trip (1x1, 1xN, Nx1)") {
+    import graft.multimodal.PngCodec
+    // width 1 exercises the no-left-neighbor path of Sub/Average/Paeth on
+    // every row; height 1 the no-above path; 1x1 both at once
+    for ((w, h) <- Seq((1, 1), (1, 8), (8, 1), (2, 2))) {
+      val px = Array.tabulate(w * h)(i => (i * 0x123457 + 0x0B1D2C) & 0xFFFFFF)
+      val img = PngCodec.decode(PngCodec.encode(w, h, px))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px.toSeq, s"${w}x$h")
+    }
+  }
+
   test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
     import graft.multimodal.PngCodec
     val png = PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 0x010203))

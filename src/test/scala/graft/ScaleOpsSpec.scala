@@ -320,4 +320,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 1L)
     assert(r.isNullAt(r.fieldIndex("t_star")) && r.isNullAt(r.fieldIndex("bss")))
   }
+
+  test("changepointBss: argmax survives scores past Long.MaxValue (decimal path)") {
+    // nine zeros then Y = 2e9: score(t) = t·Y²/(10−t) peaks at t=9 with
+    // 9·4e18 ≈ 3.6e19 > Long.MaxValue. A long-valued score would NULL at
+    // t ≥ 7 and silently hand the argmax to t=6; the decimal argmax must
+    // keep t_star = 9 and only the EMITTED bss goes NULL (doesn't fit).
+    val df = ((1L to 9L).map(t => ("a", t, 0L)) :+ (("a", 10L, 2000000000L)))
+      .toDF("grp", "t", "y")
+    val r = graft.operators.TimeSeries
+      .changepointBss(df, Seq("grp"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("t_star") == 9L, s"argmax shifted: $r")
+    assert(r.isNullAt(r.fieldIndex("bss")), "winning score exceeds long — explicit NULL")
+    assert(r.getAs[Long]("mean_left_micro") == 0L)
+    assert(r.getAs[Long]("mean_right_micro") == 2000000000000000L)
+  }
+
+  test("splitConformal: fractional y quantizes once via floor(1e6·y + 0.5)") {
+    // constant y = 2.5: a cast-then-scale path would floor every y to 2
+    // and compute the guarantee on a different statistic — the pin recipe
+    // must land mu at exactly 2.5e6 micro-units with zero residuals
+    val df = (1L to 400L).map(i => ("g", 2.5, i)).toDF("grp", "y", "id")
+    val r = graft.operators.Conformal
+      .splitConformal(df, Seq("grp"), "y", "id", alphaPermille = 100)
+      .collect()(0)
+    assert(r.getAs[Long]("mu_micro") == 2500000L)
+    assert(r.getAs[Long]("qhat") == 0L)
+    assert(r.getAs[Double]("coverage") == 1.0)
+  }
 }
