@@ -67,6 +67,53 @@ class StreamRecoverySpec extends SparkSpec {
       s"resumed state must carry pre-crash events: ${got.toSeq}")
   }
 
+  test("statefulSessions: RocksDB state store carries state across kill/restart") {
+    // the state store a 100 TB deployment actually runs (bounded heap,
+    // state spills to local disk + changelog in the checkpoint): the same
+    // kill/restart contract must hold with the provider swapped — state
+    // written by an HDFS-default run is NOT the point; this pins that our
+    // flatMapGroupsWithState shapes are provider-agnostic
+    val provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try {
+      val root = tmpDir("rocksrecov")
+      val evDir = s"$root/ev"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+      Files.createDirectories(Paths.get(evDir))
+      def stream() = spark.readStream
+        .schema("userId LONG, ts TIMESTAMP").parquet(s"$evDir/*")
+        .as[(Long, java.sql.Timestamp)]
+      def runLeg(): Unit = {
+        val q = StreamingIngest.statefulSessions(stream(), gapMinutes = 30)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((df: DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/b$id"))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      Seq((7L, ts(10, 0)), (7L, ts(10, 5)))
+        .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f1")
+      runLeg()
+      Seq((7L, ts(10, 20)))
+        .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f2")
+      runLeg()
+      Seq((99L, ts(12, 0)))
+        .toDF("userId", "ts").repartition(1).write.parquet(s"$evDir/f3")
+      runLeg()
+      val got = spark.read.parquet(s"$out/b*")
+        .as[StreamingIngest.ClosedSession].collect()
+      assert(got.toSeq == Seq(
+        StreamingIngest.ClosedSession(7L, ts(10, 0), ts(10, 20), 3L)),
+        s"RocksDB-resumed session must span the crash: ${got.toSeq}")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("HLL register maintenance: restart resumes, and batch REPLAY is a no-op") {
     import graft.operators.HyperLogLog
     val root = tmpDir("shllrecov")
