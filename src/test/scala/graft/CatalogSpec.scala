@@ -24,6 +24,27 @@ class CatalogSpec extends SparkSpec {
     assert(out.toSeq == Seq("new.csv"))
   }
 
+  test("probe cache sees an EXTERNAL writer's append (mtime-bounded staleness)") {
+    val dir = tmpDir("cat")
+    val mine = new Catalog(spark, dir)
+    mine.recordStatus("a.csv", Status.Processed)
+    assert(mine.isProcessed("a.csv")) // warms the name cache
+    assert(!mine.isProcessed("b.csv"))
+    // local-FS mtime is millisecond-grained: let the tick move past the
+    // cached stamp before the external append lands
+    Thread.sleep(20)
+    // a SECOND instance (external orchestrator) appends behind our back
+    val other = new Catalog(spark, dir)
+    other.recordStatus("b.csv", Status.Processed)
+    // the probe must reload off the moved status-dir mtime — no manual
+    // refreshProcessedNames() — closing the double-processing window
+    assert(mine.isProcessed("b.csv"),
+      "external append invisible: staleness bound broken")
+    // and our own appends still keep the cache warm in-place
+    mine.recordStatus("c.csv", Status.Uploaded)
+    assert(mine.isProcessed("c.csv"))
+  }
+
   test("watermark: 0 when unset, latest commit wins") {
     val cat = new Catalog(spark, tmpDir("cat"))
     assert(cat.watermark("t") == 0L)
