@@ -523,6 +523,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG decode is corruption-safe: any single-byte flip throws, never wrong pixels") {
+    // CRC32 covers every chunk's type+data and the signature/length fields
+    // are structurally checked, so NO single-byte corruption can decode
+    // silently — the property a crawler-facing decoder actually needs
+    // (wrong pixels poison fingerprints downstream; exceptions are cheap)
+    import graft.multimodal.PngCodec
+    val px = Array.tabulate(8 * 6)(i => (i * 0x04050B + 7) & 0xFFFFFF)
+    val png = PngCodec.encode(8, 6, px)
+    val offsets = samples(Gen.choose(0, png.length - 1), 60).distinct
+    for (off <- offsets; bit <- Seq(0x01, 0x80)) {
+      val c = png.clone()
+      c(off) = (c(off) ^ bit).toByte
+      try {
+        val img = PngCodec.decode(c)
+        // a flip that still decodes must yield the ORIGINAL image (can
+        // only happen if the flip round-tripped to the same byte — it
+        // can't — so reaching here with equal pixels is also a failure)
+        fail(s"byte $off flip $bit decoded silently " +
+          s"(pixels equal: ${img.pixels.toSeq == px.toSeq})")
+      } catch {
+        case _: IllegalArgumentException => // loud and typed — correct
+      }
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
