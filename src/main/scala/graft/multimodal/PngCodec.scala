@@ -151,6 +151,10 @@ object PngCodec {
     catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("truncated PNG: chunk walk past end")
+      case e: java.util.zip.DataFormatException =>
+        // CRC-valid chunks can still carry a corrupt DEFLATE stream (a
+        // re-CRC'd crafted file); keep the family's typed loud failure
+        throw new IllegalArgumentException(s"corrupt PNG: bad DEFLATE stream (${e.getMessage})")
     }
 
   private def decode0(bytes: Array[Byte]): BmpCodec.Bmp = {

@@ -382,6 +382,22 @@ class MultimodalSpec extends SparkSpec {
     val inter = png.clone(); inter(8 + 8 + 12) = 1
     // CRC now wrong too, but the loud path must reject either way
     intercept[IllegalArgumentException](PngCodec.decode(inter))
+    // a CRAFTED corruption: flip an IDAT payload byte and RE-CRC the
+    // chunk, so the corruption reaches the DEFLATE layer — still a typed
+    // loud failure (bad stream / stall / wrong length), never wrong pixels
+    val crafted = png.clone()
+    crafted(idatPos + 4) = (crafted(idatPos + 4) ^ 0x3C).toByte
+    val lenPos = idatPos - 8
+    val len = ((crafted(lenPos) & 0xFF) << 24) | ((crafted(lenPos + 1) & 0xFF) << 16) |
+      ((crafted(lenPos + 2) & 0xFF) << 8) | (crafted(lenPos + 3) & 0xFF)
+    val crc = new java.util.zip.CRC32()
+    crc.update(crafted, lenPos + 4, 4 + len)
+    val c = crc.getValue
+    crafted(idatPos + len) = ((c >> 24) & 0xFF).toByte
+    crafted(idatPos + len + 1) = ((c >> 16) & 0xFF).toByte
+    crafted(idatPos + len + 2) = ((c >> 8) & 0xFF).toByte
+    crafted(idatPos + len + 3) = (c & 0xFF).toByte
+    intercept[IllegalArgumentException](PngCodec.decode(crafted))
   }
 
   test("synthesizePng -> extractPngFeatures/DHash + three-format twin collision") {
