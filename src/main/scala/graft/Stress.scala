@@ -438,6 +438,35 @@ object Stress {
     edges.unpersist()
   }
 
+  /** 10× graph probe (round-9): the star-alternation components at 20M
+    * edges / 2M nodes (10× the standing graphscale hub) and the round law
+    * at diameter 10⁶ — a 1M-node UNPADDED string chain. Establishes the
+    * two scale claims at the next order of magnitude: per-round cost
+    * linear in |E| (wall ~10× the 2M-edge figure for the same round
+    * count), and rounds ~log₂(diameter) for any id alphabet.
+    */
+  private def graphScale10x(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val hub = spark.range(20000000L).select(
+      concat(lit("n"), pmod(col("id"), lit(2000000L))).as("src"),
+      concat(lit("n"),
+        expr("pmod(id * 31 + id div 2000000 + 7, 2000000)")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist()
+    time("warmup_edges_20M")(hub.count())
+    time("components_hub_20M") {
+      graft.dedup.DupClusters.components(hub, "src", "dst").count()
+    }
+    hub.unpersist()
+    val chain = spark.range(1000000L).select(
+      concat(lit("c"), col("id").cast("string")).as("src"),
+      concat(lit("c"), (col("id") + 1L).cast("string")).as("dst"))
+    time("components_rounds_1M_chain_unpadded") {
+      graft.dedup.DupClusters.convergenceRounds(chain, "src", "dst").toLong
+    }
+  }
+
   /** Year-scale operational probe (round-9): ~365 daily single-file
     * appends to ONE snapshot table — the small-file litter a daily-ingest
     * table accumulates in a year — then the maintenance pair the pipeline
@@ -562,6 +591,7 @@ object Stress {
     if (args.contains("scaleops")) { scaleOps(spark, dir, meter); spark.stop(); return }
     if (args.contains("graphscale")) { graphScale(spark, meter); spark.stop(); return }
     if (args.contains("yearscale")) { yearScale(spark, meter); spark.stop(); return }
+    if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

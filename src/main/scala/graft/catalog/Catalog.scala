@@ -96,13 +96,21 @@ final class Catalog(spark: SparkSession, dir: String) {
 
   /** K3 — append one status row (and keep the probe cache in sync). */
   def recordStatus(fileName: String, status: String): Unit = {
+    val preStamp = statusStamp()
     Seq((fileName, status, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("file_name", "status", "created_at")
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(statusDir)
     val c = nameCache
-    // re-stamp AFTER our append so the probe cache stays warm across it
-    if (c != null) nameCache = (statusStamp(), c._2 + fileName)
+    // keep the probe cache warm across our OWN append — but only when
+    // nothing else moved the dir since we cached: re-stamping over an
+    // unseen external append would absorb its mtime change and hide its
+    // file from isProcessed indefinitely. On mismatch, drop the cache
+    // and let the next probe reload.
+    if (c != null) {
+      if (c._1 == preStamp) nameCache = (statusStamp(), c._2 + fileName)
+      else nameCache = null
+    }
   }
 
   /** S9/S10 — the full status log. */

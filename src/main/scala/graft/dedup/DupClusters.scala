@@ -139,20 +139,32 @@ object DupClusters {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
       // SMALL-STAR: u and all its (smaller) neighbors reconnect to u's
-      // minimum neighbor
+      // minimum neighbor. The distinct both dedups multi-emitted edges
+      // (two neighbors of v sharing a minimum each emit (v, m)) and makes
+      // the star test below exact on row counts.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("_m2"))
       val next = graft.operators.Lineage.pin(
         ls.join(ssMin, Seq("u"))
           .filter(col("v") =!= col("_m2"))
           .select(col("v").as("u"), col("_m2").as("v"))
-          .union(ssMin.select(col("u"), col("_m2").as("v"))))
+          .union(ssMin.select(col("u"), col("_m2").as("v")))
+          .distinct())
       // ONE probe job: materializes the pin AND answers the EXACT star
-      // test — a depth-1 forest has no node that is both a destination
-      // and a source, and since both stars preserve components, a star
-      // forest IS the final answer
-      val bad = next.join(
-        next.select(col("u").as("_s")).distinct(),
-        next("v") === col("_s"), "left_semi").count()
+      // test. A star forest needs BOTH conditions — no node is a
+      // destination AND a source (depth 1), and no source carries two
+      // distinct destinations (unique parent): "no dst is a src" alone
+      // accepts a node with parents in TWO trees, silently splitting its
+      // component (a 5-path whose hash ranks run 1-3-4-5-0 along the
+      // path converges that way after one round — caught by review and
+      // pinned in PropertySpec). Components are preserved by both stars,
+      // so a genuine star forest IS the final answer.
+      val bad = next
+        .select(col("u").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+        .union(next.select(col("v").as("n"), lit(0L).as("s"), lit(1L).as("d")))
+        .groupBy(col("n"))
+        .agg(sum(col("s")).as("s"), sum(col("d")).as("d"))
+        .filter((col("s") > 0 && col("d") > 0) || col("s") > 1)
+        .count()
       edges = next
       converged = bad == 0
       iter += 1

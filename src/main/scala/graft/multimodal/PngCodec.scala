@@ -185,6 +185,15 @@ object PngCodec {
           width = u32(bytes, pos + 8).toInt
           height = u32(bytes, pos + 12).toInt
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // Long-checked pixel bound BEFORE any allocation: a CRC-valid
+          // crafted IHDR with huge dimensions would otherwise wrap the
+          // Int products below (width*height, (stride+1)*height) into
+          // small or negative sizes — an untyped crash or a malformed
+          // frame — or legitimately demand multi-GB buffers from a
+          // kilobyte input. 2^26 pixels (64 MP, a 256 MB pixel array) is
+          // far past any fingerprint/feature use of this codec.
+          require(width.toLong * height.toLong <= (1L << 26),
+            s"PNG too large: ${width}x$height exceeds 2^26 pixels")
           val depth = bytes(pos + 16) & 0xFF
           val color = bytes(pos + 17) & 0xFF
           require(depth == 8 && color == 2,

@@ -28,11 +28,11 @@ object Lineage {
   /** `df` as a lineage-free, stats-free leaf over a localCheckpoint'ed
     * RDD. Lazy by default: the caller's next action materializes the
     * checkpoint (one job, the DupClusters count-materializes pattern).
+    * Rows stay in Tungsten binary form end to end (the sql-package shim
+    * checkpoints the InternalRow RDD directly) — a `df.rdd` →
+    * `createDataFrame` round-trip would box and re-convert every field
+    * once per loop round.
     */
-  def pin(df: DataFrame, eager: Boolean = false): DataFrame = {
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    if (eager) rdd.count()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  def pin(df: DataFrame, eager: Boolean = false): DataFrame =
+    org.apache.spark.sql.GraftExpressionBridge.pinInternal(df, eager)
 }

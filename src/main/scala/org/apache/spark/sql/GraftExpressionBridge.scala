@@ -20,4 +20,22 @@ object GraftExpressionBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Lineage- AND stats-free pin for iterative loops
+    * ([[graft.operators.Lineage]]'s engine): the frame's InternalRow RDD,
+    * localCheckpoint'ed and rewrapped as a fresh leaf via
+    * `internalCreateDataFrame` (`private[sql]`). Skips the double
+    * field-by-field conversion a `df.rdd` → `createDataFrame(RDD[Row])`
+    * round-trip pays per loop round, and carries none of
+    * `Dataset.localCheckpoint`'s origin statistics (which compound k^n
+    * across rounds until planning grinds and BigInteger overflows).
+    */
+  def pinInternal(df: DataFrame, eager: Boolean): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    // unsafe row buffers are reused within a partition — copy before caching
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    if (eager) rdd.count()
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
 }

@@ -398,6 +398,19 @@ class MultimodalSpec extends SparkSpec {
     crafted(idatPos + len + 2) = ((c >> 8) & 0xFF).toByte
     crafted(idatPos + len + 3) = (c & 0xFF).toByte
     intercept[IllegalArgumentException](PngCodec.decode(crafted))
+    // a CRC-VALID crafted IHDR claiming 65536x65536: width*height wraps
+    // Int to 0 — must fail the Long-checked pixel bound loudly, never
+    // allocate or return a malformed frame
+    val big = png.clone()
+    big(16) = 0; big(17) = 1; big(18) = 0; big(19) = 0 // width  = 65536
+    big(20) = 0; big(21) = 1; big(22) = 0; big(23) = 0 // height = 65536
+    val icrc = new java.util.zip.CRC32()
+    icrc.update(big, 12, 4 + 13) // IHDR tag + data
+    val ic = icrc.getValue
+    big(29) = ((ic >> 24) & 0xFF).toByte; big(30) = ((ic >> 16) & 0xFF).toByte
+    big(31) = ((ic >> 8) & 0xFF).toByte; big(32) = (ic & 0xFF).toByte
+    val eBig = intercept[IllegalArgumentException](PngCodec.decode(big))
+    assert(eBig.getMessage.contains("too large"), s"wrong failure: $eBig")
   }
 
   test("synthesizePng -> extractPngFeatures/DHash + three-format twin collision") {

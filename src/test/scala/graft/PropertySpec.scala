@@ -492,9 +492,20 @@ class PropertySpec extends SparkSpec {
     // min-id labeling for arbitrary edge sets — including the adversarial
     // unpadded-string alphabet ("n1" < "n10" < "n2") the hash remap is
     // there to neutralize
+    // mixed family: random sparse graphs (many components, odd shapes)
+    // plus PATHS over randomly-offset ids — paths are the adversarial
+    // shape for min-based component algorithms (the unsound depth-only
+    // convergence probe this test guards against accepted a 5-path whose
+    // hash ranks ran min-at-one-end-next-to-max after ONE round, quietly
+    // splitting the component)
     val edgesGen: Gen[List[(Int, Int)]] =
       Gen.listOfN(40, Gen.zip(Gen.choose(0, 24), Gen.choose(0, 24)))
-    for (raw <- samples(edgesGen, 6)) {
+    val pathGen: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(4, 12)
+      off <- Gen.choose(0, 5000)
+      step <- Gen.oneOf(1, 7, 13, 101)
+    } yield (0 until n - 1).map(i => (off + i * step, off + (i + 1) * step)).toList
+    for (raw <- samples(edgesGen, 8) ++ samples(pathGen, 24)) {
       val edges = raw.filter { case (a, b) => a != b }
       if (edges.nonEmpty) {
         // driver union-find ground truth over string ids
