@@ -377,28 +377,43 @@ object Stress {
     * iteration shapes, and the broadcastRanks A/B at a node count where
     * the choice matters.
     */
+  /** Synthetic hub graph shared by the 1×/10× probes: `edges` rows over
+    * `nodes` node ids, ~edges/nodes out-edges each; the dst mixes in the
+    * replica index (id div nodes) so pairs do NOT repeat per period.
+    * One definition so the two scale datapoints can never drift apart.
+    */
+  private def hubGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Long, nodes: Long): org.apache.spark.sql.DataFrame =
+    spark.range(edges).select(
+      concat(lit("n"), pmod(col("id"), lit(nodes))).as("src"),
+      concat(lit("n"),
+        expr(s"pmod(id * 31 + id div ${nodes}L + 7, ${nodes}L)")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  /** n-node UNPADDED string chain ("c1" < "c10" < "c100" < … < "c2" —
+    * the adversarial id alphabet that ground the round-7/8
+    * pointer-doubling loop unconverged for 20 minutes). Shared by both
+    * graph probes.
+    */
+  private def unpaddedChain(
+      spark: org.apache.spark.sql.SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(
+      concat(lit("c"), col("id").cast("string")).as("src"),
+      concat(lit("c"), (col("id") + 1L).cast("string")).as("dst"))
+
   private def graphScale(
       spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
     def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
-    // 2M edges over 200k nodes, ~10 out-edges each: the dst mixes in the
-    // replica index (id div 200k) so pairs do NOT repeat per period
-    val hub = spark.range(2000000L).select(
-      concat(lit("n"), pmod(col("id"), lit(200000L))).as("src"),
-      concat(lit("n"),
-        expr("pmod(id * 31 + id div 200000 + 7, 200000)")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val hub = hubGraph(spark, 2000000L, 200000L)
     // plus a 100k chain on separate ids (diameter driver for components).
-    // Zero-padded (monotone lexicographic order) AND unpadded ("c1" <
-    // "c10" < "c100" < … < "c2" — the adversarial alphabet that ground
-    // the round-7/8 pointer-doubling loop unconverged for 20 minutes):
-    // the round-9 star alternation over hash-remapped ids must converge
-    // in O(log n) rounds on BOTH — id order is irrelevant post-remap.
+    // Zero-padded (monotone lexicographic order) AND unpadded: the
+    // round-9 star alternation over hash-remapped ids must converge in
+    // O(log n) rounds on BOTH — id order is irrelevant post-remap.
     val chain = spark.range(100000L).select(
       format_string("c%06d", col("id")).as("src"),
       format_string("c%06d", col("id") + 1L).as("dst"))
-    val chainUnpadded = spark.range(100000L).select(
-      concat(lit("c"), col("id").cast("string")).as("src"),
-      concat(lit("c"), (col("id") + 1L).cast("string")).as("dst"))
+    val chainUnpadded = unpaddedChain(spark, 100000L)
     val edges = hub.union(chain).persist()
     time("warmup_edges_2M1")(edges.count())
     time("pagerank_2M_bcast") {
@@ -410,7 +425,7 @@ object Stress {
         broadcastRanks = false).agg(sum("rank")).count()
     }
     // components on the HUB graph (2M edges, low diameter — the near-dup
-    // cluster shape): few pointer-doubling rounds over the full edge set
+    // cluster shape): few star-alternation rounds over the full edge set
     time("components_hub_2M") {
       graft.dedup.DupClusters.components(hub, "src", "dst").count()
     }
@@ -448,20 +463,13 @@ object Stress {
   private def graphScale10x(
       spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
     def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
-    val hub = spark.range(20000000L).select(
-      concat(lit("n"), pmod(col("id"), lit(2000000L))).as("src"),
-      concat(lit("n"),
-        expr("pmod(id * 31 + id div 2000000 + 7, 2000000)")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .persist()
+    val hub = hubGraph(spark, 20000000L, 2000000L).persist()
     time("warmup_edges_20M")(hub.count())
     time("components_hub_20M") {
       graft.dedup.DupClusters.components(hub, "src", "dst").count()
     }
     hub.unpersist()
-    val chain = spark.range(1000000L).select(
-      concat(lit("c"), col("id").cast("string")).as("src"),
-      concat(lit("c"), (col("id") + 1L).cast("string")).as("dst"))
+    val chain = unpaddedChain(spark, 1000000L)
     time("components_rounds_1M_chain_unpadded") {
       graft.dedup.DupClusters.convergenceRounds(chain, "src", "dst").toLong
     }

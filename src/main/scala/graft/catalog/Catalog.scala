@@ -58,12 +58,16 @@ final class Catalog(spark: SparkSession, dir: String) {
     * staleness is BOUNDED: each probe stats the status directory (one
     * cheap FS metadata call, not a listing or scan) and reloads when its
     * modification time moved — an external writer's append changes the
-    * dir mtime, so it is visible from the next probe onward. The residual
-    * race is an external append landing within the same mtime tick as our
-    * own (ms granularity on most filesystems); [[refreshProcessedNames]]
-    * remains the explicit override. The SET-BASED path
-    * ([[filterUnprocessed]]) stays the scale answer and never touches
-    * this cache.
+    * dir mtime, so it is visible from the next probe onward. Residual
+    * races (single-writer remains the contract; these only matter under
+    * multi-writer misuse): an external append landing within the same
+    * mtime tick as a probe's reload (ms granularity on most
+    * filesystems), and an external append interleaving with OUR OWN
+    * [[recordStatus]] write — the post-append re-stamp can absorb its
+    * mtime change, hiding that file until the next external mtime move.
+    * [[refreshProcessedNames]] remains the explicit override. The
+    * SET-BASED path ([[filterUnprocessed]]) stays the scale answer and
+    * never touches this cache.
     */
   @volatile private var nameCache: (Long, Set[String]) = null
 

@@ -49,12 +49,17 @@ import org.apache.spark.sql.functions._
   * stats-free leaf, because `Dataset.localCheckpoint` itself carries the
   * origin's size stats, which compound k^n across rounds until planning
   * grinds and BigInteger overflows) and the convergence probe both
-  * materializes it and answers "is this a star forest yet?" — EXACT test:
-  * converged iff no destination is also a source (small-star output is
-  * always (big → small)-oriented, and a depth-1 forest whose components
-  * equal the preserved input components IS the answer). Near-clique
-  * near-dup graphs (LSH connects most members pairwise) converge in 1–2
-  * rounds; chains in ~log rounds.
+  * materializes it and answers "is this a star forest yet?" — EXACT test
+  * requiring BOTH star-forest conditions: no node is a destination and a
+  * source (depth 1), AND no source carries two distinct destinations
+  * (unique parent). Depth alone is NOT sufficient — a node can hold
+  * parents in two different trees while no destination is itself a
+  * source, leaving its component silently split (the loop comment has
+  * the concrete 5-path counterexample; PropertySpec pins it). Under both
+  * conditions the edge set is a disjoint union of stars, and since both
+  * star steps preserve components, that star forest IS the answer.
+  * Near-clique near-dup graphs (LSH connects most members pairwise)
+  * converge in 1–2 rounds; chains in ~log rounds.
   */
 object DupClusters {
 

@@ -58,8 +58,13 @@ object PngCodec {
     * degenerate stream.
     */
   def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
-    require(width > 0 && height > 0 && pixels.length == width * height,
-      "pixels must be width*height")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    // Long-checked like decode: 65536×65536 wraps the Int product to 0,
+    // which would pass an == check against an empty array and then crash
+    // untyped on the scanline-buffer allocation
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(pixels.length == width * height, "pixels must be width*height")
     val stride = width * 3
     // filtered image: one filter-type byte + stride bytes per scanline
     val raw = new Array[Byte]((stride + 1) * height)
