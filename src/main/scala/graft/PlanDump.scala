@@ -47,7 +47,8 @@ object PlanDump {
     "q287_interval_join" -> "interval overlap as a bucketed equi-join: bucket explode → hash join → exact predicate re-check — no CartesianProduct/BroadcastNestedLoop",
     "q290_hist_quantiles" -> "histogram sketch: map-combined bin counts (one fact pass), cumulative window over the BOUNDED bin table only",
     "q298_png_features" -> "PNG decode (inflate + unfilter) per row inside mapPartitions: scan → batch decode → exact-integer feature projection, no shuffle before the final sort",
-    "q299_crossformat3_dedup" -> "three-container dedup: per-format decode branches union into ONE dHash groupBy — format-blind fingerprint space, map-combined counts")
+    "q299_crossformat3_dedup" -> "three-container dedup: per-format decode branches union into ONE dHash groupBy — format-blind fingerprint space, map-combined counts",
+    "q300_jpeg_gray_features" -> "JPEG entropy decode + fixed-point IDCT per row inside mapPartitions (Huffman state never leaves the task): scan → batch decode → exact-integer feature projection, no shuffle before the final sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

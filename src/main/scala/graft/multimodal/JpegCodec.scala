@@ -1,0 +1,751 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT, Huffman coding) —
+  * the first LOSSY, transform-coded container in the decode family
+  * ([[WavCodec]] audio, [[BmpCodec]] uncompressed, [[GifCodec]] LZW,
+  * [[PngCodec]] DEFLATE): marker segment walk, DQT/DHT/SOF0/SOS parse,
+  * canonical Huffman entropy decode with 0xFF00 byte unstuffing, zigzag
+  * coefficient order, dequantization, and an 8×8 inverse DCT — all of it
+  * integer fixed-point, so a decode is bit-identical on every JVM and the
+  * DC-only path has a CLOSED FORM a SQL oracle can replay (see the scale
+  * notes on [[Fix]]). Grayscale (1 component) and YCbCr 4:4:4
+  * (3 components, all sampling factors 1×1) are supported; progressive
+  * (SOF2), subsampled chroma, 12-bit precision, restart intervals, and
+  * arithmetic coding are rejected loudly rather than decoded wrong.
+  *
+  * The encoder is a real entropy coder, not a fixture: forward fixed-point
+  * DCT, Annex-K sample quantization tables, canonical Huffman tables
+  * (repo-designed lengths, Kraft-checked at init — the DECODER builds its
+  * tables from the DHT segments in the file per the spec, so any valid
+  * table round-trips; Annex K's exact AC code lengths are an interop
+  * convention this closed loop does not need), DC prediction, run-length
+  * AC coding with ZRL/EOB, and 0xFF byte stuffing.
+  *
+  * Color is the pinned integer BT.601 transform in micro-units
+  * (floorDiv by 10⁶ after +500000 rounding), both directions, so the
+  * oracle replays it exactly with offset floor-division.
+  *
+  * Format is public (ITU-T T.81 / ISO 10918-1: marker structure, canonical
+  * Huffman code generation from BITS/HUFFVAL, the EXTEND sign convention,
+  * zigzag scan, byte stuffing, Annex K sample quantization tables).
+  */
+object JpegCodec {
+
+  /** Fixed-point 8-point DCT basis shared by the forward and inverse
+    * transforms: `T(u)(x) = round(2^20 · c(u)/2 · cos((2x+1)uπ/16))` with
+    * c(0)=1/√2, else 1 (StrictMath, so the table is identical on every
+    * JVM). The 1D passes descale with rounding arithmetic shifts
+    * (`(acc + 2^(n−1)) >> n` — floor semantics both here and in DuckDB's
+    * `>>`), which makes the whole transform integer-deterministic:
+    *
+    *  - inverse: `G1 = (Σ_u F(u)·T(u)(x) + 2^11) >> 12` (scale 2^8), then
+    *    `out = ((Σ_v G1(v)·T(v)(y) + 2^27) >> 28) + 128`, clamped. Worst-
+    *    case |acc| stays under 2^54 even for adversarial coefficients.
+    *  - forward: `P = (Σ_x f(x)·T(u)(x) + 2^7) >> 8` (scale 2^12), then
+    *    `F = (Σ_y P(y)·T(u)(y) + 2^31) >> 32` — an integer coefficient.
+    *
+    * For a CONSTANT block (value v, level-shifted s = v−128) the forward
+    * transform lands exactly on F(0,0) = 8s with all AC quantizing to 0
+    * (JpegSpec proves it for all 256 values), so the decode of a block-
+    * constant image is the closed form
+    * `clamp((((qdc·Q00·T00 + 2^11 >> 12)·T00 + 2^27) >> 28) + 128)` with
+    * `qdc = floor((2·8s + Q00) / (2·Q00))` and T00 = 370728 — pure BIGINT
+    * arithmetic for the q300/q301 oracles.
+    */
+  private[graft] object Fix {
+    val Shift = 20
+    val T: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+      val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      StrictMath.round(
+        (1L << Shift) * c / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0))
+    }
+    /** T(0)(x) — the DC basis entry the oracle closed form uses. */
+    val T00: Long = T(0)(0)
+
+    def rshift(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+    /** Inverse DCT of one dequantized block (raster order), output = level-
+      * shifted clamped samples 0..255 written into `out` (raster order).
+      */
+    def idct(coef: Array[Long], out: Array[Int]): Unit = {
+      val g1 = new Array[Long](64)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var u = 0
+          while (u < 8) { acc += coef(v * 8 + u) * T(u)(x); u += 1 }
+          g1(v * 8 + x) = rshift(acc, 12)
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var vv = 0
+          while (vv < 8) { acc += g1(vv * 8 + x) * T(vv)(y); vv += 1 }
+          val s = rshift(acc, 28) + 128
+          out(y * 8 + x) = if (s < 0) 0 else if (s > 255) 255 else s.toInt
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** Forward DCT of one level-shifted block (raster order, values
+      * −128..127) into integer coefficients (raster order).
+      */
+    def fdct(samples: Array[Int], out: Array[Long]): Unit = {
+      val p = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0L
+          var x = 0
+          while (x < 8) { acc += samples(y * 8 + x).toLong * T(u)(x); x += 1 }
+          p(y * 8 + u) = rshift(acc, 8)
+          u += 1
+        }
+        y += 1
+      }
+      var u = 0
+      while (u < 8) {
+        var vv = 0
+        while (vv < 8) {
+          var acc = 0L
+          var yy = 0
+          while (yy < 8) { acc += p(yy * 8 + u) * T(vv)(yy); yy += 1 }
+          out(vv * 8 + u) = rshift(acc, 32)
+          vv += 1
+        }
+        u += 1
+      }
+    }
+  }
+
+  /** Zigzag scan: `Zigzag(k)` = raster index (8·row + col) of zigzag
+    * position k. Generated from the T.81 diagonal walk (even anti-
+    * diagonals run bottom-left → top-right, odd ones the reverse) instead
+    * of a transcribed constant table.
+    */
+  private[graft] val Zigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    var s = 0
+    while (s <= 14) {
+      val lo = math.max(0, s - 7); val hi = math.min(s, 7)
+      if (s % 2 == 0) {
+        var r = hi
+        while (r >= lo) { out(k) = r * 8 + (s - r); k += 1; r -= 1 }
+      } else {
+        var r = lo
+        while (r <= hi) { out(k) = r * 8 + (s - r); k += 1; r += 1 }
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Annex K sample quantization tables (T.81 tables K.1/K.2), zigzag-
+    * serialized into DQT by the encoder. Only Q(0,0) — 16 luma, 17
+    * chroma — enters the oracle closed form.
+    */
+  private[graft] val QLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  private[graft] val QChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Quantize one coefficient: floor(F/Q + 1/2) for ANY sign —
+    * `floorDiv(2F + Q, 2Q)`, the form the oracle replays with an offset
+    * floor-division (DuckDB `//` truncates; `(x + K·2Q) // 2Q − K` floors).
+    */
+  private def quant(f: Long, q: Int): Int =
+    Math.floorDiv(2 * f + q, 2L * q).toInt
+
+  // ---------------------------------------------------------------- Huffman
+
+  /** A canonical Huffman table: `bits(i)` codes of length i+1 (i = 0..15),
+    * `vals` the symbols in code order (T.81 BITS/HUFFVAL). Kraft-checked at
+    * construction so a malformed table fails at init, not mid-decode.
+    */
+  private[graft] final case class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 16, "BITS must have 16 entries")
+    require(bits.sum == vals.length, s"BITS sums ${bits.sum} != ${vals.length} values")
+    private val kraft = (0 until 16).map(i => bits(i).toLong << (15 - i)).sum
+    require(kraft <= (1L << 16), s"over-subscribed Huffman table (Kraft $kraft > 2^16)")
+
+    /** (code, length) per symbol index — encoder side. */
+    val codes: Array[(Int, Int)] = {
+      val out = new Array[(Int, Int)](vals.length)
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) { out(k) = (code, len); code += 1; k += 1; i += 1 }
+        code <<= 1
+        len += 1
+      }
+      out
+    }
+    /** symbol → (code, length), for emit. */
+    val encode: Map[Int, (Int, Int)] =
+      vals.zipWithIndex.map { case (s, i) => s -> codes(i) }.toMap
+
+    // T.81 F.2.2.3 DECODE tables: min/max code value and value-pointer per length
+    val minCode: Array[Int] = new Array[Int](17)
+    val maxCode: Array[Int] = Array.fill(17)(-1)
+    val valPtr: Array[Int] = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+  }
+
+  /** Encoder-side static tables. DC lengths follow Annex K's shape
+    * (sizes 0..11 at lengths 2,3,3,3,3,3,4,5,6,7,8,9 for luma); the AC
+    * table is a repo-designed canonical code over exactly the emittable
+    * alphabet — EOB, ZRL, and (run 0..15)×(size 1..10) — with short codes
+    * on the low-run/low-size symbols real residuals are made of.
+    */
+  private[graft] val DcLumaTable = HuffTable(
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+
+  private[graft] val DcChromaTable = HuffTable(
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+
+  private[graft] val AcTable: HuffTable = {
+    def sym(run: Int, size: Int) = (run << 4) | size
+    val byLen: Seq[(Int, Seq[Int])] = Seq(
+      2 -> Seq(0x00), // EOB
+      3 -> Seq(sym(0, 1)),
+      4 -> Seq(sym(0, 2), sym(1, 1)),
+      5 -> Seq(sym(0, 3), sym(2, 1), sym(3, 1)),
+      6 -> Seq(sym(1, 2), sym(4, 1), sym(0, 4)),
+      7 -> Seq(sym(5, 1), sym(6, 1), sym(2, 2)),
+      8 -> Seq(sym(0, 5), sym(7, 1), sym(3, 2), sym(1, 3)),
+      9 -> Seq(sym(8, 1), sym(9, 1), sym(2, 3), sym(4, 2)),
+      10 -> Seq(0xF0, sym(10, 1), sym(11, 1), sym(1, 4), sym(0, 6)))
+    val placed = byLen.flatMap(_._2).toSet
+    val rest = (for {
+      run <- 0 to 15; size <- 1 to 10
+      s = sym(run, size) if !placed(s)
+    } yield s).sorted
+    val bits = new Array[Int](16)
+    byLen.foreach { case (len, ss) => bits(len - 1) = ss.size }
+    bits(11) = rest.size // everything else at length 12
+    HuffTable(bits, (byLen.flatMap(_._2) ++ rest).toArray)
+  }
+
+  private[graft] final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      require(len > 0 && len <= 26, s"bad bit run $len")
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    /** flush with 1-padding per the spec */
+    def finish(): Unit = if (nbits > 0) put(0x7F, 8 - nbits)
+  }
+
+  private[graft] final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0L
+    private var nbits = 0
+    private def fill(): Unit = {
+      require(pos < bytes.length, "truncated JPEG: entropy stream ran out")
+      val b = bytes(pos) & 0xFF
+      pos += 1
+      if (b == 0xFF) {
+        require(pos < bytes.length, "truncated JPEG: dangling 0xFF")
+        val m = bytes(pos) & 0xFF
+        require(m == 0x00,
+          f"unexpected marker 0xFF$m%02X inside entropy-coded data")
+        pos += 1 // consume the stuffed zero
+      }
+      acc = (acc << 8) | b
+      nbits += 8
+    }
+    def bit(): Int = {
+      if (nbits == 0) fill()
+      nbits -= 1
+      ((acc >> nbits) & 1L).toInt
+    }
+    def bitsVal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** T.81 F.2.2.3 DECODE: one Huffman symbol. */
+    def symbol(t: HuffTable): Int = {
+      var len = 1
+      var code = bit()
+      while (code > t.maxCode(len)) {
+        require(len < 16, "corrupt JPEG: Huffman code over 16 bits")
+        code = (code << 1) | bit()
+        len += 1
+      }
+      t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+  }
+
+  /** T.81 EXTEND: map `size` received magnitude bits to a signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  private def bitSize(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  // ----------------------------------------------------------------- encode
+
+  /** Integer BT.601 RGB→YCbCr in micro-units, round-half-up via floorDiv —
+    * the exact transform the q301 oracle replays.
+    */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def fd(x: Long) = Math.floorDiv(x + 500000L, 1000000L).toInt
+    def clamp(x: Int) = if (x < 0) 0 else if (x > 255) 255 else x
+    val y = fd(299000L * r + 587000L * g + 114000L * b)
+    val cb = clamp(128 + fd(-168736L * r - 331264L * g + 500000L * b))
+    val cr = clamp(128 + fd(500000L * r - 418688L * g - 81312L * b))
+    (clamp(y), cb, cr)
+  }
+
+  /** Inverse: YCbCr→RGB, same micro-unit pinning (decoder side). */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def fd(x: Long) = Math.floorDiv(x + 500000L, 1000000L).toInt
+    def clamp(x: Int) = if (x < 0) 0 else if (x > 255) 255 else x
+    val r = fd(1000000L * y + 1402000L * (cr - 128))
+    val g = fd(1000000L * y - 344136L * (cb - 128) - 714136L * (cr - 128))
+    val b = fd(1000000L * y + 1772000L * (cb - 128))
+    (clamp(r), clamp(g), clamp(b))
+  }
+
+  private def writeMarker(out: ByteArrayOutputStream, m: Int): Unit = {
+    out.write(0xFF); out.write(m)
+  }
+
+  private def writeSegment(out: ByteArrayOutputStream, m: Int, data: Array[Byte]): Unit = {
+    writeMarker(out, m)
+    val n = data.length + 2
+    out.write((n >> 8) & 0xFF); out.write(n & 0xFF)
+    out.write(data, 0, data.length)
+  }
+
+  private def dhtPayload(tableClass: Int, id: Int, t: HuffTable): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write((tableClass << 4) | id)
+    t.bits.foreach(b.write)
+    t.vals.foreach(b.write)
+    b.toByteArray
+  }
+
+  /** Encode top-down 0xRRGGBB pixels as a baseline JFIF JPEG.
+    * `grayscale = true` emits a single-component scan of the pinned
+    * integer luma; otherwise three YCbCr 4:4:4 components.
+    */
+  def encode(
+      width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"JPEG too large: ${width}x$height exceeds 2^26 pixels")
+    require(pixels.length == width * height, "pixels must be width*height")
+    require(width <= 0xFFFF && height <= 0xFFFF, "JPEG dimensions are 16-bit")
+
+    val n = width * height
+    val yP = new Array[Int](n)
+    val cbP = if (grayscale) null else new Array[Int](n)
+    val crP = if (grayscale) null else new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val p = pixels(i)
+      val (y, cb, cr) = rgbToYcc((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      yP(i) = y
+      if (!grayscale) { cbP(i) = cb; crP(i) = cr }
+      i += 1
+    }
+
+    val out = new ByteArrayOutputStream(n / 2 + 1024)
+    writeMarker(out, 0xD8) // SOI
+    // JFIF APP0
+    writeSegment(out, 0xE0, Array[Byte](
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT (two tables in one segment for color, one for gray)
+    val dqt = new ByteArrayOutputStream()
+    dqt.write(0x00); Zigzag.foreach(z => dqt.write(QLuma(z)))
+    if (!grayscale) { dqt.write(0x01); Zigzag.foreach(z => dqt.write(QChroma(z))) }
+    writeSegment(out, 0xDB, dqt.toByteArray)
+    // SOF0
+    val nc = if (grayscale) 1 else 3
+    val sof = new ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((height >> 8) & 0xFF); sof.write(height & 0xFF)
+    sof.write((width >> 8) & 0xFF); sof.write(width & 0xFF)
+    sof.write(nc)
+    var c = 0
+    while (c < nc) {
+      sof.write(c + 1) // component id
+      sof.write(0x11) // 1x1 sampling
+      sof.write(if (c == 0) 0 else 1) // quant table id
+      c += 1
+    }
+    writeSegment(out, 0xC0, sof.toByteArray)
+    // DHT
+    writeSegment(out, 0xC4, dhtPayload(0, 0, DcLumaTable))
+    writeSegment(out, 0xC4, dhtPayload(1, 0, AcTable))
+    if (!grayscale) writeSegment(out, 0xC4, dhtPayload(0, 1, DcChromaTable))
+    // SOS
+    val sos = new ByteArrayOutputStream()
+    sos.write(nc)
+    c = 0
+    while (c < nc) {
+      sos.write(c + 1)
+      sos.write(((if (c == 0) 0 else 1) << 4) | 0) // DC table | AC table 0
+      c += 1
+    }
+    sos.write(0); sos.write(63); sos.write(0) // Ss/Se/AhAl (baseline)
+    writeSegment(out, 0xDA, sos.toByteArray)
+
+    // entropy-coded data: for 4:4:4 the MCU is one block per component,
+    // interleaved Y, Cb, Cr — encode block-by-block in MCU order
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val w = new BitWriter(out)
+    if (grayscale) {
+      val enc = new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) { enc.block(bx, by); bx += 1 }
+        by += 1
+      }
+    } else {
+      // interleaved: per MCU emit Y block then Cb then Cr, each with its
+      // own DC predictor — do it via per-component block encoders
+      val enc = Array(
+        new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w),
+        new PlaneEncoder(cbP, width, height, QChroma, DcChromaTable, AcTable, w),
+        new PlaneEncoder(crP, width, height, QChroma, DcChromaTable, AcTable, w))
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          enc(0).block(bx, by); enc(1).block(bx, by); enc(2).block(bx, by)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    w.finish()
+    writeMarker(out, 0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Stateful per-component block encoder for interleaved MCUs (carries
+    * the DC predictor across blocks of ONE component).
+    */
+  private final class PlaneEncoder(
+      plane: Array[Int], width: Int, height: Int, q: Array[Int],
+      dcT: HuffTable, acT: HuffTable, w: BitWriter) {
+    private val samples = new Array[Int](64)
+    private val coef = new Array[Long](64)
+    private val zz = new Array[Int](64)
+    private var pred = 0
+
+    def block(bx: Int, by: Int): Unit = {
+      var j = 0
+      while (j < 64) {
+        val yy = math.min(by * 8 + j / 8, height - 1)
+        val xx = math.min(bx * 8 + j % 8, width - 1)
+        samples(j) = plane(yy * width + xx) - 128
+        j += 1
+      }
+      Fix.fdct(samples, coef)
+      var k = 0
+      while (k < 64) { zz(k) = quant(coef(Zigzag(k)), q(Zigzag(k))); k += 1 }
+      val diff = zz(0) - pred
+      pred = zz(0)
+      val s = bitSize(diff)
+      val (dc, dl) = dcT.encode(s)
+      w.put(dc, dl)
+      if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = acT.encode(0xF0); w.put(c, l); run -= 16 }
+          val sz = bitSize(zz(k))
+          require(sz <= 10, s"AC coefficient out of the table's size range: ${zz(k)}")
+          val (c, l) = acT.encode((run << 4) | sz)
+          w.put(c, l)
+          w.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = acT.encode(0x00); w.put(c, l) }
+    }
+  }
+
+  // ----------------------------------------------------------------- decode
+
+  /** Parse JPEG bytes into the shared pixel frame; throws
+    * IllegalArgumentException on anything this decoder cannot represent
+    * faithfully (progressive, subsampled chroma, restart intervals, 12-bit,
+    * arithmetic coding, truncation, corrupt Huffman data) — loud beats
+    * silent. Grayscale decodes with r = g = b = Y.
+    */
+  def decode(bytes: Array[Byte]): BmpCodec.Bmp =
+    try decode0(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("truncated JPEG: segment walk past end")
+    }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def decode0(bytes: Array[Byte]): BmpCodec.Bmp = {
+    require(bytes != null && bytes.length >= 4, "not a JPEG: too short")
+    require((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8,
+      "not a JPEG: missing SOI")
+    var pos = 2
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var nc = 0
+    // per component: (id, quant table id)
+    var compQ: Array[Int] = null
+    var sofSeen = false
+
+    def segLen(at: Int): Int = {
+      val n = u16(bytes, at)
+      require(n >= 2 && at + n <= bytes.length, s"truncated JPEG segment at $at")
+      n
+    }
+
+    while (pos < bytes.length) {
+      require((bytes(pos) & 0xFF) == 0xFF, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xFF
+      pos += 2
+      m match {
+        case 0xD9 => // EOI without a scan
+          throw new IllegalArgumentException("JPEG has no scan (EOI before SOS)")
+        case 0xDB => // DQT
+          val n = segLen(pos)
+          var p = pos + 2
+          while (p < pos + n) {
+            val pq = (bytes(p) & 0xFF) >> 4
+            val tq = bytes(p) & 0x0F
+            require(pq == 0, "12-bit quantization tables not supported")
+            require(p + 65 <= pos + n, "truncated DQT")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xFF; k += 1 }
+            quantTables(tq) = t
+            p += 65
+          }
+          pos += n
+        case 0xC4 => // DHT
+          val n = segLen(pos)
+          var p = pos + 2
+          while (p < pos + n) {
+            val tc = (bytes(p) & 0xFF) >> 4
+            val th = bytes(p) & 0x0F
+            require(tc <= 1 && th <= 3, s"bad DHT header ${bytes(p)}")
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
+            val total = bits.sum
+            require(p + 17 + total <= pos + n, "truncated DHT")
+            val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xFF)
+            val t = HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            p += 17 + total
+          }
+          pos += n
+        case 0xC0 | 0xC1 => // SOF0 baseline (C1 extended-sequential, same layout)
+          val n = segLen(pos)
+          require(!sofSeen, "multiple SOF segments")
+          sofSeen = true
+          require((bytes(pos + 2) & 0xFF) == 8, "only 8-bit precision supported")
+          height = u16(bytes, pos + 3)
+          width = u16(bytes, pos + 5)
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require(width.toLong * height.toLong <= (1L << 26),
+            s"JPEG too large: ${width}x$height exceeds 2^26 pixels")
+          nc = bytes(pos + 7) & 0xFF
+          require(nc == 1 || nc == 3, s"unsupported component count $nc")
+          compQ = new Array[Int](nc)
+          var c = 0
+          while (c < nc) {
+            val hv = bytes(pos + 9 + 3 * c) & 0xFF
+            require(hv == 0x11,
+              f"subsampled chroma not supported (sampling 0x$hv%02X)")
+            compQ(c) = bytes(pos + 10 + 3 * c) & 0x0F
+            c += 1
+          }
+          pos += n
+        case 0xC2 =>
+          throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
+        case x if x >= 0xC3 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
+          throw new IllegalArgumentException(f"unsupported SOF marker 0xFF$x%02X")
+        case 0xDD => // DRI
+          val n = segLen(pos)
+          val ri = u16(bytes, pos + 2)
+          require(ri == 0, s"restart intervals not supported (Ri=$ri)")
+          pos += n
+        case 0xDA => // SOS — decode the scan and finish
+          val n = segLen(pos)
+          require(sofSeen, "SOS before SOF")
+          val ns = bytes(pos + 2) & 0xFF
+          require(ns == nc, s"scan components $ns != frame components $nc")
+          val compDc = new Array[HuffTable](nc)
+          val compAc = new Array[HuffTable](nc)
+          var c = 0
+          while (c < nc) {
+            val td = (bytes(pos + 4 + 2 * c) & 0xFF) >> 4
+            val ta = bytes(pos + 4 + 2 * c) & 0x0F
+            require(dcTables(td) != null, s"scan references missing DC table $td")
+            require(acTables(ta) != null, s"scan references missing AC table $ta")
+            compDc(c) = dcTables(td); compAc(c) = acTables(ta)
+            require(quantTables(compQ(c)) != null,
+              s"frame references missing quant table ${compQ(c)}")
+            c += 1
+          }
+          val scanStart = pos + n
+          return decodeScan(
+            bytes, scanStart, width, height, nc,
+            compDc, compAc, compQ.map(quantTables(_)))
+        case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
+          throw new IllegalArgumentException(
+            f"standalone marker 0xFF$x%02X outside a scan")
+        case x if (x >= 0xE0 && x <= 0xEF) || x == 0xFE => // APPn / COM
+          pos += segLen(pos)
+        case x =>
+          throw new IllegalArgumentException(f"unsupported JPEG marker 0xFF$x%02X")
+      }
+    }
+    throw new IllegalArgumentException("truncated JPEG: no SOS marker")
+  }
+
+  private def decodeScan(
+      bytes: Array[Byte], start: Int,
+      width: Int, height: Int, nc: Int,
+      dcT: Array[HuffTable], acT: Array[HuffTable],
+      q: Array[Array[Int]]): BmpCodec.Bmp = {
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
+    val pred = new Array[Int](nc)
+    val coef = new Array[Long](64)
+    val block = new Array[Int](64)
+    val r = new BitReader(bytes, start)
+
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var c = 0
+        while (c < nc) {
+          java.util.Arrays.fill(coef, 0L)
+          // DC
+          val s = r.symbol(dcT(c))
+          require(s <= 11, s"corrupt JPEG: DC size $s")
+          pred(c) += extend(r.bitsVal(s), s)
+          coef(0) = pred(c).toLong * q(c)(0)
+          // AC
+          var k = 1
+          while (k < 64) {
+            val rs = r.symbol(acT(c))
+            val run = rs >> 4
+            val size = rs & 0x0F
+            if (size == 0) {
+              if (rs == 0x00) k = 64 // EOB
+              else if (rs == 0xF0) k += 16 // ZRL
+              else throw new IllegalArgumentException(
+                f"corrupt JPEG: bad AC symbol 0x$rs%02X")
+            } else {
+              k += run
+              require(k < 64, "corrupt JPEG: AC run past block end")
+              val v = extend(r.bitsVal(size), size)
+              coef(Zigzag(k)) = v.toLong * q(c)(Zigzag(k))
+              k += 1
+            }
+          }
+          Fix.idct(coef, block)
+          val plane = planes(c)
+          var j = 0
+          while (j < 64) {
+            plane((by * 8 + j / 8) * bw * 8 + bx * 8 + j % 8) = block(j)
+            j += 1
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+
+    val pixels = new Array[Int](width * height)
+    val stride = bw * 8
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p =
+          if (nc == 1) {
+            val v = planes(0)(y * stride + x)
+            (v << 16) | (v << 8) | v
+          } else {
+            val (rr, gg, bb) = yccToRgb(
+              planes(0)(y * stride + x),
+              planes(1)(y * stride + x),
+              planes(2)(y * stride + x))
+            (rr << 16) | (gg << 8) | bb
+          }
+        pixels(y * width + x) = p
+        x += 1
+      }
+      y += 1
+    }
+    BmpCodec.Bmp(width, height, pixels)
+  }
+}

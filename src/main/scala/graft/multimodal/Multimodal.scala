@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns beside a typed metadata struct; decode / feature-extract
   * / frame-sample run batch-parallel over partitions.
   *
-  * The perceptual-codec libraries (JPEG/MP3/H.264) are NOT in this
+  * The perceptual AUDIO/VIDEO codec libraries (MP3/H.264) are NOT in this
   * environment, so [[StubDecoder]] is a clearly-marked deterministic fake
-  * for those; FOUR containers decode for REAL with pure-JVM codecs —
+  * for those; FIVE containers decode for REAL with pure-JVM codecs —
   * RIFF/WAVE 16-bit PCM ([[WavCodec]]), uncompressed 24-bit BMP
   * ([[BmpCodec]]), LZW-compressed GIF ([[GifCodec]], a real
-  * variable-width LZW decompressor), and DEFLATE-compressed PNG
+  * variable-width LZW decompressor), DEFLATE-compressed PNG
   * ([[PngCodec]], zlib via the JDK's Inflater + all five scanline
-  * filters — the raster format real crawled corpora actually carry).
+  * filters), and baseline sequential JPEG ([[JpegCodec]], Huffman
+  * entropy coding + fixed-point DCT — the LOSSY transform-coded format
+  * the bulk of real crawled images arrive in).
   * Everything Spark-side is
   * real and tested either way: the schema contract, the binary column handling, the
   * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
@@ -75,8 +77,10 @@ object Multimodal {
   private def substr_bin(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
 
-  /** THE STUB: deterministic fake feature extractor standing in for a real
-    * decoder (???-equivalent; the container has no image/audio libs).
+  /** THE STUB: deterministic fake feature extractor standing in for the
+    * decoders this environment genuinely lacks (MP3/H.264 — the raster
+    * formats and WAV/JPEG decode for REAL above; ???-equivalent for the
+    * rest).
     * Produces a fixed-size float feature vector from payload bytes via md5 —
     * wrong features, right plumbing: batch shape, schema, and partition
     * parallelism are exactly what a real decoder plugs into.
@@ -560,6 +564,114 @@ object Multimodal {
       rows.map { r =>
         val img = BmpCodec.resizeNearest(
           PngCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic JPEG payloads, built BLOCK-CONSTANT so the
+    * lossy round-trip has a closed form: the image is a `bw`×`bh` grid of
+    * 8×8 blocks, each a constant sample — every AC coefficient quantizes
+    * to exactly zero and the decoded block is the pure-integer DC path
+    * documented on [[JpegCodec.Fix]], which a SQL oracle replays with
+    * BIGINT shifts. Grayscale: block (by,bx) has luma
+    * `(id·29 + by·71 + bx·113) mod 256`. Color (4:4:4): block RGB =
+    * `((id·19+by·53+bx·101) mod 256, (id·23+by·59+bx·103) mod 256,
+    * (id·31+by·61+bx·107) mod 256)` — constant RGB → constant YCbCr, so
+    * each channel is DC-only too. The Spark side round-trips through the
+    * REAL entropy coder: Huffman tables, DC prediction, byte stuffing,
+    * fixed-point FDCT/IDCT.
+    */
+  def synthesizeJpeg(
+      df: DataFrame,
+      idCol: String,
+      grayscale: Boolean,
+      blocksW: Int = 2,
+      blocksH: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val w = blocksW * 8; val h = blocksH * 8
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(w * h) { i =>
+          val by = (i / w) / 8; val bx = (i % w) / 8
+          if (grayscale) {
+            val v = ((id * 29L + by * 71L + bx * 113L) % 256L).toInt
+            (v << 16) | (v << 8) | v
+          } else {
+            val pr = ((id * 19L + by * 53L + bx * 101L) % 256L).toInt
+            val pg = ((id * 23L + by * 59L + bx * 103L) % 256L).toInt
+            val pb = ((id * 31L + by * 61L + bx * 107L) % 256L).toInt
+            (pr << 16) | (pg << 8) | pb
+          }
+        }
+        val payload = JpegCodec.encode(w, h, pixels, grayscale)
+        Row(id, payload, Row("image", "jpeg", w, h, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL JPEG decode+featurize — Huffman entropy decode + dequant +
+    * fixed-point IDCT per row ([[JpegCodec.decode]]) into the SHARED pixel
+    * frame, then the same feature/resize verbs as the BMP/GIF/PNG paths:
+    * one pixel contract, N containers. Same one-decoder-per-partition
+    * batch shape.
+    */
+  def extractJpegFeatures(
+      media: DataFrame,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("luma_min", LongType, nullable = false),
+      StructField("luma_max", LongType, nullable = false),
+      StructField("edge_count", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = JpegCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val img = resizeTo match {
+          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
+          case None => decoded
+        }
+        val f = BmpCodec.features(img)
+        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
+          f.lumaMin, f.lumaMax, f.edgeCount)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Difference-hash fingerprints for JPEG payloads: REAL entropy decode →
+    * nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]] — the
+    * near-dup machinery on the FIFTH container. Lossy formats still dedup
+    * exactly against themselves: identical source pixels encode to
+    * identical bytes, so JPEG twins collide even though a JPEG of the same
+    * pixels as a PNG may not.
+    */
+  def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          JpegCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
         val (bits, ones) = BmpCodec.dHash(img)
         Row(r.getLong(idIdx), bits, ones)
       }

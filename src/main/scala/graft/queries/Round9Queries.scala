@@ -106,6 +106,137 @@ object Round9Queries {
           sum(when(col("_fmt") === "bmp", 1L).otherwise(0L)).as("n_bmp"),
           sum(when(col("_fmt") === "png", 1L).otherwise(0L)).as("n_png"))
         .orderBy("dhash")
+    },
+
+    // JPEG exact features, grayscale: block-constant synthesis → REAL
+    // baseline JPEG encode (Huffman + fixed-point FDCT + Annex-K quant)
+    // → entropy decode + fixed-point IDCT → features, while the oracle
+    // replays the LOSSY round-trip in closed form (every block is
+    // DC-only, so decode = the pinned BIGINT shift chain documented on
+    // JpegCodec.Fix: qdc = (8(v−128)+8)>>4 at Q00=16, then two ×370728
+    // descale stages). The lossy format is still exactly gated — the
+    // oracle computes what the codec MUST lose.
+    Q(
+      "q300_jpeg_gray_features",
+      """WITH blk AS (
+        |  SELECT doc_id, by.by AS by, bx.bx AS bx,
+        |    CAST((doc_id * 29 + by.by * 71 + bx.bx * 113) % 256 AS BIGINT) AS v
+        |  FROM documents,
+        |       unnest(generate_series(0, 1)) AS by(by),
+        |       unnest(generate_series(0, 1)) AS bx(bx)),
+        |dec AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (v - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS rec
+        |  FROM blk),
+        |edges AS (
+        |  SELECT doc_id, by,
+        |    CASE WHEN abs(max(CASE WHEN bx = 1 THEN rec END)
+        |                - max(CASE WHEN bx = 0 THEN rec END)) * 1000 > 50000
+        |         THEN 8 ELSE 0 END AS e
+        |  FROM dec GROUP BY doc_id, by)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height,
+        |  CAST(256 AS BIGINT) AS n_pixels,
+        |  CAST(64 * a.s AS BIGINT) AS sum_r,
+        |  CAST(64 * a.s AS BIGINT) AS sum_g,
+        |  CAST(64 * a.s AS BIGINT) AS sum_b,
+        |  CAST(1000 * a.mn AS BIGINT) AS luma_min,
+        |  CAST(1000 * a.mx AS BIGINT) AS luma_max,
+        |  CAST(e.ec AS BIGINT) AS edge_count
+        |FROM (SELECT doc_id, sum(rec) AS s, min(rec) AS mn, max(rec) AS mx
+        |      FROM dec GROUP BY doc_id) a
+        |JOIN (SELECT doc_id, sum(e) AS ec FROM edges GROUP BY doc_id) e
+        |  ON a.doc_id = e.doc_id
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeJpeg(
+        Tables.load(s, dir, "documents"), "doc_id", grayscale = true)
+      graft.multimodal.Multimodal.extractJpegFeatures(media).orderBy("media_id")
+    },
+
+    // JPEG exact features, YCbCr 4:4:4 color: the same DC-only closed
+    // form run per CHANNEL, composed with the pinned integer BT.601
+    // transforms on both ends (forward in the encoder, inverse in the
+    // decoder — micro-unit floorDiv, replayed here with the +10^12
+    // offset because DuckDB's // truncates while floorDiv floors).
+    // Chroma quantizes at Q00=17 (Annex K), so its qdc needs the
+    // non-power-of-two offset floor-division too.
+    Q(
+      "q301_jpeg_color_features",
+      """WITH blk AS (
+        |  SELECT doc_id, by.by AS by, bx.bx AS bx,
+        |    CAST((doc_id * 19 + by.by * 53 + bx.bx * 101) % 256 AS BIGINT) AS r0,
+        |    CAST((doc_id * 23 + by.by * 59 + bx.bx * 103) % 256 AS BIGINT) AS g0,
+        |    CAST((doc_id * 31 + by.by * 61 + bx.bx * 107) % 256 AS BIGINT) AS b0
+        |  FROM documents,
+        |       unnest(generate_series(0, 1)) AS by(by),
+        |       unnest(generate_series(0, 1)) AS bx(bx)),
+        |ycc AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (299000 * r0 + 587000 * g0 + 114000 * b0 + 500000) // 1000000)) AS yv,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT), 128 +
+        |      ((-168736 * r0 - 331264 * g0 + 500000 * b0 + 500000
+        |        + 1000000000000) // 1000000) - 1000000)) AS cb,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT), 128 +
+        |      ((500000 * r0 - 418688 * g0 - 81312 * b0 + 500000
+        |        + 1000000000000) // 1000000) - 1000000)) AS cr
+        |  FROM blk),
+        |dec AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (yv - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS ry,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((16 * (cb - 128) + 17 + 34000) // 34 - 1000) * 17)
+        |          * 370728 + 2048) >> 12) * 370728 + 134217728) >> 28) + 128)) AS rcb,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((16 * (cr - 128) + 17 + 34000) // 34 - 1000) * 17)
+        |          * 370728 + 2048) >> 12) * 370728 + 134217728) >> 28) + 128)) AS rcr
+        |  FROM ycc),
+        |rgb AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry + 1402000 * (rcr - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS rr,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry - 344136 * (rcb - 128) - 714136 * (rcr - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS gg,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry + 1772000 * (rcb - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS bb
+        |  FROM dec),
+        |lum AS (
+        |  SELECT doc_id, by, bx, rr, gg, bb,
+        |    299 * rr + 587 * gg + 114 * bb AS l
+        |  FROM rgb),
+        |edges AS (
+        |  SELECT doc_id, by,
+        |    CASE WHEN abs(max(CASE WHEN bx = 1 THEN l END)
+        |                - max(CASE WHEN bx = 0 THEN l END)) > 50000
+        |         THEN 8 ELSE 0 END AS e
+        |  FROM lum GROUP BY doc_id, by)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height,
+        |  CAST(256 AS BIGINT) AS n_pixels,
+        |  CAST(64 * a.sr AS BIGINT) AS sum_r,
+        |  CAST(64 * a.sg AS BIGINT) AS sum_g,
+        |  CAST(64 * a.sb AS BIGINT) AS sum_b,
+        |  CAST(a.mn AS BIGINT) AS luma_min,
+        |  CAST(a.mx AS BIGINT) AS luma_max,
+        |  CAST(e.ec AS BIGINT) AS edge_count
+        |FROM (SELECT doc_id, sum(rr) AS sr, sum(gg) AS sg, sum(bb) AS sb,
+        |             min(l) AS mn, max(l) AS mx
+        |      FROM lum GROUP BY doc_id) a
+        |JOIN (SELECT doc_id, sum(e) AS ec FROM edges GROUP BY doc_id) e
+        |  ON a.doc_id = e.doc_id
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeJpeg(
+        Tables.load(s, dir, "documents"), "doc_id", grayscale = false)
+      graft.multimodal.Multimodal.extractJpegFeatures(media).orderBy("media_id")
     }
   )
 }

@@ -1,0 +1,213 @@
+package graft
+
+import graft.multimodal.{JpegCodec, Multimodal}
+
+/** Gates for the pure-JVM baseline JPEG codec: the fixed-point transform's
+  * closed-form DC path (what the q300/q301 oracles replay), real-image
+  * round-trip tolerance, byte stuffing, and loud rejection of everything
+  * the decoder does not support.
+  */
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The q300 oracle's BIGINT shift chain, reimplemented independently:
+    * decode of a DC-only block whose level-shifted constant quantizes at
+    * `q00`. Must equal what the codec's full FDCT → quant → Huffman →
+    * dequant → IDCT pipeline produces for a constant block.
+    */
+  private def closedForm(chan: Int, q00: Int): Int = {
+    val f00 = 8L * (chan - 128)
+    val qdc = Math.floorDiv(2 * f00 + q00, 2L * q00)
+    val g1 = (qdc * q00 * 370728L + 2048L) >> 12
+    val rec = ((g1 * 370728L + (1L << 27)) >> 28) + 128
+    math.max(0L, math.min(255L, rec)).toInt
+  }
+
+  test("Fix: DC basis constant is the oracle's 370728") {
+    assert(JpegCodec.Fix.T00 == 370728L)
+  }
+
+  test("FDCT: every constant block lands exactly on F00 = 8*(v-128), AC quantizes to 0") {
+    val coef = new Array[Long](64)
+    for (v <- 0 until 256) {
+      val samples = Array.fill(64)(v - 128)
+      JpegCodec.Fix.fdct(samples, coef)
+      assert(coef(0) == 8L * (v - 128), s"DC off for v=$v: ${coef(0)}")
+      for (k <- 1 until 64) {
+        // AC must quantize to zero under BOTH Annex-K tables (min Q is 10)
+        assert(math.abs(coef(k)) < 5, s"AC($k) too large for v=$v: ${coef(k)}")
+      }
+    }
+  }
+
+  test("grayscale closed form: decode(encode(constant v)) == oracle chain, all 256 v") {
+    for (v <- 0 until 256) {
+      val px = Array.fill(64)((v << 16) | (v << 8) | v)
+      val img = JpegCodec.decode(JpegCodec.encode(8, 8, px, grayscale = true))
+      assert(img.width == 8 && img.height == 8)
+      val want = closedForm(v, 16)
+      val got = img.pixels(0)
+      assert(img.pixels.forall(_ == got), s"block not constant for v=$v")
+      assert(got == ((want << 16) | (want << 8) | want),
+        f"v=$v: got 0x$got%06X want gray $want")
+    }
+  }
+
+  test("color closed form: YCbCr 4:4:4 constant blocks match the q301 oracle chain") {
+    // deterministic RGB sample sweep, including the channel extremes
+    val rgbs = (0 until 300).map { i =>
+      (((i * 67) % 256), ((i * 131 + 7) % 256), ((i * 251 + 13) % 256))
+    } ++ Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    for ((r, g, b) <- rgbs) {
+      val px = Array.fill(64)((r << 16) | (g << 8) | b)
+      val img = JpegCodec.decode(JpegCodec.encode(8, 8, px))
+      // oracle replay: pinned forward color transform, per-channel DC
+      // chain (Y at Q00=16, chroma at Q00=17), pinned inverse transform
+      def fd(x: Long) = Math.floorDiv(x + 500000L, 1000000L).toInt
+      def cl(x: Int) = math.max(0, math.min(255, x))
+      val y = cl(fd(299000L * r + 587000L * g + 114000L * b))
+      val cb = cl(128 + fd(-168736L * r - 331264L * g + 500000L * b))
+      val cr = cl(128 + fd(500000L * r - 418688L * g - 81312L * b))
+      val ry = closedForm(y, 16)
+      val rcb = closedForm(cb, 17)
+      val rcr = closedForm(cr, 17)
+      val wr = cl(fd(1000000L * ry + 1402000L * (rcr - 128)))
+      val wg = cl(fd(1000000L * ry - 344136L * (rcb - 128) - 714136L * (rcr - 128)))
+      val wb = cl(fd(1000000L * ry + 1772000L * (rcb - 128)))
+      val got = img.pixels(0)
+      assert(img.pixels.forall(_ == got), s"block not constant for rgb=($r,$g,$b)")
+      assert(got == ((wr << 16) | (wg << 8) | wb),
+        f"rgb=($r,$g,$b): got 0x$got%06X want ($wr,$wg,$wb)")
+    }
+  }
+
+  test("smooth gradient round-trips within quantization tolerance (incl. edge padding)") {
+    // 21x13 exercises partial blocks (edge replication) on both axes
+    val w = 21; val h = 13
+    val px = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      val r = math.min(255, 40 + 3 * x + 2 * y)
+      val g = math.min(255, 80 + 2 * x + 4 * y)
+      val b = math.min(255, 120 + x + y)
+      (r << 16) | (g << 8) | b
+    }
+    for (gray <- Seq(true, false)) {
+      val img = JpegCodec.decode(JpegCodec.encode(w, h, px, gray))
+      assert(img.width == w && img.height == h)
+      var maxErr = 0
+      for (i <- 0 until w * h) {
+        val want =
+          if (gray) {
+            val p = px(i)
+            val (yy, _, _) = (Math.floorDiv(
+              299000L * ((p >> 16) & 0xFF) + 587000L * ((p >> 8) & 0xFF) +
+                114000L * (p & 0xFF) + 500000L, 1000000L).toInt, 0, 0)
+            (yy << 16) | (yy << 8) | yy
+          } else px(i)
+        for (sh <- Seq(16, 8, 0)) {
+          val e = math.abs(((img.pixels(i) >> sh) & 0xFF) - ((want >> sh) & 0xFF))
+          maxErr = math.max(maxErr, e)
+        }
+      }
+      assert(maxErr <= 24, s"gray=$gray: max channel error $maxErr over tolerance")
+    }
+  }
+
+  test("encode is deterministic and the entropy stream exercises byte stuffing") {
+    val px = Array.tabulate(256) { i => (i * 7919) % 0x1000000 }
+    val a = JpegCodec.encode(16, 16, px)
+    val b = JpegCodec.encode(16, 16, px)
+    assert(java.util.Arrays.equals(a, b))
+    // a big noise image still decodes (no exactness claim — just that the
+    // real entropy stream parses end to end)
+    val noise = Array.tabulate(64 * 64) { i => (i * 7919) % 0x1000000 }
+    val rt = JpegCodec.decode(JpegCodec.encode(64, 64, noise))
+    assert(rt.width == 64 && rt.height == 64)
+  }
+
+  test("byte stuffing: an all-ones bit pattern stuffs 0xFF00 and unstuffs back") {
+    // drive the bit I/O pair directly — the codec's own Huffman code space
+    // tops out below the all-ones prefixes, so aligned 0xFF bytes are rare
+    // in natural streams; this pins the stuff/unstuff contract itself
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new JpegCodec.BitWriter(bos)
+    w.put(0xFFFF, 16) // two aligned 0xFF bytes -> two stuffed zeros
+    w.put(0x2, 3)
+    w.finish()
+    val bytes = bos.toByteArray
+    assert(bytes.length == 5, bytes.map(b => f"$b%02X").mkString(" "))
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0x00)
+    assert((bytes(2) & 0xFF) == 0xFF && (bytes(3) & 0xFF) == 0x00)
+    val r = new JpegCodec.BitReader(bytes, 0)
+    assert(r.bitsVal(16) == 0xFFFF)
+    assert(r.bitsVal(3) == 0x2)
+    // a stuffed stream with a real marker instead of 0x00 fails loudly
+    val bad = bytes.clone()
+    bad(1) = 0xD9.toByte
+    val rb = new JpegCodec.BitReader(bad, 0)
+    val e = intercept[IllegalArgumentException](rb.bitsVal(16))
+    assert(e.getMessage.contains("marker"))
+  }
+
+  test("unsupported and corrupt payloads fail loudly and typed") {
+    val px = Array.fill(64)(0x336699)
+    val ok = JpegCodec.encode(8, 8, px)
+
+    def expectIae(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](JpegCodec.decode(bytes))
+      assert(e != null, what)
+    }
+    // truncation at every interesting boundary
+    expectIae(ok.take(1), "one byte")
+    expectIae(ok.take(ok.length / 2), "half the file")
+    // mid-entropy truncation: a high-entropy 16x16 has a long scan; cut it
+    val big = JpegCodec.encode(16, 16,
+      Array.tabulate(256)(i => (i * 7919) % 0x1000000))
+    val bigSos = (0 until big.length - 1).indexWhere(j =>
+      (big(j) & 0xFF) == 0xFF && (big(j + 1) & 0xFF) == 0xDA)
+    expectIae(big.take(bigSos + 20), "mid-entropy cut")
+    // not a JPEG at all
+    expectIae("not a jpeg at all".getBytes("US-ASCII"), "junk")
+    // progressive: flip SOF0 -> SOF2
+    val prog = ok.clone()
+    val sof = (0 until prog.length - 1).indexWhere(j =>
+      (prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0)
+    prog(sof + 1) = 0xC2.toByte
+    val pe = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(pe.getMessage.contains("progressive"))
+    // subsampled chroma: craft a color file and flip Y's sampling to 2x2
+    val colorPx = Array.fill(64)(0x884422)
+    val color = JpegCodec.encode(8, 8, colorPx)
+    val sub = color.clone()
+    val csof = (0 until sub.length - 1).indexWhere(j =>
+      (sub(j) & 0xFF) == 0xFF && (sub(j + 1) & 0xFF) == 0xC0)
+    // SOF payload: len(2) precision(1) h(2) w(2) nc(1) then [id, hv, tq]*
+    sub(csof + 2 + 2 + 1 + 4 + 1 + 1) = 0x22.toByte
+    val se = intercept[IllegalArgumentException](JpegCodec.decode(sub))
+    assert(se.getMessage.contains("subsampled"))
+  }
+
+  test("synthesizeJpeg -> extractJpegFeatures: distributed decode matches closed form") {
+    val docs = Seq(3L, 7L, 12L).toDF("doc_id")
+    val gray = Multimodal.extractJpegFeatures(
+      Multimodal.synthesizeJpeg(docs, "doc_id", grayscale = true))
+      .orderBy("media_id").collect()
+    assert(gray.length == 3)
+    for (row <- gray) {
+      val id = row.getLong(0)
+      val recs = for (by <- 0 to 1; bx <- 0 to 1) yield
+        closedForm((((id * 29 + by * 71 + bx * 113) % 256)).toInt, 16)
+      assert(row.getLong(1) == 16 && row.getLong(2) == 16 && row.getLong(3) == 256)
+      assert(row.getLong(4) == 64L * recs.sum, s"sum_r for id=$id")
+      assert(row.getLong(7) == 1000L * recs.min && row.getLong(8) == 1000L * recs.max)
+    }
+  }
+
+  test("extractJpegDHash: identical pixels give identical payloads and hashes") {
+    val docs = Seq(5L, 5L + 256L).toDF("doc_id") // recipes collide mod 256
+    val hashes = Multimodal.extractJpegDHash(
+      Multimodal.synthesizeJpeg(docs, "doc_id", grayscale = true))
+      .select("dhash").distinct().count()
+    assert(hashes == 1, "mod-256 twin payloads must fingerprint identically")
+  }
+}
