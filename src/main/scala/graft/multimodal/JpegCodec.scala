@@ -11,9 +11,11 @@ import java.io.ByteArrayOutputStream
   * integer fixed-point, so a decode is bit-identical on every JVM and the
   * DC-only path has a CLOSED FORM a SQL oracle can replay (see the scale
   * notes on [[Fix]]). Grayscale (1 component) and YCbCr 4:4:4
-  * (3 components, all sampling factors 1×1) are supported; progressive
-  * (SOF2), subsampled chroma, 12-bit precision, restart intervals, and
-  * arithmetic coding are rejected loudly rather than decoded wrong.
+  * (3 components, all sampling factors 1×1) are supported, with DRI
+  * restart intervals (byte-aligned RSTm markers, DC prediction reset —
+  * the error-resilience structure camera JPEGs carry); progressive
+  * (SOF2), subsampled chroma, 12-bit precision, and arithmetic coding
+  * are rejected loudly rather than decoded wrong.
   *
   * The encoder is a real entropy coder, not a fixture: forward fixed-point
   * DCT, Annex-K sample quantization tables, canonical Huffman tables
@@ -316,6 +318,20 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Consume an RSTm marker at an MCU boundary: discard the pad bits of
+      * the current byte, then require exactly 0xFF 0xD0+m — a wrong or
+      * missing restart marker is corruption, not something to resync past.
+      */
+    def restart(m: Int): Unit = {
+      acc = 0L
+      nbits = 0
+      require(pos + 2 <= bytes.length, "truncated JPEG: missing restart marker")
+      val got = ((bytes(pos) & 0xFF) << 8) | (bytes(pos + 1) & 0xFF)
+      require(got == (0xFFD0 | m),
+        f"corrupt JPEG: expected RST$m%d, found 0x$got%04X")
+      pos += 2
+    }
+
     /** T.81 F.2.2.3 DECODE: one Huffman symbol. */
     def symbol(t: HuffTable): Int = {
       var len = 1
@@ -381,10 +397,16 @@ object JpegCodec {
   /** Encode top-down 0xRRGGBB pixels as a baseline JFIF JPEG.
     * `grayscale = true` emits a single-component scan of the pinned
     * integer luma; otherwise three YCbCr 4:4:4 components.
+    * `restartInterval > 0` emits a DRI segment and an RSTm marker after
+    * every that-many MCUs (byte-aligned, DC predictors reset — the
+    * error-resilience structure camera JPEGs carry).
     */
   def encode(
       width: Int, height: Int, pixels: Array[Int],
-      grayscale: Boolean = false): Array[Byte] = {
+      grayscale: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 0xFFFF,
+      s"bad restart interval $restartInterval")
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(width.toLong * height.toLong <= (1L << 26),
       s"JPEG too large: ${width}x$height exceeds 2^26 pixels")
@@ -443,35 +465,40 @@ object JpegCodec {
       c += 1
     }
     sos.write(0); sos.write(63); sos.write(0) // Ss/Se/AhAl (baseline)
+    if (restartInterval > 0) {
+      // DRI precedes SOS per T.81 (applies to the following scans)
+      writeSegment(out, 0xDD, Array[Byte](
+        ((restartInterval >> 8) & 0xFF).toByte, (restartInterval & 0xFF).toByte))
+    }
     writeSegment(out, 0xDA, sos.toByteArray)
 
     // entropy-coded data: for 4:4:4 the MCU is one block per component,
     // interleaved Y, Cb, Cr — encode block-by-block in MCU order
     val bw = (width + 7) / 8; val bh = (height + 7) / 8
     val w = new BitWriter(out)
-    if (grayscale) {
-      val enc = new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w)
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) { enc.block(bx, by); bx += 1 }
-        by += 1
-      }
-    } else {
-      // interleaved: per MCU emit Y block then Cb then Cr, each with its
-      // own DC predictor — do it via per-component block encoders
-      val enc = Array(
+    val enc =
+      if (grayscale)
+        Array(new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w))
+      else Array(
         new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w),
         new PlaneEncoder(cbP, width, height, QChroma, DcChromaTable, AcTable, w),
         new PlaneEncoder(crP, width, height, QChroma, DcChromaTable, AcTable, w))
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          enc(0).block(bx, by); enc(1).block(bx, by); enc(2).block(bx, by)
-          bx += 1
-        }
-        by += 1
+    val totalMcu = bw * bh
+    var mcu = 0
+    var rst = 0
+    while (mcu < totalMcu) {
+      val by = mcu / bw; val bx = mcu % bw
+      var c = 0
+      while (c < enc.length) { enc(c).block(bx, by); c += 1 }
+      mcu += 1
+      if (restartInterval > 0 && mcu % restartInterval == 0 && mcu < totalMcu) {
+        // byte-align with 1-padding, then the bare RSTm marker (m cycles
+        // 0..7); every component's DC predictor resets
+        w.finish()
+        out.write(0xFF); out.write(0xD0 + (rst % 8))
+        rst += 1
+        var k = 0
+        while (k < enc.length) { enc(k).resetPred(); k += 1 }
       }
     }
     w.finish()
@@ -489,6 +516,9 @@ object JpegCodec {
     private val coef = new Array[Long](64)
     private val zz = new Array[Int](64)
     private var pred = 0
+
+    /** restart-marker boundary: DC prediction starts over */
+    def resetPred(): Unit = pred = 0
 
     def block(bx: Int, by: Int): Unit = {
       var j = 0
@@ -530,7 +560,7 @@ object JpegCodec {
 
   /** Parse JPEG bytes into the shared pixel frame; throws
     * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (progressive, subsampled chroma, restart intervals, 12-bit,
+    * faithfully (progressive, subsampled chroma, 12-bit,
     * arithmetic coding, truncation, corrupt Huffman data) — loud beats
     * silent. Grayscale decodes with r = g = b = Y.
     */
@@ -557,6 +587,7 @@ object JpegCodec {
     // per component: (id, quant table id)
     var compQ: Array[Int] = null
     var sofSeen = false
+    var restartInterval = 0 // 0 = disabled (no DRI, or DRI with Ri=0)
 
     def segLen(at: Int): Int = {
       val n = u16(bytes, at)
@@ -628,10 +659,9 @@ object JpegCodec {
           throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
         case x if x >= 0xC3 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
           throw new IllegalArgumentException(f"unsupported SOF marker 0xFF$x%02X")
-        case 0xDD => // DRI
+        case 0xDD => // DRI: restart every Ri MCUs in the following scans
           val n = segLen(pos)
-          val ri = u16(bytes, pos + 2)
-          require(ri == 0, s"restart intervals not supported (Ri=$ri)")
+          restartInterval = u16(bytes, pos + 2)
           pos += n
         case 0xDA => // SOS — decode the scan and finish
           val n = segLen(pos)
@@ -654,7 +684,7 @@ object JpegCodec {
           val scanStart = pos + n
           return decodeScan(
             bytes, scanStart, width, height, nc,
-            compDc, compAc, compQ.map(quantTables(_)))
+            compDc, compAc, compQ.map(quantTables(_)), restartInterval)
         case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
           throw new IllegalArgumentException(
             f"standalone marker 0xFF$x%02X outside a scan")
@@ -671,13 +701,16 @@ object JpegCodec {
       bytes: Array[Byte], start: Int,
       width: Int, height: Int, nc: Int,
       dcT: Array[HuffTable], acT: Array[HuffTable],
-      q: Array[Array[Int]]): BmpCodec.Bmp = {
+      q: Array[Array[Int]], restartInterval: Int): BmpCodec.Bmp = {
     val bw = (width + 7) / 8; val bh = (height + 7) / 8
     val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
     val pred = new Array[Int](nc)
     val coef = new Array[Long](64)
     val block = new Array[Int](64)
     val r = new BitReader(bytes, start)
+    val totalMcu = bw * bh
+    var mcuDone = 0
+    var rst = 0
 
     var by = 0
     while (by < bh) {
@@ -718,6 +751,14 @@ object JpegCodec {
             j += 1
           }
           c += 1
+        }
+        mcuDone += 1
+        if (restartInterval > 0 && mcuDone % restartInterval == 0 &&
+          mcuDone < totalMcu) {
+          // byte-align, require the cycling RSTm, reset all DC predictors
+          r.restart(rst % 8)
+          rst += 1
+          java.util.Arrays.fill(pred, 0)
         }
         bx += 1
       }

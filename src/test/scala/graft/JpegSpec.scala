@@ -187,6 +187,40 @@ class JpegSpec extends SparkSpec {
     assert(se.getMessage.contains("subsampled"))
   }
 
+  test("restart intervals: DRI/RSTm round-trip equals the unrestarted decode") {
+    // 40x16 gray = 10 MCUs; interval 3 -> RST0..RST2 at MCUs 3,6,9
+    val w = 40; val h = 16
+    val px = Array.tabulate(w * h) { i =>
+      val v = (i * 37 + (i / w) * 11) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val plain = JpegCodec.encode(w, h, px, grayscale = true)
+    val restarted = JpegCodec.encode(w, h, px, grayscale = true, restartInterval = 3)
+    assert(!java.util.Arrays.equals(plain, restarted))
+    // the DRI segment and at least one RST marker are really in the bytes
+    def hasMarker(bytes: Array[Byte], m: Int): Boolean =
+      (0 until bytes.length - 1).exists(j =>
+        (bytes(j) & 0xFF) == 0xFF && (bytes(j + 1) & 0xFF) == m)
+    assert(hasMarker(restarted, 0xDD) && hasMarker(restarted, 0xD0))
+    assert(!hasMarker(plain, 0xDD))
+    val a = JpegCodec.decode(plain)
+    val b = JpegCodec.decode(restarted)
+    assert(a.pixels.toSeq == b.pixels.toSeq,
+      "restart markers must not change decoded pixels")
+    // color path too (3 predictors reset per restart)
+    val colorPx = Array.tabulate(w * h)(i => (i * 7919 + 13) % 0x1000000)
+    val ca = JpegCodec.decode(JpegCodec.encode(w, h, colorPx))
+    val cb = JpegCodec.decode(JpegCodec.encode(w, h, colorPx, restartInterval = 2))
+    assert(ca.pixels.toSeq == cb.pixels.toSeq)
+    // a wrong restart index is corruption, not a resync point
+    val bad = restarted.clone()
+    val at = (0 until bad.length - 1).indexWhere(j =>
+      (bad(j) & 0xFF) == 0xFF && (bad(j + 1) & 0xFF) == 0xD0)
+    bad(at + 1) = 0xD5.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("RST"))
+  }
+
   test("synthesizeJpeg -> extractJpegFeatures: distributed decode matches closed form") {
     val docs = Seq(3L, 7L, 12L).toDF("doc_id")
     val gray = Multimodal.extractJpegFeatures(
