@@ -475,6 +475,53 @@ object Stress {
     }
   }
 
+  /** Codec-throughput probe (round-9): encode→decode→featurize volume
+    * runs for the four raster containers through the SAME
+    * one-decoder-per-partition mapPartitions shape — the claim under test
+    * is that media decode is pure per-row task CPU with ZERO shuffle
+    * before the final aggregate (ShuffleMeter rows prove it), so
+    * throughput scales linearly with payload count and executor count.
+    * The 64×64 JPEG run (16× the pixels of the 16×16 one at 1/10 the
+    * rows) pins the per-pixel scaling law for the entropy-coded path.
+    */
+  private def codecScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.multimodal.Multimodal
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val ids = spark.range(200000L).select(col("id").as("doc_id")).persist()
+    time("warmup")(ids.count())
+    time("jpeg_200k_16x16_gray") {
+      Multimodal.extractJpegFeatures(
+        Multimodal.synthesizeJpeg(ids, "doc_id", grayscale = true))
+        .agg(sum("sum_r")).count()
+    }
+    time("jpeg_200k_16x16_color") {
+      Multimodal.extractJpegFeatures(
+        Multimodal.synthesizeJpeg(ids, "doc_id", grayscale = false))
+        .agg(sum("sum_r")).count()
+    }
+    time("png_200k_16x12") {
+      Multimodal.extractPngFeatures(Multimodal.synthesizePng(ids, "doc_id"))
+        .agg(sum("sum_r")).count()
+    }
+    time("gif_200k_16x12") {
+      Multimodal.extractGifFeatures(Multimodal.synthesizeGif(ids, "doc_id"))
+        .agg(sum("sum_r")).count()
+    }
+    time("bmp_200k_16x12") {
+      Multimodal.extractBmpFeatures(Multimodal.synthesizeBmp(ids, "doc_id"))
+        .agg(sum("sum_r")).count()
+    }
+    ids.unpersist()
+    val ids20k = spark.range(20000L).select(col("id").as("doc_id"))
+    time("jpeg_20k_64x64_color") {
+      Multimodal.extractJpegFeatures(
+        Multimodal.synthesizeJpeg(ids20k, "doc_id", grayscale = false,
+          blocksW = 8, blocksH = 8))
+        .agg(sum("sum_r")).count()
+    }
+  }
+
   /** Year-scale operational probe (round-9): ~365 daily single-file
     * appends to ONE snapshot table — the small-file litter a daily-ingest
     * table accumulates in a year — then the maintenance pair the pipeline
@@ -600,6 +647,7 @@ object Stress {
     if (args.contains("graphscale")) { graphScale(spark, meter); spark.stop(); return }
     if (args.contains("yearscale")) { yearScale(spark, meter); spark.stop(); return }
     if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
+    if (args.contains("codecscale")) { codecScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")
