@@ -237,6 +237,59 @@ object Round9Queries {
       val media = graft.multimodal.Multimodal.synthesizeJpeg(
         Tables.load(s, dir, "documents"), "doc_id", grayscale = false)
       graft.multimodal.Multimodal.extractJpegFeatures(media).orderBy("media_id")
+    },
+
+    // JPEG dedup clusters: the q299 fingerprint machinery on the FIFTH
+    // container. 32x32 gray payloads (4x4 blocks, so the dHash space is
+    // rich) decode through the REAL entropy coder and fingerprint via
+    // resize(9x8) -> dHash; mod-256 recipe aliasing collides ids into
+    // clusters. The oracle replays decode (DC closed form per block),
+    // the nearest-neighbor resize (floor-index: bx = 32x//72, by = y//2),
+    // and the horizontal-gradient bits — exact dedup of a LOSSY format,
+    // because identical pixels encode to identical bytes.
+    Q(
+      "q302_jpeg_dedup",
+      """WITH blk AS (
+        |  SELECT doc_id, by.by AS by, bx.bx AS bx,
+        |    CAST((doc_id * 29 + by.by * 71 + bx.bx * 113) % 256 AS BIGINT) AS v
+        |  FROM documents,
+        |       unnest(generate_series(0, 3)) AS by(by),
+        |       unnest(generate_series(0, 3)) AS bx(bx)),
+        |dec AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (v - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS rec
+        |  FROM blk),
+        |grid AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x, d.rec AS l
+        |  FROM dec d,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)
+        |  WHERE d.by = y.y // 2 AND d.bx = (32 * x.x) // 72),
+        |g AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |per AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash
+        |  FROM g GROUP BY doc_id)
+        |SELECT dhash,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM per GROUP BY dhash ORDER BY dhash""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeJpeg(
+        Tables.load(s, dir, "documents"), "doc_id", grayscale = true,
+        blocksW = 4, blocksH = 4)
+      graft.multimodal.Multimodal.extractJpegDHash(media, side = 8)
+        .groupBy("dhash")
+        .agg(
+          count(lit(1)).as("n_media"),
+          min(col("media_id")).as("min_doc"))
+        .orderBy("dhash")
     }
   )
 }

@@ -559,6 +559,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JPEG decode is corruption-contained: any single-byte flip throws typed or decodes dims") {
+    // JPEG carries NO integrity checks (no CRC anywhere in T.81), so a
+    // flipped entropy byte CAN decode silently to wrong pixels — that is
+    // the format, not a codec bug. The property a 100 TB ingest needs is
+    // CONTAINMENT: corruption must never escape as an untyped error
+    // (ArrayIndexOutOfBounds, NegativeArraySize, OOM-sized allocations) or
+    // a malformed frame — every flip either throws
+    // IllegalArgumentException or yields a frame with the declared
+    // dimensions, deterministically.
+    import graft.multimodal.JpegCodec
+    val px = Array.tabulate(16 * 16)(i => (i * 0x030507 + 11) & 0xFFFFFF)
+    val jpg = JpegCodec.encode(16, 16, px)
+    val offsets = samples(Gen.choose(2, jpg.length - 1), 80).distinct
+    for (off <- offsets; bit <- Seq(0x01, 0x80)) {
+      val c = jpg.clone()
+      c(off) = (c(off) ^ bit).toByte
+      try {
+        val a = JpegCodec.decode(c)
+        // a flip in the SOF dimension bytes legitimately changes the
+        // declared dims — containment means the frame is internally
+        // consistent and allocation-bounded, not that dims survive
+        assert(a.pixels.length == a.width * a.height && a.width > 0 && a.height > 0,
+          s"byte $off flip $bit: malformed frame")
+        val b = JpegCodec.decode(c)
+        assert(a.pixels.toSeq == b.pixels.toSeq,
+          s"byte $off flip $bit: nondeterministic decode")
+      } catch {
+        case _: IllegalArgumentException => // loud and typed — also correct
+      }
+    }
+  }
+
   private def editDistance(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
