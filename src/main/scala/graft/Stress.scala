@@ -372,7 +372,7 @@ object Stress {
 
   /** Iterative graph operators on a 2M-edge synthetic graph (200k-node
     * scale-free-ish hub structure + a 100k-node chain so components need
-    * real pointer-doubling depth): absolute wall plus shuffle volumes —
+    * real logarithmic star-alternation depth): absolute wall plus shuffle volumes —
     * the evidence for the round-8 stationary-adjacency / broadcast-rank
     * iteration shapes, and the broadcastRanks A/B at a node count where
     * the choice matters.
@@ -675,8 +675,8 @@ object Stress {
       graft.dedup.DupClusters.components(pairs, "id_a", "id_b").count()
     }
     // worst-case component shape: one 65k-node chain (diameter 65535).
-    // Plain propagation would need 65k rounds; pointer doubling must land
-    // near log2(65535) = 16 (reported as rows= below)
+    // Plain propagation would need 65k rounds; the star alternation must
+    // land near log2(65535) = 16 (reported as rows= below)
     time("components_chain_65k_rounds") {
       val chain = spark.range(65535L)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))

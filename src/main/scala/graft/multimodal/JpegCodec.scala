@@ -10,12 +10,13 @@ import java.io.ByteArrayOutputStream
   * coefficient order, dequantization, and an 8×8 inverse DCT — all of it
   * integer fixed-point, so a decode is bit-identical on every JVM and the
   * DC-only path has a CLOSED FORM a SQL oracle can replay (see the scale
-  * notes on [[Fix]]). Grayscale (1 component) and YCbCr 4:4:4
-  * (3 components, all sampling factors 1×1) are supported, with DRI
-  * restart intervals (byte-aligned RSTm markers, DC prediction reset —
-  * the error-resilience structure camera JPEGs carry); progressive
-  * (SOF2), subsampled chroma, 12-bit precision, and arithmetic coding
-  * are rejected loudly rather than decoded wrong.
+  * notes on [[Fix]]). Grayscale (1 component), YCbCr 4:4:4 (3
+  * components at 1×1), and YCbCr 4:2:0 (Y at 2×2, chroma quarter-sized,
+  * 16×16 MCUs — the layout real camera files carry) are supported, with
+  * DRI restart intervals (byte-aligned RSTm markers, DC prediction
+  * reset); progressive (SOF2), other sampling layouts, 12-bit
+  * precision, and arithmetic coding are rejected loudly rather than
+  * decoded wrong.
   *
   * The encoder is a real entropy coder, not a fixture: forward fixed-point
   * DCT, Annex-K sample quantization tables, canonical Huffman tables
@@ -400,13 +401,19 @@ object JpegCodec {
     * `restartInterval > 0` emits a DRI segment and an RSTm marker after
     * every that-many MCUs (byte-aligned, DC predictors reset — the
     * error-resilience structure camera JPEGs carry).
+    * `subsample420 = true` emits the 4:2:0 layout real camera files use:
+    * Y at 2×2 sampling, chroma downsampled 2× each way (pinned
+    * round-half-up 2×2 average), 16×16-pixel MCUs of 4 Y + Cb + Cr
+    * blocks.
     */
   def encode(
       width: Int, height: Int, pixels: Array[Int],
       grayscale: Boolean = false,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      subsample420: Boolean = false): Array[Byte] = {
     require(restartInterval >= 0 && restartInterval <= 0xFFFF,
       s"bad restart interval $restartInterval")
+    require(!(grayscale && subsample420), "4:2:0 needs chroma components")
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(width.toLong * height.toLong <= (1L << 26),
       s"JPEG too large: ${width}x$height exceeds 2^26 pixels")
@@ -446,7 +453,7 @@ object JpegCodec {
     var c = 0
     while (c < nc) {
       sof.write(c + 1) // component id
-      sof.write(0x11) // 1x1 sampling
+      sof.write(if (subsample420 && c == 0) 0x22 else 0x11) // sampling h|v
       sof.write(if (c == 0) 0 else 1) // quant table id
       c += 1
     }
@@ -472,24 +479,58 @@ object JpegCodec {
     }
     writeSegment(out, 0xDA, sos.toByteArray)
 
-    // entropy-coded data: for 4:4:4 the MCU is one block per component,
-    // interleaved Y, Cb, Cr — encode block-by-block in MCU order
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    // entropy-coded data, interleaved in MCU order: 4:4:4/gray MCUs are
+    // one 8×8 block per component; 4:2:0 MCUs are 16×16 pixels — 4 Y
+    // blocks then the downsampled Cb and Cr blocks
     val w = new BitWriter(out)
     val enc =
       if (grayscale)
         Array(new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w))
-      else Array(
+      else if (!subsample420) Array(
         new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w),
         new PlaneEncoder(cbP, width, height, QChroma, DcChromaTable, AcTable, w),
         new PlaneEncoder(crP, width, height, QChroma, DcChromaTable, AcTable, w))
-    val totalMcu = bw * bh
+      else {
+        // pinned 2×2 round-half-up average, edge-replicated at odd dims —
+        // constant tiles downsample to the constant (the q303 oracle's
+        // exactness hinges on that)
+        val cw = (width + 1) / 2; val ch = (height + 1) / 2
+        def down(src: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { i =>
+          val cy = i / cw; val cx = i % cw
+          var s = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              s += src(math.min(2 * cy + dy, height - 1) * width +
+                math.min(2 * cx + dx, width - 1))
+              dx += 1
+            }
+            dy += 1
+          }
+          (s + 2) / 4
+        }
+        Array(
+          new PlaneEncoder(yP, width, height, QLuma, DcLumaTable, AcTable, w),
+          new PlaneEncoder(down(cbP), cw, ch, QChroma, DcChromaTable, AcTable, w),
+          new PlaneEncoder(down(crP), cw, ch, QChroma, DcChromaTable, AcTable, w))
+      }
+    val mcuCols = if (subsample420) (width + 15) / 16 else (width + 7) / 8
+    val mcuRows = if (subsample420) (height + 15) / 16 else (height + 7) / 8
+    val totalMcu = mcuCols * mcuRows
     var mcu = 0
     var rst = 0
     while (mcu < totalMcu) {
-      val by = mcu / bw; val bx = mcu % bw
-      var c = 0
-      while (c < enc.length) { enc(c).block(bx, by); c += 1 }
+      val my = mcu / mcuCols; val mx = mcu % mcuCols
+      if (subsample420) {
+        // T.81 interleave: Y blocks raster within the MCU, then chroma
+        enc(0).block(2 * mx, 2 * my); enc(0).block(2 * mx + 1, 2 * my)
+        enc(0).block(2 * mx, 2 * my + 1); enc(0).block(2 * mx + 1, 2 * my + 1)
+        enc(1).block(mx, my); enc(2).block(mx, my)
+      } else {
+        var c = 0
+        while (c < enc.length) { enc(c).block(mx, my); c += 1 }
+      }
       mcu += 1
       if (restartInterval > 0 && mcu % restartInterval == 0 && mcu < totalMcu) {
         // byte-align with 1-padding, then the bare RSTm marker (m cycles
@@ -560,7 +601,7 @@ object JpegCodec {
 
   /** Parse JPEG bytes into the shared pixel frame; throws
     * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (progressive, subsampled chroma, 12-bit,
+    * faithfully (progressive, non-4:2:0 subsampling layouts, 12-bit,
     * arithmetic coding, truncation, corrupt Huffman data) — loud beats
     * silent. Grayscale decodes with r = g = b = Y.
     */
@@ -588,6 +629,8 @@ object JpegCodec {
     var compQ: Array[Int] = null
     var sofSeen = false
     var restartInterval = 0 // 0 = disabled (no DRI, or DRI with Ri=0)
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
 
     def segLen(at: Int): Int = {
       val n = u16(bytes, at)
@@ -646,14 +689,25 @@ object JpegCodec {
           nc = bytes(pos + 7) & 0xFF
           require(nc == 1 || nc == 3, s"unsupported component count $nc")
           compQ = new Array[Int](nc)
+          compH = new Array[Int](nc)
+          compV = new Array[Int](nc)
           var c = 0
           while (c < nc) {
             val hv = bytes(pos + 9 + 3 * c) & 0xFF
-            require(hv == 0x11,
-              f"subsampled chroma not supported (sampling 0x$hv%02X)")
+            compH(c) = hv >> 4
+            compV(c) = hv & 0x0F
             compQ(c) = bytes(pos + 10 + 3 * c) & 0x0F
             c += 1
           }
+          // the two layouts real baseline files carry: 1x1 everywhere
+          // (gray / 4:4:4) and 4:2:0 (Y at 2x2, chroma at 1x1)
+          val all11 = (0 until nc).forall(i => compH(i) == 1 && compV(i) == 1)
+          val is420 = nc == 3 &&
+            compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+          require(all11 || is420,
+            s"unsupported sampling layout ${compH.zip(compV).mkString(",")} " +
+              "(gray/4:4:4/4:2:0 only)")
           pos += n
         case 0xC2 =>
           throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
@@ -684,7 +738,8 @@ object JpegCodec {
           val scanStart = pos + n
           return decodeScan(
             bytes, scanStart, width, height, nc,
-            compDc, compAc, compQ.map(quantTables(_)), restartInterval)
+            compDc, compAc, compQ.map(quantTables(_)), compH, compV,
+            restartInterval)
         case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
           throw new IllegalArgumentException(
             f"standalone marker 0xFF$x%02X outside a scan")
@@ -701,54 +756,73 @@ object JpegCodec {
       bytes: Array[Byte], start: Int,
       width: Int, height: Int, nc: Int,
       dcT: Array[HuffTable], acT: Array[HuffTable],
-      q: Array[Array[Int]], restartInterval: Int): BmpCodec.Bmp = {
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
+      q: Array[Array[Int]], compH: Array[Int], compV: Array[Int],
+      restartInterval: Int): BmpCodec.Bmp = {
+    val hMax = compH.max; val vMax = compV.max
+    val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane, padded to whole MCUs at the component's own
+    // sampling resolution (4:2:0 chroma planes are quarter-sized)
+    val planeW = Array.tabulate(nc)(c => mcuCols * 8 * compH(c))
+    val planes = Array.tabulate(nc)(c =>
+      new Array[Int](planeW(c) * mcuRows * 8 * compV(c)))
     val pred = new Array[Int](nc)
     val coef = new Array[Long](64)
     val block = new Array[Int](64)
     val r = new BitReader(bytes, start)
-    val totalMcu = bw * bh
+    val totalMcu = mcuRows * mcuCols
     var mcuDone = 0
     var rst = 0
 
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
         var c = 0
         while (c < nc) {
-          java.util.Arrays.fill(coef, 0L)
-          // DC
-          val s = r.symbol(dcT(c))
-          require(s <= 11, s"corrupt JPEG: DC size $s")
-          pred(c) += extend(r.bitsVal(s), s)
-          coef(0) = pred(c).toLong * q(c)(0)
-          // AC
-          var k = 1
-          while (k < 64) {
-            val rs = r.symbol(acT(c))
-            val run = rs >> 4
-            val size = rs & 0x0F
-            if (size == 0) {
-              if (rs == 0x00) k = 64 // EOB
-              else if (rs == 0xF0) k += 16 // ZRL
-              else throw new IllegalArgumentException(
-                f"corrupt JPEG: bad AC symbol 0x$rs%02X")
-            } else {
-              k += run
-              require(k < 64, "corrupt JPEG: AC run past block end")
-              val v = extend(r.bitsVal(size), size)
-              coef(Zigzag(k)) = v.toLong * q(c)(Zigzag(k))
-              k += 1
+          // component c contributes compH(c)×compV(c) blocks per MCU,
+          // raster order within the MCU (T.81 interleave)
+          var by2 = 0
+          while (by2 < compV(c)) {
+            var bx2 = 0
+            while (bx2 < compH(c)) {
+              java.util.Arrays.fill(coef, 0L)
+              // DC
+              val s = r.symbol(dcT(c))
+              require(s <= 11, s"corrupt JPEG: DC size $s")
+              pred(c) += extend(r.bitsVal(s), s)
+              coef(0) = pred(c).toLong * q(c)(0)
+              // AC
+              var k = 1
+              while (k < 64) {
+                val rs = r.symbol(acT(c))
+                val run = rs >> 4
+                val size = rs & 0x0F
+                if (size == 0) {
+                  if (rs == 0x00) k = 64 // EOB
+                  else if (rs == 0xF0) k += 16 // ZRL
+                  else throw new IllegalArgumentException(
+                    f"corrupt JPEG: bad AC symbol 0x$rs%02X")
+                } else {
+                  k += run
+                  require(k < 64, "corrupt JPEG: AC run past block end")
+                  val v = extend(r.bitsVal(size), size)
+                  coef(Zigzag(k)) = v.toLong * q(c)(Zigzag(k))
+                  k += 1
+                }
+              }
+              Fix.idct(coef, block)
+              val plane = planes(c)
+              val rowBase = (my * compV(c) + by2) * 8
+              val colBase = (mx * compH(c) + bx2) * 8
+              var j = 0
+              while (j < 64) {
+                plane((rowBase + j / 8) * planeW(c) + colBase + j % 8) = block(j)
+                j += 1
+              }
+              bx2 += 1
             }
-          }
-          Fix.idct(coef, block)
-          val plane = planes(c)
-          var j = 0
-          while (j < 64) {
-            plane((by * 8 + j / 8) * bw * 8 + bx * 8 + j % 8) = block(j)
-            j += 1
+            by2 += 1
           }
           c += 1
         }
@@ -760,26 +834,31 @@ object JpegCodec {
           rst += 1
           java.util.Arrays.fill(pred, 0)
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
 
+    // component sample for output pixel (x, y) sits at the component's
+    // own resolution: (x·h/hMax, y·v/vMax) — identity for 1x1 layouts,
+    // nearest (replicated) upsampling for 4:2:0 chroma
     val pixels = new Array[Int](width * height)
-    val stride = bw * 8
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val p =
           if (nc == 1) {
-            val v = planes(0)(y * stride + x)
+            val v = planes(0)(y * planeW(0) + x)
             (v << 16) | (v << 8) | v
           } else {
-            val (rr, gg, bb) = yccToRgb(
-              planes(0)(y * stride + x),
-              planes(1)(y * stride + x),
-              planes(2)(y * stride + x))
+            val yv = planes(0)(
+              (y * compV(0) / vMax) * planeW(0) + x * compH(0) / hMax)
+            val cb = planes(1)(
+              (y * compV(1) / vMax) * planeW(1) + x * compH(1) / hMax)
+            val cr = planes(2)(
+              (y * compV(2) / vMax) * planeW(2) + x * compH(2) / hMax)
+            val (rr, gg, bb) = yccToRgb(yv, cb, cr)
             (rr << 16) | (gg << 8) | bb
           }
         pixels(y * width + x) = p

@@ -589,15 +589,20 @@ object Multimodal {
       idCol: String,
       grayscale: Boolean,
       blocksW: Int = 2,
-      blocksH: Int = 2): DataFrame = {
+      blocksH: Int = 2,
+      subsample420: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val w = blocksW * 8; val h = blocksH * 8
+    // 4:2:0 constants must hold per 16×16 MCU (so the downsampled chroma
+    // block is constant too — DC-only on every component); 4:4:4/gray per
+    // 8×8 block
+    val tile = if (subsample420) 16 else 8
+    val w = blocksW * tile; val h = blocksH * tile
     val ids = df.select(col(idCol).cast("long").as("media_id"))
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val pixels = Array.tabulate(w * h) { i =>
-          val by = (i / w) / 8; val bx = (i % w) / 8
+          val by = (i / w) / tile; val bx = (i % w) / tile
           if (grayscale) {
             val v = ((id * 29L + by * 71L + bx * 113L) % 256L).toInt
             (v << 16) | (v << 8) | v
@@ -608,7 +613,8 @@ object Multimodal {
             (pr << 16) | (pg << 8) | pb
           }
         }
-        val payload = JpegCodec.encode(w, h, pixels, grayscale)
+        val payload =
+          JpegCodec.encode(w, h, pixels, grayscale, subsample420 = subsample420)
         Row(id, payload, Row("image", "jpeg", w, h, null))
       }
     }

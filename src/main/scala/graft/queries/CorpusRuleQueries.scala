@@ -699,7 +699,7 @@ object CorpusRuleQueries {
     },
 
     // Connected-component census of the bigram graph
-    // (DupClusters.components — the pointer-doubled min-label fixpoint):
+    // (DupClusters.components — hash-remapped star alternation):
     // component count, node count, largest/smallest size — the "is this
     // graph one blob or many islands" health readout. The oracle computes
     // the same partition by recursive reachability closure + min-root.

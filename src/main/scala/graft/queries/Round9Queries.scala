@@ -290,6 +290,91 @@ object Round9Queries {
           count(lit(1)).as("n_media"),
           min(col("media_id")).as("min_doc"))
         .orderBy("dhash")
+    },
+
+    // JPEG 4:2:0 exact features: the sampling layout real camera files
+    // carry — Y at 2x2, chroma downsampled 2x each way, 16x16 MCUs of
+    // 4 Y + Cb + Cr blocks. Synthesis is constant per MCU TILE, so the
+    // downsampled chroma block is constant too (the pinned 2x2 average
+    // of a constant is the constant) and every component stays DC-only:
+    // the SAME per-channel closed form as q301 (Y at Q00=16, chroma at
+    // Q00=17), now composed with real subsampled interleave on the
+    // Spark side and nearest chroma upsampling in the decoder.
+    Q(
+      "q303_jpeg420_features",
+      """WITH blk AS (
+        |  SELECT doc_id, by.by AS by, bx.bx AS bx,
+        |    CAST((doc_id * 19 + by.by * 53 + bx.bx * 101) % 256 AS BIGINT) AS r0,
+        |    CAST((doc_id * 23 + by.by * 59 + bx.bx * 103) % 256 AS BIGINT) AS g0,
+        |    CAST((doc_id * 31 + by.by * 61 + bx.bx * 107) % 256 AS BIGINT) AS b0
+        |  FROM documents,
+        |       unnest(generate_series(0, 1)) AS by(by),
+        |       unnest(generate_series(0, 1)) AS bx(bx)),
+        |ycc AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (299000 * r0 + 587000 * g0 + 114000 * b0 + 500000) // 1000000)) AS yv,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT), 128 +
+        |      ((-168736 * r0 - 331264 * g0 + 500000 * b0 + 500000
+        |        + 1000000000000) // 1000000) - 1000000)) AS cb,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT), 128 +
+        |      ((500000 * r0 - 418688 * g0 - 81312 * b0 + 500000
+        |        + 1000000000000) // 1000000) - 1000000)) AS cr
+        |  FROM blk),
+        |dec AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (yv - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS ry,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      ((((((((16 * (cb - 128) + 17 + 34000) // 34 - 1000) * 17)
+        |          * 370728 + 2048) >> 12) * 370728 + 134217728) >> 28) + 128))) AS rcb,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      ((((((((16 * (cr - 128) + 17 + 34000) // 34 - 1000) * 17)
+        |          * 370728 + 2048) >> 12) * 370728 + 134217728) >> 28) + 128))) AS rcr
+        |  FROM ycc),
+        |rgb AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry + 1402000 * (rcr - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS rr,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry - 344136 * (rcb - 128) - 714136 * (rcr - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS gg,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (1000000 * ry + 1772000 * (rcb - 128) + 500000
+        |        + 1000000000000) // 1000000 - 1000000)) AS bb
+        |  FROM dec),
+        |lum AS (
+        |  SELECT doc_id, by, bx, rr, gg, bb,
+        |    299 * rr + 587 * gg + 114 * bb AS l
+        |  FROM rgb),
+        |edges AS (
+        |  SELECT doc_id, by,
+        |    CASE WHEN abs(max(CASE WHEN bx = 1 THEN l END)
+        |                - max(CASE WHEN bx = 0 THEN l END)) > 50000
+        |         THEN 16 ELSE 0 END AS e
+        |  FROM lum GROUP BY doc_id, by)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(32 AS BIGINT) AS width,
+        |  CAST(32 AS BIGINT) AS height,
+        |  CAST(1024 AS BIGINT) AS n_pixels,
+        |  CAST(256 * a.sr AS BIGINT) AS sum_r,
+        |  CAST(256 * a.sg AS BIGINT) AS sum_g,
+        |  CAST(256 * a.sb AS BIGINT) AS sum_b,
+        |  CAST(a.mn AS BIGINT) AS luma_min,
+        |  CAST(a.mx AS BIGINT) AS luma_max,
+        |  CAST(e.ec AS BIGINT) AS edge_count
+        |FROM (SELECT doc_id, sum(rr) AS sr, sum(gg) AS sg, sum(bb) AS sb,
+        |             min(l) AS mn, max(l) AS mx
+        |      FROM lum GROUP BY doc_id) a
+        |JOIN (SELECT doc_id, sum(e) AS ec FROM edges GROUP BY doc_id) e
+        |  ON a.doc_id = e.doc_id
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeJpeg(
+        Tables.load(s, dir, "documents"), "doc_id", grayscale = false,
+        subsample420 = true)
+      graft.multimodal.Multimodal.extractJpegFeatures(media).orderBy("media_id")
     }
   )
 }

@@ -175,16 +175,78 @@ class JpegSpec extends SparkSpec {
     prog(sof + 1) = 0xC2.toByte
     val pe = intercept[IllegalArgumentException](JpegCodec.decode(prog))
     assert(pe.getMessage.contains("progressive"))
-    // subsampled chroma: craft a color file and flip Y's sampling to 2x2
+    // unsupported sampling layout: craft a color file and flip Y's
+    // sampling to 2x1 (4:2:2 — neither 1x1-everywhere nor 4:2:0)
     val colorPx = Array.fill(64)(0x884422)
     val color = JpegCodec.encode(8, 8, colorPx)
     val sub = color.clone()
     val csof = (0 until sub.length - 1).indexWhere(j =>
       (sub(j) & 0xFF) == 0xFF && (sub(j + 1) & 0xFF) == 0xC0)
     // SOF payload: len(2) precision(1) h(2) w(2) nc(1) then [id, hv, tq]*
-    sub(csof + 2 + 2 + 1 + 4 + 1 + 1) = 0x22.toByte
+    sub(csof + 2 + 2 + 1 + 4 + 1 + 1) = 0x21.toByte
     val se = intercept[IllegalArgumentException](JpegCodec.decode(sub))
-    assert(se.getMessage.contains("subsampled"))
+    assert(se.getMessage.contains("sampling"))
+  }
+
+  test("4:2:0 closed form: MCU-constant tiles match the q301 per-channel chain") {
+    // constant 16x16 MCU: 4 constant Y blocks; the pinned 2x2 chroma
+    // average of a constant is the constant, so chroma is DC-only too —
+    // the decode must land exactly where 4:4:4 does for the same color
+    val rgbs = (0 until 120).map { i =>
+      (((i * 67) % 256), ((i * 131 + 7) % 256), ((i * 251 + 13) % 256))
+    } ++ Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    for ((r, g, b) <- rgbs) {
+      val px = Array.fill(16 * 16)((r << 16) | (g << 8) | b)
+      val img = JpegCodec.decode(
+        JpegCodec.encode(16, 16, px, subsample420 = true))
+      assert(img.width == 16 && img.height == 16)
+      def fd(x: Long) = Math.floorDiv(x + 500000L, 1000000L).toInt
+      def cl(x: Int) = math.max(0, math.min(255, x))
+      val y = cl(fd(299000L * r + 587000L * g + 114000L * b))
+      val cb = cl(128 + fd(-168736L * r - 331264L * g + 500000L * b))
+      val cr = cl(128 + fd(500000L * r - 418688L * g - 81312L * b))
+      val ry = closedForm(y, 16)
+      val rcb = closedForm(cb, 17)
+      val rcr = closedForm(cr, 17)
+      val wr = cl(fd(1000000L * ry + 1402000L * (rcr - 128)))
+      val wg = cl(fd(1000000L * ry - 344136L * (rcb - 128) - 714136L * (rcr - 128)))
+      val wb = cl(fd(1000000L * ry + 1772000L * (rcb - 128)))
+      val got = img.pixels(0)
+      assert(img.pixels.forall(_ == got), s"MCU not constant for rgb=($r,$g,$b)")
+      assert(got == ((wr << 16) | (wg << 8) | wb),
+        f"rgb=($r,$g,$b): got 0x$got%06X want ($wr,$wg,$wb)")
+    }
+  }
+
+  test("4:2:0 general images: smooth gradient tolerance, odd dims, restarts compose") {
+    val w = 37; val h = 21 // odd dims: replicated chroma edges + partial MCUs
+    val px = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      val r = math.min(255, 40 + 3 * x + 2 * y)
+      val g = math.min(255, 80 + 2 * x + 4 * y)
+      val b = math.min(255, 120 + x + y)
+      (r << 16) | (g << 8) | b
+    }
+    val img = JpegCodec.decode(JpegCodec.encode(w, h, px, subsample420 = true))
+    assert(img.width == w && img.height == h)
+    var maxErr = 0
+    for (i <- 0 until w * h; sh <- Seq(16, 8, 0)) {
+      maxErr = math.max(maxErr,
+        math.abs(((img.pixels(i) >> sh) & 0xFF) - ((px(i) >> sh) & 0xFF)))
+    }
+    assert(maxErr <= 32, s"4:2:0 max channel error $maxErr over tolerance")
+    // restart markers on the subsampled layout change bytes, not pixels
+    val rt = JpegCodec.decode(
+      JpegCodec.encode(w, h, px, subsample420 = true, restartInterval = 2))
+    assert(rt.pixels.toSeq == img.pixels.toSeq)
+    // an unsupported layout (2x1) still fails loudly
+    val f = JpegCodec.encode(16, 16, px.take(256), subsample420 = true)
+    val sof = (0 until f.length - 1).indexWhere(j =>
+      (f(j) & 0xFF) == 0xFF && (f(j + 1) & 0xFF) == 0xC0)
+    val bad = f.clone()
+    bad(sof + 11) = 0x21.toByte // Y sampling 2x2 -> 2x1
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("sampling"))
   }
 
   test("restart intervals: DRI/RSTm round-trip equals the unrestarted decode") {
