@@ -599,6 +599,47 @@ object JpegCodec {
 
   // ----------------------------------------------------------------- decode
 
+  /** Header-only sniff: walk markers to SOF and return
+    * (width, height, components) WITHOUT touching the entropy stream —
+    * the O(header) metadata probe a media pipeline filters on before
+    * paying for a decode (dimension gates, aspect filters, meta-vs-bytes
+    * consistency checks). Accepts any SOF0/SOF1 frame header, including
+    * layouts [[decode]] would reject — sniffing is cheaper than decoding
+    * and deliberately laxer. Throws IllegalArgumentException on
+    * non-JPEG/truncated input.
+    */
+  def dims(bytes: Array[Byte]): (Int, Int, Int) =
+    try dims0(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("truncated JPEG: segment walk past end")
+    }
+
+  private def dims0(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes != null && bytes.length >= 4, "not a JPEG: too short")
+    require((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8,
+      "not a JPEG: missing SOI")
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xFF) == 0xFF, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xFF
+      pos += 2
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        // any SOFn carries the same frame-header prefix
+        require(pos + 8 <= bytes.length, "truncated SOF")
+        return (u16(bytes, pos + 5), u16(bytes, pos + 3), bytes(pos + 7) & 0xFF)
+      }
+      if (m == 0xD9 || m == 0xDA)
+        throw new IllegalArgumentException("JPEG has no frame header before scan/EOI")
+      require(m != 0x01 && !(m >= 0xD0 && m <= 0xD7),
+        f"standalone marker 0xFF$m%02X outside a scan")
+      val n = u16(bytes, pos)
+      require(n >= 2 && pos + n <= bytes.length, s"truncated JPEG segment at $pos")
+      pos += n
+    }
+    throw new IllegalArgumentException("truncated JPEG: no SOF marker")
+  }
+
   /** Parse JPEG bytes into the shared pixel frame; throws
     * IllegalArgumentException on anything this decoder cannot represent
     * faithfully (progressive, non-4:2:0 subsampling layouts, 12-bit,

@@ -685,6 +685,36 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
+    * walks markers to SOF without touching the entropy stream — O(header)
+    * per row vs O(pixels) for a decode, the probe a media pipeline
+    * filters on BEFORE paying for decode. `meta_match` flags rows whose
+    * declared metadata disagrees with the bytes (crawled corpora lie) —
+    * the media twin of the schema-validation story.
+    */
+  def sniffJpegDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sniff_width", LongType, nullable = false),
+      StructField("sniff_height", LongType, nullable = false),
+      StructField("n_components", LongType, nullable = false),
+      StructField("meta_match", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, nc) = JpegCodec.dims(r.getAs[Array[Byte]](payloadIdx))
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val ok = meta != null && !meta.isNullAt(2) && !meta.isNullAt(3) &&
+          meta.getInt(2) == w && meta.getInt(3) == h
+        Row(r.getLong(idIdx), w.toLong, h.toLong, nc.toLong, ok)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed decode+featurize: one decoder per PARTITION (not per row) —
     * the mapPartitions batch shape that amortizes model/codec setup, the
     * Scala analog of a pandas-batch UDF.

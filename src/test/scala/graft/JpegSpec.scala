@@ -299,6 +299,40 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("dims: header-only sniff reads SOF without decoding, flags lying metadata") {
+    val px = Array.tabulate(16 * 16)(i => (i * 7919) % 0x1000000)
+    val jpg = JpegCodec.encode(16, 16, px)
+    assert(JpegCodec.dims(jpg) == ((16, 16, 3)))
+    val gray = JpegCodec.encode(16, 16, px, grayscale = true)
+    assert(JpegCodec.dims(gray) == ((16, 16, 1)))
+    // sniff is deliberately laxer than decode: a progressive SOF2 still
+    // sniffs (dims live in the same frame-header layout)
+    val prog = jpg.clone()
+    val sof = (0 until prog.length - 1).indexWhere(j =>
+      (prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0)
+    prog(sof + 1) = 0xC2.toByte
+    assert(JpegCodec.dims(prog) == ((16, 16, 3)))
+    intercept[IllegalArgumentException](JpegCodec.dims(jpg.take(sof)))
+    intercept[IllegalArgumentException](JpegCodec.dims("junk".getBytes))
+    // the distributed sniff: bytes win over metadata, lying meta flagged
+    val media = Multimodal.synthesizeJpeg(Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      grayscale = false)
+    val lied = media.withColumn("meta",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("media_id") === 2L,
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("image").as("modality"),
+          org.apache.spark.sql.functions.lit("jpeg").as("format"),
+          org.apache.spark.sql.functions.lit(999).as("width"),
+          org.apache.spark.sql.functions.lit(16).as("height"),
+          org.apache.spark.sql.functions.lit(null).cast("long").as("duration_ms")))
+        .otherwise(org.apache.spark.sql.functions.col("meta")))
+    val out = Multimodal.sniffJpegDims(lied).orderBy("media_id").collect()
+    assert(out(0).getLong(1) == 16 && out(0).getLong(2) == 16 &&
+      out(0).getLong(3) == 3 && out(0).getBoolean(4))
+    assert(out(1).getLong(1) == 16 && !out(1).getBoolean(4))
+  }
+
   test("extractJpegDHash: identical pixels give identical payloads and hashes") {
     val docs = Seq(5L, 5L + 256L).toDF("doc_id") // recipes collide mod 256
     val hashes = Multimodal.extractJpegDHash(
