@@ -500,6 +500,14 @@ object Stress {
         Multimodal.synthesizeJpeg(ids, "doc_id", grayscale = false))
         .agg(sum("sum_r")).count()
     }
+    // same pixel count through 4:2:0: 6 blocks per 16x16 MCU instead of
+    // 4:4:4's 12 — the chroma-resolution saving camera files bank on
+    time("jpeg420_200k_16x16_color") {
+      Multimodal.extractJpegFeatures(
+        Multimodal.synthesizeJpeg(ids, "doc_id", grayscale = false,
+          blocksW = 1, blocksH = 1, subsample420 = true))
+        .agg(sum("sum_r")).count()
+    }
     time("png_200k_16x12") {
       Multimodal.extractPngFeatures(Multimodal.synthesizePng(ids, "doc_id"))
         .agg(sum("sum_r")).count()
