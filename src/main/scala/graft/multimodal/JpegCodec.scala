@@ -44,8 +44,12 @@ object JpegCodec {
     * `>>`), which makes the whole transform integer-deterministic:
     *
     *  - inverse: `G1 = (Σ_u F(u)·T(u)(x) + 2^11) >> 12` (scale 2^8), then
-    *    `out = ((Σ_v G1(v)·T(v)(y) + 2^27) >> 28) + 128`, clamped. Worst-
-    *    case |acc| stays under 2^54 even for adversarial coefficients.
+    *    `out = ((Σ_v G1(v)·T(v)(y) + 2^27) >> 28) + 128`, clamped. |acc|
+    *    stays under 2^54 because the SCAN bounds every dequantized
+    *    coefficient: the DC predictor is required within ±2048 and AC
+    *    categories within size ≤ 10, so |coef| ≤ 2048·255 < 2^20 — a
+    *    crafted stream that would overflow the accumulators fails loudly
+    *    at those requires instead.
     *  - forward: `P = (Σ_x f(x)·T(u)(x) + 2^7) >> 8` (scale 2^12), then
     *    `F = (Σ_y P(y)·T(u)(y) + 2^31) >> 32` — an integer coefficient.
     *
@@ -832,6 +836,15 @@ object JpegCodec {
               val s = r.symbol(dcT(c))
               require(s <= 11, s"corrupt JPEG: DC size $s")
               pred(c) += extend(r.bitsVal(s), s)
+              // a legit 8-bit stream keeps the cumulative DC in
+              // [-1024, 1016] at ANY quantizer (F00 = 8·mean of
+              // level-shifted samples); 2048 is generous slack. Without
+              // this, a crafted max-diff stream over ~10^6 blocks wraps
+              // the Int predictor and overflows the IDCT's Long
+              // accumulator into silent garbage — the containment
+              // contract says corruption fails LOUDLY instead.
+              require(math.abs(pred(c)) <= 2048,
+                s"corrupt JPEG: DC predictor ${pred(c)} out of 8-bit range")
               coef(0) = pred(c).toLong * q(c)(0)
               // AC
               var k = 1
@@ -841,10 +854,15 @@ object JpegCodec {
                 val size = rs & 0x0F
                 if (size == 0) {
                   if (rs == 0x00) k = 64 // EOB
-                  else if (rs == 0xF0) k += 16 // ZRL
-                  else throw new IllegalArgumentException(
+                  else if (rs == 0xF0) {
+                    k += 16 // ZRL: sixteen zeros (landing exactly on 64 is legal)
+                    require(k <= 64, "corrupt JPEG: ZRL past block end")
+                  } else throw new IllegalArgumentException(
                     f"corrupt JPEG: bad AC symbol 0x$rs%02X")
                 } else {
+                  // 8-bit baseline AC categories stop at 10 (T.81 F.1.2.2);
+                  // 11-15 would feed ±32767 coefficients into the IDCT
+                  require(size <= 10, s"corrupt JPEG: AC size $size")
                   k += run
                   require(k < 64, "corrupt JPEG: AC run past block end")
                   val v = extend(r.bitsVal(size), size)

@@ -156,16 +156,16 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
-  /** REAL decode+featurize for `format = 'bmp'` payloads — same
-    * one-decoder-per-partition batch shape as [[extractWavFeatures]].
-    * `resizeTo = Some((w, h))` inserts the nearest-neighbor resize verb
-    * ([[BmpCodec.resizeNearest]]) between decode and featurize — the
-    * decode → resize → extract pipeline of a thumbnailing/training-data
-    * image stage.
+  /** ONE pixel contract, N containers: every raster codec decodes into
+    * [[BmpCodec.Bmp]], so decode→(resize)→featurize and decode→resize→
+    * dHash are the same body with a different `decode` — these two
+    * helpers are that body (the per-format public verbs keep their names
+    * and docs; a schema or plumbing fix lands once, not five times).
     */
-  def extractBmpFeatures(
+  private def extractPixelFeatures(
       media: DataFrame,
-      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+      decode: Array[Byte] => BmpCodec.Bmp,
+      resizeTo: Option[(Int, Int)]): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -182,7 +182,7 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val decoded = decode(r.getAs[Array[Byte]](payloadIdx))
         val img = resizeTo match {
           case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
           case None => decoded
@@ -194,6 +194,40 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  private def extractDHashWith(
+      media: DataFrame,
+      decode: Array[Byte] => BmpCodec.Bmp,
+      side: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = BmpCodec.resizeNearest(
+          decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL decode+featurize for `format = 'bmp'` payloads — same
+    * one-decoder-per-partition batch shape as [[extractWavFeatures]].
+    * `resizeTo = Some((w, h))` inserts the nearest-neighbor resize verb
+    * ([[BmpCodec.resizeNearest]]) between decode and featurize — the
+    * decode → resize → extract pipeline of a thumbnailing/training-data
+    * image stage.
+    */
+  def extractBmpFeatures(
+      media: DataFrame,
+      resizeTo: Option[(Int, Int)] = None): DataFrame =
+    extractPixelFeatures(media, BmpCodec.decode _, resizeTo)
 
   /** REAL decode+featurize for `format = 'wav'` payloads: parses the RIFF
     * container and 16-bit PCM per row ([[WavCodec.decode]]) inside the same
@@ -258,24 +292,8 @@ object Multimodal {
     * brightness-shift-robust sibling of [[extractBmpAHash]], same
     * one-decoder-per-partition batch shape.
     */
-  def extractBmpDHash(media: DataFrame, side: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("dhash", StringType, nullable = false),
-      StructField("n_ones", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val img = BmpCodec.resizeNearest(
-          BmpCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
-        val (bits, ones) = BmpCodec.dHash(img)
-        Row(r.getLong(idIdx), bits, ones)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractBmpDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractDHashWith(media, BmpCodec.decode _, side)
 
   /** Frame-grain audio features: REAL decode → [[WavCodec.frameFeatures]]
     * (per-frame zero crossings + Σv², exact integers) — one output row per
@@ -394,35 +412,8 @@ object Multimodal {
     */
   def extractGifFeatures(
       media: DataFrame,
-      resizeTo: Option[(Int, Int)] = None): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("n_pixels", LongType, nullable = false),
-      StructField("sum_r", LongType, nullable = false),
-      StructField("sum_g", LongType, nullable = false),
-      StructField("sum_b", LongType, nullable = false),
-      StructField("luma_min", LongType, nullable = false),
-      StructField("luma_max", LongType, nullable = false),
-      StructField("edge_count", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val decoded = GifCodec.decode(r.getAs[Array[Byte]](payloadIdx))
-        val img = resizeTo match {
-          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
-          case None => decoded
-        }
-        val f = BmpCodec.features(img)
-        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
-          f.lumaMin, f.lumaMax, f.edgeCount)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      resizeTo: Option[(Int, Int)] = None): DataFrame =
+    extractPixelFeatures(media, GifCodec.decode _, resizeTo)
 
   /** Difference-hash fingerprints for GIF payloads: REAL LZW decode →
     * nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]] — the
@@ -430,24 +421,8 @@ object Multimodal {
     * third container; equal hashes are candidate duplicate images across
     * FORMATS too (a GIF and a BMP of the same pixels hash identically).
     */
-  def extractGifDHash(media: DataFrame, side: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("dhash", StringType, nullable = false),
-      StructField("n_ones", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val img = BmpCodec.resizeNearest(
-          GifCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
-        val (bits, ones) = BmpCodec.dHash(img)
-        Row(r.getLong(idIdx), bits, ones)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractGifDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractDHashWith(media, GifCodec.decode _, side)
 
   /** Deterministic synthetic PNG payloads (16×12 8-bit truecolor by
     * default): channel recipe pr = (id·37+y·5+x·11) mod 256,
@@ -517,59 +492,16 @@ object Multimodal {
     */
   def extractPngFeatures(
       media: DataFrame,
-      resizeTo: Option[(Int, Int)] = None): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("n_pixels", LongType, nullable = false),
-      StructField("sum_r", LongType, nullable = false),
-      StructField("sum_g", LongType, nullable = false),
-      StructField("sum_b", LongType, nullable = false),
-      StructField("luma_min", LongType, nullable = false),
-      StructField("luma_max", LongType, nullable = false),
-      StructField("edge_count", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val decoded = PngCodec.decode(r.getAs[Array[Byte]](payloadIdx))
-        val img = resizeTo match {
-          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
-          case None => decoded
-        }
-        val f = BmpCodec.features(img)
-        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
-          f.lumaMin, f.lumaMax, f.edgeCount)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      resizeTo: Option[(Int, Int)] = None): DataFrame =
+    extractPixelFeatures(media, PngCodec.decode _, resizeTo)
 
   /** Difference-hash fingerprints for PNG payloads: REAL inflate+unfilter
     * decode → nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]]
     * — [[extractBmpDHash]]/[[extractGifDHash]]'s machinery on the fourth
     * container; equal hashes mark candidate duplicates across FORMATS.
     */
-  def extractPngDHash(media: DataFrame, side: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("dhash", StringType, nullable = false),
-      StructField("n_ones", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val img = BmpCodec.resizeNearest(
-          PngCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
-        val (bits, ones) = BmpCodec.dHash(img)
-        Row(r.getLong(idIdx), bits, ones)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractPngDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractDHashWith(media, PngCodec.decode _, side)
 
   /** Deterministic synthetic JPEG payloads, built BLOCK-CONSTANT so the
     * lossy round-trip has a closed form: the image is a `bw`×`bh` grid of
@@ -629,35 +561,8 @@ object Multimodal {
     */
   def extractJpegFeatures(
       media: DataFrame,
-      resizeTo: Option[(Int, Int)] = None): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("n_pixels", LongType, nullable = false),
-      StructField("sum_r", LongType, nullable = false),
-      StructField("sum_g", LongType, nullable = false),
-      StructField("sum_b", LongType, nullable = false),
-      StructField("luma_min", LongType, nullable = false),
-      StructField("luma_max", LongType, nullable = false),
-      StructField("edge_count", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val decoded = JpegCodec.decode(r.getAs[Array[Byte]](payloadIdx))
-        val img = resizeTo match {
-          case Some((w, h)) => BmpCodec.resizeNearest(decoded, w, h)
-          case None => decoded
-        }
-        val f = BmpCodec.features(img)
-        Row(r.getLong(idIdx), f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB,
-          f.lumaMin, f.lumaMax, f.edgeCount)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      resizeTo: Option[(Int, Int)] = None): DataFrame =
+    extractPixelFeatures(media, JpegCodec.decode _, resizeTo)
 
   /** Difference-hash fingerprints for JPEG payloads: REAL entropy decode →
     * nearest-neighbor resize to (side+1)×side → [[BmpCodec.dHash]] — the
@@ -666,24 +571,8 @@ object Multimodal {
     * identical bytes, so JPEG twins collide even though a JPEG of the same
     * pixels as a PNG may not.
     */
-  def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("dhash", StringType, nullable = false),
-      StructField("n_ones", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val img = BmpCodec.resizeNearest(
-          JpegCodec.decode(r.getAs[Array[Byte]](payloadIdx)), side + 1, side)
-        val (bits, ones) = BmpCodec.dHash(img)
-        Row(r.getLong(idIdx), bits, ones)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractDHashWith(media, JpegCodec.decode _, side)
 
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)

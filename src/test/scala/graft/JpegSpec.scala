@@ -305,6 +305,12 @@ class JpegSpec extends SparkSpec {
     assert(JpegCodec.dims(jpg) == ((16, 16, 3)))
     val gray = JpegCodec.encode(16, 16, px, grayscale = true)
     assert(JpegCodec.dims(gray) == ((16, 16, 1)))
+    // NON-square, so a SOF height-before-width swap cannot pass: the
+    // classic trap dims0's u16(pos+5)/u16(pos+3) ordering guards against
+    val rect = Array.tabulate(24 * 16)(i => (i * 131) % 0x1000000)
+    assert(JpegCodec.dims(JpegCodec.encode(24, 16, rect)) == ((24, 16, 3)))
+    val rectImg = JpegCodec.decode(JpegCodec.encode(24, 16, rect))
+    assert(rectImg.width == 24 && rectImg.height == 16)
     // sniff is deliberately laxer than decode: a progressive SOF2 still
     // sniffs (dims live in the same frame-header layout)
     val prog = jpg.clone()
