@@ -71,6 +71,64 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Encode an ANIMATED GIF89a: the same global palette and full-screen
+    * frame geometry, one graphic-control extension (delay `delayCs`
+    * hundredths, disposal 1 = leave in place) + image descriptor + LZW
+    * stream per frame, and the NETSCAPE2.0 loop-forever application
+    * extension — the multi-frame container shape that makes GIF the one
+    * VIDEO-like format this environment decodes for real (frame
+    * sampling, per-frame features, temporal scene detection all run on
+    * genuine bytes).
+    */
+  def encodeAnimation(
+      width: Int,
+      height: Int,
+      palBits: Int,
+      palette: Array[Int],
+      frames: Seq[Array[Byte]],
+      delayCs: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(palBits >= 1 && palBits <= 8, s"palBits=$palBits out of range 1..8")
+    require(palette.length == (1 << palBits), "palette must have 2^palBits entries")
+    require(frames.nonEmpty, "animation needs at least one frame")
+    frames.foreach { f =>
+      require(f.length == width * height, "every frame must be width*height")
+      require(f.forall(i => (i & 0xFF) < palette.length), "index out of palette")
+    }
+    val out = new ByteArrayOutputStream(64 + frames.length * width * height / 2)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0x80 | ((palBits - 1) << 4) | (palBits - 1))
+    out.write(0); out.write(0)
+    palette.foreach { p =>
+      out.write((p >> 16) & 0xFF); out.write((p >> 8) & 0xFF); out.write(p & 0xFF)
+    }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(0); out.write(0) // sub-block: loop 0
+    out.write(0) // terminator
+    frames.foreach { indices =>
+      // graphic control: disposal 1 (do not dispose), no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0x04) // packed: disposal 1
+      out.write(delayCs & 0xFF); out.write((delayCs >> 8) & 0xFF)
+      out.write(0); out.write(0) // transparent index unused; terminator
+      out.write(0x2C)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xFF); out.write(width >> 8)
+      out.write(height & 0xFF); out.write(height >> 8)
+      out.write(0)
+      val minCode = math.max(2, palBits)
+      out.write(minCode)
+      writeSubBlocks(out, lzwCompress(indices, minCode))
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   /** Real LZW: prefix dictionary keyed (prefixCode << 8 | byte), emitted
     * LSB-first. Width bumps AFTER a code is written when the number of
     * assigned codes exceeds the current width's range — the exact mirror
@@ -143,13 +201,33 @@ object GifCodec {
     * skipped; the FIRST image descriptor is decoded.
     */
   def decode(bytes: Array[Byte]): BmpCodec.Bmp =
-    try decode0(bytes)
+    try decode0(bytes, all = false).head
     catch { // any walk past the buffer is a truncation, reported as such
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("truncated GIF: block walk past end")
     }
 
-  private def decode0(bytes: Array[Byte]): BmpCodec.Bmp = {
+  /** ALL image descriptors of an animated GIF, in stream order — frame
+    * sampling on the one video-like container this environment decodes
+    * for real. Only full-replacement frames are represented faithfully
+    * (every descriptor at (0, 0) covering the whole screen — what
+    * [[encodeAnimation]] emits); partial-frame compositing with disposal
+    * is rejected loudly rather than composed wrong.
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[BmpCodec.Bmp] =
+    try {
+      val frames = decode0(bytes, all = true)
+      frames.foreach { f =>
+        require(f.width == frames.head.width && f.height == frames.head.height,
+          "partial-frame GIF animation not supported")
+      }
+      frames
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("truncated GIF: block walk past end")
+    }
+
+  private def decode0(bytes: Array[Byte], all: Boolean): Seq[BmpCodec.Bmp] = {
     require(bytes != null && bytes.length >= 14, "not a GIF: too short")
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: signature '$sig'")
@@ -163,6 +241,7 @@ object GifCodec {
       palette = readPalette(bytes, pos, n)
       pos += 3 * n
     }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[BmpCodec.Bmp]
     while (pos < bytes.length) {
       (bytes(pos) & 0xFF) match {
         case 0x21 => // extension: label byte + sub-blocks
@@ -170,10 +249,13 @@ object GifCodec {
           while ((bytes(pos) & 0xFF) != 0) pos += 1 + (bytes(pos) & 0xFF)
           pos += 1
         case 0x2C => // image descriptor
+          val left = u16(bytes, pos + 1); val top = u16(bytes, pos + 3)
           val w = u16(bytes, pos + 5); val h = u16(bytes, pos + 7)
           val ip = bytes(pos + 9) & 0xFF
           pos += 10
           require((ip & 0x40) == 0, "interlaced GIF not supported")
+          require(left == 0 && top == 0,
+            "offset image blocks (partial-frame compositing) not supported")
           var pal = palette
           if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 0x07) + 1)
@@ -192,16 +274,21 @@ object GifCodec {
             buf.write(bytes, pos + 1, n)
             pos += 1 + n
           }
+          pos += 1 // block terminator
           val indices = lzwDecompress(buf.toByteArray, minCode, w * h)
           val pixels = Array.tabulate(w * h)(i => pal(indices(i) & 0xFF))
-          return BmpCodec.Bmp(w, h, pixels)
+          frames += BmpCodec.Bmp(w, h, pixels)
+          if (!all) return frames.toSeq
         case 0x3B =>
-          throw new IllegalArgumentException("GIF trailer before any image data")
+          if (frames.isEmpty)
+            throw new IllegalArgumentException("GIF trailer before any image data")
+          return frames.toSeq
         case other =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$other%02X")
       }
     }
-    throw new IllegalArgumentException("truncated GIF: no image descriptor")
+    if (all && frames.nonEmpty) frames.toSeq
+    else throw new IllegalArgumentException("truncated GIF: no image descriptor")
   }
 
   private def readPalette(bytes: Array[Byte], off: Int, n: Int): Array[Int] =

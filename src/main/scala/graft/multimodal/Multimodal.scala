@@ -574,6 +574,81 @@ object Multimodal {
   def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame =
     extractDHashWith(media, JpegCodec.decode _, side)
 
+  /** Deterministic synthetic ANIMATED GIF payloads — the video-modality
+    * member of the synthesize family: `nFrames` full-screen frames over
+    * the shared palette recipe, with frame f's indices
+    * `(id·13 + (f/3)·97 + y·31 + x·7) mod 256` — consecutive frames
+    * within a 3-frame SCENE are identical and scene boundaries jump, so
+    * temporal operators (frame features, scene-change detection) have an
+    * integer ground truth an oracle can replay, while the Spark side
+    * round-trips every frame through REAL LZW ([[GifCodec
+    * .encodeAnimation]] / [[GifCodec.decodeFrames]]).
+    */
+  def synthesizeGifAnimation(
+      df: DataFrame,
+      idCol: String,
+      nFrames: Int = 6,
+      width: Int = 16,
+      height: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      val palette = Array.tabulate(256) { j =>
+        (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until nFrames).map { f =>
+          val scene = f / 3
+          Array.tabulate(width * height) { i =>
+            val y = i / width; val x = i % width
+            ((id * 13L + scene * 97L + y * 31L + x * 7L) % 256L).toByte
+          }
+        }
+        val payload = GifCodec.encodeAnimation(width, height, 8, palette, frames)
+        Row(id, payload, Row("video", "gif", width, height,
+          nFrames.toLong * 100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Frame-grain image features: REAL multi-frame decode
+    * ([[GifCodec.decodeFrames]]) → one [[BmpCodec.features]] row per
+    * FRAME — the video analog of [[extractWavFrameFeatures]], and the
+    * table temporal operators (scene-change detection, frame dedup,
+    * sampling) window over. The decode runs once per payload; the
+    * per-frame explode happens after it, inside the same
+    * one-decoder-per-partition batch shape.
+    */
+  def extractGifFrameFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("luma_min", LongType, nullable = false),
+      StructField("luma_max", LongType, nullable = false),
+      StructField("edge_count", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
+        frames.iterator.zipWithIndex.map { case (img, f) =>
+          val ft = BmpCodec.features(img)
+          Row(r.getLong(idIdx), f.toLong, ft.width, ft.height,
+            ft.sumR, ft.sumG, ft.sumB, ft.lumaMin, ft.lumaMax, ft.edgeCount)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)
     * per row vs O(pixels) for a decode, the probe a media pipeline

@@ -375,6 +375,94 @@ object Round9Queries {
         Tables.load(s, dir, "documents"), "doc_id", grayscale = false,
         subsample420 = true)
       graft.multimodal.Multimodal.extractJpegFeatures(media).orderBy("media_id")
+    },
+
+    // Animated-GIF frame features: the video-modality gate — 6-frame
+    // GIF89a payloads (graphic-control extensions, per-frame LZW
+    // streams) decode through GifCodec.decodeFrames into one feature
+    // row per FRAME, while the oracle recomputes every frame's pixels
+    // from the scene recipe (frames within a 3-frame scene are
+    // identical; indices compose through the shared palette recipe).
+    Q(
+      "q304_gif_frame_features",
+      """WITH px AS (
+        |  SELECT doc_id, f.f AS frame, y.y AS y, x.x AS x,
+        |    (doc_id * 13 + (f.f // 3) * 97 + y.y * 31 + x.x * 7) % 256 AS j
+        |  FROM documents,
+        |       unnest(generate_series(0, 5)) AS f(f),
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |rgb AS (
+        |  SELECT doc_id, frame, y, x,
+        |    (j * 31 + 7) % 256 AS r,
+        |    (j * 17 + 3) % 256 AS g,
+        |    (j * 23 + 11) % 256 AS b
+        |  FROM px),
+        |lum AS (
+        |  SELECT doc_id, frame, y, x, r, g, b,
+        |    299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, frame, y ORDER BY x) AS pl
+        |  FROM rgb)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame AS BIGINT) AS frame,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id, frame ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeGifAnimation(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractGifFrameFeatures(media)
+        .orderBy("media_id", "frame")
+    },
+
+    // Temporal scene-change detection over the REAL decoded frame
+    // table: a frame whose luma sum differs from its predecessor starts
+    // a new scene (the planted boundaries sit at frames 3k). Luma sum
+    // is exactly 299·sum_r + 587·sum_g + 114·sum_b — linear in the
+    // channel sums the frame table already carries, so detection is a
+    // per-media lag window over a FRAMES-sized table, never pixels.
+    Q(
+      "q305_gif_scene_changes",
+      """WITH px AS (
+        |  SELECT doc_id, f.f AS frame, y.y AS y, x.x AS x,
+        |    (doc_id * 13 + (f.f // 3) * 97 + y.y * 31 + x.x * 7) % 256 AS j
+        |  FROM documents,
+        |       unnest(generate_series(0, 5)) AS f(f),
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |sums AS (
+        |  SELECT doc_id, frame,
+        |    sum(299 * ((j * 31 + 7) % 256)
+        |      + 587 * ((j * 17 + 3) % 256)
+        |      + 114 * ((j * 23 + 11) % 256)) AS l
+        |  FROM px GROUP BY doc_id, frame),
+        |d AS (
+        |  SELECT doc_id, frame, l,
+        |    lag(l) OVER (PARTITION BY doc_id ORDER BY frame) AS pl
+        |  FROM sums)
+        |SELECT doc_id AS media_id, CAST(frame AS BIGINT) AS frame
+        |FROM d WHERE pl IS NOT NULL AND l != pl
+        |ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ff = graft.multimodal.Multimodal.extractGifFrameFeatures(
+        graft.multimodal.Multimodal.synthesizeGifAnimation(
+          Tables.load(s, dir, "documents"), "doc_id"))
+      val lsum = ff.select(col("media_id"), col("frame"),
+        (lit(299L) * col("sum_r") + lit(587L) * col("sum_g")
+          + lit(114L) * col("sum_b")).as("l"))
+      lsum
+        .withColumn("pl",
+          lag(col("l"), 1).over(Window.partitionBy("media_id").orderBy("frame")))
+        .filter(col("pl").isNotNull && col("l") =!= col("pl"))
+        .select(col("media_id"), col("frame"))
+        .orderBy("media_id", "frame")
     }
   )
 }

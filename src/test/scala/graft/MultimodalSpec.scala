@@ -291,6 +291,51 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](GifCodec.decode(gif.take(20))) // truncated
   }
 
+  test("GifCodec: animated encode -> decodeFrames round-trips every frame") {
+    import graft.multimodal.GifCodec
+    val palette = Array.tabulate(8)(j => j * 0x112233 & 0xFFFFFF)
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(5 * 3)(i => ((i + f * 2) % 8).toByte)
+    }
+    val gif = GifCodec.encodeAnimation(5, 3, 3, palette, frames, delayCs = 5)
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+    val out = GifCodec.decodeFrames(gif)
+    assert(out.length == 4)
+    for (f <- 0 until 4) {
+      assert(out(f).width == 5 && out(f).height == 3)
+      assert(out(f).pixels.toSeq == frames(f).map(i => palette(i & 0xFF)).toSeq,
+        s"frame $f")
+    }
+    // single-frame decode of an animation = frame 0
+    assert(GifCodec.decode(gif).pixels.toSeq == out.head.pixels.toSeq)
+    // a plain single-frame GIF decodes as a 1-frame animation
+    val single = GifCodec.encode(5, 3, 3, palette, frames.head)
+    assert(GifCodec.decodeFrames(single).length == 1)
+    // offset image blocks (partial-frame compositing) fail loudly:
+    // image descriptor starts 0x2C left(2) top(2) — plant left = 1
+    val off = gif.clone()
+    val desc = (0 until off.length).indexWhere(j => (off(j) & 0xFF) == 0x2C)
+    off(desc + 1) = 1
+    val e = intercept[IllegalArgumentException](GifCodec.decodeFrames(off))
+    assert(e.getMessage.contains("offset") || e.getMessage.contains("truncated"))
+  }
+
+  test("synthesizeGifAnimation -> extractGifFrameFeatures: frame grain, scene recipe") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(2L, 9L).toDF("doc_id")
+    val ff = Multimodal.extractGifFrameFeatures(
+      Multimodal.synthesizeGifAnimation(docs, "doc_id"))
+      .orderBy("media_id", "frame").collect()
+    assert(ff.length == 12) // 2 docs x 6 frames
+    // frames 0-2 share a scene (identical), 3-5 the next; the boundary moves sums
+    val d2 = ff.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getLong(1)).toSeq == (0L to 5L))
+    val sums = d2.map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(sums(0) == sums(1) && sums(1) == sums(2))
+    assert(sums(3) == sums(4) && sums(4) == sums(5))
+    assert(sums(2) != sums(3), "scene boundary must change channel sums")
+  }
+
   test("synthesizeGif -> extractGifFeatures/DHash: cross-format near-dup reuse") {
     import graft.multimodal.{BmpCodec, GifCodec, Multimodal}
     val ids = Seq(1L, 5L, 257L).toDF("doc_id") // 257 ≡ 1 (mod 256): same pixels as id 1
