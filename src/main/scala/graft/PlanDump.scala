@@ -48,7 +48,8 @@ object PlanDump {
     "q290_hist_quantiles" -> "histogram sketch: map-combined bin counts (one fact pass), cumulative window over the BOUNDED bin table only",
     "q298_png_features" -> "PNG decode (inflate + unfilter) per row inside mapPartitions: scan → batch decode → exact-integer feature projection, no shuffle before the final sort",
     "q299_crossformat3_dedup" -> "three-container dedup: per-format decode branches union into ONE dHash groupBy — format-blind fingerprint space, map-combined counts",
-    "q300_jpeg_gray_features" -> "JPEG entropy decode + fixed-point IDCT per row inside mapPartitions (Huffman state never leaves the task): scan → batch decode → exact-integer feature projection, no shuffle before the final sort")
+    "q300_jpeg_gray_features" -> "JPEG entropy decode + fixed-point IDCT per row inside mapPartitions (Huffman state never leaves the task): scan → batch decode → exact-integer feature projection, no shuffle before the final sort",
+    "q305_gif_scene_changes" -> "temporal scene detection: multi-frame decode once per payload, then a per-media lag window over the FRAMES-grain table — pixels never shuffle, only channel sums")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
