@@ -649,6 +649,35 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-FRAME difference-hash fingerprints for animated GIF payloads:
+    * one multi-frame decode per payload, then resize(9×8) → dHash per
+    * frame — the table cross-video SCENE dedup groups on (two videos
+    * sharing a scene collide on that frame's hash even when the rest
+    * differ). Same flatMap-after-decode shape as
+    * [[extractGifFrameFeatures]].
+    */
+  def extractGifFrameDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
+        frames.iterator.zipWithIndex.map { case (img, f) =>
+          val (bits, ones) = BmpCodec.dHash(
+            BmpCodec.resizeNearest(img, side + 1, side))
+          Row(r.getLong(idIdx), f.toLong, bits, ones)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)
     * per row vs O(pixels) for a decode, the probe a media pipeline

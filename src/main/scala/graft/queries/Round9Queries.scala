@@ -463,6 +463,55 @@ object Round9Queries {
         .filter(col("pl").isNotNull && col("l") =!= col("pl"))
         .select(col("media_id"), col("frame"))
         .orderBy("media_id", "frame")
+    },
+
+    // Cross-video SCENE dedup: per-frame dHash fingerprints cluster
+    // across payloads — by the scene recipe, doc and doc+165 share a
+    // scene (97·13⁻¹ mod 256 = 165) and doc/doc+256 alias entirely, so
+    // clusters genuinely span videos. The oracle replays decode (the
+    // recipe IS the decoded frame), the 16x12 → 9x8 floor-index resize
+    // (q299's mapping) and the gradient bits per (doc, frame).
+    Q(
+      "q306_gif_scene_dedup",
+      """WITH px AS (
+        |  SELECT doc_id, f.f AS frame, y.y AS y, x.x AS x,
+        |    (doc_id * 13 + (f.f // 3) * 97
+        |      + ((y.y * 12) // 8) * 31 + ((x.x * 16) // 9) * 7) % 256 AS j
+        |  FROM documents,
+        |       unnest(generate_series(0, 5)) AS f(f),
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, frame, y, x,
+        |    299 * ((j * 31 + 7) % 256)
+        |      + 587 * ((j * 17 + 3) % 256)
+        |      + 114 * ((j * 23 + 11) % 256) AS l
+        |  FROM px),
+        |g AS (
+        |  SELECT a.doc_id, a.frame, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND a.frame = b.frame
+        |      AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |per AS (
+        |  SELECT doc_id, frame,
+        |    array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash
+        |  FROM g GROUP BY doc_id, frame)
+        |SELECT dhash,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM per GROUP BY dhash ORDER BY dhash""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeGifAnimation(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractGifFrameDHash(media, side = 8)
+        .groupBy("dhash")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_media"),
+          min(col("media_id")).as("min_doc"))
+        .orderBy("dhash")
     }
   )
 }

@@ -336,6 +336,20 @@ class MultimodalSpec extends SparkSpec {
     assert(sums(2) != sums(3), "scene boundary must change channel sums")
   }
 
+  test("extractGifFrameDHash: a scene shared across two videos collides") {
+    import graft.multimodal.Multimodal
+    // by the scene recipe, doc+165's scene 0 IS doc's scene 1:
+    // 13·doc + 97 ≡ 13·(doc + 165) (mod 256), since 97·13⁻¹ ≡ 165
+    val docs = Seq(10L, 175L).toDF("doc_id")
+    val fd = Multimodal.extractGifFrameDHash(
+      Multimodal.synthesizeGifAnimation(docs, "doc_id"))
+    def h(id: Long, f: Long): String = fd
+      .filter($"media_id" === id && $"frame" === f)
+      .select("dhash").head().getString(0)
+    assert(h(10L, 3L) == h(175L, 0L), "shared scene must fingerprint equal")
+    assert(h(10L, 0L) != h(10L, 3L), "distinct scenes must fingerprint apart")
+  }
+
   test("synthesizeGif -> extractGifFeatures/DHash: cross-format near-dup reuse") {
     import graft.multimodal.{BmpCodec, GifCodec, Multimodal}
     val ids = Seq(1L, 5L, 257L).toDF("doc_id") // 257 ≡ 1 (mod 256): same pixels as id 1
