@@ -574,6 +574,87 @@ object Multimodal {
   def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame =
     extractDHashWith(media, JpegCodec.decode _, side)
 
+  /** Quarantine decode: the poison-pill-safe twin of
+    * [[extractPixelFeatures]]. A 100 TB media scan WILL contain corrupt
+    * payloads, and the loud-failure contract that protects correctness
+    * must not let one bad row kill a million-row job — so each row
+    * decodes under a catch: good rows carry features and `ok = true`,
+    * bad rows carry NULL features, `ok = false`, and the decoder's typed
+    * message in `decode_error` (the quarantine audit a curation pipeline
+    * writes aside and retries/reports). Only IllegalArgumentException —
+    * the codecs' documented failure type — is contained; anything else
+    * is a bug and still propagates.
+    */
+  private def extractPixelFeaturesQuarantine(
+      media: DataFrame,
+      decode: Array[Byte] => BmpCodec.Bmp): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("decode_error", StringType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("luma_min", LongType, nullable = true),
+      StructField("luma_max", LongType, nullable = true),
+      StructField("edge_count", LongType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val f = BmpCodec.features(decode(r.getAs[Array[Byte]](payloadIdx)))
+          Row(id, true, null, f.width, f.height, f.nPixels, f.sumR, f.sumG,
+            f.sumB, f.lumaMin, f.lumaMax, f.edgeCount)
+        } catch {
+          case e: IllegalArgumentException =>
+            Row(id, false, e.getMessage,
+              null, null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[extractPngFeatures]] with per-row quarantine instead of job
+    * failure — see [[extractPixelFeaturesQuarantine]].
+    */
+  def extractPngFeaturesQuarantine(media: DataFrame): DataFrame =
+    extractPixelFeaturesQuarantine(media, PngCodec.decode _)
+
+  /** [[extractJpegFeatures]] with per-row quarantine — same contract. */
+  def extractJpegFeaturesQuarantine(media: DataFrame): DataFrame =
+    extractPixelFeaturesQuarantine(media, JpegCodec.decode _)
+
+  /** Deterministically corrupt the payloads of selected rows (flip the
+    * LAST byte) — the planted-poison fixture quarantine gates run on.
+    * For PNG the last byte sits in IEND's CRC, so the decode failure is
+    * guaranteed and typed; real corruption is messier, but the plumbing
+    * under test is identical.
+    */
+  def corruptPayloads(media: DataFrame, everyN: Long): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val spark = media.sparkSession
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        if (r.getLong(idIdx) % everyN == 0L) {
+          val p = r.getAs[Array[Byte]](payloadIdx).clone()
+          p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
+          vals(payloadIdx) = p
+        }
+        Row.fromSeq(vals.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
   /** Deterministic synthetic ANIMATED GIF payloads — the video-modality
     * member of the synthesize family: `nFrames` full-screen frames over
     * the shared palette recipe, with frame f's indices

@@ -512,6 +512,56 @@ object Round9Queries {
           countDistinct(col("media_id")).as("n_media"),
           min(col("media_id")).as("min_doc"))
         .orderBy("dhash")
+    },
+
+    // Poison-pill quarantine: every 5th payload's last byte is flipped
+    // (for PNG that byte is IEND's CRC — guaranteed typed decode
+    // failure), and the quarantine decode turns what would be a dead
+    // job into per-row ok/error audit rows. Good rows must still land
+    // on q298's exact integer features; bad rows carry NULLs — the
+    // oracle knows exactly which is which.
+    Q(
+      "q307_decode_quarantine",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 37 + y.y * 5 + x.x * 11) % 256 AS r,
+        |    (doc_id * 41 + y.y * 13 + x.x * 3) % 256 AS g,
+        |    (doc_id * 43 + y.y * 7 + x.x * 17) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(min(l) AS BIGINT) AS mn,
+        |    CAST(max(l) AS BIGINT) AS mx,
+        |    CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ec
+        |  FROM lum GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |  doc_id % 5 != 0 AS ok,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE sr END AS sum_r,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE sg END AS sum_g,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE sb END AS sum_b,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE mn END AS luma_min,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE mx END AS luma_max,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE ec END AS edge_count
+        |FROM agg ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.corruptPayloads(
+        Multimodal.synthesizePng(Tables.load(s, dir, "documents"), "doc_id"),
+        everyN = 5L)
+      Multimodal.extractPngFeaturesQuarantine(media)
+        .select(col("media_id"), col("ok"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("luma_min"), col("luma_max"), col("edge_count"))
+        .orderBy("media_id")
     }
   )
 }

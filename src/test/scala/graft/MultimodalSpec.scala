@@ -350,6 +350,38 @@ class MultimodalSpec extends SparkSpec {
     assert(h(10L, 0L) != h(10L, 3L), "distinct scenes must fingerprint apart")
   }
 
+  test("quarantine decode: poison rows become audit rows, good rows stay exact") {
+    import graft.multimodal.Multimodal
+    // PNG: flipping the LAST byte lands in IEND's CRC — guaranteed typed
+    // failure — so the planted poison is deterministic
+    val media = Multimodal.corruptPayloads(
+      Multimodal.synthesizePng(Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id"), "doc_id"),
+      everyN = 5L)
+    val out = Multimodal.extractPngFeaturesQuarantine(media)
+      .orderBy("media_id").collect()
+    assert(out.length == 5)
+    val (bad, good) = out.partition(r => !r.getBoolean(1))
+    assert(bad.map(_.getLong(0)).toSeq == Seq(5L))
+    assert(bad.head.getString(2) != null && bad.head.isNullAt(6),
+      "quarantined row must carry the error and NULL features")
+    assert(good.forall(r => r.getString(2) == null && !r.isNullAt(6)))
+    // the good rows match the throwing extractor exactly
+    val strict = Multimodal.extractPngFeatures(
+      Multimodal.synthesizePng(Seq(1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    for ((g, s) <- good.zip(strict))
+      assert(g.getLong(6) == s.getLong(4), s"sum_r drift for id ${g.getLong(0)}")
+    // JPEG twin: a non-JPEG payload quarantines, the good row decodes
+    val junk = Multimodal.fromText(
+      Seq((9L, "definitely not a jpeg")).toDF("id", "t"), "id", "t")
+    val jgood = Multimodal.synthesizeJpeg(
+      Seq(1L).toDF("doc_id"), "doc_id", grayscale = true)
+    val jout = Multimodal.extractJpegFeaturesQuarantine(jgood.unionByName(junk))
+      .orderBy("media_id").collect()
+    assert(jout(0).getBoolean(1) && !jout(1).getBoolean(1))
+    assert(jout(1).getString(2).contains("SOI"))
+  }
+
   test("synthesizeGif -> extractGifFeatures/DHash: cross-format near-dup reuse") {
     import graft.multimodal.{BmpCodec, GifCodec, Multimodal}
     val ids = Seq(1L, 5L, 257L).toDF("doc_id") // 257 ≡ 1 (mod 256): same pixels as id 1
