@@ -18,8 +18,11 @@ import java.io.ByteArrayOutputStream
   *
   * Format is public (GIF87a specification; LZW per the GIF application
   * note: initial code width = minCodeSize+1, codes grow when the table
-  * reaches 2^width, max 12 bits). Interlaced images and animation frames
-  * beyond the first are rejected loudly rather than decoded wrong.
+  * reaches 2^width, max 12 bits). [[decode]] returns the FIRST image
+  * block; [[decodeFrames]] decodes every frame of an animation, but only
+  * the full-replacement shape (each frame at (0,0) covering the whole
+  * screen) — interlace and partial-frame disposal compositing are
+  * rejected loudly rather than decoded wrong.
   */
 object GifCodec {
 
@@ -91,6 +94,7 @@ object GifCodec {
     require(palBits >= 1 && palBits <= 8, s"palBits=$palBits out of range 1..8")
     require(palette.length == (1 << palBits), "palette must have 2^palBits entries")
     require(frames.nonEmpty, "animation needs at least one frame")
+    require(delayCs >= 0 && delayCs <= 0xFFFF, s"bad frame delay $delayCs (0..65535 cs)")
     frames.foreach { f =>
       require(f.length == width * height, "every frame must be width*height")
       require(f.forall(i => (i & 0xFF) < palette.length), "index out of palette")
@@ -215,14 +219,8 @@ object GifCodec {
     * is rejected loudly rather than composed wrong.
     */
   def decodeFrames(bytes: Array[Byte]): Seq[BmpCodec.Bmp] =
-    try {
-      val frames = decode0(bytes, all = true)
-      frames.foreach { f =>
-        require(f.width == frames.head.width && f.height == frames.head.height,
-          "partial-frame GIF animation not supported")
-      }
-      frames
-    } catch {
+    try decode0(bytes, all = true) // full-coverage enforced per frame inside
+    catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("truncated GIF: block walk past end")
     }
@@ -254,8 +252,20 @@ object GifCodec {
           val ip = bytes(pos + 9) & 0xFF
           pos += 10
           require((ip & 0x40) == 0, "interlaced GIF not supported")
-          require(left == 0 && top == 0,
-            "offset image blocks (partial-frame compositing) not supported")
+          if (all) {
+            // the multi-frame contract is full-replacement only: every
+            // frame at (0,0) covering the WHOLE screen. An offset or
+            // undersized frame means disposal compositing — the canvas
+            // outside the block is background/prior content, so decoding
+            // the block alone would misrepresent the video. The single-
+            // frame decode keeps its original lenient contract (the
+            // first image block's own pixels, wherever it sits).
+            require(left == 0 && top == 0,
+              "offset image blocks (partial-frame compositing) not supported")
+            require(w == sw && h == sh,
+              s"undersized frame ${w}x$h on a ${sw}x$sh screen " +
+                "(partial-frame compositing) not supported")
+          }
           var pal = palette
           if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 0x07) + 1)

@@ -631,6 +631,10 @@ object Multimodal {
   def extractJpegFeaturesQuarantine(media: DataFrame): DataFrame =
     extractPixelFeaturesQuarantine(media, JpegCodec.decode _)
 
+  /** [[extractGifFeatures]] with per-row quarantine — same contract. */
+  def extractGifFeaturesQuarantine(media: DataFrame): DataFrame =
+    extractPixelFeaturesQuarantine(media, GifCodec.decode _)
+
   /** Deterministically corrupt the payloads of selected rows (flip the
     * LAST byte) — the planted-poison fixture quarantine gates run on.
     * For PNG the last byte sits in IEND's CRC, so the decode failure is
@@ -638,14 +642,19 @@ object Multimodal {
     * under test is identical.
     */
   def corruptPayloads(media: DataFrame, everyN: Long): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     val spark = media.sparkSession
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
         val vals = r.toSeq.toArray
-        if (r.getLong(idIdx) % everyN == 0L) {
-          val p = r.getAs[Array[Byte]](payloadIdx).clone()
+        val p0 = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        // null/empty payloads have no byte to flip — pass them through
+        // unchanged rather than crash the fixture helper itself
+        if (r.getLong(idIdx) % everyN == 0L && p0 != null && p0.nonEmpty) {
+          val p = p0.clone()
           p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
           vals(payloadIdx) = p
         }
@@ -694,6 +703,32 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** The frame-grain twin of [[extractPixelFeatures]]'s sharing: one
+    * multi-frame decode per payload ([[GifCodec.decodeFrames]]), then a
+    * per-frame projection into (media_id, frame, …fields) rows — the
+    * flatMap-after-decode shell both frame extractors ride.
+    */
+  private def extractFramesWith(
+      media: DataFrame,
+      fields: Seq[StructField],
+      project: BmpCodec.Bmp => Seq[Any]): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +:
+        StructField("frame", LongType, nullable = false) +: fields)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
+        frames.iterator.zipWithIndex.map { case (img, f) =>
+          Row.fromSeq(r.getLong(idIdx) +: f.toLong +: project(img))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-grain image features: REAL multi-frame decode
     * ([[GifCodec.decodeFrames]]) → one [[BmpCodec.features]] row per
     * FRAME — the video analog of [[extractWavFrameFeatures]], and the
@@ -702,33 +737,17 @@ object Multimodal {
     * per-frame explode happens after it, inside the same
     * one-decoder-per-partition batch shape.
     */
-  def extractGifFrameFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("sum_r", LongType, nullable = false),
-      StructField("sum_g", LongType, nullable = false),
-      StructField("sum_b", LongType, nullable = false),
-      StructField("luma_min", LongType, nullable = false),
-      StructField("luma_max", LongType, nullable = false),
-      StructField("edge_count", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
-        frames.iterator.zipWithIndex.map { case (img, f) =>
-          val ft = BmpCodec.features(img)
-          Row(r.getLong(idIdx), f.toLong, ft.width, ft.height,
-            ft.sumR, ft.sumG, ft.sumB, ft.lumaMin, ft.lumaMax, ft.edgeCount)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractGifFrameFeatures(media: DataFrame): DataFrame =
+    extractFramesWith(
+      media,
+      Seq("width", "height", "sum_r", "sum_g", "sum_b",
+        "luma_min", "luma_max", "edge_count")
+        .map(StructField(_, LongType, nullable = false)),
+      img => {
+        val ft = BmpCodec.features(img)
+        Seq(ft.width, ft.height, ft.sumR, ft.sumG, ft.sumB,
+          ft.lumaMin, ft.lumaMax, ft.edgeCount)
+      })
 
   /** Per-FRAME difference-hash fingerprints for animated GIF payloads:
     * one multi-frame decode per payload, then resize(9×8) → dHash per
@@ -737,27 +756,17 @@ object Multimodal {
     * differ). Same flatMap-after-decode shape as
     * [[extractGifFrameFeatures]].
     */
-  def extractGifFrameDHash(media: DataFrame, side: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame", LongType, nullable = false),
-      StructField("dhash", StringType, nullable = false),
-      StructField("n_ones", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
-        frames.iterator.zipWithIndex.map { case (img, f) =>
-          val (bits, ones) = BmpCodec.dHash(
-            BmpCodec.resizeNearest(img, side + 1, side))
-          Row(r.getLong(idIdx), f.toLong, bits, ones)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def extractGifFrameDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractFramesWith(
+      media,
+      Seq(
+        StructField("dhash", StringType, nullable = false),
+        StructField("n_ones", LongType, nullable = false)),
+      img => {
+        val (bits, ones) = BmpCodec.dHash(
+          BmpCodec.resizeNearest(img, side + 1, side))
+        Seq(bits, ones)
+      })
 
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)

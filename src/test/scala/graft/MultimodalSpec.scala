@@ -318,6 +318,32 @@ class MultimodalSpec extends SparkSpec {
     off(desc + 1) = 1
     val e = intercept[IllegalArgumentException](GifCodec.decodeFrames(off))
     assert(e.getMessage.contains("offset") || e.getMessage.contains("truncated"))
+    // an UNDERSIZED frame (4x3 on the 5x3 screen) is compositing too —
+    // the canvas outside the block would be prior content, so decoding
+    // the block alone misrepresents the video
+    val small = gif.clone()
+    small(desc + 5) = 4
+    val e2 = intercept[IllegalArgumentException](GifCodec.decodeFrames(small))
+    assert(e2.getMessage.contains("undersized") || e2.getMessage.contains("corrupt"),
+      e2.getMessage)
+    // ...but the SINGLE-frame decode keeps its original lenient contract
+    // (the first block's own pixels, wherever/whatever size it is)
+    val single2 = GifCodec.encode(5, 3, 3, palette, frames.head)
+    val sOff = (0 until single2.length).indexWhere(j => (single2(j) & 0xFF) == 0x2C)
+    val shifted = single2.clone()
+    shifted(sOff + 1) = 1 // left = 1: ignored by decode, loud in decodeFrames
+    assert(GifCodec.decode(shifted).width == 5)
+  }
+
+  test("extractGifFeaturesQuarantine: GIF poison quarantines like PNG/JPEG") {
+    import graft.multimodal.Multimodal
+    val junk = Multimodal.fromText(
+      Seq((9L, "definitely not a gif")).toDF("id", "t"), "id", "t")
+    val good = Multimodal.synthesizeGif(Seq(1L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.extractGifFeaturesQuarantine(good.unionByName(junk))
+      .orderBy("media_id").collect()
+    assert(out(0).getBoolean(1) && !out(0).isNullAt(6))
+    assert(!out(1).getBoolean(1) && out(1).getString(2).contains("GIF"))
   }
 
   test("synthesizeGifAnimation -> extractGifFrameFeatures: frame grain, scene recipe") {
