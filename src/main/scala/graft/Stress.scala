@@ -520,6 +520,28 @@ object Stress {
       Multimodal.extractBmpFeatures(Multimodal.synthesizeBmp(ids, "doc_id"))
         .agg(sum("sum_r")).count()
     }
+    // video-modality volume: 100k 6-frame animations -> 600k frame rows
+    // (decode once per payload, per-frame explode after) and the scene
+    // detector over that table — frame-grain, still zero pixel shuffle
+    val ids100k = spark.range(100000L).select(col("id").as("doc_id")).persist()
+    time("gifanim_100k_6frames_features") {
+      Multimodal.extractGifFrameFeatures(
+        Multimodal.synthesizeGifAnimation(ids100k, "doc_id"))
+        .agg(sum("sum_r")).count()
+    }
+    time("gifanim_100k_scene_changes") {
+      import org.apache.spark.sql.expressions.Window
+      val ff = Multimodal.extractGifFrameFeatures(
+        Multimodal.synthesizeGifAnimation(ids100k, "doc_id"))
+      ff.select(col("media_id"), col("frame"),
+        (lit(299L) * col("sum_r") + lit(587L) * col("sum_g")
+          + lit(114L) * col("sum_b")).as("l"))
+        .withColumn("pl",
+          lag(col("l"), 1).over(Window.partitionBy("media_id").orderBy("frame")))
+        .filter(col("pl").isNotNull && col("l") =!= col("pl"))
+        .count()
+    }
+    ids100k.unpersist()
     ids.unpersist()
     val ids20k = spark.range(20000L).select(col("id").as("doc_id"))
     time("jpeg_20k_64x64_color") {
