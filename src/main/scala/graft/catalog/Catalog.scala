@@ -74,7 +74,16 @@ final class Catalog(spark: SparkSession, dir: String) {
   /** Drop the cached name set (next probe reloads from the status log). */
   def refreshProcessedNames(): Unit = nameCache = null
 
-  /** The status dir's mtime (-1 when absent) — the cache staleness key. */
+  /** The status dir's mtime (-1 when absent) — the cache staleness key.
+    * Object-store caveat: S3A and friends synthesize directory entries
+    * with constant (often zero) modification times, so on such stores
+    * the stamp never moves and this cache degrades to never-invalidate —
+    * exactly the behavior the stamp exists to bound. That is acceptable
+    * only because single-writer is the contract (our own appends go
+    * through [[recordStatus]], which updates the cache in-process);
+    * multi-writer orchestration over an object store must call
+    * [[refreshProcessedNames]] between batches or use the set-based
+    * [[filterUnprocessed]] path, which never touches this cache. */
   private def statusStamp(): Long = {
     val p = new org.apache.hadoop.fs.Path(statusDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -635,13 +635,56 @@ object Multimodal {
   def extractGifFeaturesQuarantine(media: DataFrame): DataFrame =
     extractPixelFeaturesQuarantine(media, GifCodec.decode _)
 
-  /** Deterministically corrupt the payloads of selected rows (flip the
-    * LAST byte) — the planted-poison fixture quarantine gates run on.
-    * For PNG the last byte sits in IEND's CRC, so the decode failure is
-    * guaranteed and typed; real corruption is messier, but the plumbing
-    * under test is identical.
+  /** Deterministically corrupt PNG payloads of selected rows (flip the
+    * LAST byte) — the planted-poison fixture the PNG quarantine gate
+    * (q307) runs on. The last byte sits in IEND's CRC, so the decode
+    * failure is guaranteed and typed. This guarantee is PNG-ONLY: GIF
+    * and JPEG decodes return before ever validating their final byte
+    * (GifCodec stops at the first image descriptor, JpegCodec never
+    * checks EOI), so a last-byte flip is a no-op corruption for them —
+    * the fixture asserts the PNG signature on every row it flips rather
+    * than silently producing ok=true "corrupted" rows. For a corruption
+    * every codec in the family detects, use [[truncatePayloads]].
     */
   def corruptPayloads(media: DataFrame, everyN: Long): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val spark = media.sparkSession
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        val p0 = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        // null/empty payloads have no byte to flip — pass them through
+        // unchanged rather than crash the fixture helper itself
+        if (r.getLong(idIdx) % everyN == 0L && p0 != null && p0.nonEmpty) {
+          require(
+            p0.length >= 8 && java.util.Arrays.equals(
+              java.util.Arrays.copyOf(p0, 8), pngSig),
+            "corruptPayloads is a PNG-only fixture (last byte = IEND CRC); " +
+              "use truncatePayloads for other formats")
+          val p = p0.clone()
+          p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
+          vals(payloadIdx) = p
+        }
+        Row.fromSeq(vals.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
+  /** Format-agnostic poison fixture: TRUNCATE selected payloads to half
+    * length. Every codec in the family walks a length-bearing container
+    * structure (PNG chunks, GIF sub-blocks, JPEG segments, RIFF chunks,
+    * BMP pixel array) and throws a typed "truncated …"
+    * IllegalArgumentException when the walk runs past the end, so unlike
+    * a byte flip this corruption is guaranteed-detected for ALL formats
+    * — the right fixture for GIF/JPEG/AVI quarantine gates and the
+    * streaming poison-pill spec.
+    */
+  def truncatePayloads(media: DataFrame, everyN: Long): DataFrame = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
@@ -651,12 +694,8 @@ object Multimodal {
         val vals = r.toSeq.toArray
         val p0 = if (r.isNullAt(payloadIdx)) null
           else r.getAs[Array[Byte]](payloadIdx)
-        // null/empty payloads have no byte to flip — pass them through
-        // unchanged rather than crash the fixture helper itself
         if (r.getLong(idIdx) % everyN == 0L && p0 != null && p0.nonEmpty) {
-          val p = p0.clone()
-          p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
-          vals(payloadIdx) = p
+          vals(payloadIdx) = java.util.Arrays.copyOf(p0, p0.length / 2)
         }
         Row.fromSeq(vals.toSeq)
       }

@@ -45,6 +45,15 @@ import org.apache.spark.sql.functions._
   * compress. Cost: right-side shuffle volume ×S; use when the window
   * side is past broadcast size AND hot buckets are expected.
   *
+  * Salt caveat — the salt is CONTENT-derived (xxhash64 over every left
+  * column), so left rows that are byte-identical duplicates all land on
+  * ONE salt and a hot bucket made of such clones still grinds in a
+  * single task. That is the price of retry-stability; if the left input
+  * can contain exact duplicate rows at hot keys, include a unique row
+  * id column (any pre-existing key, or `monotonically_increasing_id()`
+  * materialized BEFORE the join so retries see stable values) so the
+  * hash spreads them.
+  *
   * Bounds are NON-NEGATIVE LONGS (epoch days/seconds/micros — caller's
   * choice; `div` truncates toward zero, so negative bounds would quantize
   * inconsistently), inclusive on both ends; every comparison is

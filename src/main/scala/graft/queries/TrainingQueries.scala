@@ -306,7 +306,11 @@ object TrainingQueries {
 
     // Binary payload plumbing: byte length + evenly-spaced byte-range
     // "frame samples" (hex). Text bytes stand in for media payloads; the
-    // schema/partitioning/slicing is the real contract.
+    // schema/partitioning/slicing is the real contract. Kept alongside
+    // the REAL codec gates (WAV q29, BMP q100, GIF q282, PNG q298,
+    // JPEG q300, animated GIF q304) because this byte-range access
+    // pattern is how formats with no in-container decoder (MP3/H.264)
+    // still flow through the pipeline.
     Q(
       "q42_mm_frames",
       """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
@@ -330,6 +334,12 @@ object TrainingQueries {
 
     // Stubbed decode+featurize through the mapPartitions batch path: the
     // oracle recomputes the md5-derived fake features from the same bytes.
+    // This gate pins the StubDecoder CONTRACT (batch shape, schema,
+    // per-partition amortization) that the six real codecs (WavCodec,
+    // BmpCodec, GifCodec, PngCodec, JpegCodec, and the animated-GIF
+    // frame path) all plug into — the stub remains only for MP3/H.264,
+    // whose entropy coders genuinely aren't implementable-from-spec in
+    // this round's budget.
     Q(
       "q43_mm_features",
       """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
