@@ -16,7 +16,8 @@ object SparkEntry {
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
       StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
-      CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all
+      CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all ++
+      Round10Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

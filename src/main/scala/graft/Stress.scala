@@ -541,6 +541,26 @@ object Stress {
         .filter(col("pl").isNotNull && col("l") =!= col("pl"))
         .count()
     }
+    // REAL video container: 100k 6-frame MJPEG AVIs -> 600k frame rows
+    // through RIFF walk + per-frame entropy decode — the camera-adjacent
+    // twin of the gifanim rows above, same zero-pixel-shuffle claim
+    time("avi_100k_6frames_features") {
+      Multimodal.extractAviFrameFeatures(
+        Multimodal.synthesizeAviMjpeg(ids100k, "doc_id"))
+        .agg(sum("sum_r")).count()
+    }
+    time("avi_100k_scene_changes") {
+      import org.apache.spark.sql.expressions.Window
+      val ff = Multimodal.extractAviFrameFeatures(
+        Multimodal.synthesizeAviMjpeg(ids100k, "doc_id"))
+      ff.select(col("media_id"), col("frame"),
+        (lit(299L) * col("sum_r") + lit(587L) * col("sum_g")
+          + lit(114L) * col("sum_b")).as("l"))
+        .withColumn("pl",
+          lag(col("l"), 1).over(Window.partitionBy("media_id").orderBy("frame")))
+        .filter(col("pl").isNotNull && col("l") =!= col("pl"))
+        .count()
+    }
     ids100k.unpersist()
     ids.unpersist()
     val ids20k = spark.range(20000L).select(col("id").as("doc_id"))

@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   *
   * The perceptual AUDIO/VIDEO codec libraries (MP3/H.264) are NOT in this
   * environment, so [[StubDecoder]] is a clearly-marked deterministic fake
-  * for those; FIVE containers decode for REAL with pure-JVM codecs —
-  * RIFF/WAVE 16-bit PCM ([[WavCodec]]), uncompressed 24-bit BMP
+  * for those; SIX containers decode for REAL with pure-JVM codecs —
+  * RIFF/WAVE PCM ([[WavCodec]]), uncompressed 24-bit BMP
   * ([[BmpCodec]]), LZW-compressed GIF ([[GifCodec]], a real
-  * variable-width LZW decompressor), DEFLATE-compressed PNG
-  * ([[PngCodec]], zlib via the JDK's Inflater + all five scanline
-  * filters), and baseline sequential JPEG ([[JpegCodec]], Huffman
-  * entropy coding + fixed-point DCT — the LOSSY transform-coded format
-  * the bulk of real crawled images arrive in).
+  * variable-width LZW decompressor, stills and animations),
+  * DEFLATE-compressed PNG ([[PngCodec]], zlib via the JDK's Inflater +
+  * all five scanline filters), baseline sequential JPEG ([[JpegCodec]],
+  * Huffman entropy coding + fixed-point DCT — the LOSSY transform-coded
+  * format the bulk of real crawled images arrive in), and MJPEG-in-AVI
+  * video ([[AviCodec]], the RIFF container walk feeding [[JpegCodec]]
+  * per frame — a real camera-adjacent video path).
   * Everything Spark-side is
   * real and tested either way: the schema contract, the binary column handling, the
   * mapPartitions batch shape (the Scala analog of a pandas-batch UDF: one
@@ -743,12 +745,15 @@ object Multimodal {
   }
 
   /** The frame-grain twin of [[extractPixelFeatures]]'s sharing: one
-    * multi-frame decode per payload ([[GifCodec.decodeFrames]]), then a
-    * per-frame projection into (media_id, frame, …fields) rows — the
-    * flatMap-after-decode shell both frame extractors ride.
+    * multi-frame decode per payload (`decode` — [[GifCodec.decodeFrames]]
+    * or [[AviCodec.decodeFrames]]), then a per-frame projection into
+    * (media_id, frame, …fields) rows — the flatMap-after-decode shell
+    * every frame extractor rides: ONE temporal contract, N containers,
+    * exactly like the still-image family's shared pixel contract.
     */
   private def extractFramesWith(
       media: DataFrame,
+      decode: Array[Byte] => Seq[BmpCodec.Bmp],
       fields: Seq[StructField],
       project: BmpCodec.Bmp => Seq[Any]): DataFrame = {
     val spark = media.sparkSession
@@ -759,13 +764,24 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
-        val frames = GifCodec.decodeFrames(r.getAs[Array[Byte]](payloadIdx))
+        val frames = decode(r.getAs[Array[Byte]](payloadIdx))
         frames.iterator.zipWithIndex.map { case (img, f) =>
           Row.fromSeq(r.getLong(idIdx) +: f.toLong +: project(img))
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def frameFeatureFields: Seq[StructField] =
+    Seq("width", "height", "sum_r", "sum_g", "sum_b",
+      "luma_min", "luma_max", "edge_count")
+      .map(StructField(_, LongType, nullable = false))
+
+  private def frameFeatureProject(img: BmpCodec.Bmp): Seq[Any] = {
+    val ft = BmpCodec.features(img)
+    Seq(ft.width, ft.height, ft.sumR, ft.sumG, ft.sumB,
+      ft.lumaMin, ft.lumaMax, ft.edgeCount)
   }
 
   /** Frame-grain image features: REAL multi-frame decode
@@ -777,16 +793,8 @@ object Multimodal {
     * one-decoder-per-partition batch shape.
     */
   def extractGifFrameFeatures(media: DataFrame): DataFrame =
-    extractFramesWith(
-      media,
-      Seq("width", "height", "sum_r", "sum_g", "sum_b",
-        "luma_min", "luma_max", "edge_count")
-        .map(StructField(_, LongType, nullable = false)),
-      img => {
-        val ft = BmpCodec.features(img)
-        Seq(ft.width, ft.height, ft.sumR, ft.sumG, ft.sumB,
-          ft.lumaMin, ft.lumaMax, ft.edgeCount)
-      })
+    extractFramesWith(media, GifCodec.decodeFrames _,
+      frameFeatureFields, frameFeatureProject)
 
   /** Per-FRAME difference-hash fingerprints for animated GIF payloads:
     * one multi-frame decode per payload, then resize(9×8) → dHash per
@@ -796,16 +804,81 @@ object Multimodal {
     * [[extractGifFrameFeatures]].
     */
   def extractGifFrameDHash(media: DataFrame, side: Int = 8): DataFrame =
-    extractFramesWith(
-      media,
-      Seq(
-        StructField("dhash", StringType, nullable = false),
-        StructField("n_ones", LongType, nullable = false)),
-      img => {
-        val (bits, ones) = BmpCodec.dHash(
-          BmpCodec.resizeNearest(img, side + 1, side))
-        Seq(bits, ones)
-      })
+    extractFramesWith(media, GifCodec.decodeFrames _,
+      frameDHashFields, frameDHashProject(side))
+
+  private def frameDHashFields: Seq[StructField] = Seq(
+    StructField("dhash", StringType, nullable = false),
+    StructField("n_ones", LongType, nullable = false))
+
+  private def frameDHashProject(side: Int)(img: BmpCodec.Bmp): Seq[Any] = {
+    val (bits, ones) = BmpCodec.dHash(BmpCodec.resizeNearest(img, side + 1, side))
+    Seq(bits, ones)
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI payloads — the REAL-video
+    * member of the synthesize family: `nFrames` frames, each a
+    * block-constant grayscale JPEG (the [[synthesizeJpeg]] closed-form
+    * discipline) muxed into a RIFF/AVI container ([[AviCodec
+    * .encodeMjpeg]]). Block (by,bx) of frame f has luma
+    * `(id·29 + (f/3)·67 + by·71 + bx·113) mod 256` — constant per block,
+    * so every frame's lossy round-trip is the pure-integer DC closed form
+    * on [[JpegCodec.Fix]], and frames within a 3-frame SCENE are
+    * byte-identical while scene boundaries jump: temporal operators get
+    * an integer ground truth the oracle replays through the q300 BIGINT
+    * shift chain, while the Spark side round-trips every frame through
+    * the REAL entropy coder AND the real container walk.
+    */
+  def synthesizeAviMjpeg(
+      df: DataFrame,
+      idCol: String,
+      nFrames: Int = 6,
+      blocksW: Int = 2,
+      blocksH: Int = 2,
+      fps: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val w = blocksW * 8; val h = blocksH * 8
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val framePayloads = (0 until nFrames).map { f =>
+          val scene = f / 3
+          val pixels = Array.tabulate(w * h) { i =>
+            val by = (i / w) / 8; val bx = (i % w) / 8
+            val v = ((id * 29L + scene * 67L + by * 71L + bx * 113L) % 256L).toInt
+            (v << 16) | (v << 8) | v
+          }
+          JpegCodec.encode(w, h, pixels, grayscale = true)
+        }
+        val payload = AviCodec.encodeMjpeg(w, h, fps, framePayloads)
+        Row(id, payload, Row("video", "avi", w, h,
+          nFrames.toLong * 1000L / fps))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Frame-grain image features from a REAL video container: RIFF/AVI
+    * walk + per-frame JPEG entropy decode ([[AviCodec.decodeFrames]]) →
+    * one [[BmpCodec.features]] row per FRAME — the same temporal table
+    * contract as [[extractGifFrameFeatures]], so scene-change detection
+    * and scene dedup run UNCHANGED on camera-adjacent input. Decode is
+    * once per payload; the per-frame explode happens after it, inside
+    * the one-decoder-per-partition batch shape.
+    */
+  def extractAviFrameFeatures(media: DataFrame): DataFrame =
+    extractFramesWith(media, AviCodec.decodeFrames _,
+      frameFeatureFields, frameFeatureProject)
+
+  /** Per-FRAME difference-hash fingerprints for MJPEG-in-AVI payloads:
+    * container walk + JPEG decode per frame, then resize(9×8) → dHash —
+    * [[extractGifFrameDHash]]'s cross-video scene-dedup machinery on the
+    * real video container.
+    */
+  def extractAviFrameDHash(media: DataFrame, side: Int = 8): DataFrame =
+    extractFramesWith(media, AviCodec.decodeFrames _,
+      frameDHashFields, frameDHashProject(side))
 
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)

@@ -560,4 +560,141 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(small(0).getAs[Long]("n_pixels") == 12L)
   }
+
+  // ---- real AVI (MJPEG) video container -----------------------------------
+
+  test("AviCodec: encode -> decodeFrames round-trips every MJPEG frame") {
+    import graft.multimodal.{AviCodec, JpegCodec}
+    val w = 16; val h = 16
+    val framePayloads = (0 until 4).map { f =>
+      val px = Array.tabulate(w * h) { i =>
+        val by = (i / w) / 8; val bx = (i % w) / 8
+        val v = (f * 67 + by * 71 + bx * 113) % 256
+        (v << 16) | (v << 8) | v
+      }
+      JpegCodec.encode(w, h, px, grayscale = true)
+    }
+    val avi = AviCodec.encodeMjpeg(w, h, fps = 10, framePayloads)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    // header-only sniff never touches entropy data
+    val inf = AviCodec.info(avi)
+    assert(inf.width == w && inf.height == h)
+    assert(inf.usPerFrame == 100000 && inf.totalFrames == 4)
+    // every container frame decodes to exactly what a bare JPEG decode of
+    // the same payload produces — the mux is transparent
+    val frames = AviCodec.decodeFrames(avi)
+    assert(frames.length == 4)
+    for (f <- 0 until 4) {
+      val direct = JpegCodec.decode(framePayloads(f))
+      assert(frames(f).width == w && frames(f).height == h)
+      assert(frames(f).pixels.toSeq == direct.pixels.toSeq, s"frame $f")
+    }
+  }
+
+  test("AviCodec: structural corruption fails loudly, index is untrusted") {
+    import graft.multimodal.{AviCodec, JpegCodec}
+    val payload = JpegCodec.encode(8, 8,
+      Array.fill(64)(0x7F7F7F), grayscale = true)
+    val avi = AviCodec.encodeMjpeg(8, 8, fps = 5, Seq(payload, payload))
+    intercept[IllegalArgumentException](AviCodec.decodeFrames("junk".getBytes))
+    intercept[IllegalArgumentException](AviCodec.decodeFrames(avi.take(avi.length / 2)))
+    intercept[IllegalArgumentException](AviCodec.info(avi.take(20)))
+    // dwTotalFrames disagreeing with the movi walk is loud (a stale
+    // header must not silently pass as a shorter video)
+    val avihAt = (0 until avi.length - 4).indexWhere(j =>
+      new String(avi, j, 4, "US-ASCII") == "avih")
+    val lied = avi.clone()
+    lied(avihAt + 8 + 16) = 9 // dwTotalFrames LE low byte: 2 -> 9
+    val e = intercept[IllegalArgumentException](AviCodec.decodeFrames(lied))
+    assert(e.getMessage.contains("declares"), e.getMessage)
+    // a non-MJPEG vids handler is rejected, not mis-decoded
+    val strhAt = (0 until avi.length - 4).indexWhere(j =>
+      new String(avi, j, 4, "US-ASCII") == "strh")
+    val h264 = avi.clone()
+    "H264".getBytes("US-ASCII").copyToArray(h264, strhAt + 8 + 4)
+    val e2 = intercept[IllegalArgumentException](AviCodec.decodeFrames(h264))
+    assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+    // a frame whose JPEG dims disagree with the container header is loud
+    val other = JpegCodec.encode(16, 8,
+      Array.fill(128)(0x5F5F5F), grayscale = true)
+    val mixed = AviCodec.encodeMjpeg(8, 8, fps = 5, Seq(payload, other))
+    val e3 = intercept[IllegalArgumentException](AviCodec.decodeFrames(mixed))
+    assert(e3.getMessage.contains("header says"), e3.getMessage)
+    // idx1 corruption does NOT break decode — the index is never trusted
+    val idxAt = (0 until avi.length - 4).indexWhere(j =>
+      new String(avi, j, 4, "US-ASCII") == "idx1")
+    val badIdx = avi.clone()
+    badIdx(idxAt + 12) = 0x5A // garbage offset in the first index entry
+    assert(AviCodec.decodeFrames(badIdx).length == 2)
+  }
+
+  test("synthesizeAviMjpeg -> extractAviFrameFeatures: scenes survive the lossy round-trip") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(3L, 8L).toDF("doc_id")
+    val ff = Multimodal.extractAviFrameFeatures(
+      Multimodal.synthesizeAviMjpeg(docs, "doc_id"))
+      .orderBy("media_id", "frame").collect()
+    assert(ff.length == 12) // 2 docs x 6 frames
+    val d3 = ff.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getLong(1)).toSeq == (0L to 5L))
+    // frames within a scene are byte-identical; the boundary moves sums
+    val sums = d3.map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(sums(0) == sums(1) && sums(1) == sums(2))
+    assert(sums(3) == sums(4) && sums(4) == sums(5))
+    assert(sums(2) != sums(3), "scene boundary must change channel sums")
+    // closed-form check for doc 3, frame 0: the q300 BIGINT chain
+    def rec(v: Long): Long = {
+      val s = v - 128
+      val qdc = (8 * s + 8) >> 4
+      val g1 = (qdc * 16 * 370728L + 2048L) >> 12
+      val out = ((g1 * 370728L + 134217728L) >> 28) + 128
+      math.max(0L, math.min(255L, out))
+    }
+    val expSum = 64L * (for (by <- 0 until 2; bx <- 0 until 2)
+      yield rec((3 * 29 + by * 71 + bx * 113) % 256)).sum
+    assert(d3(0).getLong(4) == expSum, "sum_r must equal the DC closed form")
+  }
+
+  test("extractAviFrameDHash: a scene shared across two videos collides") {
+    import graft.multimodal.Multimodal
+    // v = (id·29 + scene·67 + …) mod 256 and 29⁻¹ ≡ 53 (mod 256), so
+    // doc+223's scene 0 IS doc's scene 1 (67·53 ≡ 223·29⁻¹… : 29·223 ≡ −67)
+    val docs = Seq(10L, 233L).toDF("doc_id")
+    val fd = Multimodal.extractAviFrameDHash(
+      Multimodal.synthesizeAviMjpeg(docs, "doc_id", blocksW = 4, blocksH = 4))
+    def h(id: Long, f: Long): String = fd
+      .filter($"media_id" === id && $"frame" === f)
+      .select("dhash").head().getString(0)
+    assert(h(10L, 3L) == h(233L, 0L), "shared scene must fingerprint equal")
+  }
+
+  test("corruptPayloads is PNG-guarded; truncatePayloads poisons every format") {
+    import graft.multimodal.Multimodal
+    // the last-byte flip is only guaranteed-detected for PNG (IEND CRC):
+    // pointing the fixture at GIF payloads must fail fast, not silently
+    // produce ok=true "corrupted" rows
+    val gif = Multimodal.synthesizeGif(Seq(5L).toDF("doc_id"), "doc_id")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.corruptPayloads(gif, everyN = 5L).collect()
+    }
+    assert(ex.getCause.getMessage.contains("PNG-only"), ex.getCause.getMessage)
+    // truncation is detected by EVERY container walk: GIF and JPEG rows
+    // quarantine just like the PNG CRC path
+    val truncGif = Multimodal.truncatePayloads(
+      Multimodal.synthesizeGif(Seq(4L, 5L, 6L).toDF("doc_id"), "doc_id"),
+      everyN = 5L)
+    val gOut = Multimodal.extractGifFeaturesQuarantine(truncGif)
+      .orderBy("media_id").collect()
+    assert(gOut.map(r => r.getLong(0) -> r.getBoolean(1)).toSeq ==
+      Seq(4L -> true, 5L -> false, 6L -> true))
+    val truncJpeg = Multimodal.truncatePayloads(
+      Multimodal.synthesizeJpeg(Seq(9L, 10L).toDF("doc_id"), "doc_id",
+        grayscale = true),
+      everyN = 2L)
+    val jOut = Multimodal.extractJpegFeaturesQuarantine(truncJpeg)
+      .orderBy("media_id").collect()
+    assert(jOut.map(r => r.getLong(0) -> r.getBoolean(1)).toSeq ==
+      Seq(9L -> true, 10L -> false))
+  }
 }
