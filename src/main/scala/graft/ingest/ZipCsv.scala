@@ -46,6 +46,50 @@ object ZipCsv {
       .toDF("archive", "entry", "line_no", "line")
   }
 
+  /** ALL-entries variant of [[readFirstEntryLines]]: every CSV entry of
+    * every archive, same distributed binaryFiles path and output shape
+    * (entry name distinguishes members). The first-entry form stays the
+    * DEFAULT — it is the reference's contract (`namelist()[0]`) and the
+    * parity gates pin it — but a real backfill drops data with it: multi-
+    * CSV zips are how upstream systems batch a day's tables into one
+    * archive. Non-CSV members are skipped (manifest/readme litter), and
+    * `maxEntryBytes` bounds a zip-bomb member to a loud failure instead
+    * of an executor OOM.
+    */
+  def readAllEntryLines(
+      spark: SparkSession,
+      pathGlob: String,
+      encoding: String = "UTF-8",
+      maxEntryBytes: Long = 1L << 30): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .binaryFiles(pathGlob)
+      .flatMap { case (archive, stream) =>
+        val zin = new ZipInputStream(stream.open())
+        val out = Seq.newBuilder[(String, String, Long, String)]
+        try {
+          var e = zin.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory && e.getName.toLowerCase.endsWith(".csv")) {
+              require(e.getSize <= maxEntryBytes,
+                s"zip entry ${e.getName} in $archive declares ${e.getSize} bytes" +
+                  s" (> $maxEntryBytes cap)")
+              val bytes = zin.readNBytes(maxEntryBytes.toInt.min(Int.MaxValue))
+              require(zin.read() < 0,
+                s"zip entry ${e.getName} in $archive exceeds the $maxEntryBytes-byte cap")
+              val text = new String(bytes, encoding)
+              text.linesIterator.zipWithIndex.foreach { case (l, i) =>
+                out += ((archive, e.getName, i.toLong, l))
+              }
+            }
+            e = zin.getNextEntry
+          }
+        } finally zin.close()
+        out.result().iterator
+      }
+      .toDF("archive", "entry", "line_no", "line")
+  }
+
   /** Driver-side extraction of a single local archive to a sibling CSV file —
     * the direct analog of the reference's `extract_file` for the per-file
     * pipeline. Returns the extracted path or an error.

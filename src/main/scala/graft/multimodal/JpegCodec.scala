@@ -14,9 +14,14 @@ import java.io.ByteArrayOutputStream
   * components at 1×1), and YCbCr 4:2:0 (Y at 2×2, chroma quarter-sized,
   * 16×16 MCUs — the layout real camera files carry) are supported, with
   * DRI restart intervals (byte-aligned RSTm markers, DC prediction
-  * reset); progressive (SOF2), other sampling layouts, 12-bit
-  * precision, and arithmetic coding are rejected loudly rather than
-  * decoded wrong.
+  * reset). PROGRESSIVE (SOF2) decodes too — the majority encoding of
+  * real crawled photos: multi-scan spectral selection and successive
+  * approximation per T.81 Annex G (EOB runs, ZRL crossings, correction
+  * bits), coefficients accumulated across scans and rendered at EOI
+  * through the same fixed-point IDCT, so a fully-transmitted progressive
+  * stream decodes to EXACTLY the sequential pixels ([[encodeProgressive]]
+  * round-trips prove it). Other sampling layouts, 12-bit precision, and
+  * arithmetic coding are rejected loudly rather than decoded wrong.
   *
   * The encoder is a real entropy coder, not a fixture: forward fixed-point
   * DCT, Annex-K sample quantization tables, canonical Huffman tables
@@ -271,6 +276,35 @@ object JpegCodec {
       run <- 0 to 15; size <- 1 to 10
       s = sym(run, size) if !placed(s)
     } yield s).sorted
+    val bits = new Array[Int](16)
+    byLen.foreach { case (len, ss) => bits(len - 1) = ss.size }
+    bits(11) = rest.size // everything else at length 12
+    HuffTable(bits, (byLen.flatMap(_._2) ++ rest).toArray)
+  }
+
+  /** AC table for PROGRESSIVE scans: [[AcTable]]'s alphabet plus the EOBn
+    * symbols (r<<4, r = 1..14) progressive end-of-band run coding needs —
+    * EOB0 (0x00) is already the baseline EOB. Same canonical-code
+    * discipline; the decoder rebuilds whatever tables the DHT carries, so
+    * this is an encoder convention, not a format constraint.
+    */
+  private[graft] val AcProgTable: HuffTable = {
+    def sym(run: Int, size: Int) = (run << 4) | size
+    val byLen: Seq[(Int, Seq[Int])] = Seq(
+      2 -> Seq(0x00), // EOB0
+      3 -> Seq(sym(0, 1)),
+      4 -> Seq(sym(0, 2), sym(1, 1)),
+      5 -> Seq(sym(0, 3), sym(2, 1), sym(3, 1)),
+      6 -> Seq(0x10, sym(4, 1), sym(0, 4)), // EOB1 gets a short code
+      7 -> Seq(0x20, 0x30, sym(1, 2)),
+      8 -> Seq(0x40, sym(5, 1), sym(2, 2), sym(0, 5)),
+      9 -> Seq(0x50, 0x60, sym(6, 1), sym(7, 1)),
+      10 -> Seq(0xF0, 0x70, 0x80, sym(1, 3), sym(0, 6)))
+    val placed = byLen.flatMap(_._2).toSet
+    val rest = ((for {
+      run <- 0 to 15; size <- 1 to 10
+      s = sym(run, size) if !placed(s)
+    } yield s) ++ (for (r <- 1 to 14; s = r << 4 if !placed(s)) yield s)).sorted
     val bits = new Array[Int](16)
     byLen.foreach { case (len, ss) => bits(len - 1) = ss.size }
     bits(11) = rest.size // everything else at length 12
@@ -601,6 +635,388 @@ object JpegCodec {
     }
   }
 
+  // ---------------------------------------------------- progressive encode
+
+  /** Quantized coefficients of one component plane over the MCU-padded
+    * block grid, zigzag order per block (the layout both progressive
+    * sides share): block (bx,by) occupies `(by·gridW + bx)·64 + k`,
+    * k = zigzag position. Edge-replicated sampling like the baseline
+    * encoder, so padded blocks are well-defined (and fully outside the
+    * visible image — non-interleaved scans never touch them).
+    */
+  private def quantizePlane(
+      plane: Array[Int], width: Int, height: Int, q: Array[Int],
+      gridW: Int, gridH: Int): Array[Int] = {
+    val out = new Array[Int](gridW * gridH * 64)
+    val samples = new Array[Int](64)
+    val coef = new Array[Long](64)
+    var by = 0
+    while (by < gridH) {
+      var bx = 0
+      while (bx < gridW) {
+        var j = 0
+        while (j < 64) {
+          val yy = math.min(by * 8 + j / 8, height - 1)
+          val xx = math.min(bx * 8 + j % 8, width - 1)
+          samples(j) = plane(yy * width + xx) - 128
+          j += 1
+        }
+        Fix.fdct(samples, coef)
+        val base = (by * gridW + bx) * 64
+        var k = 0
+        while (k < 64) { out(base + k) = quant(coef(Zigzag(k)), q(Zigzag(k))); k += 1 }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** AC point transform (T.81 G.1.2.1): divide the MAGNITUDE by 2^Al,
+    * truncating toward zero — NOT an arithmetic shift for negatives.
+    */
+  private def acPt(v: Int, al: Int): Int =
+    if (v >= 0) v >> al else -((-v) >> al)
+
+  /** One scan's entropy writer for progressive encoding: EOB-run state,
+    * buffered correction bits, the four scan kinds of T.81 Annex G.
+    */
+  private final class ProgWriter(w: BitWriter, acT: HuffTable) {
+    private var eobrun = 0
+    // TWO correction-bit buffers (T.81 G.1.2.3 bit ordering): `be` holds
+    // bits owned by the PENDING EOB RUN (the decoder reads them right
+    // after the EOBn, block by block), `br` holds the CURRENT block's
+    // bits (the decoder reads them while crossing coefficients after
+    // this block's next symbol). Folding a block into the EOB run moves
+    // its bits br → be. A single shared buffer misaligns the stream the
+    // first time a block buffers bits before its first insertion while
+    // an EOB run is pending.
+    private val be = new java.util.ArrayList[Integer]()
+    private val br = new java.util.ArrayList[Integer]()
+
+    private def flushBits(buf: java.util.ArrayList[Integer]): Unit = {
+      var i = 0
+      while (i < buf.size()) { w.put(buf.get(i), 1); i += 1 }
+      buf.clear()
+    }
+
+    private def flushBr(): Unit = flushBits(br)
+
+    /** Fold the just-finished block into the pending EOB run: its
+      * buffered correction bits now belong to the run.
+      */
+    private def foldIntoEobrun(): Unit = {
+      eobrun += 1
+      while (br.size() > 0) { be.add(br.remove(0)) }
+      if (eobrun == 0x7FFF) flushEob()
+    }
+
+    /** Emit the pending EOBn plus the RUN's buffered correction bits. */
+    def flushEob(): Unit = if (eobrun > 0) {
+      val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = acT.encode(r << 4)
+      w.put(c, l)
+      if (r > 0) w.put(eobrun - (1 << r), r)
+      eobrun = 0
+      flushBits(be)
+    }
+
+    /** First AC scan of a band (Ah = 0): run/EOB-run coding of the
+      * point-transformed coefficients.
+      */
+    def acFirstBlock(coefs: Array[Int], base: Int, ss: Int, se: Int, al: Int): Unit = {
+      var last = se
+      while (last >= ss && acPt(coefs(base + last), al) == 0) last -= 1
+      if (last < ss) {
+        foldIntoEobrun()
+      } else {
+        flushEob()
+        var run = 0
+        var k = ss
+        while (k <= last) {
+          val v = acPt(coefs(base + k), al)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acT.encode(0xF0); w.put(c, l); run -= 16 }
+            val sz = bitSize(v)
+            require(sz <= 10, s"AC coefficient out of the table's size range: $v")
+            val (c, l) = acT.encode((run << 4) | sz)
+            w.put(c, l)
+            w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < se) { // trailing zeros: this block contributes an EOB
+          foldIntoEobrun()
+        }
+      }
+    }
+
+    /** Refinement AC scan (Ah = Al + 1): correction bits for history-
+      * nonzero coefficients, run-coded insertion of newly-significant
+      * ones — the T.81 G.1.2.3 successive-approximation pass.
+      */
+    def acRefineBlock(
+        coefs: Array[Int], base: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      // absolute values after this scan's point transform; newly
+      // significant ⇔ the value is exactly 1 at this precision
+      val abs = new Array[Int](se + 1)
+      var eob = ss - 1 // last newly-significant position
+      var k = ss
+      while (k <= se) {
+        val a = math.abs(coefs(base + k)) >> al
+        abs(k) = a
+        if (a == 1) eob = k
+        k += 1
+      }
+      var run = 0
+      k = ss
+      while (k <= se) {
+        val a = abs(k)
+        if (a == 0) { run += 1 }
+        else {
+          // ZRLs due are emitted BEFORE buffering this coefficient's bit,
+          // whatever its kind (T.81 G.7 ordering): the decoder consumes
+          // correction bits positionally while crossing the ZRL's 16
+          // zeros, so a bit buffered past that crossing must come after
+          // the NEXT symbol, not glued to this ZRL's flush. Runs past the
+          // last insertion point fold into the EOB run instead.
+          while (run > 15 && k <= eob) {
+            flushEob()
+            val (c, l) = acT.encode(0xF0)
+            w.put(c, l)
+            run -= 16
+            flushBr()
+          }
+          if (a > 1) {
+            // history-nonzero: buffer its correction bit (emitted after
+            // the next symbol)
+            br.add(a & 1)
+          } else {
+            // newly significant
+            flushEob()
+            val (c, l) = acT.encode((run << 4) | 1)
+            w.put(c, l)
+            w.put(if (coefs(base + k) < 0) 0 else 1, 1)
+            run = 0
+            flushBr()
+          }
+        }
+        k += 1
+      }
+      if (run > 0 || br.size() > 0) foldIntoEobrun()
+    }
+  }
+
+  /** Encode top-down 0xRRGGBB pixels as a PROGRESSIVE (SOF2) JFIF JPEG —
+    * the majority encoding of real crawled photos. Same pixel math as
+    * [[encode]] (identical FDCT, quantizers, color transforms), so the
+    * fully-transmitted progressive stream decodes to EXACTLY the pixels
+    * of the sequential encoding — the spectral-selection + successive-
+    * approximation scan script only reorders WHEN coefficient bits
+    * arrive. Scan script (the classic shape): DC of all components at
+    * Al=1; chroma AC 1–63 at Al=1; luma AC 1–5 then 6–63 at Al=2; luma
+    * AC refinement 2→1; DC refinement to full precision; AC refinements
+    * of every component to Al=0.
+    */
+  def encodeProgressive(
+      width: Int, height: Int, pixels: Array[Int],
+      grayscale: Boolean = false,
+      subsample420: Boolean = false,
+      script: Seq[(Int, Int, Int, Int, Int)] = null): Array[Byte] = {
+    require(!(grayscale && subsample420), "4:2:0 needs chroma components")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"JPEG too large: ${width}x$height exceeds 2^26 pixels")
+    require(pixels.length == width * height, "pixels must be width*height")
+    require(width <= 0xFFFF && height <= 0xFFFF, "JPEG dimensions are 16-bit")
+
+    val n = width * height
+    val yP = new Array[Int](n)
+    val cbP = if (grayscale) null else new Array[Int](n)
+    val crP = if (grayscale) null else new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val p = pixels(i)
+      val (y, cb, cr) = rgbToYcc((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      yP(i) = y
+      if (!grayscale) { cbP(i) = cb; crP(i) = cr }
+      i += 1
+    }
+
+    val nc = if (grayscale) 1 else 3
+    // component planes at their own resolution (4:2:0 chroma downsampled
+    // with the same pinned round-half-up average as the baseline encoder)
+    val (planes, planeWh): (Array[Array[Int]], Array[(Int, Int)]) =
+      if (grayscale) (Array(yP), Array((width, height)))
+      else if (!subsample420)
+        (Array(yP, cbP, crP), Array.fill(3)((width, height)))
+      else {
+        val cw = (width + 1) / 2; val ch = (height + 1) / 2
+        def down(src: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { i =>
+          val cy = i / cw; val cx = i % cw
+          var s = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              s += src(math.min(2 * cy + dy, height - 1) * width +
+                math.min(2 * cx + dx, width - 1))
+              dx += 1
+            }
+            dy += 1
+          }
+          (s + 2) / 4
+        }
+        (Array(yP, down(cbP), down(crP)),
+          Array((width, height), (cw, ch), (cw, ch)))
+      }
+    val compH = Array.tabulate(nc)(c => if (subsample420 && c == 0) 2 else 1)
+    val compV = compH.clone()
+    val hMax = compH.max; val vMax = compV.max
+    val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+    val gridW = Array.tabulate(nc)(c => mcuCols * compH(c))
+    val gridH = Array.tabulate(nc)(c => mcuRows * compV(c))
+    val specBW = Array.tabulate(nc)(c => (planeWh(c)._1 + 7) / 8)
+    val specBH = Array.tabulate(nc)(c => (planeWh(c)._2 + 7) / 8)
+    val qTab = Array.tabulate(nc)(c => if (c == 0) QLuma else QChroma)
+    val coefs = Array.tabulate(nc) { c =>
+      quantizePlane(planes(c), planeWh(c)._1, planeWh(c)._2, qTab(c),
+        gridW(c), gridH(c))
+    }
+    val dcTab = Array.tabulate(nc)(c => if (c == 0) DcLumaTable else DcChromaTable)
+
+    val out = new ByteArrayOutputStream(n / 2 + 1024)
+    writeMarker(out, 0xD8) // SOI
+    writeSegment(out, 0xE0, Array[Byte](
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new ByteArrayOutputStream()
+    dqt.write(0x00); Zigzag.foreach(z => dqt.write(QLuma(z)))
+    if (!grayscale) { dqt.write(0x01); Zigzag.foreach(z => dqt.write(QChroma(z))) }
+    writeSegment(out, 0xDB, dqt.toByteArray)
+    // SOF2 — same frame-header layout as SOF0, progressive coding process
+    val sof = new ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xFF); sof.write(height & 0xFF)
+    sof.write((width >> 8) & 0xFF); sof.write(width & 0xFF)
+    sof.write(nc)
+    var c = 0
+    while (c < nc) {
+      sof.write(c + 1)
+      sof.write(if (subsample420 && c == 0) 0x22 else 0x11)
+      sof.write(if (c == 0) 0 else 1)
+      c += 1
+    }
+    writeSegment(out, 0xC2, sof.toByteArray)
+    writeSegment(out, 0xC4, dhtPayload(0, 0, DcLumaTable))
+    writeSegment(out, 0xC4, dhtPayload(1, 0, AcProgTable))
+    if (!grayscale) writeSegment(out, 0xC4, dhtPayload(0, 1, DcChromaTable))
+
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val b = new ByteArrayOutputStream()
+      b.write(comps.size)
+      comps.foreach { ci =>
+        b.write(ci + 1)
+        b.write(((if (ci == 0) 0 else 1) << 4) | 0) // DC table id | AC table 0
+      }
+      b.write(ss); b.write(se); b.write((ah << 4) | al)
+      writeSegment(out, 0xDA, b.toByteArray)
+    }
+
+    /** Interleaved (or single-component) DC scan: Ah = 0 first pass
+      * (prediction on the point-transformed values), Ah > 0 one
+      * refinement bit per block.
+      */
+    def dcScan(ah: Int, al: Int): Unit = {
+      sosHeader(0 until nc, 0, 0, ah, al)
+      val w = new BitWriter(out)
+      val pred = new Array[Int](nc)
+      var mcu = 0
+      val total = mcuCols * mcuRows
+      while (mcu < total) {
+        val my = mcu / mcuCols; val mx = mcu % mcuCols
+        var c = 0
+        while (c < nc) {
+          var by2 = 0
+          while (by2 < compV(c)) {
+            var bx2 = 0
+            while (bx2 < compH(c)) {
+              val bi = (my * compV(c) + by2) * gridW(c) + mx * compH(c) + bx2
+              val dc = coefs(c)(bi * 64)
+              if (ah == 0) {
+                val t = dc >> al // DC point transform IS arithmetic shift
+                val diff = t - pred(c)
+                pred(c) = t
+                val s = bitSize(diff)
+                val (cd, l) = dcTab(c).encode(s)
+                w.put(cd, l)
+                if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+              } else {
+                w.put((dc >> al) & 1, 1)
+              }
+              bx2 += 1
+            }
+            by2 += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      w.finish()
+    }
+
+    /** Non-interleaved AC scan over component `c`'s OWN block raster
+      * (ceil dims — padded grid blocks are never AC-scanned; they sit
+      * fully outside the image).
+      */
+    def acScan(c: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sosHeader(Seq(c), ss, se, ah, al)
+      val w = new BitWriter(out)
+      val pw = new ProgWriter(w, AcProgTable)
+      var by = 0
+      while (by < specBH(c)) {
+        var bx = 0
+        while (bx < specBW(c)) {
+          val base = (by * gridW(c) + bx) * 64
+          if (ah == 0) pw.acFirstBlock(coefs(c), base, ss, se, al)
+          else pw.acRefineBlock(coefs(c), base, ss, se, ah, al)
+          bx += 1
+        }
+        by += 1
+      }
+      pw.flushEob()
+      w.finish()
+    }
+
+    // the classic scan script: coarse DC + low-frequency luma first (the
+    // "picture appears, then sharpens" order), full precision by the end.
+    // Script rows: (comp, Ss, Se, Ah, Al); comp = -1 is the interleaved
+    // DC scan of all components.
+    val scanScript: Seq[(Int, Int, Int, Int, Int)] =
+      if (script != null) script
+      else if (nc == 1) Seq(
+        (-1, 0, 0, 0, 1),
+        (0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+        (0, 1, 63, 2, 1),
+        (-1, 0, 0, 1, 0),
+        (0, 1, 63, 1, 0))
+      else Seq(
+        (-1, 0, 0, 0, 1),
+        (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+        (0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+        (0, 1, 63, 2, 1),
+        (-1, 0, 0, 1, 0),
+        (1, 1, 63, 1, 0), (2, 1, 63, 1, 0), (0, 1, 63, 1, 0))
+    scanScript.foreach {
+      case (-1, 0, 0, ah, al) => dcScan(ah, al)
+      case (c, ss, se, ah, al) => acScan(c, ss, se, ah, al)
+    }
+    writeMarker(out, 0xD9) // EOI
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------------- decode
 
   /** Header-only sniff: walk markers to SOF and return
@@ -644,11 +1060,11 @@ object JpegCodec {
     throw new IllegalArgumentException("truncated JPEG: no SOF marker")
   }
 
-  /** Parse JPEG bytes into the shared pixel frame; throws
-    * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (progressive, non-4:2:0 subsampling layouts, 12-bit,
-    * arithmetic coding, truncation, corrupt Huffman data) — loud beats
-    * silent. Grayscale decodes with r = g = b = Y.
+  /** Parse JPEG bytes (baseline SOF0/SOF1 or progressive SOF2) into the
+    * shared pixel frame; throws IllegalArgumentException on anything this
+    * decoder cannot represent faithfully (non-4:2:0 subsampling layouts,
+    * 12-bit, arithmetic coding, truncation, corrupt Huffman data) — loud
+    * beats silent. Grayscale decodes with r = g = b = Y.
     */
   def decode(bytes: Array[Byte]): BmpCodec.Bmp =
     try decode0(bytes)
@@ -676,6 +1092,17 @@ object JpegCodec {
     var restartInterval = 0 // 0 = disabled (no DRI, or DRI with Ri=0)
     var compH: Array[Int] = null
     var compV: Array[Int] = null
+    var compIds: Array[Int] = null
+    // progressive (SOF2) state: per-component coefficient grids persist
+    // across scans; rendered at EOI
+    var progressive = false
+    var progCoefs: Array[Array[Int]] = null
+    var progScans = 0
+    var gridW: Array[Int] = null
+    var gridH: Array[Int] = null
+    var specBW: Array[Int] = null
+    var specBH: Array[Int] = null
+    var mcuCols = 0; var mcuRows = 0
 
     def segLen(at: Int): Int = {
       val n = u16(bytes, at)
@@ -688,7 +1115,11 @@ object JpegCodec {
       val m = bytes(pos + 1) & 0xFF
       pos += 2
       m match {
-        case 0xD9 => // EOI without a scan
+        case 0xD9 => // EOI: progressive render point, corrupt otherwise
+          if (progressive && progScans > 0)
+            return finishProgressive(
+              width, height, nc, progCoefs, compQ.map(quantTables(_)),
+              gridW, gridH, compH, compV)
           throw new IllegalArgumentException("JPEG has no scan (EOI before SOS)")
         case 0xDB => // DQT
           val n = segLen(pos)
@@ -721,10 +1152,14 @@ object JpegCodec {
             p += 17 + total
           }
           pos += n
-        case 0xC0 | 0xC1 => // SOF0 baseline (C1 extended-sequential, same layout)
+        case 0xC0 | 0xC1 | 0xC2 =>
+          // SOF0 baseline / SOF1 extended-sequential / SOF2 progressive —
+          // identical frame-header layout; SOF2 switches the scan loop to
+          // coefficient accumulation across multiple scans
           val n = segLen(pos)
           require(!sofSeen, "multiple SOF segments")
           sofSeen = true
+          progressive = m == 0xC2
           require((bytes(pos + 2) & 0xFF) == 8, "only 8-bit precision supported")
           height = u16(bytes, pos + 3)
           width = u16(bytes, pos + 5)
@@ -736,16 +1171,18 @@ object JpegCodec {
           compQ = new Array[Int](nc)
           compH = new Array[Int](nc)
           compV = new Array[Int](nc)
+          compIds = new Array[Int](nc)
           var c = 0
           while (c < nc) {
+            compIds(c) = bytes(pos + 8 + 3 * c) & 0xFF
             val hv = bytes(pos + 9 + 3 * c) & 0xFF
             compH(c) = hv >> 4
             compV(c) = hv & 0x0F
             compQ(c) = bytes(pos + 10 + 3 * c) & 0x0F
             c += 1
           }
-          // the two layouts real baseline files carry: 1x1 everywhere
-          // (gray / 4:4:4) and 4:2:0 (Y at 2x2, chroma at 1x1)
+          // the two layouts real files carry: 1x1 everywhere (gray /
+          // 4:4:4) and 4:2:0 (Y at 2x2, chroma at 1x1)
           val all11 = (0 until nc).forall(i => compH(i) == 1 && compV(i) == 1)
           val is420 = nc == 3 &&
             compH(0) == 2 && compV(0) == 2 &&
@@ -753,16 +1190,29 @@ object JpegCodec {
           require(all11 || is420,
             s"unsupported sampling layout ${compH.zip(compV).mkString(",")} " +
               "(gray/4:4:4/4:2:0 only)")
+          if (progressive) {
+            val hMax = compH.max; val vMax = compV.max
+            mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+            mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+            gridW = Array.tabulate(nc)(c => mcuCols * compH(c))
+            gridH = Array.tabulate(nc)(c => mcuRows * compV(c))
+            // non-interleaved scans cover the component's OWN ceil dims
+            // (T.81 A.1.1), which can be smaller than the padded grid
+            specBW = Array.tabulate(nc)(c =>
+              ((width * compH(c) + hMax - 1) / hMax + 7) / 8)
+            specBH = Array.tabulate(nc)(c =>
+              ((height * compV(c) + vMax - 1) / vMax + 7) / 8)
+            progCoefs = Array.tabulate(nc)(c =>
+              new Array[Int](gridW(c) * gridH(c) * 64))
+          }
           pos += n
-        case 0xC2 =>
-          throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
         case x if x >= 0xC3 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
           throw new IllegalArgumentException(f"unsupported SOF marker 0xFF$x%02X")
         case 0xDD => // DRI: restart every Ri MCUs in the following scans
           val n = segLen(pos)
           restartInterval = u16(bytes, pos + 2)
           pos += n
-        case 0xDA => // SOS — decode the scan and finish
+        case 0xDA if !progressive => // baseline SOS — decode and finish
           val n = segLen(pos)
           require(sofSeen, "SOS before SOF")
           val ns = bytes(pos + 2) & 0xFF
@@ -785,6 +1235,52 @@ object JpegCodec {
             bytes, scanStart, width, height, nc,
             compDc, compAc, compQ.map(quantTables(_)), compH, compV,
             restartInterval)
+        case 0xDA => // progressive SOS — accumulate and continue to EOI
+          val n = segLen(pos)
+          require(sofSeen, "SOS before SOF")
+          val ns = bytes(pos + 2) & 0xFF
+          require(ns >= 1 && ns <= nc, s"bad scan component count $ns")
+          val scanComps = new Array[Int](ns)
+          val scanDc = new Array[HuffTable](ns)
+          val scanAc = new Array[HuffTable](ns)
+          val ss = bytes(pos + 3 + 2 * ns) & 0xFF
+          val se = bytes(pos + 4 + 2 * ns) & 0xFF
+          val ahal = bytes(pos + 5 + 2 * ns) & 0xFF
+          val ah = ahal >> 4; val al = ahal & 0x0F
+          if (ss == 0) require(se == 0,
+            s"corrupt progressive scan: DC band must be 0..0, got 0..$se")
+          else {
+            require(ns == 1, "corrupt progressive scan: interleaved AC band")
+            require(se >= ss && se <= 63, s"corrupt scan band $ss..$se")
+          }
+          require(ah == 0 || ah == al + 1,
+            s"corrupt successive approximation Ah=$ah Al=$al")
+          require(al <= 10, s"unsupported point transform Al=$al")
+          var j = 0
+          while (j < ns) {
+            val id = bytes(pos + 3 + 2 * j) & 0xFF
+            val ci = compIds.indexOf(id)
+            require(ci >= 0, s"scan references unknown component id $id")
+            scanComps(j) = ci
+            val td = (bytes(pos + 4 + 2 * j) & 0xFF) >> 4
+            val ta = bytes(pos + 4 + 2 * j) & 0x0F
+            if (ss == 0 && ah == 0) {
+              require(dcTables(td) != null, s"scan references missing DC table $td")
+              scanDc(j) = dcTables(td)
+            }
+            if (ss > 0) {
+              require(acTables(ta) != null, s"scan references missing AC table $ta")
+              scanAc(j) = acTables(ta)
+            }
+            require(quantTables(compQ(ci)) != null,
+              s"frame references missing quant table ${compQ(ci)}")
+            j += 1
+          }
+          pos = decodeProgScan(
+            bytes, pos + n, scanComps, scanDc, scanAc, ss, se, ah, al,
+            progCoefs, gridW, gridH, specBW, specBH, compH, compV,
+            mcuCols, mcuRows, restartInterval)
+          progScans += 1
         case x if x == 0x01 || (x >= 0xD0 && x <= 0xD7) =>
           throw new IllegalArgumentException(
             f"standalone marker 0xFF$x%02X outside a scan")
@@ -794,7 +1290,225 @@ object JpegCodec {
           throw new IllegalArgumentException(f"unsupported JPEG marker 0xFF$x%02X")
       }
     }
-    throw new IllegalArgumentException("truncated JPEG: no SOS marker")
+    throw new IllegalArgumentException(
+      if (progressive) "truncated JPEG: no EOI after progressive scans"
+      else "truncated JPEG: no SOS marker")
+  }
+
+  /** Advance from the end of an entropy-coded segment to the next marker
+    * (skipping stuffed 0xFF00 pairs) — progressive files hold one such
+    * segment per scan.
+    */
+  private def skipToMarker(bytes: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < bytes.length &&
+      !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00)) p += 1
+    require(p + 1 < bytes.length, "truncated JPEG: entropy stream ran out")
+    p
+  }
+
+  /** One progressive scan (T.81 Annex G decode): updates the coefficient
+    * grids in place, returns the position of the next marker. DC scans
+    * may interleave components in MCU order; AC scans are single-
+    * component over its own ceil-dims block raster. EOB runs, ZRL
+    * crossings and correction bits follow the spec's figure G.7 bit
+    * ordering exactly (the encoder's mirror).
+    */
+  private def decodeProgScan(
+      bytes: Array[Byte], start: Int,
+      scanComps: Array[Int], scanDc: Array[HuffTable], scanAc: Array[HuffTable],
+      ss: Int, se: Int, ah: Int, al: Int,
+      coefs: Array[Array[Int]],
+      gridW: Array[Int], gridH: Array[Int],
+      specBW: Array[Int], specBH: Array[Int],
+      compH: Array[Int], compV: Array[Int],
+      mcuCols: Int, mcuRows: Int,
+      restartInterval: Int): Int = {
+    val r = new BitReader(bytes, start)
+    val pred = new Array[Int](scanComps.length)
+    var eobrun = 0
+    var rst = 0
+    val p1 = 1 << al
+
+    def dcUnit(j: Int, c: Int, bi: Int): Unit =
+      if (ah == 0) {
+        val s = r.symbol(scanDc(j))
+        require(s <= 11, s"corrupt JPEG: DC size $s")
+        pred(j) += extend(r.bitsVal(s), s)
+        require(math.abs(pred(j).toLong << al) <= 2048,
+          s"corrupt JPEG: DC predictor ${pred(j)} out of 8-bit range")
+        coefs(c)(bi * 64) = pred(j) << al
+      } else {
+        if (r.bit() == 1) coefs(c)(bi * 64) |= p1
+      }
+
+    def acFirst(c: Int, base: Int): Unit =
+      if (eobrun > 0) eobrun -= 1
+      else {
+        var k = ss
+        while (k <= se) {
+          val rs = r.symbol(scanAc(0))
+          val run = rs >> 4
+          val s = rs & 0x0F
+          if (s == 0) {
+            if (run < 15) {
+              eobrun = (1 << run) - 1
+              if (run > 0) eobrun += r.bitsVal(run)
+              k = 64 // band ends
+            } else {
+              k += 16 // ZRL
+              require(k <= se + 1, "corrupt JPEG: ZRL past band end")
+            }
+          } else {
+            require(s <= 10, s"corrupt JPEG: AC size $s")
+            k += run
+            require(k <= se, "corrupt JPEG: AC run past band end")
+            coefs(c)(base + k) = extend(r.bitsVal(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+    def refineNonzero(c: Int, idx: Int): Unit =
+      if (r.bit() == 1 && (coefs(c)(idx) & p1) == 0)
+        coefs(c)(idx) += (if (coefs(c)(idx) >= 0) p1 else -p1)
+
+    def acRefine(c: Int, base: Int): Unit = {
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = r.symbol(scanAc(0))
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var newval = 0
+          if (s == 0) {
+            if (run < 15) {
+              eobrun = (1 << run) + (if (run > 0) r.bitsVal(run) else 0)
+              done = true // tail below handles the rest of this band
+            }
+            // run == 15: ZRL — cross 16 zero-history coefficients
+          } else {
+            require(s == 1, s"corrupt JPEG: refinement AC size $s (must be 1)")
+            newval = if (r.bit() == 1) p1 else -p1
+          }
+          if (!done) {
+            var stop = false
+            while (k <= se && !stop) {
+              val idx = base + k
+              if (coefs(c)(idx) != 0) {
+                refineNonzero(c, idx)
+                k += 1
+              } else {
+                run -= 1
+                if (run < 0) stop = true else k += 1
+              }
+            }
+            if (newval != 0) {
+              require(k <= se, "corrupt JPEG: refinement run past band end")
+              coefs(c)(base + k) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = base + k
+          if (coefs(c)(idx) != 0) refineNonzero(c, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def maybeRestart(unitsDone: Int, totalUnits: Int): Unit =
+      if (restartInterval > 0 && unitsDone % restartInterval == 0 &&
+        unitsDone < totalUnits) {
+        r.restart(rst % 8)
+        rst += 1
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan, MCU order over the padded grid
+      val total = mcuCols * mcuRows
+      var mcu = 0
+      while (mcu < total) {
+        val my = mcu / mcuCols; val mx = mcu % mcuCols
+        var j = 0
+        while (j < scanComps.length) {
+          val c = scanComps(j)
+          var by2 = 0
+          while (by2 < compV(c)) {
+            var bx2 = 0
+            while (bx2 < compH(c)) {
+              dcUnit(j, c, (my * compV(c) + by2) * gridW(c) + mx * compH(c) + bx2)
+              bx2 += 1
+            }
+            by2 += 1
+          }
+          j += 1
+        }
+        mcu += 1
+        maybeRestart(mcu, total)
+      }
+    } else {
+      // single-component scan over the component's own block raster
+      val c = scanComps(0)
+      val total = specBW(c) * specBH(c)
+      var b = 0
+      while (b < total) {
+        val by = b / specBW(c); val bx = b % specBW(c)
+        val bi = by * gridW(c) + bx
+        if (ss == 0) dcUnit(0, c, bi)
+        else if (ah == 0) acFirst(c, bi * 64)
+        else acRefine(c, bi * 64)
+        b += 1
+        maybeRestart(b, total)
+      }
+    }
+    skipToMarker(bytes, r.pos)
+  }
+
+  /** Render the accumulated progressive coefficients: dequantize + IDCT
+    * every grid block into component planes, then the shared upsample /
+    * color-convert assembly — identical output math to the baseline path.
+    */
+  private def finishProgressive(
+      width: Int, height: Int, nc: Int,
+      coefs: Array[Array[Int]], q: Array[Array[Int]],
+      gridW: Array[Int], gridH: Array[Int],
+      compH: Array[Int], compV: Array[Int]): BmpCodec.Bmp = {
+    val planeW = Array.tabulate(nc)(c => gridW(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * gridH(c) * 8))
+    val coefRaster = new Array[Long](64)
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < nc) {
+      var bi = 0
+      val nBlocks = gridW(c) * gridH(c)
+      while (bi < nBlocks) {
+        val base = bi * 64
+        var k = 0
+        while (k < 64) {
+          coefRaster(Zigzag(k)) = coefs(c)(base + k).toLong * q(c)(Zigzag(k))
+          k += 1
+        }
+        Fix.idct(coefRaster, block)
+        val rowBase = (bi / gridW(c)) * 8
+        val colBase = (bi % gridW(c)) * 8
+        var j = 0
+        while (j < 64) {
+          planes(c)((rowBase + j / 8) * planeW(c) + colBase + j % 8) = block(j)
+          j += 1
+        }
+        bi += 1
+      }
+      c += 1
+    }
+    assemble(planes, planeW, width, height, nc, compH, compV)
   }
 
   private def decodeScan(
@@ -898,9 +1612,19 @@ object JpegCodec {
       my += 1
     }
 
-    // component sample for output pixel (x, y) sits at the component's
-    // own resolution: (x·h/hMax, y·v/vMax) — identity for 1x1 layouts,
-    // nearest (replicated) upsampling for 4:2:0 chroma
+    assemble(planes, planeW, width, height, nc, compH, compV)
+  }
+
+  /** Component planes → output pixels: the sample for pixel (x, y) sits
+    * at the component's own resolution (x·h/hMax, y·v/vMax) — identity
+    * for 1x1 layouts, nearest (replicated) upsampling for 4:2:0 chroma.
+    * Shared by the baseline and progressive render paths.
+    */
+  private def assemble(
+      planes: Array[Array[Int]], planeW: Array[Int],
+      width: Int, height: Int, nc: Int,
+      compH: Array[Int], compV: Array[Int]): BmpCodec.Bmp = {
+    val hMax = compH.max; val vMax = compV.max
     val pixels = new Array[Int](width * height)
     var y = 0
     while (y < height) {

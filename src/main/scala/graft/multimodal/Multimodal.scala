@@ -346,6 +346,37 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[synthesizeWav]]'s COMPRESSED twin: the same integer sample recipe
+    * encoded as mono IMA ADPCM (WAVE format 0x11 — [[WavCodec
+    * .encodeAdpcm]], 4 bits/sample through the predictor + step-table
+    * state machine). The codec is lossy but pure-integer, so the oracle
+    * replays the ENTIRE encode+decode chain with a recursive CTE and the
+    * decoded samples are exactly reproducible — the audio analog of the
+    * JPEG closed-form discipline, with real sequential state instead of
+    * a per-block closed form.
+    */
+  def synthesizeWavAdpcm(
+      df: DataFrame,
+      idCol: String,
+      nSamples: Int = 202,
+      samplesPerBlock: Int = 101,
+      sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(nSamples) { i =>
+          (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort
+        }
+        val payload = WavCodec.encodeAdpcm(sampleRate, samples, samplesPerBlock)
+        Row(id, payload, Row("audio", "wav-adpcm", null, null,
+          nSamples.toLong * 1000L / sampleRate))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** Deterministic synthetic GIF payloads (16×12, 256-entry palette by
     * default): palette index of pixel (x,y) = (id·13 + y·31 + x·7) mod 256
     * and palette entry j = ((j·31+7)%256, (j·17+3)%256, (j·23+11)%256) —
@@ -549,6 +580,48 @@ object Multimodal {
         }
         val payload =
           JpegCodec.encode(w, h, pixels, grayscale, subsample420 = subsample420)
+        Row(id, payload, Row("image", "jpeg", w, h, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[synthesizeJpeg]]'s PROGRESSIVE (SOF2) twin: the same block-
+    * constant pixels through [[JpegCodec.encodeProgressive]] — multi-scan
+    * spectral selection + successive approximation, the majority encoding
+    * of real crawled photos. Because the fully-transmitted progressive
+    * stream carries the same quantized coefficients as the sequential
+    * one, the SAME closed-form oracles gate it (q311/q312 reuse q300/
+    * q303's BIGINT chains verbatim).
+    */
+  def synthesizeJpegProgressive(
+      df: DataFrame,
+      idCol: String,
+      grayscale: Boolean,
+      blocksW: Int = 2,
+      blocksH: Int = 2,
+      subsample420: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val tile = if (subsample420) 16 else 8
+    val w = blocksW * tile; val h = blocksH * tile
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pixels = Array.tabulate(w * h) { i =>
+          val by = (i / w) / tile; val bx = (i % w) / tile
+          if (grayscale) {
+            val v = ((id * 29L + by * 71L + bx * 113L) % 256L).toInt
+            (v << 16) | (v << 8) | v
+          } else {
+            val pr = ((id * 19L + by * 53L + bx * 101L) % 256L).toInt
+            val pg = ((id * 23L + by * 59L + bx * 103L) % 256L).toInt
+            val pb = ((id * 31L + by * 61L + bx * 107L) % 256L).toInt
+            (pr << 16) | (pg << 8) | pb
+          }
+        }
+        val payload = JpegCodec.encodeProgressive(
+          w, h, pixels, grayscale, subsample420 = subsample420)
         Row(id, payload, Row("image", "jpeg", w, h, null))
       }
     }

@@ -3,15 +3,19 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets.US_ASCII
 
-/** Pure-JVM RIFF/WAVE PCM codec — the one modality this container CAN decode
-  * for real (no external codec libraries needed), so the multimodal path has
-  * an end-to-end-verified decoder next to [[Multimodal.StubDecoder]]'s
-  * honest fakes: header walk, chunk iteration (including unknown chunks and
-  * the RIFF odd-size pad byte), 16-bit little-endian PCM sample decode.
+/** Pure-JVM RIFF/WAVE codec: header walk, chunk iteration (including
+  * unknown chunks and the RIFF odd-size pad byte), 16-bit little-endian
+  * PCM sample decode, and — round 10 — mono IMA/DVI ADPCM (format tag
+  * 0x11), the audio family's first real DECOMPRESSION: 4-bit
+  * predictor + step-table coding at 4:1 vs PCM16, decoded block-by-block
+  * from each block's (predictor, step index) header.
   *
-  * Reference shape: the WAVE format is public (RIFF 1991 spec; the canonical
-  * 44-byte PCM header layout). Only integer arithmetic touches the samples,
-  * so every derived feature is exactly reproducible by the DuckDB oracle.
+  * Reference shape: the WAVE format is public (RIFF 1991 spec; the
+  * canonical 44-byte PCM header layout; the IMA ADPCM reference algorithm
+  * and Microsoft's format-0x11 block layout). Only integer arithmetic
+  * touches the samples — including the lossy ADPCM path, whose whole
+  * encode+decode state machine the q314 oracle replays with a recursive
+  * CTE — so every derived feature is exactly reproducible by DuckDB.
   */
 object WavCodec {
 
@@ -57,8 +61,112 @@ object WavCodec {
     bb.array()
   }
 
-  /** Parse WAVE bytes; throws IllegalArgumentException on anything that is
-    * not 16-bit PCM (loud beats silent for a decoder — a corrupt corpus
+  // ---- IMA/DVI ADPCM (WAVE format tag 0x11) --------------------------------
+  // The audio family's first real DECOMPRESSION: a pure-integer
+  // predictor + step-table codec (4 bits/sample, 4:1 vs PCM16). Public
+  // format: the IMA ADPCM reference algorithm and Microsoft's WAVE
+  // format-0x11 block layout (per-block header: predictor int16, step
+  // index uint8, reserved byte; then two 4-bit codes per byte, low
+  // nibble first). Every operation is integer compare/shift/add, so a
+  // SQL oracle replays the full encode+decode chain with a recursive CTE
+  // — the decoded samples are exactly reproducible, lossy or not.
+
+  private[graft] val ImaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[graft] val ImaIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clampPred(v: Int): Int =
+    if (v < -32768) -32768 else if (v > 32767) 32767 else v
+
+  private def clampIdx(v: Int): Int = if (v < 0) 0 else if (v > 88) 88 else v
+
+  /** The decoder's reconstruction of one 4-bit code from (pred, idx) —
+    * shared by encode (prediction must track the decoder exactly) and
+    * decode. Returns (newPred, newIdx).
+    */
+  private def imaStep(pred: Int, idx: Int, code: Int): (Int, Int) = {
+    val step = ImaSteps(idx)
+    var diff = step >> 3
+    if ((code & 4) != 0) diff += step
+    if ((code & 2) != 0) diff += step >> 1
+    if ((code & 1) != 0) diff += step >> 2
+    val p = clampPred(if ((code & 8) != 0) pred - diff else pred + diff)
+    (p, clampIdx(idx + ImaIndexAdjust(code & 7)))
+  }
+
+  /** Mono IMA-ADPCM WAVE bytes. `samplesPerBlock` must be odd (one header
+    * sample + an even count of nibbles) and divide the sample count into
+    * whole blocks — the layout standard encoders emit; a trailing partial
+    * block is the caller's padding decision, not a silent one here. The
+    * step index carries across blocks (stored in each block header, as
+    * the format intends), so decode stays block-independent.
+    */
+  def encodeAdpcm(
+      sampleRate: Int,
+      samples: Array[Short],
+      samplesPerBlock: Int = 505): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    require(samplesPerBlock >= 3 && samplesPerBlock % 2 == 1,
+      s"samplesPerBlock=$samplesPerBlock must be odd and >= 3")
+    require(samples.nonEmpty && samples.length % samplesPerBlock == 0,
+      s"${samples.length} samples is not whole blocks of $samplesPerBlock")
+    val nBlocks = samples.length / samplesPerBlock
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val dataLen = nBlocks * blockAlign
+    val bb = ByteBuffer.allocate(12 + 8 + 20 + 12 + 8 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(4 + 28 + 20 + 8 + dataLen)
+    bb.put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(20)
+    bb.putShort(0x11) // IMA ADPCM
+    bb.putShort(1).putInt(sampleRate) // mono
+    bb.putInt(sampleRate * blockAlign / samplesPerBlock) // avg byte rate
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(4) // bits per (coded) sample
+    bb.putShort(2) // cbSize
+    bb.putShort(samplesPerBlock.toShort)
+    // 'fact' chunk: total frames — format-0x11 files carry it
+    bb.put("fact".getBytes(US_ASCII)).putInt(4).putInt(samples.length)
+    bb.put("data".getBytes(US_ASCII)).putInt(dataLen)
+    var idx = 0
+    var s = 0
+    var b = 0
+    while (b < nBlocks) {
+      var pred: Int = samples(s) // header sample transmits exactly
+      bb.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+      s += 1
+      var i = 1
+      var lowNibble = -1
+      while (i < samplesPerBlock) {
+        val step = ImaSteps(idx)
+        val d = samples(s) - pred
+        var code = if (d < 0) 8 else 0
+        var ad = if (d < 0) -d else d
+        if (ad >= step) { code |= 4; ad -= step }
+        if (ad >= (step >> 1)) { code |= 2; ad -= step >> 1 }
+        if (ad >= (step >> 2)) { code |= 1 }
+        val (p2, i2) = imaStep(pred, idx, code) // track the decoder
+        pred = p2; idx = i2
+        if (lowNibble < 0) lowNibble = code
+        else { bb.put((lowNibble | (code << 4)).toByte); lowNibble = -1 }
+        s += 1
+        i += 1
+      }
+      b += 1
+    }
+    bb.array()
+  }
+
+  /** Parse WAVE bytes — 16-bit PCM (tag 1) or mono IMA ADPCM (tag 0x11,
+    * decompressed here to PCM16); throws IllegalArgumentException on
+    * anything else (loud beats silent for a decoder — a corrupt corpus
     * should fail the batch, not ship zeroed features).
     */
   def decode(bytes: Array[Byte]): Wav = {
@@ -70,9 +178,10 @@ object WavCodec {
     require(fourcc() == "RIFF", "not a WAVE file: missing RIFF magic")
     bb.getInt // riff size (untrusted; chunk walk is bounded by the buffer)
     require(fourcc() == "WAVE", "not a WAVE file: missing WAVE form type")
-    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
-    var data: Array[Short] = null
-    while (bb.remaining() >= 8 && (fmt.isEmpty || data == null)) {
+    // (channels, sampleRate, bits, tag, blockAlign, samplesPerBlock)
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
+    var dataRaw: Array[Byte] = null
+    while (bb.remaining() >= 8 && (fmt.isEmpty || dataRaw == null)) {
       val id = fourcc()
       val size = bb.getInt
       require(size >= 0 && size <= bb.remaining(), s"corrupt chunk '$id': size $size")
@@ -80,30 +189,81 @@ object WavCodec {
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")
-          val tag = bb.getShort
-          require(tag == 1, s"unsupported WAVE format tag $tag (PCM=1 only)")
+          val tag = bb.getShort.toInt
+          require(tag == 1 || tag == 0x11,
+            s"unsupported WAVE format tag $tag (PCM=1, IMA ADPCM=17 only)")
           val channels = bb.getShort.toInt
           val rate = bb.getInt
           bb.getInt // byte rate
-          bb.getShort // block align
+          val blockAlign = bb.getShort.toInt
           val bits = bb.getShort.toInt
-          require(bits == 16, s"unsupported bits-per-sample $bits (16 only)")
           require(channels > 0 && rate > 0, "corrupt fmt chunk")
-          fmt = Some((channels, rate, bits))
+          if (tag == 1) {
+            require(bits == 16, s"unsupported bits-per-sample $bits (16 only)")
+            fmt = Some((channels, rate, bits, tag, blockAlign, 0))
+          } else {
+            require(channels == 1, "IMA ADPCM: mono only")
+            require(bits == 4, s"IMA ADPCM: 4 bits per sample, got $bits")
+            require(size >= 20, "IMA ADPCM fmt chunk missing extension")
+            bb.getShort // cbSize
+            val spb = bb.getShort.toInt
+            require(spb >= 3 && spb % 2 == 1, s"bad samplesPerBlock $spb")
+            require(blockAlign == 4 + (spb - 1) / 2,
+              s"blockAlign $blockAlign inconsistent with samplesPerBlock $spb")
+            fmt = Some((channels, rate, bits, tag, blockAlign, spb))
+          }
         case "data" =>
-          val n = size / 2
-          val out = new Array[Short](n)
-          var i = 0
-          while (i < n) { out(i) = bb.getShort; i += 1 }
-          data = out
-        case _ => // LIST/INFO/cue/etc. — skip
+          val raw = new Array[Byte](size)
+          bb.get(raw)
+          dataRaw = raw
+        case _ => // LIST/INFO/fact/cue/etc. — skip
       }
       bb.position(math.min(next, bb.limit()))
     }
-    val (channels, rate, bits) = fmt.getOrElse(
+    val (channels, rate, bits, tag, blockAlign, spb) = fmt.getOrElse(
       throw new IllegalArgumentException("not a WAVE file: no fmt chunk"))
-    require(data != null, "not a WAVE file: no data chunk")
-    Wav(rate, channels, bits, data)
+    require(dataRaw != null, "not a WAVE file: no data chunk")
+    if (tag == 1) {
+      val n = dataRaw.length / 2
+      val out = new Array[Short](n)
+      val db = ByteBuffer.wrap(dataRaw).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { out(i) = db.getShort; i += 1 }
+      Wav(rate, channels, bits, out)
+    } else {
+      require(dataRaw.length % blockAlign == 0,
+        s"truncated ADPCM data: ${dataRaw.length} bytes not whole $blockAlign-byte blocks")
+      val nBlocks = dataRaw.length / blockAlign
+      val out = new Array[Short](nBlocks * spb)
+      val db = ByteBuffer.wrap(dataRaw).order(ByteOrder.LITTLE_ENDIAN)
+      var o = 0
+      var b = 0
+      while (b < nBlocks) {
+        var pred: Int = db.getShort.toInt
+        var idx: Int = db.get() & 0xFF
+        db.get() // reserved
+        require(idx <= 88, s"corrupt ADPCM block: step index $idx")
+        out(o) = pred.toShort
+        o += 1
+        var i = 1
+        while (i < spb) {
+          val byte = db.get() & 0xFF
+          var n = 0
+          while (n < 2 && i < spb) {
+            val code = if (n == 0) byte & 0x0F else byte >> 4
+            val (p2, i2) = imaStep(pred, idx, code)
+            pred = p2; idx = i2
+            out(o) = pred.toShort
+            o += 1
+            i += 1
+            n += 1
+          }
+        }
+        b += 1
+      }
+      // decoded output is PCM16 regardless of the wire bits
+      Wav(rate, channels, 16, out)
+    }
   }
 
   /** Exact features over the interleaved samples (zero crossings use the

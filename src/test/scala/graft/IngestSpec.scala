@@ -49,6 +49,37 @@ class IngestSpec extends SparkSpec {
     assert(lines.length == 2 && lines.forall(_.getString(1) == "first.csv"))
   }
 
+  test("S3 all-entries variant: every CSV member lands, litter skipped, bomb capped") {
+    val dir = tmpDir("zipall")
+    val zipPath = s"$dir/multi.zip"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    zos.putNextEntry(new ZipEntry("contacts.csv"))
+    zos.write("Email,x\na@x.com,1\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("README.txt")) // non-CSV litter: skipped
+    zos.write("notes".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("sub/")) // directory entry: skipped
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("sub/orders.csv"))
+    zos.write("Id,qty\n1,2\n2,3\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    val rows = ZipCsv.readAllEntryLines(spark, zipPath)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted
+    assert(rows.map(_._1).distinct.toSeq == Seq("contacts.csv", "sub/orders.csv"))
+    assert(rows.count(_._1 == "sub/orders.csv") == 3)
+    assert(rows.contains(("contacts.csv", 1L, "a@x.com,1")))
+    // the first-entry default is UNCHANGED (reference parity)
+    assert(ZipCsv.readFirstEntryLines(spark, zipPath)
+      .collect().forall(_.getString(1) == "contacts.csv"))
+    // an entry over the byte cap fails loudly, not as an executor OOM
+    val ex = intercept[org.apache.spark.SparkException] {
+      ZipCsv.readAllEntryLines(spark, zipPath, maxEntryBytes = 8L).collect()
+    }
+    assert(ex.getCause.getMessage.contains("cap"), ex.getCause.getMessage)
+  }
+
   test("S6 sniffed all-string CSV read (semicolon + accents)") {
     val dir = tmpDir("csv")
     val p = s"$dir/smallable_contacts_20240101.csv"

@@ -168,13 +168,15 @@ class JpegSpec extends SparkSpec {
     expectIae(big.take(bigSos + 20), "mid-entropy cut")
     // not a JPEG at all
     expectIae("not a jpeg at all".getBytes("US-ASCII"), "junk")
-    // progressive: flip SOF0 -> SOF2
+    // a baseline file RELABELED SOF2 is corrupt progressive (its single
+    // scan claims the 0..63 band with Ss=0, which progressive forbids) —
+    // loud, not a wrong-pixels decode
     val prog = ok.clone()
     val sof = (0 until prog.length - 1).indexWhere(j =>
       (prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0)
     prog(sof + 1) = 0xC2.toByte
     val pe = intercept[IllegalArgumentException](JpegCodec.decode(prog))
-    assert(pe.getMessage.contains("progressive"))
+    assert(pe.getMessage.contains("DC band"), pe.getMessage)
     // unsupported sampling layout: craft a color file and flip Y's
     // sampling to 2x1 (4:2:2 — neither 1x1-everywhere nor 4:2:0)
     val colorPx = Array.fill(64)(0x884422)
@@ -345,5 +347,103 @@ class JpegSpec extends SparkSpec {
       Multimodal.synthesizeJpeg(docs, "doc_id", grayscale = true))
       .select("dhash").distinct().count()
     assert(hashes == 1, "mod-256 twin payloads must fingerprint identically")
+  }
+
+  // ---- progressive (SOF2) --------------------------------------------------
+
+  test("progressive == sequential: identical pixels for every layout and shape") {
+    // the scan script only reorders WHEN coefficient bits arrive; after
+    // the final refinement both codings carry the same quantized
+    // coefficients, so the decoded pixels must be IDENTICAL — the
+    // strongest possible equivalence gate, checked over high-entropy
+    // images (every Huffman/EOB-run/ZRL/correction-bit path fires),
+    // gradients, and odd dimensions that force padded MCU grids
+    def px(w: Int, h: Int, seed: Int): Array[Int] =
+      Array.tabulate(w * h)(i => ((i * 2654435761L + seed * 97L) >>> 5).toInt & 0xFFFFFF)
+    val shapes = Seq((16, 16), (17, 11), (24, 16), (8, 8), (40, 33), (1, 1))
+    for ((w, h) <- shapes; seed <- Seq(1, 2)) {
+      val p = px(w, h, seed)
+      val seq = JpegCodec.decode(JpegCodec.encode(w, h, p))
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(w, h, p))
+      assert(prog.width == w && prog.height == h)
+      assert(prog.pixels.toSeq == seq.pixels.toSeq, s"color ${w}x$h seed=$seed")
+      val seqG = JpegCodec.decode(JpegCodec.encode(w, h, p, grayscale = true))
+      val progG = JpegCodec.decode(
+        JpegCodec.encodeProgressive(w, h, p, grayscale = true))
+      assert(progG.pixels.toSeq == seqG.pixels.toSeq, s"gray ${w}x$h seed=$seed")
+    }
+    // 4:2:0 — including odd dims where the chroma plane edge-replicates
+    // and the luma spec-dims are SMALLER than the padded MCU grid
+    for ((w, h) <- Seq((16, 16), (32, 32), (20, 12), (17, 13), (15, 31))) {
+      val p = px(w, h, 3)
+      val seq = JpegCodec.decode(JpegCodec.encode(w, h, p, subsample420 = true))
+      val prog = JpegCodec.decode(
+        JpegCodec.encodeProgressive(w, h, p, subsample420 = true))
+      assert(prog.pixels.toSeq == seq.pixels.toSeq, s"420 ${w}x$h")
+    }
+    // smooth gradients (long zero runs -> EOB-run coding across blocks)
+    val grad = Array.tabulate(48 * 32) { i =>
+      val y = i / 48; val x = i % 48
+      ((x * 5 + y) << 16) | ((x * 3) << 8) | (y * 7)
+    }
+    val seqGr = JpegCodec.decode(JpegCodec.encode(48, 32, grad))
+    val progGr = JpegCodec.decode(JpegCodec.encodeProgressive(48, 32, grad))
+    assert(progGr.pixels.toSeq == seqGr.pixels.toSeq, "gradient")
+    // solid image: every AC band is one giant EOB run
+    val solid = Array.fill(24 * 24)(0x7FA03C)
+    assert(JpegCodec.decode(JpegCodec.encodeProgressive(24, 24, solid)).pixels.toSeq
+      == JpegCodec.decode(JpegCodec.encode(24, 24, solid)).pixels.toSeq, "solid")
+  }
+
+  test("progressive closed form: block-constant synthesis matches the q300 chain") {
+    // the gate-query path: block-constant images stay DC-only, so the
+    // progressive decode must land on the same closed form as baseline
+    for (v <- Seq(0, 1, 31, 127, 128, 200, 254, 255)) {
+      val p = Array.fill(64)((v << 16) | (v << 8) | v)
+      val img = JpegCodec.decode(
+        JpegCodec.encodeProgressive(8, 8, p, grayscale = true))
+      val want = closedForm(v, 16)
+      assert(img.pixels.forall(q => (q & 0xFF) == want), s"v=$v")
+    }
+  }
+
+  test("progressive structure: SOF2 + multiple scans, honest failure modes") {
+    val p = Array.tabulate(256)(i => (i * 7919) % 0x1000000)
+    val jpg = JpegCodec.encodeProgressive(16, 16, p)
+    // SOF2 marker present, more than one SOS
+    val sof2 = (0 until jpg.length - 1).count(j =>
+      (jpg(j) & 0xFF) == 0xFF && (jpg(j + 1) & 0xFF) == 0xC2)
+    val scans = (0 until jpg.length - 1).count(j =>
+      (jpg(j) & 0xFF) == 0xFF && (jpg(j + 1) & 0xFF) == 0xDA)
+    assert(sof2 == 1 && scans == 10, s"sof2=$sof2 scans=$scans")
+    // dims sniffs progressive like any SOF
+    assert(JpegCodec.dims(jpg) == ((16, 16, 3)))
+    // truncation mid-scans is loud (missing EOI / entropy cut)
+    intercept[IllegalArgumentException](JpegCodec.decode(jpg.take(jpg.length / 2)))
+    intercept[IllegalArgumentException](JpegCodec.decode(jpg.take(jpg.length - 3)))
+    // a progressive file with EOI before any scan is loud
+    val soiOnly = jpg.take(
+      (0 until jpg.length - 1).indexWhere(j =>
+        (jpg(j) & 0xFF) == 0xFF && (jpg(j + 1) & 0xFF) == 0xDA)) ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(soiOnly))
+    assert(e.getMessage.contains("no scan"), e.getMessage)
+  }
+
+  test("progressive through the distributed verbs: quarantine + feature parity") {
+    // Multimodal-level: progressive payloads flow through the same
+    // extract verbs; a truncated progressive payload quarantines typed
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.synthesizeJpegProgressive(docs, "doc_id", grayscale = true)
+    val prog = Multimodal.extractJpegFeatures(media).orderBy("media_id").collect()
+    val base = Multimodal.extractJpegFeatures(
+      Multimodal.synthesizeJpeg(docs, "doc_id", grayscale = true))
+      .orderBy("media_id").collect()
+    for ((a, b) <- prog.zip(base))
+      assert(a.toSeq == b.toSeq, s"progressive features diverge: $a vs $b")
+    val trunc = Multimodal.truncatePayloads(media, everyN = 2L)
+    val out = Multimodal.extractJpegFeaturesQuarantine(trunc)
+      .orderBy("media_id").collect()
+    assert(!out(1).getBoolean(1) && out(0).getBoolean(1) && out(2).getBoolean(1))
   }
 }

@@ -669,6 +669,55 @@ class MultimodalSpec extends SparkSpec {
     assert(h(10L, 3L) == h(233L, 0L), "shared scene must fingerprint equal")
   }
 
+  test("WavCodec ADPCM: decode equals an independent replay of the state machine") {
+    import graft.multimodal.WavCodec
+    val samples = Array.tabulate(202)(i =>
+      (((5L * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+    val wav = WavCodec.decode(WavCodec.encodeAdpcm(8000, samples, 101))
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.samples.length == 202)
+    // independent replay (the q314 oracle's recursion, in Scala): encode
+    // quantization + decoder reconstruction per sample, headers at 0/101
+    val steps = WavCodec.ImaSteps; val adj = WavCodec.ImaIndexAdjust
+    var pred = 0; var idx = 0
+    val want = new Array[Short](202)
+    for (i <- 0 until 202) {
+      if (i % 101 == 0) { pred = samples(i).toInt }
+      else {
+        val step = steps(idx)
+        val d = samples(i) - pred
+        var ad = math.abs(d)
+        var code = 0
+        if (ad >= step) { code |= 4; ad -= step }
+        if (ad >= (step >> 1)) { code |= 2; ad -= step >> 1 }
+        if (ad >= (step >> 2)) { code |= 1 }
+        var diff = step >> 3
+        if ((code & 4) != 0) diff += step
+        if ((code & 2) != 0) diff += step >> 1
+        if ((code & 1) != 0) diff += step >> 2
+        pred = math.max(-32768, math.min(32767, if (d < 0) pred - diff else pred + diff))
+        idx = math.max(0, math.min(88, idx + adj(code)))
+      }
+      want(i) = pred.toShort
+    }
+    assert(wav.samples.toSeq == want.toSeq, "nibble packing / state drift")
+    // block headers transmit exactly
+    assert(wav.samples(0) == samples(0) && wav.samples(101) == samples(101))
+    // a smooth signal decodes CLOSE (the 4-bit codec tracks ramps well)
+    val ramp = Array.tabulate(202)(i => (i * 7 - 700).toShort)
+    val rdec = WavCodec.decode(WavCodec.encodeAdpcm(8000, ramp, 101)).samples
+    assert(ramp.zip(rdec).map(t => math.abs(t._1 - t._2)).max <= 64,
+      "ADPCM must track a gentle ramp")
+    // loud failures: stereo/odd-spb/partial-blocks/truncation
+    intercept[IllegalArgumentException](WavCodec.encodeAdpcm(8000, samples, 100))
+    intercept[IllegalArgumentException](WavCodec.encodeAdpcm(8000, samples.take(150), 101))
+    val full = WavCodec.encodeAdpcm(8000, samples, 101)
+    intercept[IllegalArgumentException](WavCodec.decode(full.dropRight(13)))
+    // the PCM path is untouched: tag-1 files still round-trip
+    val pcm = WavCodec.decode(WavCodec.encode(8000, 1, samples))
+    assert(pcm.samples.toSeq == samples.toSeq)
+  }
+
   test("corruptPayloads is PNG-guarded; truncatePayloads poisons every format") {
     import graft.multimodal.Multimodal
     // the last-byte flip is only guaranteed-detected for PNG (IEND CRC):

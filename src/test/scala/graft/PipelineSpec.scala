@@ -111,6 +111,33 @@ class PipelineSpec extends SparkSpec {
     assert(res.inserted == 1)
   }
 
+  test("3-entry zip: all-entries read routes each CSV member to its table") {
+    // a real backfill zip batches several tables into one archive — the
+    // all-entries variant surfaces every member, and Registry.route sends
+    // each to its table (the first-entry default would silently drop two)
+    val root = tmpDir("zipall3")
+    val zipPath = s"$root/daily_batch.zip"
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    for ((name, body) <- Seq(
+      "last24h__20240101.csv" -> "Email,x\na@x.com,1\n",
+      "mini_campaign_events_full.csv" -> "Email,x\nb@x.com,2\nc@x.com,3\n",
+      "manifest.txt" -> "not a csv")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    zos.close()
+    val rows = graft.ingest.ZipCsv.readAllEntryLines(spark, zipPath)
+    val perEntry = rows.groupBy("entry").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perEntry == Map(
+      "last24h__20240101.csv" -> 2L, "mini_campaign_events_full.csv" -> 3L))
+    val routed = perEntry.keys.toSeq.sorted.map(e =>
+      e -> graft.schema.Registry.route(
+        e, Seq("mini_campaign_events"), Map("last24h__" -> "mini_campaign_events")))
+    assert(routed.forall(_._2.contains("mini_campaign_events")), routed.toString)
+  }
+
   test("full-width 96-column pipeline: end-to-end + codegen holds at width") {
     // The reference's real tables are 96 columns wide (table_schema.json:
     // id + 94 data columns + row_hash) with roles distributed 19 date
