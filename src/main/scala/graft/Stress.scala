@@ -682,6 +682,70 @@ object Stress {
     }
   }
 
+  /** Incremental-dedup horizon probe (round-10): the IncrementalDedup
+    * daily loop with the stored band index grown 1 → 31 → 366 days, a
+    * single-day ingest measured at each size. The claim under test:
+    * per-day cost is FLAT in index age — the probe join is keyed by
+    * (band, bucket) and carries the batch plus colliding index rows, the
+    * signature pass touches only the new docs, and the components pass
+    * is over the (near-linear) pair table. Duplicates are planted at 10%
+    * per day, each copying a PREVIOUS day's original (clusters of 2, 200
+    * new pairs/day — the steady-state dedup load, not adversarial
+    * mega-clusters, which graphscale covers separately).
+    */
+  private def dedupScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.dedup.IncrementalDedup
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val root = "target/dedupscale"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
+    val state = IncrementalDedup.State(root)
+
+    // day's docs: 2000 rows; pos % 10 == 0 copies yesterday's pos+1 doc
+    // (an original), so each day plants 200 cross-day near-dup pairs
+    def dayDocs(days: Seq[Int]): org.apache.spark.sql.DataFrame =
+      days.map { day =>
+        spark.range(2000L).select(
+          (lit(day.toLong * 10000L) + col("id")).as("id"),
+          when(pmod(col("id"), lit(10L)) === 0L && lit(day > 0),
+            lit((day - 1).toLong * 100000L) + col("id") + lit(1L))
+            .otherwise(lit(day.toLong * 100000L) + col("id")).as("_key"))
+      }.reduce(_ unionByName _)
+        .select(col("id"),
+          // tokens injective in (key, j): no modular arithmetic — a "%N"
+          // recipe aliases across days (7·100000 ≡ 0 mod 50000 made every
+          // day an exact copy of day 0 in the first cut of this probe,
+          // quadratic pair blowup), so only the PLANTED dups collide
+          array_join(transform(sequence(lit(0), lit(29)),
+            j => concat(lit("w"), col("_key").cast("string"),
+              lit("x"), j.cast("string"))),
+            " ").as("text"))
+
+    time("ingest_day0_bootstrap") {
+      IncrementalDedup.ingestBatch(state, dayDocs(Seq(0)), "id", "text").newPairs
+    }
+    time("ingest_1day_at_index_1d") {
+      IncrementalDedup.ingestBatch(state, dayDocs(Seq(1)), "id", "text").newPairs
+    }
+    time("bulk_ingest_days_2_30") {
+      IncrementalDedup.ingestBatch(state, dayDocs(2 to 30), "id", "text").newPairs
+    }
+    time("ingest_1day_at_index_31d") {
+      IncrementalDedup.ingestBatch(state, dayDocs(Seq(31)), "id", "text").newPairs
+    }
+    time("bulk_ingest_days_32_365") {
+      IncrementalDedup.ingestBatch(state, dayDocs(32 to 365), "id", "text").newPairs
+    }
+    time("ingest_1day_at_index_366d") {
+      val r = IncrementalDedup.ingestBatch(state, dayDocs(Seq(366)), "id", "text")
+      println(s"[dedupscale] final state: docs=${r.totalDocs} pairs=${r.totalPairs} " +
+        s"canonical=${r.canonicalDocs}")
+      r.newPairs
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -698,6 +762,7 @@ object Stress {
     if (args.contains("yearscale")) { yearScale(spark, meter); spark.stop(); return }
     if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
     if (args.contains("codecscale")) { codecScale(spark, meter); spark.stop(); return }
+    if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

@@ -176,6 +176,48 @@ object StreamingIngest {
       graft.load.Snapshot.appendBatch(fresh, tableDir)
     }
 
+  /** Streaming MEDIA curation with poison-pill quarantine: the q307
+    * corruption-containment property wired into the stream. Each
+    * micro-batch of media rows (the [[graft.multimodal.Multimodal
+    * .MediaSchema]] contract) decodes through the QUARANTINE twin of the
+    * format's extractor — good rows append their features to
+    * `featuresDir`, rows whose payload fails the codec's typed
+    * IllegalArgumentException land in `quarantineDir` as
+    * (media_id, decode_error, batch_id) audit rows — and the stream
+    * ADVANCES: one corrupt payload in a 100 TB/day media feed must cost
+    * one audit row, not the stream (without the quarantine twin, the
+    * task throws, the micro-batch fails, and AvailableNow retries the
+    * same poison forever). Other exception types still propagate — a
+    * decoder BUG should stop the stream, only corrupt DATA is contained.
+    */
+  def runMediaCurationStream(
+      stream: DataFrame,
+      featuresDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      format: String): Unit = {
+    import graft.multimodal.Multimodal
+    val quarantineDecode: DataFrame => DataFrame = format match {
+      case "png" => Multimodal.extractPngFeaturesQuarantine
+      case "jpeg" => Multimodal.extractJpegFeaturesQuarantine
+      case "gif" => Multimodal.extractGifFeaturesQuarantine
+      case other => throw new IllegalArgumentException(
+        s"unsupported media stream format '$other' (png/jpeg/gif)")
+    }
+    runAvailableNow(stream, checkpointDir) { (batch, batchId) =>
+      // one decode pass feeds both sinks (persist: the mapPartitions
+      // decode would otherwise run once per sink)
+      val out = quarantineDecode(batch).persist()
+      try {
+        graft.load.Snapshot.appendBatch(
+          out.filter(col("ok")).drop("ok", "decode_error"), featuresDir)
+        val bad = out.filter(!col("ok"))
+          .select(col("media_id"), col("decode_error"), lit(batchId).as("batch_id"))
+        if (!bad.isEmpty) graft.load.Snapshot.appendBatch(bad, quarantineDir)
+      } finally out.unpersist()
+    }
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into a parquet snapshot
     * with latest-wins semantics ([[graft.load.Snapshot.upsertLatestWins]]).
     * `foreachBatch` is the escape hatch for sinks Structured Streaming

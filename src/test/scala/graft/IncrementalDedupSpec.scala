@@ -1,0 +1,72 @@
+package graft
+
+import graft.dedup.{DupClusters, IncrementalDedup, MinHashLsh}
+import org.apache.spark.sql.functions._
+
+/** The stateful daily-ingest dedup loop: parquet state on disk, one
+  * ingestBatch per "day", and the invariant that the incremental canonical
+  * set equals the full-corpus batch answer after every batch.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // duplicate GROUPS spanning batches: ids sharing a text are near-dups
+  // (identical signatures collide in every band); distinct texts are far
+  // apart. Batch membership deliberately splits the groups.
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again and again today",
+    2L -> "completely different text about spark shuffles and partition pruning",
+    3L -> "the quick brown fox jumps over the lazy dog again and again today",
+    4L -> "a third subject entirely concerning jpeg entropy coding and huffman",
+    5L -> "completely different text about spark shuffles and partition pruning",
+    6L -> "the quick brown fox jumps over the lazy dog again and again today",
+    7L -> "a fourth lonely document with no duplicate partner in the corpus",
+    8L -> "a third subject entirely concerning jpeg entropy coding and huffman")
+
+  private def docsDf(ids: Seq[Long]) =
+    corpus.filter(t => ids.contains(t._1)).toDF("id", "text")
+
+  test("ingestBatch: state accumulates, canonical set == full-batch answer per day") {
+    val state = IncrementalDedup.State(tmpDir("incdedup"))
+    val batches = Seq(Seq(1L, 2L, 4L), Seq(3L, 5L, 7L), Seq(6L, 8L))
+    var seen = Seq.empty[Long]
+    for (b <- batches) {
+      val report = IncrementalDedup.ingestBatch(state, docsDf(b), "id", "text")
+      seen = seen ++ b
+      assert(report.batchDocs == b.size && report.totalDocs == seen.size)
+      // the invariant: incremental canonical == full-batch canonical over
+      // the docs ingested so far
+      val full = DupClusters.keepCanonical(
+        docsDf(seen), "id",
+        DupClusters.components(
+          MinHashLsh.candidatePairs(docsDf(seen), "id", "text", 3, 12, 4),
+          "id_a", "id_b"))
+        .select("id").as[Long].collect().sorted.toSeq
+      val inc = IncrementalDedup.canonicalIds(spark, state)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(inc == full, s"after batch $b: inc=$inc full=$full")
+      assert(report.canonicalDocs == full.size)
+    }
+    // end state: groups {1,3,6}, {2,5}, {4,8} collapse to min ids; 7 alone
+    val end = IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(end == Seq(1L, 2L, 4L, 7L), end.toString)
+    // stored pair state is the batch pair set (formed exactly once each)
+    val pairs = spark.read.parquet(state.pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs == pairs.distinct, "a pair must never be appended twice")
+    assert(pairs.toSet == Set((1L, 3L), (1L, 6L), (3L, 6L), (2L, 5L), (4L, 8L)))
+  }
+
+  test("first batch bootstraps empty state; duplicate-free batch adds no pairs") {
+    val state = IncrementalDedup.State(tmpDir("incdedup2"))
+    val r1 = IncrementalDedup.ingestBatch(state, docsDf(Seq(2L, 4L, 7L)), "id", "text")
+    assert(r1.newPairs == 0 && r1.canonicalDocs == 3)
+    // canonicalIds with pairs dir absent (no pair ever written)
+    val c = IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(c == Seq(2L, 4L, 7L))
+    val r2 = IncrementalDedup.ingestBatch(state, docsDf(Seq(5L)), "id", "text")
+    assert(r2.newPairs == 1 && r2.canonicalDocs == 3) // 5 loses to 2
+  }
+}

@@ -161,4 +161,48 @@ class StreamRecoverySpec extends SparkSpec {
       .orderBy("bucket").as[(Int, Int)].collect().toSeq
     assert(replayed == streamed, "max-merge must absorb a replayed batch")
   }
+
+  test("runMediaCurationStream: poison payload lands in quarantine, stream advances") {
+    import graft.multimodal.Multimodal
+    val root = tmpDir("mediastream")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val featDir = s"$root/features"; val quarDir = s"$root/quarantine"
+    Files.createDirectories(Paths.get(inDir))
+    def runLeg(): Unit = StreamingIngest.runMediaCurationStream(
+      spark.readStream.schema(Multimodal.MediaSchema).parquet(s"$inDir/*"),
+      featDir, quarDir, ckpt, format = "png")
+    // leg 1: ids 1..5, id 5's payload corrupted (IEND CRC flip) — without
+    // the quarantine twin this micro-batch would throw and AvailableNow
+    // would retry the same poison on every future run
+    Multimodal.corruptPayloads(
+      Multimodal.synthesizePng(Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id"), "doc_id"),
+      everyN = 5L)
+      .repartition(1).write.parquet(s"$inDir/f1")
+    runLeg()
+    val feats1 = spark.read.parquet(featDir)
+    assert(feats1.select("media_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    val quar1 = spark.read.parquet(quarDir).collect()
+    assert(quar1.length == 1 && quar1(0).getAs[Long]("media_id") == 5L)
+    assert(quar1(0).getAs[String]("decode_error") != null &&
+      quar1(0).getAs[String]("decode_error").contains("CRC"))
+    // leg 2: new clean files arrive AFTER the poison — the checkpoint
+    // committed past the poisoned batch, so the stream advances (f1 is
+    // never reprocessed, the audit row is not duplicated)
+    Multimodal.synthesizePng(Seq(6L, 7L).toDF("doc_id"), "doc_id")
+      .repartition(1).write.parquet(s"$inDir/f2")
+    runLeg()
+    val feats2 = spark.read.parquet(featDir)
+    assert(feats2.select("media_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L))
+    assert(spark.read.parquet(quarDir).count() == 1, "audit row written once")
+    // good rows carry the exact features of the throwing extractor
+    val strict = Multimodal.extractPngFeatures(
+      Multimodal.synthesizePng(Seq(1L, 2L, 3L, 4L, 6L, 7L).toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    val got = feats2.orderBy("media_id").collect()
+    for ((g, s) <- got.zip(strict))
+      assert(g.getAs[Long]("sum_r") == s.getAs[Long]("sum_r"),
+        s"feature drift for id ${g.getAs[Long]("media_id")}")
+  }
 }
