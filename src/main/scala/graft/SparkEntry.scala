@@ -14,7 +14,9 @@ object SparkEntry {
   /** All gate queries, grouped by module. */
   def allQs: Seq[Q] =
     ParityQueries.all ++ TrainingQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ WarehouseQueries.all ++ ExperimentQueries.all ++
+      AnalyticsQueriesB.all ++
+      CurationQueries.all ++ CurationQueriesB.all ++
+      WarehouseQueries.all ++ ExperimentQueries.all ++
       StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
       CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all ++
       Round10Queries.all

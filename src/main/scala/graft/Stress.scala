@@ -520,6 +520,12 @@ object Stress {
       Multimodal.extractBmpFeatures(Multimodal.synthesizeBmp(ids, "doc_id"))
         .agg(sum("sum_r")).count()
     }
+    // compressed audio: 200k ADPCM payloads (202 samples each) through
+    // encode -> predictor-state decode -> features — same zero-shuffle law
+    time("adpcm_200k_202smp") {
+      Multimodal.extractWavFeatures(Multimodal.synthesizeWavAdpcm(ids, "doc_id"))
+        .agg(sum("sum_squares")).count()
+    }
     // video-modality volume: 100k 6-frame animations -> 600k frame rows
     // (decode once per payload, per-frame explode after) and the scene
     // detector over that table — frame-grain, still zero pixel shuffle
