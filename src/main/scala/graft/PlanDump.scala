@@ -49,7 +49,11 @@ object PlanDump {
     "q298_png_features" -> "PNG decode (inflate + unfilter) per row inside mapPartitions: scan → batch decode → exact-integer feature projection, no shuffle before the final sort",
     "q299_crossformat3_dedup" -> "three-container dedup: per-format decode branches union into ONE dHash groupBy — format-blind fingerprint space, map-combined counts",
     "q300_jpeg_gray_features" -> "JPEG entropy decode + fixed-point IDCT per row inside mapPartitions (Huffman state never leaves the task): scan → batch decode → exact-integer feature projection, no shuffle before the final sort",
-    "q305_gif_scene_changes" -> "temporal scene detection: multi-frame decode once per payload, then a per-media lag window over the FRAMES-grain table — pixels never shuffle, only channel sums")
+    "q305_gif_scene_changes" -> "temporal scene detection: multi-frame decode once per payload, then a per-media lag window over the FRAMES-grain table — pixels never shuffle, only channel sums",
+    "q308_avi_frame_features" -> "REAL video container: RIFF/AVI walk + per-frame JPEG entropy decode inside mapPartitions — decode-independent MJPEG frames keep the whole path task-local, no shuffle before the final sort",
+    "q311_jpeg_prog_features" -> "progressive JPEG: 6-scan SOF2 coefficient accumulation + render at EOI, still one mapPartitions batch per row — multi-scan decode state never leaves the task",
+    "q313_incremental_canonical" -> "incremental dedup loop: ONE signature pass feeds five daily probes of the accumulated band index ((band,bucket)-keyed joins), then star-alternation components + canonical anti-join",
+    "q314_adpcm_features" -> "IMA ADPCM decode: sequential predictor state machine per payload inside mapPartitions — parallel across payloads, zero shuffle before the final sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
