@@ -953,6 +953,50 @@ object Multimodal {
     extractFramesWith(media, AviCodec.decodeFrames _,
       frameDHashFields, frameDHashProject(side))
 
+  /** Frame PROFILE: features AND fingerprint from ONE decode pass — the
+    * keyframe-extraction input (scene detection needs the sums, keyframe
+    * identity needs the hash; decoding the video twice to get both is
+    * the kind of cost a 100 TB pipeline notices).
+    */
+  def extractAviFrameProfile(media: DataFrame, side: Int = 8): DataFrame =
+    extractFramesWith(media, AviCodec.decodeFrames _,
+      frameFeatureFields ++ frameDHashFields,
+      img => frameFeatureProject(img) ++ frameDHashProject(side)(img))
+
+  /** Header-only sniff for AVI payloads: [[AviCodec.info]] walks the
+    * RIFF structure to `avih` without touching any frame's entropy data
+    * — O(header) per row, the probe a media pipeline filters on (dims,
+    * frame count, duration) BEFORE paying for decode. `meta_match` flags
+    * rows whose declared metadata disagrees with the container bytes —
+    * the video twin of [[sniffJpegDims]].
+    */
+  def sniffAviInfo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sniff_width", LongType, nullable = false),
+      StructField("sniff_height", LongType, nullable = false),
+      StructField("us_per_frame", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms_sniff", LongType, nullable = false),
+      StructField("meta_match", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val inf = AviCodec.info(r.getAs[Array[Byte]](payloadIdx))
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val ok = meta != null && !meta.isNullAt(2) && !meta.isNullAt(3) &&
+          meta.getInt(2) == inf.width && meta.getInt(3) == inf.height
+        Row(r.getLong(idIdx), inf.width.toLong, inf.height.toLong,
+          inf.usPerFrame.toLong, inf.totalFrames.toLong,
+          inf.usPerFrame.toLong * inf.totalFrames / 1000L, ok)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Header-only dimension sniff for JPEG payloads: [[JpegCodec.dims]]
     * walks markers to SOF without touching the entropy stream — O(header)
     * per row vs O(pixels) for a decode, the probe a media pipeline

@@ -405,6 +405,101 @@ object Round10Queries {
       graft.multimodal.Multimodal.extractWavFeatures(media)
         .withColumn("rms", round(col("rms"), 6))
         .orderBy("media_id")
+    },
+
+    // Header-only VIDEO sniff: the RIFF walk to avih without touching
+    // any frame's entropy bytes — the O(header) probe a media pipeline
+    // filters on (dims / frame count / duration) before paying for
+    // decode. Two container shapes interleave by doc parity, so a
+    // shifted avih field lands half the rows off the hash; meta_match
+    // cross-checks declared metadata against container bytes.
+    Q(
+      "q315_avi_sniff",
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 32 END AS BIGINT) AS sniff_width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 32 END AS BIGINT) AS sniff_height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 100000 ELSE 200000 END AS BIGINT)
+        |    AS us_per_frame,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 9 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1800 END AS BIGINT)
+        |    AS duration_ms_sniff,
+        |  TRUE AS meta_match
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val docs = Tables.load(s, dir, "documents")
+      val small = Multimodal.synthesizeAviMjpeg(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id")
+      val big = Multimodal.synthesizeAviMjpeg(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id",
+        nFrames = 9, blocksW = 4, blocksH = 4, fps = 5)
+      Multimodal.sniffAviInfo(small.unionByName(big)).orderBy("media_id")
+    },
+
+    // KEYFRAME extraction — the video training-data sampling step: one
+    // decode pass per payload yields features AND fingerprint per frame
+    // (extractAviFrameProfile), then a frames-grain lag window keeps
+    // frame 0 and every frame whose decoded luma sum moved — one
+    // representative row per SCENE (as quantization preserves it), with
+    // the dHash that downstream cross-video dedup clusters on. The
+    // oracle replays decode (q310's closed-form blocks), the scene rule,
+    // and the resize+gradient fingerprint for exactly the kept frames.
+    Q(
+      "q316_avi_keyframes",
+      """WITH blk AS (
+        |  SELECT doc_id, f.f AS frame, by.by AS by, bx.bx AS bx,
+        |    CAST((doc_id * 29 + (f.f // 3) * 67 + by.by * 71 + bx.bx * 113) % 256
+        |      AS BIGINT) AS v
+        |  FROM documents,
+        |       unnest(generate_series(0, 5)) AS f(f),
+        |       unnest(generate_series(0, 3)) AS by(by),
+        |       unnest(generate_series(0, 3)) AS bx(bx)),
+        |dec AS (
+        |  SELECT doc_id, frame, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (v - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS rec
+        |  FROM blk),
+        |sums AS (
+        |  SELECT doc_id, frame, sum(rec) AS l FROM dec GROUP BY doc_id, frame),
+        |keyf AS (
+        |  SELECT doc_id, frame FROM (
+        |    SELECT doc_id, frame, l,
+        |      lag(l) OVER (PARTITION BY doc_id ORDER BY frame) AS pl
+        |    FROM sums)
+        |  WHERE pl IS NULL OR l != pl),
+        |grid AS (
+        |  SELECT d.doc_id, d.frame, y.y AS y, x.x AS x, d.rec AS lum
+        |  FROM dec d,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)
+        |  WHERE d.by = y.y // 2 AND d.bx = (32 * x.x) // 72),
+        |g AS (
+        |  SELECT a.doc_id, a.frame, a.y, a.x,
+        |    CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.frame = b.frame
+        |      AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |per AS (
+        |  SELECT doc_id, frame,
+        |    array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash
+        |  FROM g GROUP BY doc_id, frame)
+        |SELECT k.doc_id AS media_id, CAST(k.frame AS BIGINT) AS frame, p.dhash
+        |FROM keyf k JOIN per p ON k.doc_id = p.doc_id AND k.frame = p.frame
+        |ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val media = graft.multimodal.Multimodal.synthesizeAviMjpeg(
+        Tables.load(s, dir, "documents"), "doc_id", blocksW = 4, blocksH = 4)
+      val prof = graft.multimodal.Multimodal.extractAviFrameProfile(media)
+      prof
+        .withColumn("l",
+          lit(299L) * col("sum_r") + lit(587L) * col("sum_g")
+            + lit(114L) * col("sum_b"))
+        .withColumn("pl",
+          lag(col("l"), 1).over(Window.partitionBy("media_id").orderBy("frame")))
+        .filter(col("pl").isNull || col("l") =!= col("pl"))
+        .select(col("media_id"), col("frame"), col("dhash"))
+        .orderBy("media_id", "frame")
     }
   )
 }

@@ -669,6 +669,31 @@ class MultimodalSpec extends SparkSpec {
     assert(h(10L, 3L) == h(233L, 0L), "shared scene must fingerprint equal")
   }
 
+  test("sniffAviInfo: bytes win over metadata; frame profile = features + dhash in one decode") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.synthesizeAviMjpeg(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val lied = media.withColumn("meta",
+      when($"media_id" === 2L,
+        struct(lit("video").as("modality"), lit("avi").as("format"),
+          lit(999).as("width"), lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")))
+        .otherwise($"meta"))
+    val out = Multimodal.sniffAviInfo(lied).orderBy("media_id").collect()
+    assert(out(0).getLong(1) == 16 && out(0).getLong(4) == 6 &&
+      out(0).getLong(5) == 600 && out(0).getBoolean(6))
+    assert(out(1).getLong(1) == 16 && !out(1).getBoolean(6), "lying meta flagged")
+    // the one-decode profile carries exactly the two single-purpose verbs' columns
+    val prof = Multimodal.extractAviFrameProfile(media).orderBy("media_id", "frame")
+    val ff = Multimodal.extractAviFrameFeatures(media).orderBy("media_id", "frame")
+    val fd = Multimodal.extractAviFrameDHash(media).orderBy("media_id", "frame")
+    val p = prof.collect(); val f = ff.collect(); val d = fd.collect()
+    assert(p.length == f.length && p.length == d.length)
+    for (i <- p.indices) {
+      assert(p(i).getAs[Long]("sum_r") == f(i).getAs[Long]("sum_r"))
+      assert(p(i).getAs[String]("dhash") == d(i).getAs[String]("dhash"))
+    }
+  }
+
   test("WavCodec ADPCM: decode equals an independent replay of the state machine") {
     import graft.multimodal.WavCodec
     val samples = Array.tabulate(202)(i =>
