@@ -236,7 +236,7 @@ object Multimodal {
     * one-decoder-per-partition batch shape as [[extractFeatures]], emitting
     * the exact integer features (+ rms) of [[WavCodec.features]].
     */
-  def extractWavFeatures(media: DataFrame): DataFrame = {
+  def extractWavFeatures(media: DataFrame, decimateBy: Int = 1): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -254,7 +254,11 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val f = WavCodec.features(WavCodec.decode(r.getAs[Array[Byte]](payloadIdx)))
+        val w0 = WavCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        // decimate (decode → resample → featurize — the audio twin of the
+        // image decode → resize → extract pipeline) before features
+        val w = if (decimateBy == 1) w0 else WavCodec.decimate(w0, decimateBy)
+        val f = WavCodec.features(w)
         Row(r.getLong(idIdx), f.sampleRate, f.channels, f.nSamples, f.durationMs,
           f.peakMin, f.peakMax, f.zeroCrossings, f.sumSamples, f.sumSquares, f.rms)
       }

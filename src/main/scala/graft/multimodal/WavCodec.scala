@@ -266,6 +266,33 @@ object WavCodec {
     }
   }
 
+  /** Integer decimation by `factor` (mono): each FULL group of `factor`
+    * consecutive samples averages (round-half-up, floorDiv so negatives
+    * pin exactly) into one output sample; the tail partial group drops;
+    * the rate divides. The boxcar average is the anti-alias prefilter in
+    * its simplest pinned form — the 44.1k→16k-ish downsample an ASR
+    * training pipeline runs on every clip, integer-exact so the oracle
+    * replays it with grouped arithmetic.
+    */
+  def decimate(w: Wav, factor: Int): Wav = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    require(w.channels == 1, "decimate: mono only")
+    require(w.sampleRate % factor == 0,
+      s"sample rate ${w.sampleRate} not divisible by $factor")
+    val n = w.samples.length / factor
+    val out = new Array[Short](n)
+    var g = 0
+    while (g < n) {
+      var s = 0L
+      var i = g * factor
+      val end = i + factor
+      while (i < end) { s += w.samples(i); i += 1 }
+      out(g) = Math.floorDiv(2 * s + factor, 2L * factor).toShort
+      g += 1
+    }
+    Wav(w.sampleRate / factor, 1, w.bitsPerSample, out)
+  }
+
   /** Exact features over the interleaved samples (zero crossings use the
     * `(s_{i-1} < 0) != (s_i < 0)` sign-flip definition).
     */

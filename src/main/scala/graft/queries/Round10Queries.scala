@@ -500,6 +500,46 @@ object Round10Queries {
         .filter(col("pl").isNull || col("l") =!= col("pl"))
         .select(col("media_id"), col("frame"), col("dhash"))
         .orderBy("media_id", "frame")
+    },
+
+    // Audio RESAMPLING: integer decimation by 3 (44.1 kHz → 14.7 kHz) —
+    // the decode → resample → featurize pipeline every ASR training
+    // corpus runs. The pinned boxcar average (round-half-up floorDiv)
+    // is exactly replayable: the oracle groups the q29 source recipe by
+    // threes and applies the same offset floor-division (DuckDB //
+    // truncates, so negatives need the +6M offset).
+    Q(
+      "q317_audio_decimate",
+      """WITH s AS (
+        |  SELECT doc_id, u.i AS i,
+        |    ((doc_id * 7919 + u.i * 104729) % 65536) - 32768 AS v
+        |  FROM documents, unnest(generate_series(0, 440)) AS u(i)),
+        |grp AS (
+        |  SELECT doc_id, i // 3 AS g, sum(v) AS sv
+        |  FROM s GROUP BY doc_id, i // 3),
+        |dec AS (
+        |  SELECT doc_id, g, (2 * sv + 3 + 600000) // 6 - 100000 AS v,
+        |    lag((2 * sv + 3 + 600000) // 6 - 100000)
+        |      OVER (PARTITION BY doc_id ORDER BY g) AS pv
+        |  FROM grp)
+        |SELECT doc_id AS media_id,
+        |  CAST(14700 AS BIGINT) AS sr,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(147 AS BIGINT) AS n_samples,
+        |  CAST(10 AS BIGINT) AS duration_ms,
+        |  CAST(min(v) AS BIGINT) AS peak_min,
+        |  CAST(max(v) AS BIGINT) AS peak_max,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 147), 6) AS rms
+        |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.Multimodal.synthesizeWav(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.extractWavFeatures(media, decimateBy = 3)
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("media_id")
     }
   )
 }

@@ -743,6 +743,23 @@ class MultimodalSpec extends SparkSpec {
     assert(pcm.samples.toSeq == samples.toSeq)
   }
 
+  test("WavCodec.decimate: pinned boxcar average, tail drop, loud misuse") {
+    import graft.multimodal.WavCodec
+    val w = graft.multimodal.WavCodec.Wav(6, 1, 16,
+      Array[Short](1, 2, 4, -1, -2, -4, 10, 11)) // 8 samples, factor 3 → tail drops
+    val d = WavCodec.decimate(w, 3)
+    assert(d.sampleRate == 2 && d.samples.length == 2)
+    // (1+2+4)=7 → floor((14+3)/6)=2 (round-half-up); (−1−2−4)=−7 → floor(−11/6)=−2
+    // — floorDiv pins the NEGATIVE group to round-half-up too (truncation
+    // would give −1)
+    assert(d.samples.toSeq == Seq[Short](2, -2), d.samples.toSeq.toString)
+    intercept[IllegalArgumentException](WavCodec.decimate(w, 4)) // 6 % 4 != 0
+    intercept[IllegalArgumentException](
+      WavCodec.decimate(w.copy(channels = 2), 3)) // mono only
+    // factor 1 is the identity
+    assert(WavCodec.decimate(w, 1).samples.toSeq == w.samples.toSeq)
+  }
+
   test("corruptPayloads is PNG-guarded; truncatePayloads poisons every format") {
     import graft.multimodal.Multimodal
     // the last-byte flip is only guaranteed-detected for PNG (IEND CRC):
