@@ -750,6 +750,21 @@ object Stress {
         s"canonical=${r.canonicalDocs}")
       r.newPairs
     }
+    // maintenance: fold the 366 daily delta generations into one snapshot
+    // (small-files answer), then prove the per-day probe did not regress
+    time("compact_at_366d") {
+      IncrementalDedup.compact(spark, state); 0L
+    }
+    time("ingest_1day_postcompact_367d") {
+      IncrementalDedup.ingestBatch(state, dayDocs(Seq(367)), "id", "text").newPairs
+    }
+    // the decoupled audit — the ONLY full recluster left in the loop,
+    // run on maintenance cadence rather than per batch
+    time("audit_full_recluster") {
+      val m = IncrementalDedup.audit(spark, state)
+      require(m == 0, s"incremental reps diverged from full recluster: $m rows")
+      m
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The production incremental near-dup loop a 100 TB corpus actually runs —
@@ -13,26 +16,48 @@ import org.apache.spark.sql.functions._
   *      the shuffle carries the batch plus colliding index rows, never the
   *      corpus),
   *   3. append the batch's band rows and the new pairs to the stored state,
-  *   4. recluster ([[DupClusters.components]] over all accumulated pairs —
-  *      the pair table is near-linear in the corpus under the LSH
-  *      guarantee, and star-alternation converges in O(log n) rounds),
-  *   5. the canonical set = every ingested id minus cluster losers.
+  *   4. fold the new pairs into the stored cluster assignment
+  *      INCREMENTALLY: existing components are already collapsed to their
+  *      min-id representative, so the merge graph is REP-level — one node
+  *      per touched component plus the batch's fresh ids, one edge per new
+  *      pair — i.e. batch-sized, never corpus-sized. [[DupClusters.components]]
+  *      runs over that tiny graph only; the corpus never reclusters.
+  *   5. the canonical set = every ingested id minus stored losers — a scan
+  *      of the (loser-sized) rep table, no graph pass at all.
   *
-  * The invariant the gate query (q313) pins: after any sequence of batches,
-  * the canonical set EQUALS what one full-corpus batch run would produce —
-  * pair (a,b) forms exactly once, when the LATER of the two arrives, so the
-  * accumulated pair set converges to the batch pair set.
+  * The invariant the gate query (q313) pins and [[audit]] re-proves: after
+  * any sequence of batches, the canonical set EQUALS what one full-corpus
+  * batch run would produce — pair (a,b) forms exactly once, when the LATER
+  * of the two arrives, and rep-level merging preserves connectivity (a
+  * collapsed component is one node; new edges union components exactly as
+  * member-level edges would). Because pairs only accumulate, components
+  * only MERGE and the min-id representative only DECREASES — which is why
+  * the rep state can be an append-only delta log resolved by `min(rep)`
+  * per id: no ordering column, no latest-wins window, just an associative
+  * map-side-combinable aggregate.
   *
   * State layout under `root` (all plain parquet appends — object-store
-  * friendly, no in-place mutation, the K4 append-only discipline):
-  * `band_index/` (id, band, bucket), `pairs/` (id_a, id_b),
-  * `doc_ids/` (id). Per-day cost is the batch signature pass + one
-  * (band,bucket)-keyed join against the index + components over pairs:
-  * the dedupscale Stress probe measures it flat as the index grows.
+  * friendly, no in-place mutation, the K4 append-only discipline), every
+  * table partitioned by `batch` and carrying an `attempt` tag:
+  * `band_index/` (id, band, bucket), `pairs/` (id_a, id_b), `doc_ids/`
+  * (id), `reps/` (id, rep — strictly rep < id, i.e. losers only), plus
+  * `_commits/<batchId>` markers.
+  *
+  * '''Crash recovery / idempotence''' (the commit-marker protocol): a
+  * batch's data files land FIRST, the marker LAST, and every reader
+  * filters to (batch, attempt) pairs named by a marker — so a failure
+  * between appends leaves invisible garbage, never inconsistent state,
+  * and re-running the batch (same `batchId`, fresh attempt) is safe: the
+  * old attempt's rows never match any marker. Re-ingesting an
+  * already-committed `batchId` is a no-op that reports from state.
+  * Markers are single files created complete-then-closed; on a store
+  * without atomic create-visibility, write to a temp name and rename.
   *
   * Single-writer contract like the catalog (one daily ingest job owns the
-  * state); the stored index should be compacted periodically with the same
-  * [[graft.load.Compaction]] machinery as any daily-append table.
+  * state — ingest, [[audit]] and [[compact]] must not run concurrently
+  * with ingest). [[compact]] is the maintenance op: it folds the
+  * accumulated daily deltas into one snapshot generation (the q222
+  * small-files answer for this store) and vacuums superseded partitions.
   */
 object IncrementalDedup {
 
@@ -41,6 +66,8 @@ object IncrementalDedup {
     val indexDir: String = s"$root/band_index"
     val pairsDir: String = s"$root/pairs"
     val docsDir: String = s"$root/doc_ids"
+    val repsDir: String = s"$root/reps"
+    val commitsDir: String = s"$root/_commits"
   }
 
   /** One batch report: sizes after ingesting the batch. */
@@ -51,21 +78,98 @@ object IncrementalDedup {
       totalPairs: Long,
       canonicalDocs: Long)
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** One committed batch: marker contents. */
+  private final case class Commit(attempt: String, seq: Long, snapshot: Boolean)
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed batches: batchId → marker. Driver-side, O(#batches) — a
+    * year of daily ingest is ~366 tiny files (and [[compact]] prunes).
+    */
+  private def committed(spark: SparkSession, state: State): Map[String, Commit] = {
+    val f = fs(spark, state.commitsDir)
+    val dir = new Path(state.commitsDir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(_.isFile).map { st =>
+      val in = f.open(st.getPath)
+      val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val Array(attempt, seq, kind) = body.trim.split("\n")
+      st.getPath.getName -> Commit(attempt, seq.toLong, kind == "snapshot")
+    }.toMap
   }
 
-  private def readOrEmpty(spark: SparkSession, dir: String, schema: String): DataFrame =
-    if (exists(spark, dir)) spark.read.parquet(dir)
-    else spark.createDataFrame(
+  private def writeMarker(
+      spark: SparkSession, state: State, batchId: String, c: Commit): Unit = {
+    val f = fs(spark, state.commitsDir)
+    val out = f.create(new Path(state.commitsDir, batchId), true)
+    val kind = if (c.snapshot) "snapshot" else "delta"
+    try out.write(s"${c.attempt}\n${c.seq}\n$kind".getBytes(UTF_8)) finally out.close()
+  }
+
+  private def nextSeq(com: Map[String, Commit]): Long =
+    com.values.foldLeft(-1L)((m, c) => math.max(m, c.seq)) + 1
+
+  /** Batches a reader must see: the latest snapshot plus every delta that
+    * committed after it (earlier generations are superseded — [[compact]]
+    * vacuums them lazily).
+    */
+  private def liveBatches(com: Map[String, Commit]): Map[String, Commit] = {
+    val snapSeq = com.values.filter(_.snapshot)
+      .foldLeft(-1L)((m, c) => math.max(m, c.seq))
+    com.filter { case (_, c) => c.seq >= snapSeq }
+  }
+
+  /** The committed view of one state table: rows whose (batch, attempt)
+    * matches a live marker. The filter is a broadcast join against an
+    * O(#batches) in-memory frame; partition pruning on `batch` makes
+    * superseded generations free even before vacuum.
+    */
+  private def visible(
+      spark: SparkSession, state: State, dir: String, schema: String): DataFrame = {
+    val cols = schema.split(",").map(_.trim.split(" ")(0))
+    val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
+    if (!fs(spark, dir).exists(new Path(dir))) return empty
+    val raw =
+      try spark.read.parquet(dir)
+      catch { case _: AnalysisException => return empty } // dir exists, no data
+    val live = liveBatches(committed(spark, state)).toSeq
+      .map { case (b, c) => (b, c.attempt) }
+    import spark.implicits._
+    raw.join(broadcast(live.toDF("batch", "attempt")), Seq("batch", "attempt"))
+      .select(cols.map(col): _*)
+  }
 
-  /** Ingest one day's batch of (id, text) documents: probe, append,
-    * recluster. Returns the post-batch sizes. Ids must be globally unique
-    * across batches (the caller's ingest contract — surrogate ids from the
-    * watermark, P3).
+  /** The current id → representative map, losers only (rep < id): the
+    * delta log resolved by `min(rep)` — correct because reps only ever
+    * decrease (components only merge; see the object doc).
+    */
+  private def resolvedReps(spark: SparkSession, state: State): DataFrame =
+    visible(spark, state, state.repsDir, "id BIGINT, rep BIGINT")
+      .groupBy("id").agg(min("rep").as("rep"))
+
+  private def reportFromState(
+      spark: SparkSession, state: State, batchId: String): BatchReport = {
+    val docs = visible(spark, state, state.docsDir, "id BIGINT, batch STRING")
+    val pairs = visible(spark, state, state.pairsDir,
+      "id_a BIGINT, id_b BIGINT, batch STRING")
+    BatchReport(
+      batchDocs = docs.filter(col("batch") === batchId).count(),
+      newPairs = pairs.filter(col("batch") === batchId).count(),
+      totalDocs = docs.count(),
+      totalPairs = pairs.count(),
+      canonicalDocs = docs.count() - resolvedReps(spark, state).count())
+  }
+
+  /** Ingest one day's batch of (id, text) documents: probe, append, fold
+    * the new pairs into the stored clusters (rep-level, batch-sized — no
+    * full recluster), commit. Returns the post-batch sizes. Ids must be
+    * globally unique across batches (the caller's ingest contract —
+    * surrogate ids from the watermark, P3). `batchId` names the batch for
+    * idempotent re-ingest (crash recovery re-runs the same id safely);
+    * default is `b<seq>` under the single-writer contract.
     */
   def ingestBatch(
       state: State,
@@ -74,8 +178,21 @@ object IncrementalDedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 12,
-      bands: Int = 4): BatchReport = {
+      bands: Int = 4,
+      batchId: String = null): BatchReport = {
     val spark = batch.sparkSession
+    val com = committed(spark, state)
+    val seq = nextSeq(com)
+    val bid = Option(batchId).getOrElse(f"b$seq%06d")
+    require(bid.matches("[A-Za-z0-9._-]+"), s"batchId '$bid' is not filename-safe")
+    // already committed → idempotent no-op (recovery re-runs land here)
+    if (com.contains(bid)) return reportFromState(spark, state, bid)
+    val attempt = java.util.UUID.randomUUID().toString
+    def tag(df: DataFrame): DataFrame =
+      df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
+    def append(df: DataFrame, dir: String): Unit =
+      tag(df).write.mode(SaveMode.Append).partitionBy("batch").parquet(dir)
+
     val ids = batch.select(col(idCol).cast("long").as("id"))
     val batchDocs = ids.count()
 
@@ -87,38 +204,129 @@ object IncrementalDedup {
 
     // 2. probe stored index ∪ own rows: new×old plus new×new pairs —
     // exactly the pairs the batch recompute would add (q129 invariant)
-    val storedBanded = readOrEmpty(spark, state.indexDir,
+    val storedBanded = visible(spark, state, state.indexDir,
       "id BIGINT, band INT, bucket STRING")
     val newPairs = MinHashLsh
       .candidatePairsAgainst(newBanded, storedBanded.unionByName(newBanded), "id")
       .persist()
     val nNewPairs = newPairs.count()
 
-    // 3. append-only state updates
-    newBanded.write.mode(SaveMode.Append).parquet(state.indexDir)
-    if (nNewPairs > 0) newPairs.write.mode(SaveMode.Append).parquet(state.pairsDir)
-    ids.write.mode(SaveMode.Append).parquet(state.docsDir)
+    // 3. fold new pairs into the stored clusters at REP level: one node
+    // per touched component (or fresh batch id), one edge per new pair —
+    // the graph DupClusters sees is batch-sized regardless of corpus age
+    val repDelta: DataFrame = if (nNewPairs == 0) null else {
+      val reps = resolvedReps(spark, state).persist()
+      val endpoints = newPairs.select(col("id_a").as("id"))
+        .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+      val epReps = endpoints.join(reps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+        .persist()
+      val repEdges = newPairs
+        .join(epReps.select(col("id").as("id_a"), col("rep").as("_ra")), "id_a")
+        .join(epReps.select(col("id").as("id_b"), col("rep").as("_rb")), "id_b")
+        .select(col("_ra"), col("_rb"))
+        .filter(col("_ra") =!= col("_rb"))
+        .distinct()
+      // merged old reps / losing fresh ids → their new (smaller) rep
+      val changed = DupClusters.components(repEdges, "_ra", "_rb")
+        .filter(col("node") =!= col("component"))
+      // existing members of a merged component follow their old rep down
+      val memberUpdates = reps
+        .join(broadcast(changed.select(col("node").as("rep"),
+          col("component").as("_nr"))), Seq("rep"))
+        .select(col("id"), col("_nr").as("rep"))
+      val delta = changed.select(col("node").as("id"), col("component").as("rep"))
+        .unionByName(memberUpdates)
+        .persist()
+      delta.count() // materialize before unpersisting inputs
+      reps.unpersist(); epReps.unpersist()
+      delta
+    }
+
+    // 4. append-only state updates — data first, marker LAST (the commit
+    // point); a crash anywhere before the marker leaves invisible rows
+    append(newBanded, state.indexDir)
+    if (nNewPairs > 0) append(newPairs, state.pairsDir)
+    append(ids, state.docsDir)
+    if (repDelta != null) { append(repDelta, state.repsDir); repDelta.unpersist() }
     newBanded.unpersist()
     newPairs.unpersist()
+    writeMarker(spark, state, bid, Commit(attempt, seq, snapshot = false))
 
-    // 4.+5. recluster over ALL pairs, count the canonical survivors
-    val allDocs = spark.read.parquet(state.docsDir)
-    val totalDocs = allDocs.count()
-    val allPairs = readOrEmpty(spark, state.pairsDir, "id_a BIGINT, id_b BIGINT")
-    val totalPairs = allPairs.count()
-    val canonical = canonicalIds(spark, state)
-    BatchReport(batchDocs, nNewPairs, totalDocs, totalPairs, canonical.count())
+    reportFromState(spark, state, bid).copy(batchDocs = batchDocs, newPairs = nNewPairs)
   }
 
-  /** The current canonical id set: every ingested id minus cluster losers
-    * (min-id survivor per component — [[DupClusters.keepCanonical]]'s rule
-    * over the accumulated pair state).
+  /** The current canonical id set: every ingested id minus stored losers.
+    * A scan + anti-join over the (loser-sized) rep state — no graph pass,
+    * which is the point of maintaining reps incrementally.
     */
   def canonicalIds(spark: SparkSession, state: State): DataFrame = {
-    val allDocs = readOrEmpty(spark, state.docsDir, "id BIGINT")
-    val allPairs = readOrEmpty(spark, state.pairsDir, "id_a BIGINT, id_b BIGINT")
-    if (allPairs.isEmpty) allDocs
-    else DupClusters.keepCanonical(
-      allDocs, "id", DupClusters.components(allPairs, "id_a", "id_b"))
+    val docs = visible(spark, state, state.docsDir, "id BIGINT")
+    val losers = resolvedReps(spark, state).select("id")
+    docs.join(losers, Seq("id"), "left_anti")
+  }
+
+  /** The decoupled consistency audit (run daily/weekly, NOT per batch):
+    * full [[DupClusters.components]] recluster over every stored pair,
+    * compared against the incrementally-maintained rep state. Returns the
+    * number of mismatched (id, rep) rows — 0 means the incremental fold
+    * is exactly the batch answer.
+    */
+  def audit(spark: SparkSession, state: State): Long = {
+    val pairs = visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT")
+    val inc = resolvedReps(spark, state)
+    if (pairs.isEmpty) return inc.count()
+    val full = DupClusters.components(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("id"), col("component").as("rep"))
+    full.exceptAll(inc).unionByName(inc.exceptAll(full)).count()
+  }
+
+  /** Maintenance: fold every live batch into ONE snapshot generation
+    * (reps resolved to their current minimum, each table rewritten into
+    * `outputFiles` files) and vacuum superseded partitions + markers —
+    * the small-files answer for this store: a year of daily appends reads
+    * as one compact generation plus the days since the last compact.
+    */
+  def compact(spark: SparkSession, state: State, outputFiles: Int = 4): Unit = {
+    val com = committed(spark, state)
+    if (com.isEmpty) return
+    val seq = nextSeq(com)
+    val bid = f"snap$seq%06d"
+    val attempt = java.util.UUID.randomUUID().toString
+    def write(df: DataFrame, dir: String): Unit =
+      if (!df.isEmpty)
+        df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
+          .repartition(outputFiles)
+          .write.mode(SaveMode.Append).partitionBy("batch").parquet(dir)
+    write(visible(spark, state, state.indexDir, "id BIGINT, band INT, bucket STRING"),
+      state.indexDir)
+    write(visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT"),
+      state.pairsDir)
+    write(visible(spark, state, state.docsDir, "id BIGINT"), state.docsDir)
+    write(resolvedReps(spark, state), state.repsDir)
+    writeMarker(spark, state, bid, Commit(attempt, seq, snapshot = true))
+    vacuum(spark, state)
+  }
+
+  /** Delete superseded batch partitions and markers (everything older
+    * than the latest snapshot), plus partitions never committed at all
+    * (crashed attempts). Safe to re-run; a crash mid-vacuum leaves only
+    * invisible data.
+    */
+  def vacuum(spark: SparkSession, state: State): Unit = {
+    val com = committed(spark, state)
+    val live = liveBatches(com).keySet
+    for (dir <- Seq(state.indexDir, state.pairsDir, state.docsDir, state.repsDir)) {
+      val f = fs(spark, dir)
+      val p = new Path(dir)
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") && !live.contains(name.stripPrefix("batch=")))
+          f.delete(st.getPath, true)
+      }
+    }
+    val cf = fs(spark, state.commitsDir)
+    (com.keySet -- live).foreach(b => cf.delete(new Path(state.commitsDir, b), false))
   }
 }

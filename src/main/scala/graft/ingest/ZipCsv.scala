@@ -74,7 +74,9 @@ object ZipCsv {
               require(e.getSize <= maxEntryBytes,
                 s"zip entry ${e.getName} in $archive declares ${e.getSize} bytes" +
                   s" (> $maxEntryBytes cap)")
-              val bytes = zin.readNBytes(maxEntryBytes.toInt.min(Int.MaxValue))
+              // clamp BEFORE narrowing: a cap above Int.MaxValue must not
+              // overflow to a wrong/negative read length
+              val bytes = zin.readNBytes(math.min(maxEntryBytes, Int.MaxValue.toLong).toInt)
               require(zin.read() < 0,
                 s"zip entry ${e.getName} in $archive exceeds the $maxEntryBytes-byte cap")
               val text = new String(bytes, encoding)

@@ -152,8 +152,15 @@ object AviCodec {
     out.array()
   }
 
-  /** Header-only sniff: RIFF walk to `avih` without touching frame data —
-    * O(header) per row vs O(pixels) for a decode.
+  /** Header-only sniff: RIFF walk that STOPS once the `hdrl` list is
+    * parsed — `movi` (and every frame's entropy data) is never visited, so
+    * the cost is truly O(header) per row vs O(pixels) for a decode. The
+    * flip side of stopping early: the sniff reports the DECLARED frame
+    * count and does not cross-validate it against the movi chunk list —
+    * that stale-header check belongs to [[decodeFrames]], which walks
+    * everything. A file whose frame data is truncated but whose header
+    * parses clean sniffs fine (by design: the sniff is the cheap filter,
+    * the decode is the arbiter).
     */
   def info(bytes: Array[Byte]): Info =
     try {
@@ -204,7 +211,9 @@ object AviCodec {
       while (bb.position() + 8 <= end) {
         val id = fourcc()
         val size = bb.getInt
-        require(size >= 0 && bb.position() + size <= end,
+        // Long arithmetic: a crafted size near Int.MaxValue overflows
+        // `position + size` negative and would slip past an Int check
+        require(size >= 0 && bb.position().toLong + size <= end,
           s"truncated AVI: '$id' chunk overruns hdrl")
         val next = bb.position() + size + (size % 2)
         id match {
@@ -237,7 +246,7 @@ object AviCodec {
       while (bb.position() + 8 <= end) {
         val id = fourcc()
         val size = bb.getInt
-        require(size >= 0 && bb.position() + size <= end,
+        require(size >= 0 && bb.position().toLong + size <= end,
           s"truncated AVI: '$id' chunk overruns strl")
         val next = bb.position() + size + (size % 2)
         if (id == "strh" && !handlerOk) {
@@ -260,7 +269,7 @@ object AviCodec {
       while (bb.position() + 8 <= end) {
         val id = fourcc()
         val size = bb.getInt
-        require(size >= 0 && bb.position() + size <= end,
+        require(size >= 0 && bb.position().toLong + size <= end,
           s"truncated AVI: '$id' chunk overruns movi")
         val next = bb.position() + size + (size % 2)
         // stream-0 video data: compressed '00dc' (or '00db' from sloppy
@@ -284,16 +293,20 @@ object AviCodec {
       }
     }
 
-    while (bb.position() + 8 <= riffEnd.min(bytes.length)) {
+    var done = false
+    while (!done && bb.position() + 8 <= riffEnd.min(bytes.length)) {
       val id = fourcc()
       val size = bb.getInt
-      require(size >= 0 && bb.position() + size <= bytes.length,
+      require(size >= 0 && bb.position().toLong + size <= bytes.length,
         s"truncated AVI: '$id' chunk size $size overruns file")
       val next = bb.position() + size + (size % 2)
       if (id == "LIST") {
         val form = fourcc()
         form match {
-          case "hdrl" => parseHdrl(next)
+          case "hdrl" =>
+            parseHdrl(next)
+            // header-only sniff: never visit movi (true O(header) cost)
+            if (!decodeFramesToo && inf != null) done = true
           case "movi" => parseMovi(next)
           case _ => // INFO etc.
         }
@@ -303,9 +316,12 @@ object AviCodec {
     }
 
     require(inf != null, "not an AVI: no avih header")
-    require(nFrames > 0, "corrupt AVI: no video frames in movi")
-    require(inf.totalFrames == nFrames,
-      s"corrupt AVI: header declares ${inf.totalFrames} frames, movi holds $nFrames")
+    if (decodeFramesToo) {
+      // decode is the arbiter: a stale header must not silently pass
+      require(nFrames > 0, "corrupt AVI: no video frames in movi")
+      require(inf.totalFrames == nFrames,
+        s"corrupt AVI: header declares ${inf.totalFrames} frames, movi holds $nFrames")
+    }
     (inf, frames.result())
   }
 }

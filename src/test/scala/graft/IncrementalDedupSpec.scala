@@ -69,4 +69,55 @@ class IncrementalDedupSpec extends SparkSpec {
     val r2 = IncrementalDedup.ingestBatch(state, docsDf(Seq(5L)), "id", "text")
     assert(r2.newPairs == 1 && r2.canonicalDocs == 3) // 5 loses to 2
   }
+
+  test("audit: incremental rep fold == full recluster; compact preserves state and prunes deltas") {
+    val state = IncrementalDedup.State(tmpDir("incdedup3"))
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 2L, 4L)), "id", "text")
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(3L, 5L, 7L)), "id", "text")
+    // the decoupled audit: full DupClusters recluster over stored pairs
+    // must agree row-for-row with the incrementally maintained reps
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    val before = IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq
+    IncrementalDedup.compact(spark, state)
+    // vacuum pruned the per-day deltas: ONE snapshot generation remains
+    val parts = new java.io.File(state.docsDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(parts.length == 1 && parts.head.startsWith("batch=snap"), parts.toString)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == before)
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    // ingest continues on top of the snapshot; invariants hold
+    val r = IncrementalDedup.ingestBatch(state, docsDf(Seq(6L, 8L)), "id", "text")
+    assert(r.totalDocs == 8 && r.canonicalDocs == 4)
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 7L))
+  }
+
+  test("commit markers: committed re-ingest is a no-op; a crashed attempt's rows stay invisible") {
+    val state = IncrementalDedup.State(tmpDir("incdedup4"))
+    val r1 = IncrementalDedup.ingestBatch(
+      state, docsDf(Seq(1L, 3L)), "id", "text", batchId = "day1")
+    assert(r1.totalDocs == 2 && r1.canonicalDocs == 1)
+    // same batchId again (a retried orchestrator step): nothing doubles
+    val r2 = IncrementalDedup.ingestBatch(
+      state, docsDf(Seq(1L, 3L)), "id", "text", batchId = "day1")
+    assert(r2.totalDocs == 2 && r2.canonicalDocs == 1)
+    // crash simulation: a batch's data rows landed but its marker never
+    // did — readers must not see them (the commit point is the marker)
+    Seq(6L).toDF("id")
+      .select(col("id"), lit("dead-attempt").as("attempt"), lit("day2").as("batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("batch").parquet(state.docsDir)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    // recovery re-runs day2 with a fresh attempt: correct, no double rows
+    val r3 = IncrementalDedup.ingestBatch(
+      state, docsDf(Seq(6L)), "id", "text", batchId = "day2")
+    assert(r3.batchDocs == 1 && r3.totalDocs == 3 && r3.canonicalDocs == 1)
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+  }
 }
