@@ -381,6 +381,86 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeWav]]'s LOSSLESSLY-compressed twin: integer sample
+    * recipes encoded as real FLAC ([[FlacCodec.encode]] — fixed
+    * predictors + Rice-coded residuals). Three recipe shapes by
+    * `doc_id % 3` so every doc stresses a different subframe path:
+    * constant docs (CONSTANT subframes), a sawtooth (low fixed orders,
+    * small Rice parameters), and full-range noise (order 0/1, large
+    * parameters or the raw escape). FLAC is lossless, so the oracle
+    * regenerates the samples arithmetically and ANY coding drift —
+    * bit packing, predictor math, Rice/escape coding, CRCs — lands off
+    * the hash (the q311 fully-transmitted==identity discipline).
+    */
+  def synthesizeFlac(
+      df: DataFrame,
+      idCol: String,
+      nSamples: Int = 600,
+      blockSize: Int = 256,
+      sampleRate: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = flacRecipe(id, nSamples)
+        val payload = FlacCodec.encode(sampleRate, 1, samples, blockSize)
+        Row(id, payload, Row("audio", "flac", null, null,
+          nSamples.toLong * 1000L / sampleRate))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** The q318 synthesis recipe (shared with its spec): doc m = id mod 3 —
+    * m=0 constant `(id·13 mod 200)−100`; m=1 sawtooth
+    * `((id mod 50)−25)·4 + ((i mod 256)−128)·((id mod 5)+1)`;
+    * m=2 noise `((id·7919 + i·104729) mod 65536)−32768`.
+    */
+  private[graft] def flacRecipe(id: Long, nSamples: Int): Array[Short] =
+    Array.tabulate(nSamples) { i =>
+      val v = (id % 3L) match {
+        case 0L => (id * 13L) % 200L - 100L
+        case 1L => ((id % 50L) - 25L) * 4L + ((i % 256L) - 128L) * ((id % 5L) + 1L)
+        case _ => ((id * 7919L + i * 104729L) % 65536L) - 32768L
+      }
+      v.toShort
+    }
+
+  /** REAL FLAC decode+featurize: container + frame + subframe + Rice
+    * decode per row ([[FlacCodec.decode]]) in the one-decoder-per-
+    * partition batch shape, then the exact integer features of
+    * [[WavCodec.features]] — the audio pipeline is codec-agnostic past
+    * decode, which is the point of decoding to the shared [[WavCodec.Wav]].
+    */
+  def extractFlacFeatures(media: DataFrame, decimateBy: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sr", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("peak_min", LongType, nullable = false),
+      StructField("peak_max", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("sum_squares", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val w0 = FlacCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val w = if (decimateBy == 1) w0 else WavCodec.decimate(w0, decimateBy)
+        val f = WavCodec.features(w)
+        Row(r.getLong(idIdx), f.sampleRate, f.channels, f.nSamples, f.durationMs,
+          f.peakMin, f.peakMax, f.zeroCrossings, f.sumSamples, f.sumSquares, f.rms)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic synthetic GIF payloads (16×12, 256-entry palette by
     * default): palette index of pixel (x,y) = (id·13 + y·31 + x·7) mod 256
     * and palette entry j = ((j·31+7)%256, (j·17+3)%256, (j·23+11)%256) —
