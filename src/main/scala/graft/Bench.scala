@@ -126,13 +126,25 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
-    // print the line AGAIN after Spark shutdown (and flush): the driver's
-    // log-tail capture has truncated mid-line for three rounds running
-    // (BENCH_r05/r06/r07 all `parsed: null`) — with the repeat, shutdown
-    // chatter lands BETWEEN the two copies, so whichever end of the tail
-    // survives carries a complete line (plus target/bench_out.json above
-    // as the canonical artifact).
+    // The driver's log capture keeps only a 2000-char tail (measured in
+    // BENCH_r05–r10.json, all `parsed: null`), so the full 300-query line
+    // above can NEVER fit it. Print it once more for completeness, then
+    // end stdout with a COMPACT summary line sized well under the tail
+    // window: the graded composite total plus the slowest queries that
+    // fit, with a pointer at target/bench_out.json (and the committed
+    // BENCH_rN_local.json) for the full per-query map.
     println(line)
+    val slowest = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    sb.append(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""")
+    var first = true
+    val budget = 1500
+    slowest.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + entry.length < budget) { sb.append(entry); first = false }
+    }
+    sb.append(s"""},"n_queries":${results.size},"full_map":"target/bench_out.json","sf":"$sfDir"}""")
+    println(sb.toString)
     Console.out.flush()
   }
 }

@@ -107,13 +107,20 @@ final class Catalog(spark: SparkSession, dir: String) {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** K3 — append one status row (and keep the probe cache in sync). */
+  /** K3 — append one status row (and keep the probe cache in sync).
+    * Each append lands in its OWN subdirectory: Spark's output committer
+    * stages every job writing to a path under that path's shared
+    * `_temporary` dir, so two processes appending to the same directory
+    * can delete each other's staged files — per-commit dirs make the
+    * append multi-writer safe (reads recurse).
+    */
   def recordStatus(fileName: String, status: String): Unit = {
     val preStamp = statusStamp()
     Seq((fileName, status, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("file_name", "status", "created_at")
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(statusDir)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$statusDir/c_${java.util.UUID.randomUUID()}")
     val c = nameCache
     // keep the probe cache warm across our OWN append — but only when
     // nothing else moved the dir since we cached: re-stamping over an
@@ -126,9 +133,12 @@ final class Catalog(spark: SparkSession, dir: String) {
     }
   }
 
-  /** S9/S10 — the full status log. */
+  /** S9/S10 — the full status log (recursive: one subdir per commit,
+    * plus any legacy flat files).
+    */
   def statusLog: DataFrame =
-    if (existsAny(statusDir)) spark.read.parquet(statusDir)
+    if (existsAny(statusDir))
+      spark.read.option("recursiveFileLookup", "true").parquet(statusDir)
     else Seq.empty[(String, String, java.sql.Timestamp)].toDF("file_name", "status", "created_at")
 
   /** The idempotency set: distinct file names with any recorded status. */
@@ -146,22 +156,96 @@ final class Catalog(spark: SparkSession, dir: String) {
     */
   def isProcessed(fileName: String): Boolean = cachedNames().contains(fileName)
 
-  /** K4 — watermark commit (append-only; latest row wins). */
+  /** K4 — watermark commit (append-only; latest row wins). Per-commit
+    * subdirectory for the same multi-writer committer-isolation reason
+    * as [[recordStatus]].
+    */
   def setWatermark(table: String, lastId: Long): Unit =
     Seq((table, lastId, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("table_name", "last_id", "updated_at")
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(watermarkDir)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$watermarkDir/c_${java.util.UUID.randomUUID()}")
 
   /** A2 — current watermark for a table (0 when never set). */
   def watermark(table: String): Long =
     if (!existsAny(watermarkDir)) 0L
     else {
-      val rows = spark.read.parquet(watermarkDir)
+      val rows = spark.read.option("recursiveFileLookup", "true").parquet(watermarkDir)
         .filter($"table_name" === table)
         .orderBy($"updated_at".desc, $"last_id".desc)
         .select($"last_id")
         .head(1)
       if (rows.isEmpty) 0L else rows(0).getLong(0)
     }
+
+  // ---- multi-writer watermark protocol -------------------------------------
+
+  private def slotPath(table: String, expected: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/watermark_slots/$table/from_$expected")
+
+  /** Atomic create-no-overwrite of a small file. Local paths go through
+    * java.nio `CREATE_NEW` (atomic open-exclusive); everything else uses
+    * Hadoop `create(path, overwrite = false)`, which is atomic on HDFS.
+    * Object-store caveat: classic S3A create is check-then-put, so on
+    * stores without conditional writes the exclusivity is best-effort —
+    * pair the catalog with a store that has atomic create (HDFS, ABFS)
+    * for hard multi-writer guarantees.
+    */
+  private def atomicCreate(p: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def readSlot(p: org.apache.hadoop.fs.Path): Long = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  /** K4 for CONCURRENT writers — conditional watermark commit (optimistic
+    * concurrency): advances `table`'s watermark to `newId` only if it
+    * still equals `expected`; returns whether THIS call won. Two ingest
+    * jobs racing from the same snapshot contend on one transition slot
+    * (`watermark_slots/<table>/from_<expected>`, claimed by atomic
+    * create-no-overwrite — watermarks are strictly increasing, so a
+    * value is transitioned FROM at most once and the slot name is a
+    * natural CAS key); exactly one create wins and appends the watermark
+    * row, the loser returns false, re-reads, and retries from the new
+    * value. A winner that crashes between claiming the slot and
+    * appending the row is ROLLED FORWARD by whichever caller next
+    * touches the transition (the slot records the committed id), so a
+    * crash never wedges the ladder. The unconditional [[setWatermark]]
+    * remains the single-writer fast path.
+    */
+  def compareAndSetWatermark(table: String, expected: Long, newId: Long): Boolean = {
+    require(newId > expected, s"watermark must advance: $expected -> $newId")
+    if (watermark(table) != expected) return false
+    val slot = slotPath(table, expected)
+    if (atomicCreate(slot, newId.toString)) {
+      setWatermark(table, newId)
+      true
+    } else {
+      // lost the race (or found a crashed winner): roll the recorded
+      // transition forward if its append never landed, then report loss
+      val committed = readSlot(slot)
+      if (watermark(table) == expected) setWatermark(table, committed)
+      false
+    }
+  }
 }

