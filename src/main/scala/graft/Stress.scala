@@ -526,6 +526,45 @@ object Stress {
       Multimodal.extractWavFeatures(Multimodal.synthesizeWavAdpcm(ids, "doc_id"))
         .agg(sum("sum_squares")).count()
     }
+    // FLAC: lossless entropy decode (Rice + fixed predictors) — the
+    // three-shape recipe steers CONSTANT / low-order / noisy subframes
+    time("flac_200k_600smp") {
+      Multimodal.extractFlacFeatures(Multimodal.synthesizeFlac(ids, "doc_id"))
+        .agg(sum("sum_squares")).count()
+    }
+    // progressive JPEG on GRADIENT content: per-pixel gradients push the
+    // multi-scan AC bands + EOB-run coding (the q311/q312 gates pin
+    // correctness on block-constant images; this measures the
+    // entropy-heavy path) — sequential coder on the same pixels as the
+    // reference point. 50k 32x32 color images, encode+decode per row.
+    def gradJpeg(ids: org.apache.spark.sql.DataFrame, progressive: Boolean) = {
+      import graft.multimodal.JpegCodec
+      import org.apache.spark.sql.Row
+      val rdd = ids.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0).toInt
+          val px = Array.tabulate(32 * 32) { i =>
+            val y = i / 32; val x = i % 32
+            (((x * 5 + y + id) % 256) << 16) |
+              (((x * 3 + y * 2 + id) % 256) << 8) | ((y * 7 + id) % 256)
+          }
+          val payload =
+            if (progressive) JpegCodec.encodeProgressive(32, 32, px)
+            else JpegCodec.encode(32, 32, px)
+          Row(id.toLong, payload, Row("image", "jpeg", 32, 32, null))
+        }
+      }
+      spark.createDataFrame(rdd, Multimodal.MediaSchema)
+    }
+    val ids50k = spark.range(50000L).select(col("id").as("doc_id")).persist()
+    time("jpegprog_50k_32x32_gradient") {
+      Multimodal.extractJpegFeatures(gradJpeg(ids50k, progressive = true))
+        .agg(sum("sum_r")).count()
+    }
+    time("jpegseq_50k_32x32_gradient") {
+      Multimodal.extractJpegFeatures(gradJpeg(ids50k, progressive = false))
+        .agg(sum("sum_r")).count()
+    }
     // video-modality volume: 100k 6-frame animations -> 600k frame rows
     // (decode once per payload, per-frame explode after) and the scene
     // detector over that table — frame-grain, still zero pixel shuffle
@@ -688,6 +727,58 @@ object Stress {
     }
   }
 
+  /** Round-11 probe: ONE multi-thousand-frame MJPEG capture decoded
+    * range-parallel — [[graft.multimodal.AviCodec.frameOffsets]] walks
+    * the container once (no entropy decode), then the frame chunks
+    * decode across 32 tasks ([[graft.multimodal.Multimodal
+    * .splitAviFrameFeatures]]). Asserts per-task balance and exact
+    * feature equality with the whole-file single-task path — the
+    * "a single 100 GB capture file must not pin one task" story, made
+    * runnable.
+    */
+  private def aviSplit(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
+    import org.apache.spark.sql.Row
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val nFrames = 4000
+    val frames = (0 until nFrames).map { f =>
+      val px = Array.tabulate(32 * 32) { i =>
+        val by = (i / 32) / 8; val bx = (i % 32) / 8
+        val v = ((f / 40) * 67 + by * 71 + bx * 113) % 256
+        (v << 16) | (v << 8) | v
+      }
+      JpegCodec.encode(32, 32, px, grayscale = true)
+    }
+    val avi = AviCodec.encodeMjpeg(32, 32, fps = 10, frames)
+    println(s"[avisplit] capture: $nFrames frames, ${avi.length / 1024} KiB")
+    var whole: Seq[Seq[Any]] = null
+    time("avisplit_wholefile_1row") {
+      val media = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(7L, avi, Row("video", "avi", 32, 32, null))), 1),
+        Multimodal.MediaSchema)
+      whole = Multimodal.extractAviFrameFeatures(media)
+        .collect().toSeq.map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+      whole.length.toLong
+    }
+    var split: Seq[Seq[Any]] = null
+    time("avisplit_32tasks") {
+      split = Multimodal.splitAviFrameFeatures(spark, 7L, avi, 32)
+        .collect().toSeq.map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+      split.length.toLong
+    }
+    require(split == whole,
+      s"split decode diverged from whole-file: ${split.length} vs ${whole.length} rows")
+    val perTask = Multimodal.splitAviFrameFeatures(spark, 7L, avi, 32)
+      .rdd.mapPartitions(it => Iterator(it.length)).collect()
+    println(s"[avisplit] per-task frames: min=${perTask.min} max=${perTask.max} " +
+      s"tasks=${perTask.length}")
+    require(perTask.length == 32 && perTask.max - perTask.min <= 1,
+      s"unbalanced split: ${perTask.mkString(",")}")
+    println(s"[avisplit] OK: split == whole-file, ${perTask.length} balanced tasks")
+  }
+
   /** Incremental-dedup horizon probe (round-10): the IncrementalDedup
     * daily loop with the stored band index grown 1 → 31 → 366 days, a
     * single-day ingest measured at each size. The claim under test:
@@ -783,6 +874,7 @@ object Stress {
     if (args.contains("yearscale")) { yearScale(spark, meter); spark.stop(); return }
     if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
     if (args.contains("codecscale")) { codecScale(spark, meter); spark.stop(); return }
+    if (args.contains("avisplit")) { aviSplit(spark, meter); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())

@@ -17,8 +17,12 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * Scale note: decode is pure task-side CPU with zero shuffle (the
   * codecscale probes pin this for the whole codec family), and MJPEG is
   * the one mainstream video coding where frames are INDEPENDENT — no
-  * inter-frame prediction state — so a 100 TB corpus can even split one
-  * huge file's frame ranges across tasks. The decoder deliberately
+  * inter-frame prediction state — so one huge file's frames split across
+  * tasks: [[frameOffsets]] walks the container once (no entropy decode)
+  * and [[decodeFrameAt]] decodes any single chunk independently
+  * ([[Multimodal.splitAviFrameFeatures]] is the range-parallel op; the
+  * avisplit Stress probe pins balance + whole-file equality). The
+  * decoder deliberately
   * IGNORES the `idx1` index and walks `movi` sequentially: an index is an
   * untrusted seek accelerator, not ground truth, and a decode that trusts
   * it silently skips frames on the (common) files whose index is stale.
@@ -171,24 +175,47 @@ object AviCodec {
         throw new IllegalArgumentException("truncated AVI: chunk walk past end")
     }
 
+  /** The frame chunk map: container info plus (offset, size) of every
+    * stream-0 video chunk's payload, in movi order — the FULL container
+    * walk (dwTotalFrames cross-checked) with zero entropy decode. This is
+    * the split map for range-parallel decode of one huge capture file:
+    * MJPEG frames are independent, so each (offset, size) decodes in any
+    * task — see [[Multimodal.splitAviFrameFeatures]].
+    */
+  def frameOffsets(bytes: Array[Byte]): (Info, Array[(Int, Int)]) =
+    try walk(bytes, decodeFramesToo = true)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException("truncated AVI: chunk walk past end")
+    }
+
+  /** Decode ONE frame chunk independently (the range-parallel unit),
+    * validating its dims against the container header.
+    */
+  def decodeFrameAt(bytes: Array[Byte], offset: Int, size: Int, inf: Info, frame: Long): BmpCodec.Bmp = {
+    val img = JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, offset, offset + size))
+    require(img.width == inf.width && img.height == inf.height,
+      s"corrupt AVI: frame $frame is ${img.width}x${img.height}, " +
+        s"header says ${inf.width}x${inf.height}")
+    img
+  }
+
   /** Decode every MJPEG frame in stream 0 (`00dc`/`00db` chunks, in movi
     * order) into the shared pixel frame. Loud on anything structurally
     * wrong: bad magic, truncated chunks, missing headers, a non-MJPEG
     * video stream, frame dims disagreeing with the container header, or a
     * frame count disagreeing with `dwTotalFrames`.
     */
-  def decodeFrames(bytes: Array[Byte]): Seq[BmpCodec.Bmp] =
-    try {
-      val (_, frames) = walk(bytes, decodeFramesToo = true)
-      frames
-    } catch {
-      case _: ArrayIndexOutOfBoundsException | _: java.nio.BufferUnderflowException =>
-        throw new IllegalArgumentException("truncated AVI: chunk walk past end")
-    }
+  def decodeFrames(bytes: Array[Byte]): Seq[BmpCodec.Bmp] = {
+    val (inf, offs) = frameOffsets(bytes)
+    offs.iterator.zipWithIndex.map { case ((o, s), f) =>
+      decodeFrameAt(bytes, o, s, inf, f.toLong)
+    }.toSeq
+  }
 
   private def walk(
       bytes: Array[Byte],
-      decodeFramesToo: Boolean): (Info, Seq[BmpCodec.Bmp]) = {
+      decodeFramesToo: Boolean): (Info, Array[(Int, Int)]) = {
     require(bytes != null && bytes.length >= 12, "not an AVI: too short")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -203,7 +230,7 @@ object AviCodec {
 
     var inf: Info = null
     var handlerOk = false
-    val frames = Seq.newBuilder[BmpCodec.Bmp]
+    val offsets = Array.newBuilder[(Int, Int)]
     var nFrames = 0
 
     // parse the hdrl LIST body: avih + nested strl(strh, strf)
@@ -273,18 +300,13 @@ object AviCodec {
           s"truncated AVI: '$id' chunk overruns movi")
         val next = bb.position() + size + (size % 2)
         // stream-0 video data: compressed '00dc' (or '00db' from sloppy
-        // muxers); 'rec ' grouping lists recurse so their members count
+        // muxers); 'rec ' grouping lists recurse so their members count.
+        // Only the (offset, size) is recorded — decode happens per chunk
+        // in [[decodeFrameAt]], which is what lets one file's frames
+        // split across tasks.
         if (id == "00dc" || id == "00db") {
           nFrames += 1
-          if (decodeFramesToo) {
-            val payload = new Array[Byte](size)
-            bb.get(payload)
-            val img = JpegCodec.decode(payload)
-            require(img.width == inf.width && img.height == inf.height,
-              s"corrupt AVI: frame ${nFrames - 1} is ${img.width}x${img.height}, " +
-                s"header says ${inf.width}x${inf.height}")
-            frames += img
-          }
+          offsets += ((bb.position(), size))
         } else if (id == "LIST") {
           fourcc() // form tag ('rec ' grouping); members are plain chunks
           parseMovi(next)
@@ -317,11 +339,11 @@ object AviCodec {
 
     require(inf != null, "not an AVI: no avih header")
     if (decodeFramesToo) {
-      // decode is the arbiter: a stale header must not silently pass
+      // the full walk is the arbiter: a stale header must not silently pass
       require(nFrames > 0, "corrupt AVI: no video frames in movi")
       require(inf.totalFrames == nFrames,
         s"corrupt AVI: header declares ${inf.totalFrames} frames, movi holds $nFrames")
     }
-    (inf, frames.result())
+    (inf, offsets.result())
   }
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1046,6 +1046,37 @@ object Multimodal {
     extractFramesWith(media, AviCodec.decodeFrames _,
       frameFeatureFields ++ frameDHashFields,
       img => frameFeatureProject(img) ++ frameDHashProject(side)(img))
+
+  /** Range-parallel frame features for ONE huge MJPEG capture: the
+    * container walk ([[AviCodec.frameOffsets]] — cheap, zero entropy
+    * decode) yields the frame chunk map driver-side, then the frames
+    * decode across `parallelism` tasks via [[AviCodec.decodeFrameAt]] —
+    * the answer to "a single 100 GB capture file must not pin one task",
+    * possible because MJPEG frames are independent. The payload ships to
+    * tasks by broadcast here (the single-JVM shape); on a real cluster
+    * the same (offset, size) map drives RANGED READS against the object
+    * store — the offsets are the contract, the transport is deployment
+    * detail. Output schema equals [[extractAviFrameFeatures]]'s, so
+    * split == whole-file is directly assertable (avisplit Stress probe).
+    */
+  def splitAviFrameFeatures(
+      spark: SparkSession,
+      mediaId: Long,
+      payload: Array[Byte],
+      parallelism: Int): DataFrame = {
+    val (inf, offs) = AviCodec.frameOffsets(payload)
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +:
+        StructField("frame", LongType, nullable = false) +: frameFeatureFields)
+    val bc = spark.sparkContext.broadcast(payload)
+    val rdd = spark.sparkContext
+      .parallelize(offs.toIndexedSeq.zipWithIndex, math.max(parallelism, 1))
+      .map { case ((o, s), f) =>
+        Row.fromSeq(mediaId +: f.toLong +:
+          frameFeatureProject(AviCodec.decodeFrameAt(bc.value, o, s, inf, f.toLong)))
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   /** Header-only sniff for AVI payloads: [[AviCodec.info]] walks the
     * RIFF structure to `avih` without touching any frame's entropy data
