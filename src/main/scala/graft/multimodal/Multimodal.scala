@@ -350,6 +350,31 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** FLAC-decoded acoustic fingerprint — [[extractWavFingerprint]]'s
+    * compressed twin: the same frame-energy sign-of-delta bitstring over
+    * [[FlacCodec.decode]] output. The point of decoding every audio
+    * container into the shared [[WavCodec.Wav]] is exactly this:
+    * fingerprint/dedup verbs compose unchanged across codecs.
+    */
+  def extractFlacFingerprint(media: DataFrame, frameLen: Int = 44): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false),
+      StructField("sum_energy", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val w = FlacCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        val (nf, bits, tot) = WavCodec.energyFingerprint(w, frameLen)
+        Row(r.getLong(idIdx), nf, bits, tot)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** [[synthesizeWav]]'s COMPRESSED twin: the same integer sample recipe
     * encoded as mono IMA ADPCM (WAVE format 0x11 — [[WavCodec
     * .encodeAdpcm]], 4 bits/sample through the predictor + step-table

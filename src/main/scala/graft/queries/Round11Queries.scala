@@ -52,5 +52,69 @@ object Round11Queries {
       Multimodal.extractFlacFeatures(media)
         .withColumn("rms", round(col("rms"), 6))
         .orderBy("media_id")
+    },
+
+    // BPE ENCODE — the apply step of the trained tokenizer (q196/q198
+    // gate the training loop; this gates SERVING it): the 3-round
+    // segmentation's per-word subword counts broadcast onto the token
+    // stream, per-doc word/subword/char counts + fertility
+    // (subwords-per-word, exact micro-units). The oracle re-trains the
+    // identical 3 rounds (q196's unrolled CTE algebra) and re-encodes —
+    // a wrong merge application ANYWHERE shifts some document's counts.
+    Q(
+      "q319_bpe_encode",
+      s"""WITH tt AS (SELECT u.tok AS tok
+         |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |    unnest(t) AS u(tok)),
+         |wt AS (SELECT tok AS wid, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY tok),
+         |p0 AS (SELECT wid, tf, CAST(i.i AS BIGINT) AS pos, substr(wid, i.i, 1) AS sym
+         |  FROM wt, unnest(generate_series(1, len(wid))) AS i(i)),
+         |${WarehouseQueries.bpeRound(1)},
+         |${WarehouseQueries.bpeRound(2)},
+         |${WarehouseQueries.bpeRound(3)},
+         |seg AS (SELECT wid, CAST(count(*) AS BIGINT) AS nsub FROM p3 GROUP BY wid),
+         |dt AS (SELECT doc_id, u.tok AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |        FROM documents),
+         |    unnest(t) AS u(tok))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(len(tok)) AS BIGINT) AS n_chars,
+         |  CAST((CAST(sum(nsub) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS BIGINT) AS subs_per_word_micro
+         |FROM dt JOIN seg ON dt.tok = seg.wid
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Vocab
+        .bpeEncode(Tables.load(s, dir, "documents"), "doc_id", "text", iterations = 3)
+        .orderBy("doc_id")
+    },
+
+    // FLAC acoustic fingerprint — q123's compressed twin: decode the
+    // entropy-coded container into the SHARED sample frame, then the
+    // identical frame-energy delta-sign bits (codec-agnostic composition
+    // is the point of one Wav contract). 50-sample frames tile the
+    // 600-sample recipe exactly.
+    Q(
+      "q320_flac_fingerprint",
+      """WITH raw AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 13) % 200 - 100
+        |         WHEN doc_id % 3 = 1 THEN
+        |           ((doc_id % 50) - 25) * 4 + ((i % 256) - 128) * ((doc_id % 5) + 1)
+        |         ELSE ((doc_id * 7919 + i * 104729) % 65536) - 32768 END AS v
+        |  FROM documents, unnest(generate_series(0, 599)) AS u(i)),
+        |fe AS (SELECT doc_id, i // 50 AS f, CAST(sum(v*v) AS BIGINT) AS e
+        |  FROM raw GROUP BY doc_id, i // 50),
+        |d AS (SELECT doc_id, f, e,
+        |  lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe FROM fe)
+        |SELECT doc_id AS media_id,
+        |  CAST(12 AS BIGINT) AS n_frames,
+        |  array_to_string(list(CASE WHEN e > pe THEN '1' ELSE '0' END ORDER BY f)
+        |    FILTER (WHERE pe IS NOT NULL), '') AS fp,
+        |  CAST(sum(e) AS BIGINT) AS sum_energy
+        |FROM d GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeFlac(Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractFlacFingerprint(media, frameLen = 50).orderBy("media_id")
     })
 }

@@ -36,7 +36,7 @@ object WarehouseQueries {
     * windowed position arithmetic Vocab.bpeTrain runs (runs of adjacent
     * flagged positions merge at even in-run offsets = greedy leftmost).
     */
-  private def bpeRound(k: Int): String = {
+  private[queries] def bpeRound(k: Int): String = {
     val p = s"p${k - 1}"
     s"""c$k AS (SELECT sym, nxt, CAST(sum(tf) AS BIGINT) AS n FROM (
        |    SELECT sym, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt, tf FROM $p)

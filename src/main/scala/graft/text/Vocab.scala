@@ -361,6 +361,41 @@ object Vocab {
   def bpeTrain(df: DataFrame, textCol: String, iterations: Int): DataFrame =
     bpeRounds(df, textCol, iterations)._1.reduce(_ unionByName _)
 
+  /** The final per-word segmentation of an `iterations`-round training
+    * run: (wid, tf, pos, sym) — one row per SUBWORD of each distinct
+    * word, i.e. the trained tokenizer's answer for the whole vocabulary
+    * at once. This is the apply-side artifact [[bpeEncode]] joins onto
+    * the token stream.
+    */
+  def bpeSegmentation(df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeRounds(df, textCol, iterations)._2.last
+
+  /** BPE ENCODE — the APPLY step of the trained tokenizer over the
+    * corpus (training without encoding is half a tokenizer): per
+    * document, its word / BPE-subword / character counts plus
+    * subwords-per-word in exact micro-units (the fertility statistic
+    * tokenizer evaluations report).
+    *
+    * Scale shape is the tokenizer-serving one: training state lives on
+    * the DISTINCT-word table (Heaps'-law, ~O(corpus^0.5)); the per-word
+    * subword counts BROADCAST onto the token stream, so the stream —
+    * the only corpus-sized thing here — never shuffles: one map-side
+    * join + one per-doc aggregate.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String, iterations: Int): DataFrame = {
+    val perWord = bpeSegmentation(df, textCol, iterations)
+      .groupBy(col("wid").as("token"))
+      .agg(count(lit(1)).as("_nsub"))
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .join(broadcast(perWord), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("_nsub")).cast("long").as("n_subwords"),
+        sum(length(col("token"))).cast("long").as("n_chars"))
+      .withColumn("subs_per_word_micro", expr("(n_subwords * 1000000L) div n_words"))
+  }
+
   /** Per-round corpus compression audit for the same training run:
     * (iter, corpus_tokens, distinct_syms) for iter 0 (character baseline)
     * through `iterations` — corpus_tokens is the tf-weighted symbol count

@@ -225,4 +225,17 @@ class FlacSpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(dec.forall(r => r.getLong(1) == 4000 && r.getLong(3) == 150))
   }
+
+  test("extractFlacFingerprint: codec-agnostic — bits equal the raw-sample fingerprint") {
+    val docs = Seq(2L, 4L, 5L).toDF("doc_id")
+    val rows = Multimodal.extractFlacFingerprint(
+      Multimodal.synthesizeFlac(docs, "doc_id"), frameLen = 50)
+      .orderBy("media_id").collect()
+    for (r <- rows) {
+      val (nf, bits, tot) = WavCodec.energyFingerprint(
+        WavCodec.Wav(16000, 1, 16, Multimodal.flacRecipe(r.getLong(0), 600)), 50)
+      assert(r.getLong(1) == nf && r.getString(2) == bits && r.getLong(3) == tot,
+        s"doc ${r.getLong(0)}")
+    }
+  }
 }

@@ -170,6 +170,30 @@ class SplitsEvalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 10L, 2L), (1, 8L, 3L), (2, 5L, 2L), (3, 3L, 2L)))
   }
 
+  test("bpeEncode: per-doc counts match hand segmentation; totals tie to the compression audit") {
+    // same corpus as the audit test: after 3 rounds words segment as
+    // aaab -> [aaab] (1 subword), ab -> [ab] (1 subword)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab ab"), (3L, "aaab")).toDF("id", "text")
+    val enc = graft.text.Vocab.bpeEncode(docs, "id", "text", iterations = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(enc.toSeq == Seq(
+      (1L, 3L, 3L, 10L, 1000000L), // 3 words, 3 subwords, 10 chars
+      (2L, 2L, 2L, 4L, 1000000L),
+      (3L, 1L, 1L, 4L, 1000000L)))
+    // the corpus-total invariant: Σ n_subwords over docs == the round-3
+    // tf-weighted symbol count of the audit (encode and train must agree
+    // on what the corpus compresses to); Σ n_chars == the round-0 total
+    val audit = graft.text.Vocab.bpeCompressionStats(docs, "text", iterations = 3)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(enc.map(_._3).sum == audit.last._2)
+    assert(enc.map(_._4).sum == audit.head._2)
+    // a 1-round encode splits aaab as [aa, a, b] (3), ab as [a, b] (2)
+    val enc1 = graft.text.Vocab.bpeEncode(docs, "id", "text", iterations = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(enc1.toSeq == Seq((1L, 8L), (2L, 4L), (3L, 3L)))
+  }
+
   // ---- jackknifeMeanSe ----
 
   test("jackknifeMeanSe: constant values give SE exactly 0, exact n/sum/mean") {
