@@ -327,6 +327,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Voice-activity segmentation over a frame-energy table (the
+    * utterance-extraction step an ASR corpus pipeline runs between decode
+    * and transcription): consecutive frames with `energyCol` ≥
+    * `threshold` form a segment (frame − row_number islands — ONE window
+    * pass), segments shorter than `minFrames` drop (clicks and noise
+    * bursts), and surviving segments number 0.. per media in start order.
+    * Emits (media_id, utt, start_frame, end_frame, n_frames, sum_energy).
+    *
+    * Scale shape: both windows partition by media_id — a frame table is
+    * per-media bounded (duration × rate), so nothing here is global; the
+    * active-frame filter prunes BEFORE the window, so silence-dominated
+    * corpora (most speech crawls) shuffle only their voiced minority.
+    */
+  def segmentUtterances(
+      frames: DataFrame,
+      energyCol: String,
+      threshold: Long,
+      minFrames: Int): DataFrame = {
+    require(minFrames >= 1, s"minFrames=$minFrames must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame")
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("start_frame")
+    frames.filter(col(energyCol) >= threshold)
+      .withColumn("_grp", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("_grp"))
+      .agg(
+        min("frame").as("start_frame"),
+        max("frame").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col(energyCol)).cast("long").as("sum_energy"))
+      .filter(col("n_frames") >= minFrames)
+      .withColumn("utt", (row_number().over(byStart) - 1).cast("long"))
+      .select(col("media_id"), col("utt"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("sum_energy"))
+  }
+
   /** Acoustic fingerprints: REAL decode → [[WavCodec.energyFingerprint]]
     * (frame-energy delta signs, exact integer arithmetic) — the audio twin
     * of [[extractBmpAHash]], same batch shape.

@@ -116,5 +116,40 @@ object Round11Queries {
         |FROM d GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.synthesizeFlac(Tables.load(s, dir, "documents"), "doc_id")
       Multimodal.extractFlacFingerprint(media, frameLen = 50).orderBy("media_id")
+    },
+
+    // Voice-activity segmentation (Multimodal.segmentUtterances): REAL
+    // WAV decode → 21-sample frame energies → threshold islands
+    // (frame − row_number groups), sub-2-frame bursts dropped, utterances
+    // numbered per media in start order — the utterance-extraction step
+    // an ASR corpus pipeline runs before transcription. The oracle
+    // regenerates the q29 sample recipe, recomputes frame energies, and
+    // replays the identical islands algebra.
+    Q(
+      "q321_vad_segments",
+      """WITH s AS (SELECT doc_id, i, i // 21 AS frame,
+        |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |  FROM documents, unnest(generate_series(0, 440)) AS u(i)),
+        |fe AS (SELECT doc_id, frame, CAST(sum(v*v) AS BIGINT) AS e
+        |  FROM s GROUP BY doc_id, frame),
+        |act AS (SELECT doc_id, frame, e,
+        |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+        |  FROM fe WHERE e >= 7500000000),
+        |seg AS (SELECT doc_id, min(frame) AS start_frame, max(frame) AS end_frame,
+        |    CAST(count(*) AS BIGINT) AS n_frames, CAST(sum(e) AS BIGINT) AS sum_energy
+        |  FROM act GROUP BY doc_id, grp),
+        |n AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        |    - 1 AS BIGINT) AS utt
+        |  FROM seg WHERE n_frames >= 2)
+        |SELECT doc_id AS media_id, utt,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame, n_frames, sum_energy
+        |FROM n ORDER BY media_id, utt""".stripMargin) { (s, dir) =>
+      val frames = Multimodal.extractWavFrameFeatures(
+        Multimodal.synthesizeWav(Tables.load(s, dir, "documents"), "doc_id"),
+        frameLen = 21)
+      Multimodal.segmentUtterances(frames, "sum_squares",
+        threshold = 7500000000L, minFrames = 2)
+        .orderBy("media_id", "utt")
     })
 }

@@ -788,4 +788,32 @@ class MultimodalSpec extends SparkSpec {
     assert(jOut.map(r => r.getLong(0) -> r.getBoolean(1)).toSeq ==
       Seq(9L -> true, 10L -> false))
   }
+
+  test("segmentUtterances: threshold islands, min-length drop, per-media numbering") {
+    val frames = Seq(
+      // media 1: islands at 1-3 and 7-8; the single active frame 5 drops
+      (1L, 0L, 10L), (1L, 1L, 100L), (1L, 2L, 120L), (1L, 3L, 90L), (1L, 4L, 5L),
+      (1L, 5L, 99L), (1L, 6L, 0L), (1L, 7L, 80L), (1L, 8L, 85L), (1L, 9L, 10L),
+      // media 2: all silence — no rows out
+      (2L, 0L, 1L), (2L, 1L, 2L),
+      // media 3: islands touching both boundaries
+      (3L, 0L, 70L), (3L, 1L, 70L), (3L, 2L, 0L), (3L, 3L, 70L), (3L, 4L, 70L))
+      .toDF("media_id", "frame", "sum_squares")
+    val out = Multimodal
+      .segmentUtterances(frames, "sum_squares", threshold = 60L, minFrames = 2)
+      .orderBy("media_id", "utt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 3L, 3L, 310L),
+      (1L, 1L, 7L, 8L, 2L, 165L),
+      (3L, 0L, 0L, 1L, 2L, 140L),
+      (3L, 1L, 3L, 4L, 2L, 140L)))
+    // minFrames = 1 keeps the burst
+    val all1 = Multimodal
+      .segmentUtterances(frames, "sum_squares", threshold = 60L, minFrames = 1)
+      .filter(col("media_id") === 1L).orderBy("utt").collect()
+    assert(all1.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 3L), (5L, 5L), (7L, 8L)))
+  }
 }
