@@ -616,7 +616,8 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       width: Int = 16,
-      height: Int = 12): DataFrame = {
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val ids = df.select(col(idCol).cast("long").as("media_id"))
     val rdd = ids.rdd.mapPartitions { rows =>
@@ -629,7 +630,38 @@ object Multimodal {
           val pb = ((id * 43L + y * 7L + x * 17L) % 256L).toInt
           (pr << 16) | (pg << 8) | pb
         }
-        val payload = PngCodec.encode(width, height, pixels)
+        val payload = PngCodec.encode(width, height, pixels, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Paletted (color type 3) synthetic PNGs carrying the GIF recipe —
+    * palette index (id·13 + y·31 + x·7) mod 256, palette entry j =
+    * ((j·31+7) mod 256, (j·17+3) mod 256, (j·23+11) mod 256): the
+    * GIF-shaped PNG crawled corpora are full of, through the REAL
+    * PLTE + index-plane DEFLATE path ([[PngCodec.encodePalette]]).
+    */
+  def synthesizePngPalette(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val palette = Array.tabulate(256) { j =>
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+    }
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val indices = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          ((id * 13L + y * 31L + x * 7L) % 256L).toInt
+        }
+        val payload = PngCodec.encodePalette(width, height, indices, palette, interlaced)
         Row(id, payload, Row("image", "png", width, height, null))
       }
     }

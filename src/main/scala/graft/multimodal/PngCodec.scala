@@ -3,34 +3,57 @@ package graft.multimodal
 import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG codec (8-bit truecolor, color type 2) — the first
-  * COMPRESSED raster container in the decode family ([[WavCodec]] audio,
-  * [[BmpCodec]] uncompressed images, [[GifCodec]] LZW palettes): chunk
-  * walk with CRC32 verification, multi-IDAT reassembly, zlib inflate via
-  * the JDK's `java.util.zip.Inflater` (no external libs), and per-scanline
-  * unfiltering for ALL FIVE filter types (None/Sub/Up/Average/Paeth). The
-  * encoder deflates real filtered scanlines — the filter type CYCLES
-  * y mod 5, so every round-trip exercises every unfilter path, and the
-  * deflated stream is split across multiple IDAT chunks so reassembly is
-  * never a degenerate single-chunk case.
+/** Pure-JVM PNG codec — the DEFLATE raster container of the decode family
+  * ([[WavCodec]] audio, [[BmpCodec]] uncompressed images, [[GifCodec]] LZW
+  * palettes): chunk walk with CRC32 verification, multi-IDAT reassembly,
+  * zlib inflate via the JDK's `java.util.zip.Inflater` (no external libs),
+  * per-scanline unfiltering for ALL FIVE filter types
+  * (None/Sub/Up/Average/Paeth), and — round 11 — ADAM7 INTERLACING and
+  * PALETTED images (color type 3, PLTE):
+  *
+  *  - Adam7 splits the image into seven progressively-denser sub-images,
+  *    each filtered independently (its own filter bytes, predictors
+  *    confined to the pass) — the PNG analog of progressive JPEG, and
+  *    like it gated by the strongest possible equality: an interlaced
+  *    file must decode to PIXEL-IDENTICAL output as the plain encoding
+  *    of the same image (q322 reuses q298's oracle verbatim).
+  *  - Color type 3 carries one palette index per pixel (8-bit) plus a
+  *    PLTE chunk — the GIF-shaped PNG crawled corpora are full of.
+  *
+  * The encoder deflates real filtered scanlines — the filter type CYCLES
+  * over the global row counter mod 5, so every round-trip exercises every
+  * unfilter path (in every PASS when interlaced), and the deflated stream
+  * is split across multiple IDAT chunks so reassembly is never a
+  * degenerate single-chunk case.
   *
   * Decoding lands in [[BmpCodec.Bmp]] — the shared pixel frame — so every
   * downstream image operator (features, resize, aHash/dHash, cross-format
   * near-dup) applies to PNG payloads unchanged: one pixel contract, N
-  * containers. PNG matters because it is the raster format real crawled
-  * training data actually carries; BMP/GIF covered the uncompressed and
-  * dictionary-coded cases, this adds the DEFLATE case.
+  * containers.
   *
   * Format is public (PNG specification, ISO/IEC 15948: 8-byte signature,
-  * length/type/data/CRC chunks, IHDR/IDAT/IEND, filter method 0 with the
-  * Paeth predictor as specified). Interlaced (Adam7), paletted, grayscale,
-  * alpha, and non-8-bit depths are rejected loudly rather than decoded
-  * wrong.
+  * length/type/data/CRC chunks, IHDR/PLTE/IDAT/IEND, filter method 0 with
+  * the Paeth predictor, Adam7 pass grid). Grayscale, alpha, and non-8-bit
+  * depths are rejected loudly rather than decoded wrong.
   */
 object PngCodec {
 
   private val Signature =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+
+  // Adam7 pass grid: x/y start and step per pass (PNG spec §8.2)
+  private val AdamX = Array(0, 4, 0, 2, 0, 1, 0)
+  private val AdamY = Array(0, 0, 4, 0, 2, 0, 1)
+  private val AdamXS = Array(8, 8, 4, 4, 2, 2, 1)
+  private val AdamYS = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** (width, height) of each NON-EMPTY Adam7 pass, with its index. */
+  private def adamPasses(width: Int, height: Int): Seq[(Int, Int, Int)] =
+    (0 until 7).flatMap { p =>
+      val w = (width - AdamX(p) + AdamXS(p) - 1) / AdamXS(p)
+      val h = (height - AdamY(p) + AdamYS(p) - 1) / AdamYS(p)
+      if (w > 0 && h > 0) Some((p, w, h)) else None
+    }
 
   private def u32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
@@ -52,42 +75,38 @@ object PngCodec {
     out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
   }
 
-  /** Encode top-down row-major 0xRRGGBB pixels as an 8-bit truecolor PNG.
-    * Scanline y gets filter type y mod 5 — a REAL exercise of Sub/Up/
-    * Average/Paeth on both sides of every round-trip, not a None-only
-    * degenerate stream.
+  /** The Paeth predictor exactly as specified: nearest of (a, b, c) to
+    * a + b − c, ties broken a, then b, then c.
     */
-  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    // Long-checked like decode: 65536×65536 wraps the Int product to 0,
-    // which would pass an == check against an empty array and then crash
-    // untyped on the scanline-buffer allocation
-    require(width.toLong * height.toLong <= (1L << 26),
-      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
-    require(pixels.length == width * height, "pixels must be width*height")
-    val stride = width * 3
-    // filtered image: one filter-type byte + stride bytes per scanline
-    val raw = new Array[Byte]((stride + 1) * height)
-    val cur = new Array[Byte](stride)
-    val prev = new Array[Byte](stride) // zeros above row 0, per spec
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Filter one sub-image's sample bytes (`samples(y)(i)` row-major, all
+    * rows `stride` long) into `out`, cycling the filter type over a
+    * caller-threaded global row counter so interlaced streams exercise
+    * every filter in every pass. Returns the updated row counter.
+    */
+  private def filterRows(
+      out: ByteArrayOutputStream,
+      samples: Array[Array[Byte]],
+      stride: Int,
+      bpp: Int,
+      rowCounter: Int): Int = {
+    val prev = new Array[Byte](stride)
+    var rc = rowCounter
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val p = pixels(y * width + x)
-        cur(3 * x) = ((p >> 16) & 0xFF).toByte
-        cur(3 * x + 1) = ((p >> 8) & 0xFF).toByte
-        cur(3 * x + 2) = (p & 0xFF).toByte
-        x += 1
-      }
-      val ft = y % 5
-      val base = y * (stride + 1)
-      raw(base) = ft.toByte
+    while (y < samples.length) {
+      val cur = samples(y)
+      val ft = rc % 5
+      out.write(ft)
       var i = 0
       while (i < stride) {
-        val a = if (i >= 3) cur(i - 3) & 0xFF else 0 // left
-        val b = prev(i) & 0xFF // above
-        val c = if (i >= 3) prev(i - 3) & 0xFF else 0 // upper-left
+        val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+        val b = prev(i) & 0xFF
+        val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
         val v = cur(i) & 0xFF
         val filtered = ft match {
           case 0 => v
@@ -96,13 +115,55 @@ object PngCodec {
           case 3 => v - (a + b) / 2
           case 4 => v - paeth(a, b, c)
         }
-        raw(base + 1 + i) = filtered.toByte
+        out.write(filtered & 0xFF)
         i += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
+      rc += 1
       y += 1
     }
-    // zlib-deflate the filtered stream
+    rc
+  }
+
+  /** Build the filtered (pre-DEFLATE) image stream for one sample plane:
+    * `sampleAt(x, y)` returns the bpp bytes of pixel (x, y).
+    */
+  private def filteredStream(
+      width: Int, height: Int, bpp: Int, interlaced: Boolean)(
+      sampleAt: (Int, Int) => Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream((width * bpp + 1) * height + 64)
+    var rc = 0
+    if (!interlaced) {
+      val rows = Array.tabulate(height) { y =>
+        val row = new Array[Byte](width * bpp)
+        var x = 0
+        while (x < width) {
+          System.arraycopy(sampleAt(x, y), 0, row, x * bpp, bpp)
+          x += 1
+        }
+        row
+      }
+      filterRows(out, rows, width * bpp, bpp, rc)
+    } else {
+      for ((p, w, h) <- adamPasses(width, height)) {
+        val rows = Array.tabulate(h) { py =>
+          val row = new Array[Byte](w * bpp)
+          var px = 0
+          while (px < w) {
+            val gx = AdamX(p) + px * AdamXS(p)
+            val gy = AdamY(p) + py * AdamYS(p)
+            System.arraycopy(sampleAt(gx, gy), 0, row, px * bpp, bpp)
+            px += 1
+          }
+          row
+        }
+        rc = filterRows(out, rows, w * bpp, bpp, rc)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, false) // zlib wrapper
     defl.setInput(raw)
     defl.finish()
@@ -110,8 +171,12 @@ object PngCodec {
     val buf = new Array[Byte](4096)
     while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
     defl.end()
-    val z = zout.toByteArray
+    zout.toByteArray
+  }
 
+  private def writePng(
+      width: Int, height: Int, colorType: Int, interlaced: Boolean,
+      plte: Array[Byte], z: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(z.length + 128)
     out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
@@ -120,9 +185,11 @@ object PngCodec {
     ihdr(4) = ((height >> 24) & 0xFF).toByte; ihdr(5) = ((height >> 16) & 0xFF).toByte
     ihdr(6) = ((height >> 8) & 0xFF).toByte; ihdr(7) = (height & 0xFF).toByte
     ihdr(8) = 8 // bit depth
-    ihdr(9) = 2 // color type: truecolor RGB
-    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, filter 0, no interlace
+    ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0 // deflate, filter method 0
+    ihdr(12) = if (interlaced) 1 else 0
     writeChunk(out, "IHDR", ihdr)
+    if (plte != null) writeChunk(out, "PLTE", plte)
     // split IDAT so multi-chunk reassembly is exercised on every decode
     var off = 0
     while (off < z.length) {
@@ -135,21 +202,67 @@ object PngCodec {
     out.toByteArray
   }
 
-  /** The Paeth predictor exactly as specified: nearest of (a, b, c) to
-    * a + b − c, ties broken a, then b, then c.
+  /** Encode top-down row-major 0xRRGGBB pixels as an 8-bit truecolor PNG
+    * (Adam7 when `interlaced`). Filter types cycle over the global row
+    * counter mod 5.
     */
-  private def paeth(a: Int, b: Int, c: Int): Int = {
-    val p = a + b - c
-    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  def encode(
+      width: Int, height: Int, pixels: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    // Long-checked like decode: 65536×65536 wraps the Int product to 0,
+    // which would pass an == check against an empty array and then crash
+    // untyped on the scanline-buffer allocation
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(pixels.length == width * height, "pixels must be width*height")
+    val buf = new Array[Byte](3)
+    val raw = filteredStream(width, height, 3, interlaced) { (x, y) =>
+      val p = pixels(y * width + x)
+      buf(0) = ((p >> 16) & 0xFF).toByte
+      buf(1) = ((p >> 8) & 0xFF).toByte
+      buf(2) = (p & 0xFF).toByte
+      buf
+    }
+    writePng(width, height, 2, interlaced, null, deflate(raw))
+  }
+
+  /** Encode palette indices + a 0xRRGGBB palette as an 8-bit color-type-3
+    * PNG (Adam7 when `interlaced`) — the GIF-shaped PNG.
+    */
+  def encodePalette(
+      width: Int, height: Int, indices: Array[Int], palette: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(indices.length == width * height, "indices must be width*height")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length} not in 1..256")
+    indices.foreach(i => require(i >= 0 && i < palette.length,
+      s"palette index $i out of range"))
+    val plte = new Array[Byte](3 * palette.length)
+    var j = 0
+    while (j < palette.length) {
+      plte(3 * j) = ((palette(j) >> 16) & 0xFF).toByte
+      plte(3 * j + 1) = ((palette(j) >> 8) & 0xFF).toByte
+      plte(3 * j + 2) = (palette(j) & 0xFF).toByte
+      j += 1
+    }
+    val buf = new Array[Byte](1)
+    val raw = filteredStream(width, height, 1, interlaced) { (x, y) =>
+      buf(0) = indices(y * width + x).toByte
+      buf
+    }
+    writePng(width, height, 3, interlaced, plte, deflate(raw))
   }
 
   /** Parse PNG bytes into the shared pixel frame; throws
     * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (interlace, palette/grayscale/alpha, depth ≠ 8, CRC
-    * mismatch, truncation, inflate overrun/underrun) — loud beats silent.
-    * Ancillary chunks are CRC-checked and skipped; IDAT payloads are
-    * concatenated in file order per the spec.
+    * faithfully (grayscale/alpha, depth ≠ 8, CRC mismatch, truncation,
+    * inflate overrun/underrun, out-of-range palette index) — loud beats
+    * silent. Ancillary chunks are CRC-checked and skipped; IDAT payloads
+    * are concatenated in file order per the spec.
     */
   def decode(bytes: Array[Byte]): BmpCodec.Bmp =
     try decode0(bytes)
@@ -171,6 +284,9 @@ object PngCodec {
     }
     var pos = 8
     var width = 0; var height = 0
+    var colorType = -1
+    var interlaced = false
+    var palette: Array[Int] = null
     var seenIhdr = false; var seenIend = false
     val idat = new ByteArrayOutputStream(bytes.length)
     while (pos < bytes.length && !seenIend) {
@@ -200,12 +316,24 @@ object PngCodec {
           require(width.toLong * height.toLong <= (1L << 26),
             s"PNG too large: ${width}x$height exceeds 2^26 pixels")
           val depth = bytes(pos + 16) & 0xFF
-          val color = bytes(pos + 17) & 0xFF
-          require(depth == 8 && color == 2,
-            s"unsupported PNG: depth=$depth colorType=$color (8-bit truecolor only)")
+          colorType = bytes(pos + 17) & 0xFF
+          require(depth == 8 && (colorType == 2 || colorType == 3),
+            s"unsupported PNG: depth=$depth colorType=$colorType " +
+              "(8-bit truecolor or paletted only)")
           require((bytes(pos + 18) & 0xFF) == 0, "unknown compression method")
           require((bytes(pos + 19) & 0xFF) == 0, "unknown filter method")
-          require((bytes(pos + 20) & 0xFF) == 0, "interlaced PNG not supported")
+          val im = bytes(pos + 20) & 0xFF
+          require(im <= 1, s"unknown PNG interlace method $im")
+          interlaced = im == 1
+        case "PLTE" =>
+          require(seenIhdr, "PLTE before IHDR")
+          require(palette == null, "duplicate PLTE")
+          require(len % 3 == 0 && len >= 3 && len <= 768, s"bad PLTE length $len")
+          palette = Array.tabulate(len / 3) { j =>
+            ((bytes(pos + 8 + 3 * j) & 0xFF) << 16) |
+              ((bytes(pos + 9 + 3 * j) & 0xFF) << 8) |
+              (bytes(pos + 10 + 3 * j) & 0xFF)
+          }
         case "IDAT" =>
           require(seenIhdr, "IDAT before IHDR")
           idat.write(bytes, pos + 8, len)
@@ -216,9 +344,16 @@ object PngCodec {
       pos += 12 + len
     }
     require(seenIhdr && seenIend, "truncated PNG: missing IHDR or IEND")
+    if (colorType == 3)
+      require(palette != null, "paletted PNG missing its PLTE chunk")
 
-    val stride = width * 3
-    val raw = new Array[Byte]((stride + 1) * height)
+    val bpp = if (colorType == 2) 3 else 1
+    val passes =
+      if (interlaced) adamPasses(width, height)
+      else Seq((-1, width, height))
+    val rawLen = passes.map { case (_, w, h) => (w.toLong * bpp + 1) * h }.sum
+    require(rawLen <= Int.MaxValue, "PNG raw stream too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val infl = new Inflater(false)
     infl.setInput(idat.toByteArray)
     var got = 0
@@ -233,38 +368,54 @@ object PngCodec {
     require(got == raw.length, s"corrupt PNG: inflated $got of ${raw.length} bytes")
     require(leftover == 0, "corrupt PNG: inflate output exceeds image size")
 
-    // unfilter in place, then pack pixels
+    // unfilter pass by pass, scattering into the final pixel grid
     val pixels = new Array[Int](width * height)
-    val prev = new Array[Int](stride) // reconstructed row above (0 for row 0)
-    val cur = new Array[Int](stride)
-    var y = 0
-    while (y < height) {
-      val base = y * (stride + 1)
-      val ft = raw(base) & 0xFF
-      require(ft <= 4, s"bad PNG filter type $ft on row $y")
-      var k = 0
-      while (k < stride) {
-        val f = raw(base + 1 + k) & 0xFF
-        val a = if (k >= 3) cur(k - 3) else 0
-        val b = prev(k)
-        val c = if (k >= 3) prev(k - 3) else 0
-        cur(k) = (ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + b
-          case 3 => f + (a + b) / 2
-          case 4 => f + paeth(a, b, c)
-        }) & 0xFF
-        k += 1
+    var base = 0
+    for ((p, w, h) <- passes) {
+      val stride = w * bpp
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      java.util.Arrays.fill(prev, 0)
+      var y = 0
+      while (y < h) {
+        val ft = raw(base) & 0xFF
+        require(ft <= 4, s"bad PNG filter type $ft")
+        var k = 0
+        while (k < stride) {
+          val f = raw(base + 1 + k) & 0xFF
+          val a = if (k >= bpp) cur(k - bpp) else 0
+          val b = prev(k)
+          val c = if (k >= bpp) prev(k - bpp) else 0
+          cur(k) = (ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + (a + b) / 2
+            case 4 => f + paeth(a, b, c)
+          }) & 0xFF
+          k += 1
+        }
+        var x = 0
+        while (x < w) {
+          val v =
+            if (colorType == 2)
+              (cur(3 * x) << 16) | (cur(3 * x + 1) << 8) | cur(3 * x + 2)
+            else {
+              val idx = cur(x)
+              require(idx < palette.length,
+                s"corrupt PNG: palette index $idx >= ${palette.length} entries")
+              palette(idx)
+            }
+          val (gx, gy) =
+            if (p < 0) (x, y)
+            else (AdamX(p) + x * AdamXS(p), AdamY(p) + y * AdamYS(p))
+          pixels(gy * width + gx) = v
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        base += 1 + stride
+        y += 1
       }
-      var x = 0
-      while (x < width) {
-        pixels(y * width + x) =
-          (cur(3 * x) << 16) | (cur(3 * x + 1) << 8) | cur(3 * x + 2)
-        x += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
     BmpCodec.Bmp(width, height, pixels)
   }

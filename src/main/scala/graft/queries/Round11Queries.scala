@@ -151,5 +151,79 @@ object Round11Queries {
       Multimodal.segmentUtterances(frames, "sum_squares",
         threshold = 7500000000L, minFrames = 2)
         .orderBy("media_id", "utt")
+    },
+
+    // ADAM7 INTERLACED PNG — the progressive-JPEG discipline applied to
+    // PNG: seven independently-filtered sub-images must reassemble to
+    // PIXEL-IDENTICAL output, so the oracle is q298's, verbatim. Filter
+    // types cycle through every pass, so a predictor leak across pass
+    // boundaries (the classic interlace bug) lands off the hash.
+    Q(
+      "q322_png_interlaced",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 37 + y.y * 5 + x.x * 11) % 256 AS r,
+        |    (doc_id * 41 + y.y * 13 + x.x * 3) % 256 AS g,
+        |    (doc_id * 43 + y.y * 7 + x.x * 17) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizePng(
+        Tables.load(s, dir, "documents"), "doc_id", interlaced = true)
+      Multimodal.extractPngFeatures(media).orderBy("media_id")
+    },
+
+    // PALETTED PNG (color type 3 + PLTE) — the GIF-shaped PNG crawled
+    // corpora actually carry: one index byte per pixel through the
+    // filter+DEFLATE path, colors resolved through the palette at decode.
+    // The oracle composes the index recipe with the palette recipe (the
+    // q282 GIF pattern) and recomputes the features.
+    Q(
+      "q323_png_palette",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 31 + 7) % 256 AS r,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 17 + 3) % 256 AS g,
+        |    ((doc_id * 13 + y.y * 31 + x.x * 7) % 256 * 23 + 11) % 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizePngPalette(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractPngFeatures(media).orderBy("media_id")
     })
 }

@@ -475,6 +475,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PngCodec: Adam7 interlace decodes pixel-identical to the plain encoding") {
+    import graft.multimodal.PngCodec
+    // odd dims exercise EMPTY passes (e.g. width < 5 kills pass 2) and
+    // ragged pass grids; 16x12 is the gate shape; >=8x8 hits all 7 passes
+    for ((w, h) <- Seq((16, 12), (1, 1), (3, 3), (5, 7), (8, 8), (9, 10), (2, 9))) {
+      val px = Array.tabulate(w * h)(i => (i * 0x3D70A3 + 0x123456) & 0xFFFFFF)
+      val plain = PngCodec.decode(PngCodec.encode(w, h, px))
+      val inter = PngCodec.decode(PngCodec.encode(w, h, px, interlaced = true))
+      assert(inter.width == w && inter.height == h)
+      assert(inter.pixels.toSeq == plain.pixels.toSeq, s"${w}x$h")
+      assert(inter.pixels.toSeq == px.toSeq, s"${w}x$h identity")
+    }
+  }
+
+  test("PngCodec: paletted (type 3 + PLTE) round-trips, composes with interlace") {
+    import graft.multimodal.PngCodec
+    val palette = Array.tabulate(256)(j =>
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256))
+    val (w, h) = (16, 12)
+    val idx = Array.tabulate(w * h)(i => (i * 13 + 5) % 256)
+    val want = idx.map(palette)
+    assert(PngCodec.decode(PngCodec.encodePalette(w, h, idx, palette)).pixels.toSeq
+      == want.toSeq)
+    assert(PngCodec.decode(
+      PngCodec.encodePalette(w, h, idx, palette, interlaced = true)).pixels.toSeq
+      == want.toSeq)
+    // a short palette with in-range indices is fine; out-of-range is loud
+    val small = palette.take(4)
+    val idx4 = idx.map(_ % 4)
+    assert(PngCodec.decode(PngCodec.encodePalette(w, h, idx4, small)).pixels.toSeq
+      == idx4.map(small).toSeq)
+    intercept[IllegalArgumentException](PngCodec.encodePalette(w, h, idx, small))
+    // a CRAFTED file with an index past its PLTE must fail loudly on
+    // decode: re-point a 4-entry palette file's index plane... simplest:
+    // decode a 4-entry-palette file whose PLTE we truncate and re-CRC is
+    // involved; instead assert the decoder's missing-PLTE loudness
+    val noPlte = PngCodec.encodePalette(w, h, idx4, small)
+    // strip the PLTE chunk (12 + 12-byte data) and expect a loud failure
+    val plteAt = (0 until noPlte.length - 4).indexWhere(j =>
+      new String(noPlte, j, 4, "US-ASCII") == "PLTE")
+    // chunk = 4 len + 4 type + 12 data + 4 crc = 24 bytes from plteAt-4
+    val stripped = noPlte.take(plteAt - 4) ++ noPlte.drop(plteAt + 20)
+    val e = intercept[IllegalArgumentException](PngCodec.decode(stripped))
+    assert(e.getMessage.contains("PLTE"), e.getMessage)
+  }
+
   test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
     import graft.multimodal.PngCodec
     val png = PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 0x010203))
