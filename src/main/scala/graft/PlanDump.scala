@@ -53,7 +53,11 @@ object PlanDump {
     "q308_avi_frame_features" -> "REAL video container: RIFF/AVI walk + per-frame JPEG entropy decode inside mapPartitions — decode-independent MJPEG frames keep the whole path task-local, no shuffle before the final sort",
     "q311_jpeg_prog_features" -> "progressive JPEG: 6-scan SOF2 coefficient accumulation + render at EOI, still one mapPartitions batch per row — multi-scan decode state never leaves the task",
     "q313_incremental_canonical" -> "incremental dedup loop: ONE signature pass feeds five daily probes of the accumulated band index ((band,bucket)-keyed joins), then star-alternation components + canonical anti-join",
-    "q314_adpcm_features" -> "IMA ADPCM decode: sequential predictor state machine per payload inside mapPartitions — parallel across payloads, zero shuffle before the final sort")
+    "q314_adpcm_features" -> "IMA ADPCM decode: sequential predictor state machine per payload inside mapPartitions — parallel across payloads, zero shuffle before the final sort",
+    "q318_flac_features" -> "FLAC decode: Rice/predictor entropy state per payload inside mapPartitions — lossless, parallel across payloads, zero shuffle before the final sort",
+    "q319_bpe_encode" -> "BPE encode: Heaps'-law training state collapses to a per-word count BROADCAST onto the token stream — the corpus-sized explode never shuffles, one per-doc partial aggregate",
+    "q321_vad_segments" -> "VAD islands: active-frame filter BEFORE the media-partitioned window (silence never shuffles), islands group-by, start-ordered numbering on the segment grain",
+    "q322_png_interlaced" -> "Adam7 PNG: seven-pass inflate + unfilter + scatter per payload inside mapPartitions — interlace is task-local reassembly, zero shuffle before the final sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
