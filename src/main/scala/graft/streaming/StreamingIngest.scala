@@ -218,6 +218,33 @@ object StreamingIngest {
     }
   }
 
+  /** The INCREMENTAL NEAR-DUP LOOP as a stream: each micro-batch of
+    * (id, text) documents runs [[graft.dedup.IncrementalDedup.ingestBatch]]
+    * against the shared parquet state — band the batch, probe the stored
+    * index, fold the new pairs into the stored clusters at rep level,
+    * commit. The checkpoint makes micro-batch REPLAY the crash mode, and
+    * the op's commit-marker protocol makes replay a NO-OP (`batchId` =
+    * the stream's epoch id), so exactly-once state maintenance falls out
+    * of at-least-once delivery — the same idempotent-sink discipline as
+    * [[runUpsertStream]], with the marker doing what the MERGE key does
+    * there. Run [[graft.dedup.IncrementalDedup.audit]]/`compact` on a
+    * maintenance cadence outside the stream (single-writer contract:
+    * not concurrently with it).
+    */
+  def runDedupStream(
+      stream: DataFrame,
+      stateRoot: String,
+      checkpointDir: String,
+      idCol: String = "id",
+      textCol: String = "text"): Unit = {
+    val state = graft.dedup.IncrementalDedup.State(stateRoot)
+    runAvailableNow(stream, checkpointDir) { (batch, epoch) =>
+      graft.dedup.IncrementalDedup.ingestBatch(
+        state, batch, idCol, textCol, batchId = f"epoch$epoch%06d")
+      ()
+    }
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into a parquet snapshot
     * with latest-wins semantics ([[graft.load.Snapshot.upsertLatestWins]]).
     * `foreachBatch` is the escape hatch for sinks Structured Streaming

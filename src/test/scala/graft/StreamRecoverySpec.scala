@@ -205,4 +205,51 @@ class StreamRecoverySpec extends SparkSpec {
       assert(g.getAs[Long]("sum_r") == s.getAs[Long]("sum_r"),
         s"feature drift for id ${g.getAs[Long]("media_id")}")
   }
+
+  test("runDedupStream: the incremental near-dup loop as a stream, exactly-once across restarts") {
+    import graft.dedup.{DupClusters, IncrementalDedup, MinHashLsh}
+    val root = tmpDir("dedupstream")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val stateRoot = s"$root/state"
+    Files.createDirectories(Paths.get(inDir))
+    val corpus = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "completely different text about spark shuffles and partition pruning",
+      3L -> "the quick brown fox jumps over the lazy dog again and again today",
+      4L -> "a third subject entirely concerning jpeg entropy coding and huffman",
+      5L -> "completely different text about spark shuffles and partition pruning",
+      6L -> "the quick brown fox jumps over the lazy dog again and again today",
+      7L -> "a fourth lonely document with no duplicate partner in the corpus",
+      8L -> "a third subject entirely concerning jpeg entropy coding and huffman")
+    def docsDf(ids: Seq[Long]) = ids.map(i => (i, corpus(i))).toDF("id", "text")
+    def arrive(name: String, ids: Seq[Long]): Unit =
+      docsDf(ids).repartition(1).write.parquet(s"$inDir/$name")
+    def stream() = spark.readStream.schema("id LONG, text STRING").parquet(s"$inDir/*")
+    def runLeg(): Unit = StreamingIngest.runDedupStream(stream(), stateRoot, ckpt)
+    val state = IncrementalDedup.State(stateRoot)
+    def canonical(): Seq[Long] = IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq
+    def fullAnswer(ids: Seq[Long]): Seq[Long] = DupClusters.keepCanonical(
+      docsDf(ids), "id",
+      DupClusters.components(
+        MinHashLsh.candidatePairs(docsDf(ids), "id", "text", 3, 12, 4), "id_a", "id_b"))
+      .select("id").as[Long].collect().sorted.toSeq
+    // leg 1: one "day" arrives, the query drains and stops
+    arrive("f1", Seq(1L, 2L, 4L))
+    runLeg()
+    assert(canonical() == fullAnswer(Seq(1L, 2L, 4L)))
+    // leg 2: more data arrived while down; a NEW query from the same
+    // checkpoint must ingest ONLY the new file (exactly-once offsets —
+    // re-reading f1 would double doc_ids and break the counts)
+    arrive("f2", Seq(3L, 5L, 7L))
+    runLeg()
+    assert(canonical() == fullAnswer(Seq(1L, 2L, 3L, 4L, 5L, 7L)))
+    // leg 3: the last groups close; incremental == batch, audit clean
+    arrive("f3", Seq(6L, 8L))
+    runLeg()
+    assert(canonical() == Seq(1L, 2L, 4L, 7L))
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    val docs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(state.docsDir).select("id").as[Long].collect().sorted.toSeq
+    assert(docs == (1L to 8L), s"doc state double-ingested or dropped: $docs")
+  }
 }
