@@ -696,6 +696,33 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** Grayscale (color type 0) synthetic PNGs — the scan/document-image
+    * shape: sample v = (id·53 + y·9 + x·29) mod 256, widened to
+    * r = g = b = v at decode, so the oracle is the recipe with equal
+    * channels.
+    */
+  def synthesizePngGray(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gray = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          ((id * 53L + y * 9L + x * 29L) % 256L).toInt
+        }
+        val payload = PngCodec.encodeGray(width, height, gray, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** REAL PNG decode+featurize — zlib inflate + per-scanline unfilter per
     * row ([[PngCodec.decode]]) into the SHARED pixel frame, then the same
     * feature/resize verbs as the BMP/GIF paths: one pixel contract, N

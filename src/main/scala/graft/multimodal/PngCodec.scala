@@ -33,8 +33,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Format is public (PNG specification, ISO/IEC 15948: 8-byte signature,
   * length/type/data/CRC chunks, IHDR/PLTE/IDAT/IEND, filter method 0 with
-  * the Paeth predictor, Adam7 pass grid). Grayscale, alpha, and non-8-bit
-  * depths are rejected loudly rather than decoded wrong.
+  * the Paeth predictor, Adam7 pass grid). Supported: 8-bit grayscale
+  * (type 0), truecolor (2), paletted (3), plain or Adam7. Alpha-carrying
+  * types and non-8-bit depths are rejected loudly rather than decoded
+  * wrong.
   */
 object PngCodec {
 
@@ -227,6 +229,27 @@ object PngCodec {
     writePng(width, height, 2, interlaced, null, deflate(raw))
   }
 
+  /** Encode 8-bit grayscale samples (0–255) as a color-type-0 PNG (Adam7
+    * when `interlaced`) — scans, sketches, and document images ship this
+    * shape; decode widens each sample to the shared 0xRRGGBB frame
+    * (r = g = b = v).
+    */
+  def encodeGray(
+      width: Int, height: Int, gray: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(gray.length == width * height, "gray must be width*height")
+    gray.foreach(v => require(v >= 0 && v <= 255, s"gray sample $v out of range"))
+    val buf = new Array[Byte](1)
+    val raw = filteredStream(width, height, 1, interlaced) { (x, y) =>
+      buf(0) = gray(y * width + x).toByte
+      buf
+    }
+    writePng(width, height, 0, interlaced, null, deflate(raw))
+  }
+
   /** Encode palette indices + a 0xRRGGBB palette as an 8-bit color-type-3
     * PNG (Adam7 when `interlaced`) — the GIF-shaped PNG.
     */
@@ -317,9 +340,9 @@ object PngCodec {
             s"PNG too large: ${width}x$height exceeds 2^26 pixels")
           val depth = bytes(pos + 16) & 0xFF
           colorType = bytes(pos + 17) & 0xFF
-          require(depth == 8 && (colorType == 2 || colorType == 3),
+          require(depth == 8 && (colorType == 0 || colorType == 2 || colorType == 3),
             s"unsupported PNG: depth=$depth colorType=$colorType " +
-              "(8-bit truecolor or paletted only)")
+              "(8-bit grayscale, truecolor, or paletted only)")
           require((bytes(pos + 18) & 0xFF) == 0, "unknown compression method")
           require((bytes(pos + 19) & 0xFF) == 0, "unknown filter method")
           val im = bytes(pos + 20) & 0xFF
@@ -400,7 +423,10 @@ object PngCodec {
           val v =
             if (colorType == 2)
               (cur(3 * x) << 16) | (cur(3 * x + 1) << 8) | cur(3 * x + 2)
-            else {
+            else if (colorType == 0) {
+              val g = cur(x)
+              (g << 16) | (g << 8) | g
+            } else {
               val idx = cur(x)
               require(idx < palette.length,
                 s"corrupt PNG: palette index $idx >= ${palette.length} entries")

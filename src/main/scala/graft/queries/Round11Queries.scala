@@ -225,5 +225,38 @@ object Round11Queries {
       val media = Multimodal.synthesizePngPalette(
         Tables.load(s, dir, "documents"), "doc_id")
       Multimodal.extractPngFeatures(media).orderBy("media_id")
+    },
+
+    // GRAYSCALE PNG (color type 0, interlaced!) — the scan/document-image
+    // shape: one sample per pixel widened to r=g=b at decode, composed
+    // with Adam7 so one gate covers the gray path THROUGH the pass grid.
+    // Oracle: the recipe with equal channels (luma = 1000·v).
+    Q(
+      "q324_png_gray",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 53 + y.y * 9 + x.x * 29) % 256 AS v
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, v, 1000 * v AS l,
+        |    lag(1000 * v) OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_r,
+        |  CAST(sum(v) AS BIGINT) AS sum_g,
+        |  CAST(sum(v) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizePngGray(
+        Tables.load(s, dir, "documents"), "doc_id", interlaced = true)
+      Multimodal.extractPngFeatures(media).orderBy("media_id")
     })
 }

@@ -521,6 +521,17 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("PLTE"), e.getMessage)
   }
 
+  test("PngCodec: grayscale (type 0) widens to r=g=b, plain and interlaced") {
+    import graft.multimodal.PngCodec
+    val (w, h) = (16, 12)
+    val gray = Array.tabulate(w * h)(i => (i * 53 + 11) % 256)
+    val want = gray.map(v => (v << 16) | (v << 8) | v)
+    assert(PngCodec.decode(PngCodec.encodeGray(w, h, gray)).pixels.toSeq == want.toSeq)
+    assert(PngCodec.decode(
+      PngCodec.encodeGray(w, h, gray, interlaced = true)).pixels.toSeq == want.toSeq)
+    intercept[IllegalArgumentException](PngCodec.encodeGray(2, 1, Array(0, 256)))
+  }
+
   test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
     import graft.multimodal.PngCodec
     val png = PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 0x010203))
