@@ -15,7 +15,93 @@ import org.apache.spark.sql.functions._
   */
 object Round11Queries {
 
+  /** One subspace's unrolled k-means for the q325 oracle: q86's CTE
+    * algebra (`CurationQueries.kmeansCtes`) parameterized by a dim
+    * OFFSET, so subspace `s` trains on `embedding[off+1 .. off+sub]` —
+    * init = the k lowest-id vectors' slices, assignment = the same
+    * `c·c − 2·x·c` index-order folds, update = exact per-dim means.
+    */
+  private def pqSubCtes(s: Int, k: Int, iters: Int, off: Int, sub: Int): String = {
+    def dist(emb: String, c: String): String =
+      s"(list_aggregate(list_transform(generate_series(1, $sub), i -> $c[i]*$c[i]), 'sum')" +
+        s" - 2 * list_aggregate(list_transform(generate_series(1, $sub)," +
+        s" i -> $emb[$off + i]::DOUBLE * $c[i]), 'sum'))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e.embedding", "c.c")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""cents0_$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |         list_transform(generate_series(1, $sub),
+         |           i -> embedding[$off + i]::DOUBLE) AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${assignCte(s"assign${t}_$s", s"cents${t - 1}_$s")},
+         |means${t}_$s AS (
+         |  SELECT a.cid, i, avg(e.embedding[$off + i]::DOUBLE) AS m
+         |  FROM assign${t}_$s a JOIN embeddings e USING (vec_id),
+         |       unnest(generate_series(1, $sub)) AS u(i)
+         |  GROUP BY a.cid, i),
+         |cents${t}_$s AS (
+         |  SELECT p.cid, coalesce(m.c, p.c) AS c
+         |  FROM cents${t - 1}_$s p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY i) AS c FROM means${t}_$s GROUP BY cid) m
+         |    ON p.cid = m.cid)""".stripMargin
+    }
+    (Seq(init) ++ rounds ++ Seq(assignCte(s"fin_$s", s"cents${iters}_$s")))
+      .mkString(",\n")
+  }
+
+  private def pqOracle(m: Int, k: Int, iters: Int, sub: Int, topK: Int): String = {
+    val subs = (0 until m).map(s => pqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
+    val lutCtes = (0 until m).map { s =>
+      s"""lut_$s AS (
+         |  SELECT c.cid,
+         |    list_aggregate(list_transform(generate_series(1, $sub),
+         |      i -> c.c[i]*c.c[i]), 'sum')
+         |    - 2 * list_aggregate(list_transform(generate_series(1, $sub),
+         |      i -> q.embedding[${s * sub} + i]::DOUBLE * c.c[i]), 'sum') AS d
+         |  FROM cents${iters}_$s c CROSS JOIN q)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (0 until m).map(s => s"JOIN lut_$s l$s ON f$s.cid = l$s.cid")
+      .mkString(" ")
+    val finJoin = (1 until m).map(s => s"JOIN fin_$s f$s USING (vec_id)").mkString(" ")
+    val dsum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH $subs,
+       |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |$lutCtes
+       |SELECT f0.vec_id, round($dsum, 6) AS adc_score
+       |FROM fin_0 f0 $finJoin $codeJoin
+       |ORDER BY adc_score, f0.vec_id LIMIT $topK""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+
+    // PRODUCT QUANTIZATION ANN (sim.ProductQuantizer): 64 dims → 4
+    // subspaces × 4-entry codebooks (deterministic per-subspace Lloyd),
+    // vectors stored as 4 small ints, the query answered from the CODE
+    // table alone — per-subspace LUTs as literal arrays, one scan +
+    // TakeOrdered, no raw-vector reads. The oracle re-trains all four
+    // sub-quantizers (q86's unrolled CTE algebra at a dim offset),
+    // re-encodes, rebuilds the LUTs, and re-ranks.
+    Q("q325_ann_pq", pqOracle(m = 4, k = 4, iters = 2, sub = 16, topK = 10)) {
+      (s, dir) =>
+        import graft.sim.ProductQuantizer
+        val emb = Tables.load(s, dir, "embeddings").persist()
+        val cb = ProductQuantizer.fit(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+        val query = emb.filter(col("vec_id") === 0L).select("embedding").head()
+          .getSeq[Any](0).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray
+        ProductQuantizer.adcTopK(codes, "vec_id", cb, query, topK = 10)
+    },
 
     // REAL lossless-compressed audio decode: three recipe shapes by
     // doc parity-of-3 steer the encoder down different subframe paths

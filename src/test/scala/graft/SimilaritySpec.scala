@@ -249,4 +249,43 @@ class SimilaritySpec extends SparkSpec {
       KMeans.simplifiedSilhouette(df, "embedding", Array(Array(0.0, 0.0)))
     }
   }
+
+  test("ProductQuantizer: exact reconstruction when subspaces have <= k distinct slices; ADC ranks truly") {
+    import graft.sim.ProductQuantizer
+    // 4-dim vectors, m=2 subspaces of 2 dims; each subspace draws from
+    // exactly TWO distinct subvectors, so k=2 codebooks converge to the
+    // points themselves and PQ is EXACT: ADC == true ||q−x||² ranking
+    val subA = Seq(Array(1.0f, 2.0f), Array(5.0f, 6.0f))
+    val subB = Seq(Array(0.0f, 1.0f), Array(9.0f, 4.0f))
+    val rows = (0 until 8).map { i =>
+      (i.toLong, (subA(i % 2) ++ subB((i / 2) % 2)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = ProductQuantizer.fit(df, "vec_id", "embedding",
+      dims = 4, m = 2, k = 2, iters = 2)
+    assert(cb.m == 2 && cb.k == 2 && cb.subDims == 2)
+    val codes = ProductQuantizer.encode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // same slice combination => same code; different => different
+    assert(codes(0L) == codes(4L) && codes(1L) == codes(5L))
+    assert(codes(0L) != codes(1L) && codes(0L) != codes(2L))
+    val query = Array(1.0, 2.0, 0.0, 1.0) // == vector 0's values
+    val got = ProductQuantizer.adcTopK(codes = ProductQuantizer.encode(
+      df, "vec_id", "embedding", cb), "vec_id", cb, query, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact PQ: scores are cc - 2qc of the TRUE vectors; verify ordering
+    // against brute-force squared distance (monotone to adc + const qq)
+    val brute = rows.map { case (id, v) =>
+      id -> v.zip(query).map { case (x, q) => (x - q) * (x - q) }.sum
+    }.sortBy(t => (t._2, t._1)).map(_._1)
+    assert(got.map(_._1).toSeq == brute)
+    // the identical-slice pairs tie exactly (ids break the tie)
+    assert(got(0)._1 == 0L && got(1)._1 == 4L && got(0)._2 == got(1)._2)
+    // dim mismatch is loud
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcTopK(ProductQuantizer.encode(df, "vec_id", "embedding", cb),
+        "vec_id", cb, Array(1.0, 2.0), topK = 3))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.fit(df, "vec_id", "embedding", dims = 4, m = 3, k = 2, iters = 1))
+  }
 }
