@@ -727,6 +727,43 @@ object Stress {
     }
   }
 
+  /** Round-11 probe: product quantization at ANN-index scale — 200k
+    * synthetic 64-d vectors through fit (4 subspaces × 16 centroids ×
+    * 3 Lloyd rounds), encode (the 4-int/vector code table), and 100
+    * ADC queries against the codes. The claims under test: training
+    * cost is a few corpus scans with metadata-sized state, the code
+    * table is the only corpus-sized artifact, and a query is ONE scan
+    * + TakeOrdered with zero joins.
+    */
+  private def pqScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.sim.ProductQuantizer
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val vecs = spark.range(200000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => ((pmod(col("id") * 7919L + d * 104729L, lit(2000L)) - 1000L)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+      .persist()
+    time("pq_warmup")(vecs.count())
+    var cb: ProductQuantizer.Codebook = null
+    time("pq_fit_200k_64d_m4_k16_i3") {
+      cb = ProductQuantizer.fit(vecs, "vec_id", "embedding",
+        dims = 64, m = 4, k = 16, iters = 3)
+      cb.m.toLong
+    }
+    val codes = ProductQuantizer.encode(vecs, "vec_id", "embedding", cb).persist()
+    time("pq_encode_200k")(codes.count())
+    time("pq_adc_100_queries_top10") {
+      var n = 0L
+      for (q <- 0 until 100) {
+        val query = Array.tabulate(64)(d =>
+          (((q * 7919L + d * 104729L) % 2000L) - 1000L).toDouble / 1000.0)
+        n += ProductQuantizer.adcTopK(codes, "vec_id", cb, query, 10).count()
+      }
+      n
+    }
+  }
+
   /** Round-11 probe: ONE multi-thousand-frame MJPEG capture decoded
     * range-parallel — [[graft.multimodal.AviCodec.frameOffsets]] walks
     * the container once (no entropy decode), then the frame chunks
@@ -875,6 +912,7 @@ object Stress {
     if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
     if (args.contains("codecscale")) { codecScale(spark, meter); spark.stop(); return }
     if (args.contains("avisplit")) { aviSplit(spark, meter); spark.stop(); return }
+    if (args.contains("pqscale")) { pqScale(spark, meter); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
