@@ -86,16 +86,25 @@ object IncrementalDedup {
 
   /** Committed batches: batchId → marker. Driver-side, O(#batches) — a
     * year of daily ingest is ~366 tiny files (and [[compact]] prunes).
+    * A marker that does not parse (a crash mid-marker-write, the one
+    * non-atomic step) is treated as ABSENT: the batch's data rows are
+    * invisible either way, re-ingest of the same batchId proceeds with
+    * a fresh attempt and REWRITES the marker (create is overwrite), and
+    * [[vacuum]] clears the corpse — the protocol never wedges on its
+    * own partial writes.
     */
   private def committed(spark: SparkSession, state: State): Map[String, Commit] = {
     val f = fs(spark, state.commitsDir)
     val dir = new Path(state.commitsDir)
     if (!f.exists(dir)) Map.empty
-    else f.listStatus(dir).filter(_.isFile).map { st =>
+    else f.listStatus(dir).filter(_.isFile).flatMap { st =>
       val in = f.open(st.getPath)
       val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      val Array(attempt, seq, kind) = body.trim.split("\n")
-      st.getPath.getName -> Commit(attempt, seq.toLong, kind == "snapshot")
+      body.trim.split("\n") match {
+        case Array(attempt, seq, kind) if seq.matches("-?[0-9]+") =>
+          Some(st.getPath.getName -> Commit(attempt, seq.toLong, kind == "snapshot"))
+        case _ => None // partial marker from a crashed commit: uncommitted
+      }
     }.toMap
   }
 
@@ -328,5 +337,11 @@ object IncrementalDedup {
     }
     val cf = fs(spark, state.commitsDir)
     (com.keySet -- live).foreach(b => cf.delete(new Path(state.commitsDir, b), false))
+    // clear unparseable marker corpses (crash mid-marker-write) — their
+    // batches read as uncommitted, so the file is pure litter
+    val cdir = new Path(state.commitsDir)
+    if (cf.exists(cdir)) cf.listStatus(cdir).filter(_.isFile).foreach { st =>
+      if (!com.contains(st.getPath.getName)) cf.delete(st.getPath, false)
+    }
   }
 }

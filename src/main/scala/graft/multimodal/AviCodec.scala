@@ -193,6 +193,8 @@ object AviCodec {
     * validating its dims against the container header.
     */
   def decodeFrameAt(bytes: Array[Byte], offset: Int, size: Int, inf: Info, frame: Long): BmpCodec.Bmp = {
+    require(offset >= 0 && size >= 0 && offset.toLong + size <= bytes.length,
+      s"frame chunk ($offset, $size) overruns ${bytes.length}-byte payload")
     val img = JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, offset, offset + size))
     require(img.width == inf.width && img.height == inf.height,
       s"corrupt AVI: frame $frame is ${img.width}x${img.height}, " +

@@ -120,4 +120,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.canonicalIds(spark, state)
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L))
   }
+
+  test("a partial marker (crash mid-commit) reads as uncommitted; recovery rewrites it") {
+    val state = IncrementalDedup.State(tmpDir("incdedup5"))
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 3L)), "id", "text", batchId = "d1")
+    // crash simulation: the NEXT batch's data landed and its marker write
+    // died halfway — one line instead of three
+    Seq(6L).toDF("id")
+      .select(col("id"), lit("half-attempt").as("attempt"), lit("d2").as("batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("batch").parquet(state.docsDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state.commitsDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(state.commitsDir, "d2"), "half-att".getBytes("UTF-8"))
+    // the corpse neither crashes reads nor exposes the uncommitted rows
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    // recovery re-runs d2: the corrupt marker is overwritten, state correct
+    val r = IncrementalDedup.ingestBatch(state, docsDf(Seq(6L)), "id", "text", batchId = "d2")
+    assert(r.totalDocs == 3 && r.canonicalDocs == 1)
+    assert(IncrementalDedup.audit(spark, state) == 0)
+  }
 }
