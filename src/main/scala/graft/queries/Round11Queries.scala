@@ -348,34 +348,36 @@ object Round11Queries {
 
     // The PRODUCTION incremental-dedup OP end-to-end (q313 replays its
     // SHAPE with shared frames; this runs IncrementalDedup.ingestBatch
-    // itself): four "daily" batches against a fresh parquet state —
+    // itself): two "daily" batches against a fresh parquet state —
     // banding, stored-index probe, rep-level fold, commit markers — then
     // canonicalIds. Pinned invariant: the op's incremental canonical set
     // equals the full-corpus batch closure (the oracle's recursive CTE).
-    // A bounded doc subset keeps the 4×(~12-job) batch loop benchable;
-    // the state dir is recreated per run, and re-running on a LEFTOVER
-    // state is also correct by idempotence (committed batchIds no-op).
+    // Dup groups split across the parity batches, so cross-batch pair
+    // formation IS exercised; a bounded doc subset keeps the per-batch
+    // fixed job cost benchable; the state dir is recreated per run, and
+    // re-running on a LEFTOVER state is also correct by idempotence
+    // (committed batchIds no-op).
     Q(
       "q326_incremental_op",
       s"""WITH RECURSIVE ${CurationQueries.MinhashComponentCtes
            .replace("FROM documents",
-             "FROM (SELECT * FROM documents WHERE doc_id < 2000) documents")},
+             "FROM (SELECT * FROM documents WHERE doc_id < 1200) documents")},
          |losers AS (SELECT node FROM comp WHERE node != component)
          |SELECT doc_id FROM documents
-         |WHERE doc_id < 2000 AND doc_id NOT IN (SELECT node FROM losers)
+         |WHERE doc_id < 1200 AND doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.dedup.IncrementalDedup
       val docs = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 2000L)
+        .filter(col("doc_id") < 1200L)
         .select(col("doc_id").as("id"), col("text"))
         .persist()
       val root = s"target/q326_state/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val state = IncrementalDedup.State(root)
-      for (day <- 0 until 4)
+      for (day <- 0 until 2)
         IncrementalDedup.ingestBatch(
-          state, docs.filter(pmod(col("id"), lit(4)) === day),
+          state, docs.filter(pmod(col("id"), lit(2)) === day),
           "id", "text", batchId = f"day$day")
       docs.unpersist()
       IncrementalDedup.canonicalIds(s, state)
