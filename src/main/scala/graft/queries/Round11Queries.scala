@@ -56,7 +56,10 @@ object Round11Queries {
       .mkString(",\n")
   }
 
-  private def pqOracle(m: Int, k: Int, iters: Int, sub: Int, topK: Int): String = {
+  /** Shared CTE text through the per-code ADC score (`scored(vec_id,
+    * adc)`) for q325/q327.
+    */
+  private def pqScoredCtes(m: Int, k: Int, iters: Int, sub: Int): String = {
     val subs = (0 until m).map(s => pqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
     val lutCtes = (0 until m).map { s =>
       s"""lut_$s AS (
@@ -71,12 +74,32 @@ object Round11Queries {
       .mkString(" ")
     val finJoin = (1 until m).map(s => s"JOIN fin_$s f$s USING (vec_id)").mkString(" ")
     val dsum = (0 until m).map(s => s"l$s.d").mkString(" + ")
-    s"""WITH $subs,
+    s"""$subs,
        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-       |$lutCtes
-       |SELECT f0.vec_id, round($dsum, 6) AS adc_score
-       |FROM fin_0 f0 $finJoin $codeJoin
-       |ORDER BY adc_score, f0.vec_id LIMIT $topK""".stripMargin
+       |$lutCtes,
+       |scored AS (SELECT f0.vec_id, round($dsum, 6) AS adc
+       |  FROM fin_0 f0 $finJoin $codeJoin)""".stripMargin
+  }
+
+  private def pqOracle(m: Int, k: Int, iters: Int, sub: Int, topK: Int): String =
+    s"""WITH ${pqScoredCtes(m, k, iters, sub)}
+       |SELECT vec_id, adc AS adc_score FROM scored
+       |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin
+
+  private def pqRerankOracle(
+      m: Int, k: Int, iters: Int, sub: Int, cand: Int, topK: Int): String = {
+    val dims = m * sub
+    s"""WITH ${pqScoredCtes(m, k, iters, sub)},
+       |cand AS (SELECT vec_id FROM scored ORDER BY adc, vec_id LIMIT $cand),
+       |rr AS (SELECT e.vec_id,
+       |    round(list_aggregate(list_transform(generate_series(1, $dims),
+       |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')
+       |    - 2 * list_aggregate(list_transform(generate_series(1, $dims),
+       |      i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'), 6)
+       |      AS dist_score
+       |  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, dist_score FROM rr
+       |ORDER BY dist_score, vec_id LIMIT $topK""".stripMargin
   }
 
   def all: Seq[Q] = Seq(
@@ -101,6 +124,29 @@ object Round11Queries {
             case d: Double => d
           }.toArray
         ProductQuantizer.adcTopK(codes, "vec_id", cb, query, topK = 10)
+    },
+
+    // The DEPLOYED two-stage PQ query (adcRerankTopK): ADC proposes 50
+    // candidates from the code table, an exact rerank over just those
+    // raw vectors returns the candidate set's true top-10 — stage two is
+    // a broadcast semi-join + TakeOrdered, raw vectors load for
+    // candidates only. The oracle replays training, encoding, LUTs, the
+    // candidate cut, AND the exact rerank distances.
+    Q("q327_ann_pq_rerank",
+      pqRerankOracle(m = 4, k = 4, iters = 2, sub = 16, cand = 50, topK = 10)) {
+      (s, dir) =>
+        import graft.sim.ProductQuantizer
+        val emb = Tables.load(s, dir, "embeddings").persist()
+        val cb = ProductQuantizer.fit(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+        val query = emb.filter(col("vec_id") === 0L).select("embedding").head()
+          .getSeq[Any](0).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray
+        ProductQuantizer.adcRerankTopK(codes, emb, "vec_id", "embedding",
+          cb, query, candidates = 50, topK = 10)
     },
 
     // REAL lossless-compressed audio decode: three recipe shapes by

@@ -105,4 +105,36 @@ object ProductQuantizer {
       .orderBy(col("adc_score"), col(idCol))
       .limit(topK)
   }
+
+  /** The DEPLOYED two-stage PQ query: [[adcTopK]] proposes `candidates`
+    * ids from the code table alone, then an exact distance rerank over
+    * JUST those raw vectors returns the true top-k of the candidate set
+    * — the output-sized second stage that recovers the ranking ADC's
+    * granularity can't express (a near-dup cluster shares one code; the
+    * pqscale probe measures 95% recall@10 at 400 candidates on clustered
+    * corpora). The candidate set broadcasts into the raw-vector scan, so
+    * stage two is one semi-join + TakeOrdered; raw vectors load for the
+    * candidates only. Scores are `x·x − 2·q·x` (the q·q constant drops
+    * out of the ranking), rounded to 6 dp.
+    */
+  def adcRerankTopK(
+      codes: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebook,
+      query: Array[Double],
+      candidates: Int,
+      topK: Int): DataFrame = {
+    require(candidates >= topK, s"candidates=$candidates must be >= topK=$topK")
+    val cand = adcTopK(codes, idCol, cb, query, candidates).select(idCol)
+    val qLit = array(query.map(lit).toSeq: _*)
+    val x = col(vecCol)
+    val dot = graft.functions.VectorFunctions.dot _
+    raw.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        round(dot(x, x) - lit(2.0) * dot(x, qLit), 6).as("dist_score"))
+      .orderBy(col("dist_score"), col(idCol))
+      .limit(topK)
+  }
 }

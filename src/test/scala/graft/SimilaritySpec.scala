@@ -287,5 +287,16 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", cb, Array(1.0, 2.0), topK = 3))
     intercept[IllegalArgumentException](
       ProductQuantizer.fit(df, "vec_id", "embedding", dims = 4, m = 3, k = 2, iters = 1))
+    // two-stage rerank: with candidates covering everything, the result
+    // is the TRUE exact top-k regardless of code granularity
+    val rr = ProductQuantizer.adcRerankTopK(
+      ProductQuantizer.encode(df, "vec_id", "embedding", cb), df,
+      "vec_id", "embedding", cb, query, candidates = 8, topK = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr == brute.take(4), s"rerank $rr != exact ${brute.take(4)}")
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcRerankTopK(
+        ProductQuantizer.encode(df, "vec_id", "embedding", cb), df,
+        "vec_id", "embedding", cb, query, candidates = 2, topK = 4))
   }
 }
