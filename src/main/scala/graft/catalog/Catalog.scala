@@ -167,13 +167,22 @@ final class Catalog(spark: SparkSession, dir: String) {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$watermarkDir/c_${java.util.UUID.randomUUID()}")
 
-  /** A2 — current watermark for a table (0 when never set). */
+  /** A2 — current watermark for a table (0 when never set). Resolved by
+    * `last_id` FIRST: watermarks are strictly increasing under both the
+    * single-writer path and the CAS protocol, so the largest id IS the
+    * latest commit. Ordering by wall-clock `updated_at` first would let a
+    * stalled winner (GC pause) whose append lands after a roll-forward
+    * already advanced the table temporarily REGRESS the observed
+    * watermark (an older value carrying a newer timestamp), re-opening an
+    * already-covered id range; it is also unsafe across writers with
+    * clock skew. `updated_at` stays as a tiebreaker only.
+    */
   def watermark(table: String): Long =
     if (!existsAny(watermarkDir)) 0L
     else {
       val rows = spark.read.option("recursiveFileLookup", "true").parquet(watermarkDir)
         .filter($"table_name" === table)
-        .orderBy($"updated_at".desc, $"last_id".desc)
+        .orderBy($"last_id".desc, $"updated_at".desc)
         .select($"last_id")
         .head(1)
       if (rows.isEmpty) 0L else rows(0).getLong(0)
@@ -246,6 +255,54 @@ final class Catalog(spark: SparkSession, dir: String) {
       val committed = readSlot(slot)
       if (watermark(table) == expected) setWatermark(table, committed)
       false
+    }
+  }
+
+  /** Maintenance: fold the append-only watermark history into ONE snapshot
+    * row per table and delete fully-committed CAS transition slots.
+    * Without this, a hot table driven by CAS retry loops accumulates one
+    * parquet commit dir + one slot file per transition and [[watermark]]
+    * reads/sorts the whole history on every call — linear degradation.
+    *
+    * Safe to run alongside CAS writers: only the commit subdirectories
+    * listed BEFORE the snapshot lands are deleted (a concurrent append
+    * creates a new subdir we never touch, and values strictly increase so
+    * the snapshot can never shadow it under the last_id-first resolution),
+    * and only slots `from_<N>` with N strictly below a table's current
+    * watermark go (those transitions are fully committed — a crashed
+    * winner's roll-forward need is exactly the slot AT the current value,
+    * which is kept). Same maintenance-pass discipline as the dedup
+    * store's compact+vacuum.
+    */
+  def compactWatermarkHistory(): Unit = {
+    if (!existsAny(watermarkDir)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wmPath = new org.apache.hadoop.fs.Path(watermarkDir)
+    val fs = wmPath.getFileSystem(conf)
+    val oldDirs = fs.listStatus(wmPath).filter(_.isDirectory).map(_.getPath)
+    // latest row per table: last_id desc (strictly-increasing resolution)
+    val snapshot = spark.read.option("recursiveFileLookup", "true").parquet(watermarkDir)
+      .groupBy($"table_name")
+      .agg(max(struct($"last_id", $"updated_at")).as("w"))
+      .select($"table_name", $"w.last_id", $"w.updated_at")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+    if (snapshot.isEmpty) return
+    snapshot.toSeq.toDF("table_name", "last_id", "updated_at")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$watermarkDir/c_${java.util.UUID.randomUUID()}")
+    oldDirs.foreach(p => fs.delete(p, true))
+    // prune committed CAS slots (from_<N> below the table's floor)
+    val slotsRoot = new org.apache.hadoop.fs.Path(s"$dir/watermark_slots")
+    if (fs.exists(slotsRoot)) for ((table, floor, _) <- snapshot) {
+      val td = new org.apache.hadoop.fs.Path(slotsRoot, table)
+      if (fs.exists(td)) fs.listStatus(td).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("from_") && n.stripPrefix("from_").matches("-?[0-9]+") &&
+            n.stripPrefix("from_").toLong < floor)
+          fs.delete(st.getPath, false)
+      }
     }
   }
 }

@@ -78,8 +78,17 @@ object IncrementalDedup {
       totalPairs: Long,
       canonicalDocs: Long)
 
-  /** One committed batch: marker contents. */
-  private final case class Commit(attempt: String, seq: Long, snapshot: Boolean)
+  /** One committed batch: marker contents. Snapshot markers carry the
+    * batchIds their compaction folded (transitively, including what prior
+    * snapshots had folded) so the idempotent-replay check survives
+    * [[vacuum]] deleting the folded deltas' own markers — without it, a
+    * stream-epoch replay of a pre-compact batchId would proceed as a
+    * fresh ingest and duplicate its rows. ~One short id per batch ever
+    * ingested: a year of daily batches is a few KB of marker.
+    */
+  private final case class Commit(
+      attempt: String, seq: Long, snapshot: Boolean,
+      folded: Set[String] = Set.empty)
 
   /** Rep-merge graphs at or under this many edges fold on the driver
     * (union-find) instead of through the distributed star alternation.
@@ -108,6 +117,9 @@ object IncrementalDedup {
       body.trim.split("\n") match {
         case Array(attempt, seq, kind) if seq.matches("-?[0-9]+") =>
           Some(st.getPath.getName -> Commit(attempt, seq.toLong, kind == "snapshot"))
+        case Array(attempt, seq, kind, folded) if seq.matches("-?[0-9]+") =>
+          Some(st.getPath.getName -> Commit(attempt, seq.toLong, kind == "snapshot",
+            folded.split(",").iterator.filter(_.nonEmpty).toSet))
         case _ => None // partial marker from a crashed commit: uncommitted
       }
     }.toMap
@@ -118,8 +130,16 @@ object IncrementalDedup {
     val f = fs(spark, state.commitsDir)
     val out = f.create(new Path(state.commitsDir, batchId), true)
     val kind = if (c.snapshot) "snapshot" else "delta"
-    try out.write(s"${c.attempt}\n${c.seq}\n$kind".getBytes(UTF_8)) finally out.close()
+    val tail = if (c.folded.isEmpty) "" else "\n" + c.folded.toSeq.sorted.mkString(",")
+    try out.write(s"${c.attempt}\n${c.seq}\n$kind$tail".getBytes(UTF_8))
+    finally out.close()
   }
+
+  /** Every batchId the state already accounts for: live markers plus ids
+    * folded into snapshots (whose own markers vacuum deleted).
+    */
+  private def knownBatchIds(com: Map[String, Commit]): Set[String] =
+    com.keySet ++ com.values.iterator.flatMap(_.folded)
 
   private def nextSeq(com: Map[String, Commit]): Long =
     com.values.foldLeft(-1L)((m, c) => math.max(m, c.seq)) + 1
@@ -199,8 +219,12 @@ object IncrementalDedup {
     val seq = nextSeq(com)
     val bid = Option(batchId).getOrElse(f"b$seq%06d")
     require(bid.matches("[A-Za-z0-9._-]+"), s"batchId '$bid' is not filename-safe")
-    // already committed → idempotent no-op (recovery re-runs land here)
-    if (com.contains(bid)) return reportFromState(spark, state, bid)
+    // already committed (directly, or folded into a snapshot by a compact
+    // that vacuumed the delta's own marker) → idempotent no-op; recovery
+    // re-runs land here. A folded batch's rows now live under the
+    // snapshot partition, so its batch-local counts report 0 — totals
+    // stay exact, which is what a replay caller acts on.
+    if (knownBatchIds(com).contains(bid)) return reportFromState(spark, state, bid)
     val attempt = java.util.UUID.randomUUID().toString
     def tag(df: DataFrame): DataFrame =
       df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
@@ -274,10 +298,18 @@ object IncrementalDedup {
           org.apache.spark.sql.types.StructType.fromDDL("node BIGINT, component BIGINT"))
       } else DupClusters.components(repEdges, "_ra", "_rb")
         .filter(col("node") =!= col("component"))
-      // existing members of a merged component follow their old rep down
+      // existing members of a merged component follow their old rep down.
+      // Broadcast `changed` only on the small-merge driver path, where it
+      // is provably bounded by SmallMergeEdges nodes; the distributed path
+      // runs precisely when the merge graph is backfill-scale and
+      // `changed` can approach corpus size — there a broadcast hint is an
+      // OOM risk, so let Catalyst plan a keyed shuffle join.
+      val changedRenamed =
+        changed.select(col("node").as("rep"), col("component").as("_nr"))
+      val changedForJoin =
+        if (nNewPairs <= SmallMergeEdges) broadcast(changedRenamed) else changedRenamed
       val memberUpdates = reps
-        .join(broadcast(changed.select(col("node").as("rep"),
-          col("component").as("_nr"))), Seq("rep"))
+        .join(changedForJoin, Seq("rep"))
         .select(col("id"), col("_nr").as("rep"))
       val delta = changed.select(col("node").as("id"), col("component").as("rep"))
         .unionByName(memberUpdates)
@@ -355,7 +387,11 @@ object IncrementalDedup {
       state.pairsDir)
     write(visible(spark, state, state.docsDir, "id BIGINT"), state.docsDir)
     write(resolvedReps(spark, state), state.repsDir)
-    writeMarker(spark, state, bid, Commit(attempt, seq, snapshot = true))
+    // the snapshot marker carries every batchId it supersedes (plus what
+    // earlier snapshots had folded) so vacuum deleting those markers never
+    // re-opens an already-ingested batchId to replay
+    writeMarker(spark, state, bid,
+      Commit(attempt, seq, snapshot = true, folded = knownBatchIds(com)))
     vacuum(spark, state)
   }
 

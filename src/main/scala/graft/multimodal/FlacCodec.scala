@@ -394,8 +394,14 @@ object FlacCodec {
     }
     require(!first, "not a FLAC file: no metadata")
 
+    // Pre-size from STREAMINFO is a HINT only, capped: the header is
+    // untrusted crawled input, and total (≤2^36) × channels (≤8) taken at
+    // face value would let a ~50-byte crafted header trigger a ~GiB
+    // backing-array allocation before any frame decodes (allocation-DoS).
+    // The buffer grows if the stream really is long; the got==total check
+    // below still enforces the declared length.
     val out = new ArrayBuffer[Short](
-      if (in(total, 1L, 1L << 26)) (total * channels).toInt else 1024)
+      if (in(total, 1L, 1L << 26)) math.min(total * channels, 1L << 22).toInt else 1024)
     var got = 0L
     while (r.hasMore) got += decodeFrame(r, bytes, sampleRate, channels, bps, out)
     require(got > 0, "corrupt FLAC: no frames")

@@ -97,4 +97,40 @@ class CatalogSpec extends SparkSpec {
     assert(cat.compareAndSetWatermark("t", 42L, 43L))
     assert(cat.watermark("t") == 43L)
   }
+
+  test("watermark resolution: a stalled writer's late append with a newer clock cannot regress the value") {
+    val dir = tmpDir("cat-stall")
+    val cat = new Catalog(spark, dir)
+    cat.setWatermark("t", 10L)
+    // a GC-stalled winner of an OLDER transition finally lands its append:
+    // smaller last_id, NEWER wall-clock timestamp (also models clock skew
+    // across writers). last_id-first resolution must ignore it.
+    Seq(("t", 5L, new java.sql.Timestamp(System.currentTimeMillis() + 3600000L)))
+      .toDF("table_name", "last_id", "updated_at")
+      .coalesce(1).write.parquet(s"$dir/watermarks/c_stalled")
+    assert(cat.watermark("t") == 10L,
+      "observed watermark regressed on a wall-clock-newer stale append")
+  }
+
+  test("compactWatermarkHistory: one row per table remains, committed CAS slots pruned, ladder continues") {
+    val dir = tmpDir("cat-compact")
+    val cat = new Catalog(spark, dir)
+    assert(cat.compareAndSetWatermark("t", 0L, 1L))
+    assert(cat.compareAndSetWatermark("t", 1L, 2L))
+    assert(cat.compareAndSetWatermark("t", 2L, 3L))
+    cat.setWatermark("u", 50L)
+    cat.compactWatermarkHistory()
+    assert(cat.watermark("t") == 3L && cat.watermark("u") == 50L)
+    // history folded: exactly one commit subdir remains
+    val dirs = new java.io.File(s"$dir/watermarks").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.length == 1, dirs.toString)
+    // fully-committed transition slots (from_0/1/2 < floor 3) are gone
+    val slots = Option(new java.io.File(s"$dir/watermark_slots/t").listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(slots.isEmpty, slots.toString)
+    // the CAS ladder continues from the snapshot
+    assert(cat.compareAndSetWatermark("t", 3L, 4L))
+    assert(cat.watermark("t") == 4L)
+  }
 }

@@ -207,6 +207,21 @@ class FlacSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported"), e.getMessage)
   }
 
+  test("FlacCodec: a crafted header declaring 2^26 samples x 8 channels fails fast (capped pre-size)") {
+    // allocation-DoS probe: STREAMINFO is untrusted crawled input, so the
+    // declared total must only HINT the output buffer (capped at 2^22
+    // elements) — a ~50-byte hostile header must throw on the missing
+    // frames, not allocate a ~GiB backing array first
+    val w = new BW
+    w.bits(0x664C6143L, 32)
+    w.bit(1); w.bits(0, 7); w.bits(34, 24)
+    w.bits(256, 16); w.bits(256, 16); w.bits(0, 24); w.bits(0, 24)
+    w.bits(16000, 20); w.bits(8 - 1, 3); w.bits(15, 5); w.bits(1L << 26, 36)
+    w.bits(0, 64); w.bits(0, 64)
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(w.bytes))
+    assert(e.getMessage.contains("no frames"), e.getMessage)
+  }
+
   test("synthesizeFlac -> extractFlacFeatures: features match the recipe; decimate composes") {
     val docs = Seq(3L, 5L, 7L).toDF("doc_id")
     val rows = Multimodal.extractFlacFeatures(Multimodal.synthesizeFlac(docs, "doc_id"))

@@ -141,4 +141,26 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r.totalDocs == 3 && r.canonicalDocs == 1)
     assert(IncrementalDedup.audit(spark, state) == 0)
   }
+
+  test("replay of a batchId folded by compact stays a no-op (snapshot marker records folded ids)") {
+    val state = IncrementalDedup.State(tmpDir("incdedup6"))
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 2L)), "id", "text", batchId = "day1")
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(3L, 5L)), "id", "text", batchId = "day2")
+    IncrementalDedup.compact(spark, state) // vacuum deletes day1/day2 markers
+    // a stream-epoch replay of a pre-compact batch (crash between the
+    // sink commit and the checkpoint) must NOT re-ingest: without the
+    // folded-id record it would append duplicate doc_ids/band rows
+    val r = IncrementalDedup.ingestBatch(
+      state, docsDf(Seq(1L, 2L)), "id", "text", batchId = "day1")
+    assert(r.totalDocs == 4 && r.canonicalDocs == 2, r.toString)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    // a SECOND compact carries the folded set forward transitively
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(4L)), "id", "text", batchId = "day3")
+    IncrementalDedup.compact(spark, state)
+    val r2 = IncrementalDedup.ingestBatch(
+      state, docsDf(Seq(3L, 5L)), "id", "text", batchId = "day2")
+    assert(r2.totalDocs == 5 && r2.canonicalDocs == 3, r2.toString)
+  }
 }
