@@ -723,6 +723,97 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** RGBA (color type 6) synthetic PNGs — the web's most common PNG
+    * shape: the [[synthesizePng]] channel recipes plus an alpha plane
+    * a = (id·29 + y·3 + x·13) mod 256. Decode composites over white, so
+    * the oracle composes the channel recipe with the alpha recipe:
+    * out = (a·c + (255−a)·255 + 127) // 255 per channel.
+    */
+  def synthesizePngAlpha(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val argb = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val pr = ((id * 37L + y * 5L + x * 11L) % 256L).toInt
+          val pg = ((id * 41L + y * 13L + x * 3L) % 256L).toInt
+          val pb = ((id * 43L + y * 7L + x * 17L) % 256L).toInt
+          val pa = ((id * 29L + y * 3L + x * 13L) % 256L).toInt
+          (pa << 24) | (pr << 16) | (pg << 8) | pb
+        }
+        val payload = PngCodec.encodeRgba(width, height, argb, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Gray+alpha (color type 4) synthetic PNGs: the [[synthesizePngGray]]
+    * sample recipe plus alpha a = (id·19 + y·23 + x·5) mod 256, decoded
+    * by compositing over white and widening to r = g = b.
+    */
+  def synthesizePngGrayAlpha(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = width * height
+        val gray = new Array[Int](n)
+        val alpha = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val y = i / width; val x = i % width
+          gray(i) = ((id * 53L + y * 9L + x * 29L) % 256L).toInt
+          alpha(i) = ((id * 19L + y * 23L + x * 5L) % 256L).toInt
+          i += 1
+        }
+        val payload = PngCodec.encodeGrayAlpha(width, height, gray, alpha, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** 16-BIT grayscale (depth 16, color type 0) synthetic PNGs — the
+    * scan/medical/archival shape: v16 = (id·257 + y·1031 + x·4099) mod
+    * 65536, two bytes per sample through the shared filter machinery;
+    * decode lands the most significant byte (v16 // 256) in the frame.
+    */
+  def synthesizePngGray16(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gray = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          ((id * 257L + y * 1031L + x * 4099L) % 65536L).toInt
+        }
+        val payload = PngCodec.encodeGray16(width, height, gray, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** REAL PNG decode+featurize — zlib inflate + per-scanline unfilter per
     * row ([[PngCodec.decode]]) into the SHARED pixel frame, then the same
     * feature/resize verbs as the BMP/GIF paths: one pixel contract, N

@@ -34,9 +34,25 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Format is public (PNG specification, ISO/IEC 15948: 8-byte signature,
   * length/type/data/CRC chunks, IHDR/PLTE/IDAT/IEND, filter method 0 with
   * the Paeth predictor, Adam7 pass grid). Supported: 8-bit grayscale
-  * (type 0), truecolor (2), paletted (3), plain or Adam7. Alpha-carrying
-  * types and non-8-bit depths are rejected loudly rather than decoded
-  * wrong.
+  * (type 0), truecolor (2), paletted (3), gray+alpha (4), truecolor+alpha
+  * (6 — RGBA, the web's most common PNG shape), plus 16-BIT grayscale
+  * (scan/medical/archival corpora), plain or Adam7 throughout — the
+  * filter machinery is depth/channel-agnostic (only bpp changes; Paeth is
+  * unchanged).
+  *
+  * '''Alpha policy (round 12)''': alpha-carrying pixels are COMPOSITED
+  * over a declared opaque white background into the shared
+  * [[BmpCodec.Bmp]] frame — `out = (a·c + (255−a)·255 + 127) / 255` per
+  * channel, integer arithmetic only — so every downstream operator keeps
+  * the one-pixel-contract; the alternative (a 4th channel) would fork the
+  * frame type across the whole image family for a presentation attribute
+  * feature extraction does not use. White is the spec's recommended
+  * default when no bKGD is honored; a tRNS chunk (palette transparency)
+  * is REJECTED loudly rather than silently ignored, since ignoring it
+  * would decode those pixels wrong under this policy. 16-bit samples map
+  * to the 8-bit frame by their most significant byte (`v >> 8`), the
+  * spec's sample-depth-scaling approximation. Everything else non-8-bit
+  * stays loudly rejected.
   */
 object PngCodec {
 
@@ -178,7 +194,7 @@ object PngCodec {
 
   private def writePng(
       width: Int, height: Int, colorType: Int, interlaced: Boolean,
-      plte: Array[Byte], z: Array[Byte]): Array[Byte] = {
+      plte: Array[Byte], z: Array[Byte], depth: Int = 8): Array[Byte] = {
     val out = new ByteArrayOutputStream(z.length + 128)
     out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
@@ -186,7 +202,7 @@ object PngCodec {
     ihdr(2) = ((width >> 8) & 0xFF).toByte; ihdr(3) = (width & 0xFF).toByte
     ihdr(4) = ((height >> 24) & 0xFF).toByte; ihdr(5) = ((height >> 16) & 0xFF).toByte
     ihdr(6) = ((height >> 8) & 0xFF).toByte; ihdr(7) = (height & 0xFF).toByte
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = depth.toByte
     ihdr(9) = colorType.toByte
     ihdr(10) = 0; ihdr(11) = 0 // deflate, filter method 0
     ihdr(12) = if (interlaced) 1 else 0
@@ -280,12 +296,82 @@ object PngCodec {
     writePng(width, height, 3, interlaced, plte, deflate(raw))
   }
 
-  /** Parse PNG bytes into the shared pixel frame; throws
+  /** Encode top-down row-major 0xAARRGGBB pixels as an 8-bit
+    * truecolor+alpha PNG (color type 6 — the web's most common PNG shape;
+    * Adam7 when `interlaced`). Sample order per spec: R, G, B, A.
+    */
+  def encodeRgba(
+      width: Int, height: Int, argb: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(argb.length == width * height, "argb must be width*height")
+    val buf = new Array[Byte](4)
+    val raw = filteredStream(width, height, 4, interlaced) { (x, y) =>
+      val p = argb(y * width + x)
+      buf(0) = ((p >> 16) & 0xFF).toByte
+      buf(1) = ((p >> 8) & 0xFF).toByte
+      buf(2) = (p & 0xFF).toByte
+      buf(3) = ((p >>> 24) & 0xFF).toByte
+      buf
+    }
+    writePng(width, height, 6, interlaced, null, deflate(raw))
+  }
+
+  /** Encode 8-bit gray + alpha sample pairs as a color-type-4 PNG (Adam7
+    * when `interlaced`). Sample order per spec: gray, alpha.
+    */
+  def encodeGrayAlpha(
+      width: Int, height: Int, gray: Array[Int], alpha: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(gray.length == width * height && alpha.length == width * height,
+      "gray and alpha must be width*height")
+    gray.foreach(v => require(v >= 0 && v <= 255, s"gray sample $v out of range"))
+    alpha.foreach(v => require(v >= 0 && v <= 255, s"alpha sample $v out of range"))
+    val buf = new Array[Byte](2)
+    val raw = filteredStream(width, height, 2, interlaced) { (x, y) =>
+      buf(0) = gray(y * width + x).toByte
+      buf(1) = alpha(y * width + x).toByte
+      buf
+    }
+    writePng(width, height, 4, interlaced, null, deflate(raw))
+  }
+
+  /** Encode 16-BIT grayscale samples (0–65535, big-endian per spec) as a
+    * depth-16 color-type-0 PNG (Adam7 when `interlaced`) — the
+    * scan/medical/archival shape. Decode maps each sample to the shared
+    * 8-bit frame by its most significant byte.
+    */
+  def encodeGray16(
+      width: Int, height: Int, gray: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(gray.length == width * height, "gray must be width*height")
+    gray.foreach(v => require(v >= 0 && v <= 65535, s"gray16 sample $v out of range"))
+    val buf = new Array[Byte](2)
+    val raw = filteredStream(width, height, 2, interlaced) { (x, y) =>
+      val v = gray(y * width + x)
+      buf(0) = ((v >> 8) & 0xFF).toByte
+      buf(1) = (v & 0xFF).toByte
+      buf
+    }
+    writePng(width, height, 0, interlaced, null, deflate(raw), depth = 16)
+  }
+
+  /** Parse PNG bytes into the shared pixel frame (alpha composited over
+    * white, 16-bit gray by MSB — see the object doc); throws
     * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (grayscale/alpha, depth ≠ 8, CRC mismatch, truncation,
-    * inflate overrun/underrun, out-of-range palette index) — loud beats
-    * silent. Ancillary chunks are CRC-checked and skipped; IDAT payloads
-    * are concatenated in file order per the spec.
+    * faithfully (sub-byte depths, 16-bit color, tRNS transparency, CRC
+    * mismatch, truncation, inflate overrun/underrun, out-of-range palette
+    * index) — loud beats silent. Other ancillary chunks are CRC-checked
+    * and skipped; IDAT payloads are concatenated in file order per the
+    * spec.
     */
   def decode(bytes: Array[Byte]): BmpCodec.Bmp =
     try decode0(bytes)
@@ -308,6 +394,7 @@ object PngCodec {
     var pos = 8
     var width = 0; var height = 0
     var colorType = -1
+    var depth = 0
     var interlaced = false
     var palette: Array[Int] = null
     var seenIhdr = false; var seenIend = false
@@ -338,11 +425,13 @@ object PngCodec {
           // far past any fingerprint/feature use of this codec.
           require(width.toLong * height.toLong <= (1L << 26),
             s"PNG too large: ${width}x$height exceeds 2^26 pixels")
-          val depth = bytes(pos + 16) & 0xFF
+          depth = bytes(pos + 16) & 0xFF
           colorType = bytes(pos + 17) & 0xFF
-          require(depth == 8 && (colorType == 0 || colorType == 2 || colorType == 3),
+          require(
+            (depth == 8 && Set(0, 2, 3, 4, 6).contains(colorType)) ||
+              (depth == 16 && colorType == 0),
             s"unsupported PNG: depth=$depth colorType=$colorType " +
-              "(8-bit grayscale, truecolor, or paletted only)")
+              "(8-bit types 0/2/3/4/6 or 16-bit grayscale only)")
           require((bytes(pos + 18) & 0xFF) == 0, "unknown compression method")
           require((bytes(pos + 19) & 0xFF) == 0, "unknown filter method")
           val im = bytes(pos + 20) & 0xFF
@@ -362,6 +451,13 @@ object PngCodec {
           idat.write(bytes, pos + 8, len)
         case "IEND" =>
           seenIend = true
+        case "tRNS" =>
+          // palette/color-key transparency: under the composite-over-
+          // background alpha policy, silently skipping it would decode
+          // those pixels WRONG (fully-opaque where the author declared
+          // transparency) — reject loudly like any unsupported shape
+          throw new IllegalArgumentException(
+            "unsupported PNG: tRNS transparency (use alpha color types 4/6)")
         case _ => // ancillary chunk: CRC checked above, content skipped
       }
       pos += 12 + len
@@ -370,7 +466,15 @@ object PngCodec {
     if (colorType == 3)
       require(palette != null, "paletted PNG missing its PLTE chunk")
 
-    val bpp = if (colorType == 2) 3 else 1
+    // bytes per pixel: the only thing depth/channels change — the filter
+    // and Adam7 machinery below is shared across every supported shape
+    val bpp = colorType match {
+      case 2 => 3 // truecolor
+      case 6 => 4 // truecolor + alpha
+      case 4 => 2 // gray + alpha
+      case 0 => depth / 8 // gray, 8- or 16-bit
+      case _ => 1 // paletted
+    }
     val passes =
       if (interlaced) adamPasses(width, height)
       else Seq((-1, width, height))
@@ -420,18 +524,32 @@ object PngCodec {
         }
         var x = 0
         while (x < w) {
-          val v =
-            if (colorType == 2)
+          // composite one channel over the declared white background:
+          // out = (a·c + (255−a)·255 + 127) / 255, integer truncation —
+          // SQL-replayable with // and exact for a=255 (c) and a=0 (255)
+          def comp(c: Int, a: Int): Int = (a * c + (255 - a) * 255 + 127) / 255
+          val v = colorType match {
+            case 2 =>
               (cur(3 * x) << 16) | (cur(3 * x + 1) << 8) | cur(3 * x + 2)
-            else if (colorType == 0) {
+            case 6 =>
+              val a = cur(4 * x + 3)
+              (comp(cur(4 * x), a) << 16) |
+                (comp(cur(4 * x + 1), a) << 8) | comp(cur(4 * x + 2), a)
+            case 4 =>
+              val g = comp(cur(2 * x), cur(2 * x + 1))
+              (g << 16) | (g << 8) | g
+            case 0 if depth == 16 =>
+              val g = cur(2 * x) // most significant byte (spec scaling)
+              (g << 16) | (g << 8) | g
+            case 0 =>
               val g = cur(x)
               (g << 16) | (g << 8) | g
-            } else {
+            case _ =>
               val idx = cur(x)
               require(idx < palette.length,
                 s"corrupt PNG: palette index $idx >= ${palette.length} entries")
               palette(idx)
-            }
+          }
           val (gx, gy) =
             if (p < 0) (x, y)
             else (AdamX(p) + x * AdamXS(p), AdamY(p) + y * AdamYS(p))

@@ -532,6 +532,95 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](PngCodec.encodeGray(2, 1, Array(0, 256)))
   }
 
+  test("PngCodec: RGBA (type 6) composites over white, plain and interlaced") {
+    import graft.multimodal.PngCodec
+    val (w, h) = (16, 12)
+    def comp(c: Int, a: Int): Int = (a * c + (255 - a) * 255 + 127) / 255
+    val argb = Array.tabulate(w * h) { i =>
+      val r = (i * 37 + 5) % 256; val g = (i * 41 + 9) % 256
+      val b = (i * 43 + 13) % 256; val a = (i * 29 + 3) % 256
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    // force the boundary alphas too: fully transparent and fully opaque
+    argb(0) = 0x00123456 // a=0 → pure white
+    argb(1) = 0xFF654321 // a=255 → the color verbatim
+    val want = argb.map { p =>
+      val a = (p >>> 24) & 0xFF
+      (comp((p >> 16) & 0xFF, a) << 16) |
+        (comp((p >> 8) & 0xFF, a) << 8) | comp(p & 0xFF, a)
+    }
+    assert(PngCodec.decode(PngCodec.encodeRgba(w, h, argb)).pixels.toSeq == want.toSeq)
+    assert(PngCodec.decode(
+      PngCodec.encodeRgba(w, h, argb, interlaced = true)).pixels.toSeq == want.toSeq)
+    assert(want(0) == 0xFFFFFF && want(1) == 0x654321)
+    // truncation of an alpha-carrying stream stays a typed loud failure
+    val png = PngCodec.encodeRgba(w, h, argb)
+    intercept[IllegalArgumentException](PngCodec.decode(png.take(png.length / 2)))
+  }
+
+  test("PngCodec: gray+alpha (type 4) composites then widens, plain and interlaced") {
+    import graft.multimodal.PngCodec
+    val (w, h) = (16, 12)
+    val gray = Array.tabulate(w * h)(i => (i * 53 + 11) % 256)
+    val alpha = Array.tabulate(w * h)(i => (i * 19 + 7) % 256)
+    val want = gray.indices.map { i =>
+      val v = (alpha(i) * gray(i) + (255 - alpha(i)) * 255 + 127) / 255
+      (v << 16) | (v << 8) | v
+    }
+    assert(PngCodec.decode(
+      PngCodec.encodeGrayAlpha(w, h, gray, alpha)).pixels.toSeq == want)
+    assert(PngCodec.decode(
+      PngCodec.encodeGrayAlpha(w, h, gray, alpha, interlaced = true)).pixels.toSeq == want)
+    intercept[IllegalArgumentException](
+      PngCodec.encodeGrayAlpha(2, 1, Array(0, 0), Array(0, 256)))
+  }
+
+  test("PngCodec: 16-bit grayscale decodes by MSB, plain and interlaced") {
+    import graft.multimodal.PngCodec
+    val (w, h) = (16, 12)
+    val gray16 = Array.tabulate(w * h)(i => (i * 257 + i * i * 31 + 9) % 65536)
+    val want = gray16.map { v =>
+      val g = v >> 8
+      (g << 16) | (g << 8) | g
+    }
+    assert(PngCodec.decode(PngCodec.encodeGray16(w, h, gray16)).pixels.toSeq == want.toSeq)
+    assert(PngCodec.decode(
+      PngCodec.encodeGray16(w, h, gray16, interlaced = true)).pixels.toSeq == want.toSeq)
+    intercept[IllegalArgumentException](PngCodec.encodeGray16(2, 1, Array(0, 65536)))
+  }
+
+  test("PngCodec: tRNS transparency is rejected loudly, not silently ignored") {
+    import graft.multimodal.PngCodec
+    val palette = Array.tabulate(4)(j => j * 0x111111)
+    val idx = Array.tabulate(12)(_ % 4)
+    val png = PngCodec.encodePalette(4, 3, idx, palette)
+    // splice a CRC-valid tRNS chunk right after PLTE: under the
+    // composite-over-white policy those pixels would decode WRONG if the
+    // chunk were skipped as ancillary
+    val plteEnd = {
+      var p = 8; var found = -1
+      while (found < 0) {
+        val len = ((png(p) & 0xFF) << 24) | ((png(p + 1) & 0xFF) << 16) |
+          ((png(p + 2) & 0xFF) << 8) | (png(p + 3) & 0xFF)
+        if (new String(png, p + 4, 4, "US-ASCII") == "PLTE") found = p + 12 + len
+        else p += 12 + len
+      }
+      found
+    }
+    val trns = new java.io.ByteArrayOutputStream()
+    trns.write(Array[Byte](0, 0, 0, 1)) // length 1
+    trns.write("tRNS".getBytes("US-ASCII"))
+    trns.write(0) // palette entry 0 fully transparent
+    val crc = new java.util.zip.CRC32()
+    crc.update("tRNS".getBytes("US-ASCII")); crc.update(0)
+    val c = crc.getValue
+    trns.write(((c >> 24) & 0xFF).toInt); trns.write(((c >> 16) & 0xFF).toInt)
+    trns.write(((c >> 8) & 0xFF).toInt); trns.write((c & 0xFF).toInt)
+    val spliced = png.take(plteEnd) ++ trns.toByteArray ++ png.drop(plteEnd)
+    val e = intercept[IllegalArgumentException](PngCodec.decode(spliced))
+    assert(e.getMessage.contains("tRNS"), e.getMessage)
+  }
+
   test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
     import graft.multimodal.PngCodec
     val png = PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 0x010203))
