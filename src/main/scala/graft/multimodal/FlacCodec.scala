@@ -16,19 +16,23 @@ import scala.collection.mutable.ArrayBuffer
   * identity" discipline, applied to audio).
   *
   * Encoder subset (a valid stream any FLAC decoder reads): 16-bit
-  * mono/stereo-independent, fixed block size, per-block best FIXED
-  * predictor (orders 0–4 by least sum-of-|residual|), CONSTANT blocks,
-  * VERBATIM fallback, single-partition Rice with the 5-bit escape when
-  * raw coding is cheaper, CRC-8/CRC-16 and UTF-8 frame numbers per spec.
-  * Decoder superset: any independent channel count, all four subframe
-  * types INCLUDING LPC (quantized coefficients + shift), any Rice
-  * partition order, both residual methods (4- and 5-bit parameters),
-  * wasted bits, 8-bit frame sample-rate/size overrides. Loud
-  * IllegalArgumentException on anything structurally wrong — bad magic,
-  * CRC mismatch, truncation, reserved codes, stereo-decorrelated channel
-  * assignments (left/mid/right-side — not emitted by this encoder and
-  * rejected rather than mis-decoded), or a STREAMINFO total that
-  * disagrees with the decoded frames (the AVI dwTotalFrames discipline).
+  * mono/stereo, fixed block size, per-block best FIXED predictor
+  * (orders 0–4 by least sum-of-|residual|), CONSTANT blocks, VERBATIM
+  * fallback, single-partition Rice with the 5-bit escape when raw coding
+  * is cheaper, CRC-8/CRC-16 and UTF-8 frame numbers per spec, and — on
+  * request — all three STEREO DECORRELATION channel assignments
+  * (left/side, right/side, mid/side), which is what default FLAC
+  * encoders actually emit for stereo: the side channel L−R carries ONE
+  * extra bit of sample depth (17 bits here), mid is (L+R) >> 1 with the
+  * dropped low bit recoverable from side's parity. Decoder superset: any
+  * independent channel count, all three decorrelated assignments, all
+  * four subframe types INCLUDING LPC (quantized coefficients + shift),
+  * any Rice partition order, both residual methods (4- and 5-bit
+  * parameters), wasted bits, 8-bit frame sample-rate/size overrides.
+  * Loud IllegalArgumentException on anything structurally wrong — bad
+  * magic, CRC mismatch, truncation, reserved codes (channel assignments
+  * 11–15 included), or a STREAMINFO total that disagrees with the
+  * decoded frames (the AVI dwTotalFrames discipline).
   *
   * Format is public: the FLAC format specification (RFC 9639 / the
   * canonical xiph.org description): STREAMINFO layout, frame-header
@@ -203,20 +207,31 @@ object FlacCodec {
 
   // ---- encoder --------------------------------------------------------------
 
-  /** 16-bit FLAC bytes from interleaved samples (`channels` = 1 or 2,
-    * coded as independent subframes). `blockSize` is the fixed block
-    * size; the final block may be shorter.
+  /** Stereo channel-assignment modes for [[encode]]. */
+  val StereoModes: Set[String] = Set("independent", "left-side", "right-side", "mid-side")
+
+  /** 16-bit FLAC bytes from interleaved samples (`channels` = 1 or 2).
+    * `blockSize` is the fixed block size; the final block may be shorter.
+    * `stereoMode` picks the channel assignment for stereo input:
+    * "independent" (each channel its own subframe) or the three
+    * decorrelated assignments default FLAC encoders emit — "left-side"
+    * (L, L−R), "right-side" (L−R, R), "mid-side" ((L+R) >> 1, L−R); the
+    * side subframe is coded at 17 bits per spec.
     */
   def encode(
       sampleRate: Int,
       channels: Int,
       samples: Array[Short],
-      blockSize: Int = 256): Array[Byte] = {
+      blockSize: Int = 256,
+      stereoMode: String = "independent"): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
     require(channels == 1 || channels == 2, s"encoder is mono/stereo only, got $channels")
     require(samples != null && samples.nonEmpty && samples.length % channels == 0,
       "samples must be non-empty whole frames")
     require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
+    require(StereoModes.contains(stereoMode), s"unknown stereoMode '$stereoMode'")
+    require(channels == 2 || stereoMode == "independent",
+      "stereo decorrelation needs 2 channels")
     val total = samples.length / channels
 
     val head = new BitWriter
@@ -240,7 +255,7 @@ object FlacCodec {
     var off = 0
     while (off < total) {
       val bs = math.min(blockSize, total - off)
-      out.write(encodeFrame(frameNo, bs, channels, samples, off))
+      out.write(encodeFrame(frameNo, bs, channels, samples, off, stereoMode))
       off += bs
       frameNo += 1
     }
@@ -249,7 +264,7 @@ object FlacCodec {
 
   private def encodeFrame(
       frameNo: Long, bs: Int, channels: Int,
-      samples: Array[Short], off: Int): Array[Byte] = {
+      samples: Array[Short], off: Int, stereoMode: String): Array[Byte] = {
     val w = new BitWriter
     w.writeBits(0x3FFE, 14) // sync
     w.writeBit(0) // reserved
@@ -264,7 +279,13 @@ object FlacCodec {
       else 7
     w.writeBits(bsCode.toLong, 4)
     w.writeBits(0, 4) // sample rate: from STREAMINFO
-    w.writeBits((channels - 1).toLong, 4) // independent channels
+    val chCode = stereoMode match {
+      case "left-side" => 8
+      case "right-side" => 9
+      case "mid-side" => 10
+      case _ => channels - 1 // independent channels
+    }
+    w.writeBits(chCode.toLong, 4)
     w.writeBits(4, 3) // 16-bit samples
     w.writeBit(0) // reserved
     writeUtf8(w, frameNo)
@@ -272,11 +293,27 @@ object FlacCodec {
     else if (bsCode == 7) w.writeBits((bs - 1).toLong, 16)
     val hdr = w.bytes
     w.writeBits(crc8(hdr, 0, hdr.length).toLong, 8)
-    var c = 0
-    while (c < channels) {
-      val block = Array.tabulate(bs)(i => samples((off + i) * channels + c).toInt)
-      writeSubframe(w, block, 16)
-      c += 1
+    if (chCode >= 8) {
+      // stereo decorrelation: side = L − R at 17 bits (one extra bit of
+      // sample depth per spec); mid = (L + R) >> 1, the dropped low bit
+      // recoverable from side's parity at decode
+      val left = Array.tabulate(bs)(i => samples((off + i) * 2).toInt)
+      val right = Array.tabulate(bs)(i => samples((off + i) * 2 + 1).toInt)
+      val side = Array.tabulate(bs)(i => left(i) - right(i))
+      chCode match {
+        case 8 => writeSubframe(w, left, 16); writeSubframe(w, side, 17)
+        case 9 => writeSubframe(w, side, 17); writeSubframe(w, right, 16)
+        case _ =>
+          val mid = Array.tabulate(bs)(i => (left(i) + right(i)) >> 1)
+          writeSubframe(w, mid, 16); writeSubframe(w, side, 17)
+      }
+    } else {
+      var c = 0
+      while (c < channels) {
+        val block = Array.tabulate(bs)(i => samples((off + i) * channels + c).toInt)
+        writeSubframe(w, block, 16)
+        c += 1
+      }
     }
     w.align()
     val body = w.bytes
@@ -426,10 +463,9 @@ object FlacCodec {
     require(srCode != 15, "corrupt FLAC: invalid sample-rate code 15")
     val chCode = r.readBits(4).toInt
     require(chCode <= 10, s"corrupt FLAC: reserved channel assignment $chCode")
-    require(chCode <= 7,
-      s"unsupported FLAC channel assignment $chCode (stereo decorrelation not emitted here)")
-    require(chCode + 1 == channels,
-      s"corrupt FLAC: frame has ${chCode + 1} channels, STREAMINFO says $channels")
+    val frameCh = if (chCode <= 7) chCode + 1 else 2 // 8/9/10: stereo decorrelated
+    require(frameCh == channels,
+      s"corrupt FLAC: frame has $frameCh channels, STREAMINFO says $channels")
     val ssCode = r.readBits(3).toInt
     require(ssCode != 3, "corrupt FLAC: reserved sample-size code 3")
     val frameBps = ssCode match {
@@ -463,11 +499,45 @@ object FlacCodec {
 
     val frame = Array.ofDim[Int](channels, bs)
     var c = 0
-    while (c < channels) { decodeSubframe(r, frame(c), bps); c += 1 }
+    while (c < channels) {
+      // the SIDE channel of a decorrelated assignment carries one extra
+      // bit of sample depth: ch1 for left-side (8) and mid-side (10),
+      // ch0 for right-side (9)
+      val sbps = chCode match {
+        case 8 | 10 => if (c == 1) bps + 1 else bps
+        case 9 => if (c == 0) bps + 1 else bps
+        case _ => bps
+      }
+      decodeSubframe(r, frame(c), sbps)
+      c += 1
+    }
     r.align()
     val endPos = r.bytePos
     val wantCrc16 = r.readBits(16).toInt
     require(crc16(bytes, start, endPos) == wantCrc16, "corrupt FLAC: frame CRC-16 mismatch")
+
+    // undo stereo decorrelation in place: side = L − R throughout;
+    // mid = (L + R) >> 1, whose dropped low bit equals side's parity
+    // (L + R and L − R share parity), so L + R = (mid << 1) | (side & 1)
+    // and the halved sums/differences below are exact for any sign
+    chCode match {
+      case 8 => // (left, side) → (left, right)
+        var i = 0
+        while (i < bs) { frame(1)(i) = frame(0)(i) - frame(1)(i); i += 1 }
+      case 9 => // (side, right) → (left, right)
+        var i = 0
+        while (i < bs) { frame(0)(i) = frame(1)(i) + frame(0)(i); i += 1 }
+      case 10 => // (mid, side) → (left, right)
+        var i = 0
+        while (i < bs) {
+          val side = frame(1)(i)
+          val sum = (frame(0)(i) << 1) | (side & 1)
+          frame(0)(i) = (sum + side) >> 1
+          frame(1)(i) = (sum - side) >> 1
+          i += 1
+        }
+      case _ =>
+    }
 
     var i = 0
     while (i < bs) {

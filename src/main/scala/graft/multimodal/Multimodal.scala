@@ -489,6 +489,51 @@ object Multimodal {
       v.toShort
     }
 
+  /** The q331 STEREO synthesis recipe (shared with its spec), interleaved
+    * L,R: L(i) = ((id mod 50)−25)·4 + ((i mod 256)−128)·((id mod 3)+1),
+    * R(i) = L(i) − ((i mod 16)−8)·((id mod 7)+1) — correlated channels
+    * with a small difference, the signal shape stereo decorrelation
+    * exists for (the side channel L−R stays near zero).
+    */
+  private[graft] def flacStereoRecipe(id: Long, nFrames: Int): Array[Short] =
+    Array.tabulate(nFrames * 2) { j =>
+      val i = j / 2
+      val l = ((id % 50L) - 25L) * 4L + ((i % 256L) - 128L) * ((id % 3L) + 1L)
+      val v = if (j % 2 == 0) l else l - ((i % 16L) - 8L) * ((id % 7L) + 1L)
+      v.toShort
+    }
+
+  /** [[synthesizeFlac]] for STEREO with the decorrelated channel
+    * assignments default FLAC encoders emit — id mod 3 picks left-side /
+    * right-side / mid-side, so one corpus exercises all three decode
+    * paths. Losslessness keeps the oracle codec-free: it replays the
+    * per-channel recipes and interleaves.
+    */
+  def synthesizeFlacStereo(
+      df: DataFrame,
+      idCol: String,
+      nFrames: Int = 600,
+      blockSize: Int = 256,
+      sampleRate: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mode = (id % 3L) match {
+          case 0L => "left-side"
+          case 1L => "right-side"
+          case _ => "mid-side"
+        }
+        val samples = flacStereoRecipe(id, nFrames)
+        val payload = FlacCodec.encode(sampleRate, 2, samples, blockSize, mode)
+        Row(id, payload, Row("audio", "flac", null, null,
+          nFrames.toLong * 1000L / sampleRate))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** REAL FLAC decode+featurize: container + frame + subframe + Rice
     * decode per row ([[FlacCodec.decode]]) in the one-decoder-per-
     * partition batch shape, then the exact integer features of

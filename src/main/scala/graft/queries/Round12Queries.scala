@@ -131,5 +131,45 @@ object Round12Queries {
       val media = Multimodal.synthesizePngGray16(
         Tables.load(s, dir, "documents"), "doc_id", interlaced = true)
       Multimodal.extractPngFeatures(media).orderBy("media_id")
+    },
+
+    // STEREO-DECORRELATED FLAC (channel assignments 8/9/10 — what default
+    // FLAC encoders emit for stereo; id mod 3 steers each doc through
+    // left-side / right-side / mid-side, side at 17 bits). Losslessness
+    // keeps the oracle codec-free: it replays the per-channel recipes,
+    // interleaves (j = 2i + ch), and recomputes the q318 features — any
+    // drift in the side reconstruction, the 17-bit reads, or mid's parity
+    // bit lands off the hash.
+    Q(
+      "q331_flac_stereo",
+      """WITH raw AS (
+        |  SELECT doc_id, j,
+        |    ((doc_id % 50) - 25) * 4 + (((j // 2) % 256) - 128) * ((doc_id % 3) + 1)
+        |      - CASE WHEN j % 2 = 1
+        |             THEN (((j // 2) % 16) - 8) * ((doc_id % 7) + 1)
+        |             ELSE 0 END AS v
+        |  FROM documents, unnest(generate_series(0, 1199)) AS u(j)),
+        |s AS (
+        |  SELECT doc_id, j, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        |  FROM raw)
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS BIGINT) AS sr,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(1200 AS BIGINT) AS n_samples,
+        |  CAST(600 * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(min(v) AS BIGINT) AS peak_min,
+        |  CAST(max(v) AS BIGINT) AS peak_max,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1200), 6) AS rms
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeFlacStereo(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractFlacFeatures(media)
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("media_id")
     })
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * structural failure, and — via an INDEPENDENT bit-writer and CRCs
   * implemented from the public spec — decoder paths the encoder never
   * emits (LPC prediction, multi-partition Rice, the 5-bit escape,
-  * wasted bits, rejected stereo decorrelation).
+  * wasted bits, stereo decorrelation, reserved-code rejection).
   */
 class FlacSpec extends SparkSpec {
   import spark.implicits._
@@ -42,6 +42,44 @@ class FlacSpec extends SparkSpec {
     val inter = Array.tabulate(1200)(i =>
       if (i % 2 == 0) (i / 2).toShort else (911 - 3 * (i / 2)).toShort)
     roundTrip(inter, channels = 2)
+  }
+
+  test("FlacCodec: stereo decorrelation round-trips losslessly (all three assignments)") {
+    // correlated channels with odd L+R parity mixed in, so mid-side's
+    // dropped low bit (recovered from side's parity) is exercised
+    val inter = Array.tabulate(1200) { j =>
+      val i = j / 2
+      val l = (i % 256 - 128) * 3 + 40
+      (if (j % 2 == 0) l else l - (i % 16 - 8) + (i % 2)).toShort
+    }
+    for (mode <- Seq("left-side", "right-side", "mid-side")) {
+      val flac = FlacCodec.encode(16000, 2, inter, 256, stereoMode = mode)
+      val w = FlacCodec.decode(flac)
+      assert(w.channels == 2 && w.samples.toSeq == inter.toSeq, mode)
+    }
+    // decorrelation should BEAT independent coding when both channels
+    // carry the SAME noise (the incompressible part codes once, the tiny
+    // side channel rides on cheap Rice parameters)
+    val noisy = Array.tabulate(1200) { j =>
+      val i = j / 2
+      val l = ((i * 104729) % 65536) - 32768
+      (if (j % 2 == 0) l else l - (i % 3 - 1)).toShort
+    }
+    val indep = FlacCodec.encode(16000, 2, noisy, 256).length
+    val ms = FlacCodec.encode(16000, 2, noisy, 256, stereoMode = "mid-side").length
+    assert(ms * 3 < indep * 2, s"mid-side $ms B should beat independent $indep B")
+    assert(FlacCodec.decode(
+      FlacCodec.encode(16000, 2, noisy, 256, stereoMode = "mid-side"))
+      .samples.toSeq == noisy.toSeq)
+    // full-scale extremes survive the 17-bit side channel
+    val extreme = Array.tabulate(64)(j =>
+      (if (j % 2 == 0) Short.MaxValue else Short.MinValue): Short)
+    for (mode <- Seq("left-side", "right-side", "mid-side")) {
+      val flac = FlacCodec.encode(8000, 2, extreme, 16, stereoMode = mode)
+      assert(FlacCodec.decode(flac).samples.toSeq == extreme.toSeq, mode)
+    }
+    intercept[IllegalArgumentException](
+      FlacCodec.encode(8000, 1, Array[Short](1, 2, 3, 4), 16, stereoMode = "mid-side"))
   }
 
   test("FlacCodec: predictable signals compress, constants collapse to headers") {
@@ -199,12 +237,42 @@ class FlacSpec extends SparkSpec {
     assert(out.samples.toSeq == Seq.fill(bs)((5 << 3).toShort))
   }
 
-  test("FlacCodec decoder: stereo-decorrelated channel assignments are rejected, not mis-decoded") {
-    val stream = craft(8000, 2, 16, chCode = 8) { w => // left/side
+  test("FlacCodec decoder: crafted stereo-decorrelated streams (independent bit-writer)") {
+    // left-side: L const 7 (16 bits), side const 3 (17 bits) → R = 4
+    val ls = craft(8000, 2, 16, chCode = 8) { w =>
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(7, 16)
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(3L & 0x1FFFF, 17)
+    }
+    assert(FlacCodec.decode(ls).samples.toSeq ==
+      Seq.fill(16)(Seq(7, 4)).flatten.map(_.toShort))
+    // right-side: side const −5 (17 bits, sign-extended), R const 9 → L = 4
+    val rs = craft(8000, 2, 16, chCode = 9) { w =>
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(-5L & 0x1FFFF, 17)
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(9, 16)
+    }
+    assert(FlacCodec.decode(rs).samples.toSeq ==
+      Seq.fill(16)(Seq(4, 9)).flatten.map(_.toShort))
+    // mid-side with ODD L+R: L=7, R=4 → mid=(7+4)>>1=5, side=3; the
+    // dropped low bit must come back from side's parity
+    val ms = craft(8000, 2, 16, chCode = 10) { w =>
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(5, 16)
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(3L & 0x1FFFF, 17)
+    }
+    assert(FlacCodec.decode(ms).samples.toSeq ==
+      Seq.fill(16)(Seq(7, 4)).flatten.map(_.toShort))
+    // mid-side with negative channels: L=−9, R=−6 → mid=−8 (floor), side=−3
+    val msn = craft(8000, 2, 16, chCode = 10) { w =>
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(-8L & 0xFFFF, 16)
+      w.bit(0); w.bits(0, 6); w.bit(0); w.bits(-3L & 0x1FFFF, 17)
+    }
+    assert(FlacCodec.decode(msn).samples.toSeq ==
+      Seq.fill(16)(Seq(-9, -6)).flatten.map(_.toShort))
+    // reserved channel assignments 11–15 stay loudly rejected
+    val bad = craft(8000, 2, 16, chCode = 11) { w =>
       for (_ <- 0 until 2) { w.bit(0); w.bits(0, 6); w.bit(0); w.bits(7, 16) }
     }
-    val e = intercept[IllegalArgumentException](FlacCodec.decode(stream))
-    assert(e.getMessage.contains("unsupported"), e.getMessage)
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(bad))
+    assert(e.getMessage.contains("reserved channel assignment"), e.getMessage)
   }
 
   test("FlacCodec: a crafted header declaring 2^26 samples x 8 channels fails fast (capped pre-size)") {
