@@ -799,6 +799,90 @@ object Stress {
         s"over 20 queries: ${hits}/200 = ${hits / 2}%")
       hits
     }
+
+    // IVF+PQ at EQUAL code bytes (same m=8, k=16): cells = the planted
+    // cluster id (in production: a k-means assignment), codebooks on
+    // RESIDUALS, query relocated per probed cell. Flat PQ's raw ADC@10 is
+    // poor BY CONSTRUCTION here (a whole cluster shares one code);
+    // residual codes spend the same bits on within-cell structure, so raw
+    // ADC@10 must come out strictly higher — the reason FAISS-style
+    // engines deploy the composite.
+    import graft.sim.IvfPq
+    val cells = vecs.withColumn("cell", pmod(col("vec_id"), lit(1000L))).persist()
+    var icents: org.apache.spark.sql.DataFrame = null
+    var icb: ProductQuantizer.Codebook = null
+    time("ivfpq_fit_residual_200k_m8_k16_i3") {
+      val r = IvfPq.fitResidual(cells, "vec_id", "embedding", "cell",
+        dims = 64, m = 8, k = 16, iters = 3)
+      icents = r._1; icb = r._2
+      icb.m.toLong
+    }
+    val icodes = IvfPq.encode(cells, icents, "vec_id", "embedding", "cell", icb).persist()
+    time("ivfpq_encode_200k")(icodes.count())
+    time("ivfpq_vs_flat_adc_recall_at_10") {
+      def exactTop(qLit: org.apache.spark.sql.Column, n: Int): Set[Long] =
+        vecs.select(col("vec_id"),
+          (graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * graft.functions.VectorFunctions.dot(col("embedding"), qLit)).as("_d"))
+          .orderBy(col("_d"), col("vec_id")).limit(n)
+          .collect().map(_.getLong(0)).toSet
+      var flatHits = 0L
+      var ivfHits = 0L
+      for (q <- 0 until 20) {
+        val qv = queryVec(q)
+        val exact = exactTop(array(qv.map(lit): _*), 10)
+        flatHits += ProductQuantizer.adcTopK(codes, "vec_id", cb, qv, 10)
+          .collect().map(_.getLong(0)).toSet.intersect(exact).size
+        ivfHits += IvfPq.adcTopK(icodes, icents, "vec_id", "cell", icb, qv,
+          nProbe = 4, topK = 10)
+          .collect().map(_.getLong(0)).toSet.intersect(exact).size
+      }
+      println(s"[pqscale] raw ADC recall@10 at EQUAL code bytes (m=8, k=16), " +
+        s"20 queries: flat ${flatHits}/200 = ${flatHits / 2}%, " +
+        s"IVF+PQ residual ${ivfHits}/200 = ${ivfHits / 2}%")
+      require(ivfHits > flatHits,
+        s"residual IVF+PQ recall $ivfHits must beat flat PQ $flatHits at equal bytes")
+      ivfHits
+    }
+
+    // the APPEND path: a new day's 20k vectors encode against the FROZEN
+    // persisted codebook (batch-sized work — the corpus never re-encodes)
+    // and the staleness probe separates in-distribution (~1x the fit-time
+    // quantization error) from drifted (?x) batches.
+    import graft.sim.PqIndexStore
+    val root = s"target/pqscale_store"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rfs.exists(rp)) rfs.delete(rp, true)
+    PqIndexStore.writeCodebook(spark, root, cb)
+    val fcb = PqIndexStore.readCodebook(spark, root)
+    time("pqstore_append_day0_200k") {
+      PqIndexStore.appendBatch(vecs, "vec_id", "embedding", root, fcb, "day0")._1
+    }
+    def dayBatch(offset: Long, shift: Double) =
+      spark.range(offset, offset + 20000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (centerTerm(pmod(col("id"), lit(1000L)), d) + lit(shift) +
+            (pmod(col("id") * 31L + d * 17L, lit(200L)) - 100L).cast("double") / 2000.0)
+            .cast("float")).as("embedding"))
+    time("pqstore_append_day1_20k_frozen") {
+      PqIndexStore.appendBatch(dayBatch(200000L, 0.0),
+        "vec_id", "embedding", root, fcb, "day1")._1
+    }
+    time("pqstore_append_day2_20k_drifted") {
+      PqIndexStore.appendBatch(dayBatch(220000L, 0.5),
+        "vec_id", "embedding", root, fcb, "day2-drift")._1
+    }
+    val st = PqIndexStore.staleness(spark, root)
+      .collect().map(r => r.getAs[String]("batch_id") ->
+        (r.getAs[Double]("mean_qerr"), r.getAs[Double]("drift_ratio"))).toMap
+    println(f"[pqscale] staleness: day0 qerr=${st("day0")._1}%.6f (baseline), " +
+      f"day1 ratio=${st("day1")._2}%.3f (in-distribution), " +
+      f"day2-drift ratio=${st("day2-drift")._2}%.3f (codebook drift flagged)")
+    require(st("day1")._2 < 1.5 && st("day2-drift")._2 > 3.0,
+      s"staleness probe failed: ${st.toSeq.sortBy(_._1)}")
+    require(PqIndexStore.codes(spark, root).count() == 240000L)
+    cells.unpersist(); icodes.unpersist()
   }
 
   /** Round-11 probe: ONE multi-thousand-frame MJPEG capture decoded

@@ -81,7 +81,7 @@ object Round11Queries {
        |  FROM fin_0 f0 $finJoin $codeJoin)""".stripMargin
   }
 
-  private def pqOracle(m: Int, k: Int, iters: Int, sub: Int, topK: Int): String =
+  private[queries] def pqOracle(m: Int, k: Int, iters: Int, sub: Int, topK: Int): String =
     s"""WITH ${pqScoredCtes(m, k, iters, sub)}
        |SELECT vec_id, adc AS adc_score FROM scored
        |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin

@@ -17,6 +17,102 @@ import org.apache.spark.sql.functions._
   */
 object Round12Queries {
 
+  /** One subspace's unrolled k-means for the q332 oracle — the q325
+    * pattern (`Round11Queries` pqSubCtes) retargeted at the RESIDUAL
+    * relation `res(vec_id, label, r DOUBLE[])`: subspace `s` trains on
+    * `r[off+1 .. off+sub]`, init = the k lowest-id residual slices,
+    * assignment = the same `c·c − 2·x·c` index-order folds, update =
+    * exact per-dim means.
+    */
+  private def ivfPqSubCtes(s: Int, k: Int, iters: Int, off: Int, sub: Int): String = {
+    def dist(c: String): String =
+      s"(list_aggregate(list_transform(generate_series(1, $sub), i -> $c[i]*$c[i]), 'sum')" +
+        s" - 2 * list_aggregate(list_transform(generate_series(1, $sub)," +
+        s" i -> e.r[$off + i] * $c[i]), 'sum'))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("c.c")}, c.cid) AS rn
+         |    FROM res e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""cents0_$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |         list_transform(generate_series(1, $sub), i -> r[$off + i]) AS c
+         |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${assignCte(s"assign${t}_$s", s"cents${t - 1}_$s")},
+         |means${t}_$s AS (
+         |  SELECT a.cid, i, avg(e.r[$off + i]) AS m
+         |  FROM assign${t}_$s a JOIN res e USING (vec_id),
+         |       unnest(generate_series(1, $sub)) AS u(i)
+         |  GROUP BY a.cid, i),
+         |cents${t}_$s AS (
+         |  SELECT p.cid, coalesce(m.c, p.c) AS c
+         |  FROM cents${t - 1}_$s p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY i) AS c FROM means${t}_$s GROUP BY cid) m
+         |    ON p.cid = m.cid)""".stripMargin
+    }
+    (Seq(init) ++ rounds ++ Seq(assignCte(s"fin_$s", s"cents${iters}_$s")))
+      .mkString(",\n")
+  }
+
+  /** The q332 oracle: q36's exact per-cell centroids → residuals →
+    * q325's subspace algebra on them → probe the top-nProbe cells by
+    * `c·c − 2·q·c` → per-cell relocated LUTs (entry = ĉ·ĉ − 2·(q−c)·ĉ)
+    * plus the per-cell constant ‖q − c‖² → ADC rank.
+    */
+  private def ivfPqOracle(m: Int, k: Int, iters: Int, sub: Int,
+      nProbe: Int, topK: Int): String = {
+    val dims = m * sub
+    val subs = (0 until m).map(s => ivfPqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val off = s * sub
+      s"""lut_$s AS (
+         |  SELECT p.label, cb.cid,
+         |    list_aggregate(list_transform(generate_series(1, $sub),
+         |      i -> cb.c[i]*cb.c[i]), 'sum')
+         |    - 2 * list_aggregate(list_transform(generate_series(1, $sub),
+         |      i -> (q.pe[$off + i]::DOUBLE - p.c[$off + i]) * cb.c[i]), 'sum') AS d
+         |  FROM cents${iters}_$s cb CROSS JOIN probe p CROSS JOIN q)""".stripMargin
+    }.mkString(",\n")
+    val finJoins = (0 until m)
+      .map(s => s"JOIN fin_$s f$s ON f$s.vec_id = r.vec_id").mkString(" ")
+    val lutJoins = (0 until m)
+      .map(s => s"JOIN lut_$s l$s ON l$s.label = r.label AND l$s.cid = f$s.cid")
+      .mkString(" ")
+    val dsum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH cm AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+       |    FROM embeddings, unnest(generate_series(1, $dims)) AS u(i) GROUP BY label, i),
+       |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |res AS (SELECT e.vec_id, e.label,
+       |    list_transform(generate_series(1, $dims),
+       |      i -> e.embedding[i]::DOUBLE - ct.c[i]) AS r
+       |  FROM embeddings e JOIN cent ct USING (label)),
+       |q AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT label, c FROM (
+       |    SELECT ct.label, ct.c,
+       |      list_aggregate(list_transform(generate_series(1, $dims),
+       |        i -> ct.c[i]*ct.c[i]), 'sum')
+       |      - 2 * list_aggregate(list_transform(generate_series(1, $dims),
+       |        i -> q.pe[i]::DOUBLE * ct.c[i]), 'sum') AS d
+       |    FROM cent ct CROSS JOIN q)
+       |  ORDER BY d, label LIMIT $nProbe),
+       |$subs,
+       |$luts,
+       |cellconst AS (SELECT p.label,
+       |    list_aggregate(list_transform(generate_series(1, $dims),
+       |      i -> (q.pe[i]::DOUBLE - p.c[i]) * (q.pe[i]::DOUBLE - p.c[i])), 'sum') AS qrq
+       |  FROM probe p CROSS JOIN q),
+       |scored AS (SELECT r.vec_id, round(cc.qrq + $dsum, 6) AS adc_score
+       |  FROM res r JOIN probe p ON r.label = p.label
+       |    JOIN cellconst cc ON cc.label = r.label
+       |    $finJoins $lutJoins)
+       |SELECT vec_id, adc_score FROM scored
+       |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // RGBA PNG (color type 6), INTERLACED — alpha through the Adam7 pass
@@ -171,5 +267,65 @@ object Round12Queries {
       Multimodal.extractFlacFeatures(media)
         .withColumn("rms", round(col("rms"), 6))
         .orderBy("media_id")
+    },
+
+    // IVF+PQ COMPOSITE INDEX (sim.IvfPq) — the production billion-vector
+    // shape: coarse cells (the label column, exact mean centroids) + ONE
+    // shared PQ codebook set fit on cell RESIDUALS, query relocated per
+    // probed cell (LUTs from q − c plus the per-cell ‖q − c‖² constant,
+    // which cannot be dropped across cells). nProbe=2 of the cells, so
+    // the cross-cell constant actually decides rankings. The oracle
+    // re-derives centroids (q36's CTEs), residuals, all four residual
+    // sub-quantizers (q325's algebra on `res`), the probe cut, the
+    // relocated LUTs, and the final ADC rank.
+    Q(
+      "q332_ann_ivfpq",
+      ivfPqOracle(m = 4, k = 4, iters = 2, sub = 16, nProbe = 2, topK = 10)) {
+      (s, dir) =>
+        import graft.sim.IvfPq
+        val emb = Tables.load(s, dir, "embeddings").persist()
+        val (cents, cb) = IvfPq.fitResidual(
+          emb, "vec_id", "embedding", "label", dims = 64, m = 4, k = 4, iters = 2)
+        val codes = IvfPq.encode(emb, cents, "vec_id", "embedding", "label", cb)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+        val out = IvfPq.adcTopK(codes, cents, "vec_id", "label", cb, probe,
+          nProbe = 2, topK = 10)
+        cents.unpersist()
+        out
+    },
+
+    // INCREMENTAL PQ INDEX MAINTENANCE (sim.PqIndexStore): embeddings
+    // arrive in batches, so the code table grows by encode-append against
+    // a FROZEN persisted codebook — two parity batches land in their own
+    // per-batch subdirs (with the drift-stat row riding each encode scan),
+    // the codebook reloads from parquet, and the ADC query over the
+    // store's recursive code table must equal the whole-corpus q325
+    // answer — which is exactly what the q325 oracle replays. The state
+    // dir is recreated per run; re-running on leftovers is idempotent
+    // (per-batch Overwrite).
+    Q(
+      "q333_ann_pq_incremental",
+      Round11Queries.pqOracle(m = 4, k = 4, iters = 2, sub = 16, topK = 10)) {
+      (s, dir) =>
+        import graft.sim.{ProductQuantizer, PqIndexStore}
+        val emb = Tables.load(s, dir, "embeddings").persist()
+        val cb = ProductQuantizer.fit(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        val root = s"target/q333_pqstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        PqIndexStore.writeCodebook(s, root, cb)
+        PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", root, cb, "b0")
+        PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", root, PqIndexStore.readCodebook(s, root), "b1")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+        emb.unpersist()
+        ProductQuantizer.adcTopK(
+          PqIndexStore.codes(s, root), "vec_id",
+          PqIndexStore.readCodebook(s, root), probe, topK = 10)
     })
 }

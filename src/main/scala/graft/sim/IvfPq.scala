@@ -1,0 +1,154 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** IVF+PQ composite index (Jégou/Douze/Schmid, PAMI 2011 §IV) — the shape
+  * FAISS-style engines actually deploy for billion-vector ANN: a COARSE
+  * quantizer partitions the corpus into cells (here any existing cell
+  * column — a k-means assignment, a label, a partition key), and ONE
+  * shared set of PQ codebooks is trained on the cell RESIDUALS
+  * x − centroid(cell). Residuals concentrate near zero regardless of
+  * where the cell sits, so the same code budget spends its precision on
+  * local structure — recall at equal code bytes dominates flat PQ
+  * whenever the corpus is clustered (the pqscale probe measures it).
+  *
+  * Query: rank cells by centroid distance, probe the top `nProbe`, and
+  * inside each probed cell run ADC with the query RELOCATED to that cell
+  * (q − centroid) — per-cell LUTs plus the per-cell constant
+  * ‖q − c‖² (which cannot be dropped here: it differs across probed
+  * cells, unlike flat ADC's global q·q).
+  *
+  * Scale shape: centroids and codebooks are metadata (cells·D + k·D
+  * doubles); the code table is the only corpus-sized artifact (m small
+  * ints + a cell id per row). A query prunes to nProbe cells (partition
+  * pruning when the code table is written partitioned by cell), scans
+  * their codes with literal-array LUTs riding in codegen, and
+  * TakeOrdereds — no join, no shuffle, no raw-vector reads.
+  *
+  * Determinism: centroids are exact per-dim means ([[Similarity.centroidsOf]]),
+  * codebooks inherit [[KMeans]]'s no-RNG recipe on the residual frame, so
+  * the q36 cell CTEs + q325 subspace CTEs (on residuals) replay
+  * everything.
+  */
+object IvfPq {
+
+  /** Cell residuals: (idCol, cellCol, `_res` array<double>) with
+    * `_res` = x − centroid(cell). Centroid frame is cell-count-sized and
+    * broadcasts into the scan.
+    */
+  def residuals(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String): DataFrame =
+    df.join(broadcast(centroids), Seq(cellCol))
+      .select(col(idCol), col(cellCol),
+        zip_with(col(vecCol), col("centroid"),
+          (a, b) => a.cast(DoubleType) - b).as("_res"))
+
+  /** Train the composite: exact per-cell centroids plus ONE shared PQ
+    * codebook set fit on the residuals (deterministic per-subspace Lloyd,
+    * init = the k lowest-id residual slices — the [[ProductQuantizer.fit]]
+    * recipe on the residual frame). Returns (centroids, codebook).
+    */
+  def fitResidual(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      dims: Int,
+      m: Int,
+      k: Int,
+      iters: Int): (DataFrame, ProductQuantizer.Codebook) = {
+    val cents = Similarity.centroidsOf(df, vecCol, cellCol).persist()
+    cents.count() // materialize once: residuals are scanned m·iters times
+    val res = residuals(df, cents, idCol, vecCol, cellCol)
+    val cb = ProductQuantizer.fit(res, idCol, "_res", dims, m, k, iters)
+    (cents, cb)
+  }
+
+  /** The code table: (idCol, cellCol, code array<int>) — each vector's
+    * cell plus its m residual-codebook indices. Write it partitioned by
+    * the cell column and a probe prunes storage, not just compute.
+    */
+  def encode(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      cb: ProductQuantizer.Codebook): DataFrame = {
+    val res = residuals(df, centroids, idCol, vecCol, cellCol)
+    val codes = (0 until cb.m).map(s =>
+      KMeans.assignExpr(slice(col("_res"), s * cb.subDims + 1, cb.subDims),
+        cb.centroids(s)))
+    res.select(col(idCol), col(cellCol), array(codes: _*).as("code"))
+  }
+
+  /** IVF+PQ ADC top-k: rank cells by ‖q − c‖² (the same c·c − 2·q·c fold,
+    * ties by cell), probe the best `nProbe`, and score each probed cell's
+    * codes as ‖q − c‖² + Σₛ lutₛ[codeₛ] with per-cell LUTs built from the
+    * relocated query q − c (lut entry = ĉ·ĉ − 2·(q−c)·ĉ) — i.e. exactly
+    * ‖(q − c) − r̂‖², the ADC estimate of ‖q − x‖². Centroids collect
+    * driver-side (cell-count-sized, the sanctioned bounded inventory);
+    * LUTs and constants ride as codegen literals, so the whole query is
+    * one pruned scan + TakeOrdered. Returns (idCol, adc_score) rounded
+    * to 6 dp, ties by id.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      cellCol: String,
+      cb: ProductQuantizer.Codebook,
+      query: Array[Double],
+      nProbe: Int,
+      topK: Int): DataFrame = {
+    require(query.length == cb.m * cb.subDims,
+      s"query has ${query.length} dims, codebook expects ${cb.m * cb.subDims}")
+    require(nProbe > 0 && topK > 0, s"nProbe=$nProbe and topK=$topK must be positive")
+    val cellIdx = centroids.schema.fieldIndex(cellCol)
+    val cents = centroids.collect().map { r =>
+      (r.get(cellIdx), r.getSeq[Double](centroids.schema.fieldIndex("centroid")).toArray)
+    }
+    // rank cells by c·c − 2·q·c (the ‖q−c‖² ranking; q·q drops out HERE
+    // because cell ranking is a single ordered set), ties by cell id
+    val probed = cents.map { case (cell, c) =>
+      var cc = 0.0; var qc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); qc += query(i) * c(i); i += 1 }
+      (cell, c, cc - 2.0 * qc)
+    }.sortBy { case (cell, _, d) => (d, String.valueOf(cell)) }.take(nProbe)
+
+    // per probed cell: the relocated query, its constant, and m LUTs
+    def scoreFor(c: Array[Double]): Column = {
+      val qr = Array.tabulate(query.length)(i => query(i) - c(i))
+      var qrq = 0.0
+      var i = 0
+      while (i < qr.length) { qrq += qr(i) * qr(i); i += 1 }
+      val luts = Array.tabulate(cb.m) { s =>
+        cb.centroids(s).map { cent =>
+          var cc = 0.0; var qc = 0.0; var j = 0
+          while (j < cent.length) {
+            cc += cent(j) * cent(j); qc += qr(s * cb.subDims + j) * cent(j); j += 1
+          }
+          cc - 2.0 * qc
+        }
+      }
+      (0 until cb.m).map { s =>
+        element_at(array(luts(s).map(lit).toSeq: _*), col("code").getItem(s) + 1)
+      }.reduce(_ + _) + lit(qrq)
+    }
+    val score = probed.tail.foldLeft(
+      when(col(cellCol) === lit(probed.head._1), scoreFor(probed.head._2))) {
+      case (acc, (cell, c, _)) => acc.when(col(cellCol) === lit(cell), scoreFor(c))
+    }
+    codes
+      .filter(col(cellCol).isin(probed.map(_._1): _*)) // cell pruning
+      .select(col(idCol), round(score, 6).as("adc_score"))
+      .orderBy(col("adc_score"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, incrementally-maintained PQ index — embeddings arrive in
+  * daily batches like documents do, so the code table must grow by
+  * ENCODE-APPEND against a FROZEN codebook instead of re-encoding the
+  * corpus: encoding is a pure function of (vector, codebook), so
+  * incremental codes are bit-identical to a whole-corpus encode by
+  * construction (q333 pins it end-to-end through the ADC query).
+  *
+  * Layout under `root` (plain parquet, object-store friendly):
+  *  - `codebook/` — the frozen quantizer, one row per (subspace, cid)
+  *    with its centroid (metadata-sized: m·k·subDims doubles);
+  *  - `codes/<batchId>/` — one subdirectory PER BATCH (the catalog's
+  *    per-commit-subdir discipline: Spark's committer stages every job
+  *    writing to a path under that path's shared `_temporary`, so
+  *    distinct dirs are the multi-writer-safe append). Re-appending a
+  *    batchId OVERWRITES its own subdir — replay-idempotent.
+  *  - `stats/<batchId>/` — one row per batch: vector count and mean
+  *    QUANTIZATION ERROR mean‖x − x̂‖² (x̂ = the code's reconstruction),
+  *    the codebook-drift probe: a frozen codebook fits the distribution
+  *    it was trained on, so a batch whose mean error runs well above the
+  *    fit-time batches signals the corpus moved and the codebook needs
+  *    refitting ([[staleness]] surfaces the ratio).
+  *
+  * Scale shape: appends touch only the new batch (codes are m small ints
+  * per vector); the error stat rides the same scan as the encode (one
+  * zip_with/aggregate per subspace, no shuffle); queries read the code
+  * table recursively and stay one-scan ADC ([[ProductQuantizer.adcTopK]]).
+  * Single-maintenance contract like the dedup store: one writer owns a
+  * batchId at a time.
+  */
+object PqIndexStore {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def existsAny(spark: SparkSession, d: String): Boolean = {
+    val f = fs(spark, d)
+    val p = new Path(d)
+    f.exists(p) && f.listStatus(p).nonEmpty
+  }
+
+  /** Persist the frozen codebook (one row per subspace × centroid). */
+  def writeCodebook(
+      spark: SparkSession, root: String, cb: ProductQuantizer.Codebook): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m
+      j <- 0 until cb.k
+    } yield (s, j, cb.centroids(s)(j).toSeq)
+    rows.toDF("s", "cid", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/codebook")
+  }
+
+  /** Reload the frozen codebook (doubles round-trip parquet exactly). */
+  def readCodebook(spark: SparkSession, root: String): ProductQuantizer.Codebook = {
+    val rows = spark.read.parquet(s"$root/codebook").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(cents.forall(_.forall(_ != null)), "corrupt codebook: missing (s, cid) rows")
+    ProductQuantizer.Codebook(cents(0)(0).length, cents)
+  }
+
+  /** Encode one batch against the frozen codebook and append its codes
+    * (own subdirectory) plus its drift-stat row. Returns (vectors
+    * encoded, the batch's mean quantization error).
+    */
+  def appendBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      cb: ProductQuantizer.Codebook,
+      batchId: String): (Long, Double) = {
+    require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
+    val spark = batch.sparkSession
+    // per-subspace reconstruction = centroid literal-array lookup by the
+    // assignment expression; the error stat rides the encode scan
+    val errTerms = (0 until cb.m).map { s =>
+      val sl = slice(col(vecCol), s * cb.subDims + 1, cb.subDims)
+      val recon = element_at(
+        array(cb.centroids(s).map(c => array(c.map(lit).toSeq: _*)).toSeq: _*),
+        KMeans.assignExpr(sl, cb.centroids(s)) + 1)
+      aggregate(
+        zip_with(sl, recon, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val encoded = ProductQuantizer.encode(batch, idCol, vecCol, cb)
+      .join(batch.select(col(idCol), errTerms.reduce(_ + _).as("_qerr")), Seq(idCol))
+      .persist()
+    encoded.select(col(idCol), col("code"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$batchId")
+    val st = encoded.agg(
+      count(lit(1)).as("n"), coalesce(avg(col("_qerr")), lit(0.0)).as("e")).head()
+    val (n, meanErr) = (st.getLong(0), st.getDouble(1))
+    import spark.implicits._
+    Seq((batchId, n, meanErr))
+      .toDF("batch_id", "n_vectors", "mean_qerr")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/$batchId")
+    encoded.unpersist()
+    (n, meanErr)
+  }
+
+  /** The full code table across every appended batch — drop-in input for
+    * [[ProductQuantizer.adcTopK]]/[[ProductQuantizer.adcRerankTopK]].
+    */
+  def codes(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$root/codes")
+
+  /** Per-batch drift stats with `drift_ratio` = mean_qerr / the EARLIEST
+    * batch's mean_qerr (the fit-time baseline — the codebook was trained
+    * on that distribution). A ratio well above 1 on new batches means the
+    * corpus moved under the frozen codebook: time to refit and re-encode.
+    */
+  def staleness(spark: SparkSession, root: String): DataFrame = {
+    if (!existsAny(spark, s"$root/stats"))
+      return spark.emptyDataFrame
+    val st = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/stats")
+    val base = st.orderBy("batch_id").select("mean_qerr").head().getDouble(0)
+    st.withColumn("drift_ratio",
+      when(lit(base) > 0.0, round(col("mean_qerr") / lit(base), 6)).otherwise(lit(null)))
+      .orderBy("batch_id")
+  }
+}

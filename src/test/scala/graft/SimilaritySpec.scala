@@ -299,4 +299,105 @@ class SimilaritySpec extends SparkSpec {
         ProductQuantizer.encode(df, "vec_id", "embedding", cb), df,
         "vec_id", "embedding", cb, query, candidates = 2, topK = 4))
   }
+
+  // clustered corpus where residual-PQ is EXACT: 3 cells at offsets
+  // 0/+10/−10, each with the same four symmetric residual combos, so the
+  // cell mean IS the base and k=2 residual codebooks converge to the
+  // residual patterns themselves — ADC == true ‖q−x‖² on probed cells
+  private def ivfPqFixture = {
+    val bases = Seq(0.0f, 10.0f, -10.0f)
+    val combosA = Seq(Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f))
+    val combosB = Seq(Seq(3.0f, 0.0f), Seq(-3.0f, 0.0f))
+    val rows = for {
+      (b, cell) <- bases.zipWithIndex
+      j <- 0 until 4
+    } yield {
+      // j = 0..3 → (A0,B0), (A1,B1), (A0,B1), (A1,B0): all four combos,
+      // symmetric, so each cell's mean is exactly its base
+      val a = combosA(j % 2)
+      val bb = combosB(if (j < 2) j else 3 - j)
+      ((cell * 4 + j).toLong, (a ++ bb).map(_ + b), cell)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("IvfPq: residual codebooks exact on symmetric cells; probe prunes; cross-cell constant ranks truly") {
+    import graft.sim.IvfPq
+    val df = ivfPqFixture
+    val (cents, cb) = IvfPq.fitResidual(
+      df, "vec_id", "embedding", "label", dims = 4, m = 2, k = 2, iters = 2)
+    assert(cents.count() == 3 && cb.m == 2 && cb.k == 2)
+    val codes = IvfPq.encode(df, cents, "vec_id", "embedding", "label", cb)
+    // query = cell 1's first member: probes cells {1, 0}, never cell 2
+    val query = Array(11.0, 12.0, 13.0, 10.0)
+    val got = IvfPq.adcTopK(codes, cents, "vec_id", "label", cb, query,
+      nProbe = 2, topK = 12).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 8, s"cell pruning leaked: ${got.length} rows")
+    assert(got.forall(_._1 < 8L), "cell 2 must never be scanned")
+    // exact residual PQ: ranking == true squared distance on probed cells
+    val data = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val brute = data.filter(_._1 < 8L).toSeq.map { case (id, v) =>
+      (id, v.zip(query).map { case (x, q) => (x - q) * (x - q) }.sum)
+    }.sortBy { case (id, d) => (d, id) }
+    assert(got.map(_._1).toSeq == brute.map(_._1),
+      s"got ${got.toSeq} vs brute $brute")
+    // and the ADC VALUES equal the true distances (exact reconstruction)
+    got.zip(brute).foreach { case ((_, adc), (_, d)) =>
+      assert(math.abs(adc - d) < 1e-9, s"adc $adc != true $d")
+    }
+    // the cross-cell constant is live: the best cell-0 member must rank
+    // behind every cell-1 member here (cell 0 is 10 away per dim)
+    assert(got.take(4).forall(t => t._1 >= 4L && t._1 < 8L))
+    // nProbe=1 scans only cell 1
+    val one = IvfPq.adcTopK(codes, cents, "vec_id", "label", cb, query,
+      nProbe = 1, topK = 12).collect().map(_.getLong(0)).toSet
+    assert(one == Set(4L, 5L, 6L, 7L))
+  }
+
+  test("PqIndexStore: append == whole-corpus encode; codebook round-trips; staleness flags drift") {
+    import graft.sim.{ProductQuantizer, PqIndexStore}
+    val subA = Seq(Array(1.0f, 2.0f), Array(5.0f, 6.0f))
+    val subB = Seq(Array(0.0f, 1.0f), Array(9.0f, 4.0f))
+    val rows = (0 until 8).map { i =>
+      (i.toLong, (subA(i % 2) ++ subB((i / 2) % 2)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = ProductQuantizer.fit(df, "vec_id", "embedding", dims = 4, m = 2, k = 2, iters = 2)
+    val root = tmpDir("pqstore")
+    PqIndexStore.writeCodebook(spark, root, cb)
+    val cb2 = PqIndexStore.readCodebook(spark, root)
+    assert(cb2.subDims == cb.subDims &&
+      cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+        cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    // two parity batches against the frozen (reloaded) codebook
+    val (n0, e0) = PqIndexStore.appendBatch(
+      df.filter($"vec_id" % 2 === 0), "vec_id", "embedding", root, cb2, "b0")
+    val (n1, e1) = PqIndexStore.appendBatch(
+      df.filter($"vec_id" % 2 === 1), "vec_id", "embedding", root, cb2, "b1")
+    assert(n0 == 4 && n1 == 4)
+    assert(e0 < 1e-12 && e1 < 1e-12, "exact codebooks: zero quantization error")
+    val stored = PqIndexStore.codes(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val direct = ProductQuantizer.encode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == direct, "incremental codes must equal the whole-corpus encode")
+    // replaying a batchId overwrites its own subdir — no duplication
+    PqIndexStore.appendBatch(
+      df.filter($"vec_id" % 2 === 1), "vec_id", "embedding", root, cb2, "b1")
+    assert(PqIndexStore.codes(spark, root).count() == 8)
+    // a DRIFTED batch (far from every codebook point) flags in staleness
+    val drifted = rows.map { case (id, v) => (id + 100L, v.map(_ + 50.0f)) }
+      .toDF("vec_id", "embedding")
+    val (_, eDrift) = PqIndexStore.appendBatch(
+      drifted, "vec_id", "embedding", root, cb2, "b2-drift")
+    assert(eDrift > 1000.0, s"drifted batch error $eDrift should be large")
+    val st = PqIndexStore.staleness(spark, root)
+      .collect().map(r => r.getAs[String]("batch_id") -> r).toMap
+    assert(st.size == 3)
+    // fit-time batches sit at ~zero error; baseline guard: ratio is null
+    // when the base error is 0 (exact fixture), drift shows in mean_qerr
+    assert(st("b2-drift").getAs[Double]("mean_qerr") > 1000.0)
+    assert(st("b0").getAs[Double]("mean_qerr") < 1e-12)
+  }
 }
