@@ -1014,6 +1014,35 @@ object Stress {
       require(m == 0, s"incremental reps diverged from full recluster: $m rows")
       m
     }
+
+    // the AUTO-COMPACT cadence live (round 12): a fresh state driven only
+    // through ingestBatch(autoCompactEvery = 5) — nothing external ever
+    // calls compact(), yet the delta tail stays bounded at 5 generations
+    // and the state remains the batch answer
+    val root2 = "target/dedupscale_auto"
+    val root2Path = new org.apache.hadoop.fs.Path(root2)
+    root2Path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root2Path, true)
+    val auto = IncrementalDedup.State(root2)
+    time("auto_compact_14_daily_ingests_cadence5") {
+      var pairs = 0L
+      for (day <- 0 to 13)
+        pairs += IncrementalDedup.ingestBatch(
+          auto, dayDocs(Seq(day)), "id", "text", autoCompactEvery = 5).newPairs
+      pairs
+    }
+    val gens = new java.io.File(s"$root2/doc_ids").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    println(s"[dedupscale] auto-compact cadence 5 after 14 days: " +
+      s"${gens.length} live generations (${gens.count(_.contains("snap"))} snapshot + " +
+      s"${gens.count(!_.contains("snap"))} deltas): ${gens.mkString(",")}")
+    require(gens.count(_.contains("snap")) == 1 && gens.length <= 6,
+      s"auto-compact did not bound the delta tail: ${gens.mkString(",")}")
+    time("auto_compact_audit") {
+      val m = IncrementalDedup.audit(spark, auto)
+      require(m == 0, s"auto-compacted state diverged: $m rows")
+      m
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -53,11 +53,16 @@ import org.apache.spark.sql.functions._
   * Markers are single files created complete-then-closed; on a store
   * without atomic create-visibility, write to a temp name and rename.
   *
-  * Single-writer contract like the catalog (one daily ingest job owns the
-  * state — ingest, [[audit]] and [[compact]] must not run concurrently
-  * with ingest). [[compact]] is the maintenance op: it folds the
-  * accumulated daily deltas into one snapshot generation (the q222
-  * small-files answer for this store) and vacuums superseded partitions.
+  * Single-WRITER contract like the catalog (one daily ingest job owns
+  * the state). [[audit]] is a READER and safe to run concurrently with
+  * ingest: it pins the commit-marker map once at entry, so it sees one
+  * consistent generation throughout (a batch committing mid-audit is
+  * wholly invisible). [[compact]]/[[vacuum]] remain exclusive — vacuum
+  * deletes partitions a concurrent reader may still hold. [[compact]] is
+  * the maintenance op: it folds the accumulated daily deltas into one
+  * snapshot generation (the q222 small-files answer for this store) and
+  * vacuums superseded partitions; `autoCompactEvery` on [[ingestBatch]]/
+  * `runDedupStream` wires it into the ingest cadence.
   */
 object IncrementalDedup {
 
@@ -155,12 +160,17 @@ object IncrementalDedup {
   }
 
   /** The committed view of one state table: rows whose (batch, attempt)
-    * matches a live marker. The filter is a broadcast join against an
-    * O(#batches) in-memory frame; partition pruning on `batch` makes
-    * superseded generations free even before vacuum.
+    * matches a live marker IN THE CALLER-PINNED commit map. The filter is
+    * a broadcast join against an O(#batches) in-memory frame; partition
+    * pruning on `batch` makes superseded generations free even before
+    * vacuum. Pinning the map once per OPERATION (not per table read) is
+    * what lets [[audit]] run concurrently with ingest: every table it
+    * touches reflects the same marker generation — a batch committing
+    * mid-audit is invisible to the whole audit, never half-visible.
     */
   private def visible(
-      spark: SparkSession, state: State, dir: String, schema: String): DataFrame = {
+      spark: SparkSession, state: State, dir: String, schema: String,
+      com: Map[String, Commit]): DataFrame = {
     val cols = schema.split(",").map(_.trim.split(" ")(0))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -169,7 +179,7 @@ object IncrementalDedup {
     val raw =
       try spark.read.parquet(dir)
       catch { case _: AnalysisException => return empty } // dir exists, no data
-    val live = liveBatches(committed(spark, state)).toSeq
+    val live = liveBatches(com).toSeq
       .map { case (b, c) => (b, c.attempt) }
     import spark.implicits._
     raw.join(broadcast(live.toDF("batch", "attempt")), Seq("batch", "attempt"))
@@ -180,21 +190,23 @@ object IncrementalDedup {
     * delta log resolved by `min(rep)` — correct because reps only ever
     * decrease (components only merge; see the object doc).
     */
-  private def resolvedReps(spark: SparkSession, state: State): DataFrame =
-    visible(spark, state, state.repsDir, "id BIGINT, rep BIGINT")
+  private def resolvedReps(
+      spark: SparkSession, state: State, com: Map[String, Commit]): DataFrame =
+    visible(spark, state, state.repsDir, "id BIGINT, rep BIGINT", com)
       .groupBy("id").agg(min("rep").as("rep"))
 
   private def reportFromState(
-      spark: SparkSession, state: State, batchId: String): BatchReport = {
-    val docs = visible(spark, state, state.docsDir, "id BIGINT, batch STRING")
+      spark: SparkSession, state: State, batchId: String,
+      com: Map[String, Commit]): BatchReport = {
+    val docs = visible(spark, state, state.docsDir, "id BIGINT, batch STRING", com)
     val pairs = visible(spark, state, state.pairsDir,
-      "id_a BIGINT, id_b BIGINT, batch STRING")
+      "id_a BIGINT, id_b BIGINT, batch STRING", com)
     BatchReport(
       batchDocs = docs.filter(col("batch") === batchId).count(),
       newPairs = pairs.filter(col("batch") === batchId).count(),
       totalDocs = docs.count(),
       totalPairs = pairs.count(),
-      canonicalDocs = docs.count() - resolvedReps(spark, state).count())
+      canonicalDocs = docs.count() - resolvedReps(spark, state, com).count())
   }
 
   /** Ingest one day's batch of (id, text) documents: probe, append, fold
@@ -204,6 +216,10 @@ object IncrementalDedup {
     * surrogate ids from the watermark, P3). `batchId` names the batch for
     * idempotent re-ingest (crash recovery re-runs the same id safely);
     * default is `b<seq>` under the single-writer contract.
+    * `autoCompactEvery` > 0 wires the small-files maintenance into the
+    * ingest cadence itself: once the live DELTA count since the last
+    * snapshot reaches it, [[compact]] runs right after the commit — the
+    * year-horizon flatness no longer depends on an operator remembering.
     */
   def ingestBatch(
       state: State,
@@ -213,7 +229,8 @@ object IncrementalDedup {
       shingleSize: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4,
-      batchId: String = null): BatchReport = {
+      batchId: String = null,
+      autoCompactEvery: Int = 0): BatchReport = {
     val spark = batch.sparkSession
     val com = committed(spark, state)
     val seq = nextSeq(com)
@@ -224,7 +241,7 @@ object IncrementalDedup {
     // re-runs land here. A folded batch's rows now live under the
     // snapshot partition, so its batch-local counts report 0 — totals
     // stay exact, which is what a replay caller acts on.
-    if (knownBatchIds(com).contains(bid)) return reportFromState(spark, state, bid)
+    if (knownBatchIds(com).contains(bid)) return reportFromState(spark, state, bid, com)
     val attempt = java.util.UUID.randomUUID().toString
     def tag(df: DataFrame): DataFrame =
       df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
@@ -243,7 +260,7 @@ object IncrementalDedup {
     // 2. probe stored index ∪ own rows: new×old plus new×new pairs —
     // exactly the pairs the batch recompute would add (q129 invariant)
     val storedBanded = visible(spark, state, state.indexDir,
-      "id BIGINT, band INT, bucket STRING")
+      "id BIGINT, band INT, bucket STRING", com)
     val newPairs = MinHashLsh
       .candidatePairsAgainst(newBanded, storedBanded.unionByName(newBanded), "id")
       .persist()
@@ -253,7 +270,7 @@ object IncrementalDedup {
     // per touched component (or fresh batch id), one edge per new pair —
     // the graph DupClusters sees is batch-sized regardless of corpus age
     val repDelta: DataFrame = if (nNewPairs == 0) null else {
-      val reps = resolvedReps(spark, state).persist()
+      val reps = resolvedReps(spark, state, com).persist()
       val endpoints = newPairs.select(col("id_a").as("id"))
         .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
       val epReps = endpoints.join(reps, Seq("id"), "left")
@@ -328,14 +345,24 @@ object IncrementalDedup {
     newBanded.unpersist()
     newPairs.unpersist()
     writeMarker(spark, state, bid, Commit(attempt, seq, snapshot = false))
+    // this batch is committed now: extend the pinned map locally instead
+    // of re-listing the marker dir
+    val com2 = com + (bid -> Commit(attempt, seq, snapshot = false))
 
     // report from the committed state; batch-local numbers are already in
     // hand, so this is three counts, not the five-scan idempotent path
-    val totalDocs = visible(spark, state, state.docsDir, "id BIGINT").count()
+    val totalDocs = visible(spark, state, state.docsDir, "id BIGINT", com2).count()
     val totalPairs = visible(spark, state, state.pairsDir,
-      "id_a BIGINT, id_b BIGINT").count()
-    BatchReport(batchDocs, nNewPairs, totalDocs, totalPairs,
-      canonicalDocs = totalDocs - resolvedReps(spark, state).count())
+      "id_a BIGINT, id_b BIGINT", com2).count()
+    val report = BatchReport(batchDocs, nNewPairs, totalDocs, totalPairs,
+      canonicalDocs = totalDocs - resolvedReps(spark, state, com2).count())
+    // generation-count compaction trigger: fold once the delta tail since
+    // the last snapshot reaches the cadence (state is bit-identical by
+    // compact()'s contract; the report above is already computed)
+    if (autoCompactEvery > 0 &&
+        liveBatches(com2).values.count(!_.snapshot) >= autoCompactEvery)
+      compact(spark, state)
+    report
   }
 
   /** The current canonical id set: every ingested id minus stored losers.
@@ -343,20 +370,30 @@ object IncrementalDedup {
     * which is the point of maintaining reps incrementally.
     */
   def canonicalIds(spark: SparkSession, state: State): DataFrame = {
-    val docs = visible(spark, state, state.docsDir, "id BIGINT")
-    val losers = resolvedReps(spark, state).select("id")
+    val com = committed(spark, state)
+    val docs = visible(spark, state, state.docsDir, "id BIGINT", com)
+    val losers = resolvedReps(spark, state, com).select("id")
     docs.join(losers, Seq("id"), "left_anti")
   }
 
-  /** The decoupled consistency audit (run daily/weekly, NOT per batch):
-    * full [[DupClusters.components]] recluster over every stored pair,
+  /** The decoupled consistency audit (run daily/weekly): full
+    * [[DupClusters.components]] recluster over every stored pair,
     * compared against the incrementally-maintained rep state. Returns the
     * number of mismatched (id, rep) rows — 0 means the incremental fold
     * is exactly the batch answer.
+    *
+    * SAFE CONCURRENT WITH INGEST: the commit-marker map is pinned ONCE at
+    * entry, so the audit sees the consistent generation at that instant —
+    * pairs and reps from the same marker set, a batch committing mid-audit
+    * invisible to both sides (a committed batch's pairs and rep deltas
+    * land atomically at its single marker). Only [[compact]]/[[vacuum]]
+    * must still not run concurrently: vacuum DELETES superseded
+    * partitions a pinned audit may still be reading.
     */
   def audit(spark: SparkSession, state: State): Long = {
-    val pairs = visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT")
-    val inc = resolvedReps(spark, state)
+    val com = committed(spark, state) // pinned: one consistent generation
+    val pairs = visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT", com)
+    val inc = resolvedReps(spark, state, com)
     if (pairs.isEmpty) return inc.count()
     val full = DupClusters.components(pairs, "id_a", "id_b")
       .filter(col("node") =!= col("component"))
@@ -381,12 +418,12 @@ object IncrementalDedup {
         df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
           .repartition(outputFiles)
           .write.mode(SaveMode.Append).partitionBy("batch").parquet(dir)
-    write(visible(spark, state, state.indexDir, "id BIGINT, band INT, bucket STRING"),
+    write(visible(spark, state, state.indexDir, "id BIGINT, band INT, bucket STRING", com),
       state.indexDir)
-    write(visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT"),
+    write(visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT", com),
       state.pairsDir)
-    write(visible(spark, state, state.docsDir, "id BIGINT"), state.docsDir)
-    write(resolvedReps(spark, state), state.repsDir)
+    write(visible(spark, state, state.docsDir, "id BIGINT", com), state.docsDir)
+    write(resolvedReps(spark, state, com), state.repsDir)
     // the snapshot marker carries every batchId it supersedes (plus what
     // earlier snapshots had folded) so vacuum deleting those markers never
     // re-opens an already-ingested batchId to replay

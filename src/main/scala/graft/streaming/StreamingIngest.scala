@@ -236,11 +236,13 @@ object StreamingIngest {
       stateRoot: String,
       checkpointDir: String,
       idCol: String = "id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      autoCompactEvery: Int = 0): Unit = {
     val state = graft.dedup.IncrementalDedup.State(stateRoot)
     runAvailableNow(stream, checkpointDir) { (batch, epoch) =>
       graft.dedup.IncrementalDedup.ingestBatch(
-        state, batch, idCol, textCol, batchId = f"epoch$epoch%06d")
+        state, batch, idCol, textCol, batchId = f"epoch$epoch%06d",
+        autoCompactEvery = autoCompactEvery)
       ()
     }
   }

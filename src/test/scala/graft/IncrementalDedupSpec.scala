@@ -163,4 +163,68 @@ class IncrementalDedupSpec extends SparkSpec {
       state, docsDf(Seq(3L, 5L)), "id", "text", batchId = "day2")
     assert(r2.totalDocs == 5 && r2.canonicalDocs == 3, r2.toString)
   }
+
+  test("autoCompactEvery: compaction fires on the ingest cadence, state bit-identical") {
+    val state = IncrementalDedup.State(tmpDir("incdedup7"))
+    def parts() = Option(new java.io.File(state.docsDir).listFiles())
+      .map(_.map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    // cadence 3: two deltas accumulate, the third ingest triggers compact
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 2L)), "id", "text",
+      batchId = "d1", autoCompactEvery = 3)
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(3L, 5L)), "id", "text",
+      batchId = "d2", autoCompactEvery = 3)
+    assert(parts().length == 2 && parts().forall(!_.contains("snap")), parts().toString)
+    val before = IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq
+    val r3 = IncrementalDedup.ingestBatch(state, docsDf(Seq(4L, 6L)), "id", "text",
+      batchId = "d3", autoCompactEvery = 3)
+    assert(r3.totalDocs == 6) // the report reflects the ingest, pre-compact
+    // the trigger fired: ONE snapshot generation remains, deltas vacuumed
+    assert(parts().length == 1 && parts().head.startsWith("batch=snap"), parts().toString)
+    // state is bit-identical: canonical set unchanged + the new batch
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == (before :+ 4L).sorted)
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    // replay of a pre-compact batch is still a no-op (folded ids recorded)
+    val rr = IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 2L)), "id", "text",
+      batchId = "d1", autoCompactEvery = 3)
+    assert(rr.totalDocs == 6, rr.toString)
+    // cadence keeps counting fresh deltas after the snapshot
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(7L)), "id", "text",
+      batchId = "d4", autoCompactEvery = 3)
+    assert(parts().count(!_.contains("snap")) == 1, parts().toString)
+  }
+
+  test("audit runs concurrently with ingest: pinned marker generation, zero mismatches, no torn reads") {
+    val state = IncrementalDedup.State(tmpDir("incdedup8"))
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(1L, 2L, 4L)), "id", "text",
+      batchId = "d1")
+    // hammer audits from another thread WHILE a second batch ingests:
+    // every audit pins one committed generation at entry, so it must
+    // always see a consistent (pairs, reps) pair — 0 mismatches whether
+    // it lands before or after d2's marker, and never a torn mix
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val auditor = new Thread(() => {
+      try {
+        var i = 0
+        while (i < 6) { results.add(IncrementalDedup.audit(spark, state)); i += 1 }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    auditor.start()
+    IncrementalDedup.ingestBatch(state, docsDf(Seq(3L, 5L, 6L, 7L)), "id", "text",
+      batchId = "d2")
+    auditor.join(120000)
+    assert(!auditor.isAlive, "auditor wedged")
+    assert(errors.isEmpty, s"audit threw under concurrent ingest: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.forall(_ == 0L),
+      s"torn read: audit mismatches ${results.asScala.toSeq}")
+    assert(results.size == 6)
+    // and the post-ingest state is the full-batch answer
+    assert(IncrementalDedup.audit(spark, state) == 0)
+    assert(IncrementalDedup.canonicalIds(spark, state)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 7L))
+  }
 }
