@@ -53,12 +53,21 @@ object PageRank {
     * joins — the degree-folded edge list is persisted ALREADY PARTITIONED
     * on src (from its one-time degree join), so across iterations only the
     * node-sized rank table shuffles.
+    *
+    * `undirected = true` declares every edge is present in BOTH directions
+    * (the common way this op is fed — q148's bipartite graph, any mutual-
+    * link graph). Then src-set == dst-set == node-set, so the setup skips
+    * the nodes union+distinct shuffle entirely (degree keys ARE the
+    * nodes), and — since every node has in-edges — the per-iteration
+    * zero-contribution union drops too: each iteration is exactly the
+    * edge scan + one map-combined shuffle, nothing else in the plan.
     */
   def ranks(
       edges: DataFrame,
       iters: Int,
       scale: Long = 1000000000000L,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = true,
+      undirected: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
     // every iteration re-reads both; without the persist the edge list's
@@ -72,17 +81,19 @@ object PageRank {
     // shuffle fallback the join partitions ed by src — exactly what the
     // per-iteration rank join then reuses
     val ed = e.join(small(deg), "src").persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
+    val nodes =
+      if (undirected) deg.select(col("src").as("node")).persist()
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .persist()
     val zero = nodes.select(col("node"), lit(0L).as("_c"))
     var r = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
-      r = ed
+      val contrib = ed
         .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
         .select(col("dst").as("node"), expr("_r div _deg").as("_c"))
-        .unionByName(zero)
+      r = (if (undirected) contrib else contrib.unionByName(zero))
         .groupBy("node")
         .agg(sum("_c").as("_in"))
         .select(

@@ -159,7 +159,7 @@ object AnalyticsQueriesB {
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .union(li.select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst")))
-      graft.operators.PageRank.ranks(edges, iters = 3)
+      graft.operators.PageRank.ranks(edges, iters = 3, undirected = true)
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(100)

@@ -88,6 +88,16 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(rs("l1") == 150000000000L + (17L * (1000000000000L / 3L)) / 20L)
     assert(rs("l1") == rs("l2") && rs("l2") == rs("l3"))
     assert(rs("c") > rs("l1"))
+
+    // the undirected fast path (no nodes-distinct, no zero-union) is
+    // row-identical to the general path on a both-directions edge list
+    val both = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c")).toDF("src", "dst")
+    val general = PageRank.ranks(both, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fast = PageRank.ranks(both, iters = 3, undirected = true).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fast == general, s"undirected fast path diverged: $fast vs $general")
   }
 
   test("triangles: K4 has four, every vertex in three; a square has none") {
