@@ -327,5 +327,166 @@ object Round12Queries {
         ProductQuantizer.adcTopK(
           PqIndexStore.codes(s, root), "vec_id",
           PqIndexStore.readCodebook(s, root), probe, topK = 10)
+    },
+
+    // WARC RECORD INVENTORY — the crawl-archive front door (Common Crawl
+    // publishes ~100 TB of .warc.gz per snapshot; a crawl-fed training
+    // pipeline starts HERE): each doc's synthesized archive (warcinfo +
+    // request + response, one gzip member per record) parses through the
+    // REAL RFC-1952 + WARC/1.0 machinery (ingest.WarcCodec — hand-parsed
+    // gzip headers, CRC/ISIZE verified, Content-Length framing, HTTP
+    // status split) into the route table an intake filters on. The
+    // archive bytes are a pure function of the row and gzip is lossless,
+    // so the oracle needs NO decompressor: it replays the record recipe
+    // and the framing arithmetic (header constants + digit-width terms)
+    // closed-form; any drift in framing, member boundaries, or the HTTP
+    // split lands off the hash.
+    {
+      val w0 = graft.ingest.Warc.WarcinfoBlock.length
+      val reqC = graft.ingest.Warc.requestBlock(0).length - 1
+      val r404 = graft.ingest.Warc.responseBlock(3, "en", "x").length
+      val body0 = graft.ingest.Warc.htmlBody(0, "en", "")
+      val r200Hdr = graft.ingest.Warc.responseBlock(0, "en", "").length -
+        body0.length - body0.length.toString.length
+      Q(
+        "q334_warc_inventory",
+        s"""WITH resp AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 4 = 3 THEN NULL
+           |         ELSE '<html><head><title>Doc ' || doc_id
+           |           || '</title><script>var x=1;</script></head><body><h1>'
+           |           || upper(lang) || '</h1><p>' || text
+           |           || ' &amp; more</p><!-- note --></body></html>' END AS body
+           |  FROM documents),
+           |r AS (SELECT doc_id, g.i AS rec_idx, body
+           |      FROM resp, unnest(generate_series(0, 2)) AS g(i))
+           |SELECT doc_id AS media_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+           |  CASE rec_idx WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request'
+           |    ELSE 'response' END AS warc_type,
+           |  CASE WHEN rec_idx = 0 THEN NULL
+           |    ELSE 'https://example.com/doc/' || doc_id END AS target_uri,
+           |  CASE rec_idx WHEN 0 THEN 'application/warc-fields'
+           |    WHEN 1 THEN 'application/http;msgtype=request'
+           |    ELSE 'application/http;msgtype=response' END AS content_type,
+           |  CAST(CASE rec_idx WHEN 0 THEN $w0
+           |    WHEN 1 THEN $reqC + length(CAST(doc_id AS VARCHAR))
+           |    ELSE CASE WHEN doc_id % 4 = 3 THEN $r404
+           |      ELSE $r200Hdr + length(CAST(length(body) AS VARCHAR))
+           |        + length(body) END
+           |  END AS BIGINT) AS content_length,
+           |  CAST(CASE WHEN rec_idx = 2 THEN
+           |    CASE WHEN doc_id % 4 = 3 THEN 404 ELSE 200 END END AS BIGINT)
+           |    AS http_status,
+           |  CASE WHEN rec_idx = 2 THEN
+           |    CASE WHEN doc_id % 4 = 3 THEN 'text/plain'
+           |         ELSE 'text/html; charset=utf-8' END END AS http_content_type
+           |FROM r ORDER BY media_id, rec_idx""".stripMargin) { (s, dir) =>
+        graft.ingest.Warc.records(
+          graft.ingest.Warc.synthesizeWarc(Tables.load(s, dir, "documents"), "doc_id"))
+          .orderBy("media_id", "rec_idx")
+      }
+    },
+
+    // WARC → CLEAN TEXT, end to end — the whole crawl intake as ONE gate:
+    // parse the archive (real gzip + framing), split the HTTP response,
+    // route only 200 text/html entities (the 404s must vanish), decode
+    // the entity, extract text (script/style/comment drop, tag strip,
+    // entity decode, whitespace collapse). The oracle rebuilds the HTML
+    // string from the recipe and replays the extraction regexp chain —
+    // the q130 discipline with the container + HTTP legs now in front.
+    Q(
+      "q335_warc_text",
+      """WITH raw AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id
+        |    || '</title><script>var x=1;</script></head><body><h1>'
+        |    || upper(lang) || '</h1><p>' || text
+        |    || ' &amp; more</p><!-- note --></body></html>' AS h
+        |  FROM documents WHERE doc_id % 4 != 3),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(h, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |      ' ', 'g') AS t
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id AS media_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |FROM s4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.htmlResponses(
+        graft.ingest.Warc.synthesizeWarc(Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"),
+          graft.text.TextAnalysis.extractHtmlText(col("html")).as("extracted"))
+        .orderBy("media_id")
+    },
+
+    // ROBOTS.TXT ADMISSION (text.RobotsRules, RFC 9309) — the crawl-
+    // governance gate: three policy shapes per host (nation % 3) exercise
+    // group selection (an exact `graftbot` group must SHADE the `*` group
+    // — v1's star group disallows everything), multi-UA group heads,
+    // no-op empty Disallow, `*` wildcards, the trailing-`$` anchor, and
+    // longest-match/allow-on-tie precedence over a distinct URL grid.
+    // Spark PARSES the robots text relationally (line explode + window
+    // group numbering); the oracle reconstructs the effective rule table
+    // from the recipe and replays only the match algebra — if the parser
+    // mis-groups or mis-reads a directive, the effective rules differ and
+    // every affected verdict lands off the hash.
+    Q(
+      "q336_robots",
+      """WITH hosts AS (SELECT n_nationkey AS nk, lower(n_name) AS host,
+        |    n_nationkey % 3 AS v FROM nation),
+        |rules AS (SELECT * FROM (VALUES
+        |    (0, 'disallow', '/private'), (0, 'allow', '/private/open'),
+        |    (1, 'disallow', '/tmp*'), (1, 'allow', '/tmp/keep$'),
+        |    (2, 'allow', '/api')) AS t(v, verb, rule)),
+        |u0 AS (SELECT DISTINCT doc_id % 25 AS nk, doc_id % 8 AS pi FROM documents),
+        |urls AS (SELECT DISTINCT h.host, h.v,
+        |    CASE pi WHEN 0 THEN '/' WHEN 1 THEN '/private'
+        |      WHEN 2 THEN '/private/open/x' WHEN 3 THEN '/tmp/abc'
+        |      WHEN 4 THEN '/tmp/keep' WHEN 5 THEN '/tmp/keepx'
+        |      WHEN 6 THEN '/api/v1' ELSE '/privatex' END AS path
+        |  FROM u0 JOIN hosts h ON u0.nk = h.nk),
+        |cand AS (SELECT u.host, u.path, r.verb, r.rule,
+        |    u.path LIKE (CASE WHEN substr(r.rule, length(r.rule), 1) = '$'
+        |      THEN replace(replace(replace(replace(substr(r.rule, 1, length(r.rule) - 1),
+        |        '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+        |      ELSE replace(replace(replace(replace(r.rule,
+        |        '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') || '%' END)
+        |      ESCAPE '!' AS hit
+        |  FROM urls u JOIN rules r ON u.v = r.v),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY host, path
+        |    ORDER BY CASE WHEN hit THEN length(rule) ELSE -1 END DESC,
+        |      CASE WHEN verb = 'allow' THEN 1 ELSE 0 END DESC, rule) AS rk
+        |  FROM cand)
+        |SELECT host, path, CASE WHEN hit THEN rule END AS rule,
+        |  (NOT hit) OR verb = 'allow' AS allowed
+        |FROM rk WHERE rk = 1 ORDER BY host, path""".stripMargin) { (s, dir) =>
+      import graft.text.RobotsRules
+      val robots = Tables.load(s, dir, "nation")
+        .select(lower(col("n_name")).as("host"),
+          (col("n_nationkey") % 3).as("v"), col("n_nationkey"))
+        .withColumn("txt",
+          when(col("v") === 0, lit(
+            "# crawl policy v0\nUser-agent: *\nDisallow: /private\nAllow: /private/open\n"))
+            .when(col("v") === 1, lit(
+              "User-agent: graftbot\nDisallow: /tmp*\nAllow: /tmp/keep$\n" +
+                "User-agent: *\nDisallow: /\n"))
+            .otherwise(lit(
+              "User-agent: otherbot\nUser-agent: graftbot\nDisallow:\nAllow: /api\n" +
+                "User-agent: *\nDisallow: /api\n")))
+      val eff = RobotsRules.effectiveRules(
+        RobotsRules.parseDirectives(robots, "host", "txt"), "graftbot")
+      val urls = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 25).as("nk"), (col("doc_id") % 8).as("pi"))
+        .distinct()
+        .join(broadcast(robots.select(col("n_nationkey").as("nk"), col("host"))), "nk")
+        .select(col("host"),
+          when(col("pi") === 0, "/").when(col("pi") === 1, "/private")
+            .when(col("pi") === 2, "/private/open/x").when(col("pi") === 3, "/tmp/abc")
+            .when(col("pi") === 4, "/tmp/keep").when(col("pi") === 5, "/tmp/keepx")
+            .when(col("pi") === 6, "/api/v1").otherwise("/privatex").as("path"))
+        .distinct()
+      RobotsRules.evaluate(urls, eff).orderBy("host", "path")
     })
 }

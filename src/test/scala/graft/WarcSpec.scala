@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.ingest.{Warc, WarcCodec}
+import org.apache.spark.sql.functions._
+
+/** WARC intake gates: record framing round-trip (plain + per-record
+  * gzip), RFC 1952 member handling (optional header fields, CRC/ISIZE
+  * verification, multi-record members), HTTP response splitting, the
+  * member-offset split map, boundary recovery from arbitrary byte
+  * ranges, range-parallel == serial, and loud typed failure on torn or
+  * corrupted archives (crawled input is hostile).
+  */
+class WarcSpec extends SparkSpec {
+
+  private def recs(n: Int): Seq[WarcCodec.WarcRecord] =
+    (0 until n).flatMap(i => Warc.docRecords(i.toLong, "en", s"alpha beta doc $i gamma"))
+
+  test("WarcCodec: plain round-trip preserves every field and the block bytes") {
+    val in = recs(3)
+    val out = WarcCodec.parse(WarcCodec.build(in, gzipPerRecord = false))
+    assert(out.size == in.size)
+    in.zip(out).foreach { case (a, b) =>
+      assert(a.warcType == b.warcType && a.recordId == b.recordId &&
+        a.targetUri == b.targetUri && a.date == b.date &&
+        a.contentType == b.contentType)
+      assert(a.block.toSeq == b.block.toSeq)
+    }
+  }
+
+  test("WarcCodec: per-record gzip round-trip and member map") {
+    val in = recs(4)
+    val gz = WarcCodec.build(in, gzipPerRecord = true)
+    assert(WarcCodec.isGzip(gz))
+    assert(WarcCodec.parse(gz).map(_.recordId) == in.map(_.recordId))
+    val offs = WarcCodec.memberOffsets(gz)
+    assert(offs.length == in.size) // one member per record
+    assert(offs.head._1 == 0 && offs.map(_._2).sum == gz.length) // members tile the file
+    offs.zip(in).foreach { case ((o, _), r) =>
+      assert(WarcCodec.parseMemberAt(gz, o).recordId == r.recordId)
+    }
+  }
+
+  test("WarcCodec: extra custom headers survive; reserved names not duplicated") {
+    val r = WarcCodec.WarcRecord("metadata", "<urn:x:1>", None, "2026-08-12T00:00:00Z",
+      "application/warc-fields",
+      Seq("WARC-Concurrent-To" -> "<urn:x:0>", "Content-Length" -> "999"),
+      "k: v\r\n".getBytes(UTF_8))
+    val out = WarcCodec.parse(WarcCodec.writeRecord(r)).head
+    assert(out.headers.count(_._1.equalsIgnoreCase("Content-Length")) == 1)
+    assert(out.headers.contains("WARC-Concurrent-To" -> "<urn:x:0>"))
+    assert(out.block.toSeq == r.block.toSeq)
+  }
+
+  test("WarcCodec: gzip member with FNAME/FCOMMENT/FEXTRA/FHCRC fields parses") {
+    val raw = WarcCodec.writeRecord(recs(1).head)
+    // hand-build a member with FEXTRA + FNAME + FCOMMENT set (FLG = 0x1c)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0x1c, 0, 0, 0, 0, 0, 0))
+    out.write(Array[Byte](4, 0)); out.write(Array[Byte](1, 2, 3, 4)) // FEXTRA xlen=4
+    out.write("name.warc".getBytes(UTF_8)); out.write(0) // FNAME
+    out.write("comment".getBytes(UTF_8)); out.write(0) // FCOMMENT
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    for (v <- Seq(crc.getValue, raw.length.toLong); i <- 0 until 4)
+      out.write(((v >> (8 * i)) & 0xff).toInt)
+    val parsed = WarcCodec.parse(out.toByteArray)
+    assert(parsed.size == 1 && parsed.head.warcType == "warcinfo")
+  }
+
+  test("WarcCodec: corrupted member CRC and torn records throw typed") {
+    val gz = WarcCodec.build(recs(1), gzipPerRecord = true)
+    val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x40).toByte
+    val e1 = intercept[IllegalArgumentException](WarcCodec.parse(bad))
+    assert(e1.getMessage.startsWith("warc:"))
+    val torn = java.util.Arrays.copyOf(gz, gz.length - 6)
+    val e2 = intercept[IllegalArgumentException](WarcCodec.parse(torn))
+    assert(e2.getMessage.startsWith("warc:"))
+    val plain = WarcCodec.build(recs(1), gzipPerRecord = false)
+    val noTerm = java.util.Arrays.copyOf(plain, plain.length - 2)
+    val e3 = intercept[IllegalArgumentException](WarcCodec.parse(noTerm))
+    assert(e3.getMessage.contains("CRLF"))
+  }
+
+  test("WarcCodec: splitPoints recovers members from arbitrary byte ranges") {
+    val in = recs(8)
+    val gz = WarcCodec.build(in, gzipPerRecord = true)
+    val truth = WarcCodec.memberOffsets(gz).map(_._1)
+    // tile the file with 3 naive ranges; union of claimed starts == truth
+    val cuts = Seq(0, gz.length / 3, 2 * gz.length / 3, gz.length)
+    val claimed = cuts.sliding(2).flatMap { case Seq(a, b) =>
+      WarcCodec.splitPoints(gz, a, b)
+    }.toSeq
+    assert(claimed.sorted == truth.toSeq.sorted)
+    assert(claimed.distinct.size == claimed.size) // no record claimed twice
+  }
+
+  test("WarcCodec: http response split — 200 html and 404 miss") {
+    val ok = WarcCodec.parseHttpResponse(
+      Warc.responseBlock(2, "de", "hello world").getBytes(UTF_8))
+    assert(ok.status == 200 && ok.reason == "OK")
+    assert(ok.contentType.contains("text/html; charset=utf-8"))
+    assert(new String(ok.body, UTF_8) == Warc.htmlBody(2, "de", "hello world"))
+    val miss = WarcCodec.parseHttpResponse(
+      Warc.responseBlock(3, "de", "hello").getBytes(UTF_8))
+    assert(miss.status == 404 && new String(miss.body, UTF_8) == "not found")
+  }
+
+  test("Warc.records: inventory routes types, lengths, and http fields") {
+    val docs = spark.range(0, 8).toDF("doc_id")
+      .withColumn("lang", lit("en"))
+      .withColumn("text", concat(lit("doc text "), col("doc_id")))
+    val inv = Warc.records(Warc.synthesizeWarc(docs, "doc_id"))
+      .orderBy("media_id", "rec_idx").collect()
+    assert(inv.length == 24)
+    val r0 = inv(0) // doc 0, warcinfo
+    assert(r0.getString(2) == "warcinfo" && r0.isNullAt(3) && r0.isNullAt(6))
+    assert(r0.getLong(5) == Warc.WarcinfoBlock.length.toLong)
+    val resp2 = inv.filter(r => r.getLong(0) == 2 && r.getString(2) == "response").head
+    assert(resp2.getLong(6) == 200L &&
+      resp2.getString(7) == "text/html; charset=utf-8")
+    val resp3 = inv.filter(r => r.getLong(0) == 3 && r.getString(2) == "response").head
+    assert(resp3.getLong(6) == 404L && resp3.getString(7) == "text/plain")
+    // requests carry no http status (routing is on WARC-Type, not shape)
+    assert(inv.filter(_.getString(2) == "request").forall(_.isNullAt(6)))
+  }
+
+  test("Warc.htmlResponses feeds only 200 text/html entities to extraction") {
+    val docs = spark.range(0, 8).toDF("doc_id")
+      .withColumn("lang", lit("fr"))
+      .withColumn("text", lit("bonjour le monde"))
+    val html = Warc.htmlResponses(Warc.synthesizeWarc(docs, "doc_id"))
+      .orderBy("media_id").collect()
+    assert(html.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L)) // %4==3 dropped
+    assert(html.head.getString(1) == Warc.htmlBody(0, "fr", "bonjour le monde"))
+    val extracted = Warc.htmlResponses(Warc.synthesizeWarc(docs, "doc_id"))
+      .select(col("media_id"),
+        graft.text.TextAnalysis.extractHtmlText(col("html")).as("t"))
+      .orderBy("media_id").head()
+    assert(extracted.getString(1) == "Doc 0 FR bonjour le monde & more")
+  }
+
+  test("Warc.splitRecords: range-parallel == serial on one big archive") {
+    val docs = (0 until 40).flatMap(i =>
+      Warc.docRecords(i.toLong, "en", s"payload text number $i with words"))
+    val big = WarcCodec.build(docs, gzipPerRecord = true)
+    val split = Warc.splitRecords(spark, 7L, big, parallelism = 4)
+      .orderBy("rec_idx")
+      .select("warc_type", "target_uri", "content_length", "http_status")
+      .collect().toSeq
+    val serial = WarcCodec.parse(big)
+    assert(split.size == serial.size)
+    split.zip(serial).foreach { case (row, rec) =>
+      assert(row.getString(0) == rec.warcType)
+      assert(Option(row.getString(1)) == rec.targetUri)
+      assert(row.getLong(2) == rec.block.length.toLong)
+    }
+    assert(split.count(r => !r.isNullAt(3) && r.getLong(3) == 200L) == 30)
+  }
+}
