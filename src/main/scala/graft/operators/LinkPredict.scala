@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * `1e12 div deg(z)` micro-units, so the per-pair sum is a bigint — no
   * float summation order to disagree on across engines).
   *
-  * Scale shape: degrees are one map-side-combined aggregate; the pair
-  * space is generated by the standard wedge join (adjacency ⋈ adjacency
-  * on the shared center), grouped by the (a,b) endpoints, then
-  * anti-joined against the existing edge set. Work is Σ_z deg(z)² —
-  * the true wedge count, the same bound triangle counting pays — and
-  * every step is a keyed shuffle; no windows, no collect. Hub caps
+  * Scale shape: ONE keyed shuffle builds each center's sorted neighbor
+  * array (whose size is the degree — no separate degree aggregate or
+  * join), wedges are generated map-side from the arrays, grouped by the
+  * (a,b) endpoints (the second shuffle), then anti-joined against the
+  * existing edge set. Work is Σ_z deg(z)² — the true wedge count, the
+  * same bound triangle counting pays; no windows, no collect. Hub caps
   * (drop centers above a degree ceiling, as recommender systems do)
   * compose upstream: filter the adjacency before calling.
   */
@@ -43,21 +43,35 @@ object LinkPredict {
     val ed = edges.select(col(aCol).as("_ea"), col(bCol).as("_eb")).persist()
     val adj = ed.select(col("_ea").as("_src"), col("_eb").as("_dst"))
       .union(ed.select(col("_eb").as("_src"), col("_ea").as("_dst")))
-    val deg = adj.groupBy(col("_src").as("_z")).agg(count(lit(1)).as("_deg"))
-    // wedge join: for center z, every ordered pair of its neighbors (u < w)
-    val in = adj.select(col("_dst").as("_z"), col("_src").as("a"))
-    val out = adj.select(col("_dst").as("_z"), col("_src").as("b"))
-    val wedges = in.join(out, Seq("_z")).filter(col("a") < col("b"))
-    val scored = wedges
-      // deg is NODE-sized against the Σdeg² wedge stream: broadcast keeps
-      // the wedge side map-side (no sort, no co-partition requirement)
-      .join(broadcast(deg), Seq("_z"))
+    // ONE shuffle groups each center's neighbors into a sorted array:
+    // deg(z) IS the array size (the separate degree aggregate + its join
+    // vanish), and wedge generation — all i<j pairs of the array — is
+    // map-side via transform/slice/flatten, never a self-join (the old
+    // adjacency⋈adjacency needed two exchanges of the edge list plus a
+    // node-sized broadcast). Work is still Σ_z deg(z)² pairs, now emitted
+    // by explode instead of a join; the z-skew story is unchanged (a hub's
+    // wedges were co-partitioned before, they're one array row now) and
+    // hub caps still compose upstream: filter the adjacency before calling.
+    val nb = adj.groupBy(col("_dst").as("_z"))
+      .agg(sort_array(collect_list(col("_src"))).as("_ns"))
+    val pairs = flatten(transform(col("_ns"), (u, i) =>
+      transform(
+        slice(col("_ns"), i + lit(2), size(col("_ns")) - i - lit(1)),
+        w => array(u, w))))
+    val scored = nb
+      .select(
+        // integer `div`, not fp `/`: 1e12/deg in doubles sits within an ulp
+        // of an integer for large deg and floor() could land either side
+        expr("1000000000000L div size(_ns)").as("_ra"),
+        explode(pairs).as("_p"))
+      .select(
+        element_at(col("_p"), 1).as("a"),
+        element_at(col("_p"), 2).as("b"),
+        col("_ra"))
       .groupBy(col("a"), col("b"))
       .agg(
         count(lit(1)).as("common_neighbors"),
-        // integer `div`, not fp `/`: 1e12/deg in doubles sits within an ulp
-        // of an integer for large deg and floor() could land either side
-        sum(expr("1000000000000L div _deg")).cast("long").as("ra_micro"))
+        sum(col("_ra")).cast("long").as("ra_micro"))
     // the scored two-hop pair table is strictly the larger side (every
     // edge is also a wedge unless degree-1); broadcasting the edge set
     // keeps the anti-join map-side — no shuffle of the scored stream.

@@ -122,7 +122,8 @@ object PageRank {
       sources: DataFrame,
       iters: Int,
       scale: Long = 1000000000000L,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = true,
+      sparse: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(scale % 20 == 0, s"scale=$scale must be divisible by 20 (exact 0.15/0.85 split)")
     val e = edges.select(col("src"), col("dst")).persist()
@@ -133,6 +134,7 @@ object PageRank {
     // shuffle fallback the join partitions ed by src — exactly what the
     // per-iteration rank join then reuses
     val ed = e.join(small(deg), "src").persist()
+    if (sparse) return sparsePersonalized(ed, sources, iters, scale, small)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -149,6 +151,50 @@ object PageRank {
     // after the aggregation without a second join.
     val zero = seeded.select(col("node"), col("_is_src").as("_f"), lit(0L).as("_c"))
     var r = seeded.select(col("node"), (col("_is_src") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      r = ed
+        .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")
+        .select(col("dst").as("node"), lit(0L).as("_f"), expr("_r div _deg").as("_c"))
+        .unionByName(zero)
+        .groupBy("node")
+        .agg(max(col("_f")).as("_is_src"), sum(col("_c")).as("_in"))
+        .select(
+          col("node"),
+          (col("_is_src") * lit(3L * (scale / 20)) +
+            expr(s"(17 * _in) div 20")).as("rank"))
+    }
+    r
+  }
+
+  /** SPARSE personalized ranks: only nodes carrying NONZERO rank ever
+    * materialize. PPR mass starts at the seeds and spreads one hop per
+    * iteration, so after k iterations only the k-hop seed neighborhood
+    * is nonzero — on a large graph that's a vanishing fraction of the
+    * node set, and the dense path's nodes union+distinct shuffle, the
+    * node-sized seeded join, and the node-sized per-iteration zero union
+    * all buy nothing but stages (callers of PPR filter `rank > 0`
+    * downstream anyway — that's what "personalized" is FOR). Here setup
+    * is just the degree fold; each iteration is one edge scan against
+    * the frontier-sized rank broadcast + one map-combined shuffle, with
+    * only the seed rows unioned in to keep their restart mass.
+    *
+    * Contract difference from the dense path, and why it's opt-in:
+    * zero-rank nodes are ABSENT instead of present-with-zero (a reached
+    * node whose every in-contribution truncates to zero still appears,
+    * with rank 0 — identical to dense after a `rank > 0` filter either
+    * way). Rank VALUES are bit-identical to the dense path on every
+    * emitted node.
+    */
+  private def sparsePersonalized(
+      ed: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      scale: Long,
+      small: DataFrame => DataFrame): DataFrame = {
+    val seed = sources.select(col(sources.columns.head).as("node"))
+      .distinct().persist()
+    val zero = seed.select(col("node"), lit(1L).as("_f"), lit(0L).as("_c"))
+    var r = seed.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       r = ed
         .join(small(r.withColumnRenamed("node", "src").withColumnRenamed("rank", "_r")), "src")

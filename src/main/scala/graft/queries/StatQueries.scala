@@ -580,7 +580,9 @@ object StatQueries {
         .filter(col("src") =!= col("dst"))
         .distinct()
       val seed = edges.agg(min(col("src")).as("node"))
-      graft.operators.PageRank.personalizedRanks(edges, seed, iters = 2)
+      // sparse: the gate filters rank > 0, so only the seed's 2-hop
+      // neighborhood need ever materialize — no nodes-distinct shuffle
+      graft.operators.PageRank.personalizedRanks(edges, seed, iters = 2, sparse = true)
         .filter(col("rank") > 0)
         .orderBy(col("rank").desc, col("node"))
         .limit(100)

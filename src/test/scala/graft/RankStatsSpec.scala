@@ -301,6 +301,24 @@ class RankStatsSpec extends SparkSpec {
     assert(r("x") == 0L && r("y") == 0L) // no path from the seed
   }
 
+  test("personalizedRanks sparse: dense values on every emitted node; zeros absent") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val seed = Seq("a").toDF("node")
+    val dense = graft.operators.PageRank.personalizedRanks(edges, seed, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val sparse = graft.operators.PageRank
+      .personalizedRanks(edges, seed, iters = 2, sparse = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // every sparse node carries the dense value bit-identically
+    sparse.foreach { case (n, v) => assert(dense(n) == v, n) }
+    // every dense nonzero node is present; unreached nodes are absent
+    dense.filter(_._2 > 0).keys.foreach(n => assert(sparse.contains(n), n))
+    assert(!sparse.contains("x") && !sparse.contains("y"))
+    // d was REACHED with a truncated-to-zero rank path? no — 2 iters stop
+    // at c, so d is absent in sparse and 0 in dense
+    assert(!sparse.contains("d"))
+  }
+
   test("kaplanMeier matches the hand-computed product-limit curve with censoring") {
     // k: durations 1(event) 2(censor) 3(event) 3(event) 5(censor)
     // t=1: n=5 d=1 → S=4/5;  t=2: censor only → S unchanged
