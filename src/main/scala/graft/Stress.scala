@@ -937,6 +937,68 @@ object Stress {
     println(s"[avisplit] OK: split == whole-file, ${perTask.length} balanced tasks")
   }
 
+  /** Round-12 probe: ONE large per-record-gzipped WARC parsed
+    * range-parallel — [[graft.ingest.WarcCodec.memberOffsets]] walks the
+    * member chain once driver-side, then members parse across 32 tasks
+    * ([[graft.ingest.Warc.splitRecords]]); [[graft.ingest.WarcCodec
+    * .splitPoints]] additionally recovers the same boundaries from 32
+    * NAIVE byte ranges with no driver pre-pass at all (the shape a
+    * cluster actually uses: every task magic-scans its own range).
+    * Asserts record equality with the serial single-task parse, per-task
+    * balance, and boundary-recovery completeness — the "a 1 GB Common
+    * Crawl file must not pin one task" story, made runnable.
+    */
+  private def warcSplit(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.ingest.{Warc, WarcCodec}
+    import org.apache.spark.sql.Row
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val nDocs = 15000
+    val recs = (0 until nDocs).flatMap(i =>
+      Warc.docRecords(i.toLong,
+        if (i % 2 == 0) "en" else "de",
+        s"alpha beta gamma delta epsilon zeta eta theta body text $i " * 6))
+    val big = WarcCodec.build(recs, gzipPerRecord = true)
+    println(s"[warcsplit] archive: ${recs.length} records, ${big.length / 1024} KiB gz")
+    var serial: Seq[Seq[Any]] = null
+    time("warcsplit_serial_1task") {
+      val media = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(7L, big)), 1),
+        Warc.WarcFileSchema)
+      serial = Warc.records(media)
+        .collect().toSeq.map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+      serial.length.toLong
+    }
+    var split: Seq[Seq[Any]] = null
+    time("warcsplit_32tasks") {
+      split = Warc.splitRecords(spark, 7L, big, 32)
+        .collect().toSeq.map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+      split.length.toLong
+    }
+    require(split == serial,
+      s"split parse diverged from serial: ${split.length} vs ${serial.length} rows")
+    val perTask = Warc.splitRecords(spark, 7L, big, 32)
+      .rdd.mapPartitions(it => Iterator(it.length)).collect()
+    println(s"[warcsplit] per-task records: min=${perTask.min} max=${perTask.max} " +
+      s"tasks=${perTask.length}")
+    require(perTask.length == 32 && perTask.max - perTask.min <= 1,
+      s"unbalanced split: ${perTask.mkString(",")}")
+    // boundary recovery with NO pre-pass: 32 naive byte ranges, each
+    // magic-scanned + validated independently; union must tile the file
+    var recovered = 0L
+    time("warcsplit_boundary_recovery_32ranges") {
+      val cuts = (0 to 32).map(i => (big.length.toLong * i / 32).toInt)
+      recovered = cuts.sliding(2).map { case Seq(a, b) =>
+        WarcCodec.splitPoints(big, a, b).length.toLong
+      }.sum
+      recovered
+    }
+    require(recovered == recs.length.toLong,
+      s"boundary recovery found $recovered of ${recs.length} members")
+    println(s"[warcsplit] OK: split == serial, ${perTask.length} balanced tasks, " +
+      s"$recovered/${recs.length} boundaries recovered from naive ranges")
+  }
+
   /** Incremental-dedup horizon probe (round-10): the IncrementalDedup
     * daily loop with the stored band index grown 1 → 31 → 366 days, a
     * single-day ingest measured at each size. The claim under test:
@@ -1062,6 +1124,7 @@ object Stress {
     if (args.contains("graphscale10x")) { graphScale10x(spark, meter); spark.stop(); return }
     if (args.contains("codecscale")) { codecScale(spark, meter); spark.stop(); return }
     if (args.contains("avisplit")) { aviSplit(spark, meter); spark.stop(); return }
+    if (args.contains("warcsplit")) { warcSplit(spark, meter); spark.stop(); return }
     if (args.contains("pqscale")) { pqScale(spark, meter); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")

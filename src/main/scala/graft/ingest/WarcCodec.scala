@@ -144,7 +144,11 @@ object WarcCodec {
     val dataOff = memberDataOffset(bytes, off)
     val inf = new Inflater(true)
     inf.setInput(bytes, dataOff, bytes.length - dataOff)
-    val out = new ByteArrayOutputStream(math.min((bytes.length - dataOff) * 4 + 64, 1 << 22))
+    // pre-size for the TYPICAL member (one record, a few KiB), never from
+    // the remaining-file length: a per-record-gzipped archive calls this
+    // once per member, and a file-sized hint would allocate O(file) bytes
+    // per member — O(file²) churn across the walk
+    val out = new ByteArrayOutputStream(8192)
     val buf = new Array[Byte](8192)
     try {
       while (!inf.finished()) {

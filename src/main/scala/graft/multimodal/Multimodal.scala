@@ -1399,6 +1399,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic MP3-shaped streams ([[MpegAudioSniff.synthesize]] —
+    * ID3v2 + valid Layer III frame headers with header-computed junk
+    * payloads, a VBR bitrate profile by recipe) as a media frame.
+    */
+  def synthesizeMp3(df: DataFrame, idCol: String, baseFrames: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = baseFrames + (id % 11).toInt
+        val payload = MpegAudioSniff.synthesize(id, n)
+        Row(id, payload, Row("audio", "mp3", null, null,
+          MpegAudioSniff.SamplesPerFrame.toLong * n * 1000L /
+            MpegAudioSniff.SampleRateHz((id % 3).toInt)))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Header-only MP3 sniff ([[MpegAudioSniff.sniff]]): frame count,
+    * sample rate, bitrate profile (min/sum/max — CBR vs VBR), duration
+    * and ID3 overhead from the 4-byte frame headers alone — O(headers)
+    * per row, the duration probe an audio pipeline filters on BEFORE
+    * deciding to decode (or quarantine). The audio twin of
+    * [[sniffAviInfo]]/[[sniffJpegDims]].
+    */
+  def sniffMp3Info(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("sum_bitrate_kbps", LongType, nullable = false),
+      StructField("min_bitrate_kbps", LongType, nullable = false),
+      StructField("max_bitrate_kbps", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("id3_bytes", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val i = MpegAudioSniff.sniff(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), i.nFrames, i.sampleRate.toLong, i.sumBitrateKbps,
+          i.minBitrateKbps.toLong, i.maxBitrateKbps.toLong, i.durationMs, i.id3Bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed decode+featurize: one decoder per PARTITION (not per row) —
     * the mapPartitions batch shape that amortizes model/codec setup, the
     * Scala analog of a pandas-batch UDF.

@@ -488,5 +488,43 @@ object Round12Queries {
             .when(col("pi") === 6, "/api/v1").otherwise("/privatex").as("path"))
         .distinct()
       RobotsRules.evaluate(urls, eff).orderBy("host", "path")
+    },
+
+    // MP3 HEADER-WALK SNIFF (multimodal.MpegAudioSniff) — the O(headers)
+    // duration/bitrate probe an audio pipeline runs on crawled MP3 before
+    // paying for (or quarantining) a decode: hop frame to frame by the
+    // header-computed Layer III length, count frames, profile the VBR
+    // bitrate ladder, skip ID3v2. Honest machinery: the perceptual
+    // decoder stays behind StubDecoder; the container WALK is real and
+    // the oracle replays the whole recipe (frame count, bitrate cycle,
+    // frame-length arithmetic, syncsafe tag size) closed-form — any hop
+    // drift desyncs the walk and throws or lands off the hash.
+    Q(
+      "q337_mp3_sniff",
+      """WITH n AS (SELECT doc_id, 20 + doc_id % 11 AS nf, doc_id % 3 AS sri
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nf, sri, 1 + (doc_id * 7 + g.f * 3) % 14 AS bidx
+        |       FROM n, unnest(generate_series(0, 30)) AS g(f) WHERE g.f < nf),
+        |kb AS (SELECT doc_id, nf, sri,
+        |    CASE bidx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+        |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+        |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |      WHEN 13 THEN 256 ELSE 320 END AS kbps
+        |  FROM fr)
+        |SELECT doc_id AS media_id,
+        |  CAST(min(nf) AS BIGINT) AS n_frames,
+        |  CAST(CASE min(sri) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(sum(kbps) AS BIGINT) AS sum_bitrate_kbps,
+        |  CAST(min(kbps) AS BIGINT) AS min_bitrate_kbps,
+        |  CAST(max(kbps) AS BIGINT) AS max_bitrate_kbps,
+        |  CAST(1152 * min(nf) * 1000 //
+        |    (CASE min(sri) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(10 + doc_id % 100 + 4 AS BIGINT) AS id3_bytes
+        |FROM kb GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.sniffMp3Info(
+        Multimodal.synthesizeMp3(Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
     })
 }
