@@ -161,6 +161,44 @@ object Warc {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** QUARANTINE twin of [[htmlResponses]] — per-ARCHIVE containment for
+    * streaming intake: a good archive emits one (ok=true) row per
+    * 200 text/html entity; an archive whose parse fails the codecs'
+    * typed IllegalArgumentException emits exactly ONE (ok=false,
+    * decode_error) audit row instead of failing the task — crawled
+    * archives are hostile, and one torn .warc.gz in a feed must cost one
+    * audit row, not the stream. Other exception types still propagate
+    * (a parser BUG should stop the job; only corrupt DATA is contained).
+    */
+  def htmlTextQuarantine(warcFiles: DataFrame): DataFrame = {
+    val spark = warcFiles.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("decode_error", StringType, nullable = true),
+      StructField("html", StringType, nullable = true)))
+    val idIdx = warcFiles.schema.fieldIndex("media_id")
+    val payloadIdx = warcFiles.schema.fieldIndex("payload")
+    val rdd = warcFiles.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        try {
+          WarcCodec.parse(r.getAs[Array[Byte]](payloadIdx)).iterator
+            .filter(rec => rec.warcType == "response" &&
+              rec.contentType.startsWith("application/http"))
+            .map(rec => WarcCodec.parseHttpResponse(rec.block))
+            .filter(h => h.status == 200 &&
+              h.contentType.exists(_.toLowerCase.startsWith("text/html")))
+            .map(h => Row(id, true, null, new String(h.body, UTF_8)))
+            .toSeq
+        } catch {
+          case e: IllegalArgumentException => Seq(Row(id, false, e.getMessage, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Range-parallel record inventory of ONE huge .warc.gz: the member
     * walk ([[WarcCodec.memberOffsets]] — cheap, header-hop only) yields
     * the split map driver-side, then members parse across `parallelism`

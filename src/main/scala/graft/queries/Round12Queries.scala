@@ -526,5 +526,28 @@ object Round12Queries {
       Multimodal.sniffMp3Info(
         Multimodal.synthesizeMp3(Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id")
+    },
+
+    // WEBDATASET TAR SHARDS (ingest.TarCodec/Tar) — the shard container
+    // modern multimodal corpora actually ship in: documents pack into
+    // real POSIX ustar archives (50 docs/shard, `<id>.txt` + `<id>.cls`
+    // + `<id>.json` components, verified header checksums), then parse +
+    // sample-group back into one row per stem. The tar leg is lossless,
+    // so the oracle needs no archiver: it projects the expected sample
+    // table straight off `documents` — any drift in header layout, octal
+    // fields, 512-padding hops, or stem grouping tears the roundtrip and
+    // lands off the hash (or throws typed).
+    Q(
+      "q338_webdataset",
+      """SELECT doc_id // 50 AS shard_id,
+        |  CAST(doc_id AS VARCHAR) AS stem,
+        |  CAST(3 AS BIGINT) AS n_components,
+        |  text AS txt, lang AS cls,
+        |  CAST(length('{"id":' || doc_id || ',"source":"' || source || '"}')
+        |    AS BIGINT) AS json_chars
+        |FROM documents ORDER BY shard_id, doc_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Tar.samples(
+        graft.ingest.Tar.synthesizeShards(Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy(col("shard_id"), col("stem").cast("long"))
     })
 }

@@ -247,6 +247,36 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming WARC intake: crawl archives arrive as (media_id, payload)
+    * rows ([[graft.ingest.Warc.WarcFileSchema]] — the shape a fetcher
+    * fleet lands .warc.gz files in), and each micro-batch parses through
+    * the QUARANTINE twin ([[graft.ingest.Warc.htmlTextQuarantine]]):
+    * 200 text/html entities extract to clean text rows in `textsDir`
+    * (the [[graft.text.TextAnalysis.extractHtmlText]] chain), archives
+    * failing the typed IllegalArgumentException land in `quarantineDir`
+    * as (media_id, decode_error, batch_id) audit rows, and the stream
+    * ADVANCES past poison — the q307 containment property at the
+    * archive grain, in front of the whole text-curation pipeline.
+    */
+  def runWarcIngestStream(
+      stream: DataFrame,
+      textsDir: String,
+      quarantineDir: String,
+      checkpointDir: String): Unit =
+    runAvailableNow(stream, checkpointDir) { (batch, batchId) =>
+      // one parse pass feeds both sinks
+      val out = graft.ingest.Warc.htmlTextQuarantine(batch).persist()
+      try {
+        val good = out.filter(col("ok"))
+          .select(col("media_id"),
+            graft.text.TextAnalysis.extractHtmlText(col("html")).as("text"))
+        if (!good.isEmpty) graft.load.Snapshot.appendBatch(good, textsDir)
+        val bad = out.filter(!col("ok"))
+          .select(col("media_id"), col("decode_error"), lit(batchId).as("batch_id"))
+        if (!bad.isEmpty) graft.load.Snapshot.appendBatch(bad, quarantineDir)
+      } finally out.unpersist()
+    }
+
   /** Streaming MERGE sink: each micro-batch upserts into a parquet snapshot
     * with latest-wins semantics ([[graft.load.Snapshot.upsertLatestWins]]).
     * `foreachBatch` is the escape hatch for sinks Structured Streaming

@@ -145,6 +145,50 @@ class WarcSpec extends SparkSpec {
     assert(extracted.getString(1) == "Doc 0 FR bonjour le monde & more")
   }
 
+  test("runWarcIngestStream: torn archive quarantined once, clean text flows") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamingIngest
+    val root = tmpDir("warcstream")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val textsDir = s"$root/texts"; val quarDir = s"$root/quarantine"
+    Files.createDirectories(Paths.get(inDir))
+    def docsDf(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.toDF("doc_id")
+        .withColumn("lang", lit("en"))
+        .withColumn("text", concat(lit("clean text body "), col("doc_id")))
+    }
+    def runLeg(): Unit = StreamingIngest.runWarcIngestStream(
+      spark.readStream.schema(Warc.WarcFileSchema).parquet(s"$inDir/*"),
+      textsDir, quarDir, ckpt)
+    // leg 1: archives 1..5; archive 5's bytes torn mid-member (gzip CRC
+    // fails typed) — without containment AvailableNow would retry forever
+    val rows = Warc.synthesizeWarc(docsDf(Seq(1L, 2L, 3L, 4L, 5L)), "doc_id")
+      .collect().map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        if (r.getLong(0) == 5L) { val q = p.clone(); q(p.length / 2) = (q(p.length / 2) ^ 0x55).toByte; (r.getLong(0), q) }
+        else (r.getLong(0), p)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      Warc.WarcFileSchema).write.parquet(s"$inDir/f1")
+    runLeg()
+    val t1 = spark.read.parquet(textsDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t1.keySet == Set(1L, 2L, 4L)) // 3 is a 404, 5 is poisoned
+    assert(t1(1L) == "Doc 1 EN clean text body 1 & more")
+    val q1 = spark.read.parquet(quarDir).collect()
+    assert(q1.length == 1 && q1(0).getAs[Long]("media_id") == 5L)
+    assert(q1(0).getAs[String]("decode_error").contains("warc:"))
+    // leg 2: clean archives arrive after the poison — stream advanced
+    Warc.synthesizeWarc(docsDf(Seq(6L, 7L)), "doc_id")
+      .repartition(1).write.parquet(s"$inDir/f2")
+    runLeg()
+    assert(spark.read.parquet(textsDir).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L)) // 7 is a 404
+    assert(spark.read.parquet(quarDir).count() == 1, "audit row written once")
+  }
+
   test("Warc.splitRecords: range-parallel == serial on one big archive") {
     val docs = (0 until 40).flatMap(i =>
       Warc.docRecords(i.toLong, "en", s"payload text number $i with words"))
