@@ -57,7 +57,13 @@ object PlanDump {
     "q318_flac_features" -> "FLAC decode: Rice/predictor entropy state per payload inside mapPartitions — lossless, parallel across payloads, zero shuffle before the final sort",
     "q319_bpe_encode" -> "BPE encode: Heaps'-law training state collapses to a per-word count BROADCAST onto the token stream — the corpus-sized explode never shuffles, one per-doc partial aggregate",
     "q321_vad_segments" -> "VAD islands: active-frame filter BEFORE the media-partitioned window (silence never shuffles), islands group-by, start-ordered numbering on the segment grain",
-    "q322_png_interlaced" -> "Adam7 PNG: seven-pass inflate + unfilter + scatter per payload inside mapPartitions — interlace is task-local reassembly, zero shuffle before the final sort")
+    "q322_png_interlaced" -> "Adam7 PNG: seven-pass inflate + unfilter + scatter per payload inside mapPartitions — interlace is task-local reassembly, zero shuffle before the final sort",
+    "q332_ann_ivfpq" -> "IVF+PQ composite: nProbe cell prune BEFORE the code scan, per-cell relocated LUTs as codegen literal arrays, one scan + TakeOrdered — no joins, no raw-vector reads",
+    "q334_warc_inventory" -> "WARC intake: per-archive gzip member walk + record framing inside mapPartitions (one parser per partition), zero shuffle before the final sort",
+    "q335_warc_text" -> "WARC → clean text: container parse + HTTP route + extraction chain ALL stateless per row — the whole crawl intake is one codegen'd projection pipeline, no shuffle",
+    "q336_robots" -> "robots.txt admission: window group-numbering on the tiny rules table, rules BROADCAST to the URL table, one window over matched pairs picks longest-match — two shuffles for a billion URLs",
+    "q338_webdataset" -> "WebDataset shards: pack = one keyed shuffle to shard grain; parse + stem grouping explode samples inside mapPartitions — shard-per-row parallelism",
+    "q339_main_content" -> "main-content extraction: block explode + density scoring stateless, ONE window (heading bridge) + ONE grouped aggregate back to doc grain — blocks never leave their doc's partition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1,7 +1,5 @@
 package graft.multimodal
 
-import java.io.ByteArrayOutputStream
-
 /** MPEG-audio (MP3) FRAME-HEADER WALK — the O(headers) probe a media
   * pipeline runs on crawled audio BEFORE deciding whether to pay for (or
   * quarantine) a decode: frame count, sample rate, bitrate profile
@@ -66,22 +64,33 @@ object MpegAudioSniff {
     * being encoded audio.
     */
   def synthesize(id: Long, nFrames: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    // ID3v2.3 tag: "ID3", version, flags, 4-byte syncsafe size
-    val tagBody = (id % 100).toInt + 4
-    out.write('I'); out.write('D'); out.write('3')
-    out.write(3); out.write(0); out.write(0)
-    out.write((tagBody >> 21) & 0x7f); out.write((tagBody >> 14) & 0x7f)
-    out.write((tagBody >> 7) & 0x7f); out.write(tagBody & 0x7f)
-    for (i <- 0 until tagBody) out.write(((id * 31 + i * 7) % 256).toInt)
     val srIdx = (id % 3).toInt
-    for (f <- 0 until nFrames) {
-      val bIdx = 1 + ((id * 7 + f * 3) % 14).toInt
-      out.write(header(bIdx, srIdx, padding = 0))
-      val len = frameLength(BitrateKbps(bIdx), SampleRateHz(srIdx), 0)
-      for (i <- 4 until len) out.write(((id * 13 + f * 11 + i) % 256).toInt)
+    val tagBody = (id % 100).toInt + 4
+    def bIdx(f: Int): Int = 1 + ((id * 7 + f * 3) % 14).toInt
+    val total = 10 + tagBody + (0 until nFrames)
+      .map(f => frameLength(BitrateKbps(bIdx(f)), SampleRateHz(srIdx), 0)).sum
+    val out = new Array[Byte](total) // direct fill: a 25 KB payload is
+    var p = 0 // 25k byte stores, not 25k stream calls
+    // ID3v2.3 tag: "ID3", version, flags, 4-byte syncsafe size
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3
+    out(6) = ((tagBody >> 21) & 0x7f).toByte; out(7) = ((tagBody >> 14) & 0x7f).toByte
+    out(8) = ((tagBody >> 7) & 0x7f).toByte; out(9) = (tagBody & 0x7f).toByte
+    p = 10
+    var i = 0
+    while (i < tagBody) { out(p + i) = ((id * 31 + i * 7) % 256).toByte; i += 1 }
+    p += tagBody
+    var f = 0
+    while (f < nFrames) {
+      val b = bIdx(f)
+      System.arraycopy(header(b, srIdx, padding = 0), 0, out, p, 4)
+      val len = frameLength(BitrateKbps(b), SampleRateHz(srIdx), 0)
+      val junk = id * 13 + f * 11
+      i = 4
+      while (i < len) { out(p + i) = ((junk + i) % 256).toByte; i += 1 }
+      p += len
+      f += 1
     }
-    out.toByteArray
+    out
   }
 
   /** Walk the stream: skip a leading ID3v2 tag if present, then hop

@@ -549,5 +549,178 @@ object Round12Queries {
       graft.ingest.Tar.samples(
         graft.ingest.Tar.synthesizeShards(Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy(col("shard_id"), col("stem").cast("long"))
+    },
+
+    // MAIN-CONTENT EXTRACTION (text.MainContent) — boilerplate removal,
+    // the curation step BETWEEN tag stripping and training: the fixture
+    // page carries a link-dense nav, the real document text, a short
+    // heading SANDWICHED between two long paragraphs (the bridge case),
+    // a read-more teaser, and a link-dense footer. The keep rule must
+    // drop nav/teaser/footer (link density · length), keep both
+    // paragraphs (length), and bridge the heading. Spark runs the
+    // block-density operator; the oracle replays the identical algebra —
+    // block split, per-block tag/entity chain, integer link-density
+    // compare, lag/lead bridge, ordered reassembly.
+    Q(
+      "q339_main_content",
+      """WITH raw AS (SELECT doc_id,
+        |    '<html><body><div id="nav"><a href="/">Home</a> <a href="/a">About</a> '
+        |    || '<a href="/b">More</a></div><p>' || text
+        |    || '</p><h2>Part two</h2><p>Appendix ' || upper(lang)
+        |    || ' stable words &amp; digits here</p><div><a href="/x">read more</a> '
+        |    || 'teaser</div><div id="foot"><a>Terms</a> <a>Privacy</a> (c)</div>'
+        |    || '</body></html>' AS h
+        |  FROM documents),
+        |arr AS (SELECT doc_id, regexp_split_to_array(h,
+        |    '(?i)</?(?:p|div|td|li|h[1-6]|section|article|header|footer|nav|aside|ul|ol|table|tr|br)[^>]*>')
+        |    AS a FROM raw),
+        |b0 AS (SELECT doc_id, g.i AS i, a[g.i] AS r
+        |       FROM arr, unnest(generate_series(1, len(a))) AS g(i)),
+        |tx AS (SELECT doc_id, i,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(r, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |            ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS txt,
+        |    coalesce(list_aggregate(list_transform(
+        |      regexp_extract_all(r, '(?s)<a[^>]*>(.*?)</a>', 1),
+        |      x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |        '\s+', ' ', 'g')))), 'sum'), 0) AS lnk
+        |  FROM b0),
+        |vis AS (SELECT doc_id, i, txt, lnk FROM tx WHERE txt != ''),
+        |fl AS (SELECT *, length(txt) >= 25 AND lnk * 100 <= length(txt) * 33 AS base
+        |       FROM vis),
+        |br AS (SELECT *, base OR (coalesce(lag(base) OVER w, FALSE)
+        |    AND coalesce(lead(base) OVER w, FALSE)) AS keep
+        |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, string_agg(txt, ' ' ORDER BY i) FILTER (WHERE keep) AS main_text,
+        |  CAST(count(*) AS BIGINT) AS total_blocks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks
+        |FROM br GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val html = concat(
+        lit("<html><body><div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/b\">More</a></div><p>"),
+        col("text"),
+        lit("</p><h2>Part two</h2><p>Appendix "), upper(col("lang")),
+        lit(" stable words &amp; digits here</p><div><a href=\"/x\">read more</a> " +
+          "teaser</div><div id=\"foot\"><a>Terms</a> <a>Privacy</a> (c)</div>" +
+          "</body></html>"))
+      graft.text.MainContent.extract(
+        Tables.load(s, dir, "documents").select(col("doc_id"), html.as("h")),
+        "doc_id", "h")
+        .orderBy("doc_id")
+    },
+
+    // SURT INDEX KEYS (TextAnalysis.surtKey ∘ canonicalizeUrl) — the
+    // CDX-index key of web-archive lookups: q127's messy URL recipe
+    // canonicalizes, then the host labels reverse (`org,example)…`) so a
+    // plain SORT clusters every URL of a domain contiguously — the
+    // sorted output IS the point (per-domain range scans over a
+    // 100 TB-crawl index). The oracle replays canonicalization (q127's
+    // chain verbatim) plus the label-reverse/port/rest algebra.
+    Q(
+      "q340_surt",
+      """WITH raw AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang
+        |        || '/' || doc_id || '?utm_source=feed&id=' || doc_id || '#sec'
+        |      WHEN 1 THEN 'http://' || source || '.example.com:8080/' || lang || '/' || doc_id
+        |      WHEN 2 THEN 'https://' || source || '.example.com/docs/' || doc_id
+        |        || '?xutm_source=1&utm_medium=m&id=' || doc_id
+        |      ELSE 'HTTP://WWW.' || upper(source) || '.Example.COM:80/' || lang
+        |    END AS u
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
+        |s2 AS (SELECT doc_id, u, regexp_extract(u, '^[a-zA-Z]+://[^/?]+') AS p FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(p),
+        |        '^(https://[^/]*):443$', '\1'), '^(http://[^/]*):80$', '\1'),
+        |      '://www\.', '://', 'g') AS host,
+        |    substr(u, length(p) + 1) AS rest
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, host, rest, strpos(rest, '?') AS qp FROM s3),
+        |s5 AS (SELECT doc_id, host,
+        |    CASE WHEN qp > 0 THEN substr(rest, 1, qp - 1) ELSE rest END AS path,
+        |    regexp_replace(regexp_replace(
+        |      '&' || CASE WHEN qp > 0 THEN substr(rest, qp + 1) ELSE '' END,
+        |      '&utm_[^&]*', '', 'g'), '^&', '') AS cleaned
+        |  FROM s4),
+        |cu AS (SELECT doc_id,
+        |    host || path || CASE WHEN cleaned = '' THEN '' ELSE '?' || cleaned END AS url
+        |  FROM s5),
+        |sk AS (SELECT doc_id, url,
+        |    regexp_extract(lower(url), '^[a-z]+://(?:www\.)?([^/:?#]+)', 1) AS h2,
+        |    regexp_extract(lower(url), '^[a-z]+://(?:www\.)?[^/:?#]+(:[0-9]+)?', 1) AS prt,
+        |    regexp_extract(lower(url), '^[a-z]+://[^/?#]+([/?#].*)?$', 1) AS rst
+        |  FROM cu)
+        |SELECT doc_id, url,
+        |  array_to_string(list_reverse(string_split(h2, '.')), ',') || prt || ')'
+        |    || CASE WHEN rst = '' THEN '/' ELSE rst END AS surt
+        |FROM sk ORDER BY surt, doc_id""".stripMargin) { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val raw = when(col("doc_id") % 4 === 0, concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/"),
+          col("lang"), lit("/"), d, lit("?utm_source=feed&id="), d, lit("#sec")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("http://"), col("source"), lit(".example.com:8080/"), col("lang"),
+          lit("/"), d))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("https://"), col("source"), lit(".example.com/docs/"), d,
+          lit("?xutm_source=1&utm_medium=m&id="), d))
+        .otherwise(concat(
+          lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/"),
+          col("lang")))
+      val canon = graft.text.TextAnalysis.canonicalizeUrl(raw)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), canon.as("url"),
+          graft.text.TextAnalysis.surtKey(canon).as("surt"))
+        .orderBy(col("surt"), col("doc_id"))
+    },
+
+    // SITEMAP FRONTIER EXTRACTION (TextAnalysis.sitemapEntries) — the
+    // crawl-frontier feed: one sitemap XML per host (three <url> blocks:
+    // whitespace-padded loc + lastmod + an ignored <priority>, a
+    // lastmod-less block, and a block with lastmod BEFORE loc), exploded
+    // to one (host, idx, loc, lastmod) row per entry. The oracle knows
+    // the recipe, so it projects the expected frontier closed-form — a
+    // mis-parse (order sensitivity, whitespace, missing-field handling)
+    // lands off the hash.
+    Q(
+      "q341_sitemap",
+      """SELECT n_nationkey AS nk, CAST(g.i AS BIGINT) AS idx,
+        |  CASE g.i
+        |    WHEN 0 THEN 'https://h' || n_nationkey || '.example.org/'
+        |    WHEN 1 THEN 'https://h' || n_nationkey || '.example.org/a/' || n_nationkey
+        |    ELSE 'https://h' || n_nationkey || '.example.org/b?x=' || n_nationkey
+        |  END AS loc,
+        |  CASE g.i
+        |    WHEN 0 THEN '2026-0' || (1 + n_nationkey % 9) || '-01'
+        |    WHEN 1 THEN ''
+        |    ELSE '2025-12-31'
+        |  END AS lastmod
+        |FROM nation, unnest(generate_series(0, 2)) AS g(i)
+        |ORDER BY nk, idx""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      val nk = col("n_nationkey").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<url><loc> https://h"), nk, lit(".example.org/ </loc><lastmod>2026-0"),
+        (lit(1) + col("n_nationkey") % 9).cast("string"),
+        lit("-01</lastmod><priority>0.8</priority></url>"),
+        lit("<url><loc>https://h"), nk, lit(".example.org/a/"), nk, lit("</loc></url>"),
+        lit("<url><lastmod>2025-12-31</lastmod><loc>https://h"), nk,
+        lit(".example.org/b?x="), nk, lit("</loc></url></urlset>"))
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"),
+          posexplode(TextAnalysis.sitemapEntries(xml)).as(Seq("idx", "_p")))
+        .select(col("nk"), col("idx").cast("long").as("idx"),
+          element_at(split(col("_p"), "\u001f"), 1).as("loc"),
+          element_at(split(col("_p"), "\u001f"), 2).as("lastmod"))
+        .orderBy("nk", "idx")
     })
 }

@@ -308,6 +308,48 @@ object TextAnalysis {
     concat(host, path, when(cleaned === "", lit("")).otherwise(concat(lit("?"), cleaned)))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the index key of
+    * web-archive lookups (Common Crawl's CDX indexes are SURT-ordered):
+    * drop the scheme and a leading `www.`, REVERSE the host labels joined
+    * by commas, append `)` and the path+query, lowercase throughout — so
+    * a plain sort clusters every URL of a domain (and its subdomains)
+    * contiguously, which is what makes per-domain range scans of a
+    * 100 TB-crawl index cheap. `https://www.Example.org/A/b?q=1` →
+    * `org,example)/a/b?q=1`. Compose after [[canonicalizeUrl]] for the
+    * dedup-grade key. Pure string algebra (split/reverse/join) — no
+    * shuffle, oracle-replayable.
+    */
+  def surtKey(u: Column): Column = {
+    val lu = lower(u)
+    val host = regexp_extract(lu, "^[a-z]+://(?:www\\.)?([^/:?#]+)", 1)
+    // an explicit port rides AFTER the reversed labels (`com,example:8080)`)
+    // so it never splits a label; canonicalizeUrl already dropped defaults
+    val port = regexp_extract(lu, "^[a-z]+://(?:www\\.)?[^/:?#]+(:[0-9]+)?", 1)
+    val rest = regexp_extract(lu, "^[a-z]+://[^/?#]+([/?#].*)?$", 1)
+    concat(
+      array_join(reverse(split(host, "\\.")), ","),
+      port,
+      lit(")"),
+      when(rest === "", lit("/")).otherwise(rest))
+  }
+
+  /** Sitemap URL extraction — the crawl-frontier feed: pull every
+    * `<loc>` (and its sibling `<lastmod>`, when present in the same
+    * `<url>` block) out of a sitemap XML body. Regexp-relational (the
+    * `<url>` blocks explode, each yields one row), so the frontier
+    * builder is one projection + explode — no XML parser dependency, and
+    * the oracle replays it. Returns an array of `loc<US>lastmod`
+    * packed strings (empty lastmod when absent) for the caller to
+    * explode and split.
+    */
+  def sitemapEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
+      b => concat(
+        regexp_extract(b, "<loc>\\s*(.*?)\\s*</loc>", 1),
+        lit("\u001f"),
+        regexp_extract(b, "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)))
+
   /** Corpus-level repeated-span removal (the RefinedWeb/CCNet "duplicated
     * line" correction, over token spans since this corpus has no line
     * structure): split each doc into NON-overlapping `spanTokens`-token
