@@ -1449,6 +1449,92 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** The EXIF recipe for media `id` — pure function of the row (the
+    * synthesizer discipline): every id carries orientation + timestamp,
+    * ids ≡ 0 (mod 3) additionally carry GPS coordinates (the geo-PII
+    * case the strip gate must remove).
+    */
+  def exifRecipe(id: Long): (Int, String, Option[ExifCodec.Gps]) = {
+    val orientation = 1 + (id % 8).toInt
+    val dt = f"2026:08:${1 + id % 28}%02d 12:00:${id % 60}%02d"
+    val gps =
+      if (id % 3 == 0) Some(ExifCodec.Gps(
+        latRef = if (id % 2 == 0) "N" else "S",
+        latDeg = id % 90, latMin = (7 * id) % 60, latSecMilli = (13 * id) % 60000,
+        lonRef = if (id % 4 < 2) "E" else "W",
+        lonDeg = id % 180, lonMin = (11 * id) % 60, lonSecMilli = (17 * id) % 60000))
+      else None
+    (orientation, dt, gps)
+  }
+
+  /** Stamp each payload with its recipe EXIF APP1 (camera position:
+    * right after SOI).
+    */
+  def withExif(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (o, dt, gps) = exifRecipe(id)
+        Row(id,
+          ExifCodec.insertApp1(r.getAs[Array[Byte]](payloadIdx),
+            ExifCodec.buildApp1(o, dt, gps)),
+          if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** EXIF audit + strip in one pass: sniff the metadata (orientation /
+    * timestamp / GPS — the privacy surface), run [[ExifCodec
+    * .stripMetadata]], and PROVE the strip (APP1 count 0 after, decoded
+    * pixels bit-identical before/after). One row per payload; the
+    * JPEG decodes twice by design — the equality is the point.
+    */
+  def extractExifAudit(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orientation", LongType, nullable = true),
+      StructField("date_time", StringType, nullable = true),
+      StructField("has_gps", BooleanType, nullable = false),
+      StructField("lat_ref", StringType, nullable = true),
+      StructField("lat_deg", LongType, nullable = true),
+      StructField("lat_min", LongType, nullable = true),
+      StructField("lat_sec_milli", LongType, nullable = true),
+      StructField("lon_ref", StringType, nullable = true),
+      StructField("lon_deg", LongType, nullable = true),
+      StructField("lon_min", LongType, nullable = true),
+      StructField("lon_sec_milli", LongType, nullable = true),
+      StructField("app1_before", LongType, nullable = false),
+      StructField("app1_after", LongType, nullable = false),
+      StructField("pixels_unchanged", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val e = ExifCodec.sniff(payload)
+        val stripped = ExifCodec.stripMetadata(payload)
+        val same = JpegCodec.decode(payload).pixels.toSeq ==
+          JpegCodec.decode(stripped).pixels.toSeq
+        val g = e.gps
+        Row(r.getLong(idIdx),
+          e.orientation.map(_.toLong).orNull, e.dateTime.orNull, g.isDefined,
+          g.map(_.latRef).orNull, g.map(_.latDeg).orNull,
+          g.map(_.latMin).orNull, g.map(_.latSecMilli).orNull,
+          g.map(_.lonRef).orNull, g.map(_.lonDeg).orNull,
+          g.map(_.lonMin).orNull, g.map(_.lonSecMilli).orNull,
+          ExifCodec.countApp1(payload).toLong,
+          ExifCodec.countApp1(stripped).toLong, same)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Distributed decode+featurize: one decoder per PARTITION (not per row) —
     * the mapPartitions batch shape that amortizes model/codec setup, the
     * Scala analog of a pandas-batch UDF.

@@ -722,5 +722,45 @@ object Round12Queries {
           element_at(split(col("_p"), "\u001f"), 1).as("loc"),
           element_at(split(col("_p"), "\u001f"), 2).as("lastmod"))
         .orderBy("nk", "idx")
+    },
+
+    // EXIF AUDIT + GEO-PII STRIP (multimodal.ExifCodec) — real crawled
+    // photos carry orientation/timestamp/GPS in APP1; a training corpus
+    // must READ them (routing, geometry) and STRIP them (privacy) with
+    // pixel-identical output. Every doc's JPEG gets a recipe EXIF
+    // (ids ≡ 0 mod 3 carry GPS); the gate sniffs the TIFF structure
+    // back, strips, re-counts APP1 (must be 0) and re-decodes
+    // (pixels_unchanged must hold — asserted by double decode, not
+    // assumed). The oracle projects the recipe closed-form: any drift
+    // in IFD layout, byte order, rational handling, or the strip walk
+    // lands off the hash.
+    Q(
+      "q342_exif_strip",
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |    || ' 12:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS date_time,
+        |  doc_id % 3 = 0 AS has_gps,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END END AS lat_ref,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 90 END AS BIGINT) AS lat_deg,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (7 * doc_id) % 60 END AS BIGINT) AS lat_min,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (13 * doc_id) % 60000 END AS BIGINT)
+        |    AS lat_sec_milli,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END END AS lon_ref,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 180 END AS BIGINT) AS lon_deg,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (11 * doc_id) % 60 END AS BIGINT) AS lon_min,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (17 * doc_id) % 60000 END AS BIGINT)
+        |    AS lon_sec_milli,
+        |  CAST(1 AS BIGINT) AS app1_before,
+        |  CAST(0 AS BIGINT) AS app1_after,
+        |  TRUE AS pixels_unchanged
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.extractExifAudit(
+        Multimodal.withExif(
+          Multimodal.synthesizeJpeg(Tables.load(s, dir, "documents"), "doc_id",
+            grayscale = false)))
+        .orderBy("media_id")
     })
 }
