@@ -83,6 +83,111 @@ object Warc {
         responseBlock(id, lang, text).getBytes(UTF_8)))
   }
 
+  /** The captured response with a WIRE-ENCODED entity — what real
+    * crawls actually store: even ids carry `Transfer-Encoding: chunked`
+    * framing (64-byte chunks, an extension on the first size line), odd
+    * ids a `Content-Encoding: gzip` body; ids ≡ 5 (mod 10) stack BOTH
+    * (chunked over gzip). The HTML inside is [[htmlBody]] verbatim, so
+    * losslessness of the decode chain keeps downstream oracles
+    * framing-free.
+    */
+  def responseBlockEncoded(id: Long, lang: String, text: String): Array[Byte] = {
+    val html = htmlBody(id, lang, text).getBytes(UTF_8)
+    def chunked(body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(body.length + 64)
+      var p = 0
+      var first = true
+      while (p < body.length) {
+        val n = math.min(64, body.length - p)
+        val ext = if (first) ";graft=1" else ""
+        out.write(f"$n%x$ext\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        out.write(body, p, n)
+        out.write('\r'); out.write('\n')
+        p += n
+        first = false
+      }
+      out.write("0\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.toByteArray
+    }
+    val (headers, body) =
+      if (id % 10 == 5) {
+        val b = chunked(WarcCodec.gzipMember(html))
+        ("Content-Type: text/html; charset=utf-8\r\n" +
+          "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n", b)
+      } else if (id % 2 == 0) {
+        val b = chunked(html)
+        ("Content-Type: text/html; charset=utf-8\r\nTransfer-Encoding: chunked\r\n", b)
+      } else {
+        val b = WarcCodec.gzipMember(html)
+        (s"Content-Type: text/html; charset=utf-8\r\nContent-Encoding: gzip\r\n" +
+          s"Content-Length: ${b.length}\r\n", b)
+      }
+    ("HTTP/1.1 200 OK\r\n" + headers + "\r\n").getBytes(UTF_8) ++ body
+  }
+
+  /** [[synthesizeWarc]]'s wire-encoded twin: response entities arrive
+    * chunked / gzipped / both, per [[responseBlockEncoded]].
+    */
+  def synthesizeWarcEncoded(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(
+      col(idCol).cast("long").as("media_id"), col("lang"), col("text"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val uri = s"https://example.com/doc/$id"
+        val date = "2026-08-12T00:00:00Z"
+        val recs = Seq(
+          WarcCodec.WarcRecord("warcinfo", s"<urn:graft:$id:0>", None, date,
+            "application/warc-fields", Nil, WarcinfoBlock.getBytes(UTF_8)),
+          WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
+            "application/http;msgtype=response", Nil,
+            responseBlockEncoded(id, r.getString(1), r.getString(2))))
+        Row(id, WarcCodec.build(recs, gzipPerRecord = true))
+      }
+    }
+    spark.createDataFrame(rdd, WarcFileSchema)
+  }
+
+  /** [[htmlResponses]] with ENTITY DECODING ([[WarcCodec.decodeEntity]]):
+    * chunked framing undone, content codings inflated — the feed real
+    * captures need before extraction sees a byte.
+    */
+  def htmlResponsesDecoded(warcFiles: DataFrame): DataFrame = {
+    val spark = warcFiles.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("encoding", StringType, nullable = false),
+      StructField("html", StringType, nullable = false)))
+    val idIdx = warcFiles.schema.fieldIndex("media_id")
+    val payloadIdx = warcFiles.schema.fieldIndex("payload")
+    val rdd = warcFiles.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        WarcCodec.parse(r.getAs[Array[Byte]](payloadIdx)).iterator
+          .filter(rec => rec.warcType == "response" &&
+            rec.contentType.startsWith("application/http"))
+          .map(rec => WarcCodec.parseHttpResponse(rec.block))
+          .filter(h => h.status == 200 &&
+            h.contentType.exists(_.toLowerCase.startsWith("text/html")))
+          .map { h =>
+            def has(n: String, v: String) = h.headers.exists { case (k, hv) =>
+              k.equalsIgnoreCase(n) && hv.toLowerCase.contains(v)
+            }
+            val enc = Seq(
+              if (has("Transfer-Encoding", "chunked")) Some("chunked") else None,
+              if (has("Content-Encoding", "gzip")) Some("gzip") else None)
+              .flatten match {
+              case Nil => "identity"
+              case es => es.mkString("+")
+            }
+            Row(id, enc, new String(WarcCodec.decodeEntity(h), UTF_8))
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** One synthesized .warc.gz per document row (per-record gzip members —
     * the Common Crawl shape), payload a pure function of (doc_id, lang,
     * text).

@@ -404,4 +404,78 @@ object WarcCodec {
     val ct = hs.collectFirst { case (k, v) if k.equalsIgnoreCase("Content-Type") => v }
     HttpResponse(status, reason, hs, ct, body)
   }
+
+  /** Decode the ENTITY of a captured response: real crawls store wire
+    * bytes, so the body is frequently `Transfer-Encoding: chunked`
+    * framing and/or a `Content-Encoding: gzip` stream — feeding either
+    * raw to text extraction poisons the corpus with framing bytes.
+    * Transfer coding is undone FIRST (it is applied last on the wire),
+    * then content coding; the CRC-verified gzip path is
+    * [[inflateMember]]. Unknown codings throw typed (quarantine, not
+    * silent garbage).
+    */
+  def decodeEntity(h: HttpResponse): Array[Byte] = {
+    def header(n: String): Option[String] =
+      h.headers.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+    var body = h.body
+    header("Transfer-Encoding").foreach { te =>
+      te.toLowerCase.trim match {
+        case "chunked" => body = dechunk(body)
+        case "identity" => ()
+        case other =>
+          throw new IllegalArgumentException(s"warc: unsupported transfer-encoding '$other'")
+      }
+    }
+    header("Content-Encoding").foreach { ce =>
+      ce.toLowerCase.trim match {
+        case "gzip" | "x-gzip" => body = inflateMember(body, 0)._1
+        case "identity" => ()
+        case other =>
+          throw new IllegalArgumentException(s"warc: unsupported content-encoding '$other'")
+      }
+    }
+    body
+  }
+
+  /** Undo chunked transfer framing: hex-size line (chunk extensions
+    * after `;` ignored per RFC 9112), CRLF, data, CRLF, …, 0-size chunk,
+    * optional trailer section, final CRLF. Malformed framing throws
+    * typed.
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var p = 0
+    var done = false
+    def line(): String = {
+      var q = p
+      while (q + 1 < b.length && !(b(q) == '\r' && b(q + 1) == '\n')) q += 1
+      require(q + 1 < b.length, "warc: unterminated chunk-size line")
+      val s = new String(b, p, q - p, ISO_8859_1)
+      p = q + 2
+      s
+    }
+    while (!done) {
+      val sizeStr = line().split(";", 2)(0).trim
+      require(sizeStr.nonEmpty && sizeStr.forall(c =>
+        Character.digit(c, 16) >= 0), s"warc: bad chunk size '${sizeStr.take(16)}'")
+      val size = java.lang.Long.parseLong(sizeStr, 16)
+      require(size >= 0 && size <= Int.MaxValue, "warc: absurd chunk size")
+      if (size == 0) {
+        // trailer section: header lines until the final empty line
+        var trailerDone = false
+        while (!trailerDone) {
+          if (p >= b.length) trailerDone = true // lenient: EOF after 0-chunk
+          else if (line().isEmpty) trailerDone = true
+        }
+        done = true
+      } else {
+        require(p + size + 2 <= b.length, "warc: chunk overruns body")
+        out.write(b, p, size.toInt)
+        p += size.toInt
+        require(b(p) == '\r' && b(p + 1) == '\n', "warc: chunk not CRLF-terminated")
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
 }

@@ -1449,6 +1449,52 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic Opus-in-Ogg streams ([[OggSniff.synthesize]] — BOS
+    * OpusHead + OpusTags + recipe audio pages with monotonic granules
+    * and stamped CRCs) as a media frame.
+    */
+  def synthesizeOgg(df: DataFrame, idCol: String, basePages: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = basePages + (id % 7).toInt
+        Row(id, OggSniff.synthesize(id, n),
+          Row("audio", "ogg-opus", null, null, 40L * n))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Header-only Ogg/Opus sniff ([[OggSniff.sniff]]): page/packet
+    * structure, channels, pre-skip, duration from granule bookkeeping —
+    * with every page CRC verified. [[sniffMp3Info]]'s twin for the
+    * other big crawled-audio container.
+    */
+  def sniffOggInfo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pages", LongType, nullable = false),
+      StructField("n_packets", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("pre_skip", LongType, nullable = false),
+      StructField("input_sample_rate", LongType, nullable = false),
+      StructField("granule_final", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val i = OggSniff.sniff(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), i.nPages, i.nPackets, i.channels.toLong,
+          i.preSkip.toLong, i.inputSampleRate, i.granuleFinal, i.durationMs)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The EXIF recipe for media `id` — pure function of the row (the
     * synthesizer discipline): every id carries orientation + timestamp,
     * ids ≡ 0 (mod 3) additionally carry GPS coordinates (the geo-PII

@@ -762,5 +762,75 @@ object Round12Queries {
           Multimodal.synthesizeJpeg(Tables.load(s, dir, "documents"), "doc_id",
             grayscale = false)))
         .orderBy("media_id")
+    },
+
+    // HTTP ENTITY DECODING in the WARC path (WarcCodec.decodeEntity) —
+    // real captures store WIRE bytes: chunked transfer framing and gzip
+    // content coding, stacked on ids ≡ 5 (mod 10). Feeding either raw
+    // to extraction poisons the corpus with framing bytes/binary; the
+    // gate parses the archive, ROUTES on the actual response headers
+    // (`encoding` comes from the parsed header fields, not the recipe),
+    // undoes chunked-then-gzip in RFC order, and extracts — both codings
+    // are lossless, so the oracle stays framing-free: the q335 recipe
+    // chain over every doc, plus the closed-form encoding label. A
+    // dechunk drift would leak hex size lines into the text; a gzip
+    // drift throws — either lands off the hash.
+    Q(
+      "q343_warc_encodings",
+      """WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 5 THEN 'chunked+gzip'
+        |         WHEN doc_id % 2 = 0 THEN 'chunked' ELSE 'gzip' END AS encoding,
+        |    '<html><head><title>Doc ' || doc_id
+        |    || '</title><script>var x=1;</script></head><body><h1>'
+        |    || upper(lang) || '</h1><p>' || text
+        |    || ' &amp; more</p><!-- note --></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, encoding,
+        |    regexp_replace(h, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |      ' ', 'g') AS t
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, encoding, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, encoding, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, encoding,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id AS media_id, encoding,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |FROM s4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.htmlResponsesDecoded(
+        graft.ingest.Warc.synthesizeWarcEncoded(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("encoding"),
+          graft.text.TextAnalysis.extractHtmlText(col("html")).as("extracted"))
+        .orderBy("media_id")
+    },
+
+    // OGG/OPUS HEADER SNIFF (multimodal.OggSniff) — the podcast/voice
+    // container's O(headers) probe: page walk with EVERY page's Ogg
+    // CRC-32 verified (the RFC polynomial, not zlib's reflected one),
+    // packet counts from lacing, channels/pre-skip from OpusHead,
+    // duration from the final granule minus pre-skip at 48 kHz. The
+    // oracle replays the synthesis recipe closed-form — any drift in
+    // lacing arithmetic, granule bookkeeping, or header offsets lands
+    // off the hash; a CRC drift throws. MpegAudioSniff's twin; the
+    // perceptual decoder honestly stays a stub.
+    Q(
+      "q344_ogg_sniff",
+      """SELECT doc_id AS media_id,
+        |  CAST(12 + doc_id % 7 AS BIGINT) AS n_pages,
+        |  CAST(2 + 2 * (10 + doc_id % 7) AS BIGINT) AS n_packets,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(312 + doc_id % 200 AS BIGINT) AS pre_skip,
+        |  CAST(48000 AS BIGINT) AS input_sample_rate,
+        |  CAST(312 + doc_id % 200 + 1920 * (10 + doc_id % 7) AS BIGINT)
+        |    AS granule_final,
+        |  CAST(1920 * (10 + doc_id % 7) * 1000 // 48000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.sniffOggInfo(
+        Multimodal.synthesizeOgg(Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
     })
 }

@@ -145,6 +145,49 @@ class WarcSpec extends SparkSpec {
     assert(extracted.getString(1) == "Doc 0 FR bonjour le monde & more")
   }
 
+  test("decodeEntity: chunked, gzip, stacked, and malformed wire bodies") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def resp(headers: String, body: Array[Byte]): WarcCodec.HttpResponse =
+      WarcCodec.parseHttpResponse(
+        ("HTTP/1.1 200 OK\r\n" + headers + "\r\n").getBytes(ISO_8859_1) ++ body)
+    // chunked with extension + trailer line
+    val chunked = "5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nX-T: v\r\n\r\n"
+      .getBytes(ISO_8859_1)
+    assert(new String(WarcCodec.decodeEntity(
+      resp("Transfer-Encoding: chunked\r\n", chunked)), ISO_8859_1) == "hello world")
+    // gzip content coding
+    val gz = WarcCodec.gzipMember("compressed entity".getBytes(ISO_8859_1))
+    assert(new String(WarcCodec.decodeEntity(
+      resp("Content-Encoding: gzip\r\n", gz)), ISO_8859_1) == "compressed entity")
+    // stacked: chunked framing over a gzip stream (undo order matters)
+    val stacked = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(f"${gz.length}%x\r\n".getBytes(ISO_8859_1)); out.write(gz)
+      out.write("\r\n0\r\n\r\n".getBytes(ISO_8859_1)); out.toByteArray
+    }
+    assert(new String(WarcCodec.decodeEntity(
+      resp("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n", stacked)),
+      ISO_8859_1) == "compressed entity")
+    // recipe shapes round-trip through the real synthesizer
+    for (id <- Seq(0L, 1L, 2L, 5L, 15L)) {
+      val h = WarcCodec.parseHttpResponse(Warc.responseBlockEncoded(id, "en", "text body"))
+      assert(new String(WarcCodec.decodeEntity(h), ISO_8859_1) ==
+        Warc.htmlBody(id, "en", "text body"), s"id $id")
+    }
+    // malformed: bad hex, torn chunk, unsupported codings, corrupt gzip
+    def fails(headers: String, body: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        WarcCodec.decodeEntity(resp(headers, body)))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    fails("Transfer-Encoding: chunked\r\n", "zz\r\nhi\r\n".getBytes(ISO_8859_1), "chunk size")
+    fails("Transfer-Encoding: chunked\r\n", "ff\r\nshort\r\n".getBytes(ISO_8859_1), "overruns")
+    fails("Transfer-Encoding: deflate-raw\r\n", "x".getBytes(ISO_8859_1), "transfer-encoding")
+    fails("Content-Encoding: br\r\n", "x".getBytes(ISO_8859_1), "content-encoding")
+    val badGz = gz.clone(); badGz(gz.length - 5) = (badGz(gz.length - 5) ^ 1).toByte
+    fails("Content-Encoding: gzip\r\n", badGz, "warc:")
+  }
+
   test("runWarcIngestStream: torn archive quarantined once, clean text flows") {
     import java.nio.file.{Files, Paths}
     import graft.streaming.StreamingIngest
