@@ -33,20 +33,27 @@ object OggSniff {
       durationMs: Long)
 
   /** Ogg CRC-32: poly 0x04c11db7, init 0, no reflection, no final xor —
-    * computed over the page with the CRC field zeroed.
+    * computed over the page with the CRC field zeroed. Table-driven
+    * (one lookup per byte; the bitwise loop was the sniff's hot spot —
+    * every page of every payload is CRC'd).
     */
+  private val CrcTable: Array[Long] = Array.tabulate(256) { i =>
+    var r = i.toLong << 24
+    var k = 0
+    while (k < 8) {
+      r = if ((r & 0x80000000L) != 0) ((r << 1) ^ 0x04c11db7L) & 0xffffffffL
+      else (r << 1) & 0xffffffffL
+      k += 1
+    }
+    r
+  }
+
   def crc(bytes: Array[Byte], off: Int, len: Int, skipOff: Int): Long = {
     var r = 0L
     var i = off
     while (i < off + len) {
       val b = if (i >= skipOff && i < skipOff + 4) 0 else bytes(i) & 0xff
-      r = r ^ (b.toLong << 24)
-      var k = 0
-      while (k < 8) {
-        r = if ((r & 0x80000000L) != 0) ((r << 1) ^ 0x04c11db7L) & 0xffffffffL
-        else (r << 1) & 0xffffffffL
-        k += 1
-      }
+      r = ((r << 8) ^ CrcTable((((r >> 24) ^ b) & 0xff).toInt)) & 0xffffffffL
       i += 1
     }
     r

@@ -832,5 +832,49 @@ object Round12Queries {
       Multimodal.sniffOggInfo(
         Multimodal.synthesizeOgg(Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id")
+    },
+
+    // SRT / WebVTT CUE PARSING (text.Subtitles) — the transcript side of
+    // paired audio-text training data: even docs carry SRT (numeric cue
+    // ids, comma decimals), odd docs WebVTT (header, a NOTE comment
+    // block to skip, dot decimals, cue settings after the end time) —
+    // ONE parse chain handles both, emitting integer-ms spans + joined
+    // cue text. Spark PARSES the constructed files; the oracle projects
+    // the cue table closed-form from the recipe — a timestamp-arithmetic
+    // or block-split drift lands off the hash.
+    Q(
+      "q345_subtitle_cues",
+      """WITH c AS (SELECT doc_id, g.i AS cue_idx,
+        |    g.i * 2000 + doc_id % 997 AS start_ms
+        |  FROM documents, unnest(generate_series(0, 2)) AS g(i))
+        |SELECT doc_id AS media_id, CAST(cue_idx AS BIGINT) AS cue_idx,
+        |  CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(start_ms + 1500 AS BIGINT) AS end_ms,
+        |  'cue ' || cue_idx || ' first line doc ' || doc_id || ' and more words'
+        |    AS text
+        |FROM c ORDER BY media_id, cue_idx""".stripMargin) { (s, dir) =>
+      import graft.text.Subtitles
+      def ts(startMs: org.apache.spark.sql.Column, sep: String) = concat(
+        lit("00:00:0"), (startMs / 1000).cast("int").cast("string"), lit(sep),
+        lpad((startMs % 1000).cast("string"), 3, "0"))
+      def cue(i: Int, srt: Boolean) = {
+        val st = lit(i * 2000) + col("doc_id") % 997
+        val en = st + lit(1500)
+        val sep = if (srt) "," else "."
+        val idLine = if (srt) concat(lit(s"${i + 1}\n")) else lit("")
+        val settings = if (srt) lit("") else lit(" align:start")
+        concat(idLine, ts(st, sep), lit(" --> "), ts(en, sep), settings,
+          lit(s"\ncue $i first line doc "), col("doc_id").cast("string"),
+          lit("\nand more words\n\n"))
+      }
+      val srt = concat(cue(0, srt = true), cue(1, srt = true), cue(2, srt = true))
+      val vtt = concat(lit("WEBVTT\n\nNOTE generated by graft\n\n"),
+        cue(0, srt = false), cue(1, srt = false), cue(2, srt = false))
+      val sub = when(col("doc_id") % 2 === 0, srt).otherwise(vtt)
+      Subtitles.cues(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), sub.as("sub")),
+        "media_id", "sub")
+        .orderBy("media_id", "cue_idx")
     })
 }
