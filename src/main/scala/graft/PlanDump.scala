@@ -63,7 +63,9 @@ object PlanDump {
     "q335_warc_text" -> "WARC → clean text: container parse + HTTP route + extraction chain ALL stateless per row — the whole crawl intake is one codegen'd projection pipeline, no shuffle",
     "q336_robots" -> "robots.txt admission: window group-numbering on the tiny rules table, rules BROADCAST to the URL table, one window over matched pairs picks longest-match — two shuffles for a billion URLs",
     "q338_webdataset" -> "WebDataset shards: pack = one keyed shuffle to shard grain; parse + stem grouping explode samples inside mapPartitions — shard-per-row parallelism",
-    "q339_main_content" -> "main-content extraction: block explode + density scoring stateless, ONE window (heading bridge) + ONE grouped aggregate back to doc grain — blocks never leave their doc's partition")
+    "q339_main_content" -> "main-content extraction: block explode + density scoring stateless, ONE window (heading bridge) + ONE grouped aggregate back to doc grain — blocks never leave their doc's partition",
+    "q343_warc_encodings" -> "WARC entity decoding: dechunk + gunzip inside the same per-archive mapPartitions pass as the container parse — wire decoding never adds a stage, no shuffle before the final sort",
+    "q345_subtitle_cues" -> "subtitle cues: block explode + regexp timestamp algebra stateless, ONE window for cue order — cues never leave their file's partition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
