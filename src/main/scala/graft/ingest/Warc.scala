@@ -60,8 +60,11 @@ object Warc {
         "Content-Length: 9\r\n\r\nnot found"
     else {
       val b = htmlBody(id, lang, text)
+      // Content-Length counts UTF-8 BYTES (the block is serialized with
+      // getBytes(UTF_8) downstream), not String chars — non-ASCII text
+      // would otherwise misstate the entity length on the wire.
       s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-        s"Content-Length: ${b.length}\r\n\r\n$b"
+        s"Content-Length: ${b.getBytes(UTF_8).length}\r\n\r\n$b"
     }
 
   /** The three records of doc `id`'s synthesized archive, in capture

@@ -238,10 +238,16 @@ object WarcCodec {
     while (p < end) {
       if (p + 3 <= bytes.length && bytes(p) == 0x1f.toByte &&
         bytes(p + 1) == 0x8b.toByte && bytes(p + 2) == 8 && validMemberAt(bytes, p)) {
-        pts += p
-        // skip the whole member: a deflate body can contain 1f 8b 08
-        val (_, clen) = inflateMember(bytes, p)
-        p += clen
+        // skip the whole member: a deflate body can contain 1f 8b 08.
+        // A candidate can pass the 5-byte prefix probe yet fail the full
+        // inflate/CRC (hostile or corrupt data) — that is NOT a member:
+        // drop it and resume scanning one byte on, so a false positive
+        // can't abort the whole range scan.
+        try {
+          val (_, clen) = inflateMember(bytes, p)
+          pts += p
+          p += clen
+        } catch { case _: IllegalArgumentException => p += 1 }
       } else p += 1
     }
     pts.result()

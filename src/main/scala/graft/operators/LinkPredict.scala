@@ -52,8 +52,14 @@ object LinkPredict {
     // by explode instead of a join; the z-skew story is unchanged (a hub's
     // wedges were co-partitioned before, they're one array row now) and
     // hub caps still compose upstream: filter the adjacency before calling.
+    // collect_SET, not list: non-canonical input (repeated edges, or both
+    // orientations already present) would put duplicate entries in _ns, and
+    // all-i<j pair generation over a list with duplicates emits a==b
+    // self-pairs and inflated common_neighbors counts. A set is the right
+    // semantics for neighbor overlap, and a strictly-increasing sorted set
+    // makes self-pairs impossible by construction.
     val nb = adj.groupBy(col("_dst").as("_z"))
-      .agg(sort_array(collect_list(col("_src"))).as("_ns"))
+      .agg(sort_array(collect_set(col("_src"))).as("_ns"))
     val pairs = flatten(transform(col("_ns"), (u, i) =>
       transform(
         slice(col("_ns"), i + lit(2), size(col("_ns")) - i - lit(1)),

@@ -72,6 +72,14 @@ class GovernanceSpec extends SparkSpec {
     // triangle: no candidates at all
     val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("a", "b")
     assert(LinkPredict.neighborOverlap(tri, "a", "b").count() == 0)
+    // non-canonical input: repeated edges and both orientations present must
+    // not emit a==b self-pairs or inflate counts (neighbor sets, not lists)
+    val messy = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("a", "b")
+    val messyOut = LinkPredict.neighborOverlap(messy, "a", "b")
+      .as[(String, String, Long, Long)].collect()
+    assert(messyOut.forall { case (a, b, _, _) => a != b })
+    assert(messyOut.toSeq == Seq(("a", "c", 1L, 500000000000L)))
   }
 
   test("bootstrap multiplicities approximate Poisson(1) and meanSe is sane") {

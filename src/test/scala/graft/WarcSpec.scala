@@ -100,6 +100,25 @@ class WarcSpec extends SparkSpec {
     assert(claimed.distinct.size == claimed.size) // no record claimed twice
   }
 
+  test("WarcCodec: splitPoints survives a candidate that passes the prefix " +
+    "probe but fails the full inflate") {
+    // hostile-data shape: a member whose first deflate bytes decompress to
+    // `WARC/` (so validMemberAt accepts it) but whose CRC trailer is
+    // corrupt. The range scan must DROP it and keep scanning — not abort.
+    val in = recs(4)
+    val gz = WarcCodec.build(in, gzipPerRecord = true)
+    val offs = WarcCodec.memberOffsets(gz)
+    val (secondOff, secondLen) = offs(1)
+    val bad = gz.clone()
+    // flip a bit in member 2's CRC32 trailer (last 8 bytes = CRC + ISIZE)
+    val crcPos = secondOff + secondLen - 8
+    bad(crcPos) = (bad(crcPos) ^ 0x01).toByte
+    val claimed = WarcCodec.splitPoints(bad, 0, bad.length)
+    // member 2 dropped; every other member still claimed
+    assert(!claimed.contains(secondOff))
+    assert(offs.map(_._1).filterNot(_ == secondOff).forall(claimed.contains))
+  }
+
   test("WarcCodec: http response split — 200 html and 404 miss") {
     val ok = WarcCodec.parseHttpResponse(
       Warc.responseBlock(2, "de", "hello world").getBytes(UTF_8))
