@@ -19,7 +19,8 @@ object SparkEntry {
       WarehouseQueries.all ++ ExperimentQueries.all ++
       StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
       CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all ++
-      Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all
+      Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++
+      Round13Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -184,11 +184,328 @@ object Warc {
               case Nil => "identity"
               case es => es.mkString("+")
             }
-            Row(id, enc, new String(WarcCodec.decodeEntity(h), UTF_8))
+            val (_, _, text) = decodeHtmlCharset(h)
+            Row(id, enc, text)
           }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // --------------------------------------------------------------- charset
+
+  private val HttpCharsetParam = "(?i)charset\\s*=\\s*\"?([^\";\\s]+)".r
+  private val MetaCharsetAttr = "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([\\w][\\w.:-]*)".r
+
+  /** Resolve the charset of an HTML entity, WHATWG-HTML §13.2-style
+    * (the encoding-sniffing order every browser implements, so the
+    * corpus decodes the way the page actually rendered):
+    *
+    *   1. byte-order mark — authoritative, OVERRIDES labels (the
+    *      wrong-label case: a `charset=shift_jis` header on a UTF-16LE
+    *      body with a BOM decodes as UTF-16LE);
+    *   2. the transport layer: the HTTP `Content-Type` charset param;
+    *   3. in-document prescan of the first 1024 bytes for
+    *      `<meta charset=…>` / `<meta http-equiv … charset=…>`;
+    *   4. trial decode ([[Sniff.detectEncoding]] — strict UTF-8, then
+    *      UTF-16);
+    *   5. windows-1252, the HTML5 default for unlabeled legacy bytes.
+    *
+    * Unknown/unsupported labels fall through to the next source rather
+    * than failing — a crawl is full of `charset=unicode` garbage.
+    * Returns (lowercase charset label, source ∈ bom|http|meta|sniff|default).
+    */
+  def resolveCharset(httpContentType: Option[String], body: Array[Byte]): (String, String) = {
+    def bom: Option[String] =
+      if (body.length >= 3 && body(0) == 0xEF.toByte && body(1) == 0xBB.toByte &&
+        body(2) == 0xBF.toByte) Some("utf-8")
+      else if (body.length >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+        Some("utf-16le")
+      else if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+        Some("utf-16be")
+      else None
+    def supported(label: String): Option[String] = {
+      val t = label.trim.toLowerCase
+      try { java.nio.charset.Charset.forName(t); Some(t) }
+      catch { case _: Exception => None }
+    }
+    def httpLabel = httpContentType
+      .flatMap(ct => HttpCharsetParam.findFirstMatchIn(ct).map(_.group(1)))
+      .flatMap(supported)
+    def metaLabel = {
+      // prescan window decoded as latin-1: every byte maps, and the
+      // markup we are matching is ASCII regardless of the body charset
+      val head = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      MetaCharsetAttr.findFirstMatchIn(head).map(_.group(1)).flatMap(supported)
+    }
+    bom.map((_, "bom"))
+      .orElse(httpLabel.map((_, "http")))
+      .orElse(metaLabel.map((_, "meta")))
+      .orElse(Sniff.detectEncoding(body).map(n => (n.toLowerCase, "sniff")))
+      .getOrElse(("windows-1252", "default"))
+  }
+
+  /** Entity decode + charset-routed text decode for a 200 text/html
+    * response: undo transfer/content codings ([[WarcCodec.decodeEntity]]),
+    * resolve the charset ([[resolveCharset]]), decode, strip a leading
+    * BOM character. Returns (charset, source, text).
+    */
+  def decodeHtmlCharset(h: WarcCodec.HttpResponse): (String, String, String) = {
+    val body = WarcCodec.decodeEntity(h)
+    val (cs, src) = resolveCharset(h.contentType, body)
+    val s = new String(body, java.nio.charset.Charset.forName(cs))
+    val text = if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    (cs, src, text)
+  }
+
+  /** The charset-routed extraction feed: 200 text/html response entities
+    * with wire codings undone AND the charset resolved per
+    * [[resolveCharset]] — (media_id, charset, charset_source, html).
+    * The fix for the silent-mojibake failure mode: a windows-1252 or
+    * shift_jis capture decoded as UTF-8 poisons the corpus invisibly.
+    */
+  def htmlResponsesCharsetRouted(warcFiles: DataFrame): DataFrame = {
+    val spark = warcFiles.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("charset", StringType, nullable = false),
+      StructField("charset_source", StringType, nullable = false),
+      StructField("html", StringType, nullable = false)))
+    val idIdx = warcFiles.schema.fieldIndex("media_id")
+    val payloadIdx = warcFiles.schema.fieldIndex("payload")
+    val rdd = warcFiles.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        WarcCodec.parse(r.getAs[Array[Byte]](payloadIdx)).iterator
+          .filter(rec => rec.warcType == "response" &&
+            rec.contentType.startsWith("application/http"))
+          .map(rec => WarcCodec.parseHttpResponse(rec.block))
+          .filter(h => h.status == 200 &&
+            h.contentType.exists(_.toLowerCase.startsWith("text/html")))
+          .map { h =>
+            val (cs, src, text) = decodeHtmlCharset(h)
+            Row(id, cs, src, text)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-charset payload suffix for [[synthesizeWarcCharsets]] — each
+    * mode's text carries characters DIAGNOSTIC of its charset (bytes
+    * that are invalid or different under UTF-8), so a routing mistake
+    * cannot round-trip to the right answer.
+    */
+  def charsetPayload(mode: Int, text: String): String = mode match {
+    case 0 => text + " — déjà vu"
+    case 1 => text + " café € résumé"
+    case 2 => text + " テスト"
+    case 3 => text + " Ωδ — test"
+    case _ => text + " naïve — ok"
+  }
+
+  private def charsetHtml(id: Long, mode: Int, payload: String): String = {
+    val meta = mode match {
+      case 1 =>
+        "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+      case 2 => "<meta charset=\"shift_jis\">"
+      case _ => ""
+    }
+    s"<html><head>$meta<title>Doc $id</title></head><body><p>$payload</p></body></html>"
+  }
+
+  /** The captured response in one of FIVE charset-labeling shapes, keyed
+    * by id % 5 (what a real crawl mixes on every shard):
+    *   0 — UTF-8, labeled in the HTTP header;
+    *   1 — windows-1252, labeled ONLY by an http-equiv meta tag;
+    *   2 — shift_jis, labeled ONLY by `<meta charset=…>`;
+    *   3 — WRONG LABEL: header claims shift_jis, body is UTF-16LE with
+    *       a BOM (the BOM must win);
+    *   4 — unlabeled UTF-8 (trial decode resolves it).
+    */
+  def responseBlockCharset(id: Long, text: String): Array[Byte] = {
+    val mode = (id % 5).toInt
+    val html = charsetHtml(id, mode, charsetPayload(mode, text))
+    val (ctHeader, bytes) = mode match {
+      case 0 => ("text/html; charset=utf-8", html.getBytes(UTF_8))
+      case 1 => ("text/html", html.getBytes("windows-1252"))
+      case 2 => ("text/html", html.getBytes("Shift_JIS"))
+      case 3 => ("text/html; charset=shift_jis",
+        Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes("UTF-16LE"))
+      case _ => ("text/html", html.getBytes(UTF_8))
+    }
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n" +
+      s"Content-Length: ${bytes.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ bytes
+  }
+
+  // ------------------------------------------------------------------ cdx
+
+  /** sha-256 payload digest in WARC header form (`sha-256:<hex>`). The
+    * WARC standard's customary algorithm is sha1/base32, but the spec
+    * (ISO 28500 §5.8) allows any labeled algorithm — sha-256 hex is
+    * chosen because every engine in the gate loop can replay it.
+    */
+  def payloadDigest(entity: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(entity)
+    "sha-256:" + d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Synthesized archives WITH CRAWL-DEDUP REVISITS — the Common Crawl
+    * shape [[synthesizeWarc]] lacks: docs sharing a content group
+    * `doc_id div 4` have the IDENTICAL entity body; the group's first
+    * doc (id % 4 == 0) stores the full `response`, the other three store
+    * `revisit` records instead (WARC-Profile identical-payload-digest,
+    * WARC-Payload-Digest of the body they did NOT store, WARC-Refers-To-
+    * Target-URI of the original capture, empty block) — exactly how a
+    * crawler avoids re-storing an unchanged page. WARC-Date seconds vary
+    * per doc (id % 60) so the CDX timestamp column is non-constant.
+    */
+  def synthesizeWarcRevisits(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val cg = id / 4
+        val uri = s"https://example.com/doc/$id"
+        val date = f"2026-08-12T00:00:${id % 60}%02dZ"
+        val body = htmlBody(cg, "en", s"group body $cg")
+        val block =
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Length: ${body.getBytes(UTF_8).length}\r\n\r\n" + body)
+            .getBytes(UTF_8)
+        val digest = payloadDigest(body.getBytes(UTF_8))
+        val capture =
+          if (id % 4 == 0)
+            WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
+              "application/http;msgtype=response",
+              Seq("WARC-Payload-Digest" -> digest), block)
+          else
+            WarcCodec.WarcRecord("revisit", s"<urn:graft:$id:1>", Some(uri), date,
+              "application/http;msgtype=response",
+              Seq(
+                "WARC-Payload-Digest" -> digest,
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+                "WARC-Refers-To-Target-URI" ->
+                  s"https://example.com/doc/${4 * (id / 4)}"),
+              Array.emptyByteArray)
+        val recs = Seq(
+          WarcCodec.WarcRecord("warcinfo", s"<urn:graft:$id:0>", None, date,
+            "application/warc-fields", Nil, WarcinfoBlock.getBytes(UTF_8)),
+          capture)
+        Row(id, WarcCodec.build(recs, gzipPerRecord = true))
+      }
+    }
+    spark.createDataFrame(rdd, WarcFileSchema)
+  }
+
+  /** CDX(J) capture index — the standard lookup table over a WARC
+    * corpus (what wayback machines and crawl curators key on): one row
+    * per `response`/`revisit` record with the SURT key, the 14-digit
+    * timestamp, the payload digest, mime, HTTP status, and the record's
+    * (offset, length) INTO ITS ARCHIVE so a reader can fetch the single
+    * gzip member without scanning the file. Offsets come from the RFC
+    * 1952 member walk ([[WarcCodec.memberOffsets]]); the digest is the
+    * `WARC-Payload-Digest` header when the record carries one (revisits
+    * MUST — the body is not stored), else sha-256 over the decoded
+    * entity. One mapPartitions pass per archive, zero shuffle — the
+    * SURT/timestamp projections are column expressions on top.
+    */
+  def cdxIndex(warcFiles: DataFrame): DataFrame = {
+    val spark = warcFiles.sparkSession
+    val rawSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("warc_date", StringType, nullable = false),
+      StructField("digest", StringType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("status", LongType, nullable = true),
+      StructField("offset", LongType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("is_revisit", BooleanType, nullable = false)))
+    val idIdx = warcFiles.schema.fieldIndex("media_id")
+    val payloadIdx = warcFiles.schema.fieldIndex("payload")
+    val rdd = warcFiles.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        WarcCodec.memberOffsets(bytes).iterator.flatMap { case (off, len) =>
+          val rec = WarcCodec.parseMemberAt(bytes, off)
+          def hdr(n: String): Option[String] =
+            rec.headers.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+          rec.warcType match {
+            case "revisit" =>
+              Some(Row(id, rec.targetUri.getOrElse(""), rec.date,
+                hdr("WARC-Payload-Digest").getOrElse(""),
+                "warc/revisit", null, off.toLong, len.toLong, true))
+            case "response" if rec.contentType.startsWith("application/http") =>
+              val h = WarcCodec.parseHttpResponse(rec.block)
+              val mime = h.contentType.map(_.takeWhile(_ != ';').trim).getOrElse("")
+              val digest = hdr("WARC-Payload-Digest")
+                .getOrElse(payloadDigest(WarcCodec.decodeEntity(h)))
+              Some(Row(id, rec.targetUri.getOrElse(""), rec.date,
+                digest, mime, h.status.toLong, off.toLong, len.toLong, false))
+            case _ => None
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, rawSchema)
+      .withColumn("surt", graft.text.TextAnalysis.surtKey(col("target_uri")))
+      .withColumn("ts14", regexp_replace(col("warc_date"), "[^0-9]", ""))
+      .select(col("media_id"), col("surt"), col("ts14"), col("digest"),
+        col("mime"), col("status"), col("offset"), col("length"),
+        col("is_revisit"))
+  }
+
+  /** Resolve `revisit` rows against the digest index: each revisit joins
+    * the EARLIEST full capture with the same payload digest — (ts14,
+    * media_id, offset) min, the wayback resolution rule. ONE equi-join
+    * on the digest (originals pre-reduced to one row per digest by a
+    * grouped min-struct, so the join side is small and broadcastable);
+    * revisits whose digest has no stored capture surface with null
+    * originals — the audit case (a revisit pointing outside the corpus).
+    */
+  def resolveRevisits(cdx: DataFrame): DataFrame = {
+    val originals = cdx.filter(!col("is_revisit"))
+      .groupBy(col("digest"))
+      .agg(min(struct(col("ts14"), col("media_id"), col("offset"))).as("_o"))
+      .select(col("digest"),
+        col("_o.media_id").as("orig_media_id"),
+        col("_o.ts14").as("orig_ts14"),
+        col("_o.offset").as("orig_offset"))
+    cdx.filter(col("is_revisit"))
+      .select(col("media_id"), col("surt"), col("ts14"), col("digest"))
+      .join(originals, Seq("digest"), "left")
+      .select(col("media_id"), col("surt"), col("ts14"), col("digest"),
+        col("orig_media_id"), col("orig_ts14"), col("orig_offset"),
+        col("orig_media_id").isNotNull.as("resolved"))
+  }
+
+  /** [[synthesizeWarc]]'s charset-mix twin: response entities arrive in
+    * the five labeling shapes of [[responseBlockCharset]].
+    */
+  def synthesizeWarcCharsets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast("long").as("media_id"), col("text"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val uri = s"https://example.com/doc/$id"
+        val date = "2026-08-12T00:00:00Z"
+        val recs = Seq(
+          WarcCodec.WarcRecord("warcinfo", s"<urn:graft:$id:0>", None, date,
+            "application/warc-fields", Nil, WarcinfoBlock.getBytes(UTF_8)),
+          WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
+            "application/http;msgtype=response", Nil,
+            responseBlockCharset(id, r.getString(1))))
+        Row(id, WarcCodec.build(recs, gzipPerRecord = true))
+      }
+    }
+    spark.createDataFrame(rdd, WarcFileSchema)
   }
 
   /** One synthesized .warc.gz per document row (per-record gzip members —

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-13 gates. Opens with CHARSET-AWARE WARC→TEXT: the intake's
+  * entity decode previously assumed UTF-8 bodies, so a windows-1252 or
+  * shift_jis capture — a large share of any real crawl — came out
+  * mojibake, silently poisoning the very corpus the intake exists to
+  * feed. [[graft.ingest.Warc.resolveCharset]] now routes the charset
+  * WHATWG-style (BOM > HTTP label > meta prescan > trial decode >
+  * windows-1252 default) and the gate mixes five labeling shapes,
+  * including a wrong-label capture the BOM must override.
+  */
+object Round13Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // CHARSET-AWARE WARC→TEXT (ingest.Warc.htmlResponsesCharsetRouted) —
+    // five labeling shapes keyed by doc_id % 5 (HTTP-labeled UTF-8,
+    // meta-http-equiv windows-1252, meta-charset shift_jis, WRONG header
+    // label over a UTF-16LE BOM, unlabeled UTF-8 resolved by trial
+    // decode). Each payload carries charset-DIAGNOSTIC characters, so a
+    // routing mistake cannot round-trip to the oracle's expected text:
+    // decoding the windows-1252 body as UTF-8 throws or garbles é/€,
+    // the shift_jis katakana garbles, the UTF-16LE body is unreadable.
+    // The oracle replays routing + decode closed-form from the recipe.
+    Q(
+      "q346_warc_charset",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-16le'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'meta'
+        |    WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+        |    ELSE 'sniff' END AS charset_source,
+        |  trim(regexp_replace(
+        |    'Doc ' || doc_id || ' ' || text ||
+        |    CASE doc_id % 5 WHEN 0 THEN ' — déjà vu'
+        |      WHEN 1 THEN ' café € résumé'
+        |      WHEN 2 THEN ' テスト'
+        |      WHEN 3 THEN ' Ωδ — test'
+        |      ELSE ' naïve — ok' END,
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.htmlResponsesCharsetRouted(
+        graft.ingest.Warc.synthesizeWarcCharsets(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("charset"), col("charset_source"),
+          graft.text.TextAnalysis.extractHtmlText(col("html")).as("extracted"))
+        .orderBy("media_id")
+    },
+
+    // EXIF-ORIENTATION-NORMALIZED PERCEPTUAL HASH (multimodal
+    // .extractJpegOrientedDHash) — docs sharing `doc_id div 8` are ONE
+    // upright photo stored at all 8 EXIF orientations (inverse-remapped
+    // pixels + APP1 tag); the extractor sniffs the tag, decodes through
+    // the real entropy coder, upright-remaps, THEN resizes → dHash. The
+    // oracle computes the dHash of the UPRIGHT recipe only (q302's DC
+    // closed form + floor-index resize + gradient bits, keyed by the
+    // GROUP): every one of the 8 stored variants must land exactly on
+    // it — i.e. one near-dup cluster per group — which fails if any of
+    // the 8 remaps, the dimension swap (32×16 upright vs 16×32 stored
+    // for orientations 5–8), or the sniff default is off by anything.
+    Q(
+      "q347_exif_oriented_dhash",
+      """WITH blk AS (
+        |  SELECT doc_id, by.by AS by, bx.bx AS bx,
+        |    CAST(((doc_id // 8) * 29 + by.by * 71 + bx.bx * 113) % 256
+        |      AS BIGINT) AS v
+        |  FROM documents,
+        |       unnest(generate_series(0, 1)) AS by(by),
+        |       unnest(generate_series(0, 3)) AS bx(bx)),
+        |dec AS (
+        |  SELECT doc_id, by, bx,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+        |      (((((((8 * (v - 128) + 8) >> 4) * 16) * 370728 + 2048) >> 12)
+        |          * 370728 + 134217728) >> 28) + 128)) AS rec
+        |  FROM blk),
+        |grid AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x, d.rec AS l
+        |  FROM dec d,
+        |       unnest(generate_series(0, 7)) AS y(y),
+        |       unnest(generate_series(0, 8)) AS x(x)
+        |  WHERE d.by = y.y // 4 AND d.bx = (32 * x.x) // 72),
+        |g AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  array_to_string(list(CAST(bit AS VARCHAR) ORDER BY y, x), '') AS dhash,
+        |  CAST(sum(bit) AS BIGINT) AS ones
+        |FROM g GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractJpegOrientedDHash(
+        graft.multimodal.Multimodal.synthesizeJpegOriented(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
+    },
+
+    // SUBTITLE↔AUDIO ALIGNMENT (text.AsrAlign) — the ASR-pair emitter:
+    // q321's VAD utterances (REAL WAV decode → frame energies →
+    // threshold islands, frames mapped to ms at 100 ms/frame) interval-
+    // join q345's subtitle cues (REAL SRT/WebVTT parse of synthesized
+    // files) per media; each utterance takes its BEST-overlap cue (ties
+    // to the lower cue index). The cue recipe's `doc_id % 997` start
+    // offset IS the drifting clock: per doc the transcript timeline
+    // slides up to ~1 s against the audio, so utterances straddle cue
+    // boundaries and best-overlap decides — and early utterances under
+    // large drifts overlap NO cue, exercising the unmatched audit path.
+    // The oracle composes both recipes closed-form (the q321 islands
+    // SQL + the q345 cue projection) and replays the join + argmax.
+    Q(
+      "q348_asr_align",
+      """WITH s AS (SELECT doc_id, i, i // 21 AS frame,
+        |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |  FROM documents, unnest(generate_series(0, 440)) AS u(i)),
+        |fe AS (SELECT doc_id, frame, CAST(sum(v*v) AS BIGINT) AS e
+        |  FROM s GROUP BY doc_id, frame),
+        |act AS (SELECT doc_id, frame,
+        |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+        |  FROM fe WHERE e >= 7500000000),
+        |seg AS (SELECT doc_id, min(frame) AS sf, max(frame) AS ef,
+        |    count(*) AS nf
+        |  FROM act GROUP BY doc_id, grp),
+        |utt AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1 AS utt,
+        |    sf * 100 AS us, (ef + 1) * 100 AS ue
+        |  FROM seg WHERE nf >= 2),
+        |cue AS (SELECT doc_id, g.i AS cue_idx,
+        |    g.i * 2000 + doc_id % 997 AS cs,
+        |    g.i * 2000 + doc_id % 997 + 1500 AS ce,
+        |    'cue ' || g.i || ' first line doc ' || doc_id || ' and more words'
+        |      AS text
+        |  FROM documents, unnest(generate_series(0, 2)) AS g(i)),
+        |pairs AS (SELECT u.doc_id, u.utt, u.us, u.ue, c.cue_idx, c.text,
+        |    LEAST(u.ue, c.ce) - GREATEST(u.us, c.cs) AS ov
+        |  FROM utt u JOIN cue c ON u.doc_id = c.doc_id
+        |  WHERE LEAST(u.ue, c.ce) > GREATEST(u.us, c.cs)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id, utt
+        |    ORDER BY ov DESC, cue_idx) AS rn FROM pairs)
+        |SELECT u.doc_id AS media_id, CAST(u.utt AS BIGINT) AS utt,
+        |  CAST(u.us AS BIGINT) AS u_start_ms, CAST(u.ue AS BIGINT) AS u_end_ms,
+        |  CAST(b.cue_idx AS BIGINT) AS cue_idx, b.text AS cue_text,
+        |  CAST(b.ov AS BIGINT) AS overlap_ms,
+        |  CAST(b.ov * 1000000 // (u.ue - u.us) AS BIGINT) AS overlap_ratio_micro,
+        |  b.cue_idx IS NOT NULL AS matched
+        |FROM utt u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON u.doc_id = b.doc_id AND u.utt = b.utt
+        |ORDER BY media_id, utt""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      import graft.text.{AsrAlign, Subtitles}
+      val docs = Tables.load(s, dir, "documents")
+      val utts = Multimodal.segmentUtterances(
+        Multimodal.extractWavFrameFeatures(
+          Multimodal.synthesizeWav(docs, "doc_id"), frameLen = 21),
+        "sum_squares", threshold = 7500000000L, minFrames = 2)
+        .select(col("media_id"), col("utt"),
+          (col("start_frame") * 100L).as("u_start_ms"),
+          ((col("end_frame") + 1L) * 100L).as("u_end_ms"))
+      // the q345 subtitle recipe, verbatim: SRT for even ids, WebVTT odd
+      def ts(startMs: org.apache.spark.sql.Column, sep: String) = concat(
+        lit("00:00:0"), (startMs / 1000).cast("int").cast("string"), lit(sep),
+        lpad((startMs % 1000).cast("string"), 3, "0"))
+      def cue(i: Int, srt: Boolean) = {
+        val st = lit(i * 2000) + col("doc_id") % 997
+        val en = st + lit(1500)
+        val sep = if (srt) "," else "."
+        val idLine = if (srt) concat(lit(s"${i + 1}\n")) else lit("")
+        val settings = if (srt) lit("") else lit(" align:start")
+        concat(idLine, ts(st, sep), lit(" --> "), ts(en, sep), settings,
+          lit(s"\ncue $i first line doc "), col("doc_id").cast("string"),
+          lit("\nand more words\n\n"))
+      }
+      val srt = concat(cue(0, srt = true), cue(1, srt = true), cue(2, srt = true))
+      val vtt = concat(lit("WEBVTT\n\nNOTE generated by graft\n\n"),
+        cue(0, srt = false), cue(1, srt = false), cue(2, srt = false))
+      val cues = Subtitles.cues(
+        docs.select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 2 === 0, srt).otherwise(vtt).as("sub")),
+        "media_id", "sub")
+        .select(col("media_id"), col("cue_idx"),
+          col("start_ms").as("c_start_ms"), col("end_ms").as("c_end_ms"),
+          col("text"))
+      AsrAlign.alignCues(utts, cues, grain = 1000L)
+        .orderBy("media_id", "utt")
+    },
+
+    // CDX CAPTURE INDEX (ingest.Warc.cdxIndex) — the standard WARC
+    // lookup table: SURT key + 14-digit timestamp + payload digest +
+    // mime/status per response OR revisit record. Archives synthesized
+    // with CRAWL-DEDUP REVISITS (docs sharing `doc_id div 4` have one
+    // stored body; the other three captures are revisit records whose
+    // WARC-Payload-Digest names the body they did NOT store). The
+    // oracle replays the whole index closed-form — sha-256 of the
+    // group's recipe html, the SURT projection, the timestamp digits —
+    // so a drift in digest bytes, header routing, or revisit typing
+    // lands off the hash. Offsets/lengths (gzip-member geometry, not
+    // SQL-expressible) are gated by WarcSpec's fetch round-trip instead.
+    Q(
+      "q349_cdx_index",
+      """SELECT doc_id AS media_id,
+        |  'com,example)/doc/' || doc_id AS surt,
+        |  '202608120000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
+        |  'sha-256:' || sha256('<html><head><title>Doc ' || (doc_id // 4)
+        |    || '</title><script>var x=1;</script></head><body><h1>EN</h1>'
+        |    || '<p>group body ' || (doc_id // 4)
+        |    || ' &amp; more</p><!-- note --></body></html>') AS digest,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'text/html'
+        |       ELSE 'warc/revisit' END AS mime,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 200 END AS BIGINT) AS status,
+        |  doc_id % 4 <> 0 AS is_revisit
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.cdxIndex(
+        graft.ingest.Warc.synthesizeWarcRevisits(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("surt"), col("ts14"), col("digest"),
+          col("mime"), col("status"), col("is_revisit"))
+        .orderBy("media_id")
+    },
+
+    // REVISIT RESOLUTION (ingest.Warc.resolveRevisits) — each revisit
+    // joins the EARLIEST stored capture with the same payload digest:
+    // ONE digest equi-join against a per-digest pre-reduced original
+    // table (broadcastable at any corpus size — one row per distinct
+    // body). The oracle knows the answer closed-form: the group's
+    // id % 4 == 0 doc.
+    Q(
+      "q350_cdx_revisit_resolve",
+      """SELECT doc_id AS media_id,
+        |  'com,example)/doc/' || doc_id AS surt,
+        |  '202608120000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
+        |  'sha-256:' || sha256('<html><head><title>Doc ' || (doc_id // 4)
+        |    || '</title><script>var x=1;</script></head><body><h1>EN</h1>'
+        |    || '<p>group body ' || (doc_id // 4)
+        |    || ' &amp; more</p><!-- note --></body></html>') AS digest,
+        |  CAST(4 * (doc_id // 4) AS BIGINT) AS orig_media_id,
+        |  '202608120000' || lpad(CAST((4 * (doc_id // 4)) % 60 AS VARCHAR), 2, '0')
+        |    AS orig_ts14,
+        |  TRUE AS resolved
+        |FROM documents WHERE doc_id % 4 <> 0
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.resolveRevisits(
+        graft.ingest.Warc.cdxIndex(
+          graft.ingest.Warc.synthesizeWarcRevisits(
+            Tables.load(s, dir, "documents"), "doc_id")))
+        .select(col("media_id"), col("surt"), col("ts14"), col("digest"),
+          col("orig_media_id"), col("orig_ts14"), col("resolved"))
+        .orderBy("media_id")
+    })
+}

@@ -119,6 +119,78 @@ class WarcSpec extends SparkSpec {
     assert(offs.map(_._1).filterNot(_ == secondOff).forall(claimed.contains))
   }
 
+  test("cdxIndex: offsets fetch the exact record; lengths tile the archive; " +
+    "unresolvable revisit surfaces") {
+    val docs = spark.range(0, 12).toDF("doc_id")
+    val files = Warc.synthesizeWarcRevisits(docs, "doc_id")
+    val payloads = files.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val cdx = Warc.cdxIndex(files).collect()
+    assert(cdx.length == 12)
+    cdx.foreach { r =>
+      val id = r.getLong(0)
+      val off = r.getLong(6).toInt
+      val len = r.getLong(7).toInt
+      // the CDX contract: (offset, length) alone fetch the single record
+      val rec = graft.ingest.WarcCodec.parseMemberAt(payloads(id), off)
+      assert(rec.targetUri.contains(s"https://example.com/doc/$id"))
+      assert(rec.warcType == (if (id % 4 == 0) "response" else "revisit"))
+      // the member really is len bytes: parsing the slice alone works too
+      val slice = java.util.Arrays.copyOfRange(payloads(id), off, off + len)
+      assert(graft.ingest.WarcCodec.parseMemberAt(slice, 0).recordId == rec.recordId)
+    }
+    // a revisit whose digest has no stored capture resolves to nulls
+    val orphanOnly = Warc.resolveRevisits(
+      Warc.cdxIndex(files).filter(col("media_id") =!= 0L && col("media_id") < 4L))
+    val rows = orphanOnly.orderBy("media_id").collect()
+    assert(rows.length == 3 && rows.forall(r => !r.getBoolean(7) && r.isNullAt(4)))
+  }
+
+  test("Warc.resolveCharset: WHATWG order — BOM > http label > meta > sniff > default") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def cs(ct: Option[String], body: Array[Byte]) = Warc.resolveCharset(ct, body)
+    // BOM overrides a contradicting http label (the wrong-label case)
+    val utf16 = Array(0xFF.toByte, 0xFE.toByte) ++ "<html>x</html>".getBytes("UTF-16LE")
+    assert(cs(Some("text/html; charset=shift_jis"), utf16) == ("utf-16le", "bom"))
+    // UTF-8 BOM likewise wins
+    val bom8 = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "<p>é</p>".getBytes(UTF_8)
+    assert(cs(Some("text/html; charset=windows-1252"), bom8) == ("utf-8", "bom"))
+    // http label wins over meta when both present and no BOM
+    val metaSjis = "<html><head><meta charset=\"shift_jis\"></head></html>".getBytes(UTF_8)
+    assert(cs(Some("text/html; charset=utf-8"), metaSjis) == ("utf-8", "http"))
+    // meta (both attribute forms) when the header has no charset param
+    assert(cs(Some("text/html"), metaSjis) == ("shift_jis", "meta"))
+    val metaEquiv = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head></html>").getBytes(ISO_8859_1)
+    assert(cs(None, metaEquiv) == ("windows-1252", "meta"))
+    // unsupported label falls through to the next source, not a failure
+    assert(cs(Some("text/html; charset=utf-99"), "<p>plain</p>".getBytes(UTF_8))
+      == ("utf-8", "sniff"))
+    // unlabeled valid UTF-8 resolves by trial decode
+    assert(cs(Some("text/html"), "<p>déjà</p>".getBytes(UTF_8)) == ("utf-8", "sniff"))
+    // unlabeled NON-UTF-8 legacy bytes land on the html5 default
+    assert(cs(Some("text/html"), "<p>café</p>".getBytes(ISO_8859_1))
+      == ("windows-1252", "default"))
+  }
+
+  test("Warc: charset-mix archives decode to the exact recipe text per mode") {
+    val docs = spark.range(0, 10).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val out = Warc.htmlResponsesCharsetRouted(Warc.synthesizeWarcCharsets(docs, "doc_id"))
+      .orderBy("media_id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val mode = (id % 5).toInt
+      val expCs = Seq("utf-8", "windows-1252", "shift_jis", "utf-16le", "utf-8")(mode)
+      val expSrc = Seq("http", "meta", "meta", "bom", "sniff")(mode)
+      assert(r.getString(1) == expCs, s"charset for id=$id")
+      assert(r.getString(2) == expSrc, s"source for id=$id")
+      val html = r.getString(3)
+      assert(!html.startsWith("﻿")) // BOM char stripped after decode
+      assert(html.contains(Warc.charsetPayload(mode, s"doc $id")), s"payload for id=$id")
+    }
+  }
+
   test("WarcCodec: http response split — 200 html and 404 miss") {
     val ok = WarcCodec.parseHttpResponse(
       Warc.responseBlock(2, "de", "hello world").getBytes(UTF_8))
