@@ -143,6 +143,58 @@ object BmpCodec {
     Bmp(wOut, hOut, out)
   }
 
+  /** Upright-normalize per the EXIF orientation tag (TIFF 6.0 §Image
+    * Orientation / EXIF 0x0112) — the integer pixel remap that makes a
+    * phone photo's STORED pixel order match its displayed geometry.
+    * Without this, a rotated duplicate photo (orientations 3/6/8 — every
+    * phone camera) lands a different perceptual hash and cross-orientation
+    * near-dups are missed. Pure index arithmetic, no resampling:
+    * orientations 5–8 swap the output dimensions.
+    *
+    *   1 identity · 2 mirror-H · 3 rotate 180 · 4 mirror-V ·
+    *   5 transpose · 6 rotate 90 CW · 7 transverse · 8 rotate 270 CW
+    */
+  def applyOrientation(img: Bmp, orientation: Int): Bmp = {
+    require(orientation >= 1 && orientation <= 8,
+      s"exif orientation must be 1..8, got $orientation")
+    if (orientation == 1) return img
+    val w = img.width; val h = img.height
+    val swap = orientation >= 5
+    val wOut = if (swap) h else w
+    val hOut = if (swap) w else h
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < hOut) {
+      var x = 0
+      while (x < wOut) {
+        val src = orientation match {
+          case 2 => y * w + (w - 1 - x)
+          case 3 => (h - 1 - y) * w + (w - 1 - x)
+          case 4 => (h - 1 - y) * w + x
+          case 5 => x * w + y
+          case 6 => (h - 1 - x) * w + y
+          case 7 => (h - 1 - x) * w + (w - 1 - y)
+          case _ => x * w + (w - 1 - y) // 8
+        }
+        out(y * wOut + x) = img.pixels(src)
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(wOut, hOut, out)
+  }
+
+  /** The orientation whose [[applyOrientation]] UNDOES `o` — what a
+    * synthesizer uses to produce the camera-stored pixel order from an
+    * upright image. 6 and 8 (the quarter turns) are mutual inverses;
+    * every other orientation is an involution.
+    */
+  def inverseOrientation(o: Int): Int = o match {
+    case 6 => 8
+    case 8 => 6
+    case x => x
+  }
+
   /** Exact features over the decoded pixels (top-down row-major scan). */
   def features(img: Bmp): Features = {
     val n = img.pixels.length

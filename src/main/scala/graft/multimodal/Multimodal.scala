@@ -990,6 +990,78 @@ object Multimodal {
   def extractJpegDHash(media: DataFrame, side: Int = 8): DataFrame =
     extractDHashWith(media, JpegCodec.decode _, side)
 
+  /** Synthetic ROTATED-DUPLICATE photo corpus: docs sharing a group
+    * `doc_id div 8` are the SAME upright image (the q302 block-constant
+    * grayscale recipe keyed by the group), each stored in the pixel
+    * order a camera at orientation `1 + doc_id % 8` would write — i.e.
+    * stored = inverse-orientation remap of upright — with the
+    * orientation recorded in an EXIF APP1. Because the upright image is
+    * block-constant, every axis-aligned remap of it is block-constant
+    * too, so the lossy encode stays DC-exact and the decoded stored
+    * pixels are the EXACT remap of the decoded upright pixels. Non-
+    * square (`blocksW` ≠ `blocksH` exercises the orientation-5–8
+    * dimension swap).
+    */
+  def synthesizeJpegOriented(
+      df: DataFrame,
+      idCol: String,
+      blocksW: Int = 4,
+      blocksH: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val w = blocksW * 8; val h = blocksH * 8
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val g = id / 8
+        val o = 1 + (id % 8).toInt
+        val upright = Array.tabulate(w * h) { i =>
+          val by = (i / w) / 8; val bx = (i % w) / 8
+          val v = ((g * 29L + by * 71L + bx * 113L) % 256L).toInt
+          (v << 16) | (v << 8) | v
+        }
+        val stored = BmpCodec.applyOrientation(
+          BmpCodec.Bmp(w, h, upright), BmpCodec.inverseOrientation(o))
+        val jpeg = JpegCodec.encode(
+          stored.width, stored.height, stored.pixels, grayscale = true)
+        val payload = ExifCodec.insertApp1(jpeg,
+          ExifCodec.buildApp1(o, "2026:08:12 12:00:00", None))
+        Row(id, payload, Row("image", "jpeg", stored.width, stored.height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** ORIENTATION-NORMALIZED difference-hash for JPEG payloads: sniff the
+    * EXIF orientation ([[ExifCodec.sniff]], default 1 when absent),
+    * decode, upright-remap ([[BmpCodec.applyOrientation]]), THEN resize →
+    * dHash — so a rotated duplicate photo (orientations 3/6/8: every
+    * phone camera) lands in the SAME near-dup cluster as its upright
+    * twin, which the stored-order hash of [[extractJpegDHash]] misses.
+    * Emits the sniffed orientation for audit.
+    */
+  def extractJpegOrientedDHash(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orientation", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("ones", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val o = ExifCodec.sniff(payload).orientation.getOrElse(1)
+        val upright = BmpCodec.applyOrientation(JpegCodec.decode(payload), o)
+        val img = BmpCodec.resizeNearest(upright, side + 1, side)
+        val (bits, ones) = BmpCodec.dHash(img)
+        Row(r.getLong(idIdx), o.toLong, bits, ones)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Quarantine decode: the poison-pill-safe twin of
     * [[extractPixelFeatures]]. A 100 TB media scan WILL contain corrupt
     * payloads, and the loud-failure contract that protects correctness

@@ -85,4 +85,44 @@ class ExifSpec extends SparkSpec {
       assert(r.getBoolean(14), s"pixels changed for $id")
     }
   }
+
+  test("applyOrientation: exact remaps, involutions, and 6/8 inversion") {
+    import graft.multimodal.BmpCodec
+    // 3×2 image with distinct pixels: orientation math is fully determined
+    val img = BmpCodec.Bmp(3, 2, Array(1, 2, 3, 4, 5, 6))
+    def px(b: BmpCodec.Bmp) = (b.width, b.height, b.pixels.toSeq)
+    assert(px(BmpCodec.applyOrientation(img, 1)) == ((3, 2, Seq(1, 2, 3, 4, 5, 6))))
+    assert(px(BmpCodec.applyOrientation(img, 2)) == ((3, 2, Seq(3, 2, 1, 6, 5, 4))))
+    assert(px(BmpCodec.applyOrientation(img, 3)) == ((3, 2, Seq(6, 5, 4, 3, 2, 1))))
+    assert(px(BmpCodec.applyOrientation(img, 4)) == ((3, 2, Seq(4, 5, 6, 1, 2, 3))))
+    assert(px(BmpCodec.applyOrientation(img, 5)) == ((2, 3, Seq(1, 4, 2, 5, 3, 6))))
+    assert(px(BmpCodec.applyOrientation(img, 6)) == ((2, 3, Seq(4, 1, 5, 2, 6, 3))))
+    assert(px(BmpCodec.applyOrientation(img, 7)) == ((2, 3, Seq(6, 3, 5, 2, 4, 1))))
+    assert(px(BmpCodec.applyOrientation(img, 8)) == ((2, 3, Seq(3, 6, 2, 5, 1, 4))))
+    // applying o then its inverse is the identity, for every o
+    (1 to 8).foreach { o =>
+      val back = BmpCodec.applyOrientation(
+        BmpCodec.applyOrientation(img, o), BmpCodec.inverseOrientation(o))
+      assert(px(back) == px(img), s"o=$o not inverted")
+    }
+    intercept[IllegalArgumentException](BmpCodec.applyOrientation(img, 0))
+  }
+
+  test("oriented dHash: all 8 orientations of one photo land ONE cluster; " +
+    "the stored-order hash does NOT") {
+    val docs = spark.range(0, 32).toDF("doc_id") // 4 groups × 8 orientations
+    val media = Multimodal.synthesizeJpegOriented(docs, "doc_id")
+    val oriented = Multimodal.extractJpegOrientedDHash(media)
+      .select(expr("media_id div 8").as("grp"), col("dhash"))
+      .groupBy("grp").agg(countDistinct("dhash").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(oriented.values.forall(_ == 1L), s"oriented clusters split: $oriented")
+    // without normalization the rotated twins scatter across hashes —
+    // the exact failure mode this closes
+    val stored = Multimodal.extractJpegDHash(media)
+      .select(expr("media_id div 8").as("grp"), col("dhash"))
+      .groupBy("grp").agg(countDistinct("dhash").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored.values.exists(_ > 1L), s"stored-order hash already clustered: $stored")
+  }
 }
