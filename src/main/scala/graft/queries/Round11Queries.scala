@@ -86,6 +86,17 @@ object Round11Queries {
        |SELECT vec_id, adc AS adc_score FROM scored
        |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin
 
+  /** [[pqOracle]] over a SURVIVOR subset: same training (the codebook is
+    * frozen on the FULL corpus before any delete), scored rows filtered
+    * by `where` — the rebuild-from-survivors answer q351 pins
+    * delete+compact against.
+    */
+  private[queries] def pqOracleSurvivors(
+      m: Int, k: Int, iters: Int, sub: Int, topK: Int, where: String): String =
+    s"""WITH ${pqScoredCtes(m, k, iters, sub)}
+       |SELECT vec_id, adc AS adc_score FROM scored WHERE $where
+       |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin
+
   private def pqRerankOracle(
       m: Int, k: Int, iters: Int, sub: Int, cand: Int, topK: Int): String = {
     val dims = m * sub

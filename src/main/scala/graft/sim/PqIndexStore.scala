@@ -115,6 +115,109 @@ object PqIndexStore {
   def codes(spark: SparkSession, root: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$root/codes")
 
+  // ------------------------------------------------------------- deletes
+
+  /** Record a DELETE batch — dedup kills, takedowns, right-to-be-
+    *-forgotten requests ([[graft.load.Tombstone]]'s lifecycle, applied
+    * to the index): ids land in their own `tombstones/<batchId>/`
+    * subdir (Overwrite — replay-idempotent like [[appendBatch]]). The
+    * codes stay on disk until [[compact]] folds them out; until then
+    * [[liveCodes]] is the query view. Returns the batch's id count.
+    */
+  def appendTombstones(
+      ids: DataFrame, idCol: String, root: String, batchId: String): Long = {
+    require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
+    val d = ids.select(col(idCol)).distinct().persist()
+    d.write.mode(SaveMode.Overwrite).parquet(s"$root/tombstones/$batchId")
+    val n = d.count()
+    d.unpersist()
+    n
+  }
+
+  /** Every pending (un-compacted) tombstoned id, empty-safe. */
+  def tombstones(spark: SparkSession, root: String, idCol: String): DataFrame = {
+    if (!existsAny(spark, s"$root/tombstones"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            idCol, org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/tombstones").toDF(idCol).distinct()
+  }
+
+  /** The QUERY view between delete and compaction: codes minus pending
+    * tombstones — one broadcast anti-join (the tombstone set is a
+    * request queue, metadata-sized next to the code table), so the ADC
+    * scan shape is unchanged at any corpus size.
+    */
+  def liveCodes(spark: SparkSession, root: String): DataFrame = {
+    val c = codes(spark, root)
+    c.join(
+      broadcast(tombstones(spark, root, c.columns.head)),
+      Seq(c.columns.head), "left_anti")
+  }
+
+  /** Fold pending tombstones INTO the code table: survivors of every
+    * existing code batch rewrite into ONE new `codes/<compactId>/`
+    * subdir, then the folded code subdirs and the consumed tombstone
+    * subdirs are deleted. Replay-idempotent, the [[graft.dedup
+    * .IncrementalDedup]] marker discipline:
+    *
+    *  - data first, marker second, deletes last: a marker under
+    *    `compactions/<compactId>/` records exactly which subdirs were
+    *    folded, and is written only after the survivor data commits;
+    *  - replaying a compactId WITHOUT its marker (crash mid-write)
+    *    refolds from the still-present source dirs — same inputs, same
+    *    survivors, Overwrite semantics;
+    *  - replaying WITH the marker (crash mid-delete) skips the fold and
+    *    just finishes the recorded deletions — the survivor data is
+    *    already committed and the sources must not be re-read (they may
+    *    be half-deleted).
+    *
+    * Compaction does NOT write a stats row: `stats/` is the ingest-time
+    * drift ledger ([[staleness]] baselines on the earliest batch), not
+    * row accounting. Single-maintenance contract: one compactor at a
+    * time, like the ingest side. Returns (survivor rows, purged rows).
+    */
+  def compact(spark: SparkSession, root: String, compactId: String): (Long, Long) = {
+    require(compactId.matches("[A-Za-z0-9._-]+"), s"compactId '$compactId' is not filename-safe")
+    import spark.implicits._
+    val f = fs(spark, root)
+    val markerDir = s"$root/compactions/$compactId"
+    def subdirs(d: String): Seq[String] =
+      if (!f.exists(new Path(d))) Seq.empty
+      else f.listStatus(new Path(d)).filter(_.isDirectory).map(_.getPath.toString).toSeq
+    if (existsAny(spark, markerDir)) {
+      // crash-mid-delete replay: finish the recorded deletions only
+      val folded = spark.read.parquet(markerDir).as[String].collect()
+      folded.foreach(p => f.delete(new Path(p), true))
+      return (-1L, -1L)
+    }
+    val foldedCodes = subdirs(s"$root/codes")
+      .filterNot(_.endsWith(s"/$compactId"))
+    val foldedTombs = subdirs(s"$root/tombstones")
+    require(foldedCodes.nonEmpty, "compact: no code batches to fold")
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val idCol = all.columns.head
+    val tomb =
+      if (foldedTombs.isEmpty) null
+      else foldedTombs.map(spark.read.parquet(_)).reduce(_ unionAll _)
+        .toDF(idCol).distinct()
+    val survivors =
+      if (tomb == null) all
+      else all.join(broadcast(tomb), Seq(idCol), "left_anti")
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$compactId")
+    val nAll = all.count()
+    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
+    // marker AFTER the data commit; deletes last
+    (foldedCodes ++ foldedTombs).toDF("path")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
+    (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))
+    (nLive, nAll - nLive)
+  }
+
   /** Per-batch drift stats with `drift_ratio` = mean_qerr / the EARLIEST
     * batch's mean_qerr (the fit-time baseline — the codebook was trained
     * on that distribution). A ratio well above 1 on new batches means the

@@ -400,4 +400,54 @@ class SimilaritySpec extends SparkSpec {
     assert(st("b2-drift").getAs[Double]("mean_qerr") > 1000.0)
     assert(st("b0").getAs[Double]("mean_qerr") < 1e-12)
   }
+
+  test("PqIndexStore deletes: live view pre-compact, compact == rebuild-from-" +
+    "survivors, marker replay idempotent") {
+    import graft.sim.{ProductQuantizer, PqIndexStore}
+    import org.apache.hadoop.fs.Path
+    val subA = Seq(Array(1.0f, 2.0f), Array(5.0f, 6.0f))
+    val subB = Seq(Array(0.0f, 1.0f), Array(9.0f, 4.0f))
+    val rows = (0 until 8).map { i =>
+      (i.toLong, (subA(i % 2) ++ subB((i / 2) % 2)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = ProductQuantizer.fit(df, "vec_id", "embedding", dims = 4, m = 2, k = 2, iters = 2)
+    val root = tmpDir("pqstore-del")
+    PqIndexStore.writeCodebook(spark, root, cb)
+    PqIndexStore.appendBatch(df.filter($"vec_id" < 4), "vec_id", "embedding", root, cb, "b0")
+    PqIndexStore.appendBatch(df.filter($"vec_id" >= 4), "vec_id", "embedding", root, cb, "b1")
+    // delete ids 2, 5, 6 across both batches
+    val nT = PqIndexStore.appendTombstones(
+      Seq(2L, 5L, 6L, 5L).toDF("vec_id"), "vec_id", root, "t0")
+    assert(nT == 3)
+    // pre-compact query view excludes them; raw codes still hold all 8
+    assert(PqIndexStore.liveCodes(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 3L, 4L, 7L))
+    assert(PqIndexStore.codes(spark, root).count() == 8)
+    // compact: survivors fold to one dir, sources + tombstones deleted
+    val (nLive, nPurged) = PqIndexStore.compact(spark, root, "c0")
+    assert(nLive == 5 && nPurged == 3)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codeDirs = fs.listStatus(new Path(s"$root/codes")).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(codeDirs == Set("c0"))
+    assert(!fs.exists(new Path(s"$root/tombstones/t0")))
+    // cold reload == rebuild-from-survivors
+    val stored = PqIndexStore.codes(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rebuilt = ProductQuantizer.encode(
+      df.filter(!$"vec_id".isin(2L, 5L, 6L)), "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == rebuilt)
+    // marker replay (the crash-mid-delete path): re-running the SAME
+    // compactId must not refold or touch the survivor data
+    PqIndexStore.compact(spark, root, "c0")
+    assert(PqIndexStore.codes(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == rebuilt)
+    // post-compact appends keep working against the frozen codebook
+    PqIndexStore.appendBatch(
+      Seq((100L, (subA(0) ++ subB(0)).toSeq)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, cb, "b2")
+    assert(PqIndexStore.codes(spark, root).count() == 6)
+  }
 }
