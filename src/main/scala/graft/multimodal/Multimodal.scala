@@ -859,6 +859,106 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** 16-BIT TRUECOLOR (depth 16, color type 2) synthetic PNGs — the
+    * [[synthesizePngGray16]] recipe per channel: c16 = (id·p₀ + y·p₁ +
+    * x·p₂) mod 65536 with distinct primes per channel; decode frames
+    * each channel by its MSB (c16 // 256).
+    */
+  def synthesizePngRgb16(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = width * height
+        val cr = new Array[Int](n); val cg = new Array[Int](n); val cb = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val y = i / width; val x = i % width
+          cr(i) = ((id * 257L + y * 1031L + x * 4099L) % 65536L).toInt
+          cg(i) = ((id * 263L + y * 1033L + x * 4111L) % 65536L).toInt
+          cb(i) = ((id * 269L + y * 1039L + x * 4127L) % 65536L).toInt
+          i += 1
+        }
+        val payload = PngCodec.encodeRgb16(width, height, cr, cg, cb, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** 16-BIT RGBA (depth 16, color type 6) synthetic PNGs: the
+    * [[synthesizePngRgb16]] channels plus a16 = (id·271 + y·1049 +
+    * x·4129) mod 65536; decode composites the MSBs over white (the
+    * q328 integer recipe on c16 // 256, a16 // 256).
+    */
+  def synthesizePngRgba16(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = width * height
+        val cr = new Array[Int](n); val cg = new Array[Int](n)
+        val cb = new Array[Int](n); val ca = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val y = i / width; val x = i % width
+          cr(i) = ((id * 257L + y * 1031L + x * 4099L) % 65536L).toInt
+          cg(i) = ((id * 263L + y * 1033L + x * 4111L) % 65536L).toInt
+          cb(i) = ((id * 269L + y * 1039L + x * 4127L) % 65536L).toInt
+          ca(i) = ((id * 271L + y * 1049L + x * 4129L) % 65536L).toInt
+          i += 1
+        }
+        val payload = PngCodec.encodeRgba16(width, height, cr, cg, cb, ca, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[synthesizePngPalette]] plus tRNS: entry j's alpha = (j·7 + 13)
+    * mod 256 — transparency without an alpha channel, the GIF-shaped
+    * web PNG; decode composites each palette color over white by its
+    * entry's alpha.
+    */
+  def synthesizePngPaletteTrns(
+      df: DataFrame,
+      idCol: String,
+      width: Int = 16,
+      height: Int = 12,
+      interlaced: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val palette = Array.tabulate(256) { j =>
+      (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
+    }
+    val alphas = Array.tabulate(256)(j => (j * 7 + 13) % 256)
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val indices = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          ((id * 13L + y * 31L + x * 7L) % 256L).toInt
+        }
+        val payload = PngCodec.encodePaletteTrns(
+          width, height, indices, palette, alphas, interlaced)
+        Row(id, payload, Row("image", "png", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** REAL PNG decode+featurize — zlib inflate + per-scanline unfilter per
     * row ([[PngCodec.decode]]) into the SHARED pixel frame, then the same
     * feature/resize verbs as the BMP/GIF paths: one pixel contract, N

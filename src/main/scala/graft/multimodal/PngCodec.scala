@@ -194,7 +194,8 @@ object PngCodec {
 
   private def writePng(
       width: Int, height: Int, colorType: Int, interlaced: Boolean,
-      plte: Array[Byte], z: Array[Byte], depth: Int = 8): Array[Byte] = {
+      plte: Array[Byte], z: Array[Byte], depth: Int = 8,
+      trns: Array[Byte] = null): Array[Byte] = {
     val out = new ByteArrayOutputStream(z.length + 128)
     out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
@@ -208,6 +209,7 @@ object PngCodec {
     ihdr(12) = if (interlaced) 1 else 0
     writeChunk(out, "IHDR", ihdr)
     if (plte != null) writeChunk(out, "PLTE", plte)
+    if (trns != null) writeChunk(out, "tRNS", trns)
     // split IDAT so multi-chunk reassembly is exercised on every decode
     var off = 0
     while (off < z.length) {
@@ -364,14 +366,134 @@ object PngCodec {
     writePng(width, height, 0, interlaced, null, deflate(raw), depth = 16)
   }
 
+  /** Encode 16-bit-per-channel RGB (each channel 0–65535, big-endian per
+    * spec) as a depth-16 truecolor PNG — the scan/archival shape in
+    * color. Optional `colorKey` (three full-depth samples) emits a tRNS
+    * chunk: pixels matching it exactly decode transparent.
+    */
+  def encodeRgb16(
+      width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int],
+      interlaced: Boolean = false,
+      colorKey: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(r.length == width * height && g.length == r.length && b.length == r.length,
+      "r/g/b must be width*height")
+    Seq(r, g, b).foreach(_.foreach(v =>
+      require(v >= 0 && v <= 65535, s"16-bit sample $v out of range")))
+    val buf = new Array[Byte](6)
+    val raw = filteredStream(width, height, 6, interlaced) { (x, y) =>
+      val i = y * width + x
+      buf(0) = ((r(i) >> 8) & 0xFF).toByte; buf(1) = (r(i) & 0xFF).toByte
+      buf(2) = ((g(i) >> 8) & 0xFF).toByte; buf(3) = (g(i) & 0xFF).toByte
+      buf(4) = ((b(i) >> 8) & 0xFF).toByte; buf(5) = (b(i) & 0xFF).toByte
+      buf
+    }
+    val trns = colorKey.map { case (kr, kg, kb) =>
+      Array(kr, kg, kb).flatMap(k =>
+        Array(((k >> 8) & 0xFF).toByte, (k & 0xFF).toByte))
+    }.orNull
+    writePng(width, height, 2, interlaced, null, deflate(raw), depth = 16, trns = trns)
+  }
+
+  /** Encode 16-bit-per-channel RGBA as a depth-16 color-type-6 PNG.
+    * Decode composites by the MSB of each sample (the spec's 16→8
+    * scaling), so the oracle algebra is the q328 composite on `v // 256`.
+    */
+  def encodeRgba16(
+      width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int], a: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(r.length == width * height && g.length == r.length &&
+      b.length == r.length && a.length == r.length, "r/g/b/a must be width*height")
+    Seq(r, g, b, a).foreach(_.foreach(v =>
+      require(v >= 0 && v <= 65535, s"16-bit sample $v out of range")))
+    val buf = new Array[Byte](8)
+    val raw = filteredStream(width, height, 8, interlaced) { (x, y) =>
+      val i = y * width + x
+      buf(0) = ((r(i) >> 8) & 0xFF).toByte; buf(1) = (r(i) & 0xFF).toByte
+      buf(2) = ((g(i) >> 8) & 0xFF).toByte; buf(3) = (g(i) & 0xFF).toByte
+      buf(4) = ((b(i) >> 8) & 0xFF).toByte; buf(5) = (b(i) & 0xFF).toByte
+      buf(6) = ((a(i) >> 8) & 0xFF).toByte; buf(7) = (a(i) & 0xFF).toByte
+      buf
+    }
+    writePng(width, height, 6, interlaced, null, deflate(raw), depth = 16)
+  }
+
+  /** [[encodePalette]] plus a tRNS chunk: `alphas(j)` is entry j's alpha
+    * (entries past `alphas.length` stay opaque, per spec) — the
+    * GIF-transparency-shaped PNG a web crawl is full of.
+    */
+  def encodePaletteTrns(
+      width: Int, height: Int, indices: Array[Int], palette: Array[Int],
+      alphas: Array[Int], interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(indices.length == width * height, "indices must be width*height")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length} not in 1..256")
+    indices.foreach(i => require(i >= 0 && i < palette.length,
+      s"palette index $i out of range"))
+    require(alphas.nonEmpty && alphas.length <= palette.length,
+      s"tRNS size ${alphas.length} not in 1..${palette.length}")
+    alphas.foreach(a => require(a >= 0 && a <= 255, s"tRNS alpha $a out of range"))
+    val plte = new Array[Byte](3 * palette.length)
+    var j = 0
+    while (j < palette.length) {
+      plte(3 * j) = ((palette(j) >> 16) & 0xFF).toByte
+      plte(3 * j + 1) = ((palette(j) >> 8) & 0xFF).toByte
+      plte(3 * j + 2) = (palette(j) & 0xFF).toByte
+      j += 1
+    }
+    val buf = new Array[Byte](1)
+    val raw = filteredStream(width, height, 1, interlaced) { (x, y) =>
+      buf(0) = indices(y * width + x).toByte
+      buf
+    }
+    writePng(width, height, 3, interlaced, plte, deflate(raw),
+      trns = alphas.map(_.toByte))
+  }
+
+  /** [[encodeGray16]] with a tRNS color key: samples equal to `key`
+    * (full 16-bit compare) decode transparent → white under the
+    * composite policy.
+    */
+  def encodeGray16ColorKey(
+      width: Int, height: Int, gray: Array[Int], key: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(key >= 0 && key <= 65535, s"color key $key out of range")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 26),
+      s"PNG too large: ${width}x$height exceeds 2^26 pixels")
+    require(gray.length == width * height, "gray must be width*height")
+    gray.foreach(v => require(v >= 0 && v <= 65535, s"gray16 sample $v out of range"))
+    val buf = new Array[Byte](2)
+    val raw = filteredStream(width, height, 2, interlaced) { (x, y) =>
+      val v = gray(y * width + x)
+      buf(0) = ((v >> 8) & 0xFF).toByte
+      buf(1) = (v & 0xFF).toByte
+      buf
+    }
+    writePng(width, height, 0, interlaced, null, deflate(raw), depth = 16,
+      trns = Array(((key >> 8) & 0xFF).toByte, (key & 0xFF).toByte))
+  }
+
   /** Parse PNG bytes into the shared pixel frame (alpha composited over
-    * white, 16-bit gray by MSB — see the object doc); throws
-    * IllegalArgumentException on anything this decoder cannot represent
-    * faithfully (sub-byte depths, 16-bit color, tRNS transparency, CRC
-    * mismatch, truncation, inflate overrun/underrun, out-of-range palette
-    * index) — loud beats silent. Other ancillary chunks are CRC-checked
-    * and skipped; IDAT payloads are concatenated in file order per the
-    * spec.
+    * white; 16-bit samples frame and composite by MSB — the spec's own
+    * 16→8 scaling; tRNS transparency honored: per-entry palette alphas
+    * composite, a color key compares at FULL depth and keyed pixels
+    * land white). Throws IllegalArgumentException on anything this
+    * decoder cannot represent faithfully (sub-byte depths, tRNS on an
+    * alpha color type, CRC mismatch, truncation, inflate
+    * overrun/underrun, out-of-range palette index) — loud beats silent.
+    * Other ancillary chunks are CRC-checked and skipped; IDAT payloads
+    * are concatenated in file order per the spec.
     */
   def decode(bytes: Array[Byte]): BmpCodec.Bmp =
     try decode0(bytes)
@@ -397,6 +519,8 @@ object PngCodec {
     var depth = 0
     var interlaced = false
     var palette: Array[Int] = null
+    var trnsPal: Array[Int] = null // type 3: per-entry alpha, rest opaque
+    var trnsKey: Array[Int] = null // types 0/2: full-depth color key
     var seenIhdr = false; var seenIend = false
     val idat = new ByteArrayOutputStream(bytes.length)
     while (pos < bytes.length && !seenIend) {
@@ -429,9 +553,9 @@ object PngCodec {
           colorType = bytes(pos + 17) & 0xFF
           require(
             (depth == 8 && Set(0, 2, 3, 4, 6).contains(colorType)) ||
-              (depth == 16 && colorType == 0),
+              (depth == 16 && Set(0, 2, 4, 6).contains(colorType)),
             s"unsupported PNG: depth=$depth colorType=$colorType " +
-              "(8-bit types 0/2/3/4/6 or 16-bit grayscale only)")
+              "(8-bit types 0/2/3/4/6 or 16-bit types 0/2/4/6 only)")
           require((bytes(pos + 18) & 0xFF) == 0, "unknown compression method")
           require((bytes(pos + 19) & 0xFF) == 0, "unknown filter method")
           val im = bytes(pos + 20) & 0xFF
@@ -452,12 +576,31 @@ object PngCodec {
         case "IEND" =>
           seenIend = true
         case "tRNS" =>
-          // palette/color-key transparency: under the composite-over-
-          // background alpha policy, silently skipping it would decode
-          // those pixels WRONG (fully-opaque where the author declared
-          // transparency) — reject loudly like any unsupported shape
-          throw new IllegalArgumentException(
-            "unsupported PNG: tRNS transparency (use alpha color types 4/6)")
+          // transparency WITHOUT an alpha channel: per-palette-entry
+          // alphas (type 3) or a single full-depth color key (types
+          // 0/2). Parsed and honored — silently skipping it would
+          // decode those pixels fully-opaque where the author declared
+          // transparency. tRNS is forbidden with the alpha types.
+          require(seenIhdr, "tRNS before IHDR")
+          colorType match {
+            case 3 =>
+              require(palette != null, "tRNS before PLTE in paletted PNG")
+              require(len >= 1 && len <= palette.length,
+                s"tRNS length $len exceeds palette size ${palette.length}")
+              trnsPal = Array.tabulate(len)(j => bytes(pos + 8 + j) & 0xFF)
+            case 0 =>
+              require(len == 2, s"bad tRNS length $len for grayscale")
+              trnsKey = Array(
+                ((bytes(pos + 8) & 0xFF) << 8) | (bytes(pos + 9) & 0xFF))
+            case 2 =>
+              require(len == 6, s"bad tRNS length $len for truecolor")
+              trnsKey = Array.tabulate(3)(c =>
+                ((bytes(pos + 8 + 2 * c) & 0xFF) << 8) |
+                  (bytes(pos + 9 + 2 * c) & 0xFF))
+            case _ =>
+              throw new IllegalArgumentException(
+                "invalid PNG: tRNS with an alpha color type")
+          }
         case _ => // ancillary chunk: CRC checked above, content skipped
       }
       pos += 12 + len
@@ -466,15 +609,18 @@ object PngCodec {
     if (colorType == 3)
       require(palette != null, "paletted PNG missing its PLTE chunk")
 
-    // bytes per pixel: the only thing depth/channels change — the filter
-    // and Adam7 machinery below is shared across every supported shape
-    val bpp = colorType match {
+    // bytes per pixel = channels × bytes-per-sample: the only thing
+    // depth/channels change — the filter and Adam7 machinery below is
+    // shared across every supported shape (PNG filters are BYTE-wise
+    // with a bpp lookback, so Paeth is depth-agnostic by spec design)
+    val channels = colorType match {
       case 2 => 3 // truecolor
       case 6 => 4 // truecolor + alpha
       case 4 => 2 // gray + alpha
-      case 0 => depth / 8 // gray, 8- or 16-bit
-      case _ => 1 // paletted
+      case _ => 1 // gray, paletted
     }
+    val sb = depth / 8 // bytes per sample (type 3 is always depth 8)
+    val bpp = channels * sb
     val passes =
       if (interlaced) adamPasses(width, height)
       else Seq((-1, width, height))
@@ -528,27 +674,41 @@ object PngCodec {
           // out = (a·c + (255−a)·255 + 127) / 255, integer truncation —
           // SQL-replayable with // and exact for a=255 (c) and a=0 (255)
           def comp(c: Int, a: Int): Int = (a * c + (255 - a) * 255 + 127) / 255
+          // channel `ch`, 8-bit view: the most significant byte (the
+          // spec's own 16→8 scaling); 16-bit samples composite and
+          // frame by MSB, but color-KEY matching below compares at FULL
+          // depth (a key match is exact per spec, not approximate)
+          def msb(ch: Int): Int = cur(x * bpp + ch * sb)
+          def full(ch: Int): Int =
+            if (sb == 2) (cur(x * bpp + 2 * ch) << 8) | cur(x * bpp + 2 * ch + 1)
+            else cur(x * bpp + ch)
           val v = colorType match {
             case 2 =>
-              (cur(3 * x) << 16) | (cur(3 * x + 1) << 8) | cur(3 * x + 2)
+              if (trnsKey != null && full(0) == trnsKey(0) &&
+                full(1) == trnsKey(1) && full(2) == trnsKey(2)) 0xFFFFFF
+              else (msb(0) << 16) | (msb(1) << 8) | msb(2)
             case 6 =>
-              val a = cur(4 * x + 3)
-              (comp(cur(4 * x), a) << 16) |
-                (comp(cur(4 * x + 1), a) << 8) | comp(cur(4 * x + 2), a)
+              val a = msb(3)
+              (comp(msb(0), a) << 16) | (comp(msb(1), a) << 8) | comp(msb(2), a)
             case 4 =>
-              val g = comp(cur(2 * x), cur(2 * x + 1))
-              (g << 16) | (g << 8) | g
-            case 0 if depth == 16 =>
-              val g = cur(2 * x) // most significant byte (spec scaling)
+              val g = comp(msb(0), msb(1))
               (g << 16) | (g << 8) | g
             case 0 =>
-              val g = cur(x)
+              val g =
+                if (trnsKey != null && full(0) == trnsKey(0)) 255
+                else msb(0)
               (g << 16) | (g << 8) | g
             case _ =>
               val idx = cur(x)
               require(idx < palette.length,
                 s"corrupt PNG: palette index $idx >= ${palette.length} entries")
-              palette(idx)
+              if (trnsPal == null) palette(idx)
+              else {
+                val a = if (idx < trnsPal.length) trnsPal(idx) else 255
+                val p = palette(idx)
+                (comp((p >> 16) & 0xFF, a) << 16) |
+                  (comp((p >> 8) & 0xFF, a) << 8) | comp(p & 0xFF, a)
+              }
           }
           val (gx, gy) =
             if (p < 0) (x, y)

@@ -249,5 +249,176 @@ object Round13Queries {
         .select(col("media_id"), col("surt"), col("ts14"), col("digest"),
           col("orig_media_id"), col("orig_ts14"), col("resolved"))
         .orderBy("media_id")
+    },
+
+    // ANN DELETES (sim.PqIndexStore.appendTombstones/compact) — the
+    // curation half the incremental index was missing: dedup kills and
+    // takedowns remove vectors, so the code table must shrink, not just
+    // grow. The gate builds the q333 store (frozen codebook, two
+    // appended batches), tombstones vec_id % 7 == 3, COMPACTS (purge-on-
+    // compact with the marker discipline: survivor data first, folded-
+    // dir marker second, deletes last — replay-idempotent on either side
+    // of the crash line), then re-reads the store cold and answers the
+    // ADC top-k. The oracle is rebuild-from-survivors: train on the FULL
+    // corpus (the codebook froze before the deletes), score every code,
+    // drop the tombstoned ids — incremental-with-deletes must equal it
+    // exactly.
+    Q(
+      "q351_ann_pq_delete",
+      Round11Queries.pqOracleSurvivors(m = 4, k = 4, iters = 2, sub = 16,
+        topK = 10, where = "vec_id % 7 <> 3")) { (s, dir) =>
+      import graft.sim.{ProductQuantizer, PqIndexStore}
+      val emb = Tables.load(s, dir, "embeddings").persist()
+      val cb = ProductQuantizer.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iters = 2)
+      val root = s"target/q351_pqstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      PqIndexStore.writeCodebook(s, root, cb)
+      PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root, cb, "b0")
+      PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", root, cb, "b1")
+      PqIndexStore.appendTombstones(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        "vec_id", root, "t0")
+      PqIndexStore.compact(s, root, "c0")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      emb.unpersist()
+      ProductQuantizer.adcTopK(
+        PqIndexStore.codes(s, root), "vec_id",
+        PqIndexStore.readCodebook(s, root), probe, topK = 10)
+    },
+
+    // 16-BIT TRUECOLOR PNG (depth 16, color type 2), INTERLACED — the
+    // q330 discipline in color: six bytes per pixel through the shared
+    // byte-wise filter machinery (Paeth lookback = bpp = 6), each
+    // channel framed by its MSB, so the oracle is the per-channel
+    // recipe // 256 (q300-family feature algebra).
+    Q(
+      "q352_png16_rgb",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    ((doc_id * 257 + y.y * 1031 + x.x * 4099) % 65536) // 256 AS r,
+        |    ((doc_id * 263 + y.y * 1033 + x.x * 4111) % 65536) // 256 AS g,
+        |    ((doc_id * 269 + y.y * 1039 + x.x * 4127) % 65536) // 256 AS b
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractPngFeatures(
+        graft.multimodal.Multimodal.synthesizePngRgb16(
+          Tables.load(s, dir, "documents"), "doc_id", interlaced = true))
+        .orderBy("media_id")
+    },
+
+    // 16-BIT RGBA PNG (depth 16, color type 6): eight-byte pixels;
+    // decode composites the MSBs over white — the q328 integer
+    // composite on (recipe // 256) channels.
+    Q(
+      "q353_png16_rgba",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    ((doc_id * 257 + y.y * 1031 + x.x * 4099) % 65536) // 256 AS r0,
+        |    ((doc_id * 263 + y.y * 1033 + x.x * 4111) % 65536) // 256 AS g0,
+        |    ((doc_id * 269 + y.y * 1039 + x.x * 4127) % 65536) // 256 AS b0,
+        |    ((doc_id * 271 + y.y * 1049 + x.x * 4129) % 65536) // 256 AS a
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |cp AS (
+        |  SELECT doc_id, y, x,
+        |    (a * r0 + (255 - a) * 255 + 127) // 255 AS r,
+        |    (a * g0 + (255 - a) * 255 + 127) // 255 AS g,
+        |    (a * b0 + (255 - a) * 255 + 127) // 255 AS b
+        |  FROM px),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM cp)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractPngFeatures(
+        graft.multimodal.Multimodal.synthesizePngRgba16(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
+    },
+
+    // tRNS PALETTE TRANSPARENCY (color type 3 + tRNS) — transparency
+    // WITHOUT an alpha channel, the GIF-shaped web PNG: entry j's alpha
+    // = (j·7 + 13) mod 256 composites the q331-era palette recipe over
+    // white. The oracle composes index recipe → palette recipe → alpha
+    // recipe → the shared integer composite.
+    Q(
+      "q354_png_trns",
+      """WITH px AS (
+        |  SELECT doc_id, y.y AS y, x.x AS x,
+        |    (doc_id * 13 + y.y * 31 + x.x * 7) % 256 AS idx
+        |  FROM documents,
+        |       unnest(generate_series(0, 11)) AS y(y),
+        |       unnest(generate_series(0, 15)) AS x(x)),
+        |pal AS (
+        |  SELECT doc_id, y, x,
+        |    (idx * 31 + 7) % 256 AS r0,
+        |    (idx * 17 + 3) % 256 AS g0,
+        |    (idx * 23 + 11) % 256 AS b0,
+        |    (idx * 7 + 13) % 256 AS a
+        |  FROM px),
+        |cp AS (
+        |  SELECT doc_id, y, x,
+        |    (a * r0 + (255 - a) * 255 + 127) // 255 AS r,
+        |    (a * g0 + (255 - a) * 255 + 127) // 255 AS g,
+        |    (a * b0 + (255 - a) * 255 + 127) // 255 AS b
+        |  FROM pal),
+        |lum AS (
+        |  SELECT doc_id, y, x, r, g, b, 299 * r + 587 * g + 114 * b AS l,
+        |    lag(299 * r + 587 * g + 114 * b)
+        |      OVER (PARTITION BY doc_id, y ORDER BY x) AS pl
+        |  FROM cp)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(l) AS BIGINT) AS luma_min,
+        |  CAST(max(l) AS BIGINT) AS luma_max,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND abs(l - pl) > 50000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS edge_count
+        |FROM lum GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractPngFeatures(
+        graft.multimodal.Multimodal.synthesizePngPaletteTrns(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
     })
 }

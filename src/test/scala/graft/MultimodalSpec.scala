@@ -589,36 +589,79 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](PngCodec.encodeGray16(2, 1, Array(0, 65536)))
   }
 
-  test("PngCodec: tRNS transparency is rejected loudly, not silently ignored") {
+  test("PngCodec: palette tRNS composites per-entry alpha; short tables stay opaque") {
     import graft.multimodal.PngCodec
-    val palette = Array.tabulate(4)(j => j * 0x111111)
+    def comp(c: Int, a: Int): Int = (a * c + (255 - a) * 255 + 127) / 255
+    val palette = Array.tabulate(4)(j => j * 0x111111 + 0x221100)
     val idx = Array.tabulate(12)(_ % 4)
-    val png = PngCodec.encodePalette(4, 3, idx, palette)
-    // splice a CRC-valid tRNS chunk right after PLTE: under the
-    // composite-over-white policy those pixels would decode WRONG if the
-    // chunk were skipped as ancillary
-    val plteEnd = {
-      var p = 8; var found = -1
-      while (found < 0) {
-        val len = ((png(p) & 0xFF) << 24) | ((png(p + 1) & 0xFF) << 16) |
-          ((png(p + 2) & 0xFF) << 8) | (png(p + 3) & 0xFF)
-        if (new String(png, p + 4, 4, "US-ASCII") == "PLTE") found = p + 12 + len
-        else p += 12 + len
-      }
-      found
+    // entry 0 fully transparent, entry 1 half, entries 2..3 NOT in tRNS →
+    // opaque per spec
+    val alphas = Array(0, 128)
+    val out = PngCodec.decode(
+      PngCodec.encodePaletteTrns(4, 3, idx, palette, alphas)).pixels
+    idx.zipWithIndex.foreach { case (j, i) =>
+      val a = if (j < alphas.length) alphas(j) else 255
+      val p = palette(j)
+      val want = (comp((p >> 16) & 0xFF, a) << 16) |
+        (comp((p >> 8) & 0xFF, a) << 8) | comp(p & 0xFF, a)
+      assert(out(i) == want, s"pixel $i entry $j")
     }
-    val trns = new java.io.ByteArrayOutputStream()
-    trns.write(Array[Byte](0, 0, 0, 1)) // length 1
-    trns.write("tRNS".getBytes("US-ASCII"))
-    trns.write(0) // palette entry 0 fully transparent
-    val crc = new java.util.zip.CRC32()
-    crc.update("tRNS".getBytes("US-ASCII")); crc.update(0)
-    val c = crc.getValue
-    trns.write(((c >> 24) & 0xFF).toInt); trns.write(((c >> 16) & 0xFF).toInt)
-    trns.write(((c >> 8) & 0xFF).toInt); trns.write((c & 0xFF).toInt)
-    val spliced = png.take(plteEnd) ++ trns.toByteArray ++ png.drop(plteEnd)
+    assert(out(0) == 0xFFFFFF) // alpha 0 → pure white
+    assert(out(2) == palette(2)) // past the tRNS table → verbatim
+    // tRNS remains INVALID on the alpha color types — reject loudly
+    val rgba = PngCodec.encodeRgba(2, 2, Array(0x11223344, 0x55667788, 0, -1))
+    val trnsChunk = {
+      val body = Array[Byte](0)
+      val crc = new java.util.zip.CRC32()
+      crc.update("tRNS".getBytes("US-ASCII")); crc.update(body)
+      val c = crc.getValue
+      Array[Byte](0, 0, 0, 1) ++ "tRNS".getBytes("US-ASCII") ++ body ++
+        Array(((c >> 24) & 0xFF).toByte, ((c >> 16) & 0xFF).toByte,
+          ((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte)
+    }
+    val spliced = rgba.take(8 + 25) ++ trnsChunk ++ rgba.drop(8 + 25)
     val e = intercept[IllegalArgumentException](PngCodec.decode(spliced))
     assert(e.getMessage.contains("tRNS"), e.getMessage)
+  }
+
+  test("PngCodec: 16-bit truecolor and RGBA frame by MSB; color keys compare full depth") {
+    import graft.multimodal.PngCodec
+    def comp(c: Int, a: Int): Int = (a * c + (255 - a) * 255 + 127) / 255
+    val (w, h) = (16, 12)
+    val n = w * h
+    val r = Array.tabulate(n)(i => (i * 257 + 11) % 65536)
+    val g = Array.tabulate(n)(i => (i * 263 + 13) % 65536)
+    val b = Array.tabulate(n)(i => (i * 269 + 17) % 65536)
+    val wantRgb = Array.tabulate(n)(i =>
+      ((r(i) >> 8) << 16) | ((g(i) >> 8) << 8) | (b(i) >> 8))
+    assert(PngCodec.decode(PngCodec.encodeRgb16(w, h, r, g, b)).pixels.toSeq
+      == wantRgb.toSeq)
+    assert(PngCodec.decode(
+      PngCodec.encodeRgb16(w, h, r, g, b, interlaced = true)).pixels.toSeq
+      == wantRgb.toSeq)
+    // RGBA16: composite over white on the MSBs
+    val a = Array.tabulate(n)(i => (i * 271 + 19) % 65536)
+    val wantRgba = Array.tabulate(n) { i =>
+      val av = a(i) >> 8
+      (comp(r(i) >> 8, av) << 16) | (comp(g(i) >> 8, av) << 8) | comp(b(i) >> 8, av)
+    }
+    assert(PngCodec.decode(PngCodec.encodeRgba16(w, h, r, g, b, a)).pixels.toSeq
+      == wantRgba.toSeq)
+    // truecolor color key: pixel 0 matches EXACTLY → white; pixel 1
+    // differs from the key only in the LSB — MSB-equal — and must NOT key
+    val r2 = r.clone(); val g2 = g.clone(); val b2 = b.clone()
+    r2(0) = 0x1234; g2(0) = 0x5678; b2(0) = 0x9abc
+    r2(1) = 0x1235; g2(1) = 0x5678; b2(1) = 0x9abc // LSB off by one
+    val keyed = PngCodec.decode(PngCodec.encodeRgb16(w, h, r2, g2, b2,
+      colorKey = Some((0x1234, 0x5678, 0x9abc)))).pixels
+    assert(keyed(0) == 0xFFFFFF)
+    assert(keyed(1) == ((0x12 << 16) | (0x56 << 8) | 0x9a))
+    // gray16 color key: same full-depth discipline
+    val gray = Array.tabulate(n)(i => (i * 257 + 5) % 65536)
+    gray(0) = 0x4142; gray(1) = 0x4143
+    val gk = PngCodec.decode(
+      PngCodec.encodeGray16ColorKey(w, h, gray, key = 0x4142)).pixels
+    assert(gk(0) == 0xFFFFFF && gk(1) == 0x414141)
   }
 
   test("PngCodec: corruption fails loudly (CRC, signature, truncation, unsupported)") {
