@@ -80,9 +80,11 @@ object Multimodal {
     c.substr(pos, len)
 
   /** THE STUB: deterministic fake feature extractor standing in for the
-    * decoders this environment genuinely lacks (MP3/H.264 — the raster
-    * formats and WAV/JPEG decode for REAL above; ???-equivalent for the
-    * rest).
+    * decoders this environment genuinely lacks (H.264, and MP3's FINAL
+    * polyphase-to-PCM stage — [[Mp3Codec]] now carries the real Layer
+    * III chain down to requantized spectra and subband-time samples;
+    * the raster formats and WAV/FLAC/JPEG decode for REAL above;
+    * ???-equivalent for the rest).
     * Produces a fixed-size float feature vector from payload bytes via md5 —
     * wrong features, right plumbing: batch shape, schema, and partition
     * parallelism are exactly what a real decoder plugs into.
@@ -1616,6 +1618,70 @@ object Multimodal {
         val i = MpegAudioSniff.sniff(r.getAs[Array[Byte]](payloadIdx))
         Row(r.getLong(idIdx), i.nFrames, i.sampleRate.toLong, i.sumBitrateKbps,
           i.minBitrateKbps.toLong, i.maxBitrateKbps.toLong, i.durationMs, i.id3Bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic FULLY-CODED Layer III streams
+    * ([[Mp3Codec.synthesizeCoded]] — real side info, real Huffman data,
+    * spectral lines all ±1 at exact power-of-two gains) as a media
+    * frame: the decode twin of the header-only [[synthesizeMp3]].
+    */
+  def synthesizeMp3Coded(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCoded(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** REAL Layer III decode to requantized spectra ([[Mp3Codec
+    * .decodeSpectra]]: side info, bit reservoir, scalefactors, Huffman,
+    * requantization) + integer spectral features per granule: nonzero
+    * line count, Σ round(|xr|·10⁶), and the position/sign-sensitive
+    * Σ (line+1)·round(xr·10⁶) — on the synthesis recipe every line is
+    * EXACTLY ±2^g, so all three are integers an oracle replays from the
+    * bit recipe. Same one-decoder-per-partition batch shape as the
+    * image codecs.
+    */
+  def extractMp3Spectra(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("granule", LongType, nullable = false),
+      StructField("big_values", LongType, nullable = false),
+      StructField("global_gain", LongType, nullable = false),
+      StructField("part2_3_length", LongType, nullable = false),
+      StructField("n_nonzero", LongType, nullable = false),
+      StructField("sum_abs_micro", LongType, nullable = false),
+      StructField("checksum_micro", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        Mp3Codec.decodeSpectra(r.getAs[Array[Byte]](payloadIdx)).map { g =>
+          var nnz = 0L; var sumAbs = 0L; var checksum = 0L
+          var j = 0
+          while (j < 576) {
+            if (g.is(j) != 0) nnz += 1
+            val m = math.rint(g.xr(j) * 1e6).toLong
+            sumAbs += math.abs(m)
+            checksum += (j + 1) * m
+            j += 1
+          }
+          Row(id, g.frameIdx.toLong, g.granule.toLong,
+            g.info.bigValues.toLong, g.info.globalGain.toLong,
+            g.info.part23Length.toLong, nnz, sumAbs, checksum)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -420,5 +420,92 @@ object Round13Queries {
         graft.multimodal.Multimodal.synthesizePngPaletteTrns(
           Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id")
+    },
+
+    // MP3 LAYER III DECODE (multimodal.Mp3Codec) — the payload the
+    // header sniff (q337) skips: per-doc streams carry REAL side info
+    // and REAL Huffman-coded spectra (pair table 1 + count1 table B,
+    // lines all ±1, global_gain ≡ 210 mod 4, zero scalefactors), so
+    // the requantized spectrum is EXACTLY ±2^g per line and the oracle
+    // replays side-info fields, the part2_3_length bit accounting, and
+    // integer spectral features (nonzero count, Σ|xr|·10⁶, and the
+    // position/sign-weighted checksum) closed-form from the bit
+    // recipe. Any drift in side-info layout, Huffman codes, sign-bit
+    // order, line placement, or the requantization chain lands off the
+    // hash. Time-domain stages (alias/IMDCT/subbands) are spec-gated
+    // (Mp3Spec) — cosine outputs have no SQL closed form.
+    Q(
+      "q355_mp3_decode",
+      """WITH fg AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr)),
+        |par AS (
+        |  SELECT doc_id, f, gr,
+        |    4 + (doc_id + f) % 5 AS npairs,
+        |    3 + (doc_id + 2*f + gr) % 4 AS nquads,
+        |    (doc_id + f + gr) % 5 AS g
+        |  FROM fg),
+        |pp AS (
+        |  SELECT doc_id, f, gr, p.p AS p,
+        |    (doc_id + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (doc_id*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (doc_id + p.p + f) % 2 AS sx,
+        |    (doc_id + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 8)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (
+        |  SELECT doc_id, f, gr, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (doc_id + q.q + f) % 2
+        |             WHEN 2 THEN (doc_id + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (doc_id + 5*q.q + f + gr) % 2
+        |             ELSE (doc_id + 7*q.q + 1) % 2 END AS mag,
+        |    (doc_id + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 6)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, 2*p + xy.xy AS line,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr,
+        |    2*a.npairs + 4*q.q + (q.j - 1) AS line, q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr)),
+        |pbits AS (
+        |  SELECT doc_id, f, gr,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr),
+        |qbits AS (
+        |  -- one row per (quad, j): each carries 1 of the quad's 4 code
+        |  -- bits plus its own sign bit
+        |  SELECT doc_id, f, gr, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr),
+        |feat AS (
+        |  SELECT doc_id, f, gr, sum(mag) AS nnz,
+        |    sum(mag * (1 - 2*s) * (line + 1)) AS wsum
+        |  FROM lines GROUP BY doc_id, f, gr)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b AS BIGINT) AS part2_3_length,
+        |  CAST(ft.nnz AS BIGINT) AS n_nonzero,
+        |  CAST(ft.nnz * CAST(power(2, a.g) AS BIGINT) * 1000000 AS BIGINT)
+        |    AS sum_abs_micro,
+        |  CAST(ft.wsum * CAST(power(2, a.g) AS BIGINT) * 1000000 AS BIGINT)
+        |    AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr)
+        |JOIN qbits qb USING (doc_id, f, gr)
+        |JOIN feat ft USING (doc_id, f, gr)
+        |ORDER BY media_id, frame_idx, granule""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3Spectra(
+        graft.multimodal.Multimodal.synthesizeMp3Coded(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule")
     })
 }
