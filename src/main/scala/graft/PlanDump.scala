@@ -65,7 +65,12 @@ object PlanDump {
     "q338_webdataset" -> "WebDataset shards: pack = one keyed shuffle to shard grain; parse + stem grouping explode samples inside mapPartitions — shard-per-row parallelism",
     "q339_main_content" -> "main-content extraction: block explode + density scoring stateless, ONE window (heading bridge) + ONE grouped aggregate back to doc grain — blocks never leave their doc's partition",
     "q343_warc_encodings" -> "WARC entity decoding: dechunk + gunzip inside the same per-archive mapPartitions pass as the container parse — wire decoding never adds a stage, no shuffle before the final sort",
-    "q345_subtitle_cues" -> "subtitle cues: block explode + regexp timestamp algebra stateless, ONE window for cue order — cues never leave their file's partition")
+    "q345_subtitle_cues" -> "subtitle cues: block explode + regexp timestamp algebra stateless, ONE window for cue order — cues never leave their file's partition",
+    "q346_warc_charset" -> "charset-routed WARC→text: BOM/header/meta/trial routing runs inside the same per-archive mapPartitions pass as the container parse — charset handling never adds a stage",
+    "q348_asr_align" -> "subtitle↔audio alignment: both span tables explode to (media, bucket) keys, ONE equi-join + later-start dedup filter, best cue via ONE partial-aggregated max(struct) — two keyed shuffles at any corpus size, no window, no distinct",
+    "q349_cdx_index" -> "CDX capture index: gzip member walk + record parse + digest per archive inside mapPartitions; SURT/timestamp are stateless column algebra on top — zero shuffle before the final sort",
+    "q350_cdx_revisit_resolve" -> "revisit resolution: originals pre-reduced to one row per digest (partial-agg min-struct), then ONE broadcastable digest equi-join — the revisit stream never shuffles twice",
+    "q355_mp3_decode" -> "MP3 Layer III decode: side info + reservoir + Huffman + requantization all inside one decoder-per-partition mapPartitions pass, integer features ride the same scan — zero shuffle before the final sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
