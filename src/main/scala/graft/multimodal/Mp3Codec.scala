@@ -47,10 +47,12 @@ object Mp3Codec {
       channels: Int,
       padding: Int,
       hasCrc: Boolean,
+      msStereo: Boolean,
       frameLength: Int)
 
   /** Parse and validate one 4-byte header at `off` — MPEG-1 Layer III
-    * only, free-format and reserved fields rejected typed.
+    * only; free-format, reserved fields, and INTENSITY stereo rejected
+    * typed (stereo, dual-channel, mono, and MS joint stereo decode).
     */
   def parseHeader(bytes: Array[Byte], off: Int): FrameHeader = {
     require(off + 4 <= bytes.length, "mp3: truncated frame header")
@@ -64,13 +66,17 @@ object Mp3Codec {
     val srIdx = (b3 >> 2) & 3
     require(srIdx <= 2, "mp3: reserved sample-rate index")
     val mode = (b4 >> 6) & 3
-    require(mode == 0 || mode == 3,
-      "mp3: joint stereo (intensity/MS) unsupported — stereo mode 0 or mono only")
+    val modeExt = (b4 >> 4) & 3
+    // joint stereo: MS (mode_extension bit 1) decodes; INTENSITY
+    // (bit 0) is a different reconstruction and stays typed-rejected
+    require(mode != 1 || modeExt == 2,
+      s"mp3: intensity stereo unsupported (joint mode_extension $modeExt)")
     val kbps = MpegAudioSniff.BitrateKbps(bIdx)
     val sr = MpegAudioSniff.SampleRateHz(srIdx)
     val pad = (b3 >> 1) & 1
     FrameHeader(kbps, sr, if (mode == 3) 1 else 2, pad,
-      hasCrc = (b2 & 1) == 0, MpegAudioSniff.frameLength(kbps, sr, pad))
+      hasCrc = (b2 & 1) == 0, msStereo = mode == 1 && modeExt == 2,
+      frameLength = MpegAudioSniff.frameLength(kbps, sr, pad))
   }
 
   // ---------------------------------------------------------- bit reader
@@ -344,16 +350,35 @@ object Mp3Codec {
         res, res.length - si.mainDataBegin, res.length) ++ thisMain
       val br = new BitReader(main, 0L)
       val prevSf = Array.fill(h.channels)(new Array[Int](21))
-      for (gr <- 0 until 2; ch <- 0 until h.channels) {
-        val gi = si.granules(gr)(ch)
-        val start = br.pos
-        val end = start + gi.part23Length
-        val sf = decodeScalefactors(br, gi, gr, si.scfsi(ch), prevSf(ch))
-        if (gr == 0) System.arraycopy(sf, 0, prevSf(ch), 0, 21)
-        val is = decodeLines(br, gi, end)
-        br.pos = end // stuffing bits after the coefficient data are legal
-        out += GranuleDecode(frameIdx, gr, ch, gi, sf, is,
-          requantize(is, gi, sf, h.sampleRate))
+      for (gr <- 0 until 2) {
+        val decoded = (0 until h.channels).map { ch =>
+          val gi = si.granules(gr)(ch)
+          val start = br.pos
+          val end = start + gi.part23Length
+          val sf = decodeScalefactors(br, gi, gr, si.scfsi(ch), prevSf(ch))
+          if (gr == 0) System.arraycopy(sf, 0, prevSf(ch), 0, 21)
+          val is = decodeLines(br, gi, end)
+          br.pos = end // stuffing bits after the coefficient data are legal
+          GranuleDecode(frameIdx, gr, ch, gi, sf, is,
+            requantize(is, gi, sf, h.sampleRate))
+        }
+        if (h.msStereo) {
+          // MS reconstruction (ISO 11172-3 §2.4.3.4.9.2): channel 0
+          // carries MID, channel 1 SIDE — L = (M+S)/√2, R = (M−S)/√2,
+          // applied on the requantized spectra before any time-domain
+          // stage. The integer `is` lines stay per-CODED-channel.
+          val m = decoded(0).xr; val s = decoded(1).xr
+          val sqrt2 = StrictMath.sqrt(2.0)
+          val l = new Array[Double](576); val r2 = new Array[Double](576)
+          var j = 0
+          while (j < 576) {
+            l(j) = (m(j) + s(j)) / sqrt2
+            r2(j) = (m(j) - s(j)) / sqrt2
+            j += 1
+          }
+          out += decoded(0).copy(xr = l)
+          out += decoded(1).copy(xr = r2)
+        } else decoded.foreach(out += _)
       }
       // the reservoir carries ONLY main-data bytes (max 511 lookback)
       reservoir.reset()
@@ -486,6 +511,84 @@ object Mp3Codec {
       }
       val main = md.bytes
       val room = frameLen - 4 - 17
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** The SIDE channel's recipe id for [[synthesizeCodedMs]] — a fixed
+    * prime offset so the two coded channels carry independent bit
+    * patterns the oracle can replay separately.
+    */
+  val MsSideSeed: Long = 1000003L
+
+  /** Stereo twin of [[synthesizeCoded]]: MS JOINT STEREO frames (mode
+    * 01, mode_extension 10) — channel 0 carries the MID recipe for
+    * `id`, channel 1 the SIDE recipe for `id + MsSideSeed`. Decode must
+    * matrix L = (M+S)/√2, R = (M−S)/√2; with both coded spectra ±2^g
+    * the matrixed lines are k·2^g/√2 — irrational but IEEE-exact, so
+    * micro-rounded features replay in any engine that mirrors the
+    * operation order.
+    */
+  def synthesizeCodedMs(
+      id: Long, nFrames: Int, sideSeed: Long = MsSideSeed): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(32, 44100, 0) // 104 bytes
+    var f = 0
+    while (f < nFrames) {
+      // sync, MPEG-1, Layer III, no CRC, 32 kbps, 44.1 kHz,
+      // joint stereo + MS mode extension
+      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0x60)
+      def recipe(ch: Int, gr: Int) =
+        GranuleRecipe(if (ch == 0) id else id + sideSeed, f, gr)
+      val bw = new BitWriter
+      bw.write(0, 9) // main_data_begin
+      bw.write(0, 3) // private (stereo)
+      bw.write(0, 8) // scfsi × 2 channels
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        bw.write(r.part23Length, 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(0, 4); bw.write(0, 1)
+        bw.write(1, 5); bw.write(1, 5); bw.write(1, 5)
+        bw.write(3, 4); bw.write(3, 3)
+        bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+      }
+      val si = bw.bytes
+      require(si.length == 32, s"stereo side info must be 32 bytes, got ${si.length}")
+      out.write(si, 0, 32)
+      val md = new BitWriter
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 32
       require(main.length <= room, s"main data ${main.length} exceeds $room")
       out.write(main, 0, main.length)
       var pad = main.length

@@ -1657,6 +1657,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
       StructField("granule", LongType, nullable = false),
+      StructField("channel", LongType, nullable = false),
       StructField("big_values", LongType, nullable = false),
       StructField("global_gain", LongType, nullable = false),
       StructField("part2_3_length", LongType, nullable = false),
@@ -1672,19 +1673,38 @@ object Multimodal {
           var nnz = 0L; var sumAbs = 0L; var checksum = 0L
           var j = 0
           while (j < 576) {
-            if (g.is(j) != 0) nnz += 1
+            // count the OUTPUT spectrum (after MS matrixing a line can
+            // cancel to zero even though its coded `is` line was set)
+            if (g.xr(j) != 0.0) nnz += 1
             val m = math.rint(g.xr(j) * 1e6).toLong
             sumAbs += math.abs(m)
             checksum += (j + 1) * m
             j += 1
           }
-          Row(id, g.frameIdx.toLong, g.granule.toLong,
+          Row(id, g.frameIdx.toLong, g.granule.toLong, g.channel.toLong,
             g.info.bigValues.toLong, g.info.globalGain.toLong,
             g.info.part23Length.toLong, nnz, sumAbs, checksum)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[synthesizeMp3Coded]]'s MS JOINT STEREO twin
+    * ([[Mp3Codec.synthesizeCodedMs]]).
+    */
+  def synthesizeMp3CodedMs(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedMs(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
   }
 
   /** Deterministic Opus-in-Ogg streams ([[OggSniff.synthesize]] — BOS

@@ -490,6 +490,7 @@ object Round13Queries {
         |SELECT a.doc_id AS media_id,
         |  CAST(a.f AS BIGINT) AS frame_idx,
         |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(0 AS BIGINT) AS channel,
         |  CAST(a.npairs AS BIGINT) AS big_values,
         |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
         |  CAST(pb.b + qb.b AS BIGINT) AS part2_3_length,
@@ -507,5 +508,212 @@ object Round13Queries {
         graft.multimodal.Multimodal.synthesizeMp3Coded(
           Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id", "frame_idx", "granule")
+    },
+
+    // MS JOINT STEREO MP3 (multimodal.Mp3Codec MS matrixing) — the
+    // dominant real-world stereo encoding: channel 0 codes MID (the
+    // doc's own bit recipe), channel 1 SIDE (the recipe at id +
+    // 1000003); decode must matrix L = (M+S)/√2, R = (M−S)/√2 on the
+    // requantized spectra. Coded lines are ±2^g, so matrixed lines are
+    // k·2^g/√2 — irrational but IEEE-EXACT: the oracle mirrors the
+    // operation order (sum, divide by sqrt(2), scale by 10⁶, round) and
+    // both engines land the identical double, hence identical integers.
+    // Lines where M = −S cancel to zero, exercising the n_nonzero
+    // difference between coded and output spectra.
+    Q(
+      "q359_mp3_ms_stereo",
+      """WITH fgc AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr, ch.ch AS ch,
+        |    CASE ch.ch WHEN 0 THEN doc_id ELSE doc_id + 1000003 END AS rid
+        |  FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr),
+        |    unnest(generate_series(0, 1)) AS ch(ch)),
+        |par AS (SELECT doc_id, f, gr, ch, rid,
+        |    4 + (rid + f) % 5 AS npairs,
+        |    3 + (rid + 2*f + gr) % 4 AS nquads,
+        |    (rid + f + gr) % 5 AS g
+        |  FROM fgc),
+        |pp AS (SELECT doc_id, f, gr, ch, p.p AS p,
+        |    (rid + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (rid*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (rid + p.p + f) % 2 AS sx,
+        |    (rid + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 8)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (SELECT doc_id, f, gr, ch, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (rid + q.q + f) % 2
+        |             WHEN 2 THEN (rid + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (rid + 5*q.q + f + gr) % 2
+        |             ELSE (rid + 7*q.q + 1) % 2 END AS mag,
+        |    (rid + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 6)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, ch, 2*p + xy.xy AS line,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr, q.ch,
+        |    2*a.npairs + 4*q.q + (q.j - 1), q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr, ch)),
+        |spec AS (SELECT doc_id, f, gr, ch, line,
+        |    mag * (1 - 2*s) * power(2.0, a.g) AS v
+        |  FROM lines JOIN par a USING (doc_id, f, gr, ch)
+        |  WHERE mag > 0),
+        |merged AS (
+        |  SELECT coalesce(m.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(m.f, s.f) AS f, coalesce(m.gr, s.gr) AS gr,
+        |    coalesce(m.line, s.line) AS line,
+        |    coalesce(m.v, 0) AS mv, coalesce(s.v, 0) AS sv
+        |  FROM (SELECT * FROM spec WHERE ch = 0) m
+        |  FULL OUTER JOIN (SELECT * FROM spec WHERE ch = 1) s
+        |    ON m.doc_id = s.doc_id AND m.f = s.f AND m.gr = s.gr
+        |    AND m.line = s.line),
+        |chan AS (
+        |  SELECT doc_id, f, gr, 0 AS ch, line,
+        |    round((mv + sv) / sqrt(2) * 1000000) AS micro FROM merged
+        |  UNION ALL
+        |  SELECT doc_id, f, gr, 1 AS ch, line,
+        |    round((mv - sv) / sqrt(2) * 1000000) AS micro FROM merged),
+        |feat AS (SELECT doc_id, f, gr, ch,
+        |    CAST(sum(CASE WHEN micro <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |    CAST(sum(abs(micro)) AS BIGINT) AS sum_abs,
+        |    CAST(sum((line + 1) * micro) AS BIGINT) AS wsum
+        |  FROM chan GROUP BY doc_id, f, gr, ch),
+        |pbits AS (SELECT doc_id, f, gr, ch,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr, ch),
+        |qbits AS (SELECT doc_id, f, gr, ch, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr, ch)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(a.ch AS BIGINT) AS channel,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b AS BIGINT) AS part2_3_length,
+        |  ft.nnz AS n_nonzero,
+        |  ft.sum_abs AS sum_abs_micro,
+        |  ft.wsum AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr, ch)
+        |JOIN qbits qb USING (doc_id, f, gr, ch)
+        |JOIN feat ft USING (doc_id, f, gr, ch)
+        |ORDER BY media_id, frame_idx, granule, channel""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3Spectra(
+        graft.multimodal.Multimodal.synthesizeMp3CodedMs(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule", "channel")
+    },
+
+    // SEQUENCE PACKING (operators.SequencePack) — concat-then-chunk
+    // into 512-token training sequences: the piece table a data loader
+    // indexes by. The only global state is GlobalRank's two-pass
+    // exclusive running total (one range shuffle, O(partitions) driver
+    // longs); piece emission is a stateless explode. The oracle replays
+    // the token counts, the window prefix sum, and the intersection
+    // algebra — an off-by-one anywhere in the chunk/piece arithmetic
+    // shifts every downstream row and lands off the hash.
+    Q(
+      "q356_seq_pack",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t),
+        |p AS (SELECT doc_id, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)
+        |  WHERE n > 0)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS doc_from,
+        |  CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT) AS chunk_offset,
+        |  CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |    - GREATEST(off, chunk_id * 512) AS BIGINT) AS piece_len
+        |FROM p ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      graft.operators.SequencePack.packChunks(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 512L)
+        .orderBy("chunk_id", "doc_id")
+    },
+
+    // MIXTURE-WEIGHTED INTERLEAVE (operators.Mixture) — the WFQ domain
+    // schedule: languages weighted en 8 / de 4 / fr 3 / es 2 / zh 1
+    // emit into one global order whose every prefix carries each
+    // source within ±1 of its target share. Virtual-finish-time keys
+    // are exact integers (rank · lcm/weight), per-source ranks come
+    // from ONE global stamp minus broadcast source offsets (never a
+    // per-source single-task window), and the oracle replays the whole
+    // schedule with two window functions.
+    Q(
+      "q357_mixture_interleave",
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |v AS (SELECT doc_id, lang, rk,
+        |    rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6 WHEN 'fr' THEN 8
+        |      WHEN 'es' THEN 12 ELSE 24 END AS vt
+        |  FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) - 1 AS BIGINT)
+        |    AS position,
+        |  doc_id, lang,
+        |  CAST(rk AS BIGINT) AS src_rank,
+        |  CAST(vt AS BIGINT) AS vtime
+        |FROM v ORDER BY position""".stripMargin) { (s, dir) =>
+      graft.operators.Mixture.interleave(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+        .select(col("position"), col("doc_id"), col("lang"),
+          col("src_rank"), col("vtime"))
+        .orderBy("position")
+    },
+
+    // PREFERENCE PAIRS (operators.Preference) — the RLHF/DPO data step:
+    // per prompt (doc_id div 4), best and worst scored completions
+    // become one (chosen, rejected) pair via a single grouped
+    // aggregate. Even prompts carry a varied score recipe; ODD prompts
+    // a tie-heavy one (two candidates share each score), so the
+    // deterministic tie-breaks (chosen → lowest id, rejected → highest
+    // id) are load-bearing in the hash.
+    Q(
+      "q358_preference_pairs",
+      """WITH c AS (SELECT doc_id // 4 AS prompt_id, doc_id AS cand,
+        |    CASE WHEN (doc_id // 4) % 2 = 0 THEN (doc_id * 37 + 11) % 100
+        |         ELSE (doc_id * 3) % 6 END AS score
+        |  FROM documents),
+        |r1 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, cand) AS rb,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score, cand DESC) AS rw,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n FROM c)
+        |SELECT b.prompt_id, CAST(b.n AS BIGINT) AS n_candidates,
+        |  b.cand AS chosen, CAST(b.score AS BIGINT) AS chosen_score,
+        |  w.cand AS rejected, CAST(w.score AS BIGINT) AS rejected_score,
+        |  CAST(b.score - w.score AS BIGINT) AS margin
+        |FROM (SELECT * FROM r1 WHERE rb = 1) b
+        |JOIN (SELECT * FROM r1 WHERE rw = 1) w USING (prompt_id)
+        |WHERE b.n >= 2 AND b.score > w.score
+        |ORDER BY prompt_id""".stripMargin) { (s, dir) =>
+      graft.operators.Preference.preferencePairs(
+        Tables.load(s, dir, "documents")
+          .select(
+            expr("doc_id div 4").as("prompt_id"),
+            col("doc_id").as("cand"),
+            when(expr("(doc_id div 4) % 2 = 0"), (col("doc_id") * 37 + 11) % 100)
+              .otherwise((col("doc_id") * 3) % 6).cast("long").as("score")),
+        "prompt_id", "cand", "score")
+        .orderBy("prompt_id")
     })
 }

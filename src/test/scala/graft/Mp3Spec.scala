@@ -84,7 +84,8 @@ class Mp3Spec extends SparkSpec {
     rejects(mut(b => b(1) = 0xFD.toByte), "layer") // layer II
     rejects(mut(b => b(1) = 0xF3.toByte), "mpeg") // MPEG-2
     rejects(mut(b => b(2) = 0x00.toByte), "free-format")
-    rejects(mut(b => b(3) = 0x40.toByte), "joint stereo") // mode 01
+    rejects(mut(b => b(3) = 0x40.toByte), "intensity") // joint, mode_ext 0
+    rejects(mut(b => b(3) = 0x50.toByte), "intensity") // joint, intensity on
     // window_switching bit of granule 0 lives at side-info bit
     // 18 + 12 + 9 + 8 + 4 = 51 → byte 6 of side info (offset 4+6), bit 4
     rejects(mut(b => b(10) = (b(10) | 0x10).toByte), "window-switching")
@@ -130,6 +131,41 @@ class Mp3Spec extends SparkSpec {
     assert(ar.toSeq != xr.toSeq) // it did something
   }
 
+  test("MS joint stereo: decode equals hand-matrixing the two coded channels") {
+    val id = 11L
+    val ms = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedMs(id, 2))
+    // the coded channels, decoded independently via the mono recipe twins
+    val mid = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCoded(id, 2))
+    val side = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCoded(id + Mp3Codec.MsSideSeed, 2))
+    assert(ms.size == 8 && mid.size == 4 && side.size == 4)
+    val sqrt2 = StrictMath.sqrt(2.0)
+    for (k <- 0 until 4) {
+      val l = ms(2 * k); val r = ms(2 * k + 1)
+      assert(l.channel == 0 && r.channel == 1)
+      val m = mid(k).xr; val s = side(k).xr
+      (0 until 576).foreach { j =>
+        assert(l.xr(j) == (m(j) + s(j)) / sqrt2, s"L g$k line $j")
+        assert(r.xr(j) == (m(j) - s(j)) / sqrt2, s"R g$k line $j")
+      }
+      // side info rides per CODED channel
+      assert(l.info.globalGain == mid(k).info.globalGain)
+      assert(r.info.globalGain == side(k).info.globalGain)
+    }
+    // cancellation path: with SIDE == MID (sideSeed 0) the right channel
+    // must cancel to EXACT zeros while the left is √2·M — the output
+    // spectrum diverging from the coded lines is the point of MS
+    val eq = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedMs(id, 1, sideSeed = 0L))
+    assert(eq.size == 4)
+    val sqrt2b = StrictMath.sqrt(2.0)
+    eq.grouped(2).zipWithIndex.foreach { case (Seq(l, r), k) =>
+      assert(r.xr.forall(_ == 0.0), s"R granule $k should cancel")
+      (0 until 576).foreach(j =>
+        assert(l.xr(j) == (mid(k).xr(j) + mid(k).xr(j)) / sqrt2b))
+      assert(r.is.exists(_ != 0), "coded side lines were set — output-only zero")
+    }
+  }
+
   test("extractMp3Spectra: granule rows match the recipe end to end on a sample") {
     val docs = spark.range(0, 6).toDF("doc_id")
     val out = Multimodal.extractMp3Spectra(
@@ -138,15 +174,16 @@ class Mp3Spec extends SparkSpec {
     assert(out.length == 24) // 6 docs × 2 frames × 2 granules
     out.foreach { r =>
       val (id, f, gr) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+      assert(r.getLong(3) == 0L, "mono: channel 0")
       val rec = Mp3Codec.GranuleRecipe(id, f, gr)
-      assert(r.getLong(3) == rec.nPairs.toLong, "big_values")
-      assert(r.getLong(4) == 210L + 4 * rec.gainExp, "global_gain")
-      assert(r.getLong(5) == rec.part23Length.toLong, "part2_3_length")
+      assert(r.getLong(4) == rec.nPairs.toLong, "big_values")
+      assert(r.getLong(5) == 210L + 4 * rec.gainExp, "global_gain")
+      assert(r.getLong(6) == rec.part23Length.toLong, "part2_3_length")
       val nnz = (0 until rec.nPairs).map { p =>
         val (x, y) = rec.pairMag(p); x + y
       }.sum + (0 until rec.nQuads).map(q => rec.quadMag(q).sum).sum
-      assert(r.getLong(6) == nnz.toLong, "n_nonzero")
-      assert(r.getLong(7) == nnz.toLong * (1L << rec.gainExp) * 1000000L, "sum_abs")
+      assert(r.getLong(7) == nnz.toLong, "n_nonzero")
+      assert(r.getLong(8) == nnz.toLong * (1L << rec.gainExp) * 1000000L, "sum_abs")
     }
   }
 }
