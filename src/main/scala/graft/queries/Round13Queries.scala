@@ -715,5 +715,45 @@ object Round13Queries {
               .otherwise((col("doc_id") * 3) % 6).cast("long").as("score")),
         "prompt_id", "cand", "score")
         .orderBy("prompt_id")
+    },
+
+    // TOKEN-BUDGET SELECTION (operators.TokenBudget) — the
+    // DataComp/FineWeb curation step: per language, take documents
+    // best-quality-first until the domain's token budget is crossed
+    // (whole docs, prefix truncation — the raw running total makes the
+    // keep predicate prefix-closed). Scale shape: ONE global running
+    // total over (domain, quality-order) minus broadcast per-domain
+    // offsets — never a per-domain single-task window, which is the
+    // worst skew shape there is (few huge domains). The oracle replays
+    // rank, cumulative, and the budget line per domain.
+    Q(
+      "q360_token_budget",
+      """WITH t AS (SELECT doc_id, lang, (doc_id * 37 + 5) % 1000 AS q,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |c AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+        |      AS BIGINT) AS dom_rank,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(q AS BIGINT) AS quality,
+        |  CAST(n AS BIGINT) AS n_tokens, dom_rank, cum_before,
+        |  cum_before + n <= CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800
+        |    WHEN 'fr' THEN 700 WHEN 'es' THEN 600 ELSE 500 END AS kept
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      graft.operators.TokenBudget.selectUnderBudget(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            ((col("doc_id") * 37 + 5) % 1000).cast("long").as("quality"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "quality", "doc_id", "n_tokens",
+        Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L, "zh" -> 500L))
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+          col("dom_rank"), col("cum_before"), col("kept"))
+        .orderBy("doc_id")
     })
 }

@@ -60,6 +60,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget: prefix truncation — the crossing doc and everything after drop") {
+    import graft.operators.TokenBudget
+    // domain a, best-first by quality: q=9(n=4), q=7(n=3), q=5(n=2), q=3(n=1)
+    // budget 7 → cum_after = 4, 7, 9, 10 → kept, kept, DROP, DROP —
+    // even though the q=3 doc (n=1) would fit a remaining gap of 0…
+    // prefix semantics: once crossed, nothing later is taken
+    val docs = Seq(
+      (1L, "a", 9L, 4L), (2L, "a", 7L, 3L), (3L, "a", 5L, 2L), (4L, "a", 3L, 1L),
+      (5L, "b", 1L, 10L)) // domain b: first doc already over budget 5
+      .toDF("id", "dom", "q", "n")
+    val out = TokenBudget.selectUnderBudget(
+      docs, "dom", "q", "id", "n", Seq("a" -> 7L, "b" -> 5L))
+      .orderBy("id")
+      .select("id", "dom_rank", "cum_before", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L, true), (2L, 2L, 4L, true),
+      (3L, 3L, 7L, false), (4L, 4L, 9L, false),
+      (5L, 1L, 0L, false)))
+    // a domain without a budget fails loudly
+    intercept[Exception] {
+      TokenBudget.selectUnderBudget(
+        docs, "dom", "q", "id", "n", Seq("a" -> 7L)).collect()
+    }
+  }
+
   test("preferencePairs: tie-breaks deterministic, tie-only prompts dropped") {
     val c = Seq(
       // prompt 1: clear winner/loser
