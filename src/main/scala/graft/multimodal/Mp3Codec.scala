@@ -114,7 +114,8 @@ object Mp3Codec {
       region1Count: Int,
       preflag: Int,
       scalefacScale: Int,
-      count1Table: Int)
+      count1Table: Int,
+      subblockGain: Array[Int] = Array(0, 0, 0))
 
   final case class SideInfo(
       mainDataBegin: Int,
@@ -137,15 +138,35 @@ object Mp3Codec {
         val gg = br.bits(8)
         val sfc = br.bits(4)
         val windowSwitching = br.bit()
-        require(windowSwitching == 0,
-          "mp3: window-switching (short/mixed blocks) unsupported")
-        val ts = Array.fill(3)(br.bits(5))
-        val r0 = br.bits(4)
-        val r1 = br.bits(3)
-        val pre = br.bit()
-        val sfs = br.bit()
-        val c1t = br.bit()
-        GranuleInfo(p23, bv, gg, sfc, blockType = 0, ts, r0, r1, pre, sfs, c1t)
+        if (windowSwitching == 0) {
+          val ts = Array.fill(3)(br.bits(5))
+          val r0 = br.bits(4)
+          val r1 = br.bits(3)
+          val pre = br.bit()
+          val sfs = br.bit()
+          val c1t = br.bit()
+          GranuleInfo(p23, bv, gg, sfc, blockType = 0, ts, r0, r1, pre, sfs, c1t)
+        } else {
+          // window-switching layout: block_type(2), mixed(1),
+          // table_select×2, subblock_gain×3. SHORT non-mixed blocks
+          // decode; start/stop long types (1/3) and mixed blocks stay
+          // typed-rejected (different IMDCT windows / hybrid band split)
+          val bt = br.bits(2)
+          val mixed = br.bit()
+          require(bt == 2 && mixed == 0,
+            s"mp3: window-switching block_type $bt mixed $mixed unsupported" +
+              " (short non-mixed only)")
+          val ts = Array.fill(2)(br.bits(5))
+          val sbg = Array.fill(3)(br.bits(3))
+          val pre = br.bit()
+          val sfs = br.bit()
+          val c1t = br.bit()
+          // implicit regions for short blocks (ISO §2.4.2.7): region0 =
+          // the first 36 lines, region1 the rest of big_values
+          GranuleInfo(p23, bv, gg, sfc, blockType = 2,
+            Array(ts(0), ts(1), ts(1)), region0Count = 8, region1Count = 36,
+            pre, sfs, c1t, subblockGain = sbg)
+        }
       }
     }
     SideInfo(mainDataBegin, scfsi, granules)
@@ -207,6 +228,17 @@ object Mp3Codec {
   private val Pretab =
     Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
 
+  /** SHORT-block scalefactor band START indices per window (14
+    * boundaries, last = 192), per MPEG-1 sample rate — ISO 11172-3
+    * Annex B Table B.8. Huffman order packs each band's three windows
+    * consecutively; natural (subband-time) order interleaves them —
+    * the reorder permutation below.
+    */
+  val SfbShort: Map[Int, Array[Int]] = Map(
+    44100 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000 -> Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+
   /** Decode the 21 long-block scalefactors for one granule/channel;
     * granule 1 copies scfsi-shared groups from granule 0 (groups:
     * 0–5, 6–10, 11–15, 16–20).
@@ -216,6 +248,22 @@ object Mp3Codec {
       scfsi: Array[Int], prev: Array[Int]): Array[Int] = {
     val s1 = Slen1(gi.scalefacCompress)
     val s2 = Slen2(gi.scalefacCompress)
+    if (gi.blockType == 2) {
+      // short: 12 sfbs × 3 windows, sfb-major (sfb·3 + window); slen1
+      // for sfbs 0–5, slen2 for 6–11; scfsi never applies to short
+      val out = new Array[Int](36)
+      var sfb = 0
+      while (sfb < 12) {
+        val slen = if (sfb < 6) s1 else s2
+        var w = 0
+        while (w < 3) {
+          out(sfb * 3 + w) = if (slen == 0) 0 else br.bits(slen)
+          w += 1
+        }
+        sfb += 1
+      }
+      return out
+    }
     val out = new Array[Int](21)
     val groups = Seq((0, 6, s1), (6, 11, s1), (11, 16, s2), (16, 21, s2))
     groups.zipWithIndex.foreach { case ((from, until, slen), gidx) =>
@@ -255,9 +303,13 @@ object Mp3Codec {
       s"mp3: Huffman pair table $t not embedded (tables 0/1 only)"))
     require(gi.count1Table == 1,
       "mp3: count1 table A not embedded (table B only)")
-    val sfb = SfbLong(44100) // boundaries unused when all regions share a table
-    val region0End = sfb(math.min(gi.region0Count + 1, 22))
-    val region1End = sfb(math.min(gi.region0Count + 1 + gi.region1Count + 1, 22))
+    val (region0End, region1End) =
+      if (gi.blockType == 2) (36, 576) // implicit short-block regions
+      else {
+        val sfb = SfbLong(44100) // boundaries only pick the table
+        (sfb(math.min(gi.region0Count + 1, 22)),
+          sfb(math.min(gi.region0Count + 1 + gi.region1Count + 1, 22)))
+      }
     var pair = 0
     while (pair < gi.bigValues) {
       val t =
@@ -315,6 +367,43 @@ object Mp3Codec {
     xr
   }
 
+  /** SHORT-block requantize + REORDER in one pass. Huffman order packs
+    * lines (sfb, window, idx-in-band); natural subband-time order is
+    * 3·(start + idx) + window. Requantization adds the per-window
+    * subblock gain 2^(−2·subblock_gain[w]) and drops the pretab (long
+    * blocks only, per spec). Returns the NATURAL-order spectrum.
+    */
+  private def requantizeShort(
+      is: Array[Int], gi: GranuleInfo, scalefacs: Array[Int],
+      sampleRate: Int): Array[Double] = {
+    val sfb = SfbShort(sampleRate)
+    val xr = new Array[Double](576)
+    val gain = StrictMath.pow(2.0, (gi.globalGain - 210) / 4.0)
+    val sfMult = if (gi.scalefacScale == 1) 1.0 else 0.5
+    var band = 0
+    var i = 0
+    while (i < 576) {
+      while (band < 12 && i >= 3 * sfb(band + 1)) band += 1
+      val b = math.min(band, 12) // lines past 3·136 ride the last band's frame
+      val start = sfb(b)
+      val width = sfb(b + 1) - sfb(b)
+      val k = i - 3 * start
+      val w = k / width
+      val idx = k % width
+      val v = is(i)
+      if (v != 0) {
+        val sf = if (b < 12) scalefacs(b * 3 + w) else 0
+        val scale = gain *
+          StrictMath.pow(2.0, -2.0 * gi.subblockGain(w)) *
+          StrictMath.pow(2.0, -sfMult * sf)
+        xr(3 * (start + idx) + w) = StrictMath.signum(v.toDouble) *
+          StrictMath.pow(StrictMath.abs(v.toDouble), 4.0 / 3.0) * scale
+      }
+      i += 1
+    }
+    xr
+  }
+
   // ------------------------------------------------------------- decode
 
   /** Decode every granule of every frame to requantized spectra — the
@@ -360,7 +449,8 @@ object Mp3Codec {
           val is = decodeLines(br, gi, end)
           br.pos = end // stuffing bits after the coefficient data are legal
           GranuleDecode(frameIdx, gr, ch, gi, sf, is,
-            requantize(is, gi, sf, h.sampleRate))
+            if (gi.blockType == 2) requantizeShort(is, gi, sf, h.sampleRate)
+            else requantize(is, gi, sf, h.sampleRate))
         }
         if (h.msStereo) {
           // MS reconstruction (ISO 11172-3 §2.4.3.4.9.2): channel 0
@@ -417,9 +507,10 @@ object Mp3Codec {
     * magnitudes/signs as pure mod-2 arithmetic on the indices — every
     * term replayable in SQL.
     */
-  final case class GranuleRecipe(id: Long, f: Int, gr: Int) {
-    val nPairs: Int = 4 + ((id + f) % 5).toInt
-    val nQuads: Int = 3 + ((id + 2 * f + gr) % 4).toInt
+  final case class GranuleRecipe(
+      id: Long, f: Int, gr: Int, basePairs: Int = 4, baseQuads: Int = 3) {
+    val nPairs: Int = basePairs + ((id + f) % 5).toInt
+    val nQuads: Int = baseQuads + ((id + 2 * f + gr) % 4).toInt
     val gainExp: Int = ((id + f + gr) % 5).toInt // global_gain = 210 + 4·g
     def pairMag(p: Int): (Int, Int) = (
       ((id + 3 * gr + 7 * p + f) % 2).toInt,
@@ -487,6 +578,78 @@ object Mp3Codec {
       val md = new BitWriter
       for (gr <- 0 until 2) {
         val r = GranuleRecipe(id, f, gr)
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 17
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** SHORT-BLOCK twin of [[synthesizeCoded]]: mono frames whose
+    * granules are window-switching block_type-2 (non-mixed) — the
+    * transient shape every real encoder emits at attacks. Bigger
+    * coefficient recipes (base 10 pairs / 8 quads) push lines past the
+    * first four short bands so the reorder permutation crosses a WIDTH
+    * CHANGE (band 4 is 6 wide at 44.1 kHz); per-window subblock gains
+    * (id + f + gr + w) mod 3 make the requantized magnitude
+    * 2^(g − 2·sbg[w]) — still exact dyadic, so the oracle replays
+    * reorder AND window gains in integer micro units.
+    */
+  def synthesizeCodedShort(id: Long, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(32, 44100, 0)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0xC0)
+      val bw = new BitWriter
+      bw.write(0, 9); bw.write(0, 5); bw.write(0, 4)
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr, basePairs = 10, baseQuads = 8)
+        bw.write(r.part23Length, 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(0, 4) // scalefac_compress
+        bw.write(1, 1) // window_switching
+        bw.write(2, 2) // block_type: short
+        bw.write(0, 1) // mixed_block_flag
+        bw.write(1, 5); bw.write(1, 5) // table_select × 2
+        for (w <- 0 until 3) bw.write(((id + f + gr + w) % 3).toInt, 3)
+        bw.write(0, 1) // preflag
+        bw.write(0, 1) // scalefac_scale
+        bw.write(1, 1) // count1table_select → table B
+      }
+      val si = bw.bytes
+      require(si.length == 17, s"side info must be 17 bytes, got ${si.length}")
+      out.write(si, 0, 17)
+      val md = new BitWriter
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr, basePairs = 10, baseQuads = 8)
         var p = 0
         while (p < r.nPairs) {
           val (x, y) = r.pairMag(p)
@@ -655,6 +818,8 @@ object Mp3Codec {
     */
   def decodeSubbands(bytes: Array[Byte]): Seq[SubbandGranule] = {
     val spectra = decodeSpectra(bytes)
+    spectra.foreach(g => require(g.info.blockType == 0,
+      "mp3: subband decode implements the long-block (36-point) IMDCT only"))
     val overlap = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
     spectra.map { g =>
       val xr = aliasReduce(g.xr)

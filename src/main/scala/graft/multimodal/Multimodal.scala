@@ -1690,6 +1690,24 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[synthesizeMp3Coded]]'s SHORT-BLOCK twin
+    * ([[Mp3Codec.synthesizeCodedShort]] — window-switching transient
+    * granules with per-window subblock gains).
+    */
+  def synthesizeMp3CodedShort(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedShort(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** [[synthesizeMp3Coded]]'s MS JOINT STEREO twin
     * ([[Mp3Codec.synthesizeCodedMs]]).
     */

@@ -717,6 +717,105 @@ object Round13Queries {
         .orderBy("prompt_id")
     },
 
+    // SHORT-BLOCK MP3 DECODE (Mp3Codec block_type 2) — the transient
+    // granule shape every real encoder emits at attacks: window-
+    // switching side info (subblock gains), the short scalefactor
+    // layout, and the REORDER permutation from Huffman order (band-
+    // major, three windows packed per band) to natural subband-time
+    // order (windows interleaved). Recipes are sized to push lines
+    // across a band-width change, so the permutation is non-uniform;
+    // per-window gains 2^(g − 2·sbg[w]) keep every line exact dyadic.
+    // The oracle replays band lookup, window split, reorder target,
+    // and window gains in integer micro units — an off-by-one in the
+    // short band table, the window math, or the interleave lands off
+    // the position-weighted checksum.
+    Q(
+      "q361_mp3_short_blocks",
+      """WITH fg AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr)),
+        |par AS (
+        |  SELECT doc_id, f, gr,
+        |    10 + (doc_id + f) % 5 AS npairs,
+        |    8 + (doc_id + 2*f + gr) % 4 AS nquads,
+        |    (doc_id + f + gr) % 5 AS g
+        |  FROM fg),
+        |pp AS (
+        |  SELECT doc_id, f, gr, p.p AS p,
+        |    (doc_id + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (doc_id*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (doc_id + p.p + f) % 2 AS sx,
+        |    (doc_id + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 14)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (
+        |  SELECT doc_id, f, gr, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (doc_id + q.q + f) % 2
+        |             WHEN 2 THEN (doc_id + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (doc_id + 5*q.q + f + gr) % 2
+        |             ELSE (doc_id + 7*q.q + 1) % 2 END AS mag,
+        |    (doc_id + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 11)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, 2*p + xy.xy AS h,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr, 2*a.npairs + 4*q.q + (q.j - 1), q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr)),
+        |bands AS (SELECT * FROM (VALUES (0, 4), (4, 4), (8, 4), (12, 4),
+        |    (16, 6), (22, 8)) AS t(st, wd)),
+        |nat AS (
+        |  SELECT l.doc_id, l.f, l.gr, l.mag, l.s,
+        |    (l.h - 3*bd.st) // bd.wd AS win,
+        |    3*(bd.st + (l.h - 3*bd.st) % bd.wd) + (l.h - 3*bd.st) // bd.wd
+        |      AS nat_line
+        |  FROM lines l JOIN bands bd
+        |    ON l.h >= 3*bd.st AND l.h < 3*(bd.st + bd.wd)),
+        |vals AS (
+        |  SELECT n.doc_id, n.f, n.gr, n.nat_line, n.mag, n.s,
+        |    CAST(power(2.0, a.g - 2*((n.doc_id + n.f + n.gr + n.win) % 3))
+        |      * 1000000 AS BIGINT) AS unit
+        |  FROM nat n JOIN par a USING (doc_id, f, gr)),
+        |feat AS (
+        |  SELECT doc_id, f, gr,
+        |    CAST(sum(mag) AS BIGINT) AS nnz,
+        |    CAST(sum(mag * unit) AS BIGINT) AS sum_abs,
+        |    CAST(sum(mag * (1 - 2*s) * (nat_line + 1) * unit) AS BIGINT) AS wsum
+        |  FROM vals GROUP BY doc_id, f, gr),
+        |pbits AS (
+        |  SELECT doc_id, f, gr,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr),
+        |qbits AS (
+        |  SELECT doc_id, f, gr, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(0 AS BIGINT) AS channel,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b AS BIGINT) AS part2_3_length,
+        |  ft.nnz AS n_nonzero,
+        |  ft.sum_abs AS sum_abs_micro,
+        |  ft.wsum AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr)
+        |JOIN qbits qb USING (doc_id, f, gr)
+        |JOIN feat ft USING (doc_id, f, gr)
+        |ORDER BY media_id, frame_idx, granule""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3Spectra(
+        graft.multimodal.Multimodal.synthesizeMp3CodedShort(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule")
+    },
+
     // TOKEN-BUDGET SELECTION (operators.TokenBudget) — the
     // DataComp/FineWeb curation step: per language, take documents
     // best-quality-first until the domain's token budget is crossed

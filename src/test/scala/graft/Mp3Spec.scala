@@ -131,6 +131,48 @@ class Mp3Spec extends SparkSpec {
     assert(ar.toSeq != xr.toSeq) // it did something
   }
 
+  test("short blocks: reorder permutation exact, subblock gains per window, " +
+    "long-only stages reject") {
+    val id = 5L
+    val out = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedShort(id, 1))
+    assert(out.size == 2)
+    out.foreach { g =>
+      assert(g.info.blockType == 2)
+      val rec = Mp3Codec.GranuleRecipe(id, 0, g.granule, basePairs = 10, baseQuads = 8)
+      // rebuild the huffman-order values and replay the reorder by hand
+      val sfb = Mp3Codec.SfbShort(44100)
+      val expected = new Array[Double](576)
+      def place(h: Int, v: Int): Unit = if (v != 0) {
+        val b = (0 until 13).find(b => h < 3 * sfb(b + 1)).get
+        val start = sfb(b); val width = sfb(b + 1) - start
+        val k = h - 3 * start
+        val win = k / width; val idx = k % width
+        val e = rec.gainExp - 2 * ((id + 0 + g.granule + win) % 3).toInt
+        expected(3 * (start + idx) + win) =
+          v * StrictMath.pow(2.0, e.toDouble)
+      }
+      var h = 0
+      (0 until rec.nPairs).foreach { p =>
+        val (x, y) = rec.pairMag(p); val (sx, sy) = rec.pairSign(p)
+        place(h, x * (1 - 2 * sx * x)); // sign applies only when nonzero
+        place(h + 1, y * (1 - 2 * sy * y))
+        h += 2
+      }
+      (0 until rec.nQuads).foreach { q =>
+        val m = rec.quadMag(q)
+        (0 until 4).foreach { j =>
+          place(h + j, m(j) * (1 - 2 * rec.quadSign(q, j + 1) * m(j)))
+        }
+        h += 4
+      }
+      assert(g.xr.toSeq == expected.toSeq, s"granule ${g.granule}")
+    }
+    // the subband/IMDCT stage is long-block-only — short granules reject
+    val e = intercept[IllegalArgumentException](
+      Mp3Codec.decodeSubbands(Mp3Codec.synthesizeCodedShort(id, 1)))
+    assert(e.getMessage.contains("long-block"))
+  }
+
   test("MS joint stereo: decode equals hand-matrixing the two coded channels") {
     val id = 11L
     val ms = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedMs(id, 2))
