@@ -70,7 +70,9 @@ object PlanDump {
     "q348_asr_align" -> "subtitle↔audio alignment: both span tables explode to (media, bucket) keys, ONE equi-join + later-start dedup filter, best cue via ONE partial-aggregated max(struct) — two keyed shuffles at any corpus size, no window, no distinct",
     "q349_cdx_index" -> "CDX capture index: gzip member walk + record parse + digest per archive inside mapPartitions; SURT/timestamp are stateless column algebra on top — zero shuffle before the final sort",
     "q350_cdx_revisit_resolve" -> "revisit resolution: originals pre-reduced to one row per digest (partial-agg min-struct), then ONE broadcastable digest equi-join — the revisit stream never shuffles twice",
-    "q355_mp3_decode" -> "MP3 Layer III decode: side info + reservoir + Huffman + requantization all inside one decoder-per-partition mapPartitions pass, integer features ride the same scan — zero shuffle before the final sort")
+    "q355_mp3_decode" -> "MP3 Layer III decode: side info + reservoir + Huffman + requantization all inside one decoder-per-partition mapPartitions pass, integer features ride the same scan — zero shuffle before the final sort",
+    "q356_seq_pack" -> "sequence packing: GlobalRank's two-pass running total (ONE range exchange, no Window), piece emission a stateless explode on top — the whole packer is one shuffle",
+    "q360_token_budget" -> "token-budget selection: global running total + rank behind one reused range shuffle, per-domain offsets BROADCAST — no per-domain window partition anywhere in the plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
