@@ -1107,6 +1107,44 @@ object Stress {
     }
   }
 
+  /** Training-schedule operators at 20M documents (~100× the gate):
+    * sequence packing, WFQ mixture interleave, and token-budget
+    * selection are all built on GlobalRank's two-pass stamps, so the
+    * claim to verify is that each stays at ONE range shuffle of the
+    * slim projection (plus the tiny broadcast offset tables) — no
+    * per-domain window partition, no driver materialization — and that
+    * wall-clock scales with the stamp, not the domain skew (the 5
+    * domains here are 4M rows each: a per-domain window would grind
+    * five single tasks).
+    */
+  private def schedScale(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.operators.{Mixture, SequencePack, TokenBudget}
+    def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    val n = 20000000L
+    val docs = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      (pmod(col("id") * 131L, lit(800L)) + 20L).as("n_tokens"),
+      concat(lit("d"), pmod(col("id"), lit(5L)).cast("string")).as("dom"),
+      pmod(col("id") * 37L, lit(1000000L)).as("q"))
+      .persist()
+    time("sched_warmup")(docs.count())
+    time("pack_20M") {
+      SequencePack.packChunks(docs, "doc_id", "n_tokens", seqLen = 2048L).count()
+    }
+    time("mixture_20M") {
+      Mixture.interleave(docs.select(col("doc_id"), col("dom")), "dom", "doc_id",
+        Seq("d0" -> 8L, "d1" -> 4L, "d2" -> 3L, "d3" -> 2L, "d4" -> 1L)).count()
+    }
+    time("budget_20M_kept") {
+      TokenBudget.selectUnderBudget(docs, "dom", "q", "doc_id", "n_tokens",
+        Seq("d0" -> 800000000L, "d1" -> 400000000L, "d2" -> 300000000L,
+          "d3" -> 200000000L, "d4" -> 100000000L))
+        .filter(col("kept")).count()
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1127,6 +1165,7 @@ object Stress {
     if (args.contains("warcsplit")) { warcSplit(spark, meter); spark.stop(); return }
     if (args.contains("pqscale")) { pqScale(spark, meter); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
+    if (args.contains("schedscale")) { schedScale(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

@@ -100,6 +100,64 @@ object GlobalRank {
     spark.createDataFrame(stamped, outSchema)
   }
 
+  /** [[withRowNumber]] and [[withRunningTotal]] FUSED over one order:
+    * when a caller needs both the global rank AND the exclusive prefix
+    * sum of the same ordering (token-budget selection does), two
+    * separate stamps would range-shuffle the same projection twice.
+    * This pays ONE range exchange, one O(partitions) driver pass
+    * collecting (size, sum) pairs, one stamp pass. Ties fail loudly
+    * (both outputs are meaningless under a non-total order).
+    */
+  def withRowNumberAndRunningTotal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      rnCol: String = "_rn",
+      cumCol: String = "_cum"): DataFrame = {
+    require(orderCols.nonEmpty, "global ranking needs at least one order column")
+    requireFresh(df, rnCol, cumCol)
+    val spark = df.sparkSession
+    val projected = df.withColumn(cumCol, coalesce(col(valueCol).cast("long"), lit(0L)))
+    val sorted = projected
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rdd = sorted.rdd
+    val vIdx = projected.schema.fieldIndex(cumCol)
+    val keyIdx = orderCols.map(c => projected.schema.fieldIndex(c))
+    // pass 1: per-partition (row count, value sum) — O(partitions) pairs
+    val stats = rdd.mapPartitions({ it =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; s += r.getLong(vIdx) }
+      Iterator.single((n, s))
+    }, preservesPartitioning = true).collect()
+    val rnOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
+    val cumOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(rnCol, LongType, nullable = false),
+      StructField(cumCol, LongType, nullable = false)))
+    // pass 2: stamp both behind the same reused range-shuffle files
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = rnOffsets(pid)
+      var acc = cumOffsets(pid)
+      var prevKey: Seq[Any] = null
+      it.map { r =>
+        val key = keyIdx.map(i => normKeyCell(r.get(i)))
+        if (prevKey != null && prevKey == key)
+          throw new IllegalStateException(
+            s"GlobalRank: order key ${orderCols.mkString("(", ",", ")")}" +
+              s" = ${key.mkString("(", ",", ")")} is duplicated — rank and running" +
+              " total would be nondeterministic; append a unique tie-break column")
+        prevKey = key
+        rn += 1
+        val vals = r.toSeq
+        val out = Row.fromSeq(vals.dropRight(1) :+ rn :+ acc)
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+
   /** Distributed EXCLUSIVE prefix sum of `valueCol` in `orderCols` order —
     * the running-total twin of [[withRowNumber]], and the primitive behind
     * sequence packing (concat-then-split bin assignment) and token-budget

@@ -205,6 +205,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank fused stamp == separate rank + running total on random values") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val valGen = Gen.listOfN(60, Gen.choose(0L, 100L))
+    for ((vals, i) <- samples(valGen, 5).zipWithIndex if vals.nonEmpty) {
+      val df = vals.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("id", "v").repartition(7)
+      val got = GlobalRank.withRowNumberAndRunningTotal(df, Seq("id"), "v",
+        rnCol = "rn", cumCol = "cum")
+        .select($"id", $"rn", $"cum").as[(Long, Long, Long)].collect()
+        .map { case (id, rn, c) => id -> (rn, c) }.toMap
+      val want = df.select(
+        $"id",
+        row_number().over(Window.orderBy("id")).cast("long").as("rn"),
+        coalesce(
+          sum($"v").over(Window.orderBy("id").rowsBetween(Long.MinValue, -1)),
+          lit(0L)).as("cum"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, rn, c) => id -> (rn, c) }.toMap
+      assert(got == want, s"sample $i")
+    }
+    // duplicated order key fails loudly — both outputs would be wrong
+    val dup = Seq((1L, 5L), (1L, 7L)).toDF("k", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.withRowNumberAndRunningTotal(dup, Seq("k"), "v").collect()
+    }
+    assert(ex.getMessage.contains("nondeterministic") || Option(ex.getCause)
+      .exists(_.getMessage.contains("nondeterministic")))
+  }
+
   test("GlobalRank.withRunningTotal on a duplicated order key fails loudly") {
     import graft.operators.GlobalRank
     val df = Seq((1L, 5L), (1L, 7L), (2L, 1L)).toDF("k", "v")
