@@ -8,22 +8,30 @@ package graft.multimodal
   * module reads the payload the sniff skips. [[Warc]]-scale honesty
   * notes, in decreasing order of coverage:
   *
-  *  - Fully implemented: MPEG-1 Layer III mono/dual-channel frames,
-  *    long blocks (block_type 0), the bit reservoir (main_data_begin),
+  *  - Fully implemented: MPEG-1 Layer III mono/stereo/dual-channel
+  *    frames, long blocks (block_type 0), START/STOP transient-bracket
+  *    blocks (types 1/3 — window-switching side info, long band
+  *    layout, their own IMDCT windows), SHORT non-mixed blocks (type 2
+  *    — subblock gains, short scalefactor layout, Huffman→natural
+  *    reorder), MS joint stereo (L = (M±S)/√2), INTENSITY joint stereo
+  *    (pan by is_pos with the tan(is_pos·π/12) ratio, illegal position
+  *    7 passed through), the bit reservoir (main_data_begin),
   *    scalefactor decode incl. scfsi sharing, Huffman big_values PAIR
   *    decode for tables 0/1 and count1 QUAD decode for table B, sign
   *    bits, requantization (the |is|^(4/3) · 2^((gain−210)/4) ·
   *    scalefactor chain, StrictMath — bit-deterministic on any JVM),
-  *    alias-reduction butterflies, IMDCT + sine window + overlap-add +
-  *    frequency inversion.
+  *    alias-reduction butterflies, IMDCT + per-type window +
+  *    overlap-add + frequency inversion.
   *  - Typed rejection (never silent): Layer I/II, MPEG-2/2.5,
-  *    free-format, intensity/MS joint stereo, short/mixed blocks, and
-  *    Huffman tables whose SPEC DATA is not embedded here (the large
-  *    pair tables 2–31 and count1 table A are hundreds of arbitrary
-  *    codewords from ISO Table B.7 — reproducing them from memory
-  *    would risk a silently non-conformant decoder, the worst failure
-  *    shape; the embedded tables 0/1/B are small enough to verify by
-  *    prefix-freeness + Kraft equality in the spec).
+  *    free-format, MIXED blocks (the hybrid long+short band split),
+  *    intensity COMBINED with MS (mode_extension 3 — a distinct
+  *    reconstruction for the non-intensity region), and Huffman tables
+  *    whose SPEC DATA is not embedded here (the large pair tables 2–31
+  *    and count1 table A are hundreds of arbitrary codewords from ISO
+  *    Table B.7 — reproducing them from memory would risk a silently
+  *    non-conformant decoder, the worst failure shape; the embedded
+  *    tables 0/1/B are small enough to verify by prefix-freeness +
+  *    Kraft equality in the spec).
   *  - The FINAL polyphase synthesis to PCM needs the 512-coefficient
   *    window of ISO Table B.3 — numerically designed data with no
   *    generating formula — so [[decodeSubbands]] is the last honest
@@ -48,11 +56,14 @@ object Mp3Codec {
       padding: Int,
       hasCrc: Boolean,
       msStereo: Boolean,
+      intensityStereo: Boolean,
       frameLength: Int)
 
   /** Parse and validate one 4-byte header at `off` — MPEG-1 Layer III
-    * only; free-format, reserved fields, and INTENSITY stereo rejected
-    * typed (stereo, dual-channel, mono, and MS joint stereo decode).
+    * only; free-format and reserved fields rejected typed. All four
+    * channel modes decode; in joint stereo, mode_extension 0 (none),
+    * 1 (intensity), and 2 (MS) decode — the COMBINED 3 stays
+    * typed-rejected (distinct reconstruction for the MS region).
     */
   def parseHeader(bytes: Array[Byte], off: Int): FrameHeader = {
     require(off + 4 <= bytes.length, "mp3: truncated frame header")
@@ -67,15 +78,14 @@ object Mp3Codec {
     require(srIdx <= 2, "mp3: reserved sample-rate index")
     val mode = (b4 >> 6) & 3
     val modeExt = (b4 >> 4) & 3
-    // joint stereo: MS (mode_extension bit 1) decodes; INTENSITY
-    // (bit 0) is a different reconstruction and stays typed-rejected
-    require(mode != 1 || modeExt == 2,
-      s"mp3: intensity stereo unsupported (joint mode_extension $modeExt)")
+    require(mode != 1 || modeExt != 3,
+      "mp3: intensity+MS combined joint stereo (mode_extension 3) unsupported")
     val kbps = MpegAudioSniff.BitrateKbps(bIdx)
     val sr = MpegAudioSniff.SampleRateHz(srIdx)
     val pad = (b3 >> 1) & 1
     FrameHeader(kbps, sr, if (mode == 3) 1 else 2, pad,
       hasCrc = (b2 & 1) == 0, msStereo = mode == 1 && modeExt == 2,
+      intensityStereo = mode == 1 && modeExt == 1,
       frameLength = MpegAudioSniff.frameLength(kbps, sr, pad))
   }
 
@@ -148,23 +158,27 @@ object Mp3Codec {
           GranuleInfo(p23, bv, gg, sfc, blockType = 0, ts, r0, r1, pre, sfs, c1t)
         } else {
           // window-switching layout: block_type(2), mixed(1),
-          // table_select×2, subblock_gain×3. SHORT non-mixed blocks
-          // decode; start/stop long types (1/3) and mixed blocks stay
-          // typed-rejected (different IMDCT windows / hybrid band split)
+          // table_select×2, subblock_gain×3. SHORT non-mixed (type 2)
+          // and START/STOP long types (1/3) decode; MIXED blocks stay
+          // typed-rejected (hybrid long+short band split); block_type 0
+          // with window_switching set is a forbidden combination per
+          // ISO §2.4.1.7
           val bt = br.bits(2)
           val mixed = br.bit()
-          require(bt == 2 && mixed == 0,
-            s"mp3: window-switching block_type $bt mixed $mixed unsupported" +
-              " (short non-mixed only)")
+          require(bt != 0, "mp3: window_switching with block_type 0 is forbidden")
+          require(mixed == 0,
+            s"mp3: mixed blocks unsupported (block_type $bt mixed 1)")
           val ts = Array.fill(2)(br.bits(5))
           val sbg = Array.fill(3)(br.bits(3))
           val pre = br.bit()
           val sfs = br.bit()
           val c1t = br.bit()
-          // implicit regions for short blocks (ISO §2.4.2.7): region0 =
-          // the first 36 lines, region1 the rest of big_values
-          GranuleInfo(p23, bv, gg, sfc, blockType = 2,
-            Array(ts(0), ts(1), ts(1)), region0Count = 8, region1Count = 36,
+          // implicit regions (ISO §2.4.2.7): region0_count is 8 for
+          // short non-mixed, 7 for start/stop; region1 covers the rest
+          // of big_values
+          GranuleInfo(p23, bv, gg, sfc, blockType = bt,
+            Array(ts(0), ts(1), ts(1)),
+            region0Count = if (bt == 2) 8 else 7, region1Count = 36,
             pre, sfs, c1t, subblockGain = sbg)
         }
       }
@@ -294,7 +308,8 @@ object Mp3Codec {
     * any other selection rejects typed.
     */
   private def decodeLines(
-      br: BitReader, gi: GranuleInfo, part2End: Long): Array[Int] = {
+      br: BitReader, gi: GranuleInfo, part2End: Long,
+      sampleRate: Int): Array[Int] = {
     val is = new Array[Int](576)
     var line = 0
     // big_values pairs — region boundaries only pick the TABLE; validate
@@ -306,7 +321,10 @@ object Mp3Codec {
     val (region0End, region1End) =
       if (gi.blockType == 2) (36, 576) // implicit short-block regions
       else {
-        val sfb = SfbLong(44100) // boundaries only pick the table
+        // region boundaries come from the STREAM's sample-rate band table
+        // (tables differ from index 9 up; 44.1 kHz here would mispick the
+        // Huffman table near a boundary on a 48/32 kHz stream)
+        val sfb = SfbLong(sampleRate)
         (sfb(math.min(gi.region0Count + 1, 22)),
           sfb(math.min(gi.region0Count + 1 + gi.region1Count + 1, 22)))
       }
@@ -354,8 +372,11 @@ object Mp3Codec {
     var i = 0
     while (i < 576) {
       while (band < 21 && i >= sfb(band + 1)) band += 1
-      val bandIdx = math.min(band, 20)
-      val sf = scalefacs(bandIdx) + (if (gi.preflag == 1) Pretab(bandIdx) else 0)
+      // lines at or beyond sfb index 21 have NO scalefactor (ISO 11172-3
+      // §2.4.3.4.7.1 defines 21 long scalefactors); they scale with sf=0
+      val sf =
+        if (band >= 21) 0
+        else scalefacs(band) + (if (gi.preflag == 1) Pretab(band) else 0)
       val scale = gain * StrictMath.pow(2.0, -sfMult * sf)
       val v = is(i)
       xr(i) =
@@ -446,7 +467,7 @@ object Mp3Codec {
           val end = start + gi.part23Length
           val sf = decodeScalefactors(br, gi, gr, si.scfsi(ch), prevSf(ch))
           if (gr == 0) System.arraycopy(sf, 0, prevSf(ch), 0, 21)
-          val is = decodeLines(br, gi, end)
+          val is = decodeLines(br, gi, end, h.sampleRate)
           br.pos = end // stuffing bits after the coefficient data are legal
           GranuleDecode(frameIdx, gr, ch, gi, sf, is,
             if (gi.blockType == 2) requantizeShort(is, gi, sf, h.sampleRate)
@@ -468,6 +489,52 @@ object Mp3Codec {
           }
           out += decoded(0).copy(xr = l)
           out += decoded(1).copy(xr = r2)
+        } else if (h.intensityStereo) {
+          // INTENSITY reconstruction (ISO 11172-3 §2.4.3.4.9.3): the
+          // right channel's upper spectrum is not transmitted; instead
+          // its scalefactors there carry stereo POSITIONS is_pos, and
+          // both channels rebuild from the left channel's lines with
+          // ratio r = tan(is_pos·π/12): L = v·r/(1+r), R = v/(1+r).
+          // The intensity region is every scalefactor band lying
+          // entirely at/above the right channel's last coded line
+          // (rounded up to a band boundary); is_pos 7 is the ILLEGAL
+          // position — that band passes through untouched. The zone
+          // above sfb 20 carries no scalefactor hence no is_pos; both
+          // channels' lines there are beyond the coded region of any
+          // conformant intensity stream, so pass-through is
+          // output-equivalent and that is what this decoder does.
+          require(decoded.forall(_.info.blockType != 2),
+            "mp3: intensity stereo with short blocks unsupported")
+          val sfb = SfbLong(h.sampleRate)
+          val rIs = decoded(1).is
+          var rzero = 576
+          while (rzero > 0 && rIs(rzero - 1) == 0) rzero -= 1
+          val xl = decoded(0).xr.clone()
+          val xrr = decoded(1).xr.clone()
+          var band = 0
+          while (band < 21) {
+            if (sfb(band) >= rzero) {
+              val isPos = decoded(1).scalefactors(band)
+              if (isPos != 7) {
+                var i = sfb(band)
+                val end = sfb(band + 1)
+                while (i < end) {
+                  val v = xl(i)
+                  if (isPos == 6) { xl(i) = v; xrr(i) = 0.0 } // r → ∞
+                  else if (isPos == 0) { xl(i) = 0.0; xrr(i) = v } // r = 0
+                  else {
+                    val r = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                    xl(i) = v * (r / (1.0 + r))
+                    xrr(i) = v * (1.0 / (1.0 + r))
+                  }
+                  i += 1
+                }
+              }
+            }
+            band += 1
+          }
+          out += decoded(0).copy(xr = xl)
+          out += decoded(1).copy(xr = xrr)
         } else decoded.foreach(out += _)
       }
       // the reservoir carries ONLY main-data bytes (max 511 lookback)
@@ -761,6 +828,176 @@ object Mp3Codec {
     out.toByteArray
   }
 
+  /** START/STOP twin of [[synthesizeCoded]]: mono frames whose granule
+    * 0 is block_type 1 (START — the long→short transition window) and
+    * granule 1 is block_type 3 (STOP) — the bracket every real encoder
+    * writes around a transient's short-block run. Window-switching
+    * side info with the IMPLICIT region split (region0_count 7), zero
+    * subblock gains (long-family blocks never apply them), recipes and
+    * gains exactly as [[synthesizeCoded]] — so requantized lines stay
+    * ±2^g and the oracle replays spectra AND the block_type column
+    * closed-form.
+    */
+  def synthesizeCodedStartStop(id: Long, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(32, 44100, 0) // 104 bytes
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0xC0)
+      val bw = new BitWriter
+      bw.write(0, 9); bw.write(0, 5); bw.write(0, 4)
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr)
+        bw.write(r.part23Length, 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(0, 4) // scalefac_compress
+        bw.write(1, 1) // window_switching
+        bw.write(if (gr == 0) 1 else 3, 2) // block_type: start then stop
+        bw.write(0, 1) // mixed_block_flag
+        bw.write(1, 5); bw.write(1, 5) // table_select × 2
+        for (_ <- 0 until 3) bw.write(0, 3) // subblock_gain (unused, long)
+        bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+      }
+      val si = bw.bytes
+      require(si.length == 17, s"side info must be 17 bytes, got ${si.length}")
+      out.write(si, 0, 17)
+      val md = new BitWriter
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr)
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 17
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** The intensity synthesizer's is_pos alphabet: only positions whose
+    * pan ratio is EXACT (0 → fully right, 6 → fully left via r → ∞)
+    * plus the illegal 7 (pass-through) — so every output line stays an
+    * exact dyadic and the oracle replays the pan in integers. The
+    * irrational ratios (is_pos 1–5, tan(is_pos·π/12)) are decoded by
+    * the same code path and spec-gated in-JVM (Mp3Spec) where both
+    * sides share one libm.
+    */
+  val IsPosAlphabet: Array[Int] = Array(0, 6, 7)
+
+  /** INTENSITY joint-stereo twin of [[synthesizeCoded]] (mode 01,
+    * mode_extension 01): channel 0 codes the full recipe for `id`
+    * (basePairs 10 / baseQuads 8 — lines reach past several band
+    * boundaries); channel 1 a SHORT recipe for `id + MsSideSeed`
+    * (basePairs 2 / baseQuads 1), so its coded region ends well below
+    * channel 0's and the intensity region is non-trivial. Channel 1's
+    * scalefac_compress is 3 (slen 0/3): bands 11–20 carry 3-bit
+    * scalefactors = the is_pos positions, drawn from [[IsPosAlphabet]]
+    * by (rid + band + f + gr) mod 3. Those bands sit entirely above
+    * channel 1's coded lines, so the positions never touch its own
+    * requantization — they are pure stereo-position carriers, exactly
+    * the trick real intensity encoders use.
+    */
+  def synthesizeCodedIntensity(
+      id: Long, nFrames: Int, sideSeed: Long = MsSideSeed,
+      alphabet: Array[Int] = IsPosAlphabet): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(32, 44100, 0) // 104 bytes
+    var f = 0
+    while (f < nFrames) {
+      // sync, MPEG-1, Layer III, no CRC, 32 kbps, 44.1 kHz,
+      // joint stereo + INTENSITY mode extension
+      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0x50)
+      def recipe(ch: Int, gr: Int) =
+        if (ch == 0) GranuleRecipe(id, f, gr, basePairs = 10, baseQuads = 8)
+        else GranuleRecipe(id + sideSeed, f, gr, basePairs = 2, baseQuads = 1)
+      val bw = new BitWriter
+      bw.write(0, 9) // main_data_begin
+      bw.write(0, 3) // private (stereo)
+      bw.write(0, 8) // scfsi × 2 channels
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        // ch1 pays 30 scalefactor bits (10 bands × slen2 3) in part2
+        bw.write(r.part23Length + (if (ch == 1) 30 else 0), 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(if (ch == 1) 3 else 0, 4) // scalefac_compress
+        bw.write(0, 1) // long blocks
+        bw.write(1, 5); bw.write(1, 5); bw.write(1, 5)
+        bw.write(3, 4); bw.write(3, 3)
+        bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+      }
+      val si = bw.bytes
+      require(si.length == 32, s"stereo side info must be 32 bytes, got ${si.length}")
+      out.write(si, 0, 32)
+      val md = new BitWriter
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        if (ch == 1) {
+          // the is_pos carriers: bands 11–20, 3 bits each
+          var band = 11
+          while (band < 21) {
+            md.write(
+              alphabet(((id + sideSeed + band + f + gr) % alphabet.length).toInt), 3)
+            band += 1
+          }
+        }
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 32
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------- time-domain stages
 
   private val AliasCi =
@@ -788,12 +1025,41 @@ object Mp3Codec {
     out
   }
 
-  /** 36-point IMDCT of one subband's 18 lines, long (type 0) sine
-    * window: x_i = Σ_k X_k cos(π/72 · (2i + 1 + 18)(2k + 1)), windowed
-    * by sin(π/36 · (i + ½)).
+  /** The 36-sample synthesis window for long-family block types (ISO
+    * 11172-3 §2.4.3.4.10.3, closed-form):
+    *
+    *  - type 0 (normal): sin(π/36·(i+½)) over all 36;
+    *  - type 1 (START — long→short transition): normal first half,
+    *    flat-top 18–23, the short window's DESCENDING half 24–29,
+    *    zero 30–35;
+    *  - type 3 (STOP — short→long): zero 0–5, the short window's
+    *    ASCENDING half 6–11, flat-top 12–17, normal second half.
     */
-  def imdctLong(lines: Array[Double]): Array[Double] = {
+  def imdctWindow(blockType: Int): Array[Double] = blockType match {
+    case 0 => Array.tabulate(36)(i => StrictMath.sin(StrictMath.PI / 36.0 * (i + 0.5)))
+    case 1 => Array.tabulate(36) { i =>
+      if (i < 18) StrictMath.sin(StrictMath.PI / 36.0 * (i + 0.5))
+      else if (i < 24) 1.0
+      else if (i < 30) StrictMath.sin(StrictMath.PI / 12.0 * (i - 18 + 0.5))
+      else 0.0
+    }
+    case 3 => Array.tabulate(36) { i =>
+      if (i < 6) 0.0
+      else if (i < 12) StrictMath.sin(StrictMath.PI / 12.0 * (i - 6 + 0.5))
+      else if (i < 18) 1.0
+      else StrictMath.sin(StrictMath.PI / 36.0 * (i + 0.5))
+    }
+    case t => throw new IllegalArgumentException(
+      s"mp3: no 36-point window for block_type $t")
+  }
+
+  /** 36-point IMDCT of one subband's 18 lines: x_i = Σ_k X_k
+    * cos(π/72 · (2i + 1 + 18)(2k + 1)), windowed per `blockType`
+    * ([[imdctWindow]] — normal/start/stop).
+    */
+  def imdctLong(lines: Array[Double], blockType: Int = 0): Array[Double] = {
     require(lines.length == 18, "imdct: 18 lines per subband")
+    val w = imdctWindow(blockType)
     Array.tabulate(36) { i =>
       var s = 0.0
       var k = 0
@@ -802,7 +1068,7 @@ object Mp3Codec {
           StrictMath.PI / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
         k += 1
       }
-      s * StrictMath.sin(StrictMath.PI / 36.0 * (i + 0.5))
+      s * w(i)
     }
   }
 
@@ -818,8 +1084,9 @@ object Mp3Codec {
     */
   def decodeSubbands(bytes: Array[Byte]): Seq[SubbandGranule] = {
     val spectra = decodeSpectra(bytes)
-    spectra.foreach(g => require(g.info.blockType == 0,
-      "mp3: subband decode implements the long-block (36-point) IMDCT only"))
+    spectra.foreach(g => require(g.info.blockType != 2,
+      "mp3: subband decode implements the 36-point (long-family) IMDCT" +
+        " only — short blocks need the 12-point×3 stage"))
     val overlap = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
     spectra.map { g =>
       val xr = aliasReduce(g.xr)
@@ -827,7 +1094,9 @@ object Mp3Codec {
       val out = Array.ofDim[Double](32, 18)
       var sb = 0
       while (sb < 32) {
-        val t = imdctLong(java.util.Arrays.copyOfRange(xr, sb * 18, sb * 18 + 18))
+        val t = imdctLong(
+          java.util.Arrays.copyOfRange(xr, sb * 18, sb * 18 + 18),
+          g.info.blockType)
         var i = 0
         while (i < 18) {
           out(sb)(i) = t(i) + prev(sb)(i)

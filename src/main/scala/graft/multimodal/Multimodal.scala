@@ -1725,6 +1725,86 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeMp3Coded]]'s START/STOP twin
+    * ([[Mp3Codec.synthesizeCodedStartStop]] — granule 0 a type-1 start
+    * block, granule 1 a type-3 stop block, the transient bracket).
+    */
+  def synthesizeMp3CodedStartStop(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedStartStop(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[synthesizeMp3Coded]]'s INTENSITY JOINT STEREO twin
+    * ([[Mp3Codec.synthesizeCodedIntensity]]).
+    */
+  def synthesizeMp3CodedIntensity(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedIntensity(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[extractMp3Spectra]] + the granule's `block_type` — the gate
+    * surface for window-switching streams where the TYPE itself is the
+    * new decode capability (start/stop brackets).
+    */
+  def extractMp3SpectraTyped(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("granule", LongType, nullable = false),
+      StructField("channel", LongType, nullable = false),
+      StructField("block_type", LongType, nullable = false),
+      StructField("big_values", LongType, nullable = false),
+      StructField("global_gain", LongType, nullable = false),
+      StructField("part2_3_length", LongType, nullable = false),
+      StructField("n_nonzero", LongType, nullable = false),
+      StructField("sum_abs_micro", LongType, nullable = false),
+      StructField("checksum_micro", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        Mp3Codec.decodeSpectra(r.getAs[Array[Byte]](payloadIdx)).map { g =>
+          var nnz = 0L; var sumAbs = 0L; var checksum = 0L
+          var j = 0
+          while (j < 576) {
+            if (g.xr(j) != 0.0) nnz += 1
+            val m = math.rint(g.xr(j) * 1e6).toLong
+            sumAbs += math.abs(m)
+            checksum += (j + 1) * m
+            j += 1
+          }
+          Row(id, g.frameIdx.toLong, g.granule.toLong, g.channel.toLong,
+            g.info.blockType.toLong,
+            g.info.bigValues.toLong, g.info.globalGain.toLong,
+            g.info.part23Length.toLong, nnz, sumAbs, checksum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic Opus-in-Ogg streams ([[OggSniff.synthesize]] — BOS
     * OpusHead + OpusTags + recipe audio pages with monotonic granules
     * and stamped CRCs) as a media frame.

@@ -63,8 +63,10 @@ object Mixture {
     val multExpr = mult.foldRight(lit(null).cast("long")) { case ((s, m), acc) =>
       when(col(sourceCol) === s, lit(m)).otherwise(acc)
     }
+    // null-safe join: a NULL source must survive to the raise_error
+    // check below (an equi-join would silently drop it first)
     val ranked = stamped
-      .join(broadcast(offsets), col(sourceCol) === col("_src"))
+      .join(broadcast(offsets), col(sourceCol) <=> col("_src"))
       .withColumn("src_rank", col("_grn") - col("_offset"))
       .withColumn("_m", multExpr)
       .withColumn("vtime", col("src_rank") * col("_m"))

@@ -42,8 +42,17 @@ object SequencePack {
       nTokensCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    // a NEGATIVE token count (corrupt upstream counter) must fail LOUDLY
+    // before the running total is stamped — silently summing it would
+    // shift every later document's stream offset and chunk assignment
+    val checked = df.select(
+      col(idCol),
+      when(col(nTokensCol) < 0, raise_error(concat(
+        lit(s"sequencePack: negative $nTokensCol for $idCol="),
+        col(idCol).cast("string"))))
+        .otherwise(col(nTokensCol)).as(nTokensCol))
     val off = GlobalRank.withRunningTotal(
-      df.select(col(idCol), col(nTokensCol)), Seq(idCol), nTokensCol, "_off")
+      checked, Seq(idCol), nTokensCol, "_off")
     off
       .filter(col(nTokensCol) > 0)
       .withColumn("chunk_id", explode(sequence(

@@ -58,7 +58,9 @@ object TokenBudget {
     val budgetExpr = budgets.foldRight(lit(null).cast("long")) {
       case ((d, b), acc) => when(col(domainCol) === d, lit(b)).otherwise(acc)
     }
-    rn.join(broadcast(offsets), col(domainCol) === col("_dom"))
+    // null-safe join: a NULL domain must reach the raise_error branch
+    // below (an equi-join would silently drop it before the check fires)
+    rn.join(broadcast(offsets), col(domainCol) <=> col("_dom"))
       .withColumn("_budget",
         when(budgetExpr.isNull, raise_error(concat(
           lit(s"tokenBudget: $domainCol value without a budget: "), col(domainCol))))

@@ -44,6 +44,20 @@ object PqIndexStore {
     f.exists(p) && f.listStatus(p).nonEmpty
   }
 
+  /** True only when `d` holds a COMMITTED parquet write — `_SUCCESS` or
+    * real data files. A crash DURING a write leaves only the committer's
+    * `_temporary` staging dir, which must read as "not committed" (the
+    * compact-replay branch point below depends on it).
+    */
+  private def isCommittedDir(spark: SparkSession, d: String): Boolean = {
+    val f = fs(spark, d)
+    val p = new Path(d)
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n == "_SUCCESS" || (!st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+    }
+  }
+
   /** Persist the frozen codebook (one row per subspace × centroid). */
   def writeCodebook(
       spark: SparkSession, root: String, cb: ProductQuantizer.Codebook): Unit = {
@@ -189,12 +203,17 @@ object PqIndexStore {
     def subdirs(d: String): Seq[String] =
       if (!f.exists(new Path(d))) Seq.empty
       else f.listStatus(new Path(d)).filter(_.isDirectory).map(_.getPath.toString).toSeq
-    if (existsAny(spark, markerDir)) {
+    if (isCommittedDir(spark, markerDir)) {
       // crash-mid-delete replay: finish the recorded deletions only
       val folded = spark.read.parquet(markerDir).as[String].collect()
       folded.foreach(p => f.delete(new Path(p), true))
       return (-1L, -1L)
     }
+    // a markerDir holding only `_temporary` is a crash DURING the marker
+    // write: the survivor data committed but the fold set was never
+    // recorded — clear the staging debris and refold from the still-
+    // present sources (Overwrite semantics make the refold idempotent)
+    if (existsAny(spark, markerDir)) f.delete(new Path(markerDir), true)
     val foldedCodes = subdirs(s"$root/codes")
       .filterNot(_.endsWith(s"/$compactId"))
     val foldedTombs = subdirs(s"$root/tombstones")

@@ -71,8 +71,8 @@ class Mp3Spec extends SparkSpec {
     assert(e.getMessage.contains("reservoir"))
   }
 
-  test("typed rejection: layers I/II, MPEG-2, free format, joint stereo, " +
-    "short blocks, non-embedded tables") {
+  test("typed rejection: layers I/II, MPEG-2, free format, intensity+MS combo, " +
+    "forbidden block_type 0 window switch, non-embedded tables") {
     val good = Mp3Codec.synthesizeCoded(1L, 1)
     def mut(f: Array[Byte] => Unit): Array[Byte] = {
       val b = good.clone(); f(b); b
@@ -84,11 +84,11 @@ class Mp3Spec extends SparkSpec {
     rejects(mut(b => b(1) = 0xFD.toByte), "layer") // layer II
     rejects(mut(b => b(1) = 0xF3.toByte), "mpeg") // MPEG-2
     rejects(mut(b => b(2) = 0x00.toByte), "free-format")
-    rejects(mut(b => b(3) = 0x40.toByte), "intensity") // joint, mode_ext 0
-    rejects(mut(b => b(3) = 0x50.toByte), "intensity") // joint, intensity on
-    // window_switching bit of granule 0 lives at side-info bit
-    // 18 + 12 + 9 + 8 + 4 = 51 → byte 6 of side info (offset 4+6), bit 4
-    rejects(mut(b => b(10) = (b(10) | 0x10).toByte), "window-switching")
+    rejects(mut(b => b(3) = 0x70.toByte), "combined") // joint, intensity+MS
+    // window_switching flipped on a long granule: the next 2 bits (the
+    // old table_select's top bits, 00) parse as block_type 0 — the
+    // combination ISO §2.4.1.7 forbids
+    rejects(mut(b => b(10) = (b(10) | 0x10).toByte), "forbidden")
     // flip count1table_select (last bit of granule 0's 59-bit block,
     // bit 18+59-1=76 → byte 9, bit 7-(76-72)=3) to table A
     rejects(mut(b => b(13) = (b(13) & ~0x08).toByte), "count1")
@@ -167,10 +167,131 @@ class Mp3Spec extends SparkSpec {
       }
       assert(g.xr.toSeq == expected.toSeq, s"granule ${g.granule}")
     }
-    // the subband/IMDCT stage is long-block-only — short granules reject
+    // the subband/IMDCT stage is long-FAMILY-only — short granules reject
     val e = intercept[IllegalArgumentException](
       Mp3Codec.decodeSubbands(Mp3Codec.synthesizeCodedShort(id, 1)))
-    assert(e.getMessage.contains("long-block"))
+    assert(e.getMessage.contains("long-family"))
+  }
+
+  test("start/stop blocks: window-switching side info parses types 1/3, " +
+    "spectra match the long recipe, windows match the ISO closed forms") {
+    val id = 9L
+    val out = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedStartStop(id, 2))
+    val plain = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCoded(id, 2))
+    assert(out.size == 4 && plain.size == 4)
+    out.zip(plain).foreach { case (ss, lg) =>
+      // granule 0 = START (1), granule 1 = STOP (3); same recipe, same
+      // requantized lines (windows only differ in the time domain)
+      assert(ss.info.blockType == (if (ss.granule == 0) 1 else 3))
+      assert(ss.info.region0Count == 7 && ss.info.region1Count == 36)
+      assert(ss.is.toSeq == lg.is.toSeq)
+      assert(ss.xr.toSeq == lg.xr.toSeq)
+    }
+    // the ISO §2.4.3.4.10.3 closed forms, written out independently
+    val w0 = Mp3Codec.imdctWindow(0)
+    val w1 = Mp3Codec.imdctWindow(1)
+    val w3 = Mp3Codec.imdctWindow(3)
+    (0 until 36).foreach { i =>
+      assert(w0(i) == StrictMath.sin(StrictMath.PI / 36.0 * (i + 0.5)))
+    }
+    (0 until 18).foreach(i => assert(w1(i) == w0(i), s"start head $i"))
+    (18 until 24).foreach(i => assert(w1(i) == 1.0, s"start flat $i"))
+    (24 until 30).foreach(i =>
+      assert(w1(i) == StrictMath.sin(StrictMath.PI / 12.0 * (i - 18 + 0.5))))
+    (30 until 36).foreach(i => assert(w1(i) == 0.0, s"start zero $i"))
+    (0 until 6).foreach(i => assert(w3(i) == 0.0, s"stop zero $i"))
+    (6 until 12).foreach(i =>
+      assert(w3(i) == StrictMath.sin(StrictMath.PI / 12.0 * (i - 6 + 0.5))))
+    (12 until 18).foreach(i => assert(w3(i) == 1.0, s"stop flat $i"))
+    (18 until 36).foreach(i => assert(w3(i) == w0(i), s"stop tail $i"))
+    // start/stop tails splice against the short window: w1's descent is
+    // the short sine's second half, w3's ascent its first half
+    val short = Array.tabulate(12)(j => StrictMath.sin(StrictMath.PI / 12.0 * (j + 0.5)))
+    (0 until 6).foreach(j => assert(w1(24 + j) == short(6 + j)))
+    (0 until 6).foreach(j => assert(w3(6 + j) == short(j)))
+    // the subband stage accepts the whole long family and the windows
+    // are load-bearing: type-1/3 output differs from type-0 output
+    val sbSS = Mp3Codec.decodeSubbands(Mp3Codec.synthesizeCodedStartStop(id, 1))
+    val sbLG = Mp3Codec.decodeSubbands(Mp3Codec.synthesizeCoded(id, 1))
+    assert(sbSS.size == 2 && sbLG.size == 2)
+    assert(sbSS.zip(sbLG).exists { case (a, b) =>
+      (0 until 32).exists(s => a.samples(s).toSeq != b.samples(s).toSeq)
+    }, "start/stop windows must change the time-domain output")
+  }
+
+  test("intensity stereo: decode equals hand-panning the mid channel; " +
+    "irrational is_pos ratios follow tan(is_pos·π/12); illegal 7 passes through") {
+    val id = 13L
+    val seed = Mp3Codec.MsSideSeed
+    val sfbL = Mp3Codec.SfbLong(44100)
+    // the two coded channels decoded independently via mono twins
+    def mono(rid: Long, bp: Int, bq: Int): Seq[Mp3Codec.GranuleDecode] = {
+      // rebuild each granule's xr from the recipe directly (mono
+      // synthesizer has fixed base sizes, so replay by hand)
+      (0 until 2).flatMap { f =>
+        (0 until 2).map { gr =>
+          val rec = Mp3Codec.GranuleRecipe(rid, f, gr, basePairs = bp, baseQuads = bq)
+          val xr = new Array[Double](576)
+          var h = 0
+          def put(line: Int, v: Int): Unit =
+            if (v != 0) xr(line) = v * StrictMath.pow(2.0, rec.gainExp.toDouble)
+          (0 until rec.nPairs).foreach { p =>
+            val (x, y) = rec.pairMag(p); val (sx, sy) = rec.pairSign(p)
+            put(h, x * (1 - 2 * sx * x)); put(h + 1, y * (1 - 2 * sy * y))
+            h += 2
+          }
+          (0 until rec.nQuads).foreach { q =>
+            val m = rec.quadMag(q)
+            (0 until 4).foreach(j =>
+              put(h + j, m(j) * (1 - 2 * rec.quadSign(q, j + 1) * m(j))))
+            h += 4
+          }
+          Mp3Codec.GranuleDecode(f, gr, 0, null, null, null, xr)
+        }
+      }
+    }
+    def expectPan(alphabet: Array[Int]): Unit = {
+      val got = Mp3Codec.decodeSpectra(
+        Mp3Codec.synthesizeCodedIntensity(id, 2, seed, alphabet))
+      val ch0 = mono(id, 10, 8)
+      val ch1 = mono(id + seed, 2, 1)
+      assert(got.size == 8)
+      got.grouped(2).zipWithIndex.foreach { case (Seq(l, r), k) =>
+        val f = k / 2; val gr = k % 2
+        val v0 = ch0(k).xr; val v1 = ch1(k).xr
+        // bound: ch1's last nonzero line + 1, rounded up to a band start
+        var rzero = 576
+        while (rzero > 0 && v1(rzero - 1) == 0.0) rzero -= 1
+        (0 until 21).foreach { band =>
+          val st = sfbL(band); val en = sfbL(band + 1)
+          if (st >= rzero) {
+            val isPos =
+              if (band < 11) 0
+              else alphabet(((id + seed + band + f + gr) % alphabet.length).toInt)
+            (st until en).foreach { i =>
+              if (isPos == 7) {
+                assert(l.xr(i) == v0(i) && r.xr(i) == v1(i), s"illegal g$k l$i")
+              } else if (isPos == 6) {
+                assert(l.xr(i) == v0(i) && r.xr(i) == 0.0, s"left g$k l$i")
+              } else if (isPos == 0) {
+                assert(l.xr(i) == 0.0 && r.xr(i) == v0(i), s"right g$k l$i")
+              } else {
+                val ratio = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                assert(l.xr(i) == v0(i) * (ratio / (1.0 + ratio)), s"L g$k l$i")
+                assert(r.xr(i) == v0(i) * (1.0 / (1.0 + ratio)), s"R g$k l$i")
+              }
+            }
+          } else {
+            (st until en).foreach { i =>
+              assert(l.xr(i) == v0(i) && r.xr(i) == v1(i), s"below-bound g$k l$i")
+            }
+          }
+        }
+      }
+    }
+    expectPan(Mp3Codec.IsPosAlphabet) // the oracle-gated exact alphabet
+    expectPan(Array(1, 2, 3, 4, 5)) // the irrational tan ratios
+    expectPan(Array(7)) // every band illegal → full pass-through
   }
 
   test("MS joint stereo: decode equals hand-matrixing the two coded channels") {
@@ -206,6 +327,96 @@ class Mp3Spec extends SparkSpec {
         assert(l.xr(j) == (mid(k).xr(j) + mid(k).xr(j)) / sqrt2b))
       assert(r.is.exists(_ != 0), "coded side lines were set — output-only zero")
     }
+  }
+
+  test("region boundaries use the stream's sample-rate band table (48 kHz)") {
+    // hand-built 48 kHz mono frame whose big_values REGION SPLIT is the
+    // load-bearing bit: 22 pairs with table_select (1, 0, 0) and
+    // region0_count 8 → region 0 ends at sfb48(9) = line 42 (the 44.1 kHz
+    // table would say 44). Pairs 0–20 (lines 0–41) are table-1 (1,0)
+    // codes, pair 21 (lines 42–43) falls in region 1 = table 0 = ZERO
+    // bits. A decoder still on the 44.1 kHz table would read pair 21
+    // through table 1 and overrun part2_3_length.
+    val w = new java.io.ByteArrayOutputStream()
+    var cur = 0; var n = 0
+    def bits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { w.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    // header: MPEG-1 Layer III, no CRC, 32 kbps, 48 kHz, mono → 96 bytes
+    w.write(0xFF); w.write(0xFB); w.write(0x14); w.write(0xC0)
+    // side info: mdb 0, private 5, scfsi 4
+    bits(0, 9); bits(0, 5); bits(0, 4)
+    // granule 0: 21 table-1 pairs à "01"+sign = 63 bits
+    bits(63, 12); bits(22, 9); bits(210, 8); bits(0, 4)
+    bits(0, 1) // long blocks
+    bits(1, 5); bits(0, 5); bits(0, 5) // table_select (1, 0, 0)
+    bits(8, 4); bits(7, 3) // region0_count 8, region1_count 7
+    bits(0, 1); bits(0, 1); bits(1, 1)
+    // granule 1: empty
+    bits(0, 12); bits(0, 9); bits(210, 8); bits(0, 4)
+    bits(0, 1); bits(0, 5); bits(0, 5); bits(0, 5)
+    bits(0, 4); bits(0, 3); bits(0, 1); bits(0, 1); bits(1, 1)
+    assert(n == 0 && w.size() == 4 + 17)
+    // main data: 21 × ("01" + positive sign "0")
+    (0 until 21).foreach { _ => bits(1, 2); bits(0, 1) }
+    if (n > 0) bits(0, 8 - n)
+    while (w.size() < 96) w.write(0)
+    val out = Mp3Codec.decodeSpectra(w.toByteArray)
+    assert(out.size == 2)
+    val g0 = out.head
+    (0 until 42).foreach { i =>
+      assert(g0.is(i) == (if (i % 2 == 0) 1 else 0), s"line $i")
+    }
+    (42 until 576).foreach(i => assert(g0.is(i) == 0, s"line $i"))
+    assert(g0.xr(0) == 1.0) // gain 210, sf 0
+  }
+
+  test("lines above sfb 20 requantize with sf = 0 even when preflag is set") {
+    // 44.1 kHz mono frame, preflag 1, 288 pairs spanning all 576 lines:
+    // table_select (0, 0, 1) with regions split at sfb(15)=134 and
+    // sfb(20)=342 — so regions 0/1 are table-0 zeros (no bits) and
+    // region 2 (lines 342+) is table 1. Two nonzero lines: 342 (band 20,
+    // pretab 2 → scale 2^-1) and 418 (ABOVE the last scalefactor band →
+    // scale must be 2^0 = 1, not band 20's 0.5).
+    val w = new java.io.ByteArrayOutputStream()
+    var cur = 0; var n = 0
+    def bits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { w.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    w.write(0xFF); w.write(0xFB); w.write(0x10); w.write(0xC0) // 44.1 kHz, 104 B
+    bits(0, 9); bits(0, 5); bits(0, 4)
+    // pairs 171..287 are region 2 (table 1): two (1,0)+sign at pairs 171
+    // (line 342) and 209 (line 418), the rest (0,0) "1" → 2·3 + 115·1
+    bits(121, 12); bits(288, 9); bits(210, 8); bits(0, 4)
+    bits(0, 1)
+    bits(0, 5); bits(0, 5); bits(1, 5) // table_select (0, 0, 1)
+    bits(14, 4); bits(4, 3) // regions end at sfb(15)=134 and sfb(20)=342
+    bits(1, 1) // PREFLAG on
+    bits(0, 1); bits(1, 1)
+    bits(0, 12); bits(0, 9); bits(210, 8); bits(0, 4)
+    bits(0, 1); bits(0, 5); bits(0, 5); bits(0, 5)
+    bits(0, 4); bits(0, 3); bits(0, 1); bits(0, 1); bits(1, 1)
+    assert(n == 0 && w.size() == 4 + 17)
+    (171 until 288).foreach { p =>
+      if (p == 171 || p == 209) { bits(1, 2); bits(0, 1) } // (1,0) +
+      else bits(1, 1) // (0,0)
+    }
+    if (n > 0) bits(0, 8 - n)
+    while (w.size() < 104) w.write(0)
+    val g0 = Mp3Codec.decodeSpectra(w.toByteArray).head
+    assert(g0.is(342) == 1 && g0.is(418) == 1)
+    assert(g0.xr(342) == 0.5, "band 20: preflag pretab 2 → 2^(-0.5·2)")
+    assert(g0.xr(418) == 1.0, "above sfb 20: no scalefactor, no pretab")
   }
 
   test("extractMp3Spectra: granule rows match the recipe end to end on a sample") {
