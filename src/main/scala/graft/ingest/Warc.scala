@@ -302,17 +302,59 @@ object Warc {
     case 1 => text + " café € résumé"
     case 2 => text + " テスト"
     case 3 => text + " Ωδ — test"
+    case 5 => text + " 中文—测试"
+    case 6 => text + " 한국어 테스트"
+    case 7 => text + " ąćęłńśźż"
+    case 8 => text + " café € résumé"
     case _ => text + " naïve — ok"
   }
 
-  private def charsetHtml(id: Long, mode: Int, payload: String): String = {
-    val meta = mode match {
-      case 1 =>
-        "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
-      case 2 => "<meta charset=\"shift_jis\">"
-      case _ => ""
+  /** Mode `mode`'s in-document charset label (empty when the mode labels
+    * via HTTP, BOM, or not at all).
+    */
+  def charsetMetaTag(mode: Int): String = mode match {
+    case 1 =>
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+    case 2 => "<meta charset=\"shift_jis\">"
+    case 6 => "<meta charset=\"euc-kr\">"
+    case 7 =>
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-2\">"
+    case 8 => "<meta charset=\"shift_jis\">" // the LIE the header overrides
+    case _ => ""
+  }
+
+  private def charsetHtml(id: Long, mode: Int, payload: String): String =
+    s"<html><head>${charsetMetaTag(mode)}<title>Doc $id</title></head>" +
+      s"<body><p>$payload</p></body></html>"
+
+  /** One captured response in labeling shape `mode` (see
+    * [[responseBlockCharset]] for 0–4, [[responseBlockCharsetWide]] for
+    * the full nine).
+    */
+  def responseBlockCharsetMode(id: Long, mode: Int, text: String): Array[Byte] =
+    encodeCharsetResponse(mode, charsetHtml(id, mode, charsetPayload(mode, text)))
+
+  /** Encode a PREBUILT html page as mode `mode`'s HTTP response block —
+    * the charset/label machinery without the fixed page shape, so
+    * richer fixtures ([[synthesizeWarcBoilerplate]]) route through the
+    * identical encoding matrix.
+    */
+  def encodeCharsetResponse(mode: Int, html: String): Array[Byte] = {
+    val (ctHeader, bytes) = mode match {
+      case 0 => ("text/html; charset=utf-8", html.getBytes(UTF_8))
+      case 1 => ("text/html", html.getBytes("windows-1252"))
+      case 2 => ("text/html", html.getBytes("Shift_JIS"))
+      case 3 => ("text/html; charset=shift_jis",
+        Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes("UTF-16LE"))
+      case 5 => ("text/html; charset=gb18030", html.getBytes("GB18030"))
+      case 6 => ("text/html", html.getBytes("EUC-KR"))
+      case 7 => ("text/html", html.getBytes("ISO-8859-2"))
+      case 8 => ("text/html; charset=windows-1252", html.getBytes("windows-1252"))
+      case _ => ("text/html", html.getBytes(UTF_8))
     }
-    s"<html><head>$meta<title>Doc $id</title></head><body><p>$payload</p></body></html>"
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n" +
+      s"Content-Length: ${bytes.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ bytes
   }
 
   /** The captured response in one of FIVE charset-labeling shapes, keyed
@@ -324,21 +366,22 @@ object Warc {
     *       a BOM (the BOM must win);
     *   4 — unlabeled UTF-8 (trial decode resolves it).
     */
-  def responseBlockCharset(id: Long, text: String): Array[Byte] = {
-    val mode = (id % 5).toInt
-    val html = charsetHtml(id, mode, charsetPayload(mode, text))
-    val (ctHeader, bytes) = mode match {
-      case 0 => ("text/html; charset=utf-8", html.getBytes(UTF_8))
-      case 1 => ("text/html", html.getBytes("windows-1252"))
-      case 2 => ("text/html", html.getBytes("Shift_JIS"))
-      case 3 => ("text/html; charset=shift_jis",
-        Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes("UTF-16LE"))
-      case _ => ("text/html", html.getBytes(UTF_8))
-    }
-    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctHeader\r\n" +
-      s"Content-Length: ${bytes.length}\r\n\r\n")
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ bytes
-  }
+  def responseBlockCharset(id: Long, text: String): Array[Byte] =
+    responseBlockCharsetMode(id, (id % 5).toInt, text)
+
+  /** The WIDE labeling matrix, keyed by id % 9 — [[responseBlockCharset]]'s
+    * five shapes plus the East-Asian/Central-European legacy encodings
+    * real crawls carry and a SECOND conflict direction:
+    *   5 — gb18030, labeled in the HTTP header;
+    *   6 — euc-kr, labeled ONLY by `<meta charset=…>`;
+    *   7 — iso-8859-2, labeled ONLY by an http-equiv meta tag;
+    *   8 — CONFLICT: header says windows-1252, a meta tag LIES
+    *       shift_jis, body is windows-1252 — the transport label must
+    *       win over the in-document one (WHATWG order), the mirror of
+    *       mode 3's BOM-over-header.
+    */
+  def responseBlockCharsetWide(id: Long, text: String): Array[Byte] =
+    responseBlockCharsetMode(id, (id % 9).toInt, text)
 
   // ------------------------------------------------------------------ cdx
 
@@ -461,6 +504,68 @@ object Warc {
         col("is_revisit"))
   }
 
+  /** FETCH-BY-GEOMETRY verification — the loop [[cdxIndex]]'s (offset,
+    * length) columns exist to close: a wayback reader never scans the
+    * archive, it issues a ranged read of exactly [offset, offset+length)
+    * and expects ONE complete gzip member whose payload digest matches
+    * the index row. This operator replays that contract: each non-
+    * revisit CDX row joins its archive (one media-id equi-join — the
+    * archives are the big side, the index rides with it), the byte
+    * slice is cut EXACTLY at the recorded geometry, the member must
+    * parse standalone AND cover the slice end to end (an off-by-one in
+    * either field breaks the RFC 1952 walk or truncates the inflate),
+    * and the re-derived sha-256 payload digest is emitted next to the
+    * indexed one. `geometry_ok` = standalone parse + exact member span
+    * + digest equality.
+    */
+  def cdxFetch(warcFiles: DataFrame, cdx: DataFrame): DataFrame = {
+    val spark = warcFiles.sparkSession
+    val joined = cdx.filter(!col("is_revisit"))
+      .select(col("media_id"), col("digest"), col("offset"), col("length"))
+      .join(warcFiles.select(col("media_id"), col("payload")), Seq("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("digest", StringType, nullable = false),
+      StructField("fetched_digest", StringType, nullable = true),
+      StructField("geometry_ok", BooleanType, nullable = false)))
+    val idIdx = joined.schema.fieldIndex("media_id")
+    val digIdx = joined.schema.fieldIndex("digest")
+    val offIdx = joined.schema.fieldIndex("offset")
+    val lenIdx = joined.schema.fieldIndex("length")
+    val payIdx = joined.schema.fieldIndex("payload")
+    val rdd = joined.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val indexed = r.getString(digIdx)
+        val off = r.getLong(offIdx)
+        val len = r.getLong(lenIdx)
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        val fetched: Option[String] =
+          if (off < 0 || len <= 0 || off + len > bytes.length) None
+          else try {
+            val slice = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + len).toInt)
+            // the ranged read must be ONE complete member, no slack
+            if (WarcCodec.memberOffsets(slice).toSeq != Seq((0, slice.length))) None
+            else {
+              val rec = WarcCodec.parseMemberAt(slice, 0)
+              if (!rec.contentType.startsWith("application/http")) None
+              else Some(payloadDigest(
+                WarcCodec.decodeEntity(WarcCodec.parseHttpResponse(rec.block))))
+            }
+          } catch {
+            // the codec's typed rejections (torn member, bad CRC, non-
+            // WARC bytes) are exactly what bad geometry produces — this
+            // operator's job is to REPORT them as geometry failures,
+            // not abort the audit
+            case _: IllegalArgumentException => None
+          }
+        Row(id, indexed, fetched.orNull, fetched.contains(indexed))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Resolve `revisit` rows against the digest index: each revisit joins
     * the EARLIEST full capture with the same payload digest — (ts14,
     * media_id, offset) min, the wayback resolution rule. ONE equi-join
@@ -502,6 +607,73 @@ object Warc {
           WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
             "application/http;msgtype=response", Nil,
             responseBlockCharset(id, r.getString(1))))
+        Row(id, WarcCodec.build(recs, gzipPerRecord = true))
+      }
+    }
+    spark.createDataFrame(rdd, WarcFileSchema)
+  }
+
+  /** The crawl-capstone intake: one archive per row of a PREPARED feed
+    * (`media_id`, `mode`, `text`, `lang`) whose response is a
+    * BOILERPLATE page — charset meta + title in the head, a link-dense
+    * nav, the document paragraph (the mode's charset payload), a short
+    * heading bridged between two long paragraphs, a read-more teaser,
+    * and a link-dense footer — encoded through the same charset matrix
+    * as [[synthesizeWarcCharsets]]. The page every capstone stage has
+    * something to do with: the charset router must pick the right
+    * decode, main-content must strip nav/teaser/footer and bridge the
+    * heading, and the payload carries the tokens everything downstream
+    * counts.
+    */
+  def synthesizeWarcBoilerplate(feed: DataFrame): DataFrame = {
+    val spark = feed.sparkSession
+    val src = feed.select(col("media_id").cast("long"), col("mode").cast("int"),
+      col("text"), col("lang"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mode = r.getInt(1)
+        val payload = charsetPayload(mode, r.getString(2))
+        val lang = r.getString(3)
+        val html =
+          s"<html><head>${charsetMetaTag(mode)}<title>Doc $id</title></head><body>" +
+            "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/b\">More</a></div>" +
+            s"<p>$payload</p><h2>Part two</h2>" +
+            s"<p>Appendix ${lang.toUpperCase} stable words &amp; digits here</p>" +
+            "<div><a href=\"/x\">read more</a> teaser</div>" +
+            "<div id=\"foot\"><a>Terms</a> <a>Privacy</a> (c)</div></body></html>"
+        val uri = s"https://example.com/doc/$id"
+        val date = "2026-08-12T00:00:00Z"
+        val recs = Seq(
+          WarcCodec.WarcRecord("warcinfo", s"<urn:graft:$id:0>", None, date,
+            "application/warc-fields", Nil, WarcinfoBlock.getBytes(UTF_8)),
+          WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
+            "application/http;msgtype=response", Nil,
+            encodeCharsetResponse(mode, html)))
+        Row(id, WarcCodec.build(recs, gzipPerRecord = true))
+      }
+    }
+    spark.createDataFrame(rdd, WarcFileSchema)
+  }
+
+  /** [[synthesizeWarcCharsets]] over the WIDE nine-shape labeling matrix
+    * ([[responseBlockCharsetWide]]).
+    */
+  def synthesizeWarcCharsetsWide(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast("long").as("media_id"), col("text"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val uri = s"https://example.com/doc/$id"
+        val date = "2026-08-12T00:00:00Z"
+        val recs = Seq(
+          WarcCodec.WarcRecord("warcinfo", s"<urn:graft:$id:0>", None, date,
+            "application/warc-fields", Nil, WarcinfoBlock.getBytes(UTF_8)),
+          WarcCodec.WarcRecord("response", s"<urn:graft:$id:1>", Some(uri), date,
+            "application/http;msgtype=response", Nil,
+            responseBlockCharsetWide(id, r.getString(1))))
         Row(id, WarcCodec.build(recs, gzipPerRecord = true))
       }
     }

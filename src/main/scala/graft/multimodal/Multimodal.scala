@@ -160,6 +160,35 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeBmp]] with per-id VARIABLE dimensions (w = 10 + 7·(id
+    * mod 4), h = 6 + 5·(id mod 3) — including widths that are not
+    * patch-multiples, so ceil-division in placeholder-token math is
+    * load-bearing). The image leg of the multimodal-packing gates:
+    * meta carries the true dims, pixels follow the [[synthesizeBmp]]
+    * recipe.
+    */
+  def synthesizeBmpVar(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val width = 10 + 7 * (id % 4).toInt
+        val height = 6 + 5 * (id % 3).toInt
+        val pixels = Array.tabulate(width * height) { i =>
+          val y = i / width; val x = i % width
+          val pr = ((id * 31L + y * 7L + x * 13L) % 256L).toInt
+          val pg = ((id * 17L + y * 11L + x * 5L) % 256L).toInt
+          val pb = ((id * 23L + y * 3L + x * 19L) % 256L).toInt
+          (pr << 16) | (pg << 8) | pb
+        }
+        Row(id, BmpCodec.encode(width, height, pixels),
+          Row("image", "bmp", width, height, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** ONE pixel contract, N containers: every raster codec decodes into
     * [[BmpCodec.Bmp]], so decode→(resize)→featurize and decode→resize→
     * dHash are the same body with a different `decode` — these two

@@ -66,4 +66,108 @@ object SequencePack {
         (least(col("_off") + col(nTokensCol), (col("chunk_id") + 1) * seqLen) -
           greatest(col("_off"), col("chunk_id") * seqLen)).as("piece_len"))
   }
+
+  /** MULTIMODAL piece table — the 2026 pretraining shape: a document is
+    * a SEQUENCE of segments (text spans, image placeholder runs, audio
+    * frames …), each a contiguous token run of one modality, and the
+    * packed stream must preserve the (doc, segment) order so a piece
+    * row still pins modality spans inside each chunk. `df` is the
+    * SEGMENT table: one row per (`docCol`, `segCol`) with its
+    * `modalityCol` label and `nTokensCol` count (for images, the
+    * PLACEHOLDER token count — patches from the media table's
+    * dimensions; see [[imagePlaceholderTokens]]). Same algebra as
+    * [[packChunks]] at segment granularity: output rows carry
+    * (`chunk_id`, doc, seg, modality, `seg_from`, `chunk_offset`,
+    * `piece_len`), and a chunk's rows tile it exactly. Scale shape
+    * unchanged: ONE range exchange over (doc, seg), stateless explode.
+    */
+  def packChunksMultimodal(
+      df: DataFrame,
+      docCol: String,
+      segCol: String,
+      modalityCol: String,
+      nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    val checked = df.select(
+      col(docCol), col(segCol), col(modalityCol),
+      when(col(nTokensCol) < 0, raise_error(concat(
+        lit(s"sequencePack: negative $nTokensCol for $docCol="),
+        col(docCol).cast("string"))))
+        .otherwise(col(nTokensCol)).as(nTokensCol))
+    val off = GlobalRank.withRunningTotal(
+      checked, Seq(docCol, segCol), nTokensCol, "_off")
+    off
+      .filter(col(nTokensCol) > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"_off div ${seqLen}L"),
+        expr(s"(_off + $nTokensCol - 1) div ${seqLen}L"))))
+      .select(
+        col("chunk_id"),
+        col(docCol),
+        col(segCol),
+        col(modalityCol),
+        greatest(col("chunk_id") * seqLen - col("_off"), lit(0L)).as("seg_from"),
+        greatest(col("_off") - col("chunk_id") * seqLen, lit(0L)).as("chunk_offset"),
+        (least(col("_off") + col(nTokensCol), (col("chunk_id") + 1) * seqLen) -
+          greatest(col("_off"), col("chunk_id") * seqLen)).as("piece_len"))
+  }
+
+  /** Image PLACEHOLDER token count from pixel dimensions — the vision-
+    * encoder patch-grid convention: ceil(w/patch) · ceil(h/patch).
+    */
+  def imagePlaceholderTokens(
+      width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      patch: Int): org.apache.spark.sql.Column = {
+    require(patch >= 1, s"patch=$patch must be >= 1")
+    // ceil-div via floor: Column `/` is DOUBLE division, exact here
+    // (patch grids are far below 2^53)
+    floor((width.cast("long") + (patch - 1)) / patch).cast("long") *
+      floor((height.cast("long") + (patch - 1)) / patch).cast("long")
+  }
+
+  /** LOSS-MASK / ATTENTION-SPAN emission — the last step before a data
+    * loader: per training chunk, spans (`span_offset`, `span_len`,
+    * doc, `mask`) that tile [0, seqLen) EXACTLY. `maskCol` is the
+    * caller's per-document loss flag (false for prompt documents — the
+    * SFT/DPO shape composing with [[Preference]]); the final chunk's
+    * unfilled tail becomes one PAD span (null doc, mask false) so
+    * every chunk is loader-ready without ragged-tail special cases.
+    *
+    * Scale shape: [[packChunks]]'s one range exchange; the pad span
+    * comes from a ONE-ROW total-tokens aggregate unioned in (no
+    * collect, no extra pass over the pieces).
+    */
+  def lossMaskSpans(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      maskCol: String,
+      seqLen: Long): DataFrame = {
+    // the mask rides THROUGH the pack as a carried label (the multimodal
+    // variant's modality slot) — no second join against the doc table
+    val pieces = packChunksMultimodal(
+      df.select(col(idCol), lit(0).as("_seg"),
+        col(maskCol).cast("boolean").as("_mask"), col(nTokensCol)),
+      idCol, "_seg", "_mask", nTokensCol, seqLen)
+    val spans = pieces.select(
+      col("chunk_id"),
+      col(idCol),
+      col("chunk_offset").as("span_offset"),
+      col("piece_len").as("span_len"),
+      col("_mask").as("mask"))
+    val lastChunk = expr(s"(_total - 1) div ${seqLen}L")
+    val pad = df
+      .agg(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
+        .otherwise(lit(0L))).as("_total"))
+      .filter(col("_total") > 0 && col("_total") % seqLen =!= 0)
+      .select(
+        lastChunk.as("chunk_id"),
+        lit(null).cast(df.schema(idCol).dataType).as(idCol),
+        (col("_total") - lastChunk * seqLen).as("span_offset"),
+        ((lastChunk + 1) * seqLen - col("_total")).as("span_len"),
+        lit(false).as("mask"))
+    spans.unionByName(pad)
+  }
 }

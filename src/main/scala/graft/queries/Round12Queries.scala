@@ -63,8 +63,8 @@ object Round12Queries {
     * `c·c − 2·q·c` → per-cell relocated LUTs (entry = ĉ·ĉ − 2·(q−c)·ĉ)
     * plus the per-cell constant ‖q − c‖² → ADC rank.
     */
-  private def ivfPqOracle(m: Int, k: Int, iters: Int, sub: Int,
-      nProbe: Int, topK: Int): String = {
+  private[queries] def ivfPqOracle(m: Int, k: Int, iters: Int, sub: Int,
+      nProbe: Int, topK: Int, where: String = "TRUE"): String = {
     val dims = m * sub
     val subs = (0 until m).map(s => ivfPqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
     val luts = (0 until m).map { s =>
@@ -108,7 +108,8 @@ object Round12Queries {
        |scored AS (SELECT r.vec_id, round(cc.qrq + $dsum, 6) AS adc_score
        |  FROM res r JOIN probe p ON r.label = p.label
        |    JOIN cellconst cc ON cc.label = r.label
-       |    $finJoins $lutJoins)
+       |    $finJoins $lutJoins
+       |  WHERE $where)
        |SELECT vec_id, adc_score FROM scored
        |ORDER BY adc_score, vec_id LIMIT $topK""".stripMargin
   }

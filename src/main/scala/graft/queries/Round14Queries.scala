@@ -221,5 +221,401 @@ object Round14Queries {
         graft.multimodal.Multimodal.synthesizeMp3CodedIntensity(
           Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id", "frame_idx", "granule", "channel")
+    },
+
+    // MULTIMODAL SEQUENCE PACKING (operators.SequencePack
+    // .packChunksMultimodal) — interleaved image+text documents, the
+    // 2026 pretraining shape: each doc is [text, image placeholder,
+    // caption] segments; image placeholder tokens come from the media
+    // table's PIXEL DIMENSIONS through the real BMP decode
+    // (ceil(w/8)·ceil(h/8) patches — widths are deliberately NOT
+    // patch-multiples, so the ceil is load-bearing), text tokens from
+    // the tokenizer count, zero-token captions drop. ONE global
+    // running total over (doc, seg) — the same single range exchange
+    // as q356 — and the oracle replays both token recipes through the
+    // same intersection algebra.
+    Q(
+      "q364_multimodal_pack",
+      """WITH segs AS (
+        |  SELECT doc_id, 0 AS seg, 'text' AS modality,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'image',
+        |    ((10 + 7*(doc_id % 4) + 7) // 8) * ((6 + 5*(doc_id % 3) + 7) // 8)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'text', (doc_id * 13 + 7) % 40 FROM documents),
+        |o AS (SELECT doc_id, seg, modality, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id, seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM segs),
+        |p AS (SELECT doc_id, seg, modality, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 256, (off + n - 1) // 256)) AS c(c)
+        |  WHERE n > 0)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(seg AS BIGINT) AS seg, modality,
+        |  CAST(GREATEST(chunk_id * 256 - off, 0) AS BIGINT) AS seg_from,
+        |  CAST(GREATEST(off - chunk_id * 256, 0) AS BIGINT) AS chunk_offset,
+        |  CAST(LEAST(off + n, (chunk_id + 1) * 256)
+        |    - GREATEST(off, chunk_id * 256) AS BIGINT) AS piece_len
+        |FROM p ORDER BY chunk_id, doc_id, seg""".stripMargin) { (s, dir) =>
+      import graft.operators.SequencePack
+      import graft.text.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      // image dims through the REAL codec: synthesize → decode → patches
+      val dims = graft.multimodal.Multimodal.extractBmpFeatures(
+        graft.multimodal.Multimodal.synthesizeBmpVar(docs, "doc_id"))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"))
+      val segs = docs
+        .select(col("doc_id"), lit(0L).as("seg"), lit("text").as("modality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .unionByName(dims.select(col("doc_id"), lit(1L).as("seg"),
+          lit("image").as("modality"),
+          SequencePack.imagePlaceholderTokens(col("width"), col("height"), 8)
+            .as("n_tokens")))
+        .unionByName(docs.select(col("doc_id"), lit(2L).as("seg"),
+          lit("text").as("modality"),
+          ((col("doc_id") * 13 + 7) % 40).cast("long").as("n_tokens")))
+      SequencePack.packChunksMultimodal(
+        segs, "doc_id", "seg", "modality", "n_tokens", seqLen = 256L)
+        .orderBy("chunk_id", "doc_id", "seg")
+    },
+
+    // LOSS-MASK / ATTENTION-SPAN EMISSION (operators.SequencePack
+    // .lossMaskSpans) — the last step before a data loader: per chunk,
+    // spans (offset, len, doc, mask) that tile [0, seqLen) exactly.
+    // The mask is the per-doc loss flag (false for prompt docs — the
+    // SFT shape composing with q358's preference pairs); the final
+    // chunk's unfilled tail becomes one PAD span (null doc, mask
+    // false). The mask rides THROUGH the pack as a carried label — no
+    // second join — and the pad comes from a one-row total aggregate.
+    Q(
+      "q365_loss_mask",
+      """WITH t AS (SELECT doc_id, (doc_id % 3 <> 0) AS m,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, m, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t),
+        |p AS (SELECT doc_id, m, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)
+        |  WHERE n > 0),
+        |spans AS (
+        |  SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |    CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT) AS span_offset,
+        |    CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |      - GREATEST(off, chunk_id * 512) AS BIGINT) AS span_len,
+        |    m AS mask
+        |  FROM p),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM t)
+        |SELECT * FROM spans
+        |UNION ALL
+        |SELECT CAST((total - 1) // 512 AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  CAST(total - ((total - 1) // 512) * 512 AS BIGINT),
+        |  CAST(((total - 1) // 512 + 1) * 512 - total AS BIGINT),
+        |  false
+        |FROM tot WHERE total > 0 AND total % 512 <> 0
+        |ORDER BY chunk_id, span_offset""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      graft.operators.SequencePack.lossMaskSpans(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            (col("doc_id") % 3 =!= 0).as("is_completion")),
+        "doc_id", "n_tokens", "is_completion", seqLen = 512L)
+        .orderBy("chunk_id", "span_offset")
+    },
+
+    // IVF+PQ DELETES (sim.IvfPqStore) — the tombstone discipline the
+    // flat PQ store gained in q351, applied to the composite index
+    // real deployments run: frozen (centroids, residual codebook), two
+    // appended batches partitioned by cell, tombstones vec_id % 7 == 3,
+    // COMPACT (survivors rewrite per-cell under one new batch dir —
+    // probe-time partition pruning survives the fold), cold reload,
+    // then the ADC query through the probed cells. The oracle is
+    // rebuild-from-survivors: the full q332 closed form (training saw
+    // the whole corpus — the index froze before the deletes) scored
+    // over the survivor set only.
+    Q(
+      "q366_ivfpq_delete",
+      Round12Queries.ivfPqOracle(m = 4, k = 4, iters = 2, sub = 16,
+        nProbe = 2, topK = 10, where = "r.vec_id % 7 <> 3")) { (s, dir) =>
+      import graft.sim.{IvfPq, IvfPqStore}
+      val emb = Tables.load(s, dir, "embeddings").persist()
+      val (cents, cb) = IvfPq.fitResidual(
+        emb, "vec_id", "embedding", "label", dims = 64, m = 4, k = 4, iters = 2)
+      val root = s"target/q366_ivfpqstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      IvfPqStore.writeCentroids(s, root, cents)
+      graft.sim.PqIndexStore.writeCodebook(s, root, cb)
+      IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 0), cents,
+        "vec_id", "embedding", "label", root, cb, "b0")
+      IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 1), cents,
+        "vec_id", "embedding", "label", root, cb, "b1")
+      IvfPqStore.appendTombstones(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        "vec_id", root, "t0")
+      IvfPqStore.compact(s, root, "c0", "vec_id", "label")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      cents.unpersist(); emb.unpersist()
+      // cold reload: centroids, codebook, and codes all from disk
+      IvfPq.adcTopK(
+        IvfPqStore.codes(s, root),
+        IvfPqStore.readCentroids(s, root),
+        "vec_id", "label",
+        graft.sim.PqIndexStore.readCodebook(s, root),
+        probe, nProbe = 2, topK = 10)
+    },
+
+    // CDX FETCH-BY-GEOMETRY (ingest.Warc.cdxFetch) — closes the loop
+    // q349 left spec-gated: the index's (offset, length) columns are
+    // only correct if a ranged read of exactly that byte span yields
+    // ONE complete gzip member whose re-derived payload digest matches
+    // the indexed one. The gate cuts the slice at the recorded
+    // geometry, demands the RFC 1952 member walk cover it end to end
+    // (an off-by-one in either field surfaces as geometry_ok = false —
+    // off the oracle hash), and re-digests through the standalone
+    // parse. One media-id equi-join, one mapPartitions pass.
+    Q(
+      "q367_cdx_fetch",
+      """SELECT doc_id AS media_id,
+        |  'sha-256:' || sha256('<html><head><title>Doc ' || (doc_id // 4)
+        |    || '</title><script>var x=1;</script></head><body><h1>EN</h1>'
+        |    || '<p>group body ' || (doc_id // 4)
+        |    || ' &amp; more</p><!-- note --></body></html>') AS digest,
+        |  'sha-256:' || sha256('<html><head><title>Doc ' || (doc_id // 4)
+        |    || '</title><script>var x=1;</script></head><body><h1>EN</h1>'
+        |    || '<p>group body ' || (doc_id // 4)
+        |    || ' &amp; more</p><!-- note --></body></html>') AS fetched_digest,
+        |  TRUE AS geometry_ok
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val wf = graft.ingest.Warc.synthesizeWarcRevisits(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.ingest.Warc.cdxFetch(wf, graft.ingest.Warc.cdxIndex(wf))
+        .orderBy("media_id")
+    },
+
+    // WIDE CHARSET MATRIX (ingest.Warc.resolveCharset over nine
+    // labeling shapes, id % 9) — q346's five plus the legacy encodings
+    // real crawls actually carry (gb18030 via HTTP label, euc-kr via
+    // meta charset, iso-8859-2 via http-equiv) and a SECOND conflict
+    // direction: mode 8's header (windows-1252) must beat an in-
+    // document meta that LIES shift_jis — the WHATWG-order mirror of
+    // mode 3's BOM-over-header. Every payload carries charset-
+    // diagnostic characters (CJK/hangul/Latin-2 letters whose bytes
+    // are invalid or different under every other candidate), so any
+    // routing mistake lands off the oracle's expected text.
+    Q(
+      "q368_warc_charset_wide",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-16le'
+        |    WHEN 5 THEN 'gb18030' WHEN 6 THEN 'euc-kr'
+        |    WHEN 7 THEN 'iso-8859-2' WHEN 8 THEN 'windows-1252'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 9 WHEN 0 THEN 'http' WHEN 1 THEN 'meta'
+        |    WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+        |    WHEN 5 THEN 'http' WHEN 6 THEN 'meta' WHEN 7 THEN 'meta'
+        |    WHEN 8 THEN 'http'
+        |    ELSE 'sniff' END AS charset_source,
+        |  trim(regexp_replace(
+        |    'Doc ' || doc_id || ' ' || text ||
+        |    CASE doc_id % 9 WHEN 0 THEN ' — déjà vu'
+        |      WHEN 1 THEN ' café € résumé'
+        |      WHEN 2 THEN ' テスト'
+        |      WHEN 3 THEN ' Ωδ — test'
+        |      WHEN 5 THEN ' 中文—测试'
+        |      WHEN 6 THEN ' 한국어 테스트'
+        |      WHEN 7 THEN ' ąćęłńśźż'
+        |      WHEN 8 THEN ' café € résumé'
+        |      ELSE ' naïve — ok' END,
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      graft.ingest.Warc.htmlResponsesCharsetRouted(
+        graft.ingest.Warc.synthesizeWarcCharsetsWide(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("charset"), col("charset_source"),
+          graft.text.TextAnalysis.extractHtmlText(col("html")).as("extracted"))
+        .orderBy("media_id")
+    },
+
+    // CRAWL→CORPUS CAPSTONE — ONE oracle-gated pipeline from WARC bytes
+    // to packed training pieces, composing seven stages the unit gates
+    // prove in isolation: charset-routed decode (q346) → main-content
+    // extraction (q339) → quality gate (q360's score + token floor) →
+    // exact dedup (q30, keep-min-id) → SimHash near-dedup (q32, kill
+    // any doc with a smaller-id neighbor at hamming ≤ 7) → per-language
+    // token budgets (q360) → WFQ mixture interleave (q357) → sequence
+    // packing in SCHEDULE order (q356 on the interleave position). The
+    // intake plants duplicates the way crawls do: doc_id % 10 == 7
+    // re-serves its predecessor's page byte-identically (exact dup);
+    // % 10 == 9 re-serves the predecessor's TEXT under its own charset
+    // mode (near dup). Output = per-stage survivor counts (chunk_id
+    // −1 rows, count in the doc_id column) plus the final piece table;
+    // any schema or survivorship drift between stages lands off the
+    // hash. The unit gates prove the pieces — this proves the
+    // COMPOSITION.
+    Q(
+      "q369_crawl_capstone",
+      """WITH feed AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 7 THEN (d.doc_id - 1) % 5
+        |         ELSE d.doc_id % 5 END AS mode,
+        |    s.text AS text, s.lang AS lang
+        |  FROM documents d JOIN documents s
+        |    ON s.doc_id = d.doc_id
+        |      - (CASE WHEN d.doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END)),
+        |pay AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(text ||
+        |      CASE mode WHEN 0 THEN ' — déjà vu' WHEN 1 THEN ' café € résumé'
+        |        WHEN 2 THEN ' テスト' WHEN 3 THEN ' Ωδ — test'
+        |        ELSE ' naïve — ok' END,
+        |      '\s+', ' ', 'g')) AS p
+        |  FROM feed),
+        |main AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(p) >= 25
+        |      THEN p || ' Part two Appendix ' || upper(lang)
+        |        || ' stable words & digits here'
+        |      ELSE 'Appendix ' || upper(lang) || ' stable words & digits here'
+        |    END AS main_text
+        |  FROM pay),
+        |enr AS (SELECT doc_id, lang, main_text,
+        |    len(regexp_extract_all(lower(main_text), '[a-z0-9]+')) AS n,
+        |    (doc_id * 37 + 5) % 1000 AS q
+        |  FROM main),
+        |qual AS (SELECT * FROM enr WHERE n >= 5 AND q >= 100),
+        |ex AS (SELECT doc_id, lang, main_text, n, q FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(main_text)) AS keep_id
+        |    FROM qual) WHERE doc_id = keep_id),
+        |tok AS (SELECT doc_id,
+        |    regexp_extract_all(lower(main_text), '[a-z0-9]+') AS t FROM ex),
+        |fp AS (SELECT doc_id, array_to_string(list_transform(generate_series(0, 63), j ->
+        |    CASE WHEN list_aggregate(list_transform(t, tok2 ->
+        |      ((CAST(floor((strpos('0123456789abcdef', md5(tok2)[j//4+1]) - 1)
+        |          / (2 ** (3 - j%4))) AS BIGINT) % 2) * 2 - 1)), 'sum') > 0
+        |    THEN '1' ELSE '0' END), '') AS f FROM tok),
+        |near AS (SELECT e.* FROM ex e WHERE NOT EXISTS (
+        |    SELECT 1 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |    WHERE b.doc_id = e.doc_id
+        |      AND len(list_filter(generate_series(1, 64),
+        |        i -> a.f[i] != b.f[i])) <= 7)),
+        |bud AS (SELECT *,
+        |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM near),
+        |kept AS (SELECT * FROM bud WHERE cb + n <=
+        |    CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800 WHEN 'fr' THEN 700
+        |      WHEN 'es' THEN 600 ELSE 500 END),
+        |mr AS (SELECT doc_id, lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk FROM kept),
+        |mv AS (SELECT *, rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6
+        |    WHEN 'fr' THEN 8 WHEN 'es' THEN 12 ELSE 24 END AS vt FROM mr),
+        |pos AS (SELECT doc_id, lang, n,
+        |    row_number() OVER (ORDER BY vt, lang, doc_id) - 1 AS position FROM mv),
+        |o AS (SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY position
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM pos),
+        |p AS (SELECT doc_id, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 256, (off + n - 1) // 256)) AS c(c)
+        |  WHERE n > 0),
+        |pieces AS (SELECT '6_pieces' AS stage,
+        |    CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |    CAST(GREATEST(off - chunk_id * 256, 0) AS BIGINT) AS chunk_offset,
+        |    CAST(LEAST(off + n, (chunk_id + 1) * 256)
+        |      - GREATEST(off, chunk_id * 256) AS BIGINT) AS piece_len
+        |  FROM p),
+        |counts AS (
+        |  SELECT '0_intake' AS stage, CAST(-1 AS BIGINT) AS chunk_id,
+        |    CAST(count(*) AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS chunk_offset,
+        |    CAST(0 AS BIGINT) AS piece_len FROM documents
+        |  UNION ALL SELECT '1_main_content', -1, count(*), 0, 0 FROM main
+        |    WHERE main_text <> ''
+        |  UNION ALL SELECT '2_quality', -1, count(*), 0, 0 FROM qual
+        |  UNION ALL SELECT '3_exact_dedup', -1, count(*), 0, 0 FROM ex
+        |  UNION ALL SELECT '4_near_dedup', -1, count(*), 0, 0 FROM near
+        |  UNION ALL SELECT '5_budget', -1, count(*), 0, 0 FROM kept)
+        |SELECT * FROM counts
+        |UNION ALL SELECT * FROM pieces
+        |ORDER BY stage, chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{Mixture, SequencePack, TokenBudget}
+      import graft.text.{MainContent, TextAnalysis}
+      val docs = Tables.load(s, dir, "documents")
+      // intake feed: dup rows pull text/lang (and, for the exact dup,
+      // the charset mode) from their predecessor — the re-served page
+      val srcId = col("doc_id") -
+        when(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9, 1).otherwise(0)
+      val feed = docs
+        .select(col("doc_id").as("media_id"), srcId.as("src_id"),
+          when(col("doc_id") % 10 === 7, (col("doc_id") - 1) % 5)
+            .otherwise(col("doc_id") % 5).cast("int").as("mode"))
+        .join(docs.select(col("doc_id").as("src_id"), col("text"), col("lang")),
+          Seq("src_id"))
+      // stage 0–1: WARC bytes → charset-routed decode → main content
+      val routed = graft.ingest.Warc.htmlResponsesCharsetRouted(
+        graft.ingest.Warc.synthesizeWarcBoilerplate(feed))
+      val main = MainContent.extract(
+        routed.select(col("media_id").as("doc_id"), col("html")), "doc_id", "html")
+        .join(feed.select(col("media_id").as("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("main_text"))
+        .persist() // six count branches + the piece branch reuse the decode
+      // stage 2: quality gate (score recipe + token floor)
+      val enriched = main
+        .withColumn("n", TextAnalysis.tokenCount(col("main_text")).cast("long"))
+        .withColumn("q", ((col("doc_id") * 37 + 5) % 1000).cast("long"))
+      val qual = enriched.filter(col("n") >= 5 && col("q") >= 100)
+      // stage 3: exact dedup, keep-min-id per content hash
+      val ex = qual
+        .join(qual.groupBy(md5(col("main_text")).as("_h"))
+          .agg(min("doc_id").as("_keep")),
+          md5(col("main_text")) === col("_h") && col("doc_id") === col("_keep"))
+        .drop("_h", "_keep")
+        .persist()
+      // stage 4: near dedup — kill any doc with a smaller-id neighbor
+      val kills = graft.dedup.SimHash.nearDuplicatePairs(
+        ex.select(col("doc_id"), col("main_text")), "doc_id", "main_text",
+        maxHamming = 7)
+        .select(col("id_b").as("doc_id")).distinct()
+      val near = ex.join(kills, Seq("doc_id"), "left_anti").persist()
+      // stage 5: per-language token budgets, best-quality-first
+      val kept = TokenBudget.selectUnderBudget(
+        near, "lang", "q", "doc_id", "n",
+        Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L, "zh" -> 500L))
+        .filter(col("kept"))
+        .select(col("doc_id"), col("lang"), col("n"))
+        .persist()
+      // stage 6: mixture schedule, then pack in SCHEDULE order
+      val sched = Mixture.interleave(kept, "lang", "doc_id",
+        Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+      val pieces = SequencePack.packChunksMultimodal(
+        sched.select(col("position"), col("doc_id"), col("lang"), col("n")),
+        "position", "doc_id", "lang", "n", seqLen = 256L)
+        .select(lit("6_pieces").as("stage"), col("chunk_id"),
+          col("doc_id"), col("chunk_offset"), col("piece_len"))
+      def stageCount(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("_n")).select(lit(name).as("stage"),
+          lit(-1L).as("chunk_id"), col("_n").as("doc_id"),
+          lit(0L).as("chunk_offset"), lit(0L).as("piece_len"))
+      stageCount("0_intake", docs)
+        .unionByName(stageCount("1_main_content",
+          main.filter(col("main_text").isNotNull && col("main_text") =!= "")))
+        .unionByName(stageCount("2_quality", qual))
+        .unionByName(stageCount("3_exact_dedup", ex))
+        .unionByName(stageCount("4_near_dedup", near))
+        .unionByName(stageCount("5_budget", kept))
+        .unionByName(pieces)
+        .orderBy("stage", "chunk_id", "doc_id")
     })
 }

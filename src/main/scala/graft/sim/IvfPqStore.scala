@@ -1,0 +1,151 @@
+package graft.sim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, incrementally-maintained IVF+PQ index — the cell-aware
+  * twin of [[PqIndexStore]] for the composite [[IvfPq]] shape
+  * FAISS-style deployments actually run: the coarse centroids and the
+  * shared residual codebook freeze at fit time, batches ENCODE-APPEND
+  * against them, deletes arrive as tombstones, and compaction folds
+  * tombstones out with the same marker discipline (survivor data first,
+  * folded-dir marker second, deletes last — replay-idempotent on either
+  * side of the crash line).
+  *
+  * Layout under `root` (plain parquet, object-store friendly):
+  *  - `centroids/` — one row per cell with its exact-mean centroid
+  *    (metadata-sized);
+  *  - `codebook/` — the frozen residual quantizer
+  *    ([[PqIndexStore.writeCodebook]]'s format, shared);
+  *  - `codes/<batchId>/cell=<v>/…` — per-batch subdirs PARTITIONED BY
+  *    the cell column, so an `nProbe`-cell query prunes STORAGE, not
+  *    just compute: Spark's partition discovery turns the probed-cell
+  *    filter into directory pruning inside every batch dir;
+  *  - `tombstones/<batchId>/` + `compactions/<compactId>/` — exactly
+  *    [[PqIndexStore]]'s delete lifecycle (those helpers are reused,
+  *    not copied).
+  *
+  * Scale shape: appends touch only the new batch; a query reads only
+  * the probed cells' directories across batch dirs (bounded listing —
+  * batch count is an ops cadence, not a data volume); compaction's
+  * survivor rewrite keeps the cell partitioning so the pruning property
+  * survives every fold. Single-maintenance contract: one writer owns a
+  * batchId at a time, one compactor at a time.
+  */
+object IvfPqStore {
+
+  /** Persist the frozen coarse centroids (one row per cell). */
+  def writeCentroids(
+      spark: SparkSession, root: String, centroids: DataFrame): Unit =
+    centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+
+  /** Reload the frozen coarse centroids. */
+  def readCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/centroids")
+
+  /** Encode one batch against the frozen (centroids, codebook) and
+    * append its codes under `codes/<batchId>/`, partitioned by the cell
+    * column. Returns the batch's vector count.
+    */
+  def appendBatch(
+      batch: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      root: String,
+      cb: ProductQuantizer.Codebook,
+      batchId: String): Long = {
+    require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
+    val encoded = IvfPq.encode(batch, centroids, idCol, vecCol, cellCol, cb)
+      .persist()
+    encoded.write.mode(SaveMode.Overwrite)
+      .partitionBy(cellCol)
+      .parquet(s"$root/codes/$batchId")
+    val n = encoded.count()
+    encoded.unpersist()
+    n
+  }
+
+  private def batchDirs(spark: SparkSession, d: String): Seq[String] = {
+    val f = PqIndexStore.fs(spark, d)
+    if (!f.exists(new Path(d))) Seq.empty
+    else f.listStatus(new Path(d)).filter(_.isDirectory).map(_.getPath.toString).toSeq
+  }
+
+  /** The full code table across every appended batch — (idCol, code,
+    * cellCol) with the cell recovered from the partition directories.
+    * Per-batch reads (bounded listing) unioned, so partition discovery
+    * works under the batch level; a cell filter on the result prunes
+    * directories inside every batch.
+    */
+  def codes(spark: SparkSession, root: String): DataFrame = {
+    val dirs = batchDirs(spark, s"$root/codes")
+    require(dirs.nonEmpty, s"ivfpq store at $root has no code batches")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Record a DELETE batch — [[PqIndexStore.appendTombstones]]'s
+    * lifecycle verbatim (the layout is shared).
+    */
+  def appendTombstones(
+      ids: DataFrame, idCol: String, root: String, batchId: String): Long =
+    PqIndexStore.appendTombstones(ids, idCol, root, batchId)
+
+  /** The QUERY view between delete and compaction: codes minus pending
+    * tombstones — one broadcast anti-join, ADC scan shape unchanged.
+    */
+  def liveCodes(spark: SparkSession, root: String, idCol: String): DataFrame =
+    codes(spark, root).join(
+      broadcast(PqIndexStore.tombstones(spark, root, idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Fold pending tombstones INTO the code table — [[PqIndexStore
+    * .compact]]'s marker discipline with the cell partitioning kept on
+    * the survivor rewrite (per-cell survivor subdirs under
+    * `codes/<compactId>/`, so probe-time pruning survives the fold).
+    * Returns (survivor rows, purged rows); (-1, -1) on a finish-
+    * deletions replay.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      compactId: String,
+      idCol: String,
+      cellCol: String): (Long, Long) = {
+    require(compactId.matches("[A-Za-z0-9._-]+"), s"compactId '$compactId' is not filename-safe")
+    import spark.implicits._
+    val f = PqIndexStore.fs(spark, root)
+    val markerDir = s"$root/compactions/$compactId"
+    if (PqIndexStore.isCommittedDir(spark, markerDir)) {
+      val folded = spark.read.parquet(markerDir).as[String].collect()
+      folded.foreach(p => f.delete(new Path(p), true))
+      return (-1L, -1L)
+    }
+    if (PqIndexStore.existsAny(spark, markerDir))
+      f.delete(new Path(markerDir), true) // crash mid-marker-write: refold
+    val foldedCodes = batchDirs(spark, s"$root/codes")
+      .filterNot(_.endsWith(s"/$compactId"))
+    val foldedTombs = batchDirs(spark, s"$root/tombstones")
+    require(foldedCodes.nonEmpty, "compact: no code batches to fold")
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val tomb =
+      if (foldedTombs.isEmpty) null
+      else foldedTombs.map(spark.read.parquet(_)).reduce(_ unionAll _)
+        .toDF(idCol).distinct()
+    val survivors =
+      if (tomb == null) all
+      else all.join(broadcast(tomb), Seq(idCol), "left_anti")
+    survivors.write.mode(SaveMode.Overwrite)
+      .partitionBy(cellCol)
+      .parquet(s"$root/codes/$compactId")
+    val nAll = all.count()
+    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
+    (foldedCodes ++ foldedTombs).toDF("path")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
+    (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))
+    (nLive, nAll - nLive)
+  }
+}

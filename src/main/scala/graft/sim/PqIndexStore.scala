@@ -35,10 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object PqIndexStore {
 
-  private def fs(spark: SparkSession, path: String) =
+  private[sim] def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def existsAny(spark: SparkSession, d: String): Boolean = {
+  private[sim] def existsAny(spark: SparkSession, d: String): Boolean = {
     val f = fs(spark, d)
     val p = new Path(d)
     f.exists(p) && f.listStatus(p).nonEmpty
@@ -49,7 +49,7 @@ object PqIndexStore {
     * `_temporary` staging dir, which must read as "not committed" (the
     * compact-replay branch point below depends on it).
     */
-  private def isCommittedDir(spark: SparkSession, d: String): Boolean = {
+  private[sim] def isCommittedDir(spark: SparkSession, d: String): Boolean = {
     val f = fs(spark, d)
     val p = new Path(d)
     f.exists(p) && f.listStatus(p).exists { st =>

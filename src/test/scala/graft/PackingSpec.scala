@@ -35,6 +35,85 @@ class PackingSpec extends SparkSpec {
     assert(doc3 == Seq((0L, 1L), (1L, 4L)))
   }
 
+  test("packChunksMultimodal: segment order survives, modality spans tile chunks, " +
+    "ceil patch grids, negative counts fail loudly") {
+    // doc 1: text 3 + image 2 + text 1; doc 2: image 5; seqLen 4
+    val segs = Seq(
+      (1L, 0L, "text", 3L), (1L, 1L, "image", 2L), (1L, 2L, "text", 1L),
+      (2L, 0L, "image", 5L))
+      .toDF("doc_id", "seg", "modality", "n_tokens")
+    val out = SequencePack.packChunksMultimodal(
+      segs, "doc_id", "seg", "modality", "n_tokens", seqLen = 4L)
+      .orderBy("chunk_id", "doc_id", "seg")
+      .as[(Long, Long, Long, String, Long, Long, Long)].collect().toSeq
+    // stream: d1s0 [0,3) d1s1 [3,5) d1s2 [5,6) d2s0 [6,11)
+    assert(out == Seq(
+      (0L, 1L, 0L, "text", 0L, 0L, 3L),
+      (0L, 1L, 1L, "image", 0L, 3L, 1L), // image splits across the boundary
+      (1L, 1L, 1L, "image", 1L, 0L, 1L),
+      (1L, 1L, 2L, "text", 0L, 1L, 1L),
+      (1L, 2L, 0L, "image", 0L, 2L, 2L),
+      (2L, 2L, 0L, "image", 2L, 0L, 3L)))
+    // every chunk's pieces tile it: offsets contiguous from 0
+    out.groupBy(_._1).foreach { case (c, ps) =>
+      val sorted = ps.sortBy(_._6)
+      assert(sorted.head._6 == 0L, s"chunk $c starts at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 + a._7 == b._6, s"chunk $c gap")
+        case _ =>
+      }
+    }
+    // reassembly: each segment's seg_from spans cover [0, n) exactly
+    val d2 = out.filter(r => r._2 == 2L).sortBy(_._5).map(p => (p._5, p._7))
+    assert(d2 == Seq((0L, 2L), (2L, 3L)))
+    // placeholder math: ceil grids, non-multiple width
+    val dims = Seq((10, 6), (17, 11), (24, 16), (31, 8)).toDF("w", "h")
+    val toks = dims.select(
+      SequencePack.imagePlaceholderTokens(col("w"), col("h"), 8).as("t"))
+      .as[Long].collect().toSeq
+    assert(toks == Seq(2L * 1, 3L * 2, 3L * 2, 4L * 1))
+    // corrupt upstream counter fails loudly
+    intercept[Exception] {
+      SequencePack.packChunksMultimodal(
+        Seq((1L, 0L, "text", -2L)).toDF("doc_id", "seg", "modality", "n_tokens"),
+        "doc_id", "seg", "modality", "n_tokens", 4L).collect()
+    }
+  }
+
+  test("lossMaskSpans: every chunk tiles [0, seqLen) exactly, pad span closes " +
+    "the tail, masks ride through") {
+    // tokens 3, 5, 4 at seqLen 4 → 12 tokens, 3 exact chunks (no pad)
+    val exact = Seq((1L, 3L, true), (2L, 5L, false), (3L, 4L, true))
+      .toDF("doc_id", "n_tokens", "m")
+    val outE = SequencePack.lossMaskSpans(exact, "doc_id", "n_tokens", "m", 4L)
+      .orderBy("chunk_id", "span_offset").collect()
+    assert(outE.length == 4 && outE.forall(!_.isNullAt(1)), "no pad when exact")
+    // tokens 3, 0, 5 at seqLen 4 → 8 tokens... make it ragged: 3 + 5 + 3
+    val ragged = Seq((1L, 3L, false), (2L, 5L, true), (3L, 3L, true))
+      .toDF("doc_id", "n_tokens", "m")
+    val out = SequencePack.lossMaskSpans(ragged, "doc_id", "n_tokens", "m", 4L)
+      .orderBy("chunk_id", "span_offset")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    // stream: d1 [0,3) mask F, d2 [3,8) mask T, d3 [8,11) mask T, pad [11,12)
+    assert(out == Seq(
+      (0L, 1L, 0L, 3L, false),
+      (0L, 2L, 3L, 1L, true),
+      (1L, 2L, 0L, 4L, true),
+      (2L, 3L, 0L, 3L, true),
+      (2L, -1L, 3L, 1L, false))) // the pad span, null doc, mask off
+    // tiling: every chunk's spans cover [0, 4) with no gap or overlap
+    out.groupBy(_._1).foreach { case (c, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L && sorted.map(_._4).sum == 4L, s"chunk $c")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3, s"chunk $c gap")
+        case _ =>
+      }
+    }
+  }
+
   test("mixture interleave: every prefix holds each source within 1 of its share") {
     val rows = (0 until 60).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
     val df = rows.toDF("id", "src") // 20 a, 40 b

@@ -450,4 +450,67 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", root, cb, "b2")
     assert(PqIndexStore.codes(spark, root).count() == 6)
   }
+
+  test("IvfPqStore lifecycle: cell-partitioned appends, live view, compact == " +
+    "rebuild-from-survivors, uncommitted marker refolds") {
+    import graft.sim.{IvfPq, IvfPqStore, PqIndexStore}
+    import org.apache.hadoop.fs.Path
+    // two clearly separated cells, 4 vectors each (dims 4, m 2)
+    val rows = (0 until 8).map { i =>
+      val cell = i % 2
+      val base = if (cell == 0) 0.0f else 100.0f
+      (i.toLong, cell,
+        Seq(base + i, base + 2 * i, base - i, base + 3 * i).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "cell", "embedding")
+    val (cents, cb) = IvfPq.fitResidual(
+      df, "vec_id", "embedding", "cell", dims = 4, m = 2, k = 2, iters = 2)
+    val root = tmpDir("ivfpqstore-del")
+    IvfPqStore.writeCentroids(spark, root, cents)
+    PqIndexStore.writeCodebook(spark, root, cb)
+    IvfPqStore.appendBatch(df.filter($"vec_id" < 4), cents,
+      "vec_id", "embedding", "cell", root, cb, "b0")
+    IvfPqStore.appendBatch(df.filter($"vec_id" >= 4), cents,
+      "vec_id", "embedding", "cell", root, cb, "b1")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the cell partitioning is REAL: batch dirs contain cell=… subdirs
+    assert(fs.listStatus(new Path(s"$root/codes/b0")).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet == Set("cell=0", "cell=1"))
+    // codes recover the cell column across batches
+    val all = IvfPqStore.codes(spark, root)
+    assert(all.count() == 8)
+    assert(all.filter($"cell" === 0).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 2L, 4L, 6L))
+    // deletes: live view pre-compact
+    IvfPqStore.appendTombstones(Seq(2L, 5L).toDF("vec_id"), "vec_id", root, "t0")
+    assert(IvfPqStore.liveCodes(spark, root, "vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 3L, 4L, 6L, 7L))
+    // an UNCOMMITTED marker (crash mid-marker-write: only _temporary
+    // debris) must take the REFOLD path, not the finish-deletions path
+    fs.mkdirs(new Path(s"$root/compactions/c0/_temporary"))
+    val (nLive, nPurged) = IvfPqStore.compact(spark, root, "c0", "vec_id", "cell")
+    assert(nLive == 6 && nPurged == 2)
+    // survivor rewrite kept the per-cell layout
+    assert(fs.listStatus(new Path(s"$root/codes/c0")).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet == Set("cell=0", "cell=1"))
+    assert(fs.listStatus(new Path(s"$root/codes")).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet == Set("c0"))
+    // cold reload == rebuild-from-survivors
+    val stored = IvfPqStore.codes(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("code"))).toMap
+    val rebuilt = IvfPq.encode(
+      df.filter(!$"vec_id".isin(2L, 5L)), cents, "vec_id", "embedding", "cell", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("code"))).toMap
+    assert(stored == rebuilt)
+    // committed-marker replay: finish-deletions only, survivors untouched
+    IvfPqStore.compact(spark, root, "c0", "vec_id", "cell")
+    assert(IvfPqStore.codes(spark, root).count() == 6)
+    // ADC through the reloaded store ranks the probe's own vector first
+    val probe = Array(0.0, 0.0, 0.0, 0.0)
+    val top = IvfPq.adcTopK(
+      IvfPqStore.codes(spark, root), IvfPqStore.readCentroids(spark, root),
+      "vec_id", "cell", PqIndexStore.readCodebook(spark, root),
+      probe, nProbe = 1, topK = 3)
+    assert(top.count() == 3)
+  }
 }

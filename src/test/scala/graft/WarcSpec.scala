@@ -191,6 +191,63 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("cdxFetch: exact geometry verifies; any off-by-one in offset or length " +
+    "fails geometry_ok instead of silently passing") {
+    val docs = spark.range(0, 8).toDF("doc_id")
+    val files = Warc.synthesizeWarcRevisits(docs, "doc_id")
+    val cdx = Warc.cdxIndex(files)
+    val ok = Warc.cdxFetch(files, cdx).collect()
+    assert(ok.length == 2) // responses only: ids 0 and 4
+    ok.foreach { r =>
+      assert(r.getBoolean(3), s"geometry_ok for ${r.getLong(0)}")
+      assert(r.getString(1) == r.getString(2), "re-derived digest equals indexed")
+    }
+    // perturb the geometry: +1 offset breaks the member walk, −1 length
+    // truncates the inflate, +1 length leaves slack — all must FAIL
+    def perturbed(d: org.apache.spark.sql.Column*) = Warc.cdxFetch(
+      files, cdx.select(col("media_id"), col("digest"), d(0).as("offset"),
+        d(1).as("length"), col("is_revisit"))).collect()
+    assert(perturbed(col("offset") + 1, col("length"))
+      .forall(r => !r.getBoolean(3)), "offset drift must fail")
+    assert(perturbed(col("offset"), col("length") - 1)
+      .forall(r => !r.getBoolean(3)), "short length must fail")
+    assert(perturbed(col("offset"), col("length") + 1)
+      .forall(r => !r.getBoolean(3)), "slack length must fail")
+    // a wrong indexed digest surfaces as mismatch, not a crash
+    val wrongDigest = Warc.cdxFetch(
+      files, cdx.withColumn("digest", lit("sha-256:0000"))).collect()
+    assert(wrongDigest.forall(r => !r.getBoolean(3) && r.getString(2) != null))
+  }
+
+  test("Warc: WIDE charset matrix — nine labeling shapes incl. gb18030/euc-kr/" +
+    "iso-8859-2 and both conflict directions") {
+    val docs = spark.range(0, 18).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val out = Warc.htmlResponsesCharsetRouted(
+      Warc.synthesizeWarcCharsetsWide(docs, "doc_id"))
+      .orderBy("media_id").collect()
+    assert(out.length == 18)
+    val expCs = Seq("utf-8", "windows-1252", "shift_jis", "utf-16le", "utf-8",
+      "gb18030", "euc-kr", "iso-8859-2", "windows-1252")
+    val expSrc = Seq("http", "meta", "meta", "bom", "sniff",
+      "http", "meta", "meta", "http")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val mode = (id % 9).toInt
+      assert(r.getString(1) == expCs(mode), s"charset for id=$id")
+      assert(r.getString(2) == expSrc(mode), s"source for id=$id")
+      assert(r.getString(3).contains(Warc.charsetPayload(mode, s"doc $id")),
+        s"payload round-trip for id=$id mode=$mode")
+    }
+    // conflict direction 2 explicitly: header windows-1252 beats the
+    // in-document shift_jis lie (mode 8 = id 8 and 17)
+    val m8 = out.filter(_.getLong(0) % 9 == 8)
+    assert(m8.nonEmpty && m8.forall(r =>
+      r.getString(1) == "windows-1252" && r.getString(2) == "http"))
+    // and the € landed (1252's 0x80 — a shift_jis decode would garble it)
+    assert(m8.forall(_.getString(3).contains("€")))
+  }
+
   test("WarcCodec: http response split — 200 html and 404 miss") {
     val ok = WarcCodec.parseHttpResponse(
       Warc.responseBlock(2, "de", "hello world").getBytes(UTF_8))
