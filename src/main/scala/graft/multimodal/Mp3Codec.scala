@@ -11,9 +11,11 @@ package graft.multimodal
   *  - Fully implemented: MPEG-1 Layer III mono/stereo/dual-channel
   *    frames, long blocks (block_type 0), START/STOP transient-bracket
   *    blocks (types 1/3 — window-switching side info, long band
-  *    layout, their own IMDCT windows), SHORT non-mixed blocks (type 2
-  *    — subblock gains, short scalefactor layout, Huffman→natural
-  *    reorder), MS joint stereo (L = (M±S)/√2), INTENSITY joint stereo
+  *    layout, their own IMDCT windows), SHORT blocks (type 2 —
+  *    subblock gains, short scalefactor layout, Huffman→natural
+  *    reorder) including MIXED blocks (the hybrid split: lowest two
+  *    subbands long, short bands 3+ above, the 17+18 scalefactor
+  *    layout), MS joint stereo (L = (M±S)/√2), INTENSITY joint stereo
   *    (pan by is_pos with the tan(is_pos·π/12) ratio, illegal position
   *    7 passed through), the bit reservoir (main_data_begin),
   *    scalefactor decode incl. scfsi sharing, Huffman big_values PAIR
@@ -23,9 +25,9 @@ package graft.multimodal
   *    alias-reduction butterflies, IMDCT + per-type window +
   *    overlap-add + frequency inversion.
   *  - Typed rejection (never silent): Layer I/II, MPEG-2/2.5,
-  *    free-format, MIXED blocks (the hybrid long+short band split),
-  *    intensity COMBINED with MS (mode_extension 3 — a distinct
-  *    reconstruction for the non-intensity region), and Huffman tables
+  *    free-format, intensity COMBINED with MS (mode_extension 3 — a
+  *    distinct reconstruction for the non-intensity region),
+  *    mixed_block_flag on start/stop types, and Huffman tables
   *    whose SPEC DATA is not embedded here (the large pair tables 2–31
   *    and count1 table A are hundreds of arbitrary codewords from ISO
   *    Table B.7 — reproducing them from memory would risk a silently
@@ -125,7 +127,8 @@ object Mp3Codec {
       preflag: Int,
       scalefacScale: Int,
       count1Table: Int,
-      subblockGain: Array[Int] = Array(0, 0, 0))
+      subblockGain: Array[Int] = Array(0, 0, 0),
+      mixed: Int = 0)
 
   final case class SideInfo(
       mainDataBegin: Int,
@@ -158,28 +161,29 @@ object Mp3Codec {
           GranuleInfo(p23, bv, gg, sfc, blockType = 0, ts, r0, r1, pre, sfs, c1t)
         } else {
           // window-switching layout: block_type(2), mixed(1),
-          // table_select×2, subblock_gain×3. SHORT non-mixed (type 2)
-          // and START/STOP long types (1/3) decode; MIXED blocks stay
-          // typed-rejected (hybrid long+short band split); block_type 0
-          // with window_switching set is a forbidden combination per
-          // ISO §2.4.1.7
+          // table_select×2, subblock_gain×3. SHORT (type 2, mixed or
+          // not) and START/STOP long types (1/3) decode; a mixed flag
+          // on types 1/3 has no spec semantics and rejects typed;
+          // block_type 0 with window_switching set is a forbidden
+          // combination per ISO §2.4.1.7
           val bt = br.bits(2)
           val mixed = br.bit()
           require(bt != 0, "mp3: window_switching with block_type 0 is forbidden")
-          require(mixed == 0,
-            s"mp3: mixed blocks unsupported (block_type $bt mixed 1)")
+          require(mixed == 0 || bt == 2,
+            s"mp3: mixed_block_flag with block_type $bt unsupported")
           val ts = Array.fill(2)(br.bits(5))
           val sbg = Array.fill(3)(br.bits(3))
           val pre = br.bit()
           val sfs = br.bit()
           val c1t = br.bit()
           // implicit regions (ISO §2.4.2.7): region0_count is 8 for
-          // short non-mixed, 7 for start/stop; region1 covers the rest
-          // of big_values
+          // short non-mixed, 7 for start/stop AND mixed; region1 covers
+          // the rest of big_values
           GranuleInfo(p23, bv, gg, sfc, blockType = bt,
             Array(ts(0), ts(1), ts(1)),
-            region0Count = if (bt == 2) 8 else 7, region1Count = 36,
-            pre, sfs, c1t, subblockGain = sbg)
+            region0Count = if (bt == 2 && mixed == 0) 8 else 7,
+            region1Count = 36,
+            pre, sfs, c1t, subblockGain = sbg, mixed = mixed)
         }
       }
     }
@@ -262,6 +266,31 @@ object Mp3Codec {
       scfsi: Array[Int], prev: Array[Int]): Array[Int] = {
     val s1 = Slen1(gi.scalefacCompress)
     val s2 = Slen2(gi.scalefacCompress)
+    if (gi.blockType == 2 && gi.mixed == 1) {
+      // MIXED layout (ISO §2.4.2.7): 8 LONG scalefactors (bands 0–7,
+      // the first 36 lines / 2 subbands) then SHORT bands 3–11 × 3
+      // windows; slen1 covers the 8 long + short 3–5 (17 groups),
+      // slen2 short 6–11 (18 groups). One 36-slot array: long sfs at
+      // [0..7], short sfs at sfb·3 + window ∈ [9..35] — disjoint, so
+      // the long and short requantize chains index the same array.
+      val out = new Array[Int](36)
+      var b = 0
+      while (b < 8) {
+        out(b) = if (s1 == 0) 0 else br.bits(s1)
+        b += 1
+      }
+      var sfb = 3
+      while (sfb < 12) {
+        val slen = if (sfb < 6) s1 else s2
+        var w = 0
+        while (w < 3) {
+          out(sfb * 3 + w) = if (slen == 0) 0 else br.bits(slen)
+          w += 1
+        }
+        sfb += 1
+      }
+      return out
+    }
     if (gi.blockType == 2) {
       // short: 12 sfbs × 3 windows, sfb-major (sfb·3 + window); slen1
       // for sfbs 0–5, slen2 for 6–11; scfsi never applies to short
@@ -425,6 +454,59 @@ object Mp3Codec {
     xr
   }
 
+  /** MIXED-block requantize: the hybrid band split — lines 0–35 (the
+    * lowest two subbands) are LONG-windowed and requantize through the
+    * long chain over long bands 0–7 (no subblock gain); lines 36+ are
+    * short-windowed and requantize + REORDER through the short chain
+    * from short band 3 up (3·sfbShort(3) = 36 at every MPEG-1 rate).
+    * `scalefacs` is the 36-slot mixed array ([[decodeScalefactors]]).
+    * Returns the NATURAL-order spectrum.
+    */
+  private def requantizeMixed(
+      is: Array[Int], gi: GranuleInfo, scalefacs: Array[Int],
+      sampleRate: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val gain = StrictMath.pow(2.0, (gi.globalGain - 210) / 4.0)
+    val sfMult = if (gi.scalefacScale == 1) 1.0 else 0.5
+    // long part: identity order, bands 0–7 (pretab is zero there, but
+    // apply it for spec fidelity)
+    val sfbL = SfbLong(sampleRate)
+    var band = 0
+    var i = 0
+    while (i < 36) {
+      while (band < 7 && i >= sfbL(band + 1)) band += 1
+      val sf = scalefacs(band) + (if (gi.preflag == 1) Pretab(band) else 0)
+      val v = is(i)
+      if (v != 0)
+        xr(i) = StrictMath.signum(v.toDouble) *
+          StrictMath.pow(StrictMath.abs(v.toDouble), 4.0 / 3.0) *
+          gain * StrictMath.pow(2.0, -sfMult * sf)
+      i += 1
+    }
+    // short part: reorder from band 3 up, per-window subblock gains
+    val sfbS = SfbShort(sampleRate)
+    var b = 3
+    while (i < 576) {
+      while (b < 12 && i >= 3 * sfbS(b + 1)) b += 1
+      val bb = math.min(b, 12)
+      val start = sfbS(bb)
+      val width = sfbS(bb + 1) - sfbS(bb)
+      val k = i - 3 * start
+      val w = k / width
+      val idx = k % width
+      val v = is(i)
+      if (v != 0) {
+        val sf = if (bb < 12) scalefacs(bb * 3 + w) else 0
+        xr(3 * (start + idx) + w) = StrictMath.signum(v.toDouble) *
+          StrictMath.pow(StrictMath.abs(v.toDouble), 4.0 / 3.0) *
+          gain * StrictMath.pow(2.0, -2.0 * gi.subblockGain(w)) *
+          StrictMath.pow(2.0, -sfMult * sf)
+      }
+      i += 1
+    }
+    xr
+  }
+
   // ------------------------------------------------------------- decode
 
   /** Decode every granule of every frame to requantized spectra — the
@@ -470,7 +552,9 @@ object Mp3Codec {
           val is = decodeLines(br, gi, end, h.sampleRate)
           br.pos = end // stuffing bits after the coefficient data are legal
           GranuleDecode(frameIdx, gr, ch, gi, sf, is,
-            if (gi.blockType == 2) requantizeShort(is, gi, sf, h.sampleRate)
+            if (gi.blockType == 2 && gi.mixed == 1)
+              requantizeMixed(is, gi, sf, h.sampleRate)
+            else if (gi.blockType == 2) requantizeShort(is, gi, sf, h.sampleRate)
             else requantize(is, gi, sf, h.sampleRate))
         }
         if (h.msStereo) {
@@ -865,6 +949,75 @@ object Mp3Codec {
       val md = new BitWriter
       for (gr <- 0 until 2) {
         val r = GranuleRecipe(id, f, gr)
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 17
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** MIXED-BLOCK twin of [[synthesizeCodedShort]]: window-switching
+    * type-2 granules with mixed_block_flag SET — the hybrid shape
+    * encoders emit when a transient sits over tonal bass: the lowest
+    * two subbands stay long-windowed, everything above is short. Pair
+    * recipes are sized (base 19) so big_values themselves CROSS the
+    * long/short seam at line 36, and the count1 region runs well into
+    * the short reorder; per-window subblock gains apply ONLY to the
+    * short part — all exact dyadic, oracle-replayable.
+    */
+  def synthesizeCodedMixed(id: Long, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(32, 44100, 0)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0xC0)
+      val bw = new BitWriter
+      bw.write(0, 9); bw.write(0, 5); bw.write(0, 4)
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr, basePairs = 19, baseQuads = 8)
+        bw.write(r.part23Length, 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(0, 4) // scalefac_compress → zero scalefactor bits
+        bw.write(1, 1) // window_switching
+        bw.write(2, 2) // block_type: short…
+        bw.write(1, 1) // …with mixed_block_flag SET
+        bw.write(1, 5); bw.write(1, 5) // table_select × 2
+        for (w <- 0 until 3) bw.write(((id + f + gr + w) % 3).toInt, 3)
+        bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+      }
+      val si = bw.bytes
+      require(si.length == 17, s"side info must be 17 bytes, got ${si.length}")
+      out.write(si, 0, 17)
+      val md = new BitWriter
+      for (gr <- 0 until 2) {
+        val r = GranuleRecipe(id, f, gr, basePairs = 19, baseQuads = 8)
         var p = 0
         while (p < r.nPairs) {
           val (x, y) = r.pairMag(p)

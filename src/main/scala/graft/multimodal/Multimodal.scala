@@ -1791,6 +1791,24 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeMp3Coded]]'s MIXED-BLOCK twin
+    * ([[Mp3Codec.synthesizeCodedMixed]] — hybrid long+short granules).
+    */
+  def synthesizeMp3CodedMixed(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedMixed(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** [[extractMp3Spectra]] + the granule's `block_type` — the gate
     * surface for window-switching streams where the TYPE itself is the
     * new decode capability (start/stop brackets).

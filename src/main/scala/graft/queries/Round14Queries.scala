@@ -617,5 +617,187 @@ object Round14Queries {
         .unionByName(stageCount("5_budget", kept))
         .unionByName(pieces)
         .orderBy("stage", "chunk_id", "doc_id")
+    },
+
+    // MIXED-BLOCK MP3 DECODE (Mp3Codec block_type 2, mixed_block_flag
+    // set) — the hybrid granule encoders emit when a transient sits
+    // over tonal bass: lines 0–35 (the lowest two subbands) stay
+    // LONG-windowed (identity order, long bands 0–7, no subblock
+    // gain), lines 36+ requantize + REORDER through the short chain
+    // from band 3 up with per-window gains. Pair recipes (base 16)
+    // make big_values themselves cross the seam at line 36, so both
+    // chains and the seam arithmetic are load-bearing in the
+    // position-weighted checksum. The last closed-form window shape —
+    // with it the Layer III spectral surface is complete.
+    Q(
+      "q370_mp3_mixed_blocks",
+      """WITH fg AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr)),
+        |par AS (
+        |  SELECT doc_id, f, gr,
+        |    19 + (doc_id + f) % 5 AS npairs,
+        |    8 + (doc_id + 2*f + gr) % 4 AS nquads,
+        |    (doc_id + f + gr) % 5 AS g
+        |  FROM fg),
+        |pp AS (
+        |  SELECT doc_id, f, gr, p.p AS p,
+        |    (doc_id + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (doc_id*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (doc_id + p.p + f) % 2 AS sx,
+        |    (doc_id + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 23)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (
+        |  SELECT doc_id, f, gr, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (doc_id + q.q + f) % 2
+        |             WHEN 2 THEN (doc_id + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (doc_id + 5*q.q + f + gr) % 2
+        |             ELSE (doc_id + 7*q.q + 1) % 2 END AS mag,
+        |    (doc_id + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 11)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, 2*p + xy.xy AS h,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr, 2*a.npairs + 4*q.q + (q.j - 1), q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr)),
+        |-- short bands from index 3 (44.1 kHz): the hybrid's upper zone
+        |bands AS (SELECT * FROM (VALUES (12, 4), (16, 6), (22, 8),
+        |    (30, 10)) AS t(st, wd)),
+        |nat AS (
+        |  -- long seam: lines below 36 keep identity order and the long
+        |  -- gain; lines at/above 36 reorder through the short chain
+        |  SELECT l.doc_id, l.f, l.gr, l.mag, l.s,
+        |    CASE WHEN l.h < 36 THEN -1
+        |         ELSE (l.h - 3*bd.st) // bd.wd END AS win,
+        |    CASE WHEN l.h < 36 THEN l.h
+        |         ELSE 3*(bd.st + (l.h - 3*bd.st) % bd.wd)
+        |           + (l.h - 3*bd.st) // bd.wd END AS nat_line
+        |  FROM lines l LEFT JOIN bands bd
+        |    ON l.h >= 36 AND l.h >= 3*bd.st AND l.h < 3*(bd.st + bd.wd)
+        |  WHERE l.h < 36 OR bd.st IS NOT NULL),
+        |vals AS (
+        |  SELECT n.doc_id, n.f, n.gr, n.nat_line, n.mag, n.s,
+        |    CAST(power(2.0, a.g - CASE WHEN n.win < 0 THEN 0
+        |      ELSE 2*((n.doc_id + n.f + n.gr + n.win) % 3) END)
+        |      * 1000000 AS BIGINT) AS unit
+        |  FROM nat n JOIN par a USING (doc_id, f, gr)),
+        |feat AS (
+        |  SELECT doc_id, f, gr,
+        |    CAST(sum(mag) AS BIGINT) AS nnz,
+        |    CAST(sum(mag * unit) AS BIGINT) AS sum_abs,
+        |    CAST(sum(mag * (1 - 2*s) * (nat_line + 1) * unit) AS BIGINT) AS wsum
+        |  FROM vals GROUP BY doc_id, f, gr),
+        |pbits AS (
+        |  SELECT doc_id, f, gr,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr),
+        |qbits AS (
+        |  SELECT doc_id, f, gr, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(0 AS BIGINT) AS channel,
+        |  CAST(2 AS BIGINT) AS block_type,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b AS BIGINT) AS part2_3_length,
+        |  ft.nnz AS n_nonzero,
+        |  ft.sum_abs AS sum_abs_micro,
+        |  ft.wsum AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr)
+        |JOIN qbits qb USING (doc_id, f, gr)
+        |JOIN feat ft USING (doc_id, f, gr)
+        |ORDER BY media_id, frame_idx, granule""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3SpectraTyped(
+        graft.multimodal.Multimodal.synthesizeMp3CodedMixed(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule")
+    },
+
+    // SFT BATCH CONSTRUCTION — preference pairs packed into masked
+    // training chunks, the composition q358 + q364 + q365 exists for:
+    // each prompt's (chosen) pair becomes a two-segment SFT document
+    // (prompt tokens mask FALSE — no loss — then the chosen
+    // completion's tokens mask TRUE), and the segment table packs
+    // through packChunksMultimodal with the mask riding as the carried
+    // label. Token counts are text-derived (the prompt's own doc and
+    // the CHOSEN candidate's doc), so the argmax of q358's score recipe
+    // decides which token counts enter the stream — a tie-break drift
+    // shifts every downstream chunk.
+    Q(
+      "q371_sft_batches",
+      """WITH c AS (SELECT doc_id // 4 AS prompt_id, doc_id AS cand,
+        |    CASE WHEN (doc_id // 4) % 2 = 0 THEN (doc_id * 37 + 11) % 100
+        |         ELSE (doc_id * 3) % 6 END AS score
+        |  FROM documents),
+        |r1 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, cand) AS rb,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score, cand DESC) AS rw,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n FROM c),
+        |pairs AS (
+        |  SELECT b.prompt_id, b.cand AS chosen
+        |  FROM (SELECT * FROM r1 WHERE rb = 1) b
+        |  JOIN (SELECT * FROM r1 WHERE rw = 1) w USING (prompt_id)
+        |  WHERE b.n >= 2 AND b.score > w.score),
+        |tk AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |segs AS (
+        |  SELECT p.prompt_id, 0 AS seg, FALSE AS mask, t.n
+        |  FROM pairs p JOIN tk t ON t.doc_id = 4 * p.prompt_id
+        |  UNION ALL
+        |  SELECT p.prompt_id, 1, TRUE, t.n
+        |  FROM pairs p JOIN tk t ON t.doc_id = p.chosen),
+        |o AS (SELECT prompt_id, seg, mask, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY prompt_id, seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM segs),
+        |p AS (SELECT prompt_id, seg, mask, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)
+        |  WHERE n > 0)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, prompt_id,
+        |  CAST(seg AS BIGINT) AS seg, mask,
+        |  CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT) AS chunk_offset,
+        |  CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |    - GREATEST(off, chunk_id * 512) AS BIGINT) AS piece_len
+        |FROM p ORDER BY chunk_id, prompt_id, seg""".stripMargin) { (s, dir) =>
+      import graft.operators.{Preference, SequencePack}
+      import graft.text.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Preference.preferencePairs(
+        docs.select(
+          expr("doc_id div 4").as("prompt_id"),
+          col("doc_id").as("cand"),
+          when(expr("(doc_id div 4) % 2 = 0"), (col("doc_id") * 37 + 11) % 100)
+            .otherwise((col("doc_id") * 3) % 6).cast("long").as("score")),
+        "prompt_id", "cand", "score")
+      val tk = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      val segs = pairs
+        .join(tk, tk("doc_id") === pairs("prompt_id") * 4)
+        .select(col("prompt_id"), lit(0L).as("seg"), lit(false).as("mask"), col("n"))
+        .unionByName(pairs
+          .join(tk, tk("doc_id") === pairs("chosen"))
+          .select(col("prompt_id"), lit(1L).as("seg"), lit(true).as("mask"),
+            col("n")))
+      SequencePack.packChunksMultimodal(
+        segs, "prompt_id", "seg", "mask", "n", seqLen = 512L)
+        .select(col("chunk_id"), col("prompt_id"), col("seg"),
+          col("mask"), col("chunk_offset"), col("piece_len"))
+        .orderBy("chunk_id", "prompt_id", "seg")
     })
 }

@@ -173,6 +173,58 @@ class Mp3Spec extends SparkSpec {
     assert(e.getMessage.contains("long-family"))
   }
 
+  test("mixed blocks: long chain below line 36, short reorder + window gains above, " +
+    "17+18 scalefactor layout, mixed on start/stop rejects") {
+    val id = 21L
+    val out = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedMixed(id, 2))
+    assert(out.size == 4)
+    out.foreach { g =>
+      assert(g.info.blockType == 2 && g.info.mixed == 1)
+      assert(g.info.region0Count == 7)
+      val f = g.frameIdx
+      val rec = Mp3Codec.GranuleRecipe(id, f, g.granule, basePairs = 19, baseQuads = 8)
+      // hand-replay: huffman order h < 36 → identity (long, gain 2^g);
+      // h >= 36 → short reorder from band 3 with subblock gains
+      val sfbS = Mp3Codec.SfbShort(44100)
+      val expected = new Array[Double](576)
+      def place(h: Int, v: Int): Unit = if (v != 0) {
+        if (h < 36) expected(h) = v * StrictMath.pow(2.0, rec.gainExp.toDouble)
+        else {
+          val b = (3 until 13).find(b => h < 3 * sfbS(b + 1)).get
+          val start = sfbS(b); val width = sfbS(b + 1) - start
+          val k = h - 3 * start
+          val win = k / width; val idx = k % width
+          val e = rec.gainExp - 2 * ((id + f + g.granule + win) % 3).toInt
+          expected(3 * (start + idx) + win) = v * StrictMath.pow(2.0, e.toDouble)
+        }
+      }
+      var h = 0
+      (0 until rec.nPairs).foreach { p =>
+        val (x, y) = rec.pairMag(p); val (sx, sy) = rec.pairSign(p)
+        place(h, x * (1 - 2 * sx * x)); place(h + 1, y * (1 - 2 * sy * y))
+        h += 2
+      }
+      (0 until rec.nQuads).foreach { q =>
+        val m = rec.quadMag(q)
+        (0 until 4).foreach(j =>
+          place(h + j, m(j) * (1 - 2 * rec.quadSign(q, j + 1) * m(j))))
+        h += 4
+      }
+      // the recipe is sized to CROSS the seam: pairs end past line 36
+      assert(2 * rec.nPairs > 36, "fixture must cross the long/short seam")
+      assert(g.xr.toSeq == expected.toSeq, s"frame $f granule ${g.granule}")
+    }
+    // mixed_block_flag on a START block has no spec semantics → typed
+    val ss = Mp3Codec.synthesizeCodedStartStop(id, 1).clone()
+    // granule 0's window-switching block starts at side-info bit 18+12+9+8+4
+    // = 51; ws(1) bt(2) then mixed at bit 54+... flip the mixed bit: byte
+    // boundary math — bit 54 (0-based from side-info start at byte 4) →
+    // absolute bit 4*8 + 54 = 86 → byte 10, bit 86-80=6 (mask 0x02)
+    ss(10) = (ss(10) | 0x02).toByte
+    val e = intercept[IllegalArgumentException](Mp3Codec.decodeSpectra(ss))
+    assert(e.getMessage.contains("mixed_block_flag"))
+  }
+
   test("start/stop blocks: window-switching side info parses types 1/3, " +
     "spectra match the long recipe, windows match the ISO closed forms") {
     val id = 9L
