@@ -80,4 +80,79 @@ object Mixture {
       .drop("_pn")
       .withColumn("position", col("position") - 1)
   }
+
+  /** DATA-CONSTRAINED epoch upsampling — when a source is too small for
+    * its target mixture share, training repeats it for several epochs
+    * (the data-constrained-scaling recipe: repeat low-resource sources
+    * up to a repeat budget rather than starve their share). Each row
+    * explodes into `repeats(source)` copies tagged `epoch` 0..R−1 — a
+    * stateless explode, output volume = Σ R_s·|s| by construction; a
+    * source without a repeat factor fails loudly. Feed the result to
+    * [[interleave]] with an (epoch-major, doc) composite order so a
+    * source's epoch-1 copies schedule after all its epoch-0 documents.
+    */
+  def upsampleEpochs(
+      df: DataFrame,
+      sourceCol: String,
+      repeats: Seq[(String, Long)]): DataFrame = {
+    require(repeats.nonEmpty && repeats.forall(_._2 >= 1),
+      "repeat factors must be >= 1")
+    require(repeats.map(_._1).distinct.size == repeats.size,
+      "duplicate source in repeats")
+    val rExpr = repeats.foldRight(lit(null).cast("long")) { case ((s, r), acc) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("_r",
+      when(rExpr.isNull, raise_error(concat(
+        lit(s"upsampleEpochs: $sourceCol value without a repeat factor: "),
+        col(sourceCol))))
+        .otherwise(rExpr))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_r") - 1)))
+      .drop("_r")
+  }
+
+  /** TWO-PHASE (annealed) interleave — the end-of-training schedule
+    * shape: the run consumes `phase1Tokens` tokens under `weights1`,
+    * then the REMAINING documents reschedule under `weights2`
+    * (typically upweighting the highest-quality sources for the final
+    * anneal). Phase membership is prefix-closed by construction: a
+    * document is phase 1 iff its exclusive token cumulative under the
+    * phase-1 schedule STARTS before the boundary (the straddling doc
+    * finishes in phase 1 — annealing boundaries are token-approximate,
+    * and this is the rule that keeps the phase-1 set a clean prefix of
+    * the phase-1 order). Output: every input row + `phase` (1/2) +
+    * `position` (0-based over the FULL two-phase schedule).
+    *
+    * Scale shape: one [[interleave]] (two range stamps) + one running
+    * total + a second interleave over the phase-2 remainder + a 1-row
+    * broadcast offset — five bounded exchanges total, never a
+    * single-task window, at any corpus size.
+    */
+  def interleaveAnnealed(
+      df: DataFrame,
+      sourceCol: String,
+      orderCol: String,
+      nTokensCol: String,
+      weights1: Seq[(String, Long)],
+      weights2: Seq[(String, Long)],
+      phase1Tokens: Long): DataFrame = {
+    require(phase1Tokens >= 0, s"phase1Tokens=$phase1Tokens must be >= 0")
+    val s1 = interleave(df, sourceCol, orderCol, weights1)
+      .drop("src_rank", "vtime")
+    val c = GlobalRank.withRunningTotal(s1, Seq("position"), nTokensCol, "_cum")
+    val p1 = c.filter(col("_cum") < phase1Tokens)
+    val p2in = c.filter(col("_cum") >= phase1Tokens)
+      .drop("position", "_cum")
+    // phase-2 remainder reschedules fresh under weights2; its positions
+    // land after the phase-1 block (a 1-row broadcast count offset)
+    val p2 = interleave(p2in, sourceCol, orderCol, weights2)
+      .drop("src_rank", "vtime")
+    val n1 = p1.agg(count(lit(1)).cast("long").as("_n1"))
+    p1.select(col("position"), lit(1).as("phase"),
+      col(sourceCol), col(orderCol), col(nTokensCol))
+      .unionByName(p2
+        .crossJoin(broadcast(n1))
+        .select((col("position") + col("_n1")).as("position"), lit(2).as("phase"),
+          col(sourceCol), col(orderCol), col(nTokensCol)))
+  }
 }

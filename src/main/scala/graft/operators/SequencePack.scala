@@ -127,6 +127,64 @@ object SequencePack {
       floor((height.cast("long") + (patch - 1)) / patch).cast("long")
   }
 
+  /** WHOLE-DOCUMENT (no-split) bin packing — the packer for runs that
+    * forbid cross-document attention contamination: every document
+    * lands INTACT in exactly one bin of capacity `seqLen`. Exact
+    * first-fit is inherently sequential, so this is the HARMONIC
+    * algorithm (Lee & Lee, JACM 1985): documents class by
+    * c = seqLen div n (the per-bin capacity of their size class), and
+    * each class fills its own bins c documents at a time — bin fill is
+    * guaranteed > seqLen·c/(c+1), the classic harmonic bound, with
+    * total waste bounded without any sequential state.
+    *
+    * Scale shape: the [[TokenBudget]] trick — ONE global rank over
+    * (class, id) minus a broadcast #classes-row offset table (classes
+    * number at most seqLen, typically a few dozen) — a single range
+    * exchange at any corpus size, never a per-class window. Documents
+    * longer than `seqLen` fail LOUDLY (truncate or [[packChunks]] them
+    * upstream — silently dropping or splitting here would corrupt the
+    * no-split contract); zero-token documents drop.
+    *
+    * Output: one row per document with `bin_cap` (documents its bin
+    * holds), `bin` (0-based within the class), `slot` (0-based within
+    * the bin) — (bin_cap, bin) identifies the training sequence.
+    */
+  def packWholeDocs(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    val checked = df.select(
+      col(idCol),
+      when(col(nTokensCol) > seqLen, raise_error(concat(
+        lit(s"packWholeDocs: $nTokensCol exceeds seqLen=$seqLen for $idCol="),
+        col(idCol).cast("string"))))
+        .when(col(nTokensCol) < 0, raise_error(concat(
+          lit(s"packWholeDocs: negative $nTokensCol for $idCol="),
+          col(idCol).cast("string"))))
+        .otherwise(col(nTokensCol)).as(nTokensCol))
+      .filter(col(nTokensCol) > 0)
+      .withColumn("bin_cap", expr(s"${seqLen}L div $nTokensCol"))
+    val rn = GlobalRank.withRowNumber(
+      checked, Seq("bin_cap", idCol), rnCol = "_grn", nCol = "_gn",
+      failOnTies = true).drop("_gn")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_cls")
+      .rowsBetween(Long.MinValue, -1)
+    val offsets = checked.groupBy(col("bin_cap").as("_cls"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(col("_cls"), col("_offset"))
+    rn.join(broadcast(offsets), col("bin_cap") === col("_cls"))
+      .withColumn("_cr", col("_grn") - col("_offset") - 1)
+      .select(
+        col(idCol),
+        col(nTokensCol),
+        col("bin_cap"),
+        expr("_cr div bin_cap").as("bin"),
+        expr("_cr % bin_cap").as("slot"))
+  }
+
   /** LOSS-MASK / ATTENTION-SPAN emission — the last step before a data
     * loader: per training chunk, spans (`span_offset`, `span_len`,
     * doc, `mask`) that tile [0, seqLen) EXACTLY. `maskCol` is the

@@ -799,5 +799,132 @@ object Round14Queries {
         .select(col("chunk_id"), col("prompt_id"), col("seg"),
           col("mask"), col("chunk_offset"), col("piece_len"))
         .orderBy("chunk_id", "prompt_id", "seg")
+    },
+
+    // ANNEALED (TWO-PHASE) MIXTURE (operators.Mixture.interleaveAnnealed)
+    // — the end-of-training schedule: the run consumes 3000 tokens under
+    // the base weights (en 8 / de 4 / fr 3 / es 2 / zh 1), then the
+    // REMAINDER reschedules under anneal weights that upweight the
+    // low-resource sources (en 1 / de 1 / fr 2 / es 2 / zh 4). Phase
+    // membership is prefix-closed (a doc is phase 1 iff its exclusive
+    // token cumulative under the phase-1 schedule starts before the
+    // boundary — the straddler finishes in phase 1), and phase-2
+    // positions land after the phase-1 block. The oracle replays both
+    // WFQ schedules, the boundary rule, and the position offset.
+    Q(
+      "q372_mixture_anneal",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS rk FROM t),
+        |v AS (SELECT *, rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6
+        |    WHEN 'fr' THEN 8 WHEN 'es' THEN 12 ELSE 24 END AS vt FROM r),
+        |s1 AS (SELECT *, row_number() OVER (ORDER BY vt, lang, doc_id) - 1
+        |    AS pos1 FROM v),
+        |c AS (SELECT *, coalesce(sum(n) OVER (ORDER BY pos1
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM s1),
+        |p1 AS (SELECT doc_id, lang, n, pos1 FROM c WHERE cum < 3000),
+        |p2in AS (SELECT doc_id, lang, n FROM c WHERE cum >= 3000),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS rk2 FROM p2in),
+        |v2 AS (SELECT *, rk2 * CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 4
+        |    WHEN 'fr' THEN 2 WHEN 'es' THEN 2 ELSE 1 END AS vt2 FROM r2),
+        |s2 AS (SELECT *, row_number() OVER (ORDER BY vt2, lang, doc_id) - 1
+        |    AS pos2 FROM v2),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM p1)
+        |SELECT CAST(pos1 AS BIGINT) AS position, CAST(1 AS INT) AS phase,
+        |  lang, doc_id, CAST(n AS BIGINT) AS n_tokens
+        |FROM p1
+        |UNION ALL
+        |SELECT CAST(pos2 + n1 AS BIGINT), CAST(2 AS INT), lang, doc_id,
+        |  CAST(n AS BIGINT)
+        |FROM s2 CROSS JOIN cnt
+        |ORDER BY position""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      graft.operators.Mixture.interleaveAnnealed(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens",
+        weights1 = Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L),
+        weights2 = Seq("en" -> 1L, "de" -> 1L, "fr" -> 2L, "es" -> 2L, "zh" -> 4L),
+        phase1Tokens = 3000L)
+        .select(col("position"), col("phase"), col("lang"), col("doc_id"),
+          col("n_tokens"))
+        .orderBy("position")
+    },
+
+    // DATA-CONSTRAINED EPOCH UPSAMPLING (operators.Mixture
+    // .upsampleEpochs ∘ interleave) — low-resource sources repeat for
+    // several epochs to hold their mixture share (en ×1, de ×2, fr ×2,
+    // es ×3, zh ×4): each doc explodes into epoch-tagged copies, the
+    // WFQ schedule runs over the (epoch-major, doc) order, so a
+    // source's epoch-1 copies land after ALL its epoch-0 documents
+    // while the cross-source ±1 fairness still holds at every prefix.
+    // The oracle replays the explode and both windows.
+    Q(
+      "q373_epoch_upsample",
+      """WITH rep AS (SELECT doc_id, lang, e.e AS epoch
+        |  FROM documents, unnest(generate_series(0,
+        |    CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 1
+        |      WHEN 'es' THEN 2 ELSE 3 END)) AS e(e)),
+        |r AS (SELECT *, epoch * 10000000 + doc_id AS ord,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY epoch * 10000000 + doc_id) AS rk
+        |  FROM rep),
+        |v AS (SELECT *, rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6
+        |    WHEN 'fr' THEN 8 WHEN 'es' THEN 12 ELSE 24 END AS vt FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY vt, lang, ord) - 1 AS BIGINT)
+        |    AS position,
+        |  lang, doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(rk AS BIGINT) AS src_rank
+        |FROM v ORDER BY position""".stripMargin) { (s, dir) =>
+      import graft.operators.Mixture
+      val up = Mixture.upsampleEpochs(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang",
+        Seq("en" -> 1L, "de" -> 2L, "fr" -> 2L, "es" -> 3L, "zh" -> 4L))
+        .withColumn("ord", col("epoch") * 10000000L + col("doc_id"))
+      Mixture.interleave(up, "lang", "ord",
+        Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+        .select(col("position"), col("lang"), col("doc_id"), col("epoch"),
+          col("src_rank"))
+        .orderBy("position")
+    },
+
+    // WHOLE-DOCUMENT BIN PACKING (operators.SequencePack.packWholeDocs)
+    // — the no-split packer for runs that forbid cross-document
+    // attention: every doc lands INTACT in one bin of 256 tokens.
+    // Exact first-fit is sequential, so this is the HARMONIC algorithm
+    // (Lee & Lee 1985): docs class by bin_cap = 256 div n and each
+    // class fills bins bin_cap docs at a time — fill > 256·c/(c+1)
+    // guaranteed, zero sequential state. One global rank over
+    // (class, id) minus a broadcast #classes offset table — a single
+    // range exchange, never a per-class window. The oracle replays the
+    // classing and both quotients.
+    Q(
+      "q374_pack_whole_docs",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, 256 // n AS bin_cap FROM t WHERE n > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bin_cap
+        |    ORDER BY doc_id) - 1 AS cr FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(bin_cap AS BIGINT) AS bin_cap,
+        |  CAST(cr // bin_cap AS BIGINT) AS bin,
+        |  CAST(cr % bin_cap AS BIGINT) AS slot
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.text.TextAnalysis
+      graft.operators.SequencePack.packWholeDocs(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 256L)
+        .orderBy("doc_id")
     })
 }

@@ -139,6 +139,115 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("interleaveAnnealed: phase boundary prefix-closed, straddler stays phase 1, " +
+    "each phase fair under its own weights, positions contiguous") {
+    // 30 a-docs and 30 b-docs, 10 tokens each; boundary at 95 tokens →
+    // phase 1 = the first 10 scheduled docs (doc 10's cum is 100 ≥ 95;
+    // doc 9 STARTS at 90 < 95 so it finishes in phase 1)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 10L))
+    val df = rows.toDF("id", "src", "n")
+    val out = graft.operators.Mixture.interleaveAnnealed(
+      df, "src", "id", "n",
+      weights1 = Seq("a" -> 1L, "b" -> 1L),
+      weights2 = Seq("a" -> 3L, "b" -> 1L),
+      phase1Tokens = 95L)
+      .orderBy("position")
+      .select("position", "phase", "src").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out.map(_._1) == (0L until 60L), "positions contiguous 0..N-1")
+    val phase1 = out.filter(_._2 == 1)
+    assert(phase1.length == 10, "exclusive-cum boundary: straddler in phase 1")
+    assert(phase1.map(_._1) == (0L until 10L), "phase 1 is the position prefix")
+    // phase 1 under equal weights alternates a/b within ±1 at every prefix
+    var na = 0; var nb = 0
+    phase1.foreach { case (_, _, s) =>
+      if (s == "a") na += 1 else nb += 1
+      assert(math.abs(na - nb) <= 1, "phase-1 fairness")
+    }
+    // phase 2 under a 3:1 anneal: HIGHER weight = more frequent (vtime
+    // = rank·L/w), so every prefix holds a at ~3/4 share ±1; remaining
+    // docs are 25 a + 25 b, so check fairness until one source exhausts
+    val phase2 = out.filter(_._2 == 2)
+    assert(phase2.length == 50)
+    var a2 = 0; var b2 = 0
+    phase2.zipWithIndex.foreach { case ((_, _, s), i) =>
+      if (s == "a") a2 += 1 else b2 += 1
+      val t = i + 1
+      // the ±1 WFQ bound holds while BOTH sources still have documents
+      if (a2 < 25 && b2 < 25)
+        assert(math.abs(a2 - 3.0 * t / 4.0) <= 1.0, s"phase-2 prefix $t: a=$a2")
+    }
+    assert(a2 == 25 && b2 == 25)
+    // deterministic end to end
+    val again = graft.operators.Mixture.interleaveAnnealed(
+      df, "src", "id", "n",
+      Seq("a" -> 1L, "b" -> 1L), Seq("a" -> 3L, "b" -> 1L), 95L)
+      .orderBy("position").select("position", "phase", "src").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == again)
+  }
+
+  test("packWholeDocs: harmonic classing, no bin overflows, fill bound holds, " +
+    "oversize and negative loud") {
+    // seqLen 10: sizes 6 (cap 1), 4 (cap 2), 3 (cap 3), 2 (cap 5)
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 4L), (4L, 4L), (5L, 4L),
+      (6L, 3L), (7L, 3L), (8L, 3L), (9L, 3L), (10L, 2L), (11L, 0L))
+      .toDF("doc_id", "n")
+    val out = graft.operators.SequencePack.packWholeDocs(docs, "doc_id", "n", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(!out.exists(_._1 == 11L), "zero-token doc drops")
+    // every (cap, bin) group: <= cap docs, total <= seqLen
+    out.groupBy(t => (t._3, t._4)).foreach { case ((cap, bin), ds) =>
+      assert(ds.length <= cap, s"cap=$cap bin=$bin holds ${ds.length}")
+      assert(ds.map(_._2).sum <= 10L, s"cap=$cap bin=$bin overflows")
+      // slots are 0..k-1 within the bin
+      assert(ds.map(_._5).sorted == (0L until ds.length), s"slots cap=$cap bin=$bin")
+    }
+    // FULL bins meet the harmonic fill bound: fill > seqLen·c/(c+1)
+    out.groupBy(t => (t._3, t._4)).filter { case ((cap, _), ds) => ds.length == cap }
+      .foreach { case ((cap, bin), ds) =>
+        assert(ds.map(_._2).sum * (cap + 1) > 10L * cap, s"fill bound cap=$cap")
+      }
+    // classing: cap = seqLen div n
+    out.foreach { case (_, n, cap, _, _) => assert(cap == 10L / n) }
+    // oversize and negative token counts fail loudly
+    intercept[Exception] {
+      graft.operators.SequencePack.packWholeDocs(
+        Seq((1L, 11L)).toDF("doc_id", "n"), "doc_id", "n", 10L).collect()
+    }
+    intercept[Exception] {
+      graft.operators.SequencePack.packWholeDocs(
+        Seq((1L, -1L)).toDF("doc_id", "n"), "doc_id", "n", 10L).collect()
+    }
+  }
+
+  test("upsampleEpochs: copy counts per source, epoch-major schedule order, " +
+    "missing repeat factor loud") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val up = graft.operators.Mixture.upsampleEpochs(
+      df, "src", Seq("a" -> 1L, "b" -> 3L))
+    val rows = up.orderBy("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 0L), (2L, "a", 0L),
+      (3L, "b", 0L), (3L, "b", 1L), (3L, "b", 2L)))
+    // composed with interleave on an epoch-major order: b's epoch-1 copy
+    // schedules after its epoch-0 copy
+    val sched = graft.operators.Mixture.interleave(
+      up.withColumn("ord", col("epoch") * 1000L + col("id")),
+      "src", "ord", Seq("a" -> 1L, "b" -> 1L))
+      .orderBy("position")
+      .select("src", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bEpochs = sched.filter(_._1 == "b").map(_._2)
+    assert(bEpochs == Seq(0L, 1L, 2L), "epoch-major within source")
+    intercept[Exception] {
+      graft.operators.Mixture.upsampleEpochs(
+        df, "src", Seq("a" -> 1L)).collect()
+    }
+  }
+
   test("tokenBudget: prefix truncation — the crossing doc and everything after drop") {
     import graft.operators.TokenBudget
     // domain a, best-first by quality: q=9(n=4), q=7(n=3), q=5(n=2), q=3(n=1)
