@@ -1145,6 +1145,40 @@ object Stress {
     docs.unpersist()
   }
 
+  /** Round-14 schedule ops at 20M docs (~100× the gate): annealed
+    * two-phase interleave, epoch upsampling → 36M-copy interleave, and
+    * the harmonic whole-doc packer.
+    */
+  private def schedScale2(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.operators.{Mixture, SequencePack}
+    val n = 20000000L
+    val docs = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      (pmod(col("id") * 131L, lit(800L)) + 20L).as("n_tokens"),
+      concat(lit("d"), pmod(col("id"), lit(5L)).cast("string")).as("dom"))
+      .persist()
+    timed(meter, "sched2_warmup")(docs.count())
+    // ~8.6B total tokens; anneal boundary at ~half
+    timed(meter, "anneal_20M") {
+      Mixture.interleaveAnnealed(docs, "dom", "doc_id", "n_tokens",
+        Seq("d0" -> 8L, "d1" -> 4L, "d2" -> 3L, "d3" -> 2L, "d4" -> 1L),
+        Seq("d0" -> 1L, "d1" -> 1L, "d2" -> 2L, "d3" -> 2L, "d4" -> 4L),
+        phase1Tokens = 4300000000L).count()
+    }
+    timed(meter, "upsample_interleave_36M") {
+      val up = Mixture.upsampleEpochs(docs.select(col("doc_id"), col("dom")),
+        "dom", Seq("d0" -> 1L, "d1" -> 1L, "d2" -> 2L, "d3" -> 2L, "d4" -> 3L))
+        .withColumn("ord", col("epoch") * 100000000L + col("doc_id"))
+      Mixture.interleave(up, "dom", "ord",
+        Seq("d0" -> 8L, "d1" -> 4L, "d2" -> 3L, "d3" -> 2L, "d4" -> 1L)).count()
+    }
+    timed(meter, "packwhole_20M") {
+      SequencePack.packWholeDocs(docs, "doc_id", "n_tokens", seqLen = 2048L).count()
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1166,6 +1200,7 @@ object Stress {
     if (args.contains("pqscale")) { pqScale(spark, meter); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScale(spark, meter); spark.stop(); return }
     if (args.contains("schedscale")) { schedScale(spark, meter); spark.stop(); return }
+    if (args.contains("schedscale2")) { schedScale2(spark, meter); spark.stop(); return }
     val li = x10("lineitem"); val o = x10("orders")
     time("warmup")(li.limit(1).count())
     time("agg_6M")(li.groupBy("l_returnflag", "l_linestatus")

@@ -38,7 +38,14 @@ object Mixture {
     * value must have a weight. Overflow guard: max rank · (L / min w)
     * must fit a long — true for any real corpus and sane weights.
     */
-  def interleave(
+  /** The WFQ key stage shared by [[interleave]] and
+    * [[interleaveAnnealed]]: per-source ranks from one global stamp
+    * minus broadcast source offsets, integer virtual finish times,
+    * missing weights loud. Returns the frame + `src_rank` + `vtime`
+    * (the final position stamp is the caller's — the annealed variant
+    * fuses a running total onto it).
+    */
+  private def withVtime(
       df: DataFrame,
       sourceCol: String,
       orderCol: String,
@@ -65,21 +72,29 @@ object Mixture {
     }
     // null-safe join: a NULL source must survive to the raise_error
     // check below (an equi-join would silently drop it first)
-    val ranked = stamped
+    stamped
       .join(broadcast(offsets), col(sourceCol) <=> col("_src"))
       .withColumn("src_rank", col("_grn") - col("_offset"))
       .withColumn("_m", multExpr)
       .withColumn("vtime", col("src_rank") * col("_m"))
       .drop("_grn", "_src", "_offset", "_m")
-    val checked = ranked.withColumn("vtime",
-      when(col("vtime").isNull, raise_error(
-        concat(lit(s"mixture: $sourceCol value without a weight: "), col(sourceCol))))
-        .otherwise(col("vtime")))
-    GlobalRank.withRowNumber(checked, Seq("vtime", sourceCol, orderCol),
+      .withColumn("vtime",
+        when(col("vtime").isNull, raise_error(
+          concat(lit(s"mixture: $sourceCol value without a weight: "), col(sourceCol))))
+          .otherwise(col("vtime")))
+  }
+
+  def interleave(
+      df: DataFrame,
+      sourceCol: String,
+      orderCol: String,
+      weights: Seq[(String, Long)]): DataFrame =
+    GlobalRank.withRowNumber(
+      withVtime(df, sourceCol, orderCol, weights),
+      Seq("vtime", sourceCol, orderCol),
       rnCol = "position", nCol = "_pn", failOnTies = true)
       .drop("_pn")
       .withColumn("position", col("position") - 1)
-  }
 
   /** DATA-CONSTRAINED epoch upsampling — when a source is too small for
     * its target mixture share, training repeats it for several epochs
@@ -137,9 +152,15 @@ object Mixture {
       weights2: Seq[(String, Long)],
       phase1Tokens: Long): DataFrame = {
     require(phase1Tokens >= 0, s"phase1Tokens=$phase1Tokens must be >= 0")
-    val s1 = interleave(df, sourceCol, orderCol, weights1)
+    // position AND the token cumulative ride ONE fused range exchange
+    // over the phase-1 WFQ order (the rank+running-total fusion that
+    // halved TokenBudget's shuffle at the 20M-doc probe)
+    val c = GlobalRank.withRowNumberAndRunningTotal(
+      withVtime(df, sourceCol, orderCol, weights1),
+      Seq("vtime", sourceCol, orderCol), nTokensCol,
+      rnCol = "position", cumCol = "_cum")
+      .withColumn("position", col("position") - 1)
       .drop("src_rank", "vtime")
-    val c = GlobalRank.withRunningTotal(s1, Seq("position"), nTokensCol, "_cum")
     val p1 = c.filter(col("_cum") < phase1Tokens)
     val p2in = c.filter(col("_cum") >= phase1Tokens)
       .drop("position", "_cum")
