@@ -72,7 +72,10 @@ object PlanDump {
     "q350_cdx_revisit_resolve" -> "revisit resolution: originals pre-reduced to one row per digest (partial-agg min-struct), then ONE broadcastable digest equi-join — the revisit stream never shuffles twice",
     "q355_mp3_decode" -> "MP3 Layer III decode: side info + reservoir + Huffman + requantization all inside one decoder-per-partition mapPartitions pass, integer features ride the same scan — zero shuffle before the final sort",
     "q356_seq_pack" -> "sequence packing: GlobalRank's two-pass running total (ONE range exchange, no Window), piece emission a stateless explode on top — the whole packer is one shuffle",
-    "q360_token_budget" -> "token-budget selection: global running total + rank behind one reused range shuffle, per-domain offsets BROADCAST — no per-domain window partition anywhere in the plan")
+    "q360_token_budget" -> "token-budget selection: global running total + rank behind one reused range shuffle, per-domain offsets BROADCAST — no per-domain window partition anywhere in the plan",
+    "q365_loss_mask" -> "loss-mask spans: the mask rides THROUGH the pack as a carried label (no doc-table re-join), the pad span from a ONE-ROW total aggregate unioned in — no extra pass over pieces",
+    "q372_mixture_anneal" -> "annealed interleave: phase-1 position AND token cumulative stamped behind ONE fused range exchange; the phase-2 remainder re-enters a fresh WFQ; phase offset a 1-row broadcast",
+    "q374_pack_whole_docs" -> "whole-doc harmonic packing: ONE global rank over (class, id) minus a BROADCAST #classes offset table, bin identity pure quotient arithmetic — no per-class window, no sequential state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
