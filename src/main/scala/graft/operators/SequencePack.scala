@@ -40,8 +40,10 @@ object SequencePack {
       df: DataFrame,
       idCol: String,
       nTokensCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long,
+      streamOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    require(streamOffset >= 0, s"streamOffset=$streamOffset must be >= 0")
     // a NEGATIVE token count (corrupt upstream counter) must fail LOUDLY
     // before the running total is stamped — silently summing it would
     // shift every later document's stream offset and chunk assignment
@@ -51,8 +53,14 @@ object SequencePack {
         lit(s"sequencePack: negative $nTokensCol for $idCol="),
         col(idCol).cast("string"))))
         .otherwise(col(nTokensCol)).as(nTokensCol))
+    // `streamOffset` places this frame's documents AFTER an existing
+    // token stream (the incremental-append path — [[PieceStore]]): the
+    // math is identical, the base just shifts every offset, so a chunk
+    // straddling the batch boundary picks up its head and tail pieces
+    // from different appends exactly as one global pack would emit them
     val off = GlobalRank.withRunningTotal(
       checked, Seq(idCol), nTokensCol, "_off")
+      .withColumn("_off", col("_off") + streamOffset)
     off
       .filter(col(nTokensCol) > 0)
       .withColumn("chunk_id", explode(sequence(

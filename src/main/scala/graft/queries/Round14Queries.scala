@@ -926,5 +926,58 @@ object Round14Queries {
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", seqLen = 256L)
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL PIECE STORE (operators.PieceStore) — the production
+    // loop around sequence packing: documents arrive in batches, and
+    // the training-sequence index GROWS at the stream tail instead of
+    // repacking the corpus. Two halves of the corpus append in order
+    // (the second packs at the first's recorded token total, so the
+    // boundary chunk holds pieces from BOTH batches), the store
+    // re-reads cold, and the result must equal the whole-corpus q356
+    // oracle row for row — chunk ids, offsets, and piece lengths
+    // continue seamlessly across the append boundary.
+    Q(
+      "q375_piece_store",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t),
+        |p AS (SELECT doc_id, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)
+        |  WHERE n > 0)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS doc_from,
+        |  CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT) AS chunk_offset,
+        |  CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |    - GREATEST(off, chunk_id * 512) AS BIGINT) AS piece_len
+        |FROM p ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PieceStore
+      import graft.text.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .persist()
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val root = s"target/q375_piecestore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      PieceStore.appendBatch(docs.filter(col("doc_id") <= mid),
+        "doc_id", "n_tokens", seqLen = 512L, root, "b0")
+      PieceStore.appendBatch(docs.filter(col("doc_id") > mid),
+        "doc_id", "n_tokens", seqLen = 512L, root, "b1")
+      // replay batch 0 AFTER batch 1 landed: must re-pack at its
+      // RECORDED offset, leaving the table unchanged
+      PieceStore.appendBatch(docs.filter(col("doc_id") <= mid),
+        "doc_id", "n_tokens", seqLen = 512L, root, "b0")
+      docs.unpersist()
+      PieceStore.pieces(s, root).orderBy("chunk_id", "doc_id")
     })
 }

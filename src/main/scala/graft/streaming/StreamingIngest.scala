@@ -176,6 +176,30 @@ object StreamingIngest {
       graft.load.Snapshot.appendBatch(fresh, tableDir)
     }
 
+  /** Streaming SEQUENCE PACKING: the training-sequence index grows at
+    * the stream tail as curated documents arrive — each micro-batch
+    * appends to the [[graft.operators.PieceStore]] under the store's
+    * recorded token total, batch id = the STREAMING batch id, so the
+    * combination of the checkpoint (exactly-once micro-batches) and the
+    * store's recorded-offset replay (idempotent re-appends) makes the
+    * piece table exactly-once end to end: a crashed-and-retried batch
+    * re-packs at its recorded offset instead of double-advancing the
+    * stream. The batch twin is q356; incremental == rebuild is q375's
+    * gate; this wires the loop to a live source.
+    */
+  def runPackStream(
+      stream: DataFrame,
+      storeRoot: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      nTokensCol: String = "n_tokens",
+      seqLen: Long = 512L): Unit =
+    runAvailableNow(stream, checkpointDir) { (batch, id) =>
+      graft.operators.PieceStore.appendBatch(
+        batch, idCol, nTokensCol, seqLen, storeRoot, s"b$id")
+      ()
+    }
+
   /** Streaming MEDIA curation with poison-pill quarantine: the q307
     * corruption-containment property wired into the stream. Each
     * micro-batch of media rows (the [[graft.multimodal.Multimodal

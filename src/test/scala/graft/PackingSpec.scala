@@ -188,6 +188,37 @@ class PackingSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("PieceStore: incremental == whole-corpus pack, boundary chunk spans " +
+    "batches, replay at recorded offset, watermark") {
+    import graft.operators.{PieceStore, SequencePack}
+    // tokens 3, 5, 4, 2 at seqLen 4: batch 1 = docs 1-2 (8 tokens, exact
+    // chunks), batch 2 = docs 3-4 — then re-split UNevenly so the
+    // boundary chunk spans batches: batch 1 = docs 1 only (3 tokens)
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L)).toDF("doc_id", "n")
+    val whole = SequencePack.packChunks(docs, "doc_id", "n", 4L)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    val root = tmpDir("piecestore")
+    val (o0, n0) = PieceStore.appendBatch(
+      docs.filter($"doc_id" <= 1), "doc_id", "n", 4L, root, "b0")
+    assert(o0 == 0L && n0 == 3L)
+    val (o1, n1) = PieceStore.appendBatch(
+      docs.filter($"doc_id" > 1), "doc_id", "n", 4L, root, "b1")
+    assert(o1 == 3L && n1 == 11L)
+    assert(PieceStore.totalTokens(spark, root) == 14L)
+    val stored = PieceStore.pieces(spark, root)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(stored == whole, "incremental must equal the whole-corpus pack")
+    // chunk 0 spans the batch boundary: doc 1 (b0) + doc 2's head (b1)
+    val chunk0Docs = stored.filter(_.head == 0L).map(_(1))
+    assert(chunk0Docs == Seq(1L, 2L))
+    // replaying b0 AFTER b1 landed re-packs at offset 0, table unchanged
+    val (ro, _) = PieceStore.appendBatch(
+      docs.filter($"doc_id" <= 1), "doc_id", "n", 4L, root, "b0")
+    assert(ro == 0L)
+    assert(PieceStore.pieces(spark, root)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq == whole)
+  }
+
   test("packWholeDocs: harmonic classing, no bin overflows, fill bound holds, " +
     "oversize and negative loud") {
     // seqLen 10: sizes 6 (cap 1), 4 (cap 2), 3 (cap 3), 2 (cap 5)

@@ -230,6 +230,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 3)
   }
 
+  test("streaming sequence packing: piece table grows at the stream tail, " +
+    "equals the batch pack, restart-idempotent") {
+    import graft.operators.{PieceStore, SequencePack}
+    val root = tmpDir("spack")
+    val in = s"$root/in"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    // two files = two micro-batches; the boundary chunk spans them
+    Seq((1L, 3L), (2L, 5L)).toDF("doc_id", "n_tokens")
+      .repartition(1).write.parquet(s"$in/c1")
+    Seq((3L, 4L), (4L, 2L)).toDF("doc_id", "n_tokens")
+      .repartition(1).write.parquet(s"$in/c2")
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    StreamingIngest.runPackStream(stream(), store, ckpt, seqLen = 4L)
+    assert(PieceStore.totalTokens(spark, store) == 14L)
+    val whole = SequencePack.packChunks(
+      Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 4L)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(PieceStore.pieces(spark, store)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq == whole)
+    // a late file appends at the tail; earlier files are not re-read
+    Seq((5L, 6L)).toDF("doc_id", "n_tokens")
+      .repartition(1).write.parquet(s"$in/c3")
+    StreamingIngest.runPackStream(stream(), store, ckpt, seqLen = 4L)
+    assert(PieceStore.totalTokens(spark, store) == 20L)
+    assert(PieceStore.pieces(spark, store).count() == whole.size + 2)
+    // restart with nothing new: idempotent
+    StreamingIngest.runPackStream(stream(), store, ckpt, seqLen = 4L)
+    assert(PieceStore.totalTokens(spark, store) == 20L)
+  }
+
   test("streaming upsert sink: latest version wins across micro-batches") {
     val root = tmpDir("supsert")
     val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
