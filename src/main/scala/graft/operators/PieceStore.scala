@@ -87,4 +87,52 @@ object PieceStore {
   /** Total tokens committed to the stream (the next append's offset). */
   def totalTokens(spark: SparkSession, root: String): Long =
     stateRows(spark, root).map(s => s._2 + s._3).foldLeft(0L)(math.max)
+
+  // ------------------------------------------------------------- deletes
+
+  /** Record a DELETE batch (dedup kills, takedowns) —
+    * [[graft.sim.PqIndexStore.appendTombstones]]'s replay-idempotent
+    * layout verbatim (`tombstones/<batchId>/`, shared discipline).
+    * Removing a document from a PACKED stream cannot shrink it in
+    * place — every later offset would shift — so deletes are mask-outs:
+    * [[livePieces]] is the query view, and reclaiming the pad space is
+    * an explicit NEW GENERATION ([[repackGeneration]]).
+    */
+  def appendTombstones(
+      ids: DataFrame, idCol: String, root: String, batchId: String): Long =
+    graft.sim.PqIndexStore.appendTombstones(ids, idCol, root, batchId)
+
+  /** The query view under pending deletes: pieces minus tombstoned
+    * documents — one broadcast anti-join; chunk ids and offsets are
+    * UNCHANGED (the dead pieces become in-chunk padding the loader
+    * masks, exactly like [[SequencePack.lossMaskSpans]]'s pad spans).
+    */
+  def livePieces(spark: SparkSession, root: String, idCol: String): DataFrame = {
+    val p = pieces(spark, root)
+    p.join(
+      broadcast(graft.sim.PqIndexStore.tombstones(spark, root, idCol)),
+      Seq(idCol), "left_anti")
+      // a USING join fronts the key column; keep the stored piece order
+      .select(p.columns.map(col): _*)
+  }
+
+  /** Reclaim tombstoned space by packing the SURVIVORS into a fresh
+    * store at `newRoot` (one batch, offset 0) — the piece table carries
+    * everything needed: each survivor's token count is the sum of its
+    * piece lengths, and the survivor order is the original id order, so
+    * the new generation equals a from-scratch pack of the surviving
+    * corpus without re-reading any document. Returns the new
+    * generation's total tokens.
+    */
+  def repackGeneration(
+      spark: SparkSession,
+      root: String,
+      newRoot: String,
+      idCol: String,
+      seqLen: Long): Long = {
+    val survivors = livePieces(spark, root, idCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("piece_len")).as("_n"))
+    appendBatch(survivors, idCol, "_n", seqLen, newRoot, "g0")._2
+  }
 }

@@ -979,5 +979,85 @@ object Round14Queries {
         "doc_id", "n_tokens", seqLen = 512L, root, "b0")
       docs.unpersist()
       PieceStore.pieces(s, root).orderBy("chunk_id", "doc_id")
+    },
+
+    // PIECE-STORE DELETES + GENERATION REPACK (operators.PieceStore) —
+    // the takedown lifecycle for a PACKED stream: deletes cannot shrink
+    // it in place (every later offset would shift), so tombstoned docs
+    // mask OUT of the query view with chunk ids and offsets UNCHANGED
+    // (their pieces become loader padding), and reclaiming the space is
+    // an explicit NEW GENERATION packed from the survivors — whose
+    // token counts come from the piece table itself (sum of piece
+    // lengths), no document re-read. The gate emits BOTH views: 'live'
+    // must equal the original pack minus the tombstoned docs' rows,
+    // 'gen' must equal a from-scratch pack of the survivors.
+    Q(
+      "q376_piece_tombstones",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> x != '')) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t),
+        |p AS (SELECT doc_id, n, off, c.c AS chunk_id
+        |  FROM o, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)
+        |  WHERE n > 0),
+        |live AS (SELECT 'live' AS view_tag,
+        |    CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |    CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS doc_from,
+        |    CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT) AS chunk_offset,
+        |    CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |      - GREATEST(off, chunk_id * 512) AS BIGINT) AS piece_len
+        |  FROM p WHERE doc_id % 9 <> 4),
+        |o2 AS (SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t WHERE doc_id % 9 <> 4 AND n > 0),
+        |p2 AS (SELECT doc_id, n, off, c.c AS chunk_id
+        |  FROM o2, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS c(c)),
+        |gen AS (SELECT 'gen' AS view_tag,
+        |    CAST(chunk_id AS BIGINT), doc_id,
+        |    CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT),
+        |    CAST(GREATEST(off - chunk_id * 512, 0) AS BIGINT),
+        |    CAST(LEAST(off + n, (chunk_id + 1) * 512)
+        |      - GREATEST(off, chunk_id * 512) AS BIGINT)
+        |  FROM p2)
+        |SELECT * FROM live UNION ALL SELECT * FROM gen
+        |ORDER BY view_tag, chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PieceStore
+      import graft.text.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .persist()
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val root = s"target/q376_piecestore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val gen = s"${root}_gen"
+      for (d <- Seq(root, gen)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+      }
+      PieceStore.appendBatch(docs.filter(col("doc_id") <= mid),
+        "doc_id", "n_tokens", seqLen = 512L, root, "b0")
+      PieceStore.appendBatch(docs.filter(col("doc_id") > mid),
+        "doc_id", "n_tokens", seqLen = 512L, root, "b1")
+      PieceStore.appendTombstones(
+        docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
+        "doc_id", root, "t0")
+      PieceStore.repackGeneration(s, root, gen, "doc_id", seqLen = 512L)
+      docs.unpersist()
+      PieceStore.livePieces(s, root, "doc_id")
+        .select(lit("live").as("view_tag"), col("chunk_id"), col("doc_id"),
+          col("doc_from"), col("chunk_offset"), col("piece_len"))
+        .unionByName(PieceStore.pieces(s, gen)
+          .select(lit("gen").as("view_tag"), col("chunk_id"), col("doc_id"),
+            col("doc_from"), col("chunk_offset"), col("piece_len")))
+        .orderBy("view_tag", "chunk_id", "doc_id")
     })
 }

@@ -219,6 +219,30 @@ class PackingSpec extends SparkSpec {
       .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq == whole)
   }
 
+  test("PieceStore deletes: live view masks out with offsets unchanged, " +
+    "generation repack equals a from-scratch survivor pack") {
+    import graft.operators.{PieceStore, SequencePack}
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L)).toDF("doc_id", "n")
+    val root = tmpDir("piecestore-del"); val gen = tmpDir("piecestore-gen")
+    PieceStore.appendBatch(docs, "doc_id", "n", 4L, root, "b0")
+    PieceStore.appendTombstones(Seq(2L).toDF("doc_id"), "doc_id", root, "t0")
+    // live: doc 2's pieces gone, everyone else's chunk ids/offsets UNCHANGED
+    val live = PieceStore.livePieces(spark, root, "doc_id")
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    val whole = SequencePack.packChunks(docs, "doc_id", "n", 4L)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(live == whole.filter(_(1) != 2L))
+    // generation: equals packing the survivors from scratch
+    PieceStore.repackGeneration(spark, root, gen, "doc_id", 4L)
+    val g = PieceStore.pieces(spark, gen)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    val fresh = SequencePack.packChunks(
+      docs.filter($"doc_id" =!= 2L), "doc_id", "n", 4L)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(g == fresh)
+    assert(PieceStore.totalTokens(spark, gen) == 9L)
+  }
+
   test("packWholeDocs: harmonic classing, no bin overflows, fill bound holds, " +
     "oversize and negative loud") {
     // seqLen 10: sizes 6 (cap 1), 4 (cap 2), 3 (cap 3), 2 (cap 5)
