@@ -3,11 +3,17 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.functions._
 
-/** Round-14 gates. Opens by finishing the Layer III window-switching
-  * surface: START/STOP transient-bracket blocks (types 1/3) and
-  * INTENSITY joint stereo were the last typed rejections real music
-  * hits ([[graft.multimodal.Mp3Codec]] — both closed-form spec math,
-  * unlike the honestly-excluded Table B.3 polyphase window).
+/** Round-14 gates. Opens by finishing the Layer III spectral surface
+  * (START/STOP types 1/3, INTENSITY joint stereo, MIXED blocks — the
+  * last closed-form typed rejections real music hits; only the
+  * honestly-excluded Table B.3 polyphase window remains), then builds
+  * out the training-schedule frontier: multimodal segment packing and
+  * loss-mask emission (q364/q365), the IVF+PQ delete lifecycle (q366),
+  * the CDX fetch-by-geometry and wide-charset crawl gates (q367/q368),
+  * the crawl→corpus COMPOSITION capstone (q369), SFT batch construction
+  * (q371), annealed/upsampled mixture schedules (q372/q373), harmonic
+  * whole-doc packing (q374), and the incremental piece store with its
+  * delete lifecycle (q375/q376).
   */
 object Round14Queries {
 
