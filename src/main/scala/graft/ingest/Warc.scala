@@ -47,7 +47,7 @@ object Warc {
     */
   def htmlBody(id: Long, lang: String, text: String): String =
     s"<html><head><title>Doc $id</title><script>var x=1;</script></head>" +
-      s"<body><h1>${lang.toUpperCase}</h1><p>$text &amp; more</p>" +
+      s"<body><h1>${lang.toUpperCase(java.util.Locale.ROOT)}</h1><p>$text &amp; more</p>" +
       "<!-- note --></body></html>"
 
   /** The captured HTTP response: docs with id % 4 == 3 404 (crawls are
@@ -640,7 +640,7 @@ object Warc {
             "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
             "<a href=\"/b\">More</a></div>" +
             s"<p>$payload</p><h2>Part two</h2>" +
-            s"<p>Appendix ${lang.toUpperCase} stable words &amp; digits here</p>" +
+            s"<p>Appendix ${lang.toUpperCase(java.util.Locale.ROOT)} stable words &amp; digits here</p>" +
             "<div><a href=\"/x\">read more</a> teaser</div>" +
             "<div id=\"foot\"><a>Terms</a> <a>Privacy</a> (c)</div></body></html>"
         val uri = s"https://example.com/doc/$id"

@@ -135,7 +135,8 @@ object Mixture {
     * phase-1 schedule STARTS before the boundary (the straddling doc
     * finishes in phase 1 — annealing boundaries are token-approximate,
     * and this is the rule that keeps the phase-1 set a clean prefix of
-    * the phase-1 order). Output: every input row + `phase` (1/2) +
+    * the phase-1 order). Output: every input row — ALL caller columns
+    * carried through, like [[interleave]] — plus `phase` (1/2) and
     * `position` (0-based over the FULL two-phase schedule).
     *
     * Scale shape: one [[interleave]] (two range stamps) + one running
@@ -169,11 +170,13 @@ object Mixture {
     val p2 = interleave(p2in, sourceCol, orderCol, weights2)
       .drop("src_rank", "vtime")
     val n1 = p1.agg(count(lit(1)).cast("long").as("_n1"))
-    p1.select(col("position"), lit(1).as("phase"),
-      col(sourceCol), col(orderCol), col(nTokensCol))
+    // carry EVERY caller column through (like interleave) — the phase
+    // split must not silently project the frame down to its key columns
+    val keep = df.columns.map(col).toSeq
+    p1.select(col("position") +: lit(1).as("phase") +: keep: _*)
       .unionByName(p2
         .crossJoin(broadcast(n1))
-        .select((col("position") + col("_n1")).as("position"), lit(2).as("phase"),
-          col(sourceCol), col(orderCol), col(nTokensCol)))
+        .select((col("position") + col("_n1")).as("position") +:
+          lit(2).as("phase") +: keep: _*))
   }
 }

@@ -28,26 +28,50 @@ import org.apache.spark.sql.functions._
   * (now larger) stream tail. Single-writer, in-arrival-order contract
   * like every store here: one writer owns the tail at a time.
   *
+  * ID-MONOTONICITY contract (ENFORCED): `incremental == whole-corpus
+  * rebuild` holds only if `idCol` is globally increasing across
+  * batches — within a batch [[SequencePack.packChunks]] sorts, but a
+  * later batch whose min id does not EXCEED the committed max would
+  * pack at the tail while a whole-corpus rebuild would interleave it
+  * earlier. Each state row records the batch's native-typed `max_id`
+  * and a first landing fails loudly if the new batch's min does not
+  * exceed every committed batch's max (replays are exempt — their
+  * offset is already recorded). Feeding a SCHEDULE (mixture positions
+  * restart at 0 per batch) therefore needs a POSITION-EPOCH FENCE:
+  * id = epoch·F + position with F above any batch size, so batch k's
+  * ids all exceed batch k−1's — the construction the schedule-pack
+  * gate (q377) pins; [[graft.streaming.StreamingIngest.runPackStream]]
+  * inherits the same contract.
+  *
   * Scale shape: an append touches only its batch (one range exchange
   * from [[SequencePack.packChunks]]); the state read is a bounded
   * per-batch listing (batch count is an ops cadence, not a data
-  * volume); [[pieces]] is a recursive parquet read of slim integer rows.
+  * volume) and [[compactState]] folds it to ONE file so append cost
+  * stays flat at a years-long daily cadence; [[pieces]] is a recursive
+  * parquet read of slim integer rows.
   */
 object PieceStore {
 
-  private def stateRows(spark: SparkSession, root: String): Seq[(String, Long, Long)] = {
+  private def stateDf(spark: SparkSession, root: String): Option[DataFrame] = {
     val d = s"$root/state"
     val f = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(new Path(d))) Seq.empty
-    else
-      spark.read.option("recursiveFileLookup", "true").parquet(d)
-        .select(col("batch_id"), col("first_offset"), col("n_tokens"))
+    if (!f.exists(new Path(d))) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(d))
+  }
+
+  private def stateRows(spark: SparkSession, root: String): Seq[(String, Long, Long)] =
+    stateDf(spark, root).toSeq.flatMap {
+      _.select(col("batch_id"), col("first_offset"), col("n_tokens"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-  }
+    }
 
   /** Pack one batch at the stream tail and append its pieces + state
     * row. Returns (the batch's first stream offset, its token count).
+    * A FIRST landing requires the batch's min id to EXCEED every
+    * committed batch's recorded max (the id-monotonicity contract
+    * above) and fails loudly otherwise; a replay re-packs at its
+    * recorded offset and skips the guard.
     */
   def appendBatch(
       batch: DataFrame,
@@ -61,20 +85,78 @@ object PieceStore {
     val existing = stateRows(spark, root)
     // replay: a batch that already committed re-packs at its RECORDED
     // offset (later batches must not shift it); first landing: the tail
-    val offset = existing.find(_._1 == batchId).map(_._2)
+    val recorded = existing.find(_._1 == batchId).map(_._2)
+    if (recorded.isEmpty && existing.nonEmpty) {
+      // first landing with committed predecessors: the monotonicity
+      // guard — native-typed comparison stays in Spark (idCol may be
+      // long, string, …; two 1-row frames, a broadcast cross)
+      val priorMax = stateDf(spark, root).get
+        .agg(max(col("max_id")).as("_pmax"))
+      val violations = batch.agg(min(col(idCol)).as("_bmin"))
+        .crossJoin(broadcast(priorMax))
+        .filter(col("_bmin") <= col("_pmax")).count()
+      require(violations == 0L,
+        s"pieceStore: batch '$batchId' min $idCol does not exceed the " +
+          "committed max — ids must be globally increasing across batches " +
+          "(schedule feeds need a position-epoch fence; see PieceStore doc)")
+    }
+    val offset = recorded
       .getOrElse(existing.map(s => s._2 + s._3).foldLeft(0L)(math.max))
     val pieces = SequencePack.packChunks(
       batch, idCol, nTokensCol, seqLen, streamOffset = offset).persist()
     pieces.write.mode(SaveMode.Overwrite).parquet(s"$root/pieces/$batchId")
-    val nTokens = batch.agg(
-      coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
-        .otherwise(lit(0L))), lit(0L))).head().getLong(0)
     pieces.unpersist()
-    import spark.implicits._
-    Seq((batchId, offset, nTokens)).toDF("batch_id", "first_offset", "n_tokens")
+    // ONE aggregate computes the token total and the native-typed max
+    // id; the state row is written from its own Row so max_id keeps the
+    // id column's type in parquet
+    val stateFrame = batch
+      .agg(
+        coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
+          .otherwise(lit(0L))), lit(0L)).as("n_tokens"),
+        max(col(idCol)).as("max_id"))
+      .select(lit(batchId).as("batch_id"), lit(offset).as("first_offset"),
+        col("n_tokens"), col("max_id"))
+    val row = stateFrame.head()
+    spark.createDataFrame(java.util.Arrays.asList(row), stateFrame.schema)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/state/$batchId")
-    (offset, nTokens)
+    (offset, row.getLong(2))
+  }
+
+  /** Fold every per-batch state row into ONE file — the append path
+    * reads the state dir on every call, so a years-long daily cadence
+    * otherwise accumulates thousands of tiny state files. State rows
+    * are immutable facts keyed by batch_id, which makes the fold
+    * marker-free: write the deduplicated union under
+    * `state/<compactId>` FIRST, then delete the folded subdirs — a
+    * crash between the two leaves duplicate rows with identical
+    * values, harmless to every reader (replay lookup, tail max, the
+    * monotonicity guard). Recorded first_offsets survive verbatim, so
+    * replay idempotence survives the fold. Returns the folded row
+    * count.
+    */
+  def compactState(
+      spark: SparkSession, root: String, compactId: String): Long = {
+    require(compactId.matches("[A-Za-z0-9._-]+"),
+      s"compactId '$compactId' is not filename-safe")
+    val d = s"$root/state"
+    val f = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new Path(d))) return 0L
+    val subdirs = f.listStatus(new Path(d)).filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName == compactId).toSeq
+    if (subdirs.isEmpty) return 0L
+    val all = stateDf(spark, root).get
+    // bounded collect: one slim row per batch, already the append
+    // path's read shape; dedup keeps the first copy of a batch_id (a
+    // prior interrupted fold leaves only identical copies)
+    val rows = all.collect().toSeq
+      .groupBy(_.getAs[String]("batch_id")).map(_._2.head).toSeq
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, all.schema)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/$compactId")
+    subdirs.foreach(p => f.delete(p, true))
+    rows.size.toLong
   }
 
   /** The full piece table across every appended batch — identical rows

@@ -630,7 +630,7 @@ object Round14Queries {
     // over tonal bass: lines 0–35 (the lowest two subbands) stay
     // LONG-windowed (identity order, long bands 0–7, no subblock
     // gain), lines 36+ requantize + REORDER through the short chain
-    // from band 3 up with per-window gains. Pair recipes (base 16)
+    // from band 3 up with per-window gains. Pair recipes (base 19)
     // make big_values themselves cross the seam at line 36, so both
     // chains and the seam arithmetic are load-bearing in the
     // position-weighted checksum. The last closed-form window shape —

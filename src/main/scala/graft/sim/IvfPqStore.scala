@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * batch count is an ops cadence, not a data volume); compaction's
   * survivor rewrite keeps the cell partitioning so the pruning property
   * survives every fold. Single-maintenance contract: one writer owns a
-  * batchId at a time, one compactor at a time.
+  * batchId at a time, one compactor at a time; readers ARE safe
+  * concurrent with a fold — [[codes]] skips every dir a committed
+  * compaction marker records, so the window between the marker commit
+  * and the deferred source deletes cannot double-count a batch.
   */
 object IvfPqStore {
 
@@ -75,14 +78,32 @@ object IvfPqStore {
     else f.listStatus(new Path(d)).filter(_.isDirectory).map(_.getPath.toString).toSeq
   }
 
+  /** Every source dir already folded by a COMMITTED compaction — a
+    * committed marker means the survivor rewrite holds those dirs'
+    * live rows, so until their deferred deletes land a listing sees
+    * BOTH; readers must skip them or double-count. Bounded: one row
+    * per folded dir per compaction.
+    */
+  private def foldedDirs(spark: SparkSession, root: String): Set[String] = {
+    import spark.implicits._
+    batchDirs(spark, s"$root/compactions")
+      .filter(PqIndexStore.isCommittedDir(spark, _))
+      .flatMap(spark.read.parquet(_).as[String].collect())
+      .toSet
+  }
+
   /** The full code table across every appended batch — (idCol, code,
     * cellCol) with the cell recovered from the partition directories.
     * Per-batch reads (bounded listing) unioned, so partition discovery
     * works under the batch level; a cell filter on the result prunes
-    * directories inside every batch.
+    * directories inside every batch. Safe against the compaction
+    * window: dirs recorded in a COMMITTED compaction marker are
+    * skipped, so a read concurrent with [[compact]]'s deferred source
+    * deletes never double-counts a folded batch.
     */
   def codes(spark: SparkSession, root: String): DataFrame = {
-    val dirs = batchDirs(spark, s"$root/codes")
+    val folded = foldedDirs(spark, root)
+    val dirs = batchDirs(spark, s"$root/codes").filterNot(folded)
     require(dirs.nonEmpty, s"ivfpq store at $root has no code batches")
     dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
@@ -126,9 +147,13 @@ object IvfPqStore {
     }
     if (PqIndexStore.existsAny(spark, markerDir))
       f.delete(new Path(markerDir), true) // crash mid-marker-write: refold
+    // skip dirs a PRIOR committed compaction already folded (its
+    // deferred deletes may not have landed) — folding them again would
+    // duplicate their survivors into this rewrite
+    val prior = foldedDirs(spark, root)
     val foldedCodes = batchDirs(spark, s"$root/codes")
-      .filterNot(_.endsWith(s"/$compactId"))
-    val foldedTombs = batchDirs(spark, s"$root/tombstones")
+      .filterNot(_.endsWith(s"/$compactId")).filterNot(prior)
+    val foldedTombs = batchDirs(spark, s"$root/tombstones").filterNot(prior)
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
     val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val tomb =

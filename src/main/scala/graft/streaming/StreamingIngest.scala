@@ -186,6 +186,14 @@ object StreamingIngest {
     * re-packs at its recorded offset instead of double-advancing the
     * stream. The batch twin is q356; incremental == rebuild is q375's
     * gate; this wires the loop to a live source.
+    *
+    * Inherits [[graft.operators.PieceStore]]'s ID-MONOTONICITY
+    * contract: micro-batches must arrive with globally increasing
+    * `idCol` (file sources named in id order satisfy this; an
+    * out-of-order batch fails the store's guard LOUDLY rather than
+    * silently diverging from the whole-corpus rebuild). Schedule
+    * feeds (per-batch mixture positions) need the position-epoch
+    * fence construction documented there.
     */
   def runPackStream(
       stream: DataFrame,

@@ -219,6 +219,62 @@ class PackingSpec extends SparkSpec {
       .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq == whole)
   }
 
+  test("PieceStore guard: a first landing whose min id does not exceed the " +
+    "committed max fails loudly; replays stay exempt") {
+    import graft.operators.PieceStore
+    val root = tmpDir("piecestore-guard")
+    PieceStore.appendBatch(
+      Seq((1L, 3L), (5L, 5L)).toDF("doc_id", "n"), "doc_id", "n", 4L, root, "b0")
+    // out-of-order landing: min id 3 <= committed max 5 — must refuse
+    val e = intercept[IllegalArgumentException] {
+      PieceStore.appendBatch(
+        Seq((3L, 2L)).toDF("doc_id", "n"), "doc_id", "n", 4L, root, "b1")
+    }
+    assert(e.getMessage.contains("does not exceed"))
+    // nothing committed for b1 by the failed attempt
+    assert(PieceStore.totalTokens(spark, root) == 8L)
+    // a monotone landing and a replay both still work
+    PieceStore.appendBatch(
+      Seq((6L, 2L)).toDF("doc_id", "n"), "doc_id", "n", 4L, root, "b1")
+    assert(PieceStore.totalTokens(spark, root) == 10L)
+    val (ro, _) = PieceStore.appendBatch(
+      Seq((1L, 3L), (5L, 5L)).toDF("doc_id", "n"), "doc_id", "n", 4L, root, "b0")
+    assert(ro == 0L)
+  }
+
+  test("PieceStore.compactState: one state file afterwards, replay and tail " +
+    "byte-identical across the fold, interrupted fold's duplicates harmless") {
+    import graft.operators.{PieceStore, SequencePack}
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L)).toDF("doc_id", "n")
+    val root = tmpDir("piecestore-cstate")
+    PieceStore.appendBatch(docs.filter($"doc_id" <= 1), "doc_id", "n", 4L, root, "b0")
+    PieceStore.appendBatch(docs.filter($"doc_id" === 2L), "doc_id", "n", 4L, root, "b1")
+    PieceStore.appendBatch(docs.filter($"doc_id" > 2), "doc_id", "n", 4L, root, "b2")
+    val whole = SequencePack.packChunks(docs, "doc_id", "n", 4L)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(PieceStore.compactState(spark, root, "s0") == 3L)
+    // state dir folded to the single compaction subdir
+    val f = new org.apache.hadoop.fs.Path(s"$root/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sub = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/state"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(sub == Seq("s0"))
+    // tail, pieces, and a replay at the RECORDED offset all survive
+    assert(PieceStore.totalTokens(spark, root) == 14L)
+    val (ro, _) = PieceStore.appendBatch(
+      docs.filter($"doc_id" === 2L), "doc_id", "n", 4L, root, "b1")
+    assert(ro == 3L, "recorded first_offset must survive the fold")
+    assert(PieceStore.pieces(spark, root)
+      .orderBy("chunk_id", "doc_id").collect().map(_.toSeq).toSeq == whole)
+    // the replay above re-wrote state/b1 next to the fold (an identical
+    // duplicate — the documented crash shape); a second fold dedups it
+    // and appends keep flowing
+    assert(PieceStore.compactState(spark, root, "s1") == 3L)
+    PieceStore.appendBatch(
+      Seq((9L, 6L)).toDF("doc_id", "n"), "doc_id", "n", 4L, root, "b3")
+    assert(PieceStore.totalTokens(spark, root) == 20L)
+  }
+
   test("PieceStore deletes: live view masks out with offsets unchanged, " +
     "generation repack equals a from-scratch survivor pack") {
     import graft.operators.{PieceStore, SequencePack}
