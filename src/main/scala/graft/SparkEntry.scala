@@ -20,7 +20,7 @@ object SparkEntry {
       StatQueries.all ++ GovernanceQueries.all ++ FeatureQueries.all ++
       CorpusRuleQueries.all ++ ScaleOpsQueries.all ++ Round9Queries.all ++
       Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++
-      Round13Queries.all ++ Round14Queries.all
+      Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

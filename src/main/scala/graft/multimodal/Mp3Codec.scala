@@ -11,13 +11,17 @@ package graft.multimodal
   *  - Fully implemented: MPEG-1 Layer III mono/stereo/dual-channel
   *    frames, long blocks (block_type 0), START/STOP transient-bracket
   *    blocks (types 1/3 — window-switching side info, long band
-  *    layout, their own IMDCT windows), SHORT blocks (type 2 —
-  *    subblock gains, short scalefactor layout, Huffman→natural
-  *    reorder) including MIXED blocks (the hybrid split: lowest two
-  *    subbands long, short bands 3+ above, the 17+18 scalefactor
-  *    layout), MS joint stereo (L = (M±S)/√2), INTENSITY joint stereo
-  *    (pan by is_pos with the tan(is_pos·π/12) ratio, illegal position
-  *    7 passed through), the bit reservoir (main_data_begin),
+  *    layout, their own IMDCT windows, mixed_block_flag honored as the
+  *    §2.4.1.7 window split: subbands 0–1 normal-windowed, the rest
+  *    per block_type), SHORT blocks (type 2 — subblock gains, short
+  *    scalefactor layout, Huffman→natural reorder) including MIXED
+  *    blocks (the hybrid split: lowest two subbands long, short bands
+  *    3+ above, the 17+18 scalefactor layout), MS joint stereo
+  *    (L = (M±S)/√2), INTENSITY joint stereo (pan by is_pos with the
+  *    tan(is_pos·π/12) ratio, illegal position 7 passed through), the
+  *    COMBINED joint stereo (mode_extension 3 — MS below the intensity
+  *    bound, intensity pan at/above it, illegal positions falling back
+  *    to MS per §2.4.3.4.9.3), the bit reservoir (main_data_begin),
   *    scalefactor decode incl. scfsi sharing, Huffman big_values PAIR
   *    decode for tables 0/1 and count1 QUAD decode for table B, sign
   *    bits, requantization (the |is|^(4/3) · 2^((gain−210)/4) ·
@@ -25,9 +29,8 @@ package graft.multimodal
   *    alias-reduction butterflies, IMDCT + per-type window +
   *    overlap-add + frequency inversion.
   *  - Typed rejection (never silent): Layer I/II, MPEG-2/2.5,
-  *    free-format, intensity COMBINED with MS (mode_extension 3 — a
-  *    distinct reconstruction for the non-intensity region),
-  *    mixed_block_flag on start/stop types, and Huffman tables
+  *    free-format, intensity stereo over SHORT-block granules (a
+  *    distinct per-window bound search), and Huffman tables
   *    whose SPEC DATA is not embedded here (the large pair tables 2–31
   *    and count1 table A are hundreds of arbitrary codewords from ISO
   *    Table B.7 — reproducing them from memory would risk a silently
@@ -63,9 +66,11 @@ object Mp3Codec {
 
   /** Parse and validate one 4-byte header at `off` — MPEG-1 Layer III
     * only; free-format and reserved fields rejected typed. All four
-    * channel modes decode; in joint stereo, mode_extension 0 (none),
-    * 1 (intensity), and 2 (MS) decode — the COMBINED 3 stays
-    * typed-rejected (distinct reconstruction for the MS region).
+    * channel modes decode, and ALL FOUR joint-stereo mode_extensions:
+    * 0 (none), 1 (intensity), 2 (MS), and the COMBINED 3 — the
+    * mode_extension bits are independent flags (ISO 11172-3 §2.4.1.7:
+    * bit 0 = intensity_stereo on, bit 1 = ms_stereo on), so 3 turns
+    * both reconstructions on, split at the intensity bound.
     */
   def parseHeader(bytes: Array[Byte], off: Int): FrameHeader = {
     require(off + 4 <= bytes.length, "mp3: truncated frame header")
@@ -80,14 +85,12 @@ object Mp3Codec {
     require(srIdx <= 2, "mp3: reserved sample-rate index")
     val mode = (b4 >> 6) & 3
     val modeExt = (b4 >> 4) & 3
-    require(mode != 1 || modeExt != 3,
-      "mp3: intensity+MS combined joint stereo (mode_extension 3) unsupported")
     val kbps = MpegAudioSniff.BitrateKbps(bIdx)
     val sr = MpegAudioSniff.SampleRateHz(srIdx)
     val pad = (b3 >> 1) & 1
     FrameHeader(kbps, sr, if (mode == 3) 1 else 2, pad,
-      hasCrc = (b2 & 1) == 0, msStereo = mode == 1 && modeExt == 2,
-      intensityStereo = mode == 1 && modeExt == 1,
+      hasCrc = (b2 & 1) == 0, msStereo = mode == 1 && (modeExt & 2) != 0,
+      intensityStereo = mode == 1 && (modeExt & 1) != 0,
       frameLength = MpegAudioSniff.frameLength(kbps, sr, pad))
   }
 
@@ -162,15 +165,18 @@ object Mp3Codec {
         } else {
           // window-switching layout: block_type(2), mixed(1),
           // table_select×2, subblock_gain×3. SHORT (type 2, mixed or
-          // not) and START/STOP long types (1/3) decode; a mixed flag
-          // on types 1/3 has no spec semantics and rejects typed;
+          // not) and START/STOP long types (1/3, mixed or not) decode;
           // block_type 0 with window_switching set is a forbidden
-          // combination per ISO §2.4.1.7
+          // combination per ISO §2.4.1.7. A mixed flag on types 1/3
+          // changes ONLY the window routing (§2.4.1.7: the two lowest
+          // subbands transform with the NORMAL window, the rest with
+          // the block_type's) — the scalefactor layout stays the long
+          // 21-band one and no reorder applies, because §2.4.2.7's
+          // short/mixed scalefactor partitions are defined for
+          // block_type 2 alone.
           val bt = br.bits(2)
           val mixed = br.bit()
           require(bt != 0, "mp3: window_switching with block_type 0 is forbidden")
-          require(mixed == 0 || bt == 2,
-            s"mp3: mixed_block_flag with block_type $bt unsupported")
           val ts = Array.fill(2)(br.bits(5))
           val sbg = Array.fill(3)(br.bits(3))
           val pre = br.bit()
@@ -557,7 +563,51 @@ object Mp3Codec {
             else if (gi.blockType == 2) requantizeShort(is, gi, sf, h.sampleRate)
             else requantize(is, gi, sf, h.sampleRate))
         }
-        if (h.msStereo) {
+        if (h.msStereo && h.intensityStereo) {
+          // COMBINED joint stereo (mode_extension 3, ISO 11172-3
+          // §2.4.3.4.9.3): intensity governs every scalefactor band
+          // lying entirely at/above the intensity bound (channel 1's
+          // last coded line rounded up to a band boundary); everything
+          // BELOW the bound reconstructs in MS. A band in the
+          // intensity region whose is_pos is the ILLEGAL 7 falls back
+          // to MS (the spec's illegal-position rule when ms_stereo is
+          // on — not pass-through as in pure intensity), and so does
+          // the zone above sfb 20, which carries no is_pos at all.
+          require(decoded.forall(_.info.blockType != 2),
+            "mp3: intensity stereo with short blocks unsupported")
+          val sfb = SfbLong(h.sampleRate)
+          val rIs = decoded(1).is
+          var rzero = 576
+          while (rzero > 0 && rIs(rzero - 1) == 0) rzero -= 1
+          val m = decoded(0).xr; val sCh = decoded(1).xr
+          val sqrt2 = StrictMath.sqrt(2.0)
+          val xl = new Array[Double](576); val xrr = new Array[Double](576)
+          var band = 0
+          var i = 0
+          while (i < 576) {
+            while (band < 21 && i >= sfb(band + 1)) band += 1
+            val isPos =
+              if (band < 21 && sfb(band) >= rzero)
+                decoded(1).scalefactors(band)
+              else 7 // below the bound / above sfb 20: MS region
+            if (isPos != 7) {
+              val v = m(i)
+              if (isPos == 6) { xl(i) = v; xrr(i) = 0.0 } // r → ∞
+              else if (isPos == 0) { xl(i) = 0.0; xrr(i) = v } // r = 0
+              else {
+                val r = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                xl(i) = v * (r / (1.0 + r))
+                xrr(i) = v * (1.0 / (1.0 + r))
+              }
+            } else {
+              xl(i) = (m(i) + sCh(i)) / sqrt2
+              xrr(i) = (m(i) - sCh(i)) / sqrt2
+            }
+            i += 1
+          }
+          out += decoded(0).copy(xr = xl)
+          out += decoded(1).copy(xr = xrr)
+        } else if (h.msStereo) {
           // MS reconstruction (ISO 11172-3 §2.4.3.4.9.2): channel 0
           // carries MID, channel 1 SIDE — L = (M+S)/√2, R = (M−S)/√2,
           // applied on the requantized spectra before any time-domain
@@ -920,9 +970,15 @@ object Mp3Codec {
     * subblock gains (long-family blocks never apply them), recipes and
     * gains exactly as [[synthesizeCoded]] — so requantized lines stay
     * ±2^g and the oracle replays spectra AND the block_type column
-    * closed-form.
+    * closed-form. With `mixed = true` the granules set
+    * mixed_block_flag: the SPECTRAL surface is bit-identical (long
+    * layout, no reorder — §2.4.2.7 keys the short/mixed scalefactor
+    * partitions on block_type 2), so the same oracle must hold, and
+    * the window routing difference (subbands 0–1 normal-windowed) is
+    * spec-gated in Mp3Spec.
     */
-  def synthesizeCodedStartStop(id: Long, nFrames: Int): Array[Byte] = {
+  def synthesizeCodedStartStop(
+      id: Long, nFrames: Int, mixed: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val frameLen = MpegAudioSniff.frameLength(32, 44100, 0) // 104 bytes
     var f = 0
@@ -938,7 +994,7 @@ object Mp3Codec {
         bw.write(0, 4) // scalefac_compress
         bw.write(1, 1) // window_switching
         bw.write(if (gr == 0) 1 else 3, 2) // block_type: start then stop
-        bw.write(0, 1) // mixed_block_flag
+        bw.write(if (mixed) 1 else 0, 1) // mixed_block_flag
         bw.write(1, 5); bw.write(1, 5) // table_select × 2
         for (_ <- 0 until 3) bw.write(0, 3) // subblock_gain (unused, long)
         bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
@@ -1072,18 +1128,26 @@ object Mp3Codec {
     * by (rid + band + f + gr) mod 3. Those bands sit entirely above
     * channel 1's coded lines, so the positions never touch its own
     * requantization — they are pure stereo-position carriers, exactly
-    * the trick real intensity encoders use.
+    * the trick real intensity encoders use. `modeExt` selects the
+    * joint-stereo flavor: 1 = pure intensity (default), 3 = intensity
+    * COMBINED with MS — the same bit layout, only the header's
+    * mode_extension changes, so the decode-side routing (MS below the
+    * bound, is_pos 7 → MS instead of pass-through) is the entire
+    * difference under test.
     */
   def synthesizeCodedIntensity(
       id: Long, nFrames: Int, sideSeed: Long = MsSideSeed,
-      alphabet: Array[Int] = IsPosAlphabet): Array[Byte] = {
+      alphabet: Array[Int] = IsPosAlphabet, modeExt: Int = 1): Array[Byte] = {
+    require(modeExt == 1 || modeExt == 3,
+      s"intensity synthesizer: mode_extension $modeExt has no intensity bit")
     val out = new java.io.ByteArrayOutputStream()
     val frameLen = MpegAudioSniff.frameLength(32, 44100, 0) // 104 bytes
     var f = 0
     while (f < nFrames) {
       // sync, MPEG-1, Layer III, no CRC, 32 kbps, 44.1 kHz,
-      // joint stereo + INTENSITY mode extension
-      out.write(0xFF); out.write(0xFB); out.write(0x10); out.write(0x50)
+      // joint stereo + the requested mode extension
+      out.write(0xFF); out.write(0xFB); out.write(0x10)
+      out.write(0x40 | (modeExt << 4))
       def recipe(ch: Int, gr: Int) =
         if (ch == 0) GranuleRecipe(id, f, gr, basePairs = 10, baseQuads = 8)
         else GranuleRecipe(id + sideSeed, f, gr, basePairs = 2, baseQuads = 1)
@@ -1247,9 +1311,12 @@ object Mp3Codec {
       val out = Array.ofDim[Double](32, 18)
       var sb = 0
       while (sb < 32) {
+        // mixed_block_flag on start/stop types: the two LOWEST
+        // subbands window with the NORMAL (type 0) shape, the rest
+        // with the granule's block_type (ISO 11172-3 §2.4.1.7)
         val t = imdctLong(
           java.util.Arrays.copyOfRange(xr, sb * 18, sb * 18 + 18),
-          g.info.blockType)
+          if (g.info.mixed == 1 && sb < 2) 0 else g.info.blockType)
         var i = 0
         while (i < 18) {
           out(sb)(i) = t(i) + prev(sb)(i)

@@ -1791,6 +1791,47 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeMp3CodedIntensity]]'s COMBINED twin — the same bit
+    * layout under mode_extension 3 ([[Mp3Codec.synthesizeCodedIntensity]]
+    * with `modeExt = 3`): MS must reconstruct below the intensity
+    * bound, the pan above it, illegal positions falling back to MS.
+    */
+  def synthesizeMp3CodedIntensityMs(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedIntensity(id, nFrames, modeExt = 3),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** [[synthesizeMp3CodedStartStop]] with mixed_block_flag SET
+    * ([[Mp3Codec.synthesizeCodedStartStop]] `mixed = true`): the
+    * spectral surface is bit-identical to the unmixed bracket, so the
+    * q362 oracle must hold verbatim — the window-routing difference is
+    * spec-gated in Mp3Spec.
+    */
+  def synthesizeMp3CodedStartStopMixed(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedStartStop(id, nFrames, mixed = true),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** [[synthesizeMp3Coded]]'s MIXED-BLOCK twin
     * ([[Mp3Codec.synthesizeCodedMixed]] — hybrid long+short granules).
     */

@@ -236,4 +236,51 @@ object SequencePack {
         lit(false).as("mask"))
     spans.unionByName(pad)
   }
+
+  /** MULTIMODAL loss-mask span emission — [[lossMaskSpans]] at SEGMENT
+    * granularity: the input is [[packChunksMultimodal]]'s segment table
+    * plus a per-segment loss flag (`maskCol` — typically false for
+    * image placeholder runs and prompt spans), and the output tiles
+    * every chunk with (`span_offset`, `span_len`, doc, seg, modality,
+    * `mask`) rows plus the single PAD span closing the final chunk.
+    * The modality AND the mask ride through the pack as ONE carried
+    * struct label — same single range exchange, no join back to the
+    * segment table.
+    */
+  def lossMaskSpansMultimodal(
+      df: DataFrame,
+      docCol: String,
+      segCol: String,
+      modalityCol: String,
+      maskCol: String,
+      nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    val lab = struct(
+      col(modalityCol).as("modality"), col(maskCol).cast("boolean").as("mask"))
+    val pieces = packChunksMultimodal(
+      df.select(col(docCol), col(segCol), lab.as("_lab"), col(nTokensCol)),
+      docCol, segCol, "_lab", nTokensCol, seqLen)
+    val spans = pieces.select(
+      col("chunk_id"),
+      col(docCol),
+      col(segCol),
+      col("_lab.modality").as("modality"),
+      col("chunk_offset").as("span_offset"),
+      col("piece_len").as("span_len"),
+      col("_lab.mask").as("mask"))
+    val lastChunk = expr(s"(_total - 1) div ${seqLen}L")
+    val pad = df
+      .agg(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
+        .otherwise(lit(0L))).as("_total"))
+      .filter(col("_total") > 0 && col("_total") % seqLen =!= 0)
+      .select(
+        lastChunk.as("chunk_id"),
+        lit(null).cast(df.schema(docCol).dataType).as(docCol),
+        lit(null).cast(df.schema(segCol).dataType).as(segCol),
+        lit(null).cast(df.schema(modalityCol).dataType).as("modality"),
+        (col("_total") - lastChunk * seqLen).as("span_offset"),
+        ((lastChunk + 1) * seqLen - col("_total")).as("span_len"),
+        lit(false).as("mask"))
+    spans.unionByName(pad)
+  }
 }

@@ -64,7 +64,8 @@ object Round12Queries {
     * plus the per-cell constant ‖q − c‖² → ADC rank.
     */
   private[queries] def ivfPqOracle(m: Int, k: Int, iters: Int, sub: Int,
-      nProbe: Int, topK: Int, where: String = "TRUE"): String = {
+      nProbe: Int, topK: Int, where: String = "TRUE",
+      probeId: Long = 0L): String = {
     val dims = m * sub
     val subs = (0 until m).map(s => ivfPqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
     val luts = (0 until m).map { s =>
@@ -90,7 +91,7 @@ object Round12Queries {
        |    list_transform(generate_series(1, $dims),
        |      i -> e.embedding[i]::DOUBLE - ct.c[i]) AS r
        |  FROM embeddings e JOIN cent ct USING (label)),
-       |q AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
        |probe AS (SELECT label, c FROM (
        |    SELECT ct.label, ct.c,
        |      list_aggregate(list_transform(generate_series(1, $dims),

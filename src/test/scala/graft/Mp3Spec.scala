@@ -71,7 +71,7 @@ class Mp3Spec extends SparkSpec {
     assert(e.getMessage.contains("reservoir"))
   }
 
-  test("typed rejection: layers I/II, MPEG-2, free format, intensity+MS combo, " +
+  test("typed rejection: layers I/II, MPEG-2, free format, " +
     "forbidden block_type 0 window switch, non-embedded tables") {
     val good = Mp3Codec.synthesizeCoded(1L, 1)
     def mut(f: Array[Byte] => Unit): Array[Byte] = {
@@ -84,7 +84,6 @@ class Mp3Spec extends SparkSpec {
     rejects(mut(b => b(1) = 0xFD.toByte), "layer") // layer II
     rejects(mut(b => b(1) = 0xF3.toByte), "mpeg") // MPEG-2
     rejects(mut(b => b(2) = 0x00.toByte), "free-format")
-    rejects(mut(b => b(3) = 0x70.toByte), "combined") // joint, intensity+MS
     // window_switching flipped on a long granule: the next 2 bits (the
     // old table_select's top bits, 00) parse as block_type 0 — the
     // combination ISO §2.4.1.7 forbids
@@ -92,6 +91,139 @@ class Mp3Spec extends SparkSpec {
     // flip count1table_select (last bit of granule 0's 59-bit block,
     // bit 18+59-1=76 → byte 9, bit 7-(76-72)=3) to table A
     rejects(mut(b => b(13) = (b(13) & ~0x08).toByte), "count1")
+  }
+
+  test("combined joint stereo (mode_extension 3): MS below the intensity " +
+    "bound, pan at/above it, ILLEGAL positions fall back to MS — not " +
+    "pass-through as in pure intensity") {
+    val id = 13L
+    val seed = Mp3Codec.MsSideSeed
+    val sfbL = Mp3Codec.SfbLong(44100)
+    val sqrt2 = StrictMath.sqrt(2.0)
+    // the two coded channels replayed by hand from the recipe
+    def mono(rid: Long, bp: Int, bq: Int): Seq[Array[Double]] =
+      (0 until 2).flatMap { f =>
+        (0 until 2).map { gr =>
+          val rec = Mp3Codec.GranuleRecipe(rid, f, gr, basePairs = bp, baseQuads = bq)
+          val xr = new Array[Double](576)
+          var h = 0
+          def put(line: Int, v: Int): Unit =
+            if (v != 0) xr(line) = v * StrictMath.pow(2.0, rec.gainExp.toDouble)
+          (0 until rec.nPairs).foreach { p =>
+            val (x, y) = rec.pairMag(p); val (sx, sy) = rec.pairSign(p)
+            put(h, x * (1 - 2 * sx * x)); put(h + 1, y * (1 - 2 * sy * y))
+            h += 2
+          }
+          (0 until rec.nQuads).foreach { q =>
+            val m = rec.quadMag(q)
+            (0 until 4).foreach(j =>
+              put(h + j, m(j) * (1 - 2 * rec.quadSign(q, j + 1) * m(j))))
+            h += 4
+          }
+          xr
+        }
+      }
+    val ch0 = mono(id, 10, 8)
+    val ch1 = mono(id + seed, 2, 1)
+    def expect(alphabet: Array[Int]): Unit = {
+      val got = Mp3Codec.decodeSpectra(
+        Mp3Codec.synthesizeCodedIntensity(id, 2, seed, alphabet, modeExt = 3))
+      assert(got.size == 8)
+      got.grouped(2).zipWithIndex.foreach { case (Seq(l, r), k) =>
+        val f = k / 2; val gr = k % 2
+        val v0 = ch0(k); val v1 = ch1(k)
+        var rzero = 576
+        while (rzero > 0 && v1(rzero - 1) == 0.0) rzero -= 1
+        def ms(i: Int): Unit = {
+          assert(l.xr(i) == (v0(i) + v1(i)) / sqrt2, s"MS-L g$k l$i")
+          assert(r.xr(i) == (v0(i) - v1(i)) / sqrt2, s"MS-R g$k l$i")
+        }
+        (0 until 21).foreach { band =>
+          val st = sfbL(band); val en = sfbL(band + 1)
+          if (st < rzero) (st until en).foreach(ms) // below the bound: MS
+          else {
+            val isPos =
+              if (band < 11) 0
+              else alphabet(((id + seed + band + f + gr) % alphabet.length).toInt)
+            (st until en).foreach { i =>
+              if (isPos == 7) ms(i) // illegal position under ms_stereo: MS
+              else if (isPos == 6) assert(l.xr(i) == v0(i) && r.xr(i) == 0.0)
+              else if (isPos == 0) assert(l.xr(i) == 0.0 && r.xr(i) == v0(i))
+              else {
+                val ratio = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                assert(l.xr(i) == v0(i) * (ratio / (1.0 + ratio)), s"L g$k l$i")
+                assert(r.xr(i) == v0(i) * (1.0 / (1.0 + ratio)), s"R g$k l$i")
+              }
+            }
+          }
+        }
+        // the no-is_pos zone above sfb 20 reconstructs in MS too
+        (sfbL(21) until 576).foreach(ms)
+      }
+    }
+    expect(Mp3Codec.IsPosAlphabet) // the oracle-gated exact alphabet
+    expect(Array(1, 2, 3, 4, 5)) // the irrational tan ratios, in-JVM
+    expect(Array(7)) // every band illegal → full-spectrum MS
+    // the same BITS under mode_extension 1 vs 3 must differ exactly at
+    // the illegal-position rule: pure intensity passes through, the
+    // combined mode matrixes — an all-illegal alphabet maximizes the
+    // divergent region
+    val pure = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedIntensity(id, 1, seed, Array(7)))
+    val comb = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedIntensity(id, 1, seed, Array(7), modeExt = 3))
+    val differs = pure.zip(comb).exists { case (a, b) =>
+      a.xr.toSeq != b.xr.toSeq
+    }
+    assert(differs, "mode_extension 3 must not decode as pure intensity")
+  }
+
+  test("mixed start/stop blocks: spectra identical to the unmixed bracket, " +
+    "subbands 0-1 window NORMAL while 2+ keep the block_type window") {
+    val id = 9L
+    // SPECTRAL surface: bit-identical side info layout, long
+    // scalefactor path, no reorder — mixed flag or not
+    val plain = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedStartStop(id, 2))
+    val mixed = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedStartStop(id, 2, mixed = true))
+    assert(plain.size == mixed.size && plain.nonEmpty)
+    plain.zip(mixed).foreach { case (a, b) =>
+      assert(a.info.blockType == b.info.blockType)
+      assert(a.info.mixed == 0 && b.info.mixed == 1)
+      assert(a.is.toSeq == b.is.toSeq)
+      assert(a.xr.toSeq == b.xr.toSeq, "mixed flag must not touch the spectrum")
+    }
+    // WINDOW routing (one frame: granule 0 START, granule 1 STOP).
+    // Granule 0's OUTPUT samples are identical either way — the type-0
+    // and type-1 windows agree on the first half — but its TAIL and
+    // granule 1's own first half differ in subbands 0-1 only.
+    val sbP = Mp3Codec.decodeSubbands(Mp3Codec.synthesizeCodedStartStop(id, 1))
+    val sbM = Mp3Codec.decodeSubbands(
+      Mp3Codec.synthesizeCodedStartStop(id, 1, mixed = true))
+    assert(sbP.size == 2 && sbM.size == 2)
+    (0 until 32).foreach { sb =>
+      assert(sbP(0).samples(sb).toSeq == sbM(0).samples(sb).toSeq,
+        s"granule 0 subband $sb: START first half == NORMAL first half")
+    }
+    (2 until 32).foreach { sb =>
+      assert(sbP(1).samples(sb).toSeq == sbM(1).samples(sb).toSeq,
+        s"granule 1 subband $sb keeps the STOP window")
+    }
+    assert((0 until 2).exists(sb =>
+      sbP(1).samples(sb).toSeq != sbM(1).samples(sb).toSeq),
+      "granule 1 subbands 0-1 must feel the NORMAL window")
+    // closed-form replay of granule 1's subband 0 (even subband — no
+    // frequency inversion): own NORMAL-windowed IMDCT first half plus
+    // granule 0's NORMAL-windowed tail
+    val spec = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedStartStop(id, 1, mixed = true))
+    def sb0(g: Int): Array[Double] = java.util.Arrays.copyOfRange(
+      Mp3Codec.aliasReduce(spec(g).xr), 0, 18)
+    val t0 = Mp3Codec.imdctLong(sb0(0), 0)
+    val t1 = Mp3Codec.imdctLong(sb0(1), 0)
+    val expected = Array.tabulate(18)(i => t1(i) + t0(18 + i))
+    assert(sbM(1).samples(0).toSeq == expected.toSeq,
+      "granule 1 subband 0 = NORMAL-window IMDCT + NORMAL-window tail")
   }
 
   test("time-domain stages: silence is exact zeros; IMDCT is linear; " +
@@ -174,7 +306,7 @@ class Mp3Spec extends SparkSpec {
   }
 
   test("mixed blocks: long chain below line 36, short reorder + window gains above, " +
-    "17+18 scalefactor layout, mixed on start/stop rejects") {
+    "17+18 scalefactor layout, bit-surgered mixed flag on START accepted") {
     val id = 21L
     val out = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedMixed(id, 2))
     assert(out.size == 4)
@@ -214,15 +346,21 @@ class Mp3Spec extends SparkSpec {
       assert(2 * rec.nPairs > 36, "fixture must cross the long/short seam")
       assert(g.xr.toSeq == expected.toSeq, s"frame $f granule ${g.granule}")
     }
-    // mixed_block_flag on a START block has no spec semantics → typed
+    // mixed_block_flag bit-surgered ONTO a START block (the former
+    // typed rejection, now accepted per §2.4.1.7): the flag is a pure
+    // window split for long-family types — the SPECTRUM must be
+    // untouched. Granule 0's window-switching block starts at side-info
+    // bit 18+12+9+8+4 = 51; ws(1) bt(2) then mixed → absolute bit
+    // 4*8 + 54 = 86 → byte 10, bit 86-80=6 (mask 0x02)
     val ss = Mp3Codec.synthesizeCodedStartStop(id, 1).clone()
-    // granule 0's window-switching block starts at side-info bit 18+12+9+8+4
-    // = 51; ws(1) bt(2) then mixed at bit 54+... flip the mixed bit: byte
-    // boundary math — bit 54 (0-based from side-info start at byte 4) →
-    // absolute bit 4*8 + 54 = 86 → byte 10, bit 86-80=6 (mask 0x02)
     ss(10) = (ss(10) | 0x02).toByte
-    val e = intercept[IllegalArgumentException](Mp3Codec.decodeSpectra(ss))
-    assert(e.getMessage.contains("mixed_block_flag"))
+    val surgered = Mp3Codec.decodeSpectra(ss)
+    val unmixed = Mp3Codec.decodeSpectra(Mp3Codec.synthesizeCodedStartStop(id, 1))
+    assert(surgered.size == unmixed.size)
+    surgered.zip(unmixed).foreach { case (a, b) =>
+      assert((a.info.mixed == 1) == (a.granule == 0)) // only granule 0 flipped
+      assert(a.xr.toSeq == b.xr.toSeq)
+    }
   }
 
   test("start/stop blocks: window-switching side info parses types 1/3, " +

@@ -114,6 +114,36 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("lossMaskSpansMultimodal: spans tile every chunk, modality and mask " +
+    "ride the carried label, pad closes the tail") {
+    import graft.operators.SequencePack
+    // doc 1: text 3 (loss) + image 2 (no loss); doc 2: text 4 (loss);
+    // seqLen 4 → total 9 tokens, 3 chunks, last padded by 3
+    val segs = Seq(
+      (1L, 0L, "text", 3L, true), (1L, 1L, "image", 2L, false),
+      (2L, 0L, "text", 4L, true))
+      .toDF("doc_id", "seg", "modality", "nt", "is_loss")
+    val out = SequencePack.lossMaskSpansMultimodal(
+      segs, "doc_id", "seg", "modality", "is_loss", "nt", seqLen = 4L)
+      .orderBy("chunk_id", "span_offset").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(out == Seq(
+      (0L, Some(1L), "text", 0L, 3L, true),
+      (0L, Some(1L), "image", 3L, 1L, false),
+      (1L, Some(1L), "image", 0L, 1L, false),
+      (1L, Some(2L), "text", 1L, 3L, true),
+      (2L, Some(2L), "text", 0L, 1L, true),
+      (2L, None, null, 1L, 3L, false)))
+    // tiling: every chunk's spans cover [0, 4) exactly
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      assert(spans.map(_._5).sum == 4L)
+      assert(spans.sortBy(_._4).foldLeft(0L) { (at, s) =>
+        assert(s._4 == at); at + s._5
+      } == 4L)
+    }
+  }
+
   test("mixture interleave: every prefix holds each source within 1 of its share") {
     val rows = (0 until 60).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
     val df = rows.toDF("id", "src") // 20 a, 40 b
