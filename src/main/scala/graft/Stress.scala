@@ -1179,6 +1179,35 @@ object Stress {
     docs.unpersist()
   }
 
+  /** Incremental piece-store probe: 16 fenced schedule batches of 1.25M
+    * docs each (20M total, ~8.6B tokens) append in sequence; the claim
+    * under test is FLAT append cost vs batch count (each append = one
+    * batch-sized range exchange + a bounded state read), with
+    * `compactState` folding the state dir halfway and the monotonicity
+    * guard priced in every append.
+    */
+  private def schedStore(
+      spark: org.apache.spark.sql.SparkSession, meter: ShuffleMeter): Unit = {
+    import graft.operators.PieceStore
+    val root = "target/stress_schedstore"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val perBatch = 1250000L
+    val fence = 1000000000L
+    def batch(k: Int) = spark.range(0, perBatch).select(
+      (lit(k * fence) + col("id")).as("sid"),
+      (pmod(col("id") * 131L, lit(800L)) + 20L).as("n_tokens"))
+    (0 until 16).foreach { k =>
+      timed(meter, s"append_b$k")(
+        { PieceStore.appendBatch(batch(k), "sid", "n_tokens", 2048L, root, s"b$k"); 1L })
+      if (k == 7) timed(meter, "compact_state_mid")(
+        PieceStore.compactState(spark, root, "s0"))
+    }
+    timed(meter, "pieces_full_read")(PieceStore.pieces(spark, root).count())
+    println(s"STRESS schedstore total_tokens=${PieceStore.totalTokens(spark, root)}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("stress", Some("32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1188,6 +1217,7 @@ object Stress {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     def time(n: String)(f: => Long): Unit = timed(meter, n)(f)
+    if (args.contains("schedstore")) { schedStore(spark, meter); spark.stop(); return }
     if (args.contains("scale50")) { scale50(spark, dir, meter); spark.stop(); return }
     if (args.contains("hotbasket")) { hotBasket(spark, dir, meter); spark.stop(); return }
     if (args.contains("scaleops")) { scaleOps(spark, dir, meter); spark.stop(); return }

@@ -18,10 +18,12 @@ package graft.multimodal
   *    blocks (the hybrid split: lowest two subbands long, short bands
   *    3+ above, the 17+18 scalefactor layout), MS joint stereo
   *    (L = (M±S)/√2), INTENSITY joint stereo (pan by is_pos with the
-  *    tan(is_pos·π/12) ratio, illegal position 7 passed through), the
-  *    COMBINED joint stereo (mode_extension 3 — MS below the intensity
-  *    bound, intensity pan at/above it, illegal positions falling back
-  *    to MS per §2.4.3.4.9.3), the bit reservoir (main_data_begin),
+  *    tan(is_pos·π/12) ratio, illegal position 7 passed through) over
+  *    long AND short granules (short: a per-WINDOW bound search with
+  *    per-window is_pos slots), the COMBINED joint stereo
+  *    (mode_extension 3 — MS below the intensity bound, intensity pan
+  *    at/above it, illegal positions falling back to MS per
+  *    §2.4.3.4.9.3; long blocks), the bit reservoir (main_data_begin),
   *    scalefactor decode incl. scfsi sharing, Huffman big_values PAIR
   *    decode for tables 0/1 and count1 QUAD decode for table B, sign
   *    bits, requantization (the |is|^(4/3) · 2^((gain−210)/4) ·
@@ -29,8 +31,9 @@ package graft.multimodal
   *    alias-reduction butterflies, IMDCT + per-type window +
   *    overlap-add + frequency inversion.
   *  - Typed rejection (never silent): Layer I/II, MPEG-2/2.5,
-  *    free-format, intensity stereo over SHORT-block granules (a
-  *    distinct per-window bound search), and Huffman tables
+  *    free-format, intensity stereo over MIXED-block or
+  *    type-mismatched granules, COMBINED stereo over short blocks,
+  *    and Huffman tables
   *    whose SPEC DATA is not embedded here (the large pair tables 2–31
   *    and count1 table A are hundreds of arbitrary codewords from ISO
   *    Table B.7 — reproducing them from memory would risk a silently
@@ -637,8 +640,64 @@ object Mp3Codec {
           // channels' lines there are beyond the coded region of any
           // conformant intensity stream, so pass-through is
           // output-equivalent and that is what this decoder does.
-          require(decoded.forall(_.info.blockType != 2),
-            "mp3: intensity stereo with short blocks unsupported")
+          // SHORT-block granules take the per-window variant below.
+          if (decoded.exists(_.info.blockType == 2)) {
+            require(decoded.forall(g => g.info.blockType == 2 && g.info.mixed == 0),
+              "mp3: intensity stereo with mixed or mismatched block types unsupported")
+            // SHORT-BLOCK intensity (ISO 11172-3 §2.4.3.4.9.3, the
+            // reference decoder's window scan): each of the three
+            // short windows gets its OWN bound — the highest band
+            // holding a nonzero right-channel line in that window,
+            // plus one — and bands at/above it pan by that band's
+            // per-window is_pos (scalefactor slot sfb·3 + w); illegal
+            // position 7 passes through, and the no-is_pos band 12
+            // (lines 3·136+) is beyond any conformant coded region so
+            // it passes through like the long path's sfb-20 zone.
+            // Natural-order line of (band b, window w, idx) is
+            // 3·(start + idx) + w — the reorder permutation.
+            val sfbS = SfbShort(h.sampleRate)
+            val r1 = decoded(1).xr
+            val xl = decoded(0).xr.clone(); val xrr = decoded(1).xr.clone()
+            var w = 0
+            while (w < 3) {
+              var boundBand = 0
+              var b = 11
+              while (b >= 0 && boundBand == 0) {
+                val st = sfbS(b); val width = sfbS(b + 1) - st
+                var idx = 0
+                while (idx < width && boundBand == 0) {
+                  if (r1(3 * (st + idx) + w) != 0.0) boundBand = b + 1
+                  idx += 1
+                }
+                b -= 1
+              }
+              var bb = boundBand
+              while (bb < 12) {
+                val isPos = decoded(1).scalefactors(bb * 3 + w)
+                if (isPos != 7) {
+                  val st = sfbS(bb); val width = sfbS(bb + 1) - st
+                  var idx = 0
+                  while (idx < width) {
+                    val i = 3 * (st + idx) + w
+                    val v = decoded(0).xr(i)
+                    if (isPos == 6) { xl(i) = v; xrr(i) = 0.0 } // r → ∞
+                    else if (isPos == 0) { xl(i) = 0.0; xrr(i) = v } // r = 0
+                    else {
+                      val r = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                      xl(i) = v * (r / (1.0 + r))
+                      xrr(i) = v * (1.0 / (1.0 + r))
+                    }
+                    idx += 1
+                  }
+                }
+                bb += 1
+              }
+              w += 1
+            }
+            out += decoded(0).copy(xr = xl)
+            out += decoded(1).copy(xr = xrr)
+            // the long-block path below is skipped for this granule
+          } else {
           val sfb = SfbLong(h.sampleRate)
           val rIs = decoded(1).is
           var rzero = 576
@@ -669,6 +728,7 @@ object Mp3Codec {
           }
           out += decoded(0).copy(xr = xl)
           out += decoded(1).copy(xr = xrr)
+          }
         } else decoded.foreach(out += _)
       }
       // the reservoir carries ONLY main-data bytes (max 511 lookback)
@@ -1179,6 +1239,106 @@ object Mp3Codec {
           while (band < 21) {
             md.write(
               alphabet(((id + sideSeed + band + f + gr) % alphabet.length).toInt), 3)
+            band += 1
+          }
+        }
+        var p = 0
+        while (p < r.nPairs) {
+          val (x, y) = r.pairMag(p)
+          val (code, len) = pairTable1Code(x, y)
+          md.write(code, len)
+          val (sx, sy) = r.pairSign(p)
+          if (x != 0) md.write(sx, 1)
+          if (y != 0) md.write(sy, 1)
+          p += 1
+        }
+        var q = 0
+        while (q < r.nQuads) {
+          val m = r.quadMag(q)
+          md.write(~((m(0) << 3) | (m(1) << 2) | (m(2) << 1) | m(3)) & 0xF, 4)
+          var j = 0
+          while (j < 4) {
+            if (m(j) != 0) md.write(r.quadSign(q, j + 1), 1)
+            j += 1
+          }
+          q += 1
+        }
+      }
+      val main = md.bytes
+      val room = frameLen - 4 - 32
+      require(main.length <= room, s"main data ${main.length} exceeds $room")
+      out.write(main, 0, main.length)
+      var pad = main.length
+      while (pad < room) { out.write(0); pad += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** SHORT-BLOCK intensity twin of [[synthesizeCodedIntensity]]:
+    * joint-stereo (mode_extension 01) frames whose granules are
+    * window-switching type-2 blocks on BOTH channels, at 48 kbps (the
+    * bigger recipes need the room). Channel 0 codes a large short
+    * recipe (basePairs 18 / baseQuads 22 — every granule's coded lines
+    * run past 3·sfbShort(7) = 120 Huffman lines, so the alphabet bands
+    * 6–7 carry NONZERO panned values in all three windows); channel 1
+    * a small recipe (2/1 — its coded lines stay in bands 0–2, so each
+    * window's bound is non-trivial). Channel 1's scalefac_compress is
+    * 3 (slen 0/3): short bands 6–11 × 3 windows carry the 3-bit is_pos
+    * positions, drawn from `alphabet` by (rid + band + 3·window + f +
+    * gr) mod len — pure carriers, above channel 1's own coded region.
+    * Subblock gains are ZERO here (an encoder choice — the gains are
+    * q361's surface), so every routed line stays exactly ±2^g.
+    */
+  def synthesizeCodedIntensityShort(
+      id: Long, nFrames: Int, sideSeed: Long = MsSideSeed,
+      alphabet: Array[Int] = IsPosAlphabet): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = MpegAudioSniff.frameLength(48, 44100, 0)
+    var f = 0
+    while (f < nFrames) {
+      // sync, MPEG-1, Layer III, no CRC, 48 kbps, 44.1 kHz,
+      // joint stereo + INTENSITY mode extension
+      out.write(0xFF); out.write(0xFB); out.write(0x30); out.write(0x50)
+      def recipe(ch: Int, gr: Int) =
+        if (ch == 0) GranuleRecipe(id, f, gr, basePairs = 18, baseQuads = 22)
+        else GranuleRecipe(id + sideSeed, f, gr, basePairs = 2, baseQuads = 1)
+      val bw = new BitWriter
+      bw.write(0, 9) // main_data_begin
+      bw.write(0, 3) // private (stereo)
+      bw.write(0, 8) // scfsi × 2 channels
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        // ch1 pays 54 scalefactor bits (short bands 6–11 × 3 windows
+        // × slen2 3) in part2
+        bw.write(r.part23Length + (if (ch == 1) 54 else 0), 12)
+        bw.write(r.nPairs, 9)
+        bw.write(210 + 4 * r.gainExp, 8)
+        bw.write(if (ch == 1) 3 else 0, 4) // scalefac_compress
+        bw.write(1, 1) // window_switching
+        bw.write(2, 2) // block_type: short
+        bw.write(0, 1) // mixed_block_flag
+        bw.write(1, 5); bw.write(1, 5) // table_select × 2
+        for (_ <- 0 until 3) bw.write(0, 3) // subblock_gain: zero
+        bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+      }
+      val si = bw.bytes
+      require(si.length == 32, s"stereo side info must be 32 bytes, got ${si.length}")
+      out.write(si, 0, 32)
+      val md = new BitWriter
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val r = recipe(ch, gr)
+        if (ch == 1) {
+          // the is_pos carriers: short bands 6–11 × windows 0–2, in
+          // the (band-major, window) read order of the short layout
+          var band = 6
+          while (band < 12) {
+            var w = 0
+            while (w < 3) {
+              md.write(alphabet(
+                ((id + sideSeed + band + 3 * w + f + gr) % alphabet.length).toInt), 3)
+              w += 1
+            }
             band += 1
           }
         }

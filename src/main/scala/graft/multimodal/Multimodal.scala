@@ -1832,6 +1832,26 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeMp3CodedIntensity]]'s SHORT-BLOCK twin
+    * ([[Mp3Codec.synthesizeCodedIntensityShort]] — both channels
+    * window-switching type 2; the decoder's per-window bound search is
+    * the surface under test).
+    */
+  def synthesizeMp3CodedIntensityShort(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedIntensityShort(id, nFrames),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** [[synthesizeMp3Coded]]'s MIXED-BLOCK twin
     * ([[Mp3Codec.synthesizeCodedMixed]] — hybrid long+short granules).
     */

@@ -65,7 +65,7 @@ object Round12Queries {
     */
   private[queries] def ivfPqOracle(m: Int, k: Int, iters: Int, sub: Int,
       nProbe: Int, topK: Int, where: String = "TRUE",
-      probeId: Long = 0L): String = {
+      probeId: Long = 0L, trainWhere: String = "TRUE"): String = {
     val dims = m * sub
     val subs = (0 until m).map(s => ivfPqSubCtes(s, k, iters, s * sub, sub)).mkString(",\n")
     val luts = (0 until m).map { s =>
@@ -85,12 +85,14 @@ object Round12Queries {
       .mkString(" ")
     val dsum = (0 until m).map(s => s"l$s.d").mkString(" + ")
     s"""WITH cm AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m
-       |    FROM embeddings, unnest(generate_series(1, $dims)) AS u(i) GROUP BY label, i),
+       |    FROM embeddings, unnest(generate_series(1, $dims)) AS u(i)
+       |    WHERE $trainWhere GROUP BY label, i),
        |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
        |res AS (SELECT e.vec_id, e.label,
        |    list_transform(generate_series(1, $dims),
        |      i -> e.embedding[i]::DOUBLE - ct.c[i]) AS r
-       |  FROM embeddings e JOIN cent ct USING (label)),
+       |  FROM embeddings e JOIN cent ct USING (label)
+       |  WHERE $trainWhere),
        |q AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
        |probe AS (SELECT label, c FROM (
        |    SELECT ct.label, ct.c,

@@ -614,5 +614,196 @@ object Round15Queries {
         import s.implicits._
         rows.toDF("probe_id", "n_hits", "k").orderBy("probe_id")
       }
+    },
+
+    // IVF+PQ REFIT GENERATION (sim.IvfPqStore.refitGeneration) — the
+    // maintenance step q381 motivates: centroids and the residual
+    // codebook FREEZE at fit time, so churn decays fixed-nProbe recall
+    // and compaction alone keeps the stale quantizers. The gate churns
+    // a store (two appends → tombstones → compact → pending
+    // tombstones), REFITS a new generation from the survivors (live id
+    // set joined back to the raw corpus — codes are not invertible),
+    // cold-reloads it, and answers the ADC query. The oracle is the
+    // full q332 closed form with TRAINING ITSELF restricted to the
+    // survivor set (exact cell means, k lowest-id residual init, both
+    // k-means rounds — all over survivors only): a refit that leaks a
+    // deleted vector into any training statistic lands off the hash.
+    {
+      val liveScore = "NOT (r.vec_id % 7 = 3 AND r.vec_id % 3 < 2)" +
+        " AND r.vec_id % 5 <> 4"
+      val liveTrain = "NOT (vec_id % 7 = 3 AND vec_id % 3 < 2)" +
+        " AND vec_id % 5 <> 4"
+      Q(
+        "q382_ivfpq_refit",
+        Round12Queries.ivfPqOracle(m = 4, k = 4, iters = 2, sub = 16,
+          nProbe = 2, topK = 10, where = liveScore,
+          trainWhere = liveTrain)) { (s, dir) =>
+        import graft.sim.{IvfPq, IvfPqStore, PqIndexStore}
+        val emb = Tables.load(s, dir, "embeddings").persist()
+        val (cents, cb) = IvfPq.fitResidual(
+          emb, "vec_id", "embedding", "label", dims = 64, m = 4, k = 4,
+          iters = 2)
+        val root = s"target/q382_ivfpqstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        val gen = s"${root}_g1"
+        for (d <- Seq(root, gen)) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+        }
+        IvfPqStore.writeCentroids(s, root, cents)
+        PqIndexStore.writeCodebook(s, root, cb)
+        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 0), cents,
+          "vec_id", "embedding", "label", root, cb, "b0")
+        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 1), cents,
+          "vec_id", "embedding", "label", root, cb, "b1")
+        IvfPqStore.appendTombstones(
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+          "vec_id", root, "t0")
+        IvfPqStore.compact(s, root, "c0", "vec_id", "label")
+        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 2), cents,
+          "vec_id", "embedding", "label", root, cb, "b2")
+        IvfPqStore.appendTombstones(
+          emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
+          "vec_id", root, "t1")
+        // the refit generation: survivors only, fresh quantizers
+        IvfPqStore.refitGeneration(s, root, gen, emb,
+          "vec_id", "embedding", "label", dims = 64, m = 4, k = 4, iters = 2)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+        emb.unpersist()
+        // cold reload of the NEW generation only
+        IvfPq.adcTopK(
+          IvfPqStore.codes(s, gen),
+          IvfPqStore.readCentroids(s, gen),
+          "vec_id", "label",
+          PqIndexStore.readCodebook(s, gen),
+          probe, nProbe = 2, topK = 10)
+      }
+    },
+
+    // SHORT-BLOCK INTENSITY STEREO (Mp3Codec mode_extension 01 over
+    // window-switching type-2 granules) — the per-WINDOW variant of
+    // q363's reconstruction, the last joint-stereo rejection: each of
+    // the three short windows gets its OWN intensity bound (the
+    // highest band holding a nonzero right-channel line in that
+    // window, plus one), bands at/above it pan channel 0's lines by
+    // that band's per-window is_pos (scalefactor slot sfb·3 + w), and
+    // the pan lands at the NATURAL-order position 3·(start+idx)+w —
+    // so the oracle replays the reorder permutation (q361), the
+    // window scan, the band lookup, the per-window is_pos extraction
+    // (zero-slen bands 0–5 read 0 → fully right), and the routing,
+    // all in integer micro units (subblock gains are zero here; the
+    // gains are q361's surface).
+    Q(
+      "q383_mp3_intensity_short",
+      """WITH fgc AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr, ch.ch AS ch,
+        |    CASE ch.ch WHEN 0 THEN doc_id ELSE doc_id + 1000003 END AS rid,
+        |    CASE ch.ch WHEN 0 THEN 18 ELSE 2 END AS bp,
+        |    CASE ch.ch WHEN 0 THEN 22 ELSE 1 END AS bq
+        |  FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr),
+        |    unnest(generate_series(0, 1)) AS ch(ch)),
+        |par AS (SELECT doc_id, f, gr, ch, rid,
+        |    bp + (rid + f) % 5 AS npairs,
+        |    bq + (rid + 2*f + gr) % 4 AS nquads,
+        |    (rid + f + gr) % 5 AS g
+        |  FROM fgc),
+        |pp AS (SELECT doc_id, f, gr, ch, p.p AS p,
+        |    (rid + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (rid*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (rid + p.p + f) % 2 AS sx,
+        |    (rid + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 21)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (SELECT doc_id, f, gr, ch, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (rid + q.q + f) % 2
+        |             WHEN 2 THEN (rid + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (rid + 5*q.q + f + gr) % 2
+        |             ELSE (rid + 7*q.q + 1) % 2 END AS mag,
+        |    (rid + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 24)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, ch, 2*p + xy.xy AS line,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr, q.ch,
+        |    2*a.npairs + 4*q.q + (q.j - 1), q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr, ch)),
+        |-- short band table (44.1 kHz) out to band 7: ch0's coded
+        |-- region ends at Huffman line 143 < 3·52
+        |sbands AS (SELECT * FROM (VALUES (0, 0, 4), (1, 4, 8), (2, 8, 12),
+        |    (3, 12, 16), (4, 16, 22), (5, 22, 30), (6, 30, 40),
+        |    (7, 40, 52)) AS t(band, st, en)),
+        |-- the reorder permutation: Huffman line → (band, window, idx)
+        |-- → natural position 3·(start+idx)+window
+        |map AS (
+        |  SELECT l.*, b.band,
+        |    (l.line - 3*b.st) // (b.en - b.st) AS w,
+        |    3*(b.st + (l.line - 3*b.st) % (b.en - b.st))
+        |      + (l.line - 3*b.st) // (b.en - b.st) AS n
+        |  FROM lines l JOIN sbands b
+        |    ON l.line >= 3*b.st AND l.line < 3*b.en),
+        |-- the PER-WINDOW bound: highest band with a nonzero right-
+        |-- channel line in that window, plus one (missing → 0)
+        |rz AS (
+        |  SELECT doc_id, f, gr, w, max(band) + 1 AS bound
+        |  FROM map WHERE ch = 1 AND mag = 1
+        |  GROUP BY doc_id, f, gr, w),
+        |routed AS (
+        |  SELECT m.doc_id, m.f, m.gr, m.n, m.s,
+        |    CASE
+        |      WHEN m.ch = 1 THEN 1
+        |      WHEN m.band < coalesce(rz.bound, 0) THEN 0
+        |      WHEN m.band < 6 THEN 1
+        |      WHEN (m.doc_id + 1000003 + m.band + 3*m.w + m.f + m.gr) % 3 = 0
+        |        THEN 1
+        |      ELSE 0 END AS out_ch,
+        |    CAST(power(2, a.g) AS BIGINT) AS unit
+        |  FROM map m
+        |  JOIN par a USING (doc_id, f, gr, ch)
+        |  LEFT JOIN rz ON rz.doc_id = m.doc_id AND rz.f = m.f
+        |    AND rz.gr = m.gr AND rz.w = m.w
+        |  WHERE m.mag = 1),
+        |feat AS (
+        |  SELECT doc_id, f, gr, out_ch,
+        |    CAST(count(*) AS BIGINT) AS nnz,
+        |    CAST(sum(unit) * 1000000 AS BIGINT) AS sum_abs,
+        |    CAST(sum((1 - 2*s) * (n + 1) * unit) * 1000000 AS BIGINT)
+        |      AS wsum
+        |  FROM routed GROUP BY doc_id, f, gr, out_ch),
+        |pbits AS (SELECT doc_id, f, gr, ch,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr, ch),
+        |qbits AS (SELECT doc_id, f, gr, ch, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr, ch)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(a.ch AS BIGINT) AS channel,
+        |  CAST(2 AS BIGINT) AS block_type,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b + CASE a.ch WHEN 1 THEN 54 ELSE 0 END AS BIGINT)
+        |    AS part2_3_length,
+        |  coalesce(ft.nnz, 0) AS n_nonzero,
+        |  coalesce(ft.sum_abs, 0) AS sum_abs_micro,
+        |  coalesce(ft.wsum, 0) AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr, ch)
+        |JOIN qbits qb USING (doc_id, f, gr, ch)
+        |LEFT JOIN feat ft ON ft.doc_id = a.doc_id AND ft.f = a.f
+        |  AND ft.gr = a.gr AND ft.out_ch = a.ch
+        |ORDER BY media_id, frame_idx, granule, channel""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3SpectraTyped(
+        graft.multimodal.Multimodal.synthesizeMp3CodedIntensityShort(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule", "channel")
     })
 }

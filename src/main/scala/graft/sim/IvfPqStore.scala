@@ -123,6 +123,41 @@ object IvfPqStore {
       broadcast(PqIndexStore.tombstones(spark, root, idCol)),
       Seq(idCol), "left_anti")
 
+  /** REFIT a new store GENERATION from the survivors — the maintenance
+    * step the delete lifecycle alone cannot provide: centroids and the
+    * residual codebook FREEZE at fit time, so as appends and deletes
+    * shift cell occupancy the fixed-nProbe recall decays ([[compact]]
+    * reclaims space but keeps the stale quantizers). The refit joins
+    * the store's LIVE id set back to the caller's raw-vector corpus
+    * (codes are not invertible — the lake keeps the vectors, the store
+    * keeps the index), retrains (exact cell means + residual k-means)
+    * on the survivors only, and writes a FRESH store at `newRoot`
+    * (one `g0` batch, cell-partitioned). The old generation stays
+    * readable until the caller swaps roots — generations are the
+    * store-level twin of [[graft.operators.PieceStore.repackGeneration]].
+    * Returns the new generation's vector count.
+    */
+  def refitGeneration(
+      spark: SparkSession,
+      root: String,
+      newRoot: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      dims: Int,
+      m: Int,
+      k: Int,
+      iters: Int): Long = {
+    val survivors = corpus.join(
+      liveCodes(spark, root, idCol).select(col(idCol)), Seq(idCol))
+    val (cents, cb) = IvfPq.fitResidual(
+      survivors, idCol, vecCol, cellCol, dims, m, k, iters)
+    writeCentroids(spark, newRoot, cents)
+    PqIndexStore.writeCodebook(spark, newRoot, cb)
+    appendBatch(survivors, cents, idCol, vecCol, cellCol, newRoot, cb, "g0")
+  }
+
   /** Fold pending tombstones INTO the code table — [[PqIndexStore
     * .compact]]'s marker discipline with the cell partitioning kept on
     * the survivor rewrite (per-cell survivor subdirs under

@@ -178,6 +178,95 @@ class Mp3Spec extends SparkSpec {
     assert(differs, "mode_extension 3 must not decode as pure intensity")
   }
 
+  test("short-block intensity: per-window bounds, pan at natural positions, " +
+    "irrational ratios, zero-slen lower bands read is_pos 0") {
+    val id = 17L
+    val seed = Mp3Codec.MsSideSeed
+    val sfbS = Mp3Codec.SfbShort(44100)
+    // each coded channel replayed by hand: recipe lines in Huffman
+    // order, reordered to natural positions (no subblock gains here)
+    def mono(rid: Long, bp: Int, bq: Int): Seq[Array[Double]] =
+      (0 until 2).flatMap { f =>
+        (0 until 2).map { gr =>
+          val rec = Mp3Codec.GranuleRecipe(rid, f, gr, basePairs = bp, baseQuads = bq)
+          val xr = new Array[Double](576)
+          def put(hl: Int, v: Int): Unit = if (v != 0) {
+            var b = 0
+            while (hl >= 3 * sfbS(b + 1)) b += 1
+            val st = sfbS(b); val width = sfbS(b + 1) - st
+            val k = hl - 3 * st
+            xr(3 * (st + k % width) + k / width) =
+              v * StrictMath.pow(2.0, rec.gainExp.toDouble)
+          }
+          var h = 0
+          (0 until rec.nPairs).foreach { p =>
+            val (x, y) = rec.pairMag(p); val (sx, sy) = rec.pairSign(p)
+            put(h, x * (1 - 2 * sx * x)); put(h + 1, y * (1 - 2 * sy * y))
+            h += 2
+          }
+          (0 until rec.nQuads).foreach { q =>
+            val m = rec.quadMag(q)
+            (0 until 4).foreach(j =>
+              put(h + j, m(j) * (1 - 2 * rec.quadSign(q, j + 1) * m(j))))
+            h += 4
+          }
+          xr
+        }
+      }
+    val ch0 = mono(id, 18, 22)
+    val ch1 = mono(id + seed, 2, 1)
+    def expect(alphabet: Array[Int]): Unit = {
+      val got = Mp3Codec.decodeSpectra(
+        Mp3Codec.synthesizeCodedIntensityShort(id, 2, seed, alphabet))
+      assert(got.size == 8)
+      got.grouped(2).zipWithIndex.foreach { case (Seq(l, r), k) =>
+        assert(l.info.blockType == 2 && r.info.blockType == 2)
+        val f = k / 2; val gr = k % 2
+        val v0 = ch0(k); val v1 = ch1(k)
+        // per-window bound: highest band with a nonzero ch1 line in
+        // that window, plus one
+        val bound = Array.tabulate(3) { w =>
+          (0 to 11).filter { b =>
+            (sfbS(b) until sfbS(b + 1)).exists(i => v1(3 * i + w) != 0.0)
+          }.lastOption.map(_ + 1).getOrElse(0)
+        }
+        (0 until 12).foreach { b =>
+          (0 until 3).foreach { w =>
+            val isPos =
+              if (b < 6) 0
+              else alphabet(((id + seed + b + 3 * w + f + gr) % alphabet.length).toInt)
+            (sfbS(b) until sfbS(b + 1)).foreach { pos =>
+              val i = 3 * pos + w
+              if (b < bound(w)) {
+                assert(l.xr(i) == v0(i) && r.xr(i) == v1(i), s"below g$k w$w l$i")
+              } else if (isPos == 7) {
+                assert(l.xr(i) == v0(i) && r.xr(i) == v1(i), s"illegal g$k l$i")
+              } else if (isPos == 6) {
+                assert(l.xr(i) == v0(i) && r.xr(i) == 0.0, s"left g$k l$i")
+              } else if (isPos == 0) {
+                assert(l.xr(i) == 0.0 && r.xr(i) == v0(i), s"right g$k l$i")
+              } else {
+                val ratio = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                assert(l.xr(i) == v0(i) * (ratio / (1.0 + ratio)), s"L g$k l$i")
+                assert(r.xr(i) == v0(i) * (1.0 / (1.0 + ratio)), s"R g$k l$i")
+              }
+            }
+          }
+        }
+      }
+    }
+    expect(Mp3Codec.IsPosAlphabet) // the oracle-gated exact alphabet
+    expect(Array(1, 2, 3, 4, 5)) // the irrational tan ratios, in-JVM
+    // intensity over MIXED-block granules still rejects typed: flip the
+    // mixed bit of granule 0 / channel 0 (window-switching block starts
+    // at side-info bit 20+12+9+8+4 = 53; ws(1) bt(2) → mixed at bit 56
+    // → absolute bit 4·8 + 56 = 88 → byte 11, mask 0x80)
+    val bad = Mp3Codec.synthesizeCodedIntensityShort(id, 1, seed).clone()
+    bad(11) = (bad(11) | 0x80.toByte).toByte
+    val e = intercept[IllegalArgumentException](Mp3Codec.decodeSpectra(bad))
+    assert(e.getMessage.contains("mixed or mismatched"))
+  }
+
   test("mixed start/stop blocks: spectra identical to the unmixed bracket, " +
     "subbands 0-1 window NORMAL while 2+ keep the block_type window") {
     val id = 9L

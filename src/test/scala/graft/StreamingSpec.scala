@@ -264,6 +264,35 @@ class StreamingSpec extends SparkSpec {
     assert(PieceStore.totalTokens(spark, store) == 20L)
   }
 
+  test("streaming schedule packing: fenced per-batch mixture positions " +
+    "stream through the store and equal the whole-schedule pack") {
+    import graft.operators.{PieceStore, SequencePack}
+    val root = tmpDir("sspack")
+    val in = s"$root/in"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val fence = 1000000000L
+    // two schedule batches: positions restart at 0 per batch, the FENCE
+    // (batch·F + position) restores global monotonicity — the q377
+    // construction over a live source
+    Seq((0L * fence + 0L, 3L), (0L * fence + 1L, 5L))
+      .toDF("sid", "n_tokens").repartition(1).write.parquet(s"$in/c1")
+    Seq((1L * fence + 0L, 4L), (1L * fence + 1L, 2L))
+      .toDF("sid", "n_tokens").repartition(1).write.parquet(s"$in/c2")
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$in/c1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    StreamingIngest.runPackStream(stream(), store, ckpt, idCol = "sid", seqLen = 4L)
+    val whole = SequencePack.packChunks(
+      Seq((0L, 3L), (1L, 5L), (fence, 4L), (fence + 1L, 2L))
+        .toDF("sid", "n_tokens"),
+      "sid", "n_tokens", 4L)
+      .orderBy("chunk_id", "sid").collect().map(_.toSeq).toSeq
+    assert(PieceStore.pieces(spark, store)
+      .orderBy("chunk_id", "sid").collect().map(_.toSeq).toSeq == whole)
+    assert(PieceStore.totalTokens(spark, store) == 14L)
+  }
+
   test("streaming upsert sink: latest version wins across micro-batches") {
     val root = tmpDir("supsert")
     val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
