@@ -75,7 +75,9 @@ object PlanDump {
     "q360_token_budget" -> "token-budget selection: global running total + rank behind one reused range shuffle, per-domain offsets BROADCAST — no per-domain window partition anywhere in the plan",
     "q365_loss_mask" -> "loss-mask spans: the mask rides THROUGH the pack as a carried label (no doc-table re-join), the pad span from a ONE-ROW total aggregate unioned in — no extra pass over pieces",
     "q372_mixture_anneal" -> "annealed interleave: phase-1 position AND token cumulative stamped behind ONE fused range exchange; the phase-2 remainder re-enters a fresh WFQ; phase offset a 1-row broadcast",
-    "q374_pack_whole_docs" -> "whole-doc harmonic packing: ONE global rank over (class, id) minus a BROADCAST #classes offset table, bin identity pure quotient arithmetic — no per-class window, no sequential state")
+    "q374_pack_whole_docs" -> "whole-doc harmonic packing: ONE global rank over (class, id) minus a BROADCAST #classes offset table, bin identity pure quotient arithmetic — no per-class window, no sequential state",
+    "q377_schedule_pack" -> "schedule-through-piece-store: each batch's WFQ interleave (two range stamps) feeds ONE packChunks range exchange at the recorded tail; the position-epoch fence is pure arithmetic — no coordination shuffle, and the store's monotonicity guard is two 1-row aggregates and a broadcast cross",
+    "q378_multimodal_capstone" -> "multimodal capstone: revisit resolution = ONE broadcastable digest equi-join; shard roundtrip groups by shard_id; dedup = groupBy + equi-join on the content hash; budget/mixture/pack are the fused range stamps; the (position, doc) STRUCT key and the modality+mask struct label ride the pack — no join back from spans to segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * capstone runs CDX revisit resolution → WebDataset shard assembly →
   * quality → exact dedup → image patch grids → per-language budgets →
   * WFQ mixture → multimodal pack → loss-mask spans as ONE oracle-gated
-  * pipeline (q378). The Layer III joint-stereo surface closes with
-  * intensity+MS combined, mode_extension 3 (q379), and mixed-flag
-  * start/stop granules (q380); the IVF+PQ store gains a churned-store
-  * recall gate (q381).
+  * pipeline (q378). The Layer III joint-stereo surface closes
+  * completely: intensity+MS combined, mode_extension 3 (q379),
+  * mixed-flag start/stop granules (q380), and short-block intensity
+  * with its per-window bound search (q383). The IVF+PQ store gains a
+  * churned-store recall gate (q381) and the refit-generation
+  * maintenance path whose oracle retrains on survivors only (q382).
   */
 object Round15Queries {
 
