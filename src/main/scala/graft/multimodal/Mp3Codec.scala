@@ -23,7 +23,9 @@ package graft.multimodal
   *    per-window is_pos slots), the COMBINED joint stereo
   *    (mode_extension 3 — MS below the intensity bound, intensity pan
   *    at/above it, illegal positions falling back to MS per
-  *    §2.4.3.4.9.3; long blocks), the bit reservoir (main_data_begin),
+  *    §2.4.3.4.9.3; long AND short granules, the short variant with
+  *    per-window bounds over an MS default), the bit reservoir
+  *    (main_data_begin),
   *    scalefactor decode incl. scfsi sharing, Huffman big_values PAIR
   *    decode for tables 0/1 and count1 QUAD decode for table B, sign
   *    bits, requantization (the |is|^(4/3) · 2^((gain−210)/4) ·
@@ -31,9 +33,8 @@ package graft.multimodal
   *    alias-reduction butterflies, IMDCT + per-type window +
   *    overlap-add + frequency inversion.
   *  - Typed rejection (never silent): Layer I/II, MPEG-2/2.5,
-  *    free-format, intensity stereo over MIXED-block or
-  *    type-mismatched granules, COMBINED stereo over short blocks,
-  *    and Huffman tables
+  *    free-format, joint stereo (intensity or combined) over
+  *    MIXED-block or type-mismatched granules, and Huffman tables
   *    whose SPEC DATA is not embedded here (the large pair tables 2–31
   *    and count1 table A are hundreds of arbitrary codewords from ISO
   *    Table B.7 — reproducing them from memory would risk a silently
@@ -576,8 +577,62 @@ object Mp3Codec {
           // to MS (the spec's illegal-position rule when ms_stereo is
           // on — not pass-through as in pure intensity), and so does
           // the zone above sfb 20, which carries no is_pos at all.
-          require(decoded.forall(_.info.blockType != 2),
-            "mp3: intensity stereo with short blocks unsupported")
+          // SHORT-block granules take the per-window variant below:
+          // MS is the DEFAULT everywhere (below each window's bound,
+          // illegal positions, the no-is_pos band-12 zone) and
+          // intensity bands overwrite it with the pan.
+          if (decoded.exists(_.info.blockType == 2)) {
+            require(decoded.forall(g => g.info.blockType == 2 && g.info.mixed == 0),
+              "mp3: combined stereo with mixed or mismatched block types unsupported")
+            val sfbS = SfbShort(h.sampleRate)
+            val m = decoded(0).xr; val sCh = decoded(1).xr
+            val sqrt2 = StrictMath.sqrt(2.0)
+            val xl = new Array[Double](576); val xrr = new Array[Double](576)
+            var i = 0
+            while (i < 576) {
+              xl(i) = (m(i) + sCh(i)) / sqrt2
+              xrr(i) = (m(i) - sCh(i)) / sqrt2
+              i += 1
+            }
+            var w = 0
+            while (w < 3) {
+              var boundBand = 0
+              var b = 11
+              while (b >= 0 && boundBand == 0) {
+                val st = sfbS(b); val width = sfbS(b + 1) - st
+                var idx = 0
+                while (idx < width && boundBand == 0) {
+                  if (sCh(3 * (st + idx) + w) != 0.0) boundBand = b + 1
+                  idx += 1
+                }
+                b -= 1
+              }
+              var bb = boundBand
+              while (bb < 12) {
+                val isPos = decoded(1).scalefactors(bb * 3 + w)
+                if (isPos != 7) { // 7 keeps the MS default
+                  val st = sfbS(bb); val width = sfbS(bb + 1) - st
+                  var idx = 0
+                  while (idx < width) {
+                    val i2 = 3 * (st + idx) + w
+                    val v = m(i2)
+                    if (isPos == 6) { xl(i2) = v; xrr(i2) = 0.0 } // r → ∞
+                    else if (isPos == 0) { xl(i2) = 0.0; xrr(i2) = v } // r = 0
+                    else {
+                      val r = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+                      xl(i2) = v * (r / (1.0 + r))
+                      xrr(i2) = v * (1.0 / (1.0 + r))
+                    }
+                    idx += 1
+                  }
+                }
+                bb += 1
+              }
+              w += 1
+            }
+            out += decoded(0).copy(xr = xl)
+            out += decoded(1).copy(xr = xrr)
+          } else {
           val sfb = SfbLong(h.sampleRate)
           val rIs = decoded(1).is
           var rzero = 576
@@ -610,6 +665,7 @@ object Mp3Codec {
           }
           out += decoded(0).copy(xr = xl)
           out += decoded(1).copy(xr = xrr)
+          }
         } else if (h.msStereo) {
           // MS reconstruction (ISO 11172-3 §2.4.3.4.9.2): channel 0
           // carries MID, channel 1 SIDE — L = (M+S)/√2, R = (M−S)/√2,
@@ -1292,14 +1348,17 @@ object Mp3Codec {
     */
   def synthesizeCodedIntensityShort(
       id: Long, nFrames: Int, sideSeed: Long = MsSideSeed,
-      alphabet: Array[Int] = IsPosAlphabet): Array[Byte] = {
+      alphabet: Array[Int] = IsPosAlphabet, modeExt: Int = 1): Array[Byte] = {
+    require(modeExt == 1 || modeExt == 3,
+      s"intensity synthesizer: mode_extension $modeExt has no intensity bit")
     val out = new java.io.ByteArrayOutputStream()
     val frameLen = MpegAudioSniff.frameLength(48, 44100, 0)
     var f = 0
     while (f < nFrames) {
       // sync, MPEG-1, Layer III, no CRC, 48 kbps, 44.1 kHz,
-      // joint stereo + INTENSITY mode extension
-      out.write(0xFF); out.write(0xFB); out.write(0x30); out.write(0x50)
+      // joint stereo + the requested mode extension
+      out.write(0xFF); out.write(0xFB); out.write(0x30)
+      out.write(0x40 | (modeExt << 4))
       def recipe(ch: Int, gr: Int) =
         if (ch == 0) GranuleRecipe(id, f, gr, basePairs = 18, baseQuads = 22)
         else GranuleRecipe(id + sideSeed, f, gr, basePairs = 2, baseQuads = 1)

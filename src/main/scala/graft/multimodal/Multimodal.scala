@@ -1852,6 +1852,26 @@ object Multimodal {
     spark.createDataFrame(rdd, MediaSchema)
   }
 
+  /** [[synthesizeMp3CodedIntensityShort]]'s COMBINED twin — the same
+    * bits under mode_extension 3: MS everywhere by default, per-window
+    * intensity bands overwriting the pan, illegal positions KEEPING
+    * the MS default.
+    */
+  def synthesizeMp3CodedIntensityShortMs(
+      df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Codec.synthesizeCodedIntensityShort(id, nFrames, modeExt = 3),
+          Row("audio", "mp3", null, null,
+            MpegAudioSniff.SamplesPerFrame.toLong * nFrames * 1000L / 44100L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** [[synthesizeMp3Coded]]'s MIXED-BLOCK twin
     * ([[Mp3Codec.synthesizeCodedMixed]] — hybrid long+short granules).
     */

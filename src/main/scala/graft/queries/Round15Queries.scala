@@ -807,5 +807,144 @@ object Round15Queries {
         graft.multimodal.Multimodal.synthesizeMp3CodedIntensityShort(
           Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id", "frame_idx", "granule", "channel")
+    },
+
+    // COMBINED STEREO OVER SHORT BLOCKS (mode_extension 3 + block_type
+    // 2) — the last cell of the joint-stereo matrix: q379's
+    // MS-with-intensity-overwrite split applied per WINDOW. MS is the
+    // DEFAULT everywhere (below each window's bound, ILLEGAL
+    // positions, the no-is_pos zone); intensity bands at/above the
+    // per-window bound overwrite it with the pan at the natural-order
+    // position. The synthesizer is byte-identical to q383's except
+    // the header's mode_extension — on the SAME bits, illegal
+    // positions matrix here where q383 passes through.
+    Q(
+      "q384_mp3_intensity_short_ms",
+      """WITH fgc AS (
+        |  SELECT doc_id, f.f AS f, gr.gr AS gr, ch.ch AS ch,
+        |    CASE ch.ch WHEN 0 THEN doc_id ELSE doc_id + 1000003 END AS rid,
+        |    CASE ch.ch WHEN 0 THEN 18 ELSE 2 END AS bp,
+        |    CASE ch.ch WHEN 0 THEN 22 ELSE 1 END AS bq
+        |  FROM documents,
+        |    unnest(generate_series(0, 1)) AS f(f),
+        |    unnest(generate_series(0, 1)) AS gr(gr),
+        |    unnest(generate_series(0, 1)) AS ch(ch)),
+        |par AS (SELECT doc_id, f, gr, ch, rid,
+        |    bp + (rid + f) % 5 AS npairs,
+        |    bq + (rid + 2*f + gr) % 4 AS nquads,
+        |    (rid + f + gr) % 5 AS g
+        |  FROM fgc),
+        |pp AS (SELECT doc_id, f, gr, ch, p.p AS p,
+        |    (rid + 3*gr + 7*p.p + f) % 2 AS mx,
+        |    (rid*5 + gr + 11*p.p + 2*f) % 2 AS my,
+        |    (rid + p.p + f) % 2 AS sx,
+        |    (rid + p.p + gr) % 2 AS sy
+        |  FROM par, unnest(generate_series(0, 21)) AS p(p)
+        |  WHERE p.p < npairs),
+        |qq AS (SELECT doc_id, f, gr, ch, q.q AS q, j.j AS j,
+        |    CASE j.j WHEN 1 THEN (rid + q.q + f) % 2
+        |             WHEN 2 THEN (rid + 3*q.q + gr) % 2
+        |             WHEN 3 THEN (rid + 5*q.q + f + gr) % 2
+        |             ELSE (rid + 7*q.q + 1) % 2 END AS mag,
+        |    (rid + q.q + j.j) % 2 AS s
+        |  FROM par, unnest(generate_series(0, 24)) AS q(q),
+        |       unnest(generate_series(1, 4)) AS j(j)
+        |  WHERE q.q < nquads),
+        |lines AS (
+        |  SELECT doc_id, f, gr, ch, 2*p + xy.xy AS line,
+        |    CASE WHEN xy.xy = 0 THEN mx ELSE my END AS mag,
+        |    CASE WHEN xy.xy = 0 THEN sx ELSE sy END AS s
+        |  FROM pp, unnest(generate_series(0, 1)) AS xy(xy)
+        |  UNION ALL
+        |  SELECT q.doc_id, q.f, q.gr, q.ch,
+        |    2*a.npairs + 4*q.q + (q.j - 1), q.mag, q.s
+        |  FROM qq q JOIN par a USING (doc_id, f, gr, ch)),
+        |sbands AS (SELECT * FROM (VALUES (0, 0, 4), (1, 4, 8), (2, 8, 12),
+        |    (3, 12, 16), (4, 16, 22), (5, 22, 30), (6, 30, 40),
+        |    (7, 40, 52)) AS t(band, st, en)),
+        |map AS (
+        |  SELECT l.doc_id, l.f, l.gr, l.ch, l.s, l.mag, b.band,
+        |    (l.line - 3*b.st) // (b.en - b.st) AS w,
+        |    3*(b.st + (l.line - 3*b.st) % (b.en - b.st))
+        |      + (l.line - 3*b.st) // (b.en - b.st) AS n
+        |  FROM lines l JOIN sbands b
+        |    ON l.line >= 3*b.st AND l.line < 3*b.en),
+        |rz AS (
+        |  SELECT doc_id, f, gr, w, max(band) + 1 AS bound
+        |  FROM map WHERE ch = 1 AND mag = 1
+        |  GROUP BY doc_id, f, gr, w),
+        |spec AS (SELECT m.doc_id, m.f, m.gr, m.ch, m.n,
+        |    m.mag * (1 - 2*m.s) * power(2.0, a.g) AS v
+        |  FROM map m JOIN par a USING (doc_id, f, gr, ch)
+        |  WHERE m.mag = 1),
+        |merged AS (
+        |  SELECT coalesce(m.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(m.f, s.f) AS f, coalesce(m.gr, s.gr) AS gr,
+        |    coalesce(m.n, s.n) AS n,
+        |    coalesce(m.v, 0) AS mv, coalesce(s.v, 0) AS sv
+        |  FROM (SELECT * FROM spec WHERE ch = 0) m
+        |  FULL OUTER JOIN (SELECT * FROM spec WHERE ch = 1) s
+        |    ON m.doc_id = s.doc_id AND m.f = s.f AND m.gr = s.gr
+        |    AND m.n = s.n),
+        |-- 7 encodes "MS" (the default): below the per-window bound,
+        |-- illegal alphabet picks, zero-slen bands stay pan (is_pos 0)
+        |ip AS (
+        |  SELECT g.*,
+        |    CASE WHEN b.band < coalesce(rz.bound, 0) THEN 7
+        |         WHEN b.band < 6 THEN 0
+        |         WHEN (g.doc_id + 1000003 + b.band + 3*(g.n % 3)
+        |             + g.f + g.gr) % 3 = 0 THEN 0
+        |         WHEN (g.doc_id + 1000003 + b.band + 3*(g.n % 3)
+        |             + g.f + g.gr) % 3 = 1 THEN 6
+        |         ELSE 7 END AS ispos
+        |  FROM merged g
+        |  JOIN sbands b ON (g.n // 3) >= b.st AND (g.n // 3) < b.en
+        |  LEFT JOIN rz ON rz.doc_id = g.doc_id AND rz.f = g.f
+        |    AND rz.gr = g.gr AND rz.w = (g.n % 3)),
+        |chan AS (
+        |  SELECT doc_id, f, gr, 0 AS ch, n,
+        |    CASE WHEN ispos = 7 THEN round((mv + sv) / sqrt(2) * 1000000)
+        |         WHEN ispos = 6 THEN round(mv * 1000000)
+        |         ELSE 0 END AS micro
+        |  FROM ip
+        |  UNION ALL
+        |  SELECT doc_id, f, gr, 1, n,
+        |    CASE WHEN ispos = 7 THEN round((mv - sv) / sqrt(2) * 1000000)
+        |         WHEN ispos = 0 THEN round(mv * 1000000)
+        |         ELSE 0 END
+        |  FROM ip),
+        |feat AS (SELECT doc_id, f, gr, ch,
+        |    CAST(sum(CASE WHEN micro <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |    CAST(sum(abs(micro)) AS BIGINT) AS sum_abs,
+        |    CAST(sum((n + 1) * micro) AS BIGINT) AS wsum
+        |  FROM chan GROUP BY doc_id, f, gr, ch),
+        |pbits AS (SELECT doc_id, f, gr, ch,
+        |    sum(CASE WHEN mx = 0 AND my = 0 THEN 1
+        |             WHEN mx = 1 AND my = 0 THEN 2 ELSE 3 END + mx + my) AS b
+        |  FROM pp GROUP BY doc_id, f, gr, ch),
+        |qbits AS (SELECT doc_id, f, gr, ch, sum(1 + mag) AS b
+        |  FROM qq GROUP BY doc_id, f, gr, ch)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(a.f AS BIGINT) AS frame_idx,
+        |  CAST(a.gr AS BIGINT) AS granule,
+        |  CAST(a.ch AS BIGINT) AS channel,
+        |  CAST(2 AS BIGINT) AS block_type,
+        |  CAST(a.npairs AS BIGINT) AS big_values,
+        |  CAST(210 + 4*a.g AS BIGINT) AS global_gain,
+        |  CAST(pb.b + qb.b + CASE a.ch WHEN 1 THEN 54 ELSE 0 END AS BIGINT)
+        |    AS part2_3_length,
+        |  coalesce(ft.nnz, 0) AS n_nonzero,
+        |  coalesce(ft.sum_abs, 0) AS sum_abs_micro,
+        |  coalesce(ft.wsum, 0) AS checksum_micro
+        |FROM par a
+        |JOIN pbits pb USING (doc_id, f, gr, ch)
+        |JOIN qbits qb USING (doc_id, f, gr, ch)
+        |LEFT JOIN feat ft ON ft.doc_id = a.doc_id AND ft.f = a.f
+        |  AND ft.gr = a.gr AND ft.ch = a.ch
+        |ORDER BY media_id, frame_idx, granule, channel""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.extractMp3SpectraTyped(
+        graft.multimodal.Multimodal.synthesizeMp3CodedIntensityShortMs(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id", "frame_idx", "granule", "channel")
     })
 }

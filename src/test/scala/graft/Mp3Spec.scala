@@ -265,6 +265,58 @@ class Mp3Spec extends SparkSpec {
     bad(11) = (bad(11) | 0x80.toByte).toByte
     val e = intercept[IllegalArgumentException](Mp3Codec.decodeSpectra(bad))
     assert(e.getMessage.contains("mixed or mismatched"))
+
+    // COMBINED (mode_extension 3) over the same short bits: MS is the
+    // default everywhere — below each window's bound, at illegal
+    // positions, and in the no-is_pos zone — with intensity bands
+    // overwriting the pan
+    def expectCombined(alphabet: Array[Int]): Unit = {
+      val sqrt2 = StrictMath.sqrt(2.0)
+      val got = Mp3Codec.decodeSpectra(
+        Mp3Codec.synthesizeCodedIntensityShort(id, 2, seed, alphabet, modeExt = 3))
+      assert(got.size == 8)
+      got.grouped(2).zipWithIndex.foreach { case (Seq(l, r), k) =>
+        val f = k / 2; val gr = k % 2
+        val v0 = ch0(k); val v1 = ch1(k)
+        val bound = Array.tabulate(3) { w =>
+          (0 to 11).filter { b =>
+            (sfbS(b) until sfbS(b + 1)).exists(i => v1(3 * i + w) != 0.0)
+          }.lastOption.map(_ + 1).getOrElse(0)
+        }
+        (0 until 192).foreach { pos =>
+          (0 until 3).foreach { w =>
+            val i = 3 * pos + w
+            val b = (0 to 12).find(b => pos < sfbS(b + 1)).get
+            val isPos =
+              if (b >= 12 || b < bound(w)) 7
+              else if (b < 6) 0
+              else alphabet(((id + seed + b + 3 * w + f + gr) % alphabet.length).toInt)
+            if (isPos == 7) {
+              assert(l.xr(i) == (v0(i) + v1(i)) / sqrt2, s"MS-L g$k l$i")
+              assert(r.xr(i) == (v0(i) - v1(i)) / sqrt2, s"MS-R g$k l$i")
+            } else if (isPos == 6) {
+              assert(l.xr(i) == v0(i) && r.xr(i) == 0.0, s"left g$k l$i")
+            } else if (isPos == 0) {
+              assert(l.xr(i) == 0.0 && r.xr(i) == v0(i), s"right g$k l$i")
+            } else {
+              val ratio = StrictMath.tan(isPos * StrictMath.PI / 12.0)
+              assert(l.xr(i) == v0(i) * (ratio / (1.0 + ratio)), s"L g$k l$i")
+              assert(r.xr(i) == v0(i) * (1.0 / (1.0 + ratio)), s"R g$k l$i")
+            }
+          }
+        }
+      }
+    }
+    expectCombined(Mp3Codec.IsPosAlphabet)
+    expectCombined(Array(1, 2, 3, 4, 5))
+    expectCombined(Array(7)) // every band illegal → full-spectrum MS
+    // same bits, mode_extension 1 vs 3 must differ at the illegal rule
+    val pureS = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedIntensityShort(id, 1, seed, Array(7)))
+    val combS = Mp3Codec.decodeSpectra(
+      Mp3Codec.synthesizeCodedIntensityShort(id, 1, seed, Array(7), modeExt = 3))
+    assert(pureS.zip(combS).exists { case (a, b) => a.xr.toSeq != b.xr.toSeq },
+      "combined short must not decode as pure short intensity")
   }
 
   test("mixed start/stop blocks: spectra identical to the unmixed bracket, " +
