@@ -52,11 +52,22 @@ import org.apache.spark.sql.functions._
   */
 object PieceStore {
 
-  private def stateDf(spark: SparkSession, root: String): Option[DataFrame] = {
-    val d = s"$root/state"
+  // store reads are UNIONS of per-subdir reads, never one recursive
+  // parent read: Spark's write path refreshes the session file-listing
+  // cache for the exact dir it wrote, but a cached PARENT listing
+  // survives a manual delete-and-rebuild — a same-session re-build
+  // would read the previous build's file names
+  private def subdirs(spark: SparkSession, d: String): Seq[String] = {
     val f = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(new Path(d))) None
-    else Some(spark.read.option("recursiveFileLookup", "true").parquet(d))
+    if (!f.exists(new Path(d))) Seq.empty
+    else f.listStatus(new Path(d)).filter(_.isDirectory)
+      .map(_.getPath.toString).toSeq
+  }
+
+  private def stateDf(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dirs = subdirs(spark, s"$root/state")
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
   }
 
   private def stateRows(spark: SparkSession, root: String): Seq[(String, Long, Long)] =
@@ -161,10 +172,14 @@ object PieceStore {
 
   /** The full piece table across every appended batch — identical rows
     * to a whole-corpus [[SequencePack.packChunks]] over the batches'
-    * concatenation.
+    * concatenation. Per-batch reads unioned (bounded listing — see the
+    * cache note on [[stateDf]]).
     */
-  def pieces(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$root/pieces")
+  def pieces(spark: SparkSession, root: String): DataFrame = {
+    val dirs = subdirs(spark, s"$root/pieces")
+    require(dirs.nonEmpty, s"piece store at $root has no piece batches")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
 
   /** Total tokens committed to the stream (the next append's offset). */
   def totalTokens(spark: SparkSession, root: String): Long =

@@ -125,9 +125,18 @@ object PqIndexStore {
 
   /** The full code table across every appended batch — drop-in input for
     * [[ProductQuantizer.adcTopK]]/[[ProductQuantizer.adcRerankTopK]].
+    * Per-batch subdir reads unioned (the [[tombstones]] cache note).
     */
-  def codes(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$root/codes")
+  def codes(spark: SparkSession, root: String): DataFrame = {
+    val d = s"$root/codes"
+    val f = fs(spark, d)
+    val dirs =
+      if (!f.exists(new Path(d))) Seq.empty
+      else f.listStatus(new Path(d)).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq
+    require(dirs.nonEmpty, s"pq store at $root has no code batches")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
 
   // ------------------------------------------------------------- deletes
 
@@ -148,17 +157,29 @@ object PqIndexStore {
     n
   }
 
-  /** Every pending (un-compacted) tombstoned id, empty-safe. */
+  /** Every pending (un-compacted) tombstoned id, empty-safe. Read as a
+    * UNION of per-batch subdir reads, never one recursive parent read:
+    * Spark's write path refreshes the session file-listing cache for
+    * the exact dir it wrote, but a cached PARENT listing survives a
+    * manual delete-and-rebuild of the store — a re-invocation in the
+    * same session would read the previous build's file names.
+    */
   def tombstones(spark: SparkSession, root: String, idCol: String): DataFrame = {
-    if (!existsAny(spark, s"$root/tombstones"))
+    val d = s"$root/tombstones"
+    val f = fs(spark, d)
+    val dirs =
+      if (!f.exists(new Path(d))) Seq.empty
+      else f.listStatus(new Path(d)).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq
+    if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(
             idCol, org.apache.spark.sql.types.LongType))))
     else
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$root/tombstones").toDF(idCol).distinct()
+      dirs.map(spark.read.parquet(_)).reduce(_ unionAll _)
+        .toDF(idCol).distinct()
   }
 
   /** The QUERY view between delete and compaction: codes minus pending
@@ -243,9 +264,11 @@ object PqIndexStore {
     * corpus moved under the frozen codebook: time to refit and re-encode.
     */
   def staleness(spark: SparkSession, root: String): DataFrame = {
-    if (!existsAny(spark, s"$root/stats"))
-      return spark.emptyDataFrame
-    val st = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/stats")
+    val d = s"$root/stats"
+    if (!existsAny(spark, d)) return spark.emptyDataFrame
+    val dirs = fs(spark, d).listStatus(new Path(d)).filter(_.isDirectory)
+      .map(_.getPath.toString).toSeq
+    val st = dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val base = st.orderBy("batch_id").select("mean_qerr").head().getDouble(0)
     st.withColumn("drift_ratio",
       when(lit(base) > 0.0, round(col("mean_qerr") / lit(base), 6)).otherwise(lit(null)))
