@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-15 gates. The round COMPOSES the surfaces round 14 proved in
@@ -14,7 +15,9 @@ import org.apache.spark.sql.functions._
   * mixed-flag start/stop granules (q380), and short-block intensity
   * with its per-window bound search (q383). The IVF+PQ store gains a
   * churned-store recall gate (q381) and the refit-generation
-  * maintenance path whose oracle retrains on survivors only (q382).
+  * maintenance path whose oracle retrains on survivors only (q382);
+  * q385 closes the last seam by running the WHOLE production loop —
+  * crawl intake through the incremental piece store.
   */
 object Round15Queries {
 
@@ -24,6 +27,124 @@ object Round15Queries {
     * contract) as long as no batch schedules F or more documents.
     */
   val ScheduleFence: Long = 1000000000L
+
+  /** The multimodal capstone's curation stages 0–5 (shared by q378 and
+    * q385): crawl intake with revisits → resolution → WebDataset shard
+    * roundtrip → quality → exact dedup → BMP patch grids → per-language
+    * budgets. Returns every stage frame (for the survivor counts) plus
+    * `kept` carrying the per-segment and TOTAL token counts.
+    */
+  private final case class CapstoneStages(
+      cdx: DataFrame, resolved: DataFrame, samples: DataFrame,
+      qual: DataFrame, ex: DataFrame, kept: DataFrame)
+
+  private def capstoneStages(s: SparkSession, dir: String): CapstoneStages = {
+    import graft.operators.{SequencePack, TokenBudget}
+    import graft.text.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+    // STAGE 0 — crawl intake: CDX index over archives where 3 of
+    // every 4 captures are revisit records of the group's stored body
+    val cdx = graft.ingest.Warc.cdxIndex(
+      graft.ingest.Warc.synthesizeWarcRevisits(docs, "doc_id")).persist()
+    // STAGE 1 — revisit resolution: each revisit joins its stored
+    // original (ONE digest equi-join against the pre-reduced,
+    // broadcastable original table)
+    val resolved = graft.ingest.Warc.resolveRevisits(cdx)
+      .filter(col("resolved")).persist()
+    val captures = cdx.filter(!col("is_revisit"))
+      .select(col("media_id"), col("media_id").as("body_id"))
+      .unionByName(resolved
+        .select(col("media_id"), col("orig_media_id").as("body_id")))
+    // the capture FEED re-serves the RESOLVED body's document — the
+    // duplicates the dedup stage consumes come from the crawl's own
+    // revisit structure, not a synthesized twin
+    val feed = captures.join(
+      docs.select(col("doc_id").as("body_id"), col("text"), col("lang"),
+        col("source")),
+      Seq("body_id"))
+    // STAGE 2 — WebDataset shard assembly + parse-back: downstream
+    // reads the PARSED txt/cls, so the tar leg is load-bearing
+    val samples = graft.ingest.Tar.samples(graft.ingest.Tar.synthesizeShards(
+      feed.select(col("media_id"), col("text"), col("lang"), col("source")),
+      "media_id"))
+      .select(col("stem").cast("long").as("doc_id"), col("txt"), col("cls"))
+      .persist()
+    // STAGE 3 — quality gate (score recipe + token floor)
+    val enriched = samples
+      .withColumn("n_text", TextAnalysis.tokenCount(col("txt")).cast("long"))
+      .withColumn("q", ((col("doc_id") * 37 + 5) % 1000).cast("long"))
+    val qual = enriched.filter(col("n_text") >= 5 && col("q") >= 100)
+    // STAGE 4 — exact dedup, keep-min-id per content hash: the
+    // revisit groups collapse HERE, on the re-served bytes
+    val ex = qual.join(
+      qual.groupBy(md5(col("txt")).as("_h")).agg(min("doc_id").as("_keep")),
+      md5(col("txt")) === col("_h") && col("doc_id") === col("_keep"))
+      .drop("_h", "_keep")
+      .persist()
+    // image leg: survivors' BMPs through the REAL decode → ceil
+    // patch-grid placeholder tokens
+    val dims = graft.multimodal.Multimodal.extractBmpFeatures(
+      graft.multimodal.Multimodal.synthesizeBmpVar(
+        ex.select(col("doc_id")), "doc_id"))
+      .select(col("media_id").as("doc_id"),
+        SequencePack.imagePlaceholderTokens(col("width"), col("height"), 8)
+          .as("n_img"))
+    val withSegs = ex.join(dims, Seq("doc_id"))
+      .withColumn("n_cap", ((col("doc_id") * 13 + 7) % 40).cast("long"))
+      .withColumn("n_total", col("n_text") + col("n_img") + col("n_cap"))
+    // STAGE 5 — per-language token budgets over the doc's TOTAL
+    // (text + image placeholder + caption) tokens, best-quality-first
+    val kept = TokenBudget.selectUnderBudget(
+      withSegs, "cls", "q", "doc_id", "n_total",
+      Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L,
+        "zh" -> 500L))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("cls"), col("n_text"), col("n_img"),
+        col("n_cap"), col("n_total"))
+      .persist()
+    CapstoneStages(cdx, resolved, samples, qual, ex, kept)
+  }
+
+  /** The shared capstone oracle prefix — stages 0–5 closed-form, ending
+    * at the WFQ `pos` CTE (cap_id, n_text, n_img, n_cap, position).
+    */
+  private val CapstoneOracleStages: String =
+    """caps AS (
+      |  SELECT doc_id AS cap_id, 4 * (doc_id // 4) AS body FROM documents),
+      |feed AS (
+      |  SELECT c.cap_id, b.text AS text, b.lang AS lang
+      |  FROM caps c JOIN documents b ON b.doc_id = c.body),
+      |enr AS (
+      |  SELECT cap_id, lang,
+      |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      x -> x != '')) AS n_text,
+      |    md5(text) AS h,
+      |    (cap_id * 37 + 5) % 1000 AS q
+      |  FROM feed),
+      |qual AS (SELECT * FROM enr WHERE n_text >= 5 AND q >= 100),
+      |ex AS (SELECT cap_id, lang, n_text, q FROM (
+      |    SELECT *, min(cap_id) OVER (PARTITION BY h) AS keep FROM qual)
+      |  WHERE cap_id = keep),
+      |tot AS (SELECT *,
+      |    ((10 + 7*(cap_id % 4) + 7) // 8) * ((6 + 5*(cap_id % 3) + 7) // 8)
+      |      AS n_img,
+      |    (cap_id * 13 + 7) % 40 AS n_cap
+      |  FROM ex),
+      |bud AS (SELECT *, n_text + n_img + n_cap AS n_total,
+      |    coalesce(sum(n_text + n_img + n_cap) OVER (PARTITION BY lang
+      |      ORDER BY q DESC, cap_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM tot),
+      |kept AS (SELECT * FROM bud WHERE cb + n_total <=
+      |    CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800 WHEN 'fr' THEN 700
+      |      WHEN 'es' THEN 600 ELSE 500 END),
+      |mr AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY cap_id) AS rk FROM kept),
+      |mv AS (SELECT *, rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6
+      |    WHEN 'fr' THEN 8 WHEN 'es' THEN 12 ELSE 24 END AS vt FROM mr),
+      |pos AS (SELECT cap_id, n_text, n_img, n_cap,
+      |    row_number() OVER (ORDER BY vt, lang, cap_id) - 1 AS position
+      |  FROM mv)""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -118,43 +239,8 @@ object Round15Queries {
     // survivorship drift between stages lands off the hash.
     Q(
       "q378_multimodal_capstone",
-      """WITH caps AS (
-        |  SELECT doc_id AS cap_id, 4 * (doc_id // 4) AS body FROM documents),
-        |feed AS (
-        |  SELECT c.cap_id, b.text AS text, b.lang AS lang
-        |  FROM caps c JOIN documents b ON b.doc_id = c.body),
-        |enr AS (
-        |  SELECT cap_id, lang,
-        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |      x -> x != '')) AS n_text,
-        |    md5(text) AS h,
-        |    (cap_id * 37 + 5) % 1000 AS q
-        |  FROM feed),
-        |qual AS (SELECT * FROM enr WHERE n_text >= 5 AND q >= 100),
-        |ex AS (SELECT cap_id, lang, n_text, q FROM (
-        |    SELECT *, min(cap_id) OVER (PARTITION BY h) AS keep FROM qual)
-        |  WHERE cap_id = keep),
-        |tot AS (SELECT *,
-        |    ((10 + 7*(cap_id % 4) + 7) // 8) * ((6 + 5*(cap_id % 3) + 7) // 8)
-        |      AS n_img,
-        |    (cap_id * 13 + 7) % 40 AS n_cap
-        |  FROM ex),
-        |bud AS (SELECT *, n_text + n_img + n_cap AS n_total,
-        |    coalesce(sum(n_text + n_img + n_cap) OVER (PARTITION BY lang
-        |      ORDER BY q DESC, cap_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-        |  FROM tot),
-        |kept AS (SELECT * FROM bud WHERE cb + n_total <=
-        |    CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800 WHEN 'fr' THEN 700
-        |      WHEN 'es' THEN 600 ELSE 500 END),
-        |mr AS (SELECT *, row_number() OVER (PARTITION BY lang
-        |    ORDER BY cap_id) AS rk FROM kept),
-        |mv AS (SELECT *, rk * CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 6
-        |    WHEN 'fr' THEN 8 WHEN 'es' THEN 12 ELSE 24 END AS vt FROM mr),
-        |pos AS (SELECT cap_id, n_text, n_img, n_cap,
-        |    row_number() OVER (ORDER BY vt, lang, cap_id) - 1 AS position
-        |  FROM mv),
-        |segs AS (
+      "WITH " + CapstoneOracleStages + ",\n" +
+      """segs AS (
         |  SELECT position, cap_id, 0 AS seg, 'text' AS modality,
         |    n_text AS nt, TRUE AS m FROM pos
         |  UNION ALL SELECT position, cap_id, 1, 'image', n_img, FALSE FROM pos
@@ -198,73 +284,12 @@ object Round15Queries {
         |UNION ALL SELECT * FROM spans
         |UNION ALL SELECT * FROM pad
         |ORDER BY stage, chunk_id, span_offset""".stripMargin) { (s, dir) =>
-      import graft.operators.{Mixture, SequencePack, TokenBudget}
-      import graft.text.TextAnalysis
-      val docs = Tables.load(s, dir, "documents")
-      // STAGE 0 — crawl intake: CDX index over archives where 3 of
-      // every 4 captures are revisit records of the group's stored body
-      val cdx = graft.ingest.Warc.cdxIndex(
-        graft.ingest.Warc.synthesizeWarcRevisits(docs, "doc_id")).persist()
-      // STAGE 1 — revisit resolution: each revisit joins its stored
-      // original (ONE digest equi-join against the pre-reduced,
-      // broadcastable original table)
-      val resolved = graft.ingest.Warc.resolveRevisits(cdx)
-        .filter(col("resolved")).persist()
-      val captures = cdx.filter(!col("is_revisit"))
-        .select(col("media_id"), col("media_id").as("body_id"))
-        .unionByName(resolved
-          .select(col("media_id"), col("orig_media_id").as("body_id")))
-      // the capture FEED re-serves the RESOLVED body's document — the
-      // duplicates the dedup stage consumes come from the crawl's own
-      // revisit structure, not a synthesized twin
-      val feed = captures.join(
-        docs.select(col("doc_id").as("body_id"), col("text"), col("lang"),
-          col("source")),
-        Seq("body_id"))
-      // STAGE 2 — WebDataset shard assembly + parse-back: downstream
-      // reads the PARSED txt/cls, so the tar leg is load-bearing
-      val samples = graft.ingest.Tar.samples(graft.ingest.Tar.synthesizeShards(
-        feed.select(col("media_id"), col("text"), col("lang"), col("source")),
-        "media_id"))
-        .select(col("stem").cast("long").as("doc_id"), col("txt"), col("cls"))
-        .persist()
-      // STAGE 3 — quality gate (score recipe + token floor)
-      val enriched = samples
-        .withColumn("n_text", TextAnalysis.tokenCount(col("txt")).cast("long"))
-        .withColumn("q", ((col("doc_id") * 37 + 5) % 1000).cast("long"))
-      val qual = enriched.filter(col("n_text") >= 5 && col("q") >= 100)
-      // STAGE 4 — exact dedup, keep-min-id per content hash: the
-      // revisit groups collapse HERE, on the re-served bytes
-      val ex = qual.join(
-        qual.groupBy(md5(col("txt")).as("_h")).agg(min("doc_id").as("_keep")),
-        md5(col("txt")) === col("_h") && col("doc_id") === col("_keep"))
-        .drop("_h", "_keep")
-        .persist()
-      // image leg: survivors' BMPs through the REAL decode → ceil
-      // patch-grid placeholder tokens
-      val dims = graft.multimodal.Multimodal.extractBmpFeatures(
-        graft.multimodal.Multimodal.synthesizeBmpVar(
-          ex.select(col("doc_id")), "doc_id"))
-        .select(col("media_id").as("doc_id"),
-          SequencePack.imagePlaceholderTokens(col("width"), col("height"), 8)
-            .as("n_img"))
-      val withSegs = ex.join(dims, Seq("doc_id"))
-        .withColumn("n_cap", ((col("doc_id") * 13 + 7) % 40).cast("long"))
-        .withColumn("n_total", col("n_text") + col("n_img") + col("n_cap"))
-      // STAGE 5 — per-language token budgets over the doc's TOTAL
-      // (text + image placeholder + caption) tokens, best-quality-first
-      val kept = TokenBudget.selectUnderBudget(
-        withSegs, "cls", "q", "doc_id", "n_total",
-        Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L,
-          "zh" -> 500L))
-        .filter(col("kept"))
-        .select(col("doc_id"), col("cls"), col("n_text"), col("n_img"),
-          col("n_cap"))
-        .persist()
+      import graft.operators.{Mixture, SequencePack}
+      val st = capstoneStages(s, dir)
       // STAGE 6 — WFQ mixture, then multimodal pack + loss-mask spans
       // in SCHEDULE order; the doc key is (position, doc_id) as ONE
       // struct so the id rides the pack without a join back
-      val sched = Mixture.interleave(kept, "cls", "doc_id",
+      val sched = Mixture.interleave(st.kept, "cls", "doc_id",
         Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
       val key = struct(col("position"), col("doc_id")).as("pdoc")
       def segOf(seg: Long, modality: String, nCol: String, loss: Boolean) =
@@ -283,12 +308,12 @@ object Round15Queries {
           lit(-1L).as("chunk_id"), col("_n").as("doc_id"), lit(0L).as("seg"),
           lit(null).cast("string").as("modality"), lit(0L).as("span_offset"),
           lit(0L).as("span_len"), lit(false).as("mask"))
-      stageCount("0_captures", cdx)
-        .unionByName(stageCount("1_revisits_resolved", resolved))
-        .unionByName(stageCount("2_shard_samples", samples))
-        .unionByName(stageCount("3_quality", qual))
-        .unionByName(stageCount("4_exact_dedup", ex))
-        .unionByName(stageCount("5_budget", kept))
+      stageCount("0_captures", st.cdx)
+        .unionByName(stageCount("1_revisits_resolved", st.resolved))
+        .unionByName(stageCount("2_shard_samples", st.samples))
+        .unionByName(stageCount("3_quality", st.qual))
+        .unionByName(stageCount("4_exact_dedup", st.ex))
+        .unionByName(stageCount("5_budget", st.kept))
         .unionByName(spans)
         .orderBy("stage", "chunk_id", "span_offset")
     },
@@ -946,5 +971,60 @@ object Round15Queries {
         graft.multimodal.Multimodal.synthesizeMp3CodedIntensityShortMs(
           Tables.load(s, dir, "documents"), "doc_id"))
         .orderBy("media_id", "frame_idx", "granule", "channel")
+    },
+
+    // CAPSTONE → PIECE STORE (the full production loop) — the last
+    // seam: q378 proves crawl → curated multimodal SCHEDULE, q377
+    // proves schedule → incremental store; this gate runs the WHOLE
+    // chain. The capstone's curation stages (revisit resolution, shard
+    // roundtrip, quality, dedup, patch grids, budgets) feed the WFQ
+    // mixture, and the schedule packs through PieceStore in TWO
+    // position batches split at the midpoint (positions are globally
+    // monotone, so the store's id-monotonicity guard passes without a
+    // fence), with batch 0 replayed after batch 1 landed. The final
+    // piece table must equal a whole-corpus pack of the capstone
+    // schedule's per-doc TOTAL token counts — any drift in ANY of the
+    // seven upstream stages shifts an offset and lands off the hash.
+    Q(
+      "q385_capstone_store",
+      "WITH " + CapstoneOracleStages + ",\n" +
+        """pk AS (SELECT position, n_text + n_img + n_cap AS n FROM pos),
+          |o AS (SELECT position, n,
+          |    CAST(coalesce(sum(n) OVER (ORDER BY position
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS off
+          |  FROM pk),
+          |p AS (SELECT position, n, off, c.c AS chunk_id
+          |  FROM o, unnest(generate_series(off // 256, (off + n - 1) // 256)) AS c(c)
+          |  WHERE n > 0)
+          |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+          |  CAST(position AS BIGINT) AS position,
+          |  CAST(GREATEST(chunk_id * 256 - off, 0) AS BIGINT) AS doc_from,
+          |  CAST(GREATEST(off - chunk_id * 256, 0) AS BIGINT) AS chunk_offset,
+          |  CAST(LEAST(off + n, (chunk_id + 1) * 256)
+          |    - GREATEST(off, chunk_id * 256) AS BIGINT) AS piece_len
+          |FROM p ORDER BY chunk_id, position""".stripMargin) { (s, dir) =>
+      import graft.operators.{Mixture, PieceStore}
+      val st = capstoneStages(s, dir)
+      val sched = Mixture.interleave(st.kept, "cls", "doc_id",
+        Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+        .select(col("position"), col("n_total"))
+        .persist()
+      val maxPos = sched.agg(max("position")).head().getLong(0)
+      val mid = maxPos / 2
+      val root = s"target/q385_capstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      PieceStore.appendBatch(sched.filter(col("position") <= mid),
+        "position", "n_total", seqLen = 256L, root, "c0")
+      PieceStore.appendBatch(sched.filter(col("position") > mid),
+        "position", "n_total", seqLen = 256L, root, "c1")
+      // replay the first crawl batch AFTER the second landed: recorded
+      // offset, byte-identical
+      PieceStore.appendBatch(sched.filter(col("position") <= mid),
+        "position", "n_total", seqLen = 256L, root, "c0")
+      sched.unpersist()
+      PieceStore.pieces(s, root).orderBy("chunk_id", "position")
     })
 }
