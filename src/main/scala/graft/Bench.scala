@@ -63,10 +63,15 @@ object Bench {
     // warmup, untimed: scan/shuffle/agg machinery on the bench data, plus
     // the heavy dedup pipelines on the SMALLEST scale factor — their
     // generated codegen classes are shape-identical, so this pre-JITs them
-    // (steady-state measurement) at negligible cost
+    // (steady-state measurement) at negligible cost. Round 15 adds the PQ
+    // trainer and the GlobalRank internal-row stamp to the list: both hot
+    // paths were rewritten this round and their first execution otherwise
+    // pays C2 compilation inside the first timed ANN/packing query.
     val warmSf = "/root/testdata/sf0.001"
     for (q <- Seq("q23_agg_group" -> sfDir, "q31_dedup_minhash_lsh" -> warmSf,
-      "q32_dedup_simhash" -> warmSf, "q33_dedup_jaccard" -> warmSf))
+      "q32_dedup_simhash" -> warmSf, "q33_dedup_jaccard" -> warmSf,
+      "q325_ann_pq" -> warmSf, "q332_ann_ivfpq" -> warmSf,
+      "q356_seq_pack" -> warmSf))
       try SparkEntry.queries(q._1)(spark, q._2).count()
       catch { case _: Throwable => () }
 

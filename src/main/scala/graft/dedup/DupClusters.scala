@@ -63,6 +63,18 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  /** Edge sets at or under this many rows fold on the driver (union-find
+    * over the collected pairs — identical (node, min-original-id) output)
+    * instead of through the distributed star alternation: a batch-sized
+    * near-dup graph costs ONE collect where the alternation costs a remap,
+    * per-round shuffles and a convergence probe per round — ~15 scheduler
+    * round-trips. The collect is bounded by the threshold (two ids per
+    * edge — the sanctioned O(small) driver inventory, same contract as
+    * [[IncrementalDedup]]'s rep-merge fast path); corpus-scale graphs take
+    * the distributed path unchanged.
+    */
+  private val SmallGraphEdges = 100000L
+
   /** (node, component) for every node appearing in `pairs`; component = min
     * node id reachable. Nodes absent from `pairs` are their own singleton
     * components and are NOT emitted (join back with a left join + coalesce
@@ -74,15 +86,123 @@ object DupClusters {
       aCol: String,
       bCol: String,
       maxIter: Int = 50): DataFrame = {
+    // project + drop degenerate self-pairs once, cache: BOTH paths read the
+    // edge set several times (the alternation's rawEdges union scans the
+    // pairs subplan twice otherwise — for LSH-join inputs that recomputes
+    // the join), and the size probe that picks the path is a count on the
+    // same cache
+    val spark = pairs.sparkSession
+    val proj = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    try {
+      val nEdges = proj.count()
+      val small = nEdges <= SmallGraphEdges && driverOrdering(
+        pairs.schema(aCol).dataType, pairs.schema(bCol).dataType).isDefined
+      if (small) driverComponents(spark, proj,
+        pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+      else componentsDistributed(proj, "src", "dst", maxIter)
+    } finally proj.unpersist() // both paths return materialized results
+  }
+
+  /** The distributed star alternation without the size probe — the
+    * corpus-scale path [[components]] routes big graphs to (and the spec
+    * hook pinning its unconverged-failure contract, which the bounded
+    * driver path never hits: it is exact in one pass).
+    */
+  private[graft] def componentsDistributed(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
     val (labels, _, converged) = run(pairs, aCol, bCol, maxIter)
     // an unconverged result is WRONG (chains still split) — fail loudly;
-    // with the star alternation's O(log n) expected rounds under the hash
-    // remap, maxIter=50 covers graphs far beyond any real corpus
+    // with the star alternation's O(log n) expected rounds under the
+    // hash remap, maxIter=50 covers graphs far beyond any real corpus
     if (!converged)
       throw new IllegalStateException(
         s"components did not converge in $maxIter rounds — component diameter exceeds " +
           s"maxIter; raise maxIter or pre-split the graph")
     labels
+  }
+
+  /** Driver-side ordering matching Spark's `min()` over the node type —
+    * numeric ascending, strings by unsigned UTF-8 byte order (UTF8String's
+    * binary comparison). None = type unsupported, take the distributed
+    * path.
+    */
+  private def driverOrdering(
+      aType: org.apache.spark.sql.types.DataType,
+      bType: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    if (aType != bType) return None
+    aType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case other => throw new IllegalStateException(s"unexpected id $other")
+        })
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+        })
+      case _ => None
+    }
+  }
+
+  /** The bounded fast path: union-find with min-original-id roots over the
+    * collected edge list — the same (node, component) rows the star
+    * alternation converges to, in one collect + one local createDataFrame.
+    */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      proj: DataFrame,
+      aType: org.apache.spark.sql.types.DataType,
+      bType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = driverOrdering(aType, bType).get
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    proj.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (a != null && b != null) {
+        nodes += a; nodes += b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    }
+    val rows = nodes.iterator
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+      .toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", aType),
+      org.apache.spark.sql.types.StructField("component", aType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
+      schema)
   }
 
   /** Star-alternation rounds (one large-star + one small-star each) the

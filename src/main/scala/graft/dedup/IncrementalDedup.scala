@@ -75,13 +75,31 @@ object IncrementalDedup {
     val commitsDir: String = s"$root/_commits"
   }
 
-  /** One batch report: sizes after ingesting the batch. */
-  final case class BatchReport(
-      batchDocs: Long,
-      newPairs: Long,
-      totalDocs: Long,
-      totalPairs: Long,
-      canonicalDocs: Long)
+  /** One batch report: sizes after ingesting the batch.
+    *
+    * Counts are LAZY — computed on first access against the state as
+    * committed at that moment (compaction preserves row content, so the
+    * totals survive an intervening [[compact]] unchanged; only a LATER
+    * ingest would shift them, and the single-writer contract means the
+    * caller controls that ordering). The ingest hot path (q326, the
+    * streaming loop) never reads the counts, so it never pays the five
+    * state scans the eager report used to run per batch.
+    */
+  final class BatchReport(
+      batchDocsThunk: () => Long,
+      newPairsThunk: () => Long,
+      totalDocsThunk: () => Long,
+      totalPairsThunk: () => Long,
+      canonicalDocsThunk: () => Long) {
+    lazy val batchDocs: Long = batchDocsThunk()
+    lazy val newPairs: Long = newPairsThunk()
+    lazy val totalDocs: Long = totalDocsThunk()
+    lazy val totalPairs: Long = totalPairsThunk()
+    lazy val canonicalDocs: Long = canonicalDocsThunk()
+    override def toString: String =
+      s"BatchReport(batchDocs=$batchDocs, newPairs=$newPairs, " +
+        s"totalDocs=$totalDocs, totalPairs=$totalPairs, canonicalDocs=$canonicalDocs)"
+  }
 
   /** One committed batch: marker contents. Snapshot markers carry the
     * batchIds their compaction folded (transitively, including what prior
@@ -195,18 +213,27 @@ object IncrementalDedup {
     visible(spark, state, state.repsDir, "id BIGINT, rep BIGINT", com)
       .groupBy("id").agg(min("rep").as("rep"))
 
+  /** Replay-path report: every count lazy, each pinning the committed map
+    * fresh at access (the batch is already committed, so any later marker
+    * generation sees the same rows — folded batches report batch-local 0,
+    * exactly as the eager path documented).
+    */
   private def reportFromState(
-      spark: SparkSession, state: State, batchId: String,
-      com: Map[String, Commit]): BatchReport = {
-    val docs = visible(spark, state, state.docsDir, "id BIGINT, batch STRING", com)
-    val pairs = visible(spark, state, state.pairsDir,
-      "id_a BIGINT, id_b BIGINT, batch STRING", com)
-    BatchReport(
-      batchDocs = docs.filter(col("batch") === batchId).count(),
-      newPairs = pairs.filter(col("batch") === batchId).count(),
-      totalDocs = docs.count(),
-      totalPairs = pairs.count(),
-      canonicalDocs = docs.count() - resolvedReps(spark, state, com).count())
+      spark: SparkSession, state: State, batchId: String): BatchReport = {
+    def docs(com: Map[String, Commit]) =
+      visible(spark, state, state.docsDir, "id BIGINT, batch STRING", com)
+    def pairs(com: Map[String, Commit]) =
+      visible(spark, state, state.pairsDir,
+        "id_a BIGINT, id_b BIGINT, batch STRING", com)
+    new BatchReport(
+      () => docs(committed(spark, state)).filter(col("batch") === batchId).count(),
+      () => pairs(committed(spark, state)).filter(col("batch") === batchId).count(),
+      () => docs(committed(spark, state)).count(),
+      () => pairs(committed(spark, state)).count(),
+      () => {
+        val com = committed(spark, state)
+        docs(com).count() - resolvedReps(spark, state, com).count()
+      })
   }
 
   /** Ingest one day's batch of (id, text) documents: probe, append, fold
@@ -241,7 +268,7 @@ object IncrementalDedup {
     // re-runs land here. A folded batch's rows now live under the
     // snapshot partition, so its batch-local counts report 0 — totals
     // stay exact, which is what a replay caller acts on.
-    if (knownBatchIds(com).contains(bid)) return reportFromState(spark, state, bid, com)
+    if (knownBatchIds(com).contains(bid)) return reportFromState(spark, state, bid)
     val attempt = java.util.UUID.randomUUID().toString
     def tag(df: DataFrame): DataFrame =
       df.withColumn("attempt", lit(attempt)).withColumn("batch", lit(bid))
@@ -249,7 +276,6 @@ object IncrementalDedup {
       tag(df).write.mode(SaveMode.Append).partitionBy("batch").parquet(dir)
 
     val ids = batch.select(col(idCol).cast("long").as("id"))
-    val batchDocs = ids.count()
 
     // 1. band the new docs (cached: probed once, appended once)
     val newBanded = MinHashLsh
@@ -268,7 +294,10 @@ object IncrementalDedup {
 
     // 3. fold new pairs into the stored clusters at REP level: one node
     // per touched component (or fresh batch id), one edge per new pair —
-    // the graph DupClusters sees is batch-sized regardless of corpus age
+    // the graph DupClusters sees is batch-sized regardless of corpus age.
+    // The caches feeding the delta stay live until the APPEND below
+    // materializes it — no extra count-to-materialize job.
+    var repCaches: Seq[DataFrame] = Nil
     val repDelta: DataFrame = if (nNewPairs == 0) null else {
       val reps = resolvedReps(spark, state, com).persist()
       val endpoints = newPairs.select(col("id_a").as("id"))
@@ -328,37 +357,45 @@ object IncrementalDedup {
       val memberUpdates = reps
         .join(changedForJoin, Seq("rep"))
         .select(col("id"), col("_nr").as("rep"))
-      val delta = changed.select(col("node").as("id"), col("component").as("rep"))
+      repCaches = Seq(reps, epReps)
+      changed.select(col("node").as("id"), col("component").as("rep"))
         .unionByName(memberUpdates)
-        .persist()
-      delta.count() // materialize before unpersisting inputs
-      reps.unpersist(); epReps.unpersist()
-      delta
     }
 
     // 4. append-only state updates — data first, marker LAST (the commit
-    // point); a crash anywhere before the marker leaves invisible rows
+    // point); a crash anywhere before the marker leaves invisible rows.
+    // The rep-delta append is the action that materializes the delta, so
+    // its input caches release right after it.
     append(newBanded, state.indexDir)
     if (nNewPairs > 0) append(newPairs, state.pairsDir)
     append(ids, state.docsDir)
-    if (repDelta != null) { append(repDelta, state.repsDir); repDelta.unpersist() }
+    if (repDelta != null) append(repDelta, state.repsDir)
+    repCaches.foreach(_.unpersist())
     newBanded.unpersist()
     newPairs.unpersist()
     writeMarker(spark, state, bid, Commit(attempt, seq, snapshot = false))
-    // this batch is committed now: extend the pinned map locally instead
-    // of re-listing the marker dir
-    val com2 = com + (bid -> Commit(attempt, seq, snapshot = false))
 
-    // report from the committed state; batch-local numbers are already in
-    // hand, so this is three counts, not the five-scan idempotent path
-    val totalDocs = visible(spark, state, state.docsDir, "id BIGINT", com2).count()
-    val totalPairs = visible(spark, state, state.pairsDir,
-      "id_a BIGINT, id_b BIGINT", com2).count()
-    val report = BatchReport(batchDocs, nNewPairs, totalDocs, totalPairs,
-      canonicalDocs = totalDocs - resolvedReps(spark, state, com2).count())
+    // the report's totals are LAZY (the caller may never read them — the
+    // ingest loop doesn't): each pins the committed map fresh at access,
+    // so even a later compact (which preserves row content) reads back the
+    // same numbers. newPairs is already in hand.
+    val report = new BatchReport(
+      () => batch.select(col(idCol)).count(),
+      () => nNewPairs,
+      () => visible(spark, state, state.docsDir, "id BIGINT",
+        committed(spark, state)).count(),
+      () => visible(spark, state, state.pairsDir, "id_a BIGINT, id_b BIGINT",
+        committed(spark, state)).count(),
+      () => {
+        val c = committed(spark, state)
+        visible(spark, state, state.docsDir, "id BIGINT", c).count() -
+          resolvedReps(spark, state, c).count()
+      })
     // generation-count compaction trigger: fold once the delta tail since
     // the last snapshot reaches the cadence (state is bit-identical by
-    // compact()'s contract; the report above is already computed)
+    // compact()'s contract, so the lazy report reads identically either
+    // side of the fold)
+    val com2 = com + (bid -> Commit(attempt, seq, snapshot = false))
     if (autoCompactEvery > 0 &&
         liveBatches(com2).values.count(!_.snapshot) >= autoCompactEvery)
       compact(spark, state)

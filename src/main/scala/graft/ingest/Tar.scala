@@ -32,12 +32,19 @@ object Tar {
     */
   def synthesizeShards(df: DataFrame, idCol: String, docsPerShard: Int = 50): DataFrame = {
     val spark = df.sparkSession
+    // explicit repartition after the groupBy: AQE's byte-based coalescing
+    // folds the tiny grouped frame onto one task, serializing the
+    // CPU-bound tar builds (and the downstream per-shard parse that
+    // inherits this layout); the exchange carries the grouped doc structs
+    // once, keyed deterministically by shard_id
+    val parts = spark.sessionState.conf.numShufflePartitions
     val src = df
       .select(col(idCol).cast("long").as("doc_id"), col("text"), col("lang"), col("source"))
       .withColumn("shard_id", expr(s"doc_id div $docsPerShard"))
       .groupBy("shard_id")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("text"), col("lang"),
         col("source")))).as("docs"))
+      .repartition(parts, col("shard_id"))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val shard = r.getLong(0)

@@ -33,6 +33,21 @@ object Warc {
 
   // ------------------------------------------------------------ synthesize
 
+  /** Spread a synthesizer's source rows across the session's shuffle
+    * parallelism before the per-row archive build: a small parquet scan
+    * arrives as one input split, and without this every synthesize →
+    * mapPartitions parse chain runs on that single task. The exchange
+    * carries only the pre-payload columns (ids + text), bytes are built
+    * AFTER the spread; the explicit count is a user repartition, so AQE's
+    * byte-based coalescing cannot fold CPU-bound archive work onto one
+    * core. Same discipline as [[graft.multimodal.Multimodal]]'s
+    * synthesizers.
+    */
+  private def spread(df: DataFrame, keyCol: String = "media_id"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(parts, col(keyCol))
+  }
+
   /** Fixed warcinfo block — every synthesized archive opens with it. */
   val WarcinfoBlock: String =
     "software: graft-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"
@@ -133,8 +148,8 @@ object Warc {
     */
   def synthesizeWarcEncoded(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val src = df.select(
-      col(idCol).cast("long").as("media_id"), col("lang"), col("text"))
+    val src = spread(df.select(
+      col(idCol).cast("long").as("media_id"), col("lang"), col("text")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -407,7 +422,7 @@ object Warc {
     */
   def synthesizeWarcRevisits(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val src = df.select(col(idCol).cast("long").as("media_id"))
+    val src = spread(df.select(col(idCol).cast("long").as("media_id")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -595,7 +610,7 @@ object Warc {
     */
   def synthesizeWarcCharsets(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val src = df.select(col(idCol).cast("long").as("media_id"), col("text"))
+    val src = spread(df.select(col(idCol).cast("long").as("media_id"), col("text")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -627,8 +642,8 @@ object Warc {
     */
   def synthesizeWarcBoilerplate(feed: DataFrame): DataFrame = {
     val spark = feed.sparkSession
-    val src = feed.select(col("media_id").cast("long"), col("mode").cast("int"),
-      col("text"), col("lang"))
+    val src = spread(feed.select(col("media_id").cast("long"), col("mode").cast("int"),
+      col("text"), col("lang")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -662,7 +677,7 @@ object Warc {
     */
   def synthesizeWarcCharsetsWide(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val src = df.select(col(idCol).cast("long").as("media_id"), col("text"))
+    val src = spread(df.select(col(idCol).cast("long").as("media_id"), col("text")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -686,8 +701,8 @@ object Warc {
     */
   def synthesizeWarc(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val src = df.select(
-      col(idCol).cast("long").as("media_id"), col("lang"), col("text"))
+    val src = spread(df.select(
+      col(idCol).cast("long").as("media_id"), col("lang"), col("text")))
     val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)

@@ -61,6 +61,23 @@ object Multimodal {
   /** Payload byte length — pure column op, no decode. */
   def payloadBytes(payload: Column): Column = length(payload).cast("long")
 
+  /** Id projection for the payload synthesizers, SPREAD across the
+    * session's shuffle parallelism. A small parquet table arrives as ONE
+    * input split (single row group), and every synthesize → mapPartitions
+    * decode chain inherits that layout — the whole codec path then runs on
+    * one core while 31 idle. The exchange here carries ONLY the id column
+    * (payload bytes are created AFTER the spread, decode stays task-local,
+    * zero payload shuffle — the scale property is unchanged), and the
+    * explicit partition count is a user repartition, so AQE's size-based
+    * coalescing (tuned for shuffle bytes, not decode CPU) cannot fold the
+    * work back onto one task.
+    */
+  private def spreadIds(df: DataFrame, idCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).cast("long").as("media_id"))
+      .repartition(parts, col("media_id"))
+  }
+
   /** Byte-range "frame sample": `n` evenly spaced slices of `width` bytes.
     * For video this is the frame-sampling access pattern (seek + bounded
     * read) without the codec; emitted as lowercase hex for portability.
@@ -114,7 +131,7 @@ object Multimodal {
       nSamples: Int = 441,
       sampleRate: Int = 44100): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val idIdx = 0
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
@@ -142,7 +159,7 @@ object Multimodal {
       width: Int = 16,
       height: Int = 12): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -169,7 +186,7 @@ object Multimodal {
     */
   def synthesizeBmpVar(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -459,7 +476,7 @@ object Multimodal {
       samplesPerBlock: Int = 101,
       sampleRate: Int = 8000): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -492,7 +509,7 @@ object Multimodal {
       blockSize: Int = 256,
       sampleRate: Int = 16000): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -547,7 +564,7 @@ object Multimodal {
       blockSize: Int = 256,
       sampleRate: Int = 16000): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -613,7 +630,7 @@ object Multimodal {
       width: Int = 16,
       height: Int = 12): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       val palette = Array.tabulate(256) { j =>
         (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
@@ -643,7 +660,7 @@ object Multimodal {
       width: Int = 16,
       height: Int = 12): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -695,7 +712,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -726,7 +743,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val palette = Array.tabulate(256) { j =>
       (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
     }
@@ -756,7 +773,7 @@ object Multimodal {
       width: Int = 16,
       height: Int = 12): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -784,7 +801,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -812,7 +829,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -842,7 +859,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -875,7 +892,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -902,7 +919,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -935,7 +952,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -970,7 +987,7 @@ object Multimodal {
       height: Int = 12,
       interlaced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val palette = Array.tabulate(256) { j =>
       (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
     }
@@ -1034,7 +1051,7 @@ object Multimodal {
     // 8×8 block
     val tile = if (subsample420) 16 else 8
     val w = blocksW * tile; val h = blocksH * tile
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1076,7 +1093,7 @@ object Multimodal {
     val spark = df.sparkSession
     val tile = if (subsample420) 16 else 8
     val w = blocksW * tile; val h = blocksH * tile
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1140,7 +1157,7 @@ object Multimodal {
       blocksH: Int = 2): DataFrame = {
     val spark = df.sparkSession
     val w = blocksW * 8; val h = blocksH * 8
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1339,7 +1356,7 @@ object Multimodal {
       width: Int = 16,
       height: Int = 12): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       val palette = Array.tabulate(256) { j =>
         (((j * 31 + 7) % 256) << 16) | (((j * 17 + 3) % 256) << 8) | ((j * 23 + 11) % 256)
@@ -1455,7 +1472,7 @@ object Multimodal {
       fps: Int = 10): DataFrame = {
     val spark = df.sparkSession
     val w = blocksW * 8; val h = blocksH * 8
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1608,7 +1625,7 @@ object Multimodal {
     */
   def synthesizeMp3(df: DataFrame, idCol: String, baseFrames: Int = 20): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1659,7 +1676,7 @@ object Multimodal {
     */
   def synthesizeMp3Coded(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1725,7 +1742,7 @@ object Multimodal {
     */
   def synthesizeMp3CodedShort(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1742,7 +1759,7 @@ object Multimodal {
     */
   def synthesizeMp3CodedMs(df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1761,7 +1778,7 @@ object Multimodal {
   def synthesizeMp3CodedStartStop(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1779,7 +1796,7 @@ object Multimodal {
   def synthesizeMp3CodedIntensity(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1799,7 +1816,7 @@ object Multimodal {
   def synthesizeMp3CodedIntensityMs(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1820,7 +1837,7 @@ object Multimodal {
   def synthesizeMp3CodedStartStopMixed(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1840,7 +1857,7 @@ object Multimodal {
   def synthesizeMp3CodedIntensityShort(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1860,7 +1877,7 @@ object Multimodal {
   def synthesizeMp3CodedIntensityShortMs(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1878,7 +1895,7 @@ object Multimodal {
   def synthesizeMp3CodedMixed(
       df: DataFrame, idCol: String, nFrames: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1939,7 +1956,7 @@ object Multimodal {
     */
   def synthesizeOgg(df: DataFrame, idCol: String, basePages: Int = 10): DataFrame = {
     val spark = df.sparkSession
-    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = spreadIds(df, idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)

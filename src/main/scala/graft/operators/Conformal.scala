@@ -52,11 +52,19 @@ object Conformal {
     require(groupCols.nonEmpty, "splitConformal needs at least one group column")
     require(alphaPermille > 0 && alphaPermille < 1000,
       s"alphaPermille=$alphaPermille must be in (0, 1000)")
+    require(!df.columns.contains("_y6"), "splitConformal: reserved column _y6 in input")
     val gcols = groupCols.map(col)
-    val y6 = floor(col(yCol).cast("double") * 1000000.0 + 0.5).cast("long")
-    val split = df.withColumn(
-      "_split",
-      Splits.assignSplit(col(idCol), Seq("train" -> 2, "cal" -> 1, "test" -> 1)))
+    // the split frame feeds THREE consumers (train mean, calibration
+    // residuals, test re-score) — persist the slim projection once, or
+    // each re-scans the fact table and re-runs the md5 split hash per row
+    val y6in = floor(col(yCol).cast("double") * 1000000.0 + 0.5).cast("long")
+    val split = df.select(
+      (gcols :+ y6in.as("_y6") :+ col(idCol).as(idCol)): _*)
+      .withColumn(
+        "_split",
+        Splits.assignSplit(col(idCol), Seq("train" -> 2, "cal" -> 1, "test" -> 1)))
+      .persist()
+    val y6 = col("_y6")
 
     val mu = split.filter(col("_split") === "train")
       .groupBy(gcols: _*)

@@ -28,12 +28,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalRank {
 
-  /** Order-key cell normalized for equality: binary columns come back as
-    * `Array[Byte]`, whose `==` is reference equality — two tied md5 keys in
-    * different rows would compare unequal and slip past the tie guard.
+  /** Order-key cell copied out of a (possibly reused) InternalRow buffer
+    * and normalized for equality: UTF8String/array/struct values alias the
+    * row's bytes and MUST be cloned before being held across rows; binary
+    * comes back as `Array[Byte]`, whose `==` is reference equality — two
+    * tied md5 keys in different rows would compare unequal and slip past
+    * the tie guard.
     */
   private def normKeyCell(v: Any): Any = v match {
     case a: Array[Byte] => a.toSeq
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case s: org.apache.spark.sql.catalyst.InternalRow => s.copy()
+    case ad: org.apache.spark.sql.catalyst.util.ArrayData => ad.copy()
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
     case x => x
   }
 
@@ -62,7 +69,12 @@ object GlobalRank {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val rdd = sorted.rdd
+    // both passes run over the INTERNAL row RDD (the range shuffle's files
+    // are reused between them): stamping through `df.rdd` would
+    // field-by-field deserialize every row to an external Row and convert
+    // it back — for a fact-table stamp that conversion used to cost more
+    // than the shuffle itself
+    val rdd = graft.operators.Lineage.internalRdd(sorted)
     // pass 1: per-partition sizes only — O(partitions) longs to the driver
     val sizes = rdd.mapPartitions(
       it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
@@ -79,13 +91,19 @@ object GlobalRank {
     // partition — no extra pass, no cross-partition check needed. (Nulls
     // compare equal here: SQL rank treats a repeated NULL key as a tie.)
     val keyIdx = orderCols.map(c => df.schema.fieldIndex(c))
-    // pass 2: stamp rank + total; the range shuffle's files are reused
+    val keyTypes = keyIdx.map(i => df.schema(i).dataType)
+    // pass 2: stamp rank + total behind the same reused range shuffle. The
+    // appended struct and the JoinedRow are reused per partition — the
+    // standard SparkPlan output contract (consumers copy when buffering).
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = offsets(pid)
+      val appended = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      appended.update(1, total)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var prevKey: Seq[Any] = null
       it.map { r =>
         if (failOnTies) {
-          val key = keyIdx.map(i => normKeyCell(r.get(i)))
+          val key = keyIdx.indices.map(k => normKeyCell(r.get(keyIdx(k), keyTypes(k))))
           if (prevKey != null && prevKey == key)
             throw new IllegalStateException(
               s"GlobalRank: tiesPossible=false but order key ${orderCols.mkString("(", ",", ")")}" +
@@ -94,10 +112,11 @@ object GlobalRank {
           prevKey = key
         }
         i += 1
-        Row.fromSeq(r.toSeq :+ i :+ total)
+        appended.update(0, i)
+        joined(r, appended): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(stamped, outSchema)
+    graft.operators.Lineage.internalDataFrame(spark, stamped, outSchema)
   }
 
   /** [[withRowNumber]] and [[withRunningTotal]] FUSED over one order:
@@ -117,13 +136,17 @@ object GlobalRank {
     require(orderCols.nonEmpty, "global ranking needs at least one order column")
     requireFresh(df, rnCol, cumCol)
     val spark = df.sparkSession
-    val projected = df.withColumn(cumCol, coalesce(col(valueCol).cast("long"), lit(0L)))
+    val valTmp = "_gr_stamp_val"
+    require(!df.columns.contains(valTmp), s"GlobalRank: reserved column $valTmp in input")
+    val projected = df.withColumn(valTmp, coalesce(col(valueCol).cast("long"), lit(0L)))
     val sorted = projected
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val rdd = sorted.rdd
-    val vIdx = projected.schema.fieldIndex(cumCol)
+    // internal-row passes — see withRowNumber
+    val rdd = graft.operators.Lineage.internalRdd(sorted)
+    val vIdx = projected.schema.fieldIndex(valTmp)
     val keyIdx = orderCols.map(c => projected.schema.fieldIndex(c))
+    val keyTypes = keyIdx.map(i => projected.schema(i).dataType)
     // pass 1: per-partition (row count, value sum) — O(partitions) pairs
     val stats = rdd.mapPartitions({ it =>
       var n = 0L; var s = 0L
@@ -132,16 +155,18 @@ object GlobalRank {
     }, preservesPartitioning = true).collect()
     val rnOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
     val cumOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
-    val outSchema = StructType(df.schema.fields ++ Seq(
+    val stampedSchema = StructType(projected.schema.fields ++ Seq(
       StructField(rnCol, LongType, nullable = false),
       StructField(cumCol, LongType, nullable = false)))
     // pass 2: stamp both behind the same reused range-shuffle files
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
       var rn = rnOffsets(pid)
       var acc = cumOffsets(pid)
+      val appended = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var prevKey: Seq[Any] = null
       it.map { r =>
-        val key = keyIdx.map(i => normKeyCell(r.get(i)))
+        val key = keyIdx.indices.map(k => normKeyCell(r.get(keyIdx(k), keyTypes(k))))
         if (prevKey != null && prevKey == key)
           throw new IllegalStateException(
             s"GlobalRank: order key ${orderCols.mkString("(", ",", ")")}" +
@@ -149,13 +174,15 @@ object GlobalRank {
               " total would be nondeterministic; append a unique tie-break column")
         prevKey = key
         rn += 1
-        val vals = r.toSeq
-        val out = Row.fromSeq(vals.dropRight(1) :+ rn :+ acc)
+        appended.update(0, rn)
+        appended.update(1, acc)
         acc += r.getLong(vIdx)
-        out
+        joined(r, appended): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(stamped, outSchema)
+    // drop the projected value column; output = df columns + rn + cum
+    graft.operators.Lineage.internalDataFrame(spark, stamped, stampedSchema)
+      .drop(valTmp)
   }
 
   /** Distributed EXCLUSIVE prefix sum of `valueCol` in `orderCols` order —
@@ -177,40 +204,47 @@ object GlobalRank {
     require(orderCols.nonEmpty, "running total needs at least one order column")
     requireFresh(df, outCol)
     val spark = df.sparkSession
+    val valTmp = "_gr_stamp_val"
+    require(!df.columns.contains(valTmp), s"GlobalRank: reserved column $valTmp in input")
     // null values count as 0 (getLong on a null cell would NPE mid-stamp)
-    val projected = df.withColumn(outCol, coalesce(col(valueCol).cast("long"), lit(0L)))
+    val projected = df.withColumn(valTmp, coalesce(col(valueCol).cast("long"), lit(0L)))
     val sorted = projected
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val rdd = sorted.rdd
-    val vIdx = projected.schema.fieldIndex(outCol)
+    // internal-row passes — see withRowNumber
+    val rdd = graft.operators.Lineage.internalRdd(sorted)
+    val vIdx = projected.schema.fieldIndex(valTmp)
     val keyIdx = orderCols.map(c => projected.schema.fieldIndex(c))
+    val keyTypes = keyIdx.map(i => projected.schema(i).dataType)
     // pass 1: per-partition value sums — O(partitions) longs to the driver
     val sums = rdd.mapPartitions(
       it => Iterator.single(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))),
       preservesPartitioning = true).collect()
     val offsets = sums.scanLeft(0L)(_ + _)
-    val outSchema = StructType(
-      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    // pass 2: replace the projected value with the exclusive running total
+    val stampedSchema = StructType(
+      projected.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    // pass 2: append the exclusive running total behind the reused shuffle
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
+      val appended = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var prevKey: Seq[Any] = null
       it.map { r =>
-        val key = keyIdx.map(i => normKeyCell(r.get(i)))
+        val key = keyIdx.indices.map(k => normKeyCell(r.get(keyIdx(k), keyTypes(k))))
         if (prevKey != null && prevKey == key)
           throw new IllegalStateException(
             s"GlobalRank.withRunningTotal: order key ${orderCols.mkString("(", ",", ")")}" +
               s" = ${key.mkString("(", ",", ")")} is duplicated — the running total would be" +
               " nondeterministic; append a unique tie-break column")
         prevKey = key
-        val vals = r.toSeq
-        val out = Row.fromSeq(vals.updated(vIdx, acc))
+        appended.update(0, acc)
         acc += r.getLong(vIdx)
-        out
+        joined(r, appended): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(stamped, outSchema)
+    // drop the projected value column; output = df columns + outCol
+    graft.operators.Lineage.internalDataFrame(spark, stamped, stampedSchema)
+      .drop(valTmp)
   }
 
   /** SQL-standard `ntile(buckets)` from (row_number, total): the first

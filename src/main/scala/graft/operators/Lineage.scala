@@ -35,4 +35,21 @@ object Lineage {
     */
   def pin(df: DataFrame, eager: Boolean = false): DataFrame =
     org.apache.spark.sql.GraftExpressionBridge.pinInternal(df, eager)
+
+  /** The frame's executed InternalRow RDD — [[GlobalRank]]'s two-pass
+    * stamps run over it directly (no external-Row deserialization). Rows
+    * may be reused buffers; copy anything held across `next()` calls.
+    */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+    org.apache.spark.sql.catalyst.InternalRow] =
+    org.apache.spark.sql.GraftExpressionBridge.internalRdd(df)
+
+  /** Wrap an InternalRow RDD as a DataFrame (rows must match `schema`;
+    * producers may reuse row objects per the SparkPlan output contract).
+    */
+  def internalDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    org.apache.spark.sql.GraftExpressionBridge.internalDataFrame(spark, rdd, schema)
 }

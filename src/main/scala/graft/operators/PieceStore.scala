@@ -93,17 +93,36 @@ object PieceStore {
       batchId: String): (Long, Long) = {
     require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
     val spark = batch.sparkSession
-    val existing = stateRows(spark, root)
+    // ONE state read (full rows, max_id included) feeds the replay
+    // lookup, the tail offset AND the guard — no second file scan
+    val stateOpt = stateDf(spark, root)
+    val stateSchema = stateOpt.map(_.schema)
+    val existingRows = stateOpt.toSeq.flatMap(_.collect().toSeq)
+    val existing = existingRows.map(r => (
+      r.getAs[String]("batch_id"), r.getAs[Long]("first_offset"),
+      r.getAs[Long]("n_tokens")))
     // replay: a batch that already committed re-packs at its RECORDED
     // offset (later batches must not shift it); first landing: the tail
     val recorded = existing.find(_._1 == batchId).map(_._2)
+    // ONE aggregate scan of the batch: token total plus native-typed
+    // min/max id — shared by the guard and the state row below
+    val aggFrame = batch.agg(
+      coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
+        .otherwise(lit(0L))), lit(0L)).as("n_tokens"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
+    val aggRow = aggFrame.head()
     if (recorded.isEmpty && existing.nonEmpty) {
       // first landing with committed predecessors: the monotonicity
       // guard — native-typed comparison stays in Spark (idCol may be
-      // long, string, …; two 1-row frames, a broadcast cross)
-      val priorMax = stateDf(spark, root).get
+      // long, string, …) but over two LOCAL 1-row frames built from the
+      // rows already in hand, so the check costs no file or batch scan
+      val priorMax = spark.createDataFrame(
+        java.util.Arrays.asList(existingRows: _*), stateSchema.get)
         .agg(max(col("max_id")).as("_pmax"))
-      val violations = batch.agg(min(col(idCol)).as("_bmin"))
+      val violations = spark
+        .createDataFrame(java.util.Arrays.asList(aggRow), aggFrame.schema)
+        .select(col("min_id").as("_bmin"))
         .crossJoin(broadcast(priorMax))
         .filter(col("_bmin") <= col("_pmax")).count()
       require(violations == 0L,
@@ -113,25 +132,17 @@ object PieceStore {
     }
     val offset = recorded
       .getOrElse(existing.map(s => s._2 + s._3).foldLeft(0L)(math.max))
-    val pieces = SequencePack.packChunks(
-      batch, idCol, nTokensCol, seqLen, streamOffset = offset).persist()
-    pieces.write.mode(SaveMode.Overwrite).parquet(s"$root/pieces/$batchId")
-    pieces.unpersist()
-    // ONE aggregate computes the token total and the native-typed max
-    // id; the state row is written from its own Row so max_id keeps the
-    // id column's type in parquet
-    val stateFrame = batch
-      .agg(
-        coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
-          .otherwise(lit(0L))), lit(0L)).as("n_tokens"),
-        max(col(idCol)).as("max_id"))
+    SequencePack.packChunks(batch, idCol, nTokensCol, seqLen, streamOffset = offset)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/pieces/$batchId")
+    // the state row is written from the shared agg Row so max_id keeps
+    // the id column's native type in parquet
+    val stateFrame = spark
+      .createDataFrame(java.util.Arrays.asList(aggRow), aggFrame.schema)
       .select(lit(batchId).as("batch_id"), lit(offset).as("first_offset"),
         col("n_tokens"), col("max_id"))
-    val row = stateFrame.head()
-    spark.createDataFrame(java.util.Arrays.asList(row), stateFrame.schema)
-      .coalesce(1)
+    stateFrame.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/state/$batchId")
-    (offset, row.getLong(2))
+    (offset, aggRow.getLong(0))
   }
 
   /** Fold every per-batch state row into ONE file — the append path

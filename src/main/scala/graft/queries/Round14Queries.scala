@@ -577,11 +577,14 @@ object Round14Queries {
         .join(feed.select(col("media_id").as("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("main_text"))
         .persist() // six count branches + the piece branch reuse the decode
-      // stage 2: quality gate (score recipe + token floor)
+      // stage 2: quality gate (score recipe + token floor). Persisted:
+      // the exact-dedup join reads qual on BOTH sides and the stage-count
+      // branch a third time — uncached each re-runs the tokenCount regexp
+      // over every main_text
       val enriched = main
         .withColumn("n", TextAnalysis.tokenCount(col("main_text")).cast("long"))
         .withColumn("q", ((col("doc_id") * 37 + 5) % 1000).cast("long"))
-      val qual = enriched.filter(col("n") >= 5 && col("q") >= 100)
+      val qual = enriched.filter(col("n") >= 5 && col("q") >= 100).persist()
       // stage 3: exact dedup, keep-min-id per content hash
       val ex = qual
         .join(qual.groupBy(md5(col("main_text")).as("_h"))

@@ -69,11 +69,13 @@ object Round15Queries {
       "media_id"))
       .select(col("stem").cast("long").as("doc_id"), col("txt"), col("cls"))
       .persist()
-    // STAGE 3 — quality gate (score recipe + token floor)
+    // STAGE 3 — quality gate (score recipe + token floor). Persisted:
+    // the exact-dedup join reads qual on BOTH sides and the stage-count
+    // branch a third time — uncached each re-runs the tokenCount regexp
     val enriched = samples
       .withColumn("n_text", TextAnalysis.tokenCount(col("txt")).cast("long"))
       .withColumn("q", ((col("doc_id") * 37 + 5) % 1000).cast("long"))
-    val qual = enriched.filter(col("n_text") >= 5 && col("q") >= 100)
+    val qual = enriched.filter(col("n_text") >= 5 && col("q") >= 100).persist()
     // STAGE 4 — exact dedup, keep-min-id per content hash: the
     // revisit groups collapse HERE, on the re-served bytes
     val ex = qual.join(
@@ -609,21 +611,29 @@ object Round15Queries {
           emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
           "vec_id", root, "t1")
         // cold reload: codes, centroids, codebook all from disk. The
-        // store frames are deliberately NOT persisted: the store root
-        // is deleted and rebuilt on every invocation, and a cached
-        // plan would pin the previous build's file snapshot.
-        val codes = IvfPqStore.liveCodes(s, root, "vec_id")
+        // cold FRAMES are then cached for the three-probe loop only —
+        // the cache is created and dropped INSIDE this invocation (the
+        // store root is deleted and rebuilt every run, and a cache
+        // outliving the run would pin the previous build's file
+        // snapshot), so each probe reads the store once instead of
+        // re-listing and re-scanning the batch dirs per query
+        val codes = IvfPqStore.liveCodes(s, root, "vec_id").persist()
         val cents2 = IvfPqStore.readCentroids(s, root)
         val cb2 = PqIndexStore.readCodebook(s, root)
         // the brute side's corpus is the STORE's live id set — not a
         // closed-form twin — joined back to the raw vectors
         val liveEmb = emb.join(codes.select(col("vec_id")), Seq("vec_id"))
+          .persist()
+        // ONE job fetches every probe vector (three rows)
+        val probeVecs = emb.filter(col("vec_id").isin(probeIds: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble).toArray).toMap
         // per probe: the two top-10 id sets collect driver-side (the
         // sanctioned BOUNDED inventory — k ids each) so the returned
         // 3-row frame is store-file-independent and re-countable
         val rows = probeIds.map { pid =>
-          val q = emb.filter(col("vec_id") === pid)
-            .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+          val q = probeVecs(pid)
           val adcIds = IvfPq.adcTopK(codes, cents2, "vec_id", "label", cb2, q,
             nProbe = 2, topK = 10)
             .collect().map(_.getLong(0)).toSet
@@ -637,7 +647,7 @@ object Round15Queries {
             .collect().map(_.getLong(0)).toSet
           (pid, adcIds.intersect(bruteIds).size.toLong, 10L)
         }
-        emb.unpersist()
+        codes.unpersist(); liveEmb.unpersist(); emb.unpersist()
         import s.implicits._
         rows.toDF("probe_id", "n_hits", "k").orderBy("probe_id")
       }

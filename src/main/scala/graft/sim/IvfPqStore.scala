@@ -149,13 +149,20 @@ object IvfPqStore {
       m: Int,
       k: Int,
       iters: Int): Long = {
+    // cache the survivor join: training (centroid pass + residual
+    // materialization + codebook init) and the final encode-append each
+    // scan it, and uncached every scan re-lists the store dirs and
+    // re-runs the id join
     val survivors = corpus.join(
       liveCodes(spark, root, idCol).select(col(idCol)), Seq(idCol))
+      .persist()
     val (cents, cb) = IvfPq.fitResidual(
       survivors, idCol, vecCol, cellCol, dims, m, k, iters)
     writeCentroids(spark, newRoot, cents)
     PqIndexStore.writeCodebook(spark, newRoot, cb)
-    appendBatch(survivors, cents, idCol, vecCol, cellCol, newRoot, cb, "g0")
+    val n = appendBatch(survivors, cents, idCol, vecCol, cellCol, newRoot, cb, "g0")
+    survivors.unpersist()
+    n
   }
 
   /** Fold pending tombstones INTO the code table — [[PqIndexStore
@@ -190,7 +197,9 @@ object IvfPqStore {
       .filterNot(_.endsWith(s"/$compactId")).filterNot(prior)
     val foldedTombs = batchDirs(spark, s"$root/tombstones").filterNot(prior)
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
-    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // cache the fold input: the survivor write, nAll and nLive otherwise
+    // each re-list and re-scan every folded subdir (3 FS passes → 1)
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _).persist()
     val tomb =
       if (foldedTombs.isEmpty) null
       else foldedTombs.map(spark.read.parquet(_)).reduce(_ unionAll _)
@@ -202,7 +211,10 @@ object IvfPqStore {
       .partitionBy(cellCol)
       .parquet(s"$root/codes/$compactId")
     val nAll = all.count()
-    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
+    // the write above is the committed artifact; its row count equals the
+    // survivor plan's count over the cached fold input — no read-back scan
+    val nLive = survivors.count()
+    all.unpersist()
     (foldedCodes ++ foldedTombs).toDF("path")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
     (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))

@@ -239,7 +239,9 @@ object PqIndexStore {
       .filterNot(_.endsWith(s"/$compactId"))
     val foldedTombs = subdirs(s"$root/tombstones")
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
-    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _)
+    // cache the fold input: the survivor write, nAll and nLive otherwise
+    // each re-list and re-scan every folded subdir (3 FS passes → 1)
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _).persist()
     val idCol = all.columns.head
     val tomb =
       if (foldedTombs.isEmpty) null
@@ -250,7 +252,10 @@ object PqIndexStore {
       else all.join(broadcast(tomb), Seq(idCol), "left_anti")
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$compactId")
     val nAll = all.count()
-    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
+    // the write above is the committed artifact; its row count equals the
+    // survivor plan's count over the cached fold input — no read-back scan
+    val nLive = survivors.count()
+    all.unpersist()
     // marker AFTER the data commit; deletes last
     (foldedCodes ++ foldedTombs).toDF("path")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)

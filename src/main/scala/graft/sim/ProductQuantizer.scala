@@ -39,6 +39,14 @@ object ProductQuantizer {
   /** Train m codebooks of k centroids each (`iters` Lloyd rounds per
     * subspace — deterministic: init = the k lowest-id vectors' slices).
     * `dims` must divide evenly into m subspaces.
+    *
+    * All m subspace trainings are FUSED into shared jobs: the per-subspace
+    * Lloyd recipe ([[KMeans.fit]]'s init / assign / exact-mean update) is
+    * unchanged value-for-value, but one collect fetches every subspace's
+    * init slices and each round runs ONE scan that assigns all m subspaces
+    * and partial-aggregates all m·k·(D/m) means — m·(iters+1) driver-side
+    * actions collapse to iters+1, which on a cached residual frame is the
+    * difference between the scheduler and the math being the cost.
     */
   def fit(
       df: DataFrame,
@@ -49,11 +57,52 @@ object ProductQuantizer {
       k: Int,
       iters: Int): Codebook = {
     require(m > 0 && dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    require(k > 0 && iters >= 0, "k and iters must be positive")
     val subDims = dims / m
-    val cents = Array.tabulate(m) { s =>
-      KMeans.fit(
-        df.select(col(idCol), sliceCol(vecCol, s, subDims).as("_sub")),
-        idCol, "_sub", k, iters)
+    // init = the k lowest-id vectors' slices, all m subspaces in one job
+    // (same slice expressions KMeans.fit would collect one subspace at a
+    // time; float inputs arrive as Float and widen exactly like there)
+    val initRows = df
+      .orderBy(col(idCol))
+      .limit(k)
+      .select((0 until m).map(s => sliceCol(vecCol, s, subDims)): _*)
+      .collect()
+    require(initRows.nonEmpty, "corpus is empty")
+    def widen(v: Any): Double = v match {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"$vecCol must be array<float|double>, found element $other")
+    }
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map(_.getSeq[Any](s).map(widen).toArray)
+    }
+    for (_ <- 1 to iters) {
+      // one scan: every subspace's assignment rides as one array column,
+      // posexplode emits (dim, value), and the per-(subspace, cluster,
+      // sub-dim) means partial-aggregate exactly as the per-subspace
+      // groupBy would — the value SETS per group are identical
+      val assigns = array((0 until m).map(s =>
+        KMeans.assignExpr(sliceCol(vecCol, s, subDims), cents(s))): _*)
+      val means = df
+        .select(assigns.as("_cl"), posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+        .filter(col("_dim") < dims)
+        .select(
+          expr(s"_dim div $subDims").cast("int").as("_s"),
+          element_at(col("_cl"),
+            (expr(s"_dim div $subDims") + 1).cast("int")).as("_cluster"),
+          expr(s"_dim % $subDims").cast("int").as("_sdim"),
+          col("_v"))
+        .groupBy(col("_s"), col("_cluster"), col("_sdim"))
+        .agg(avg(col("_v")).as("_mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (sc, rows) =>
+          sc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cents = Array.tabulate(m) { s =>
+        cents(s).indices.map(j => means.getOrElse((s, j), cents(s)(j))).toArray
+      }
     }
     Codebook(subDims, cents)
   }

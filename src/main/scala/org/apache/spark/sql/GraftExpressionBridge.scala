@@ -38,4 +38,25 @@ object GraftExpressionBridge {
     if (eager) rdd.count()
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
+
+  /** The frame's executed InternalRow RDD (`queryExecution.toRdd`,
+    * `private[sql]` plumbing) — for operators that run driver-coordinated
+    * passes over partitions ([[graft.operators.GlobalRank]]'s two-pass
+    * stamps) without paying the `df.rdd` external-Row deserialization of
+    * every field. Rows may be REUSED buffers per the SparkPlan contract:
+    * copy anything held across `next()` calls.
+    */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD as a DataFrame (`internalCreateDataFrame`,
+    * `private[sql]`) — the output side of the same operators. Rows must
+    * match `schema`; the standard operator contract applies (consumers
+    * copy when buffering), so producers may reuse row objects.
+    */
+  def internalDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

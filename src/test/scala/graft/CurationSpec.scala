@@ -454,11 +454,24 @@ class CurationSpec extends SparkSpec {
 
   test("components: unconverged fixpoint fails loudly instead of returning split clusters") {
     import graft.dedup.DupClusters
-    // a path of diameter 5 cannot converge in 2 rounds
+    // a path of diameter 5 cannot converge in 2 rounds (distributed path;
+    // the public components() routes a graph this small to the exact
+    // driver fast path, pinned in the sibling test below)
     val pairs = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
     assertThrows[IllegalStateException] {
-      DupClusters.components(pairs, "id_a", "id_b", maxIter = 2).collect()
+      DupClusters.componentsDistributed(pairs, "id_a", "id_b", maxIter = 2).collect()
     }
+  }
+
+  test("components: bounded graphs take the exact driver fast path regardless of maxIter") {
+    import graft.dedup.DupClusters
+    // same diameter-5 path: the driver union-find is exact in one pass, so
+    // maxIter never applies below the small-graph threshold — and the
+    // labels equal the distributed answer (min-id components)
+    val pairs = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val got = DupClusters.components(pairs, "id_a", "id_b", maxIter = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (1L to 6L).map(_ -> 1L).toSet)
   }
 
   test("FuzzyJoin: short strings (segments would overlap) still pair correctly") {
