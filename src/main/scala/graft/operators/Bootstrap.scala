@@ -64,10 +64,16 @@ object Bootstrap {
       require(!df.columns.contains(r), s"df must not contain reserved column '$r'")
     }
     val dec = "decimal(38,0)"
-    val full = df.agg(
+    // spread the (id, value) projection before the B-way explode: the md5
+    // multiplicity draws are heavy per-row work, and a single-row-group
+    // scan would run all n·B of them on one task; both branches read the
+    // same exchange (reused), so the spread costs one slim shuffle
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val proj = df.select(col(idCol), col(valueCol)).repartition(parts, col(idCol))
+    val full = proj.agg(
       count(lit(1)).as("n"),
       sum(col(valueCol).cast(dec)).as("_sv"))
-    val perResample = df
+    val perResample = proj
       .select(col(idCol), col(valueCol), explode(sequence(lit(0), lit(b - 1))).as("_b"))
       .withColumn("_m", multiplicity(col(idCol), col("_b")))
       .groupBy("_b")
