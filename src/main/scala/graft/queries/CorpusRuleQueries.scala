@@ -650,7 +650,11 @@ object CorpusRuleQueries {
       val bmp = Multimodal
         .extractBmpDHash(Multimodal.synthesizeBmpGifTwin(docs, "doc_id"), side = 8)
         .select(col("dhash"), lit("bmp").as("_fmt"))
+      // coalesce the union (narrow — decode stays spread): each branch
+      // arrives at full session parallelism, and without this the
+      // fingerprint groupBy's map side launches 2×parts tiny tasks
       gif.unionByName(bmp)
+        .coalesce(math.max(1, s.sessionState.conf.numShufflePartitions / 4))
         .groupBy("dhash")
         .agg(
           count(lit(1)).as("n_media"),

@@ -98,7 +98,11 @@ object Round9Queries {
       val png = Multimodal
         .extractPngDHash(Multimodal.synthesizePngGifTwin(docs, "doc_id"), side = 8)
         .select(col("dhash"), lit("png").as("_fmt"))
+      // coalesce the union (narrow — decode stays spread): each branch
+      // arrives at full session parallelism, and without this the
+      // fingerprint groupBy's map side launches 3×parts tiny tasks
       gif.unionByName(bmp).unionByName(png)
+        .coalesce(math.max(1, s.sessionState.conf.numShufflePartitions / 4))
         .groupBy("dhash")
         .agg(
           count(lit(1)).as("n_media"),

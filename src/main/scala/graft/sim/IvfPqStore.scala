@@ -197,9 +197,7 @@ object IvfPqStore {
       .filterNot(_.endsWith(s"/$compactId")).filterNot(prior)
     val foldedTombs = batchDirs(spark, s"$root/tombstones").filterNot(prior)
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
-    // cache the fold input: the survivor write, nAll and nLive otherwise
-    // each re-list and re-scan every folded subdir (3 FS passes → 1)
-    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _).persist()
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val tomb =
       if (foldedTombs.isEmpty) null
       else foldedTombs.map(spark.read.parquet(_)).reduce(_ unionAll _)
@@ -211,10 +209,7 @@ object IvfPqStore {
       .partitionBy(cellCol)
       .parquet(s"$root/codes/$compactId")
     val nAll = all.count()
-    // the write above is the committed artifact; its row count equals the
-    // survivor plan's count over the cached fold input — no read-back scan
-    val nLive = survivors.count()
-    all.unpersist()
+    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
     (foldedCodes ++ foldedTombs).toDF("path")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
     (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))

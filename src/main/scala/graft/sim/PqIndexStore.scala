@@ -239,9 +239,7 @@ object PqIndexStore {
       .filterNot(_.endsWith(s"/$compactId"))
     val foldedTombs = subdirs(s"$root/tombstones")
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
-    // cache the fold input: the survivor write, nAll and nLive otherwise
-    // each re-list and re-scan every folded subdir (3 FS passes → 1)
-    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _).persist()
+    val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _)
     val idCol = all.columns.head
     val tomb =
       if (foldedTombs.isEmpty) null
@@ -252,10 +250,7 @@ object PqIndexStore {
       else all.join(broadcast(tomb), Seq(idCol), "left_anti")
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$compactId")
     val nAll = all.count()
-    // the write above is the committed artifact; its row count equals the
-    // survivor plan's count over the cached fold input — no read-back scan
-    val nLive = survivors.count()
-    all.unpersist()
+    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
     // marker AFTER the data commit; deletes last
     (foldedCodes ++ foldedTombs).toDF("path")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
