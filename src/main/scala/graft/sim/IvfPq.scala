@@ -63,14 +63,16 @@ object IvfPq {
       m: Int,
       k: Int,
       iters: Int): (DataFrame, ProductQuantizer.Codebook) = {
+    // persist both the centroids and the RESIDUALS: every k-means round
+    // re-scans the residual frame (without the cache each scan replays
+    // the centroid join + zip_with subtraction from the raw vectors —
+    // measured 3.6 → 2.2 s on the q332 lifecycle at sf0.1). No
+    // count-to-materialize: the codebook init (a TakeOrdered over every
+    // partition) is the first action and fills both caches itself — at
+    // this frame's size each extra driver action costs more than the
+    // work it orders
     val cents = Similarity.centroidsOf(df, vecCol, cellCol).persist()
-    cents.count() // materialize once: residuals are scanned m·iters times
-    // … and materialize the RESIDUALS too: every per-subspace k-means
-    // round re-scans them (m · ~(2·iters+1) scans), and without the cache
-    // each scan replays the centroid join + zip_with subtraction from the
-    // raw vectors (measured 3.6 → 2.2 s on the q332 lifecycle at sf0.1)
     val res = residuals(df, cents, idCol, vecCol, cellCol).persist()
-    res.count()
     val cb = ProductQuantizer.fit(res, idCol, "_res", dims, m, k, iters)
     // k-means drives its iterations with driver-side actions, so every
     // scan has happened by now — safe to release
