@@ -13,10 +13,22 @@ object DevPhase {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.sim.{IvfPq, IvfPqStore, PqIndexStore}
     val s = spark
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    import org.apache.spark.metrics.source.CodegenMetrics
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
+      val c0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      val ct0 = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
       val r = f
-      println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val ct1 = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+      println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+        f"jobs=${jobs.get() - j0}%3d compiles=${CodegenMetrics.METRIC_COMPILATION_TIME.getCount - c0}%3d " +
+        f"compileMs=${(ct1 - ct0) / 1e6}%.0f")
       r
     }
     for (rep <- 1 to 2) {

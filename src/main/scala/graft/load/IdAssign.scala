@@ -33,10 +33,31 @@ object IdAssign {
       if (orderCols.isEmpty) df
       else df.repartitionByRange(orderCols.map(col): _*).sortWithinPartitions(orderCols.map(col): _*)
     val outSchema = StructType(StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd
-      .zipWithIndex()
-      .map { case (r, i) => Row.fromSeq((i + 1 + offset) +: r.toSeq) }
-    spark.createDataFrame(rdd, outSchema)
+    // both passes run over the INTERNAL row RDD (the [[graft.operators
+    // .GlobalRank]] stamp shape; the range shuffle's files are reused
+    // between them): the old `rdd.zipWithIndex` + `createDataFrame` pair
+    // field-by-field deserialized every row to an external Row and
+    // converted it back — for a fact-table id stamp the double conversion
+    // cost more than the shuffle. Pass 1 collects per-partition row
+    // counts (O(partitions) longs — the same job zipWithIndex ran); pass
+    // 2 prepends `offset(partition) + local position` behind the reused
+    // shuffle. The prepended struct and the JoinedRow are reused per
+    // partition — the standard SparkPlan output contract.
+    val rdd = graft.operators.Lineage.internalRdd(sorted)
+    val sizes = rdd.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid) + offset
+      val prepended = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { r =>
+        i += 1
+        prepended.update(0, i)
+        joined(prepended, r): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    graft.operators.Lineage.internalDataFrame(spark, stamped, outSchema)
   }
 
   /** Exact single-window variant — use only when the batch is known-small. */

@@ -71,6 +71,66 @@ object ZOrder {
       .agg(count(lit(1)).cast("long").as("depth"))
   }
 
+  /** [[skippingDepth]] for SEVERAL candidate layouts over one table in
+    * ONE range exchange — the layout-advisor shape: scoring three sort
+    * orders as three separate ntile stamps range-shuffles the same rows
+    * three times and pays three driver count passes. Here each layout
+    * contributes a branch (layout label + its order tuple, key columns
+    * cast to long and right-padded with 0 — every layout's order must
+    * already be total, so the pad never decides placement) to one UNION,
+    * and a single [[GlobalRank.withRowNumber]] over (layout, k1…kP)
+    * ranks every layout at once: layout blocks are contiguous in that
+    * order, so each row's per-layout rank is `rn − min(rn over layout)
+    * + 1` via a #layouts-row broadcast join-back, and
+    * [[GlobalRank.ntileCol]] over (per-layout rank, per-layout count)
+    * equals the per-layout ntile exactly. Same total shuffled bytes as
+    * the three separate stamps, one exchange and one count pass instead
+    * of three of each.
+    *
+    * Output: [[skippingDepth]]'s row per (layout, chunk) with a leading
+    * `layout` column. Order columns must be integer-typed (the long
+    * cast must preserve their order).
+    */
+  def skippingDepthMulti(
+      df: org.apache.spark.sql.DataFrame,
+      layouts: Seq[(String, Seq[String])],
+      keyCol: String,
+      chunks: Int): org.apache.spark.sql.DataFrame = {
+    require(chunks >= 1, s"chunks=$chunks must be >= 1")
+    require(layouts.nonEmpty, "need at least one layout")
+    require(layouts.map(_._1).distinct.size == layouts.size, "duplicate layout label")
+    val p = layouts.map(_._2.size).max
+    val branches = layouts.map { case (label, ord) =>
+      df.select(
+        lit(label).as("_layout") +:
+          (0 until p).map(i =>
+            (if (i < ord.size) col(ord(i)).cast("long") else lit(0L)).as(s"_k$i")) :+
+          col(keyCol): _*)
+    }
+    val ranked = GlobalRank.withRowNumber(
+      branches.reduce(_ unionByName _),
+      "_layout" +: (0 until p).map(i => s"_k$i"))
+    val bounds = ranked.groupBy(col("_layout"))
+      .agg(min(col("_rn")).as("_rn0"), count(lit(1)).cast("long").as("_ln"))
+    val zones = ranked.join(broadcast(bounds), Seq("_layout"))
+      .withColumn("_chunk",
+        GlobalRank.ntileCol(col("_rn") - col("_rn0") + 1L, col("_ln"), chunks))
+      .groupBy(col("_layout"), col("_chunk"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+    val other = zones.select(
+      col("_layout").as("_l2"), col("_chunk").as("_c2"),
+      col("min_key").as("_mn2"), col("max_key").as("_mx2"))
+    zones.join(broadcast(other),
+        col("_layout") === col("_l2") &&
+          col("min_key") <= col("_mx2") && col("_mn2") <= col("max_key"))
+      .groupBy(col("_layout").as("layout"), col("_chunk").as("chunk"),
+        col("n_rows"), col("min_key"), col("max_key"))
+      .agg(count(lit(1)).cast("long").as("depth"))
+  }
+
   /** Workload-aware data-skipping score: for each predicate range
     * `[lo, hi]` (inclusive, on `keyCol`), how many of the layout's chunk
     * zone maps must be SCANNED (range intersects the predicate) vs

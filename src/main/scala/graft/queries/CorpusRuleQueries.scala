@@ -466,15 +466,20 @@ object CorpusRuleQueries {
         |FROM d GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-      def score(label: String, order: Seq[String]) =
-        graft.operators.ZOrder.skippingDepth(li, order, "l_partkey", chunks = 32)
-          .agg(
-            expr("(sum(depth) * 1000000L) div 32").as("avg_depth_micro"),
-            max(col("depth")).as("max_depth"))
-          .select(lit(label).as("layout"), col("avg_depth_micro"), col("max_depth"))
-      score("orderkey", Seq("l_orderkey", "l_linenumber"))
-        .unionByName(score("partkey", Seq("l_partkey", "l_orderkey", "l_linenumber")))
-        .unionByName(score("suppkey", Seq("l_suppkey", "l_orderkey", "l_linenumber")))
+      // all three candidate layouts score through ONE range exchange
+      // (skippingDepthMulti) instead of three ntile stamps over the same
+      // 600k rows — same per-layout chunks, same depths
+      graft.operators.ZOrder.skippingDepthMulti(
+        li,
+        Seq(
+          "orderkey" -> Seq("l_orderkey", "l_linenumber"),
+          "partkey" -> Seq("l_partkey", "l_orderkey", "l_linenumber"),
+          "suppkey" -> Seq("l_suppkey", "l_orderkey", "l_linenumber")),
+        "l_partkey", chunks = 32)
+        .groupBy(col("layout"))
+        .agg(
+          expr("(sum(depth) * 1000000L) div 32").as("avg_depth_micro"),
+          max(col("depth")).as("max_depth"))
         .orderBy("layout")
     },
 

@@ -18,4 +18,7 @@ object Q {
 
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** [[graft.Par.run]] — overlap independent driver-side actions. */
+  def concurrently[A](thunks: Seq[() => A]): Seq[A] = graft.Par.run(thunks)
 }

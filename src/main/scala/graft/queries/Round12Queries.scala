@@ -321,10 +321,15 @@ object Round12Queries {
         val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fsys.exists(p)) fsys.delete(p, true)
         PqIndexStore.writeCodebook(s, root, cb)
-        PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", root, cb, "b0")
-        PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", root, PqIndexStore.readCodebook(s, root), "b1")
+        // the two appends are independent (distinct subdirs; b1
+        // deliberately encodes against the round-tripped codebook, which
+        // committed above) — overlap their driver fixed costs
+        graft.Par.run(Seq(
+          () => PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", root, cb, "b0"): Unit,
+          () => PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", root, PqIndexStore.readCodebook(s, root),
+            "b1"): Unit))
         val probe = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
         emb.unpersist()

@@ -275,14 +275,18 @@ object Round13Queries {
       val p = new org.apache.hadoop.fs.Path(root)
       val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fsys.exists(p)) fsys.delete(p, true)
-      PqIndexStore.writeCodebook(s, root, cb)
-      PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", root, cb, "b0")
-      PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", root, cb, "b1")
-      PqIndexStore.appendTombstones(
-        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        "vec_id", root, "t0")
+      // the pre-compaction ops are mutually independent (distinct store
+      // subdirs; appends never read codebook/) — overlap their driver
+      // fixed costs instead of serializing four tiny jobs
+      graft.Par.run(Seq(
+        () => PqIndexStore.writeCodebook(s, root, cb): Unit,
+        () => PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", root, cb, "b0"): Unit,
+        () => PqIndexStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", root, cb, "b1"): Unit,
+        () => PqIndexStore.appendTombstones(
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+          "vec_id", root, "t0"): Unit))
       PqIndexStore.compact(s, root, "c0")
       val probe = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray

@@ -361,15 +361,19 @@ object Round14Queries {
       val p = new org.apache.hadoop.fs.Path(root)
       val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fsys.exists(p)) fsys.delete(p, true)
-      IvfPqStore.writeCentroids(s, root, cents)
-      graft.sim.PqIndexStore.writeCodebook(s, root, cb)
-      IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 0), cents,
-        "vec_id", "embedding", "label", root, cb, "b0")
-      IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 1), cents,
-        "vec_id", "embedding", "label", root, cb, "b1")
-      IvfPqStore.appendTombstones(
-        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        "vec_id", root, "t0")
+      // the pre-compaction ops are mutually independent (distinct store
+      // subdirs; appends never read centroids/ or codebook/) — overlap
+      // their driver fixed costs instead of serializing five tiny jobs
+      graft.Par.run(Seq(
+        () => IvfPqStore.writeCentroids(s, root, cents),
+        () => graft.sim.PqIndexStore.writeCodebook(s, root, cb),
+        () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 0),
+          cents, "vec_id", "embedding", "label", root, cb, "b0"),
+        () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 2 === 1),
+          cents, "vec_id", "embedding", "label", root, cb, "b1"),
+        () => IvfPqStore.appendTombstones(
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+          "vec_id", root, "t0")))
       IvfPqStore.compact(s, root, "c0", "vec_id", "label")
       val probe = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray

@@ -592,24 +592,30 @@ object Round15Queries {
         val p = new org.apache.hadoop.fs.Path(root)
         val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fsys.exists(p)) fsys.delete(p, true)
-        IvfPqStore.writeCentroids(s, root, cents)
-        PqIndexStore.writeCodebook(s, root, cb)
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 0), cents,
-          "vec_id", "embedding", "label", root, cb, "b0")
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 1), cents,
-          "vec_id", "embedding", "label", root, cb, "b1")
-        IvfPqStore.appendTombstones(
-          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-          "vec_id", root, "t0")
+        // the pre-compaction ops are mutually independent (distinct store
+        // subdirs; appends never read centroids/ or codebook/) — overlap
+        // their driver fixed costs instead of serializing four tiny jobs
+        Q.concurrently(Seq(
+          () => IvfPqStore.writeCentroids(s, root, cents),
+          () => PqIndexStore.writeCodebook(s, root, cb),
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 0),
+            cents, "vec_id", "embedding", "label", root, cb, "b0"),
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 1),
+            cents, "vec_id", "embedding", "label", root, cb, "b1"),
+          () => IvfPqStore.appendTombstones(
+            emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+            "vec_id", root, "t0")))
         IvfPqStore.compact(s, root, "c0", "vec_id", "label")
-        // post-compaction churn: a fresh append must NOT be
-        // retro-deleted by the folded tombstones…
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 2), cents,
-          "vec_id", "embedding", "label", root, cb, "b2")
-        // …while PENDING tombstones mask the whole live view
-        IvfPqStore.appendTombstones(
-          emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
-          "vec_id", root, "t1")
+        // post-compaction churn (strictly AFTER the fold commits — the
+        // compaction must fold exactly {b0, b1, t0}): a fresh append must
+        // NOT be retro-deleted by the folded tombstones, while PENDING
+        // tombstones mask the whole live view; the two are independent
+        Q.concurrently(Seq(
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 2),
+            cents, "vec_id", "embedding", "label", root, cb, "b2"): Unit,
+          () => IvfPqStore.appendTombstones(
+            emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
+            "vec_id", root, "t1"): Unit))
         // cold reload: codes, centroids, codebook all from disk. The
         // cold FRAMES are then cached for the three-probe loop only —
         // the cache is created and dropped INSIDE this invocation (the
@@ -618,34 +624,49 @@ object Round15Queries {
         // snapshot), so each probe reads the store once instead of
         // re-listing and re-scanning the batch dirs per query
         val codes = IvfPqStore.liveCodes(s, root, "vec_id").persist()
-        val cents2 = IvfPqStore.readCentroids(s, root)
-        val cb2 = PqIndexStore.readCodebook(s, root)
         // the brute side's corpus is the STORE's live id set — not a
         // closed-form twin — joined back to the raw vectors
         val liveEmb = emb.join(codes.select(col("vec_id")), Seq("vec_id"))
           .persist()
-        // ONE job fetches every probe vector (three rows)
-        val probeVecs = emb.filter(col("vec_id").isin(probeIds: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => r.getLong(0) ->
-            r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+        // materialize both caches with ONE job, then overlap the four
+        // independent metadata fetches (probe vectors ride one job)
+        val (cents2, cb2, probeVecs) = {
+          val fetched = Q.concurrently(Seq(
+            () => liveEmb.count(): Any,
+            () => IvfPqStore.readCentroids(s, root): Any,
+            () => PqIndexStore.readCodebook(s, root): Any,
+            () => emb.filter(col("vec_id").isin(probeIds: _*))
+              .select(col("vec_id"), col("embedding")).collect()
+              .map(r => r.getLong(0) ->
+                r.getSeq[Float](1).map(_.toDouble).toArray).toMap: Any))
+          (fetched(1).asInstanceOf[org.apache.spark.sql.DataFrame],
+            fetched(2).asInstanceOf[graft.sim.ProductQuantizer.Codebook],
+            fetched(3).asInstanceOf[Map[Long, Array[Double]]])
+        }
         // per probe: the two top-10 id sets collect driver-side (the
         // sanctioned BOUNDED inventory — k ids each) so the returned
-        // 3-row frame is store-file-independent and re-countable
-        val rows = probeIds.map { pid =>
+        // 3-row frame is store-file-independent and re-countable; the
+        // six probe queries are independent reads of the now-cached
+        // frames and run concurrently
+        val hits = Q.concurrently(probeIds.flatMap { pid =>
           val q = probeVecs(pid)
-          val adcIds = IvfPq.adcTopK(codes, cents2, "vec_id", "label", cb2, q,
-            nProbe = 2, topK = 10)
-            .collect().map(_.getLong(0)).toSet
-          val qArr = array(q.map(lit).toSeq: _*)
-          val bruteIds = liveEmb.select(col("vec_id"),
-            aggregate(
-              zip_with(col("embedding"), qArr,
-                (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-              lit(0.0), (acc, x) => acc + x).as("d"))
-            .orderBy(col("d"), col("vec_id")).limit(10)
-            .collect().map(_.getLong(0)).toSet
-          (pid, adcIds.intersect(bruteIds).size.toLong, 10L)
+          Seq(
+            () => IvfPq.adcTopK(codes, cents2, "vec_id", "label", cb2, q,
+              nProbe = 2, topK = 10)
+              .collect().map(_.getLong(0)).toSet,
+            () => {
+              val qArr = array(q.map(lit).toSeq: _*)
+              liveEmb.select(col("vec_id"),
+                aggregate(
+                  zip_with(col("embedding"), qArr,
+                    (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+                  lit(0.0), (acc, x) => acc + x).as("d"))
+                .orderBy(col("d"), col("vec_id")).limit(10)
+                .collect().map(_.getLong(0)).toSet
+            })
+        })
+        val rows = probeIds.zipWithIndex.map { case (pid, i) =>
+          (pid, hits(2 * i).intersect(hits(2 * i + 1)).size.toLong, 10L)
         }
         codes.unpersist(); liveEmb.unpersist(); emb.unpersist()
         import s.implicits._
@@ -687,21 +708,25 @@ object Round15Queries {
           val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fsys.exists(p)) fsys.delete(p, true)
         }
-        IvfPqStore.writeCentroids(s, root, cents)
-        PqIndexStore.writeCodebook(s, root, cb)
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 0), cents,
-          "vec_id", "embedding", "label", root, cb, "b0")
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 1), cents,
-          "vec_id", "embedding", "label", root, cb, "b1")
-        IvfPqStore.appendTombstones(
-          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-          "vec_id", root, "t0")
+        // independent pre-compaction ops overlap (distinct store subdirs;
+        // appends never read centroids/ or codebook/) — see q381
+        Q.concurrently(Seq(
+          () => IvfPqStore.writeCentroids(s, root, cents),
+          () => PqIndexStore.writeCodebook(s, root, cb),
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 0),
+            cents, "vec_id", "embedding", "label", root, cb, "b0"),
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 1),
+            cents, "vec_id", "embedding", "label", root, cb, "b1"),
+          () => IvfPqStore.appendTombstones(
+            emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+            "vec_id", root, "t0")))
         IvfPqStore.compact(s, root, "c0", "vec_id", "label")
-        IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 2), cents,
-          "vec_id", "embedding", "label", root, cb, "b2")
-        IvfPqStore.appendTombstones(
-          emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
-          "vec_id", root, "t1")
+        Q.concurrently(Seq(
+          () => IvfPqStore.appendBatch(emb.filter(col("vec_id") % 3 === 2),
+            cents, "vec_id", "embedding", "label", root, cb, "b2"): Unit,
+          () => IvfPqStore.appendTombstones(
+            emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
+            "vec_id", root, "t1"): Unit))
         // the refit generation: survivors only, fresh quantizers
         IvfPqStore.refitGeneration(s, root, gen, emb,
           "vec_id", "embedding", "label", dims = 64, m = 4, k = 4, iters = 2)

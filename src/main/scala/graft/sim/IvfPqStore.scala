@@ -62,14 +62,15 @@ object IvfPqStore {
       cb: ProductQuantizer.Codebook,
       batchId: String): Long = {
     require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
-    val encoded = IvfPq.encode(batch, centroids, idCol, vecCol, cellCol, cb)
-      .persist()
-    encoded.write.mode(SaveMode.Overwrite)
+    // the vector count is observed during the write itself — one job
+    // where persist + write + count used to run two over a cached copy
+    val obs = org.apache.spark.sql.Observation()
+    IvfPq.encode(batch, centroids, idCol, vecCol, cellCol, cb)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(cellCol)
       .parquet(s"$root/codes/$batchId")
-    val n = encoded.count()
-    encoded.unpersist()
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   private def batchDirs(spark: SparkSession, d: String): Seq[String] = {
@@ -84,13 +85,11 @@ object IvfPqStore {
     * BOTH; readers must skip them or double-count. Bounded: one row
     * per folded dir per compaction.
     */
-  private def foldedDirs(spark: SparkSession, root: String): Set[String] = {
-    import spark.implicits._
+  private def foldedDirs(spark: SparkSession, root: String): Set[String] =
     batchDirs(spark, s"$root/compactions")
       .filter(PqIndexStore.isCommittedDir(spark, _))
-      .flatMap(spark.read.parquet(_).as[String].collect())
+      .flatMap(PqIndexStore.readMarker(spark, _))
       .toSet
-  }
 
   /** The full code table across every appended batch — (idCol, code,
     * cellCol) with the cell recovered from the partition directories.
@@ -158,8 +157,11 @@ object IvfPqStore {
       .persist()
     val (cents, cb) = IvfPq.fitResidual(
       survivors, idCol, vecCol, cellCol, dims, m, k, iters)
-    writeCentroids(spark, newRoot, cents)
-    PqIndexStore.writeCodebook(spark, newRoot, cb)
+    // the two metadata writes land in distinct subdirs and neither feeds
+    // the other — overlap their driver fixed costs
+    graft.Par.run(Seq(
+      () => writeCentroids(spark, newRoot, cents),
+      () => PqIndexStore.writeCodebook(spark, newRoot, cb)))
     val n = appendBatch(survivors, cents, idCol, vecCol, cellCol, newRoot, cb, "g0")
     survivors.unpersist()
     n
@@ -179,12 +181,11 @@ object IvfPqStore {
       idCol: String,
       cellCol: String): (Long, Long) = {
     require(compactId.matches("[A-Za-z0-9._-]+"), s"compactId '$compactId' is not filename-safe")
-    import spark.implicits._
     val f = PqIndexStore.fs(spark, root)
     val markerDir = s"$root/compactions/$compactId"
     if (PqIndexStore.isCommittedDir(spark, markerDir)) {
-      val folded = spark.read.parquet(markerDir).as[String].collect()
-      folded.foreach(p => f.delete(new Path(p), true))
+      PqIndexStore.readMarker(spark, markerDir)
+        .foreach(p => f.delete(new Path(p), true))
       return (-1L, -1L)
     }
     if (PqIndexStore.existsAny(spark, markerDir))
@@ -197,7 +198,12 @@ object IvfPqStore {
       .filterNot(_.endsWith(s"/$compactId")).filterNot(prior)
     val foldedTombs = batchDirs(spark, s"$root/tombstones").filterNot(prior)
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
+    // both row counts are OBSERVED during the survivor write — the same
+    // values the separate count + read-back-count jobs used to fetch
+    val allObs = org.apache.spark.sql.Observation()
+    val liveObs = org.apache.spark.sql.Observation()
     val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .observe(allObs, count(lit(1)).as("n"))
     val tomb =
       if (foldedTombs.isEmpty) null
       else foldedTombs.map(spark.read.parquet(_)).reduce(_ unionAll _)
@@ -205,13 +211,13 @@ object IvfPqStore {
     val survivors =
       if (tomb == null) all
       else all.join(broadcast(tomb), Seq(idCol), "left_anti")
-    survivors.write.mode(SaveMode.Overwrite)
+    survivors.observe(liveObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(cellCol)
       .parquet(s"$root/codes/$compactId")
-    val nAll = all.count()
-    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
-    (foldedCodes ++ foldedTombs).toDF("path")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
+    val nAll = allObs.get("n").asInstanceOf[Long]
+    val nLive = liveObs.get("n").asInstanceOf[Long]
+    PqIndexStore.writeMarker(spark, markerDir, foldedCodes ++ foldedTombs)
     (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))
     (nLive, nAll - nLive)
   }

@@ -58,6 +58,37 @@ object PqIndexStore {
     }
   }
 
+  /** Commit a compaction marker: the folded-path set is bounded
+    * driver-side metadata (one line per folded subdir), so it is written
+    * as ONE driver-side file — create under a dot-temp name, then an
+    * atomic rename publishes it. The dot prefix is invisible to
+    * [[isCommittedDir]], so a crash mid-write still reads as "not
+    * committed" and the replay refolds; the parquet marker this replaces
+    * paid a Spark job to write and another per read for kilobytes.
+    */
+  private[sim] def writeMarker(
+      spark: SparkSession, markerDir: String, paths: Seq[String]): Unit = {
+    val f = fs(spark, markerDir)
+    val tmp = new Path(markerDir, "._folded.tmp")
+    val dst = new Path(markerDir, "folded")
+    val out = f.create(tmp, true)
+    try out.write(paths.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(f.rename(tmp, dst), s"compaction marker commit failed: $tmp -> $dst")
+  }
+
+  /** Read a COMMITTED compaction marker's folded-path set (driver-side
+    * file read, no job). */
+  private[sim] def readMarker(spark: SparkSession, markerDir: String): Seq[String] = {
+    val f = fs(spark, markerDir)
+    val p = new Path(markerDir, "folded")
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
   /** Persist the frozen codebook (one row per subspace × centroid). */
   def writeCodebook(
       spark: SparkSession, root: String, cb: ProductQuantizer.Codebook): Unit = {
@@ -106,20 +137,27 @@ object PqIndexStore {
         zip_with(sl, recon, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
         lit(0.0), (acc, v) => acc + v)
     }
-    val encoded = ProductQuantizer.encode(batch, idCol, vecCol, cb)
-      .join(batch.select(col(idCol), errTerms.reduce(_ + _).as("_qerr")), Seq(idCol))
-      .persist()
-    encoded.select(col(idCol), col("code"))
+    // codes and the error stat come out of ONE projection over the batch
+    // (same per-row arithmetic the id self-join used to reattach), and the
+    // stat aggregates are OBSERVED during the codes write — one job where
+    // persist + write + aggregate used to run two over a cached copy
+    val codes = (0 until cb.m).map(s =>
+      KMeans.assignExpr(slice(col(vecCol), s * cb.subDims + 1, cb.subDims),
+        cb.centroids(s)))
+    val encoded = batch.select(
+      col(idCol), array(codes: _*).as("code"), errTerms.reduce(_ + _).as("_qerr"))
+    val obs = org.apache.spark.sql.Observation()
+    encoded
+      .observe(obs, count(lit(1)).as("n"), coalesce(avg(col("_qerr")), lit(0.0)).as("e"))
+      .select(col(idCol), col("code"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$batchId")
-    val st = encoded.agg(
-      count(lit(1)).as("n"), coalesce(avg(col("_qerr")), lit(0.0)).as("e")).head()
-    val (n, meanErr) = (st.getLong(0), st.getDouble(1))
+    val st = obs.get
+    val (n, meanErr) = (st("n").asInstanceOf[Long], st("e").asInstanceOf[Double])
     import spark.implicits._
     Seq((batchId, n, meanErr))
       .toDF("batch_id", "n_vectors", "mean_qerr")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/$batchId")
-    encoded.unpersist()
     (n, meanErr)
   }
 
@@ -150,11 +188,13 @@ object PqIndexStore {
   def appendTombstones(
       ids: DataFrame, idCol: String, root: String, batchId: String): Long = {
     require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
-    val d = ids.select(col(idCol)).distinct().persist()
-    d.write.mode(SaveMode.Overwrite).parquet(s"$root/tombstones/$batchId")
-    val n = d.count()
-    d.unpersist()
-    n
+    // the id count is observed during the write itself — one job where
+    // persist + write + count used to run two over a cached copy
+    val obs = org.apache.spark.sql.Observation()
+    ids.select(col(idCol)).distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/tombstones/$batchId")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Every pending (un-compacted) tombstoned id, empty-safe. Read as a
@@ -218,7 +258,6 @@ object PqIndexStore {
     */
   def compact(spark: SparkSession, root: String, compactId: String): (Long, Long) = {
     require(compactId.matches("[A-Za-z0-9._-]+"), s"compactId '$compactId' is not filename-safe")
-    import spark.implicits._
     val f = fs(spark, root)
     val markerDir = s"$root/compactions/$compactId"
     def subdirs(d: String): Seq[String] =
@@ -226,20 +265,26 @@ object PqIndexStore {
       else f.listStatus(new Path(d)).filter(_.isDirectory).map(_.getPath.toString).toSeq
     if (isCommittedDir(spark, markerDir)) {
       // crash-mid-delete replay: finish the recorded deletions only
-      val folded = spark.read.parquet(markerDir).as[String].collect()
-      folded.foreach(p => f.delete(new Path(p), true))
+      readMarker(spark, markerDir).foreach(p => f.delete(new Path(p), true))
       return (-1L, -1L)
     }
-    // a markerDir holding only `_temporary` is a crash DURING the marker
-    // write: the survivor data committed but the fold set was never
-    // recorded — clear the staging debris and refold from the still-
-    // present sources (Overwrite semantics make the refold idempotent)
+    // a markerDir holding only temp debris (`_temporary` staging or a
+    // dot-temp marker file) is a crash DURING the marker write: the
+    // survivor data committed but the fold set was never recorded —
+    // clear the debris and refold from the still-present sources
+    // (Overwrite semantics make the refold idempotent)
     if (existsAny(spark, markerDir)) f.delete(new Path(markerDir), true)
     val foldedCodes = subdirs(s"$root/codes")
       .filterNot(_.endsWith(s"/$compactId"))
     val foldedTombs = subdirs(s"$root/tombstones")
     require(foldedCodes.nonEmpty, "compact: no code batches to fold")
+    // both row counts are OBSERVED during the survivor write: the input
+    // count below the anti-join, the survivor count above it — the same
+    // values the separate count + read-back-count jobs used to fetch
+    val allObs = org.apache.spark.sql.Observation()
+    val liveObs = org.apache.spark.sql.Observation()
     val all = foldedCodes.map(spark.read.parquet(_)).reduce(_ unionAll _)
+      .observe(allObs, count(lit(1)).as("n"))
     val idCol = all.columns.head
     val tomb =
       if (foldedTombs.isEmpty) null
@@ -248,12 +293,12 @@ object PqIndexStore {
     val survivors =
       if (tomb == null) all
       else all.join(broadcast(tomb), Seq(idCol), "left_anti")
-    survivors.write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$compactId")
-    val nAll = all.count()
-    val nLive = spark.read.parquet(s"$root/codes/$compactId").count()
+    survivors.observe(liveObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/codes/$compactId")
+    val nAll = allObs.get("n").asInstanceOf[Long]
+    val nLive = liveObs.get("n").asInstanceOf[Long]
     // marker AFTER the data commit; deletes last
-    (foldedCodes ++ foldedTombs).toDF("path")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(markerDir)
+    writeMarker(spark, markerDir, foldedCodes ++ foldedTombs)
     (foldedCodes ++ foldedTombs).foreach(p => f.delete(new Path(p), true))
     (nLive, nAll - nLive)
   }
