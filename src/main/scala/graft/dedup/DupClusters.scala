@@ -132,7 +132,7 @@ object DupClusters {
     * binary comparison). None = type unsupported, take the distributed
     * path.
     */
-  private def driverOrdering(
+  private[graft] def driverOrdering(
       aType: org.apache.spark.sql.types.DataType,
       bType: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._

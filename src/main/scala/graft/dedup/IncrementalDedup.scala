@@ -364,12 +364,17 @@ object IncrementalDedup {
 
     // 4. append-only state updates — data first, marker LAST (the commit
     // point); a crash anywhere before the marker leaves invisible rows.
-    // The rep-delta append is the action that materializes the delta, so
-    // its input caches release right after it.
-    append(newBanded, state.indexDir)
-    if (nNewPairs > 0) append(newPairs, state.pairsDir)
-    append(ids, state.docsDir)
-    if (repDelta != null) append(repDelta, state.repsDir)
+    // The four appends land in DISTINCT state dirs and read already-
+    // materialized caches, so they run CONCURRENTLY (the marker still
+    // writes only after every append returns — same crash window as the
+    // sequential order, which also left partial invisible data). The
+    // rep-delta append is the action that materializes the delta, so its
+    // input caches release right after the barrier.
+    graft.Par.run(
+      Seq(() => append(newBanded, state.indexDir)) ++
+        (if (nNewPairs > 0) Seq(() => append(newPairs, state.pairsDir)) else Nil) ++
+        Seq(() => append(ids, state.docsDir)) ++
+        (if (repDelta != null) Seq(() => append(repDelta, state.repsDir)) else Nil))
     repCaches.foreach(_.unpersist())
     newBanded.unpersist()
     newPairs.unpersist()

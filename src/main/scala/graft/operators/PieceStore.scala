@@ -94,38 +94,60 @@ object PieceStore {
     require(batchId.matches("[A-Za-z0-9._-]+"), s"batchId '$batchId' is not filename-safe")
     val spark = batch.sparkSession
     // ONE state read (full rows, max_id included) feeds the replay
-    // lookup, the tail offset AND the guard — no second file scan
-    val stateOpt = stateDf(spark, root)
-    val stateSchema = stateOpt.map(_.schema)
-    val existingRows = stateOpt.toSeq.flatMap(_.collect().toSeq)
+    // lookup, the tail offset AND the guard — no second file scan. The
+    // state read and the batch aggregate are independent (distinct
+    // inputs; both are needed on every path) — overlap their driver
+    // fixed costs instead of serializing two small jobs.
+    val aggFrame = batch.agg(
+      coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
+        .otherwise(lit(0L))), lit(0L)).as("n_tokens"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
+    val fetched = graft.Par.run(Seq(
+      () => {
+        val stateOpt = stateDf(spark, root)
+        (stateOpt.map(_.schema), stateOpt.toSeq.flatMap(_.collect().toSeq)): Any
+      },
+      () => aggFrame.head(): Any))
+    val (stateSchema, existingRows) = fetched(0)
+      .asInstanceOf[(Option[org.apache.spark.sql.types.StructType],
+        Seq[org.apache.spark.sql.Row])]
+    val aggRow = fetched(1).asInstanceOf[org.apache.spark.sql.Row]
     val existing = existingRows.map(r => (
       r.getAs[String]("batch_id"), r.getAs[Long]("first_offset"),
       r.getAs[Long]("n_tokens")))
     // replay: a batch that already committed re-packs at its RECORDED
     // offset (later batches must not shift it); first landing: the tail
     val recorded = existing.find(_._1 == batchId).map(_._2)
-    // ONE aggregate scan of the batch: token total plus native-typed
-    // min/max id — shared by the guard and the state row below
-    val aggFrame = batch.agg(
-      coalesce(sum(when(col(nTokensCol) > 0, col(nTokensCol).cast("long"))
-        .otherwise(lit(0L))), lit(0L)).as("n_tokens"),
-      min(col(idCol)).as("min_id"),
-      max(col(idCol)).as("max_id"))
-    val aggRow = aggFrame.head()
     if (recorded.isEmpty && existing.nonEmpty) {
       // first landing with committed predecessors: the monotonicity
-      // guard — native-typed comparison stays in Spark (idCol may be
-      // long, string, …) but over two LOCAL 1-row frames built from the
-      // rows already in hand, so the check costs no file or batch scan
-      val priorMax = spark.createDataFrame(
-        java.util.Arrays.asList(existingRows: _*), stateSchema.get)
-        .agg(max(col("max_id")).as("_pmax"))
-      val violations = spark
-        .createDataFrame(java.util.Arrays.asList(aggRow), aggFrame.schema)
-        .select(col("min_id").as("_bmin"))
-        .crossJoin(broadcast(priorMax))
-        .filter(col("_bmin") <= col("_pmax")).count()
-      require(violations == 0L,
+      // guard — a native-typed comparison over values already in hand.
+      // Long/int/string ids compare DRIVER-side with Spark's own order
+      // semantics (numeric ascending, strings by unsigned UTF-8 byte
+      // order — [[graft.dedup.DupClusters.driverOrdering]]), skipping
+      // nulls exactly as the SQL max/<= did; other id types keep the
+      // local-frame Spark comparison (no batch or file scan either way).
+      val idxMin = aggFrame.schema.fieldIndex("min_id")
+      val idxMax = stateSchema.get.fieldIndex("max_id")
+      val violated = graft.dedup.DupClusters.driverOrdering(
+        aggFrame.schema("min_id").dataType,
+        stateSchema.get("max_id").dataType) match {
+        case Some(ord) =>
+          val pmax = existingRows.map(_.get(idxMax)).filter(_ != null)
+            .reduceOption((a, b) => ord.max(a, b))
+          val bmin = aggRow.get(idxMin)
+          bmin != null && pmax.exists(m => ord.lteq(bmin, m))
+        case None =>
+          val priorMax = spark.createDataFrame(
+            java.util.Arrays.asList(existingRows: _*), stateSchema.get)
+            .agg(max(col("max_id")).as("_pmax"))
+          spark
+            .createDataFrame(java.util.Arrays.asList(aggRow), aggFrame.schema)
+            .select(col("min_id").as("_bmin"))
+            .crossJoin(broadcast(priorMax))
+            .filter(col("_bmin") <= col("_pmax")).count() > 0L
+      }
+      require(!violated,
         s"pieceStore: batch '$batchId' min $idCol does not exceed the " +
           "committed max — ids must be globally increasing across batches " +
           "(schedule feeds need a position-epoch fence; see PieceStore doc)")

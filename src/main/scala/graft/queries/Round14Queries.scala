@@ -285,8 +285,14 @@ object Round14Queries {
         .unionByName(docs.select(col("doc_id"), lit(2L).as("seg"),
           lit("text").as("modality"),
           ((col("doc_id") * 13 + 7) % 40).cast("long").as("n_tokens")))
+      // narrow coalesce on the unioned spread branches (the q284/q299
+      // fix): the decode spread × 3 union legs otherwise feeds the pack's
+      // range exchange 3×parts tiny map tasks
+      val parts = math.max(1,
+        s.sessionState.conf.numShufflePartitions / 4)
       SequencePack.packChunksMultimodal(
-        segs, "doc_id", "seg", "modality", "n_tokens", seqLen = 256L)
+        segs.coalesce(parts), "doc_id", "seg", "modality", "n_tokens",
+        seqLen = 256L)
         .orderBy("chunk_id", "doc_id", "seg")
     },
 
@@ -576,11 +582,16 @@ object Round14Queries {
       // stage 0–1: WARC bytes → charset-routed decode → main content
       val routed = graft.ingest.Warc.htmlResponsesCharsetRouted(
         graft.ingest.Warc.synthesizeWarcBoilerplate(feed))
-      val main = MainContent.extract(
+      val main = graft.operators.Lineage.pin(MainContent.extract(
         routed.select(col("media_id").as("doc_id"), col("html")), "doc_id", "html")
         .join(feed.select(col("media_id").as("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("main_text"))
-        .persist() // six count branches + the piece branch reuse the decode
+        .select(col("doc_id"), col("lang"), col("main_text")))
+      // six count branches + the piece branch reuse the decode; a PIN
+      // (localCheckpoint) instead of persist() both caches the rows and
+      // TRUNCATES the plan: the WARC-synthesize + charset + extraction
+      // lineage above is the bulk of this query's ~100k-line formatted
+      // plan, and every downstream action (the eager GlobalRank passes,
+      // ~20 AQE stage jobs) was re-analyzing it
       // stage 2: quality gate (score recipe + token floor). Persisted:
       // the exact-dedup join reads qual on BOTH sides and the stage-count
       // branch a third time — uncached each re-runs the tokenCount regexp
@@ -603,12 +614,13 @@ object Round14Queries {
         .select(col("id_b").as("doc_id")).distinct()
       val near = ex.join(kills, Seq("doc_id"), "left_anti").persist()
       // stage 5: per-language token budgets, best-quality-first
-      val kept = TokenBudget.selectUnderBudget(
+      // slim (three columns, budget-bounded rows): a pin truncates the
+      // plan under the mixture/pack tail — see capstoneStages' kept note
+      val kept = graft.operators.Lineage.pin(TokenBudget.selectUnderBudget(
         near, "lang", "q", "doc_id", "n",
         Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L, "zh" -> 500L))
         .filter(col("kept"))
-        .select(col("doc_id"), col("lang"), col("n"))
-        .persist()
+        .select(col("doc_id"), col("lang"), col("n")))
       // stage 6: mixture schedule, then pack in SCHEDULE order
       val sched = Mixture.interleave(kept, "lang", "doc_id",
         Seq("en" -> 8L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))

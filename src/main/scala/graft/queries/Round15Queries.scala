@@ -44,6 +44,11 @@ object Round15Queries {
     val docs = Tables.load(s, dir, "documents")
     // STAGE 0 — crawl intake: CDX index over archives where 3 of
     // every 4 captures are revisit records of the group's stored body
+    // NOTE (r16): a Lineage.pin here (and on `samples`) was tried for
+    // plan truncation and measured WORSE (q378 5.97 → 7.35 s, q385 7.55
+    // → 8.57 s same-window A/B): these rows carry full archive/sample
+    // text, and a row-copy localCheckpoint stores them far fatter than
+    // the columnar cache. persist() stays.
     val cdx = graft.ingest.Warc.cdxIndex(
       graft.ingest.Warc.synthesizeWarcRevisits(docs, "doc_id")).persist()
     // STAGE 1 — revisit resolution: each revisit joins its stored
@@ -96,14 +101,18 @@ object Round15Queries {
       .withColumn("n_total", col("n_text") + col("n_img") + col("n_cap"))
     // STAGE 5 — per-language token budgets over the doc's TOTAL
     // (text + image placeholder + caption) tokens, best-quality-first
-    val kept = TokenBudget.selectUnderBudget(
+    // `kept` is SLIM (six numeric/short columns, budget-bounded rows) —
+    // a pin (localCheckpoint) instead of persist() truncates the plan
+    // under the whole mixture/pack/store tail, whose many small driver
+    // actions were each re-analyzing the full seven-stage lineage
+    // (cheap to checkpoint here, unlike the text-carrying stages above)
+    val kept = graft.operators.Lineage.pin(TokenBudget.selectUnderBudget(
       withSegs, "cls", "q", "doc_id", "n_total",
       Seq("en" -> 2000L, "de" -> 800L, "fr" -> 700L, "es" -> 600L,
         "zh" -> 500L))
       .filter(col("kept"))
       .select(col("doc_id"), col("cls"), col("n_text"), col("n_img"),
-        col("n_cap"), col("n_total"))
-      .persist()
+        col("n_cap"), col("n_total")))
     CapstoneStages(cdx, resolved, samples, qual, ex, kept)
   }
 
